@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic numeric helpers.
+  *
+  * Double summation is order-dependent, and Spark's shuffle order differs
+  * run-to-run and engine-to-engine — a plain `sum(double)` can never
+  * hash-match an external oracle. Every "money/measure" aggregate here is
+  * therefore computed as an EXACT decimal sum (inputs are fixed-point-ish:
+  * 2-decimal prices/values) and only converted to double at the end, which
+  * makes results bit-reproducible regardless of partitioning, parallelism,
+  * or engine. avg/stddev are derived from those exact sums with a fixed
+  * expression shape mirrored verbatim in the DuckDB oracle SQL.
+  *
+  * Everything stays inside whole-stage codegen (built-in expressions only).
+  */
+object Num {
+  private val Dec: DecimalType = DecimalType(38, 6)
+
+  /** Order-independent exact sum, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  def dsumOver(c: Column, w: WindowSpec): Column = sum(c.cast(Dec)).over(w).cast(DoubleType)
+
+  /** Mean from the exact sum (deterministic double division). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  def davgOver(c: Column, w: WindowSpec): Column = dsumOver(c, w) / count(c).over(w)
+
+  /** Sample stddev from exact sums of x and x^2:
+    * sqrt(max(S2 - S^2/n, 0) / (n-1)), NULL for n<=1 (mirrors
+    * stddev_samp / reference guard at spark_transform.py:168-170).
+    */
+  def dstddev(c: Column): Column = {
+    val n = count(c).cast(DoubleType)
+    val s = dsum(c)
+    val s2 = dsum(c * c)
+    when(count(c) > 1, sqrt(greatest(s2 - (s * s) / n, lit(0d)) / (n - lit(1d))))
+  }
+
+  /** Matching DuckDB oracle fragments — kept adjacent so the two engines'
+    * expression shapes cannot drift apart.
+    */
+  object O {
+    def sum(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
+    def avg(c: String): String = s"(${sum(c)} / COUNT($c))"
+    def stddev(c: String): String = {
+      val n = s"CAST(COUNT($c) AS DOUBLE)"
+      val s = sum(c)
+      val s2 = s"CAST(SUM(CAST(($c * $c) AS DECIMAL(38,6))) AS DOUBLE)"
+      s"CASE WHEN COUNT($c) > 1 THEN sqrt(greatest($s2 - ($s * $s) / $n, 0.0) / ($n - 1.0)) END"
+    }
+  }
+}
+
+/** Portable hashing built on md5 (identical across Spark and DuckDB),
+  * used by the dedup family (MinHash / SimHash / fingerprints).
+  * At scale these are pure codegen'd expressions — no UDFs.
+  */
+object Hashes {
+
+  /** First 32 bits of md5(c) as an unsigned long in [0, 2^32). */
+  def md5Long32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** First 60 bits of md5(c) as a non-negative long (fits BIGINT). */
+  def md5Long60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  object O {
+    def md5Long32(c: String): String = s"(('0x' || substr(md5($c), 1, 8))::BIGINT)"
+    def md5Long60(c: String): String = s"(('0x' || substr(md5($c), 1, 15))::BIGINT)"
+  }
+}
+
+/** Dense-vector math over ArrayType columns using codegen'd higher-order
+  * functions (zip_with/aggregate) — no UDFs, no driver-side loops.
+  * Folds are sequential left-to-right, matching DuckDB's list_reduce, so
+  * dot products are bit-identical across engines.
+  */
+object Vec {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0d),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  object O {
+    /** dim must be the fixed vector length (testdata embeddings: 64). */
+    def dot(a: String, b: String, dim: Int = 64): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cosine(a: String, b: String, dim: Int = 64): String =
+      s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
+  }
+}
+
+/** Text primitives shared by dedup / text-analysis operators. */
+object Text {
+
+  def words(c: Column): Column = split(c, " ")
+
+  /** Word n-gram shingles (default 3), matching DuckDB's
+    * list_transform(range(1, len(w)-(n-2)), ...) construction.
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val w = words(c)
+    when(
+      size(w) >= n,
+      transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  object O {
+    def words(c: String): String = s"string_split($c, ' ')"
+    def shingles(c: String, n: Int = 3): String = {
+      val parts = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len(w) - ${n - 2}), i -> $parts)"
+    }
+  }
+}
+
+/** Derived time features (reference: spark_transform.py:103-107).
+  * Spark's dayofweek is 1=Sunday..7=Saturday; DuckDB's dayofweek is
+  * 0=Sunday..6=Saturday — the oracle fragments compensate.
+  */
+object TimeF {
+  def hourOf(ts: Column): Column = hour(ts)
+  def dow(ts: Column): Column = dayofweek(ts)
+  def isWeekend(ts: Column): Column = dayofweek(ts).isin(1, 7)
+  def isBusinessHours(ts: Column): Column = hour(ts).between(9, 17)
+
+  object O {
+    def hourOf(ts: String): String = s"CAST(hour($ts) AS INT)"
+    def dow(ts: String): String = s"CAST(dayofweek($ts) + 1 AS INT)"
+    def isWeekend(ts: String): String = s"(dayofweek($ts) IN (0, 6))"
+    def isBusinessHours(ts: String): String = s"(hour($ts) BETWEEN 9 AND 17)"
+  }
+}
