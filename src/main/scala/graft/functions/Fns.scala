@@ -42,17 +42,28 @@ object Num {
     when(count(c) > 1, sqrt(greatest(s2 - (s * s) / n, lit(0d)) / (n - lit(1d))))
   }
 
+  /** Windowed sample stddev with the same exact-sums formula. */
+  def dstddevOver(c: Column, w: WindowSpec): Column = {
+    val n = count(c).over(w).cast(DoubleType)
+    val s = dsumOver(c, w)
+    val s2 = dsumOver(c * c, w)
+    when(count(c).over(w) > 1, sqrt(greatest(s2 - (s * s) / n, lit(0d)) / (n - lit(1d))))
+  }
+
   /** Matching DuckDB oracle fragments — kept adjacent so the two engines'
-    * expression shapes cannot drift apart.
+    * expression shapes cannot drift apart. `over` ("" for plain
+    * aggregation, " OVER w" for windows) is appended to each aggregate.
     */
   object O {
-    def sum(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
-    def avg(c: String): String = s"(${sum(c)} / COUNT($c))"
-    def stddev(c: String): String = {
-      val n = s"CAST(COUNT($c) AS DOUBLE)"
-      val s = sum(c)
-      val s2 = s"CAST(SUM(CAST(($c * $c) AS DECIMAL(38,6))) AS DOUBLE)"
-      s"CASE WHEN COUNT($c) > 1 THEN sqrt(greatest($s2 - ($s * $s) / $n, 0.0) / ($n - 1.0)) END"
+    def sum(c: String, over: String = ""): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(38,6)))$over AS DOUBLE)"
+    def avg(c: String, over: String = ""): String =
+      s"(${sum(c, over)} / COUNT($c)$over)"
+    def stddev(c: String, over: String = ""): String = {
+      val n = s"CAST(COUNT($c)$over AS DOUBLE)"
+      val s = sum(c, over)
+      val s2 = s"CAST(SUM(CAST(($c * $c) AS DECIMAL(38,6)))$over AS DOUBLE)"
+      s"CASE WHEN COUNT($c)$over > 1 THEN sqrt(greatest($s2 - ($s * $s) / $n, 0.0) / ($n - 1.0)) END"
     }
   }
 }
