@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, Text}
+
+/** Deduplication family for LLM-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design: nothing here is O(n^2) in Spark. Candidate pairs come
+  * from equality joins on LSH bands (MinHash), bit-chunks (SimHash), or
+  * shared rare shingles (Jaccard, with a document-frequency cap), so the
+  * shuffles are keyed and bounded. The DuckDB oracles compute the same
+  * final pair sets with quadratic joins — affordable at test scale and
+  * provably equivalent.
+  *
+  * All hashing is md5-derived (graft.functions.Hashes) — portable across
+  * engines, deterministic across partitionings.
+  */
+object Dedup {
+
+  val MinhashK = 16 // signature length
+  val MinhashBands = 4 // 4 bands x 4 rows
+  val SimhashBits = 60 // fits a signed BIGINT via 15 hex chars
+  val SimhashChunks = 5 // 12-bit chunks; pigeonhole covers hamming <= 4
+  val SimhashMaxHamming = 4
+  val JaccardDocFreqCap = 50 // drop shingles present in more docs (stop-shingles)
+  val JaccardThreshold = 0.05
+
+  /** Exact dedup: group identical texts by content hash, keep the lowest
+    * id as representative. One hash-shuffle; at 100 TB group by the md5
+    * (never the raw text) so shuffle keys stay 16 bytes.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash signature: k independent md5-derived hash
+    * functions, min over the document's shingle set. Single explode +
+    * one hash-aggregation (k mins computed in the same pass).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Text.shingles(col("text"))).as("shingle"))
+      .distinct()
+    val mins = (0 until MinhashK).map(i =>
+      min(Hashes.md5Long32(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: documents sharing at least one full band of the
+    * signature, with the estimated Jaccard (fraction of matching minhash
+    * components). Bands are joined by equality — the candidate join is
+    * keyed, not quadratic.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).cache()
+    val rows = MinhashK / MinhashBands
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("band_val"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"s1.h$i") === col(s"s2.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), round(matches / lit(MinhashK.toDouble), 6).as("est_jaccard"))
+  }
+
+  /** Per-document 60-bit SimHash: md5 token hashes, per-bit majority vote
+    * computed as 60 conditional sums in one aggregation pass (no bit
+    * explosion).
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), Hashes.md5Long60(col("t")).as("h"))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until SimhashBits)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= 4 over the 60-bit
+    * signatures. Candidates come from a keyed join on 12-bit chunks
+    * (pigeonhole: distance <= 4 implies >= 1 of 5 chunks equal), then the
+    * exact hamming filter.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = simhashSignatures(docs).cache()
+    val chunks = (0 until SimhashChunks).map(j =>
+      struct(lit(j).as("chunk_id"),
+        shiftright(col("simhash"), j * 12).bitwiseAND(4095).as("chunk_val")))
+    val chunked = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk_val"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+  }
+
+  /** n-gram Jaccard near-dup pairs: distinct word-3-gram shingles,
+    * document-frequency cap on join keys (drops stop-shingles that would
+    * create quadratic hot keys at scale — the cap is part of the operator
+    * contract, mirrored in the oracle), keyed self-join, exact Jaccard
+    * against the UNCAPPED shingle-set sizes.
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh"))
+      .distinct()
+      .cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= JaccardDocFreqCap)
+    val filtered = sh.join(rare.select("sh"), "sh")
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("za"), col("d1") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
+      .select(col("d1"), col("d2"), col("n_common"),
+        col("za.n_shingles").as("n1"), col("zb.n_shingles").as("n2"),
+        round(col("n_common").cast("double") / (col("za.n_shingles") + col("zb.n_shingles") - col("n_common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** DuckDB oracle SQL builders (quadratic but equivalent pair sets). */
+  object O {
+    private val shingleCte =
+      """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |         FROM wl WHERE len(w) >= 3) t)""".stripMargin
+
+    def exact: String =
+      """SELECT md5(text) AS content_md5, min(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin
+
+    def minhashPairs: String = {
+      val hs = (0 until MinhashK)
+        .map(i => s"min(('0x' || substr(md5('$i:' || sh), 1, 8))::BIGINT) AS h$i")
+        .mkString(",\n         ")
+      val rows = MinhashK / MinhashBands
+      val bands = (0 until MinhashBands).map { b =>
+        (0 until rows).map(r => s"a.h${b * rows + r} = b.h${b * rows + r}").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val matches = (0 until MinhashK)
+        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id,
+         |         $hs
+         |        FROM sh GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  round(($matches) / ${MinhashK}.0, 6) AS est_jaccard
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bands)
+         |ORDER BY d1, d2""".stripMargin
+    }
+
+    def simhashPairs: String = {
+      val bitSums = (0 until SimhashBits)
+        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n         ")
+      val simhash = (0 until SimhashBits)
+        .map(b => s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val chunks = (0 until SimhashChunks)
+        .map(j => s"((a.simhash >> ${j * 12}) & 4095) = ((b.simhash >> ${j * 12}) & 4095)")
+        .mkString(" OR ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |         $bitSums
+         |        FROM th GROUP BY doc_id),
+         |sim AS (SELECT doc_id, ($simhash) AS simhash FROM bits)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= $SimhashMaxHamming
+         |  AND ($chunks)
+         |ORDER BY d1, d2""".stripMargin
+    }
+
+    def ngramJaccardPairs: String =
+      s"""$shingleCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $JaccardDocFreqCap),
+         |filt AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare ON sh.sh = rare.sh),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+         |          FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, n_common, za.n_shingles AS n1, zb.n_shingles AS n2,
+         |  round(CAST(n_common AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_common), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes za ON d1 = za.doc_id
+         |JOIN sizes zb ON d2 = zb.doc_id
+         |WHERE round(CAST(n_common AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_common), 6) >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+
+/** Text-analysis operators for LLM-data pipelines: token stats, quality
+  * scoring, heuristic language ID, and rolling-hash fingerprinting.
+  *
+  * Everything is built from portable, codegen'd string arithmetic
+  * (length/replace/split) — no UDFs, no regex-dialect dependence — so the
+  * same computation is expressible verbatim in the DuckDB oracle and the
+  * operator runs at full whole-stage-codegen speed on 100 TB of text.
+  */
+object TextAnalysis {
+
+  /** Non-overlapping occurrence count of `kw` in `padded`. */
+  private def occ(padded: Column, kw: String): Column =
+    (length(padded) - length(replace(padded, lit(kw), lit("")))) / kw.length
+
+  private def occSql(padded: String, kw: String): String = {
+    val esc = kw.replace("'", "''")
+    s"((length($padded) - length(replace($padded, '$esc', ''))) / ${kw.length})"
+  }
+
+  /** Language keyword table (heuristic n-gram/stopword scoring). */
+  val LangKeywords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und "),
+    "en" -> Seq(" the ", " a ", " of "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Per-document token statistics and a deterministic quality score
+    * (length / word-length / stopword-density mix — the standard cheap
+    * pre-filter shape for pretraining corpora).
+    */
+  def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val nTokens = size(split(t, " "))
+    val avgTokLen = (length(t) - (nTokens - lit(1))) / nTokens
+    val stopRatio = (occ(padded, " the ") + occ(padded, " a ") + occ(padded, " of ")) / nTokens
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len", avgTokLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("bpe_token_estimate", ceil(octet_length(t) / lit(4.0)))
+      .withColumn(
+        "quality_score",
+        least(nTokens / lit(200.0), lit(1.0)) * 0.5 +
+          least(col("avg_token_len") / lit(8.0), lit(1.0)) * 0.3 +
+          (lit(1.0) - least(col("stopword_ratio") * lit(2.0), lit(1.0))) * 0.2)
+  }
+
+  /** Heuristic language ID: score each language by keyword hits; the
+    * winner is the first language (alphabetical) reaching the max score —
+    * fully deterministic tie-breaking.
+    */
+  def withLanguageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val scored = LangKeywords.foldLeft(docs) { case (df, (lang, kws)) =>
+      df.withColumn(s"score_$lang", kws.map(occ(padded, _)).reduce(_ + _))
+    }
+    val scores = LangKeywords.map { case (lang, _) => col(s"score_$lang") }
+    val g = greatest(scores: _*)
+    val predicted = LangKeywords.map(_._1).foldRight(lit(null).cast("string")) {
+      case (lang, els) => when(col(s"score_$lang") === g, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** Rolling polynomial hash over the token stream (order-sensitive
+    * document fingerprint) plus a content hash of the raw text.
+    */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_fp", Hashes.md5Long60(col(textCol)))
+      .withColumn(
+        "rolling_fp",
+        aggregate(
+          split(col(textCol), " "),
+          lit(0L),
+          (acc, t) => (acc * 31 + Hashes.md5Long32(t)) % lit(RollingFpMod)))
+
+  val RollingFpMod: Long = 1099511627776L // 2^40 — keeps acc*31 + h32 < 2^63
+
+  /** DuckDB fragments mirroring the Spark expressions above. */
+  object O {
+    private val padded = "(' ' || lower(text) || ' ')"
+
+    def textStats: String = {
+      val nTokens = "len(string_split(text, ' '))"
+      s"""CAST($nTokens AS INT) AS n_tokens,
+         |  ((length(text) - ($nTokens - 1)) / $nTokens) AS avg_token_len,
+         |  ((${occSql(padded, " the ")} + ${occSql(padded, " a ")} + ${occSql(padded, " of ")}) / $nTokens) AS stopword_ratio,
+         |  CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS bpe_token_estimate,
+         |  (least($nTokens / 200.0, 1.0) * 0.5
+         |   + least(((length(text) - ($nTokens - 1)) / $nTokens) / 8.0, 1.0) * 0.3
+         |   + (1.0 - least((${occSql(padded, " the ")} + ${occSql(padded, " a ")} + ${occSql(padded, " of ")}) / $nTokens * 2.0, 1.0)) * 0.2) AS quality_score""".stripMargin
+    }
+
+    def langScores: String =
+      LangKeywords.map { case (lang, kws) =>
+        s"(${kws.map(occSql(padded, _)).mkString(" + ")}) AS score_$lang"
+      }.mkString(",\n  ")
+
+    def predictedLang: String = {
+      val g = LangKeywords.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+    }
+
+    def rollingFp: String =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)), " +
+        s"(a, b) -> (a * 31 + b) % $RollingFpMod)"
+  }
+}

@@ -1,0 +1,170 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.operators._
+import graft.sources.Tables
+
+/** LLM-data-pipeline operator queries (the north-star extensions beyond
+  * the reference surface): dedup family, similarity search, text
+  * analysis, multimodal metadata. Each has a DuckDB oracle reproducing
+  * the identical (md5-derived) hashing and (sequential-fold) vector math.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exact(docs(s, dir)).orderBy("content_md5")
+
+  val fingerprint: Q = (s, dir) =>
+    TextAnalysis
+      .withFingerprint(docs(s, dir))
+      .select("doc_id", "content_fp", "rolling_fp")
+      .orderBy("doc_id")
+
+  val ngramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(docs(s, dir)).orderBy("d1", "d2")
+
+  val minhashLsh: Q = (s, dir) =>
+    Dedup.minhashPairs(docs(s, dir)).orderBy("d1", "d2")
+
+  val simhash: Q = (s, dir) =>
+    Dedup.simhashPairs(docs(s, dir)).orderBy("d1", "d2")
+
+  val embedNearDup: Q = (s, dir) =>
+    Similarity.nearDupPairs(emb(s, dir), threshold = 0.40).orderBy("label", "v1", "v2")
+
+  val annBruteForce: Q = (s, dir) =>
+    Similarity
+      .bruteForceTopK(emb(s, dir), col("vec_id") < 20, k = 10)
+      .orderBy("query_id", "rank")
+
+  val annLsh: Q = (s, dir) =>
+    Similarity
+      .lshTopK(emb(s, dir), col("vec_id") < 20, k = 3)
+      .orderBy("query_id", "rank")
+
+  val langId: Q = (s, dir) =>
+    TextAnalysis
+      .withLanguageId(docs(s, dir))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+
+  val textQuality: Q = (s, dir) =>
+    TextAnalysis
+      .withTextStats(docs(s, dir))
+      // No rounding: these are per-row deterministic doubles with identical
+      // expression shapes in both engines (bit-equal), and small-denominator
+      // rationals can land exactly on round-half boundaries where engine
+      // rounding semantics differ.
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "bpe_token_estimate", "quality_score")
+      .orderBy("doc_id")
+
+  val tokenCount: Q = (s, dir) =>
+    TextAnalysis
+      .withTextStats(docs(s, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("bpe_token_estimate")).as("total_bpe_tokens"),
+        round(Num.davg(col("n_tokens")), 6).as("avg_tokens_per_doc"))
+      .orderBy("source")
+
+  val multimodalMeta: Q = (s, dir) =>
+    Multimodal
+      .withMediaMeta(docs(s, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(Num.davg(col("width")), 6).as("avg_width"),
+        round(Num.davg(col("height")), 6).as("avg_height"),
+        sum(col("n_frames").cast("long")).as("total_frames"))
+      .orderBy("source")
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact" -> dedupExact,
+    "q41_fingerprint" -> fingerprint,
+    "q42_ngram_jaccard" -> ngramJaccard,
+    "q43_minhash_lsh" -> minhashLsh,
+    "q44_simhash" -> simhash,
+    "q45_embed_neardup" -> embedNearDup,
+    "q46_ann_bruteforce" -> annBruteForce,
+    "q47_ann_lsh" -> annLsh,
+    "q48_lang_id" -> langId,
+    "q49_text_quality" -> textQuality,
+    "q50_token_count" -> tokenCount,
+    "q51_multimodal_meta" -> multimodalMeta)
+
+  import graft.functions.{Vec => V}
+  import TextAnalysis.{O => TO}
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" -> Dedup.O.exact,
+    "q41_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_fp,
+         |  ${TO.rollingFp} AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_ngram_jaccard" -> Dedup.O.ngramJaccardPairs,
+    "q43_minhash_lsh" -> Dedup.O.minhashPairs,
+    "q44_simhash" -> Dedup.O.simhashPairs,
+    "q45_embed_neardup" ->
+      s"""SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
+         |  round(${V.O.cosine("a.embedding", "b.embedding")}, 6) AS cosine_sim
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40
+         |ORDER BY label, v1, v2""".stripMargin,
+    "q46_ann_bruteforce" ->
+      s"""SELECT query_id, cand_id, cosine_sim, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${V.O.cosine("q.embedding", "c.embedding")}, 6) AS cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 20)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q47_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, (${Similarity.O.bucket("embedding")}) AS bucket FROM embeddings)
+         |SELECT query_id, cand_id, bucket, cosine_sim, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+         |    round(${V.O.cosine("q.embedding", "c.embedding")}, 6) AS cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 20)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q48_lang_id" ->
+      s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
+         |FROM (SELECT lang, ${TO.langScores} FROM documents)
+         |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    "q49_text_quality" ->
+      s"""SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+         |  bpe_token_estimate, quality_score
+         |FROM (SELECT doc_id, ${TO.textStats} FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q50_token_count" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(bpe_token_estimate) AS BIGINT) AS total_bpe_tokens,
+         |  round(${Num.O.avg("n_tokens")}, 6) AS avg_tokens_per_doc
+         |FROM (SELECT source, ${TO.textStats} FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q51_multimodal_meta" ->
+      """SELECT source, COUNT(*) AS n_media,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |  round((CAST(SUM(CAST((64 + (strlen(text) * 7) % 192) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)), 6) AS avg_width,
+        |  round((CAST(SUM(CAST((64 + (strlen(text) * 13) % 128) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)), 6) AS avg_height,
+        |  CAST(SUM(1 + strlen(text) % 8) AS BIGINT) AS total_frames
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
