@@ -48,6 +48,10 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Right-size shuffles for local[N] if the session still has Spark's
+    // stock default (don't fight an explicit setting from Verify/Bench).
+    if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark
   }
 }

@@ -47,12 +47,17 @@ object Similarity {
       .map(h => when(Vec.dot(planeLit(h), emb) >= 0, shiftleft(lit(1L), h)).otherwise(0L))
       .reduce(_ + _)
 
-  /** Exact cosine top-k for a small query set (broadcast). */
+  /** Exact cosine top-k for a small query set (broadcast). Norms are
+    * precomputed per vector (one fold instead of three per pair; the
+    * dot/(n1*n2) arithmetic is bit-identical to inline cosine).
+    */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred).select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val q = emb.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), Vec.norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), Vec.norm(col("embedding")).as("cn"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .withColumn("cosine_sim", round(Vec.cosine(col("qe"), col("ce")), 6))
+      .withColumn("cosine_sim", round(Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -63,12 +68,13 @@ object Similarity {
   /** LSH-bucketed cosine top-k: candidates share the query's bucket. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", bucketOf(col("embedding")))
+      .withColumn("nrm", Vec.norm(col("embedding")))
     val q = bucketed.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine_sim", round(Vec.cosine(col("qe"), col("ce")), 6))
+      .withColumn("cosine_sim", round(Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -80,11 +86,12 @@ object Similarity {
     * cosine above threshold. The block join keeps the pair space keyed.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = emb.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    val n = emb.withColumn("nrm", Vec.norm(col("embedding")))
+    val a = n.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = n.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, Seq("label"))
       .filter(col("v1") < col("v2"))
-      .withColumn("cosine_sim", round(Vec.cosine(col("e1"), col("e2")), 6))
+      .withColumn("cosine_sim", round(Vec.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select("label", "v1", "v2", "cosine_sim")
   }

@@ -174,6 +174,24 @@ object RelationalQueries {
     purchasersNoError.unionAll(both).orderBy("segment", "user_id")
   }
 
+  /** Left-outer enrichment join (J1-J3 semantics: fact keeps rows with no
+    * dimension match; reference spark_transform.py:46-57): every customer
+    * with their order rollup, zero-filled when absent.
+    */
+  val leftEnrich: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_recent_orders"), Num.dsum(col("o_totalprice")).as("recent_spend"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_recent_orders"), lit(0L)).as("n_recent_orders"),
+        coalesce(col("recent_spend"), lit(0d)).as("recent_spend"))
+      .orderBy("c_custkey")
+  }
+
   /** Generator/explode + top-k: most frequent words over documents. */
   val topWords: Q = (s, dir) => {
     t(s, dir, "documents")
@@ -196,7 +214,8 @@ object RelationalQueries {
     "q09_semi_join" -> semiJoin,
     "q10_anti_join" -> antiJoin,
     "q11_set_ops" -> setOps,
-    "q12_top_words" -> topWords)
+    "q12_top_words" -> topWords,
+    "q13_left_enrich" -> leftEnrich)
 
   import Num.{O => N}
 
@@ -285,6 +304,16 @@ object RelationalQueries {
     "q12_top_words" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q13_left_enrich" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, COUNT(*) AS n_recent_orders, ${N.sum("o_totalprice")} AS recent_spend
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+         |  GROUP BY o_custkey)
+         |SELECT c_custkey, c_mktsegment,
+         |  coalesce(n_recent_orders, 0) AS n_recent_orders,
+         |  coalesce(recent_spend, 0.0) AS recent_spend
+         |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+         |ORDER BY c_custkey""".stripMargin
   )
 }
