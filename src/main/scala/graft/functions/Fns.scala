@@ -99,6 +99,18 @@ object Vec {
       lit(0d),
       (acc, x) => acc + x)
 
+  /** Same fold as `dot` but as a single codegen'd primitive loop
+    * (graft.functions.expressions.DotProductD) — for float-array inputs
+    * only. Bit-identical results; ~an order of magnitude less overhead
+    * (no intermediate array materialization per row).
+    */
+  def dotFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      graft.functions.expressions.DotProductD(
+        GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -53,11 +53,11 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = emb.filter(queryPred).select(col("vec_id").as("query_id"),
-      col("embedding").as("qe"), Vec.norm(col("embedding")).as("qn"))
+      col("embedding").as("qe"), sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("qn"))
     val c = emb.select(col("vec_id").as("cand_id"),
-      col("embedding").as("ce"), Vec.norm(col("embedding")).as("cn"))
+      col("embedding").as("ce"), sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("cn"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .withColumn("cosine_sim", round(Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -68,13 +68,13 @@ object Similarity {
   /** LSH-bucketed cosine top-k: candidates share the query's bucket. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", bucketOf(col("embedding")))
-      .withColumn("nrm", Vec.norm(col("embedding")))
+      .withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))
     val q = bucketed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine_sim", round(Vec.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -86,12 +86,12 @@ object Similarity {
     * cosine above threshold. The block join keeps the pair space keyed.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val n = emb.withColumn("nrm", Vec.norm(col("embedding")))
+    val n = emb.withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))
     val a = n.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
     val b = n.select(col("label"), col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, Seq("label"))
       .filter(col("v1") < col("v2"))
-      .withColumn("cosine_sim", round(Vec.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select("label", "v1", "v2", "cosine_sim")
   }
