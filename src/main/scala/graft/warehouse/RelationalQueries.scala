@@ -192,6 +192,19 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** SQL entry point (SURVEY §3.3): the same engine surface via
+    * spark.sql over registered views — recent-anomalies listing
+    * (reference Q7 shape, analytical_queries.sql:87-96).
+    */
+  val sqlSurface: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_id, CAST(ts AS TIMESTAMP_NTZ) AS ts, user_id, value,
+        |       get_json_object(props, '$.k') AS quality
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin)
+  }
+
   /** Generator/explode + top-k: most frequent words over documents. */
   val topWords: Q = (s, dir) => {
     t(s, dir, "documents")
@@ -215,7 +228,8 @@ object RelationalQueries {
     "q10_anti_join" -> antiJoin,
     "q11_set_ops" -> setOps,
     "q12_top_words" -> topWords,
-    "q13_left_enrich" -> leftEnrich)
+    "q13_left_enrich" -> leftEnrich,
+    "q14_sql_surface" -> sqlSurface)
 
   import Num.{O => N}
 
@@ -314,6 +328,11 @@ object RelationalQueries {
          |  coalesce(n_recent_orders, 0) AS n_recent_orders,
          |  coalesce(recent_spend, 0.0) AS recent_spend
          |FROM customer LEFT JOIN o ON c_custkey = o_custkey
-         |ORDER BY c_custkey""".stripMargin
+         |ORDER BY c_custkey""".stripMargin,
+    "q14_sql_surface" ->
+      """SELECT event_id, ts, user_id, value,
+        |  json_extract_string(props, '$.k') AS quality
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin
   )
 }
