@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Explicit two-phase (salted) aggregation for skewed group keys
+  * (SURVEY §7.4.3). AQE's skew handling covers joins; for aggregations
+  * whose hot key overwhelms a single reducer, phase 1 pre-aggregates on
+  * (key, salt) and phase 2 combines the partials — the salt is
+  * `spark_partition_id()`, so phase 1 is a purely map-local combine and
+  * the phase-2 shuffle carries at most `numPartitions` rows per hot key.
+  *
+  * Sums are decimal-exact (graft.Num convention) so the two-phase result
+  * is bit-identical to the direct aggregation regardless of salting.
+  */
+object Skew {
+
+  private val Dec = DecimalType(38, 6)
+
+  /** count/sum/avg per key, skew-safe. */
+  def saltedStats(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val partial = df
+      .withColumn("__salt", spark_partition_id())
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(
+        count(col(valueCol)).as("__n"),
+        sum(col(valueCol).cast(Dec)).as("__s"))
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__s")).cast(DoubleType).as("sum_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+  }
+}
