@@ -54,6 +54,26 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     assert(d1w0.getLong(0) == 3L)
   }
 
+  test("watermark bounds state: data later than the delay is dropped") {
+    val dir = Files.createTempDirectory("graft-wm").toString
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SensorEvent]
+    val agg = StreamAggregates.windowedAggregates(
+      StreamTransforms.withProcessingMeta(mem.toDF()), watermark = Some("10 minutes"))
+    val q = StreamSinks.parquetUpsert(agg.drop("avg_latency_seconds"),
+      s"$dir/agg", Seq("window_start", "device_id", "device_type"), s"$dir/ckpt", "1 seconds").start()
+
+    mem.addData(ev(3600, "d1", 1.0)) // advances watermark to t=3600s-10min
+    q.processAllAvailable()
+    mem.addData(ev(300, "d1", 99.0)) // 45 min late — beyond the watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val windows = spark.read.parquet(s"$dir/agg")
+      .select("window_start").collect().map(_.getTimestamp(0).getTime).toSet
+    assert(windows == Set(1704067200000L + 3600 * 1000)) // only the on-time window
+  }
+
   test("kafka json parse flattens the 8-field sensor schema") {
     val json =
       """{"time":"2024-01-01T00:00:30+00:00","device_id":"TEMP-001","device_type":"temperature",
