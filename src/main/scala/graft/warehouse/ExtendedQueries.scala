@@ -1,0 +1,127 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.operators.AsofJoin
+import graft.sources.Tables
+
+/** Engine-breadth operators beyond the reference surface: as-of join,
+  * gap sessionization, rollup/grouping sets, distinct aggregation.
+  * Oracles mirror the exact construction (union + running last for
+  * as-of; lag/gap/running-sum for sessions), so results hash-match.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join: each purchase matched to the user's most recent prior
+    * (or simultaneous) click, with the click's id/value and the gap.
+    */
+  val asof: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    AsofJoin.asofBackward(purchases, clicks, "user_id", "ts", "event_id", Seq("event_id", "value"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("asof_event_id"), col("asof_value"),
+        col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).as("gap_seconds"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (30-minute idle gap) per user. */
+  val sessions: Q = (s, dir) => {
+    AsofJoin.sessionize(Tables(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select(
+        col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("duration_seconds"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** ROLLUP with grouping_id over the pricing keys. */
+  val rollup: Q = (s, dir) => {
+    Tables(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Distinct aggregation (Expand-based plan shape). */
+  val countDistinct: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    e.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(when(col("value") > 250, col("user_id"))).as("n_big_spenders"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q15_asof_join" -> asof,
+    "q16_sessions" -> sessions,
+    "q17_rollup" -> rollup,
+    "q18_count_distinct" -> countDistinct)
+
+  import Num.{O => N}
+
+  val oracle: Map[String, String] = Map(
+    "q15_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS rid,
+        |             CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS p_value, 1 AS side
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, event_id AS rid,
+        |             event_id AS p_id, value AS p_value, 0 AS side
+        |      FROM events WHERE event_type = 'click'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (SELECT *,
+        |        last_value(p_id IGNORE NULLS) OVER w AS asof_event_id,
+        |        last_value(p_value IGNORE NULLS) OVER w AS asof_value,
+        |        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS asof_ts
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, rid
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, asof_event_id, asof_value, asof_ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(asof_ts)) AS BIGINT) AS gap_seconds
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "q16_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id,
+        |        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |      FROM g)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_seconds
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q17_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         |  ${N.sum("l_quantity")} AS sum_qty,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q18_count_distinct" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT CASE WHEN value > 250 THEN user_id END) AS n_big_spenders
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
