@@ -127,8 +127,13 @@ object Dedup {
     * against the UNCAPPED shingle-set sizes.
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    // Shingles are hashed to 32-bit ints before the joins: the shuffle
+    // key shrinks from ~25-byte strings to 8-byte longs (the standard
+    // hashed-shingling approximation; the oracle hashes identically, so
+    // any collision affects both engines the same way).
     val sh = docs
-      .select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh_str"))
+      .select(col("doc_id"), Hashes.md5Long32(col("sh_str")).as("sh"))
       .distinct()
       .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -154,6 +159,15 @@ object Dedup {
       """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (
         |         SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |         FROM wl WHERE len(w) >= 3) t)""".stripMargin
+
+    /** Hashed-shingle variant used by the Jaccard oracle (matches the
+      * Spark side's md5Long32 join keys).
+      */
+    private val hashedShingleCte =
+      """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh_str), 1, 8))::BIGINT AS sh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh_str
         |         FROM wl WHERE len(w) >= 3) t)""".stripMargin
 
     def exact: String =
@@ -206,7 +220,7 @@ object Dedup {
     }
 
     def ngramJaccardPairs: String =
-      s"""$shingleCte,
+      s"""$hashedShingleCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
          |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $JaccardDocFreqCap),
          |filt AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare ON sh.sh = rare.sh),
