@@ -40,6 +40,26 @@ object WarehouseAggregates {
         round(Num.davg(col("quality_score")), 6).as("avg_quality_score"))
       .withColumn("bucket", col("bucket").cast("timestamp_ntz"))
 
+  /** 100 TB-scale variant of hourlyAgg: percentile_approx (bounded-memory
+    * sketch, mergeable across partitions) instead of the exact sort-based
+    * percentile, which buffers whole groups. `accuracy` trades memory for
+    * error (default 10000 ≈ 0.01% rank error). Everything else identical.
+    */
+  def hourlyAggApprox(readings: DataFrame, accuracy: Int = 10000): DataFrame =
+    readings
+      .groupBy(date_trunc("hour", col("time")).as("bucket"), col("device_type"))
+      .agg(
+        count(lit(1)).as("reading_count"),
+        round(Num.davg(col("value")), 6).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        round(Num.dstddev(col("value")), 6).as("stddev_value"),
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("median_value"),
+        percentile_approx(col("value"), lit(0.95), lit(accuracy)).as("p95_value"),
+        anomalyCount,
+        round(Num.davg(col("quality_score")), 6).as("avg_quality_score"))
+      .withColumn("bucket", col("bucket").cast("timestamp_ntz"))
+
   /** Daily continuous aggregate with business-hours conditional means
     * (A4; create_dwh_schema.sql:173-209). Spark's avg skips nulls,
     * matching SQL AVG(CASE WHEN ...) semantics.
