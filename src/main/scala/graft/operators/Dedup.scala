@@ -153,6 +153,46 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Connected components over a near-dup pair graph (min-label
+    * propagation): resolves pairwise matches into dedup clusters with a
+    * deterministic keep-min representative. Iterations are bounded by
+    * the component diameter (near-dup clusters are shallow); each round
+    * is one keyed join + aggregate — the driver only checks a scalar
+    * convergence count. At extreme scale swap in the large-star/
+    * small-star variant; the contract is unchanged.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.withColumnRenamed("lbl", "old_lbl")
+        .join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"), least(col("old_lbl"), coalesce(col("nlbl"), col("old_lbl"))).as("lbl"),
+          col("old_lbl"))
+        .cache()
+      changed = updated.filter(col("lbl") =!= col("old_lbl")).count()
+      labels = updated.select("doc", "lbl").cache()
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl").as("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .select(col("doc").as("doc_id"), col("lbl").as("cluster_rep"))
+      .join(sizes, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        (col("doc_id") === col("cluster_rep")).as("is_kept"))
+  }
+
   /** DuckDB oracle SQL builders (quadratic but equivalent pair sets). */
   object O {
     private val shingleCte =
@@ -219,14 +259,17 @@ object Dedup {
          |ORDER BY d1, d2""".stripMargin
     }
 
-    def ngramJaccardPairs: String =
+    private val jaccardCtes =
       s"""$hashedShingleCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
          |rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $JaccardDocFreqCap),
          |filt AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare ON sh.sh = rare.sh),
          |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
          |          FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
+         |          GROUP BY 1, 2)""".stripMargin
+
+    def ngramJaccardPairs: String =
+      s"""$jaccardCtes
          |SELECT d1, d2, n_common, za.n_shingles AS n1, zb.n_shingles AS n2,
          |  round(CAST(n_common AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_common), 6) AS jaccard
          |FROM inter
@@ -234,5 +277,24 @@ object Dedup {
          |JOIN sizes zb ON d2 = zb.doc_id
          |WHERE round(CAST(n_common AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_common), 6) >= $JaccardThreshold
          |ORDER BY d1, d2""".stripMargin
+
+    /** Cluster resolution over the Jaccard pair graph: reachability
+      * closure (recursive CTE) → per-node component min label and size —
+      * semantically identical to the Spark min-label propagation.
+      */
+    def clusters: String =
+      s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT d1, d2 FROM inter
+         |          JOIN sizes za ON d1 = za.doc_id
+         |          JOIN sizes zb ON d2 = zb.doc_id
+         |          WHERE round(CAST(n_common AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_common), 6) >= $JaccardThreshold),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS doc_id, min(dst) AS cluster_rep, COUNT(DISTINCT dst) AS cluster_size,
+         |  (src = min(dst)) AS is_kept
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   }
 }

@@ -37,6 +37,11 @@ object PipelineQueries {
   val simhash: Q = (s, dir) =>
     Dedup.simhashPairs(docs(s, dir)).orderBy("d1", "d2")
 
+  val dedupClusters: Q = (s, dir) =>
+    Dedup
+      .connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir)))
+      .orderBy("doc_id")
+
   val embedNearDup: Q = (s, dir) =>
     Similarity.nearDupPairs(emb(s, dir), threshold = 0.40).orderBy("label", "v1", "v2")
 
@@ -98,6 +103,7 @@ object PipelineQueries {
     "q43_minhash_lsh" -> minhashLsh,
     "q44_simhash" -> simhash,
     "q45_embed_neardup" -> embedNearDup,
+    "q52_dedup_clusters" -> dedupClusters,
     "q46_ann_bruteforce" -> annBruteForce,
     "q47_ann_lsh" -> annLsh,
     "q48_lang_id" -> langId,
@@ -116,6 +122,7 @@ object PipelineQueries {
          |  ${TO.rollingFp} AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q42_ngram_jaccard" -> Dedup.O.ngramJaccardPairs,
+    "q52_dedup_clusters" -> Dedup.O.clusters,
     "q43_minhash_lsh" -> Dedup.O.minhashPairs,
     "q44_simhash" -> Dedup.O.simhashPairs,
     "q45_embed_neardup" ->
