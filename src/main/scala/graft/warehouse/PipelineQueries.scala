@@ -45,6 +45,17 @@ object PipelineQueries {
   val embedNearDup: Q = (s, dir) =>
     Similarity.nearDupPairs(emb(s, dir), threshold = 0.40).orderBy("label", "v1", "v2")
 
+  /** Cluster resolution over the embedding near-dup graph — the same
+    * connected-components operator composed with a different pair
+    * source (v1/v2 renamed to the d1/d2 contract).
+    */
+  val embedClusters: Q = (s, dir) =>
+    Dedup
+      .connectedComponents(
+        Similarity.nearDupPairs(emb(s, dir), threshold = 0.40)
+          .select(col("v1").as("d1"), col("v2").as("d2")))
+      .orderBy("doc_id")
+
   val annBruteForce: Q = (s, dir) =>
     Similarity
       .bruteForceTopK(emb(s, dir), col("vec_id") < 20, k = 10)
@@ -104,6 +115,7 @@ object PipelineQueries {
     "q44_simhash" -> simhash,
     "q45_embed_neardup" -> embedNearDup,
     "q52_dedup_clusters" -> dedupClusters,
+    "q53_embed_clusters" -> embedClusters,
     "q46_ann_bruteforce" -> annBruteForce,
     "q47_ann_lsh" -> annLsh,
     "q48_lang_id" -> langId,
@@ -123,6 +135,19 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q42_ngram_jaccard" -> Dedup.O.ngramJaccardPairs,
     "q52_dedup_clusters" -> Dedup.O.clusters,
+    "q53_embed_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS doc_id, min(dst) AS cluster_rep, COUNT(DISTINCT dst) AS cluster_size,
+         |  (src = min(dst)) AS is_kept
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q43_minhash_lsh" -> Dedup.O.minhashPairs,
     "q44_simhash" -> Dedup.O.simhashPairs,
     "q45_embed_neardup" ->
