@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException, FutureTask}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
@@ -9,8 +11,35 @@ import org.apache.spark.sql.SparkSession
   * including final sort — count() would let the optimizer drop work),
   * after one untimed warm-up pass so timings reflect steady-state
   * throughput rather than JVM/codegen warm-up.
+  *
+  * Robustness (round-1 bench died with executor-heartbeat timeouts and
+  * produced no JSON at all):
+  *   - each query runs under a watchdog: on timeout its job group is
+  *     cancelled, it scores -1, and the run continues;
+  *   - a global wall-clock budget skips remaining queries rather than
+  *     overrunning the harness;
+  *   - heartbeat/network timeouts get generous headroom so a long GC
+  *     pause degrades a timing instead of killing the JVM;
+  *   - failures are counted explicitly ("failures":N) so a broken query
+  *     can never read as a speedup, and the JSON line is printed from a
+  *     shutdown hook if the JVM dies mid-run.
   */
 object Bench {
+  private val PerQueryTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_Q_TIMEOUT", "150").toInt
+  private val GlobalBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "1500").toInt
+
+  @volatile private var printed = false
+  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = synchronized {
+    if (!printed) {
+      printed = true
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val failures = results.count(_._2 < 0)
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,25 +48,61 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Survive long GC pauses in a loaded harness: a missed heartbeat
+      // must degrade a timing, not kill the executor (local mode = the
+      // whole JVM). 60s interval x 20 failures = 20 min of grace.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.executor.heartbeat.maxFailures", "20")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.tune(spark)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def run(name: String): Double = {
-      val t0 = System.nanoTime()
-      try {
+    val results = new scala.collection.mutable.LinkedHashMap[String, Double]
+    names.foreach(n => results(n) = -1.0)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(results.toSeq, sfDir)))
+
+    val pool = Executors.newCachedThreadPool()
+    val t0Global = System.nanoTime()
+    def elapsedGlobal: Double = (System.nanoTime() - t0Global) / 1e9
+
+    // Runs one query under the watchdog; returns seconds or -1 on
+    // error/timeout. Cancelling the job group aborts all of its stages.
+    def run(name: String, phase: String): Double = {
+      val group = s"$phase-$name"
+      val task = new FutureTask[Double](() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      })
+      pool.execute(task)
+      try task.get(PerQueryTimeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          System.err.println(s"[bench] $group TIMED OUT after ${PerQueryTimeoutSec}s; cancelling")
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true)
+          -1.0
+        case e: Throwable =>
+          System.err.println(s"[bench] $group FAILED: ${e.getMessage}")
+          -1.0
+      }
     }
 
-    names.foreach(run) // warm-up: JIT, codegen caches, OS page cache
-    val results = names.map(n => n -> run(n))
+    for (phase <- Seq("warmup", "timed"); name <- names) {
+      if (elapsedGlobal < GlobalBudgetSec) {
+        val s = run(name, phase)
+        if (phase == "timed") results(name) = s
+        System.err.println(f"[bench] $phase $name%-24s ${s}%.2fs (t+${elapsedGlobal}%.0fs)")
+      } else if (phase == "timed") {
+        System.err.println(s"[bench] budget exhausted (${GlobalBudgetSec}s); skipping $name")
+      }
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    emit(results.toSeq, sfDir)
+    pool.shutdownNow()
     spark.stop()
   }
 }

@@ -14,6 +14,9 @@ import org.apache.spark.sql.types._
   *
   * Null ELEMENTS inside the arrays are not expected (embedding vectors);
   * null array inputs propagate null via nullSafeEval/nullSafeCodeGen.
+  * Mismatched array lengths yield NULL — same as the zip_with/aggregate
+  * fold — so a dimension bug upstream surfaces instead of producing a
+  * plausible-but-wrong truncated score.
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -22,12 +25,16 @@ case class DotProductD(left: Expression, right: Expression)
   // via graft.functions.Vec.dotFast only).
   override def dataType: DataType = DoubleType
 
+  // Nullable even for non-null children: length mismatch produces NULL.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product_d"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -43,12 +50,16 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

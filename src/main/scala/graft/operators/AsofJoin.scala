@@ -29,10 +29,17 @@ object AsofJoin {
       rightIdCol: String,
       payloadCols: Seq[String]): DataFrame = {
 
+    // The whole right payload rides in ONE struct with ONE
+    // last(ignoreNulls) — a right row whose payload field is
+    // legitimately NULL can't cause asof_* fields to come from
+    // different right rows (the struct itself is never null for a
+    // right row, so the newest right row always wins atomically).
     val rightTagged = right
       .select(
-        (Seq(col(keyCol), col(tsCol), col(rightIdCol).cast("long").as("__rid")) ++
-          payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+        col(keyCol), col(tsCol), col(rightIdCol).cast("long").as("__rid"),
+        struct(
+          (col(tsCol).as("asof_ts") +:
+            payloadCols.map(c => col(c).as(s"asof_$c"))): _*).as("__p"))
       .withColumn("__side", lit(0))
     val leftTagged = left.withColumn("__side", lit(1))
 
@@ -42,16 +49,15 @@ object AsofJoin {
       .orderBy(col(tsCol), col("__side"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadCols
-      .foldLeft(unioned)((df, c) =>
-        df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
-      .withColumn(
-        "asof_ts",
-        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
 
-    carried
+    val unpacked = (Seq("asof_ts") ++ payloadCols.map(c => s"asof_$c"))
+      .foldLeft(carried)((df, c) => df.withColumn(c, col(s"__asof.$c")))
+
+    unpacked
       .filter(col("__side") === 1)
-      .drop((payloadCols.map(c => s"__p_$c") ++ Seq("__side", "__rid")): _*)
+      .drop("__p", "__asof", "__side", "__rid")
   }
 
   /** Gap-based sessionization: a new session starts when the key is idle

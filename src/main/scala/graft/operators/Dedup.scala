@@ -153,22 +153,26 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  /** Connected components over a near-dup pair graph (min-label
-    * propagation): resolves pairwise matches into dedup clusters with a
-    * deterministic keep-min representative. Iterations are bounded by
-    * the component diameter (near-dup clusters are shallow); each round
-    * is one keyed join + aggregate — the driver only checks a scalar
-    * convergence count. At extreme scale swap in the large-star/
-    * small-star variant; the contract is unchanged.
+  /** Connected components over a near-dup pair graph: min-label
+    * propagation accelerated with pointer jumping (each round a node
+    * takes the min of its own label, its neighbors' labels, AND its
+    * label's label — chains halve every round, so convergence is
+    * O(log diameter), not O(diameter)). Every iteration is
+    * localCheckpoint'ed: lineage stays shallow (no exponential
+    * re-computation as plans deepen) and superseded generations are
+    * reclaimed by the ContextCleaner once unreferenced. Exits with an
+    * IllegalStateException if maxIters is hit before convergence — a
+    * silently non-converged labeling would diverge from the oracle's
+    * full reachability closure.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -176,15 +180,29 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("lbl")).as("nlbl"))
+      // Pointer jumping: the label of my label. Labels are always node
+      // ids present in `labels`, so this inner join never drops rows.
+      val viaParent = labels.as("l")
+        .join(
+          labels.select(col("doc").as("p_doc"), col("lbl").as("p_lbl")),
+          col("l.lbl") === col("p_doc"))
+        .select(col("l.doc").as("doc"), col("p_lbl"))
       val updated = labels.withColumnRenamed("lbl", "old_lbl")
         .join(neighborMin, Seq("doc"), "left")
-        .select(col("doc"), least(col("old_lbl"), coalesce(col("nlbl"), col("old_lbl"))).as("lbl"),
+        .join(viaParent, Seq("doc"))
+        .select(col("doc"),
+          least(col("old_lbl"), coalesce(col("nlbl"), col("old_lbl")), col("p_lbl")).as("lbl"),
           col("old_lbl"))
-        .cache()
+        .localCheckpoint(true)
       changed = updated.filter(col("lbl") =!= col("old_lbl")).count()
-      labels = updated.select("doc", "lbl").cache()
+      val prev = labels
+      labels = updated.select("doc", "lbl")
+      prev.unpersist()
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters iterations ($changed labels still changing)")
     val sizes = labels.groupBy(col("lbl").as("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
     labels
       .select(col("doc").as("doc_id"), col("lbl").as("cluster_rep"))

@@ -79,21 +79,22 @@ object ExtendedQueries {
   val oracle: Map[String, String] = Map(
     "q15_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS rid,
-        |             CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS p_value, 1 AS side
+        |             CAST(NULL AS STRUCT(asof_ts TIMESTAMP, asof_event_id BIGINT, asof_value DOUBLE)) AS p,
+        |             1 AS side
         |           FROM events WHERE event_type = 'purchase'),
         |r AS (SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, event_id AS rid,
-        |             event_id AS p_id, value AS p_value, 0 AS side
+        |             struct_pack(asof_ts := CAST(ts AS TIMESTAMP), asof_event_id := event_id, asof_value := value) AS p,
+        |             0 AS side
         |      FROM events WHERE event_type = 'click'),
         |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
         |c AS (SELECT *,
-        |        last_value(p_id IGNORE NULLS) OVER w AS asof_event_id,
-        |        last_value(p_value IGNORE NULLS) OVER w AS asof_value,
-        |        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS asof_ts
+        |        last_value(p IGNORE NULLS) OVER w AS af
         |      FROM u
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, rid
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id, ts, asof_event_id, asof_value, asof_ts,
-        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(asof_ts)) AS BIGINT) AS gap_seconds
+        |SELECT event_id, user_id, ts, af.asof_event_id AS asof_event_id,
+        |  af.asof_value AS asof_value, af.asof_ts AS asof_ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(af.asof_ts)) AS BIGINT) AS gap_seconds
         |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q16_sessions" ->
       """WITH g AS (

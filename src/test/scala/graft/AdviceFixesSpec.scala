@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vec
+import graft.operators.{AsofJoin, Dedup}
+import graft.streaming.StreamSinks
+
+/** Regression coverage for the round-1 advisor findings. */
+class AdviceFixesSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(1704067200000L + sec * 1000)
+
+  test("dotFast yields NULL on mismatched array lengths (codegen + eval)") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 1f, 1f)),
+      (Array(1f, 2f, 3f), Array(1f, 1f)) // dimension bug → NULL, not a truncated score
+    ).toDF("a", "b")
+    val r = df.select(Vec.dotFast($"a", $"b").as("d")).collect()
+    assert(r(0).getDouble(0) == 6.0)
+    assert(r(1).isNullAt(0))
+    // whole-stage-codegen disabled → interpreted eval path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val r2 = df.select(Vec.dotFast($"a", $"b").as("d")).collect()
+      assert(r2(0).getDouble(0) == 6.0 && r2(1).isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("asof payload fields all come from the same (newest) right row") {
+    val left = Seq((1L, ts(200), 10L)).toDF("user_id", "ts", "event_id")
+    // Newest right row has a NULL value: asof_value must be NULL (from
+    // that row), NOT the older row's 1.0.
+    val right = Seq(
+      (1L, ts(50), 100L, Some(1.0)),
+      (1L, ts(100), 101L, None)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = AsofJoin
+      .asofBackward(left, right, "user_id", "ts", "event_id", Seq("event_id", "value"))
+      .select("asof_event_id", "asof_value").head
+    assert(r.getLong(0) == 101L)
+    assert(r.isNullAt(1))
+  }
+
+  test("connectedComponents converges on a deep chain via pointer jumping") {
+    // 33-node path graph: min-label needs 32 diameter rounds; pointer
+    // jumping needs ~log2(33). maxIters=10 proves the acceleration.
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val r = Dedup.connectedComponents(chain, maxIters = 10)
+    assert(r.filter($"cluster_rep" === 0L).count() == 33L)
+    assert(r.select(max("cluster_size")).head.getLong(0) == 33L)
+    assert(r.filter($"is_kept").count() == 1L)
+  }
+
+  test("connectedComponents raises instead of returning non-converged labels") {
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+  }
+
+  test("upsert store survives a crash that left a partial new generation") {
+    val dir = Files.createTempDirectory("graft-upsert-crash").toString + "/t"
+    StreamSinks.upsertBatch(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir, Seq("k"))
+    // Simulate a crash mid-write of generation 1: directory exists with
+    // junk, but _CURRENT still points at generation 0.
+    val partial = Paths.get(dir, "gen-1")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    // Store still reads generation 0…
+    assert(StreamSinks.readStore(spark, dir).count() == 2)
+    // …and the replayed micro-batch overwrites the partial generation.
+    StreamSinks.upsertBatch(Seq((2, "B"), (3, "c")).toDF("k", "v"), dir, Seq("k"))
+    val r = StreamSinks.readStore(spark, dir).collect()
+      .map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(r == Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
+}

@@ -39,7 +39,7 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     q.processAllAvailable()
     q.stop()
 
-    val streamed = spark.read.parquet(s"$dir/agg")
+    val streamed = StreamSinks.readStore(spark, s"$dir/agg")
     val expected = StreamAggregates.windowedAggregates(
       StreamTransforms.withProcessingMeta((batch1 :+ late).toDF()))
       .drop("avg_latency_seconds")
@@ -69,7 +69,7 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     q.processAllAvailable()
     q.stop()
 
-    val windows = spark.read.parquet(s"$dir/agg")
+    val windows = StreamSinks.readStore(spark, s"$dir/agg")
       .select("window_start").collect().map(_.getTimestamp(0).getTime).toSet
     assert(windows == Set(1704067200000L + 3600 * 1000)) // only the on-time window
   }
@@ -92,7 +92,7 @@ class StreamingSpec extends AnyFunSuite with TestSpark {
     val keys = Seq("k")
     StreamSinks.upsertBatch(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir, keys)
     StreamSinks.upsertBatch(Seq((2, "B"), (3, "c")).toDF("k", "v"), dir, keys)
-    val r = spark.read.parquet(dir).collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    val r = StreamSinks.readStore(spark, dir).collect().map(x => x.getInt(0) -> x.getString(1)).toMap
     assert(r == Map(1 -> "a", 2 -> "B", 3 -> "c"))
   }
 }
