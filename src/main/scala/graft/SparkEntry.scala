@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.GraftSession
-import graft.warehouse.{ExtendedQueries, IotQueries, PipelineQueries, RelationalQueries}
+import graft.warehouse.{AnalyticsQueries, ExtendedQueries, IotQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ExtendedQueries.queries ++ IotQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ ExtendedQueries.queries ++ IotQueries.queries ++
+      PipelineQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ ExtendedQueries.oracle ++ IotQueries.oracle ++ PipelineQueries.oracle
+    RelationalQueries.oracle ++ ExtendedQueries.oracle ++ IotQueries.oracle ++
+      PipelineQueries.oracle ++ AnalyticsQueries.oracle
 }

@@ -1,0 +1,203 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.operators.{RangeJoin, Resample, SensorAdapter, Skew, WarehouseAggregates}
+import graft.sources.Tables
+
+/** Round-2 breadth: reshaping (pivot/unpivot), CUBE grouping sets, the
+  * full rank-function family, time-series regularization (gap fill,
+  * time-weighted mean), banded range join, and oracle coverage for the
+  * skew-salted aggregation (its contract IS bit-equality with the plain
+  * aggregate). Approx-sketch queries (percentile_approx, HLL distinct)
+  * run rows-only — no cross-engine oracle can hash-match a sketch.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def readings(s: SparkSession, dir: String): DataFrame =
+    SensorAdapter.fromEvents(Tables(s, dir, "events"))
+
+  private def cte: String = SensorAdapter.oracleCte
+
+  /** The 5 device types in the testdata (sorted; pivot needs explicit
+    * values so the plan is a single pass, no values-discovery job).
+    */
+  private val DeviceTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def pivoted(s: SparkSession, dir: String): DataFrame =
+    readings(s, dir)
+      .withColumn("hour_of_day", hour(col("time")).cast("int"))
+      .groupBy("hour_of_day")
+      .pivot("device_type", DeviceTypes)
+      .agg(Num.davg(col("value")))
+
+  /** q54: hour-of-day x device-type matrix via pivot. */
+  val pivot: Q = (s, dir) => pivoted(s, dir).orderBy("hour_of_day")
+
+  /** q61: unpivot (melt) back to long form — inverse reshaping. */
+  val unpivot: Q = (s, dir) =>
+    pivoted(s, dir)
+      .unpivot(Array(col("hour_of_day")), DeviceTypes.map(col).toArray, "device_type", "avg_value")
+      .filter(col("avg_value").isNotNull)
+      .orderBy("hour_of_day", "device_type")
+
+  /** q55: CUBE over (device_type, hour_of_day) with grouping_id. */
+  val cube: Q = (s, dir) =>
+    readings(s, dir)
+      .withColumn("hour_of_day", hour(col("time")).cast("int"))
+      .cube("device_type", "hour_of_day")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.dsum(col("value")).as("sum_value"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("device_type").asc_nulls_first, col("hour_of_day").asc_nulls_first)
+
+  /** q56: the rank-function family over per-device totals. Ties in the
+    * value ordering are safe for dense_rank/percent_rank/cume_dist
+    * (equal value => equal rank); row_number/ntile get an id tiebreak.
+    */
+  val rankSuite: Q = (s, dir) => {
+    val totals = readings(s, dir)
+      .groupBy("device_type", "device_id")
+      .agg(Num.dsum(col("value")).as("total_value"))
+    val wTie = Window.partitionBy("device_type")
+      .orderBy(col("total_value").desc, col("device_id").asc)
+    val wVal = Window.partitionBy("device_type").orderBy(col("total_value").desc)
+    totals.select(
+      col("device_type"), col("device_id"), col("total_value"),
+      row_number().over(wTie).as("rn"),
+      ntile(4).over(wTie).as("quartile"),
+      dense_rank().over(wVal).as("drank"),
+      percent_rank().over(wVal).as("prank"),
+      cume_dist().over(wVal).as("cdist"))
+      .orderBy("device_type", "rn")
+  }
+
+  /** q57: per-device time-weighted mean value. */
+  val timeWeightedAvg: Q = (s, dir) =>
+    Resample.timeWeightedAvg(readings(s, dir), "device_id", "time", "event_id", "value")
+      .orderBy("device_id")
+
+  /** q58: banded range self-join — event pairs on the same device within
+    * 10 minutes.
+    */
+  val rangeJoin: Q = (s, dir) =>
+    RangeJoin.selfWithin(Tables(s, dir, "events"), "user_id", "ts", "event_id", windowSec = 600)
+      .orderBy("id1", "id2")
+
+  /** q59: hourly grid + forward-fill gap filling per device. */
+  val gapFill: Q = (s, dir) =>
+    Resample.hourlyFfill(readings(s, dir), "device_id", "time", "value")
+      .withColumn("bucket", col("bucket").cast("timestamp_ntz"))
+      .orderBy("device_id", "bucket")
+
+  /** q60: skew-salted two-phase aggregation; the oracle is the PLAIN
+    * GROUP BY — bit-equality with it is the operator's contract.
+    */
+  val skewSalted: Q = (s, dir) =>
+    Skew.saltedStats(readings(s, dir), Seq("device_type"), "value")
+      .orderBy("device_type")
+
+  /** q62 (rows-only): sketch-based hourly aggregate for the 100 TB path. */
+  val hourlyApprox: Q = (s, dir) =>
+    WarehouseAggregates.hourlyAggApprox(readings(s, dir)).orderBy("bucket", "device_type")
+
+  /** q63 (rows-only): HLL approx distinct devices next to the exact count. */
+  val approxDistinct: Q = (s, dir) =>
+    readings(s, dir)
+      .groupBy("device_type")
+      .agg(
+        approx_count_distinct(col("device_id")).as("approx_devices"),
+        count_distinct(col("device_id")).as("exact_devices"),
+        count(lit(1)).as("n"))
+      .orderBy("device_type")
+
+  val queries: Map[String, Q] = Map(
+    "q54_pivot" -> pivot,
+    "q55_cube" -> cube,
+    "q56_rank_suite" -> rankSuite,
+    "q57_time_weighted_avg" -> timeWeightedAvg,
+    "q58_range_join" -> rangeJoin,
+    "q59_gap_fill" -> gapFill,
+    "q60_skew_salted" -> skewSalted,
+    "q61_unpivot" -> unpivot,
+    "q62_hourly_approx" -> hourlyApprox,
+    "q63_approx_distinct" -> approxDistinct)
+
+  import Num.{O => N}
+
+  private def pivotCol(dt: String): String =
+    s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
+
+  val oracle: Map[String, String] = Map(
+    "q54_pivot" ->
+      s"""${cte}SELECT CAST(hour(time) AS INT) AS hour_of_day,
+         |  ${DeviceTypes.map(pivotCol).mkString(",\n  ")}
+         |FROM readings GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
+    "q61_unpivot" ->
+      s"""${cte}SELECT CAST(hour(time) AS INT) AS hour_of_day, device_type,
+         |  ${N.avg("value")} AS avg_value
+         |FROM readings GROUP BY 1, 2 ORDER BY hour_of_day, device_type""".stripMargin,
+    "q55_cube" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |r AS (SELECT device_type, CAST(hour(time) AS INT) AS hour_of_day, value FROM readings)
+         |SELECT device_type, hour_of_day, COUNT(*) AS n,
+         |  ${N.sum("value")} AS sum_value,
+         |  CAST(GROUPING(device_type, hour_of_day) AS BIGINT) AS gid
+         |FROM r GROUP BY CUBE(device_type, hour_of_day)
+         |ORDER BY gid, device_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin,
+    "q56_rank_suite" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |totals AS (SELECT device_type, device_id, ${N.sum("value")} AS total_value
+         |           FROM readings GROUP BY 1, 2)
+         |SELECT device_type, device_id, total_value,
+         |  CAST(row_number() OVER wt AS INT) AS rn,
+         |  CAST(ntile(4) OVER wt AS INT) AS quartile,
+         |  CAST(dense_rank() OVER wv AS INT) AS drank,
+         |  percent_rank() OVER wv AS prank,
+         |  cume_dist() OVER wv AS cdist
+         |FROM totals
+         |WINDOW wt AS (PARTITION BY device_type ORDER BY total_value DESC, device_id ASC),
+         |       wv AS (PARTITION BY device_type ORDER BY total_value DESC)
+         |ORDER BY device_type, rn""".stripMargin,
+    "q57_time_weighted_avg" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |d AS (SELECT device_id, value,
+         |        (lead(CAST(floor(epoch(time)) AS BIGINT)) OVER (PARTITION BY device_id ORDER BY time, event_id)
+         |         - CAST(floor(epoch(time)) AS BIGINT)) AS dt
+         |      FROM readings)
+         |SELECT device_id, COUNT(dt) AS n_intervals, CAST(SUM(dt) AS BIGINT) AS total_seconds,
+         |  (${N.sum("value * dt")} / SUM(dt)) AS twavg
+         |FROM d GROUP BY device_id ORDER BY device_id""".stripMargin,
+    "q58_range_join" ->
+      """SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+        |  (CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT)) AS dt_seconds
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 600
+        |ORDER BY id1, id2""".stripMargin,
+    "q59_gap_fill" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |hourly AS (SELECT device_id, CAST(date_trunc('hour', time) AS TIMESTAMP) AS bucket,
+         |             ${N.avg("value")} AS bucket_avg
+         |           FROM readings GROUP BY 1, 2),
+         |bounds AS (SELECT device_id, min(bucket) AS h0, max(bucket) AS h1 FROM hourly GROUP BY 1),
+         |grid AS (SELECT device_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+         |j AS (SELECT g.device_id, g.bucket, h.bucket_avg
+         |      FROM grid g LEFT JOIN hourly h ON g.device_id = h.device_id AND g.bucket = h.bucket)
+         |SELECT device_id, bucket, (bucket_avg IS NULL) AS is_gap,
+         |  last_value(bucket_avg IGNORE NULLS) OVER (PARTITION BY device_id ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+         |FROM j ORDER BY device_id, bucket""".stripMargin,
+    "q60_skew_salted" ->
+      s"""${cte}SELECT device_type, COUNT(value) AS n,
+         |  ${N.sum("value")} AS sum_value,
+         |  (${N.sum("value")} / COUNT(value)) AS avg_value
+         |FROM readings GROUP BY device_type ORDER BY device_type""".stripMargin
+  )
+}

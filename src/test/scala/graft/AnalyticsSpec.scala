@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, Resample}
+
+class AnalyticsSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(1704067200000L + sec * 1000)
+
+  test("range self-join finds exactly the pairs within the window") {
+    // Pairs crossing bucket boundaries in both directions must be found:
+    // ids deliberately ordered against time for (3,4).
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(50), 2L), // |dt|=50 <= 60 ✓ same bucket
+      (1L, ts(119), 3L), (1L, ts(61), 4L), // |dt|=58 ✓ adjacent buckets, id3 later
+      (1L, ts(300), 5L), // isolated
+      (2L, ts(0), 6L), (2L, ts(30), 7L) // other key
+    ).toDF("user_id", "ts", "event_id")
+    val r = RangeJoin.selfWithin(df, "user_id", "ts", "event_id", windowSec = 60)
+      .select("id1", "id2", "dt_seconds").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map((1L, 2L) -> 50L, (2L, 4L) -> 11L, (3L, 4L) -> -58L, (6L, 7L) -> 30L))
+  }
+
+  test("hourly forward-fill bridges the gap with the last known mean") {
+    val df = Seq(
+      (1L, ts(0), 10.0), (1L, ts(60), 20.0), // hour 0: avg 15
+      (1L, ts(3 * 3600), 40.0) // hours 1,2 missing; hour 3: 40
+    ).toDF("device_id", "time", "value")
+    val r = Resample.hourlyFfill(df, "device_id", "time", "value")
+      .orderBy("bucket")
+      .select("is_gap", "value_filled").collect()
+      .map(x => (x.getBoolean(0), x.getDouble(1))).toSeq
+    assert(r == Seq((false, 15.0), (true, 15.0), (true, 15.0), (false, 40.0)))
+  }
+
+  test("time-weighted average weights values by their holding interval") {
+    // value 10 held 100s, value 50 held 900s, last reading unweighted:
+    // twavg = (10*100 + 50*900) / 1000 = 46
+    val df = Seq(
+      (1L, ts(0), 1L, 10.0), (1L, ts(100), 2L, 50.0), (1L, ts(1000), 3L, 99.0)
+    ).toDF("device_id", "time", "event_id", "value")
+    val r = Resample.timeWeightedAvg(df, "device_id", "time", "event_id", "value").head
+    assert(r.getLong(1) == 2L) // n_intervals
+    assert(r.getLong(2) == 1000L) // total_seconds
+    assert(r.getDouble(3) == 46.0)
+  }
+}
