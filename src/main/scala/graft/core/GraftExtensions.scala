@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.DotProductD
+
+/** Catalyst extension point: registers graft's custom expressions with
+  * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
+  * works the same as the DataFrame API (`Vec.dotFast`).
+  *
+  * Activation (either path):
+  *   - `SparkSession.builder().withExtensions(new GraftExtensions)`
+  *   - `--conf spark.sql.extensions=graft.core.GraftExtensions`
+  *     (spark-submit / spark-shell, no code change)
+  *
+  * GraftSession.builder applies it automatically.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** The registry entries, shared by the extension and by
+    * `registerAll` (for sessions built outside our builder).
+    */
+  val functions: Seq[FunctionDescription] = Seq(
+    (
+      FunctionIdentifier("dot_product_d"),
+      new ExpressionInfo(
+        classOf[DotProductD].getCanonicalName,
+        null,
+        "dot_product_d",
+        "dot_product_d(x, y) - double-accumulated dot product of two float arrays; NULL on length mismatch.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product_d takes exactly 2 arguments")
+        DotProductD(children.head, children(1))
+      }))
+
+  /** Runtime registration for an externally-built session (the driver's
+    * Verify/Bench sessions can't pass builder extensions).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -22,6 +22,7 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -52,6 +53,7 @@ object GraftSession {
     // stock default (don't fight an explicit setting from Verify/Bench).
     if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
       spark.conf.set("spark.sql.shuffle.partitions", "32")
+    GraftExtensions.registerAll(spark)
     spark
   }
 }

@@ -1,0 +1,21 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  test("dot_product_d is callable from SQL (extension-injected)") {
+    Seq((Array(1f, 2f), Array(3f, 4f)), (Array(1f), Array(1f, 2f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT dot_product_d(a, b) AS d FROM vecs ORDER BY d NULLS LAST").collect()
+    assert(r(0).getDouble(0) == 11.0)
+    assert(r(1).isNullAt(0)) // length mismatch → NULL, from SQL too
+  }
+
+  test("registerAll is idempotent on an existing session") {
+    graft.core.GraftExtensions.registerAll(spark)
+    graft.core.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT dot_product_d(array(2.0f), array(3.0f)) AS d").head.getDouble(0) == 6.0)
+  }
+}

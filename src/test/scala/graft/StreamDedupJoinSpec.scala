@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SensorEvent
+import graft.streaming.StreamDedupJoin
+
+class StreamDedupJoinSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private def ev(sec: Long, dev: String, v: Double) =
+    SensorEvent(new Timestamp(1704067200000L + sec * 1000), dev, "temperature", v,
+      "C", 95, false, """{"k":"1"}""")
+
+  test("streaming dedup drops re-deliveries across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SensorEvent]
+    val q = StreamDedupJoin
+      .dedupWithinWatermark(mem.toDF(), "time", "10 minutes", Seq("device_id", "time"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(ev(0, "d1", 1.0), ev(60, "d1", 2.0), ev(0, "d1", 1.0)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData(ev(0, "d1", 1.0), ev(120, "d2", 3.0)) // cross-batch re-delivery
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 3) // d1@0, d1@60, d2@120 — the re-deliveries are gone
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within the lookback only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[SensorEvent]
+    val purchases = MemoryStream[SensorEvent]
+    val joined = StreamDedupJoin.intervalJoin(
+      purchases.toDF().select($"time", $"device_id", $"value"),
+      clicks.toDF().select($"time", $"device_id", $"value"),
+      "device_id", "time", lookbackSec = 300, delay = "10 minutes")
+    val q = joined
+      .select($"device_id", $"value".as("purchase_value"), $"r_value".as("click_value"))
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(ev(0, "d1", 10.0), ev(500, "d1", 20.0), ev(100, "d2", 30.0))
+      purchases.addData(ev(290, "d1", 1.0), ev(600, "d1", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      // purchase@290 sees click@0 (290s back, <=300); purchase@600 sees
+      // click@500 (100s back) but NOT click@0 (600s back); d2's click
+      // never joins — different key.
+      assert(rows == Set(("d1", 1.0, 10.0), ("d1", 2.0, 20.0)))
+    } finally q.stop()
+  }
+}
