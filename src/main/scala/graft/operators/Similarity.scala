@@ -82,6 +82,43 @@ object Similarity {
       .select("query_id", "cand_id", "bucket", "cosine_sim", "rank")
   }
 
+  val IvfCentStep = 31 // centroids = vectors with vec_id % 31 == 0 (nlist grows with n)
+  val IvfProbes = 4 // coarse lists searched per query
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every 31st vec_id
+    * is a centroid — the list count grows with the corpus, like a real
+    * IVF nlist) assigns each vector to its nearest centroid; a query
+    * scores only the vectors in its `IvfProbes` nearest lists. The
+    * centroid table is tiny and broadcast; the only big shuffle is the
+    * candidate join keyed on cent_id. Ties in the argmax break on
+    * cent_id — cosines are bit-identical across engines (sequential
+    * folds), so the assignment is reproducible.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val centroids = n.filter(col("vec_id") % IvfCentStep === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val toCent = n.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
+    val ranked = toCent.withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cent_id"))
+    val probes = ranked.filter(queryPred && col("crn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cent_id", "cosine_sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (label):
     * cosine above threshold. The block join keeps the pair space keyed.
     */

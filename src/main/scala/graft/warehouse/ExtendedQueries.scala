@@ -68,11 +68,35 @@ object ExtendedQueries {
       .orderBy("event_type")
   }
 
+  /** Built-in session_window sessionization (same 30-min gap contract as
+    * q16, expressed through Spark's native session-window aggregate —
+    * the operator Structured Streaming uses for streaming sessions).
+    * session_window merges events strictly less than the gap apart
+    * (µs precision), so the oracle uses epoch_us with a `>= gap` break.
+    */
+  val sessionWindow: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(
+        col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"),
+        (unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+          .as("duration_seconds"))
+      .orderBy("user_id", "session_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_asof_join" -> asof,
     "q16_sessions" -> sessions,
     "q17_rollup" -> rollup,
-    "q18_count_distinct" -> countDistinct)
+    "q18_count_distinct" -> countDistinct,
+    "q64_session_window" -> sessionWindow)
 
   import Num.{O => N}
 
@@ -123,6 +147,23 @@ object ExtendedQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(DISTINCT CASE WHEN value > 250 THEN user_id END) AS n_big_spenders
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q64_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts, 1) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_seconds
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
