@@ -71,4 +71,32 @@ object Multimodal {
     import docs.sparkSession.implicits._
     withPayload(docs).select(col("doc_id"), col("source"), col("payload")).as[MediaRow]
   }
+
+  /** Frame sampling: one output row per sampled frame (every `stride`-th
+    * index in [0, n_frames)), via a generator — the explode distributes
+    * with the data, no driver loop, and the downstream shuffle key can
+    * include frame_idx for per-frame parallelism. `frame_bytes` is a
+    * fixed-width byte slice of the payload standing in for the decoded
+    * frame buffer (this container ships no codecs).
+    */
+  def sampleFrames(docs: DataFrame, stride: Int = 3, frameBytes: Int = 8): DataFrame =
+    withMediaMeta(withPayload(docs))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .withColumn("frame_bytes",
+        substring(col("payload"), lit(1) + col("frame_idx") * frameBytes, lit(frameBytes)))
+      .select("doc_id", "n_frames", "frame_idx", "frame_bytes")
+
+  /** Resize stub: rescales the extracted dimensions so the longest edge
+    * is at most `maxDim`, preserving aspect ratio (floor semantics —
+    * mirrors what a real resampler reports). Pure integer/double
+    * expression arithmetic; the pixel resample itself would live in the
+    * decodeStub partition boundary.
+    */
+  def resizeMeta(features: DataFrame, maxDim: Int = 96): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = when(longest > maxDim, lit(maxDim.toDouble) / longest).otherwise(lit(1.0))
+    features
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
 }

@@ -112,6 +112,15 @@ object PipelineQueries {
         sum(col("n_frames").cast("long")).as("total_frames"))
       .orderBy("source")
 
+  val frameSample: Q = (s, dir) =>
+    Multimodal
+      .sampleFrames(docs(s, dir))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_idx"),
+        octet_length(col("frame_bytes")).as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -127,7 +136,8 @@ object PipelineQueries {
     "q48_lang_id" -> langId,
     "q49_text_quality" -> textQuality,
     "q50_token_count" -> tokenCount,
-    "q51_multimodal_meta" -> multimodalMeta)
+    "q51_multimodal_meta" -> multimodalMeta,
+    "q66_frame_sample" -> frameSample)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -199,6 +209,13 @@ object PipelineQueries {
          |      ORDER BY round(${V.O.dot("p.qe", "a.ce")} / (p.qn * a.cn), 6) DESC, a.cand_id) AS INT) AS rank
          |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.cand_id != p.query_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q66_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, CAST(1 + len(text) % 8 AS INT) AS n_frames FROM documents),
+        |f AS (SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 3)) AS INT) AS frame_idx, text FROM m)
+        |SELECT doc_id, n_frames, frame_idx,
+        |  CAST(len(substring(text, frame_idx * 8 + 1, 8)) AS INT) AS frame_len,
+        |  md5(substring(text, frame_idx * 8 + 1, 8)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q48_lang_id" ->
       s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
          |FROM (SELECT lang, ${TO.langScores} FROM documents)

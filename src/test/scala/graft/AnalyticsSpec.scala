@@ -39,6 +39,30 @@ class AnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(r == Seq((false, 15.0), (true, 15.0), (true, 15.0), (false, 40.0)))
   }
 
+  test("frame sampling emits every stride-th frame with the right slice") {
+    // 26-char text → n_frames = 1 + 26 % 8 = 3 → sampled idx {0} at
+    // stride 3; 31-char → n_frames 8 → idx {0, 3, 6}
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"),
+      (2L, "abcdefghijklmnopqrstuvwxyz01234")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Multimodal.sampleFrames(docs)
+      .select($"doc_id", $"frame_idx", $"frame_bytes".cast("string"))
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getString(2)).toMap
+    assert(r.keySet == Set((1L, 0), (2L, 0), (2L, 3), (2L, 6)))
+    assert(r((2L, 3)) == "yz01234") // frame 3 starts at byte 25, doc has 31
+    assert(r((1L, 0)) == "abcdefgh")
+  }
+
+  test("resize caps the longest edge and preserves aspect ratio") {
+    val f = Seq((1L, 192, 96), (2L, 64, 80)).toDF("doc_id", "width", "height")
+    val r = graft.operators.Multimodal.resizeMeta(f, maxDim = 96)
+      .select("doc_id", "out_width", "out_height").collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2))).toMap
+    assert(r(1L) == ((96, 48))) // scaled by 96/192
+    assert(r(2L) == ((64, 80))) // already within bounds — untouched
+  }
+
   test("time-weighted average weights values by their holding interval") {
     // value 10 held 100s, value 50 held 900s, last reading unweighted:
     // twavg = (10*100 + 50*900) / 1000 = 46
