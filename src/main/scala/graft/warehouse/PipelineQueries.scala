@@ -121,6 +121,11 @@ object PipelineQueries {
         md5(col("frame_bytes")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  val embedCentroids: Q = (s, dir) =>
+    Clustering
+      .centroidsLong(emb(s, dir), "label")
+      .orderBy("label", "dim")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -137,7 +142,8 @@ object PipelineQueries {
     "q49_text_quality" -> textQuality,
     "q50_token_count" -> tokenCount,
     "q51_multimodal_meta" -> multimodalMeta,
-    "q66_frame_sample" -> frameSample)
+    "q66_frame_sample" -> frameSample,
+    "q67_embed_centroids" -> embedCentroids)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -216,6 +222,11 @@ object PipelineQueries {
         |  CAST(len(substring(text, frame_idx * 8 + 1, 8)) AS INT) AS frame_len,
         |  md5(substring(text, frame_idx * 8 + 1, 8)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q67_embed_centroids" ->
+      s"""SELECT label, CAST(i AS INT) AS dim, COUNT(*) AS n_vecs,
+         |  ${graft.functions.Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
+         |FROM embeddings, range(1, ${Similarity.Dim + 1}) t(i)
+         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "q48_lang_id" ->
       s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
          |FROM (SELECT lang, ${TO.langScores} FROM documents)

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+class ClusteringSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  // two tight, well-separated direction clusters on the unit circle-ish
+  private def vec(base: Array[Float], jitter: Float) =
+    base.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) jitter else -jitter) }
+
+  private val a = Array(1f, 0f, 0f, 0f)
+  private val b = Array(0f, 0f, 1f, 0f)
+  private val points = Seq(
+    (0L, vec(a, 0.01f)), (2L, vec(a, 0.02f)), (4L, vec(a, 0.03f)),
+    (31L, vec(b, 0.01f)), (33L, vec(b, 0.02f)), (35L, vec(b, 0.03f))
+  ).toDF("vec_id", "embedding")
+
+  test("assign maps every point to its nearest centroid") {
+    val cents = Seq((0L, a), (1L, b)).toDF("cluster_id", "cemb")
+    val got = Clustering.assign(points, cents)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 31L -> 1L, 33L -> 1L, 35L -> 1L))
+  }
+
+  test("kmeans recovers the two separated clusters from seeded init") {
+    // seedStep 31 → seeds vec_id 0 (cluster a) and 31 (cluster b)
+    val cents = Clustering.kmeans(points, seedStep = 31, iters = 3).collect()
+    assert(cents.length == 2)
+    val byId = cents.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // centroid of cluster a points dominates dim 0; cluster b dim 2
+    assert(byId(0L).head > 0.9f && byId(0L)(2) < 0.1f)
+    assert(byId(31L)(2) > 0.9f && byId(31L).head < 0.1f)
+  }
+
+  test("centroidsLong mean equals the hand-computed per-dim average") {
+    val long = Clustering.centroidsLong(
+      Seq((1, Array(1f, 3f)), (1, Array(3f, 5f))).toDF("label", "embedding"), "label")
+      .orderBy("dim").collect()
+    assert(long.map(_.getDouble(3)).toSeq == Seq(2.0, 4.0))
+    assert(long.forall(_.getLong(2) == 2L))
+  }
+}
