@@ -43,9 +43,11 @@ object Dedup {
     * one hash-aggregation (k mins computed in the same pass).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    // Per-doc shingle dedup happens map-side (array_distinct before the
+    // explode) — the old explode-then-distinct shape shuffled every
+    // (doc, shingle) row just to dedup within the doc.
     val sh = docs
-      .select(col("doc_id"), explode(Text.shingles(col("text"))).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(Text.shingles(col("text")))).as("shingle"))
     val mins = (0 until MinhashK).map(i =>
       min(Hashes.md5Long32(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -130,11 +132,15 @@ object Dedup {
     // Shingles are hashed to 32-bit ints before the joins: the shuffle
     // key shrinks from ~25-byte strings to 8-byte longs (the standard
     // hashed-shingling approximation; the oracle hashes identically, so
-    // any collision affects both engines the same way).
+    // any collision affects both engines the same way). Per-doc dedup
+    // runs map-side (array_distinct pre-explode) — no corpus-wide
+    // distinct shuffle. Dedup over the HASHED values: a rare in-doc
+    // md5Long32 collision would otherwise survive and shift n_shingles
+    // vs the oracle's hashed-distinct count.
     val sh = docs
-      .select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh_str"))
-      .select(col("doc_id"), Hashes.md5Long32(col("sh_str")).as("sh"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(transform(Text.shingles(col("text")), s => Hashes.md5Long32(s))))
+          .as("sh"))
       .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= JaccardDocFreqCap)
