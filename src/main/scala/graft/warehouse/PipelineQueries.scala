@@ -126,6 +126,19 @@ object PipelineQueries {
       .centroidsLong(emb(s, dir), "label")
       .orderBy("label", "dim")
 
+  val hashSample: Q = (s, dir) =>
+    Sampling
+      .hashSample(docs(s, dir), "doc_id", keepPct = 20)
+      .select("doc_id", "source", "bucket")
+      .orderBy("doc_id")
+
+  val splitAssign: Q = (s, dir) =>
+    Sampling
+      .withSplit(docs(s, dir), "doc_id")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -143,7 +156,9 @@ object PipelineQueries {
     "q50_token_count" -> tokenCount,
     "q51_multimodal_meta" -> multimodalMeta,
     "q66_frame_sample" -> frameSample,
-    "q67_embed_centroids" -> embedCentroids)
+    "q67_embed_centroids" -> embedCentroids,
+    "q68_hash_sample" -> hashSample,
+    "q69_split_assign" -> splitAssign)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -227,6 +242,13 @@ object PipelineQueries {
          |  ${graft.functions.Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
          |FROM embeddings, range(1, ${Similarity.Dim + 1}) t(i)
          |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "q68_hash_sample" ->
+      s"""SELECT doc_id, source, CAST(${Sampling.O.hashBucket("doc_id")} AS INT) AS bucket
+         |FROM documents WHERE ${Sampling.O.hashBucket("doc_id")} < 20
+         |ORDER BY doc_id""".stripMargin,
+    "q69_split_assign" ->
+      s"""SELECT source, ${Sampling.O.split("doc_id")} AS split, COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "q48_lang_id" ->
       s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
          |FROM (SELECT lang, ${TO.langScores} FROM documents)
