@@ -1,9 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, FutureTask, TimeUnit, TimeoutException}
+
+import org.apache.spark.sql.SparkSession
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Robust to a single bad query: failures are logged and skipped, and a
+  * watchdog cancels any query that hangs (same lesson as Bench — a
+  * planning explosion must cost one query, not the whole gate).
+  */
 object Verify {
+  private val PerQueryTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_Q_TIMEOUT", "300").toInt
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,13 +27,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.tune(spark)
     new java.io.File(outDir).mkdirs()
+    val pool = Executors.newCachedThreadPool()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = new FutureTask[Unit](() => {
+        spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      })
+      pool.execute(task)
+      try task.get(PerQueryTimeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          System.err.println(s"[verify] $name TIMED OUT after ${PerQueryTimeoutSec}s; cancelling")
+          spark.sparkContext.cancelJobGroup(s"verify-$name")
+          task.cancel(true)
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
