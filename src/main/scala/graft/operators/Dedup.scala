@@ -171,11 +171,62 @@ object Dedup {
     * silently non-converged labeling would diverge from the oracle's
     * full reachability closure.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 25,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    val nEdges = sym.count()
+    if (nEdges <= localEdgeThreshold) {
+      // Adaptive local solve: the pair graph is orders of magnitude
+      // smaller than the corpus that produced it. Below the threshold a
+      // driver union-find (one collect, exact, microseconds) beats an
+      // O(log n)-round distributed loop whose every round pays several
+      // Spark jobs of fixed latency — the same small-side adaptivity as
+      // a broadcast join. Above the threshold the distributed
+      // pointer-jumping loop takes over unchanged.
+      localSolve(spark, sym)
+    } else {
+      // Iterate at parallelism scaled to the edge count, not the
+      // corpus' shuffle setting (restored afterwards).
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val p = math.max(2L, math.min(prevShuffle.toLong, nEdges / 100000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      try connectedComponentsLoop(sym, maxIters)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
+  /** Driver union-find with path compression + union by min label. */
+  private def localSolve(spark: org.apache.spark.sql.SparkSession, sym: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = sym.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labels = parent.keys.map(d => (d, find(d))).toSeq
+    val sizes = labels.groupBy(_._2).map { case (rep, xs) => rep -> xs.size.toLong }
+    labels.toSeq
+      .map { case (doc, rep) => (doc, rep, sizes(rep), doc == rep) }
+      .toDF("doc_id", "cluster_rep", "cluster_size", "is_kept")
+      .repartition(col("cluster_rep"))
+  }
+
+  private def connectedComponentsLoop(sym: DataFrame, maxIters: Int): DataFrame = {
     var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .localCheckpoint(true)

@@ -50,8 +50,9 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
   test("connectedComponents converges on a deep chain via pointer jumping") {
     // 33-node path graph: min-label needs 32 diameter rounds; pointer
     // jumping needs ~log2(33). maxIters=10 proves the acceleration.
+    // localEdgeThreshold=0 forces the distributed loop.
     val chain = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val r = Dedup.connectedComponents(chain, maxIters = 10)
+    val r = Dedup.connectedComponents(chain, maxIters = 10, localEdgeThreshold = 0L)
     assert(r.filter($"cluster_rep" === 0L).count() == 33L)
     assert(r.select(max("cluster_size")).head.getLong(0) == 33L)
     assert(r.filter($"is_kept").count() == 1L)
@@ -60,8 +61,20 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
   test("connectedComponents raises instead of returning non-converged labels") {
     val chain = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 2).collect()
+      Dedup.connectedComponents(chain, maxIters = 2, localEdgeThreshold = 0L).collect()
     }
+  }
+
+  test("adaptive local union-find agrees with the distributed loop") {
+    // two components + an isolated pair, shuffled edge order
+    val edges = Seq((5L, 3L), (1L, 2L), (3L, 1L), (9L, 8L), (20L, 21L), (2L, 5L))
+      .toDF("d1", "d2")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_rep", "cluster_size", "is_kept")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    val local = canon(Dedup.connectedComponents(edges))
+    val dist = canon(Dedup.connectedComponents(edges, localEdgeThreshold = 0L))
+    assert(local == dist)
   }
 
   test("upsert store survives a crash that left a partial new generation") {
