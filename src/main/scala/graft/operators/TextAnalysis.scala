@@ -24,6 +24,23 @@ object TextAnalysis {
     s"((length($padded) - length(replace($padded, '$esc', ''))) / ${kw.length})"
   }
 
+  /** Text normalization for pretraining corpora: lowercase, PII
+    * redaction (emails), strip non-alphanumerics, collapse whitespace.
+    * Pure codegen'd regex projections — embarrassingly parallel; the
+    * patterns stay in the RE2-compatible subset so the DuckDB oracle
+    * applies the byte-identical transform.
+    */
+  def withCleanText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val redacted = regexp_replace(
+      lower(col(textCol)), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>")
+    val stripped = regexp_replace(redacted, "[^a-z0-9< >]", " ")
+    val collapsed = trim(regexp_replace(stripped, " +", " "))
+    docs
+      .withColumn("clean_text", collapsed)
+      .withColumn("clean_len", length(col("clean_text")))
+      .withColumn("clean_tokens", size(split(col("clean_text"), " ")))
+  }
+
   /** Language keyword table (heuristic n-gram/stopword scoring). */
   val LangKeywords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq(" der ", " die ", " und "),
@@ -89,6 +106,15 @@ object TextAnalysis {
   /** DuckDB fragments mirroring the Spark expressions above. */
   object O {
     private val padded = "(' ' || lower(text) || ' ')"
+
+    /** Mirrors withCleanText (DuckDB regexp_replace needs the 'g' flag —
+      * it replaces only the first match by default, Spark replaces all).
+      */
+    def cleanText: String = {
+      val redacted = s"regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g')"
+      val stripped = s"regexp_replace($redacted, '[^a-z0-9< >]', ' ', 'g')"
+      s"trim(regexp_replace($stripped, ' +', ' ', 'g'))"
+    }
 
     def textStats: String = {
       val nTokens = "len(string_split(text, ' '))"

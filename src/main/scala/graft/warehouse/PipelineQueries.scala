@@ -139,6 +139,15 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "split")
 
+  val textClean: Q = (s, dir) =>
+    TextAnalysis
+      .withCleanText(docs(s, dir))
+      .select(
+        col("doc_id"),
+        md5(col("clean_text")).as("clean_md5"),
+        col("clean_len"), col("clean_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -158,7 +167,8 @@ object PipelineQueries {
     "q66_frame_sample" -> frameSample,
     "q67_embed_centroids" -> embedCentroids,
     "q68_hash_sample" -> hashSample,
-    "q69_split_assign" -> splitAssign)
+    "q69_split_assign" -> splitAssign,
+    "q70_text_clean" -> textClean)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -249,6 +259,11 @@ object PipelineQueries {
     "q69_split_assign" ->
       s"""SELECT source, ${Sampling.O.split("doc_id")} AS split, COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "q70_text_clean" ->
+      s"""SELECT doc_id, md5(${TO.cleanText}) AS clean_md5,
+         |  CAST(length(${TO.cleanText}) AS INT) AS clean_len,
+         |  CAST(len(string_split(${TO.cleanText}, ' ')) AS INT) AS clean_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q48_lang_id" ->
       s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
          |FROM (SELECT lang, ${TO.langScores} FROM documents)

@@ -7,6 +7,12 @@ import graft.operators.{Multimodal, TextAnalysis}
 class TextAnalysisSpec extends AnyFunSuite with TestSpark {
   import spark.implicits._
 
+  test("clean text: lowercase, email redaction, strip, collapse") {
+    val df = Seq((1L, "Contact Bob.Smith+x@Example.COM!!  Or   call; NOW.")).toDF("doc_id", "text")
+    val r = TextAnalysis.withCleanText(df).select("clean_text").head.getString(0)
+    assert(r == "contact <email> or call now")
+  }
+
   test("token stats: counts, avg length, stopword ratio") {
     val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val r = TextAnalysis.withTextStats(df)
