@@ -137,24 +137,23 @@ object Dedup {
     // distinct shuffle. Dedup over the HASHED values: a rare in-doc
     // md5Long32 collision would otherwise survive and shift n_shingles
     // vs the oracle's hashed-distinct count.
+    // The per-doc set size rides along through the explode (it is
+    // functionally dependent on doc_id, so grouping by it is free):
+    // no separate `sizes` aggregation, and no post-pair lookup joins.
     val sh = docs
       .select(col("doc_id"),
-        explode(array_distinct(transform(Text.shingles(col("text")), s => Hashes.md5Long32(s))))
-          .as("sh"))
+        array_distinct(transform(Text.shingles(col("text")), s => Hashes.md5Long32(s))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh"))
       .cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= JaccardDocFreqCap)
     val filtered = sh.join(rare.select("sh"), "sh")
-    val inter = filtered.as("a")
+    filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("za"), col("d1") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
-      .select(col("d1"), col("d2"), col("n_common"),
-        col("za.n_shingles").as("n1"), col("zb.n_shingles").as("n2"),
-        round(col("n_common").cast("double") / (col("za.n_shingles") + col("zb.n_shingles") - col("n_common")), 6)
+      .select(col("d1"), col("d2"), col("n_common"), col("n1"), col("n2"),
+        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
