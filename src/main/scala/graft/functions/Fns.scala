@@ -91,6 +91,20 @@ object Hashes {
   * Folds are sequential left-to-right, matching DuckDB's list_reduce, so
   * dot products are bit-identical across engines.
   */
+/** Mergeable sketches with cross-engine-exact contracts. */
+object Sketch {
+
+  /** Deterministic HyperLogLog distinct estimate (see
+    * graft.functions.expressions.HllSketch) — the approximate count
+    * itself hash-matches the DuckDB oracle.
+    */
+  def hllMd5(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      graft.functions.expressions.HllSketch(GraftBridge.expression(c)).toAggregateExpression())
+  }
+}
+
 object Vec {
 
   def dot(a: Column, b: Column): Column =

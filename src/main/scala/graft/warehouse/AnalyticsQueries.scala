@@ -117,6 +117,16 @@ object AnalyticsQueries {
         count(lit(1)).as("n"))
       .orderBy("device_type")
 
+  /** q71: the engine's own deterministic HLL sketch — grouped distinct
+    * estimate whose VALUE hash-matches the oracle (unlike
+    * approx_count_distinct, which is rows-only-checkable).
+    */
+  val hllDistinct: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.Sketch.hllMd5(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -127,7 +137,8 @@ object AnalyticsQueries {
     "q60_skew_salted" -> skewSalted,
     "q61_unpivot" -> unpivot,
     "q62_hourly_approx" -> hourlyApprox,
-    "q63_approx_distinct" -> approxDistinct)
+    "q63_approx_distinct" -> approxDistinct,
+    "q71_hll_sketch" -> hllDistinct)
 
   import Num.{O => N}
 
@@ -194,6 +205,9 @@ object AnalyticsQueries {
          |  last_value(bucket_avg IGNORE NULLS) OVER (PARTITION BY device_id ORDER BY bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
          |FROM j ORDER BY device_id, bucket""".stripMargin,
+    "q71_hll_sketch" ->
+      (graft.functions.expressions.HllSketch.oracleSql("events", "user_id", "event_type") +
+        "\nORDER BY event_type"),
     "q60_skew_salted" ->
       s"""${cte}SELECT device_type, COUNT(value) AS n,
          |  ${N.sum("value")} AS sum_value,
