@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.DotProductD
+import graft.functions.expressions.{DotProductD, HllSketch}
 
 /** Catalyst extension point: registers graft's custom expressions with
   * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
@@ -43,6 +43,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product_d takes exactly 2 arguments")
         DotProductD(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("hll_md5"),
+      new ExpressionInfo(
+        classOf[HllSketch].getCanonicalName,
+        null,
+        "hll_md5",
+        "hll_md5(x) - deterministic HyperLogLog distinct estimate of x (md5-based; cross-engine exact).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "hll_md5 takes exactly 1 argument")
+        // The analyzer wraps a bare AggregateFunction in its
+        // AggregateExpression during function resolution.
+        HllSketch(children.head)
       }))
 
   /** Runtime registration for an externally-built session (the driver's

@@ -13,6 +13,14 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(r(1).isNullAt(0)) // length mismatch → NULL, from SQL too
   }
 
+  test("hll_md5 is callable from SQL and matches the Column API") {
+    (1 to 1000).map(i => s"u$i").toDF("u").createOrReplaceTempView("hll_in")
+    val sqlEst = spark.sql("SELECT hll_md5(u) AS e FROM hll_in").head.getDouble(0)
+    val colEst = spark.table("hll_in")
+      .agg(graft.functions.Sketch.hllMd5($"u")).head.getDouble(0)
+    assert(sqlEst == colEst)
+  }
+
   test("registerAll is idempotent on an existing session") {
     graft.core.GraftExtensions.registerAll(spark)
     graft.core.GraftExtensions.registerAll(spark)

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: lock in the scale-critical plan
+  * properties (broadcasts, top-k, pruning, no quadratic joins, shared
+  * window Exchange) so a refactor that silently degrades a plan fails
+  * CI instead of failing at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite with TestSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("star join broadcasts the dimensions (no dimension shuffle)") {
+    val p = plan("q03_star_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("q07_top_events").contains("TakeOrderedAndProject"))
+  }
+
+  test("projection reaches the scan: pricing summary reads only its columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("l_comment") && !s.contains("l_partkey")), readSchemas.mkString("\n"))
+  }
+
+  test("no quadratic join shapes anywhere in the oracle-checked surface") {
+    // broadcast NLJ with a tiny explicit side is allowed (ANN query
+    // sets); CartesianProduct never is.
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("rolling-window family shares one Exchange") {
+    val p = plan("q23_rolling_stats")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n${p.take(1200)}")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("q02_monthly_shipments")
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p.take(1200))
+  }
+}
