@@ -45,13 +45,21 @@ case class HllSketch(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
+  // One digest instance per deserialized (= per-task, single-threaded)
+  // aggregate; digest() resets it for the next row.
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val hex = MessageDigest.getInstance("MD5")
-        .digest(v.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16) // 60 bits, non-negative
+      val d = md.digest(v.toString.getBytes("UTF-8"))
+      // First 15 hex chars == top 60 bits of the first 8 bytes (big
+      // endian), same value Long.parseLong(hex.take(15), 16) yields —
+      // without materializing the hex string.
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4 // 60 bits, non-negative
       val reg = (h % M).toInt
       val w = h >>> RegBits // remaining 51 bits
       val rho = if (w == 0L) 52 else java.lang.Long.numberOfTrailingZeros(w) + 1
