@@ -215,6 +215,28 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Correlated-subquery surface: EXISTS / NOT EXISTS (planned as
+    * semi/anti joins) and a LATERAL correlated aggregate — one SQL text
+    * accepted verbatim by both engines, so the oracle IS the query.
+    */
+  val subqueryText: String =
+    """SELECT c.c_custkey, c.c_name, t.n_orders, t.total_spent
+      |FROM customer c,
+      |LATERAL (SELECT COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 50000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val subqueries: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(subqueryText)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_monthly_shipments" -> monthlyShipments,
@@ -229,7 +251,8 @@ object RelationalQueries {
     "q11_set_ops" -> setOps,
     "q12_top_words" -> topWords,
     "q13_left_enrich" -> leftEnrich,
-    "q14_sql_surface" -> sqlSurface)
+    "q14_sql_surface" -> sqlSurface,
+    "q72_subqueries" -> subqueries)
 
   import Num.{O => N}
 
@@ -333,6 +356,7 @@ object RelationalQueries {
       """SELECT event_id, ts, user_id, value,
         |  json_extract_string(props, '$.k') AS quality
         |FROM events WHERE event_type = 'error'
-        |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin
+        |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin,
+    "q72_subqueries" -> subqueryText
   )
 }
