@@ -23,6 +23,24 @@ class HllSketchSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(a - 1700) / 1700 < 0.14)
   }
 
+  test("sketch aggregates across streaming micro-batches (mergeable state)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[String]
+    val q = mem.toDF().agg(Sketch.hllMd5(col("value")).as("est"))
+      .writeStream.format("memory").queryName("hll_stream").outputMode("complete").start()
+    try {
+      mem.addData((1 to 1000).map(i => s"s$i"): _*)
+      q.processAllAvailable()
+      mem.addData((500 to 1500).map(i => s"s$i"): _*) // overlaps first batch
+      q.processAllAvailable()
+      val est = spark.table("hll_stream").head.getDouble(0)
+      val batchEst = (1 to 1500).map(i => s"s$i").toDF("value")
+        .agg(Sketch.hllMd5(col("value"))).head.getDouble(0)
+      assert(est == batchEst) // stream state merge == one-shot batch
+    } finally q.stop()
+  }
+
   test("sketch is insensitive to duplication (distinct, not count)") {
     val once = (1 to 3000).map(i => s"d-$i")
     val a = once.toDF("u").agg(Sketch.hllMd5($"u")).head.getDouble(0)
