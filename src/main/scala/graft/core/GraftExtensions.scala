@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProductD, HllSketch}
+import graft.functions.expressions.{DotProductD, HllSketch, ZOrder2}
 
 /** Catalyst extension point: registers graft's custom expressions with
   * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
@@ -57,6 +57,18 @@ object GraftExtensions {
         // The analyzer wraps a bare AggregateFunction in its
         // AggregateExpression during function resolution.
         HllSketch(children.head)
+      }),
+    (
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(
+        classOf[ZOrder2].getCanonicalName,
+        null,
+        "zorder2",
+        "zorder2(a, b) - Morton interleave of the low 32 bits of two longs (multi-dim sort key).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "zorder2 takes exactly 2 arguments")
+        ZOrder2(children.head, children(1))
       }))
 
   /** Runtime registration for an externally-built session (the driver's

@@ -91,6 +91,20 @@ object Hashes {
   * Folds are sequential left-to-right, matching DuckDB's list_reduce, so
   * dot products are bit-identical across engines.
   */
+/** Storage-layout helpers. */
+object Layout {
+
+  /** Morton (Z-order) key of two long columns' low 32 bits — sort by
+    * this before writing so parquet min/max stats prune on both
+    * dimensions (graft.functions.expressions.ZOrder2).
+    */
+  def zorder2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      graft.functions.expressions.ZOrder2(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+}
+
 /** Mergeable sketches with cross-engine-exact contracts. */
 object Sketch {
 
