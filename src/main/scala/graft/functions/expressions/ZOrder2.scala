@@ -57,4 +57,21 @@ object ZOrder2 {
 
   /** Reference implementation (used by eval and the spec). */
   def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** DuckDB oracle SQL for the same interleave (bit-identical): emits
+    * the 5-stage magic-number spread as chained CTE columns.
+    * `inner` must provide columns `xa` and `xb` (the two low-32-bit
+    * inputs); the result column is `z`.
+    */
+  def oracleCtes(inner: String): String = {
+    val masks = Seq(
+      281470681808895L -> 16, 71777214294589695L -> 8,
+      1085102592571150095L -> 4, 3689348814741910323L -> 2,
+      6148914691236517205L -> 1)
+    val stages = masks.zipWithIndex.map { case ((m, sh), i) =>
+      s"z${i + 1} AS (SELECT * REPLACE (((xa | (xa << $sh)) & $m) AS xa, ((xb | (xb << $sh)) & $m) AS xb) FROM z$i)"
+    }
+    (s"z0 AS (SELECT * REPLACE ((xa & 4294967295) AS xa, (xb & 4294967295) AS xb) FROM ($inner))" +:
+      stages :+ "zf AS (SELECT *, (xa | (xb << 1)) AS z FROM z5)").mkString(",\n")
+  }
 }

@@ -127,6 +127,13 @@ object AnalyticsQueries {
       .agg(graft.functions.Sketch.hllMd5(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** q73: the Z-order layout key, oracle-verified bit-for-bit. */
+  val zorderKey: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        graft.functions.Layout.zorder2(col("user_id"), col("event_id") % 1024).as("z"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -138,7 +145,8 @@ object AnalyticsQueries {
     "q61_unpivot" -> unpivot,
     "q62_hourly_approx" -> hourlyApprox,
     "q63_approx_distinct" -> approxDistinct,
-    "q71_hll_sketch" -> hllDistinct)
+    "q71_hll_sketch" -> hllDistinct,
+    "q73_zorder_key" -> zorderKey)
 
   import Num.{O => N}
 
@@ -208,6 +216,10 @@ object AnalyticsQueries {
     "q71_hll_sketch" ->
       (graft.functions.expressions.HllSketch.oracleSql("events", "user_id", "event_type") +
         "\nORDER BY event_type"),
+    "q73_zorder_key" ->
+      s"""WITH ${graft.functions.expressions.ZOrder2.oracleCtes(
+             "SELECT event_id, user_id AS xa, (event_id % 1024) AS xb FROM events")}
+         |SELECT event_id, z FROM zf ORDER BY event_id""".stripMargin,
     "q60_skew_salted" ->
       s"""${cte}SELECT device_type, COUNT(value) AS n,
          |  ${N.sum("value")} AS sum_value,
