@@ -65,8 +65,27 @@ class StreamRecoverySpec extends AnyFunSuite with TestSpark {
     assert(d1.getDouble(1) == 20.0)
     assert(store.filter($"device_id" === "d2").count() == 1L)
 
-    // the listener saw real progress with input rows
-    val snap = metrics.snapshot("recover_agg")
-    assert(snap.exists(s => s.totalInputRows >= 4L && s.batches >= 2L))
+    // the listener saw real progress with input rows (listener events
+    // are delivered async on the bus — poll briefly instead of racing)
+    val deadline = System.currentTimeMillis() + 10000
+    def ok = metrics.snapshot("recover_agg").exists(s => s.totalInputRows >= 4L && s.batches >= 2L)
+    while (!ok && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(ok, metrics.snapshots.toString)
+  }
+
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    writeBatch(dir, "b1", Seq(ev(0, "d1", 10.0), ev(5, "d2", 20.0)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[graft.model.SensorEvent].schema)
+      .parquet(s"$dir/in/*")
+    val q = src.writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) // AvailableNow self-terminates when drained
+    assert(!q.isActive)
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 }
