@@ -19,8 +19,10 @@ import graft.functions.expressions.{DotProductD, HllSketch, ZOrder2}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -54,6 +54,11 @@ object GraftSession {
     if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
       spark.conf.set("spark.sql.shuffle.partitions", "32")
     GraftExtensions.registerAll(spark)
+    // Extension optimizer rules can't be injected post-hoc; the
+    // experimental hook covers externally-built sessions.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
     spark
   }
 }

@@ -21,6 +21,26 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(sqlEst == colEst)
   }
 
+  test("optimizer rule rewrites the zip_with/aggregate fold to dot_product_d") {
+    val df = Seq(
+      (Array(1f, 2f), Array(3f, 4f)),
+      (Array(1f), Array(1f, 2f)) // mismatch — both forms must yield NULL
+    ).toDF("a", "b")
+    // repartition blocks ConvertToLocalRelation from pre-evaluating the
+    // literal input, so the optimized plan keeps the projection
+    val q = df.repartition(2).select(graft.functions.Vec.dot($"a", $"b").as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("dot_product_d"),
+      q.queryExecution.optimizedPlan.toString)
+    val r = q.orderBy($"d".desc_nulls_last).collect()
+    assert(r(0).getDouble(0) == 11.0)
+    assert(r(1).isNullAt(0))
+    // double arrays keep the generic fold — the rule is float-only
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .repartition(2).select(graft.functions.Vec.dot($"a", $"b").as("d"))
+    assert(!dd.queryExecution.optimizedPlan.toString.contains("dot_product_d"))
+    assert(dd.head.getDouble(0) == 11.0)
+  }
+
   test("registerAll is idempotent on an existing session") {
     graft.core.GraftExtensions.registerAll(spark)
     graft.core.GraftExtensions.registerAll(spark)
