@@ -134,6 +134,40 @@ object AnalyticsQueries {
         graft.functions.Layout.zorder2(col("user_id"), col("event_id") % 1024).as("z"))
       .orderBy("event_id")
 
+  /** q74: trailing-7-day distinct users per day. Spark has no
+    * count_distinct over a window frame; the scalable shape is
+    * contribute-days expansion — each (day, user) pair contributes to
+    * the next 7 daily buckets via a generator, then one exact distinct
+    * aggregation per bucket. Shuffle volume is 7x the distinct
+    * (day, user) pairs (already tiny vs the event count), never the
+    * events.
+    */
+  val trailingDistinct: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val dayUser = e.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val bounds = dayUser.select(min("day").as("d0"), max("day").as("d1"))
+    dayUser
+      .withColumn("bucket", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(bounds), col("bucket").between(col("d0"), col("d1")))
+      .groupBy("bucket")
+      .agg(count_distinct(col("user_id")).as("users_7d"))
+      .orderBy("bucket")
+  }
+
+  /** q75: weekly cohort retention — users grouped by first-activity
+    * week, fraction active k weeks later. Two shuffles: first-week per
+    * user, then (cohort, offset) distinct counting.
+    */
+  val cohortRetention: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val weeks = e.select(col("user_id"), floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).as("week"))
+    val firstWeek = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -146,7 +180,9 @@ object AnalyticsQueries {
     "q62_hourly_approx" -> hourlyApprox,
     "q63_approx_distinct" -> approxDistinct,
     "q71_hll_sketch" -> hllDistinct,
-    "q73_zorder_key" -> zorderKey)
+    "q73_zorder_key" -> zorderKey,
+    "q74_trailing_distinct" -> trailingDistinct,
+    "q75_cohort_retention" -> cohortRetention)
 
   import Num.{O => N}
 
@@ -220,6 +256,23 @@ object AnalyticsQueries {
       s"""WITH ${graft.functions.expressions.ZOrder2.oracleCtes(
              "SELECT event_id, user_id AS xa, (event_id % 1024) AS xb FROM events")}
          |SELECT event_id, z FROM zf ORDER BY event_id""".stripMargin,
+    "q74_trailing_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+        |x AS (SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP), CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS bucket,
+        |        user_id FROM du)
+        |SELECT bucket, COUNT(DISTINCT user_id) AS users_7d
+        |FROM x, b WHERE bucket BETWEEN d0 AND d1
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q75_cohort_retention" ->
+      """WITH w AS (SELECT user_id,
+        |             CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+        |           FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT f.cohort_week, (w.week - f.cohort_week) AS week_offset,
+        |  COUNT(DISTINCT w.user_id) AS active_users
+        |FROM w JOIN f ON w.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "q60_skew_salted" ->
       s"""${cte}SELECT device_type, COUNT(value) AS n,
          |  ${N.sum("value")} AS sum_value,
