@@ -168,6 +168,34 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q76: ordered funnel view -> click -> purchase. Each stage's
+    * timestamp is the user's FIRST qualifying event strictly after the
+    * previous stage (conditional-min aggregation per stage — three
+    * keyed aggregations joined on user, no window sort over raw
+    * events).
+    */
+  val funnel: Q = (s, dir) => {
+    val e = Tables(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.select(count(lit(1)).as("n_view"))
+      .crossJoin(t2.select(count(lit(1)).as("n_view_click")))
+      .crossJoin(t3.select(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** q77: fixed-width value histogram per device type. */
+  val histogram: Q = (s, dir) =>
+    readings(s, dir)
+      .groupBy(col("device_type"), (floor(col("value") / 50) * 50).cast("long").as("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("device_type", "bin_lo")
+
   val queries: Map[String, Q] = Map(
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -182,7 +210,9 @@ object AnalyticsQueries {
     "q71_hll_sketch" -> hllDistinct,
     "q73_zorder_key" -> zorderKey,
     "q74_trailing_distinct" -> trailingDistinct,
-    "q75_cohort_retention" -> cohortRetention)
+    "q75_cohort_retention" -> cohortRetention,
+    "q76_funnel" -> funnel,
+    "q77_histogram" -> histogram)
 
   import Num.{O => N}
 
@@ -256,6 +286,18 @@ object AnalyticsQueries {
       s"""WITH ${graft.functions.expressions.ZOrder2.oracleCtes(
              "SELECT event_id, user_id AS xa, (event_id % 1024) AS xb FROM events")}
          |SELECT event_id, z FROM zf ORDER BY event_id""".stripMargin,
+    "q76_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+        |       (SELECT COUNT(*) FROM t2) AS n_view_click,
+        |       (SELECT COUNT(*) FROM t3) AS n_view_click_purchase""".stripMargin,
+    "q77_histogram" ->
+      s"""${cte}SELECT device_type, CAST(floor(value / 50) * 50 AS BIGINT) AS bin_lo, COUNT(*) AS n
+         |FROM readings GROUP BY 1, 2 ORDER BY device_type, bin_lo""".stripMargin,
     "q74_trailing_distinct" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
