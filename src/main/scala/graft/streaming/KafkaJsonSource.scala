@@ -37,4 +37,27 @@ object KafkaJsonSource {
       .select(from_json(col("json_str"), Schemas.SensorSchema).as("data"), col("kafka_timestamp"))
       .select(col("data.*"), col("kafka_timestamp"))
       .withColumn("time", col("time").cast("timestamp"))
+
+  /** The write-side inverse of parseJson: events serialized to the
+    * 8-field JSON wire format, keyed by device_id (the reference
+    * producer's partitioning key, kafka_producer.py:80-137). A pure
+    * transform — attach to writeStream.format("kafka") (needs a
+    * broker) or assert on it statically.
+    */
+  def toJson(events: DataFrame): DataFrame =
+    events.select(
+      col("device_id").cast("string").as("key"),
+      to_json(struct(
+        date_format(col("time"), "yyyy-MM-dd'T'HH:mm:ssxxx").as("time"),
+        col("device_id"), col("device_type"), col("value"), col("unit"),
+        col("quality_score"), col("is_anomaly"), col("metadata"))).as("value"))
+
+  /** Streaming Kafka sink builder (S13 write side; broker required). */
+  def writeStream(events: DataFrame, bootstrapServers: String, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    toJson(events).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
 }

@@ -7,6 +7,34 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Connectors
 
 class ConnectorsSpec extends AnyFunSuite with TestSpark {
+
+  test("extractAll tolerates a missing source, requireAll enforces") {
+    val got = graft.sources.Sources.extractAll(spark, "/root/testdata/sf0.001")
+    assert(got("events").isDefined && got("lineitem").isDefined)
+    val broken = graft.sources.Sources.extractAll(spark, "/no/such/dir")
+    assert(broken.values.forall(_.isEmpty))
+    intercept[IllegalStateException] {
+      graft.sources.Sources.requireAll(broken, "events")
+    }
+  }
+
+  test("kafka json write-side serialization round-trips through the parser") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val events = Seq(graft.model.SensorEvent(
+      new Timestamp(1704067230000L), "TEMP-001", "temperature", 22.5, "C", 97, false,
+      """{"v":"1"}""")).toDF()
+    val wire = graft.streaming.KafkaJsonSource.toJson(events)
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    assert(wire.head.getString(0) == "TEMP-001")
+    // parse the produced wire value back (simulating the broker hop)
+    val back = graft.streaming.KafkaJsonSource.parseJson(
+      wire.select($"value", lit(new Timestamp(0L)).as("timestamp")))
+    val r = back.select("time", "device_id", "value", "quality_score").head
+    assert(r.getTimestamp(0) == new Timestamp(1704067230000L))
+    assert(r.getString(1) == "TEMP-001" && r.getDouble(2) == 22.5 && r.getInt(3) == 97)
+  }
   import spark.implicits._
 
   test("csv round-trip preserves rows and header") {
