@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, RangeJoin}
+import graft.functions.expressions.ZOrder2
+
+/** Randomized (seeded, deterministic) checks for the operators with the
+  * trickiest edge spaces, compared against brute-force references.
+  */
+class PropertySpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+
+  test("connected components: local union-find == distributed loop on random graphs") {
+    for (_ <- 1 to 5) {
+      val edges = List.fill(30) {
+        val a = rng.nextInt(20).toLong; val b = rng.nextInt(20).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2)
+      val df = edges.toDF("d1", "d2")
+      def canon(r: org.apache.spark.sql.DataFrame) =
+        r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+          .sortBy(_._1).toSeq
+      assert(canon(Dedup.connectedComponents(df)) ==
+        canon(Dedup.connectedComponents(df, localEdgeThreshold = 0L)),
+        s"divergence on edges $edges")
+    }
+  }
+
+  test("range join matches the brute-force pair set on random events") {
+    for (round <- 1 to 5) {
+      val rows = List.tabulate(25) { i =>
+        (1L + rng.nextInt(3), rng.nextInt(500).toLong, i.toLong)
+      }
+      val df = rows.map { case (k, t, id) => (k, new Timestamp(1704067200000L + t * 1000), id) }
+        .toDF("user_id", "ts", "event_id")
+      val got = RangeJoin.selfWithin(df, "user_id", "ts", "event_id", windowSec = 60)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._3 < b._3 && math.abs(a._2 - b._2) <= 60
+      } yield (a._3, b._3)).toSet
+      assert(got == expected, s"round $round: $rows")
+    }
+  }
+
+  test("morton interleave is injective (bit-exact decode) on random 32-bit pairs") {
+    def compact(x: Long): Long = {
+      var v = x & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v >> 4)) & 0x00ff00ff00ff00ffL
+      v = (v | (v >> 8)) & 0x0000ffff0000ffffL
+      (v | (v >> 16)) & 0xffffffffL
+    }
+    for (_ <- 1 to 1000) {
+      val a = rng.nextLong() & 0xffffffffL
+      val b = rng.nextLong() & 0xffffffffL
+      val z = ZOrder2.morton(a, b)
+      assert(compact(z) == a && compact(z >> 1) == b, s"decode failed for ($a, $b)")
+    }
+  }
+}
