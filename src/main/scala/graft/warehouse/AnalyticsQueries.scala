@@ -196,6 +196,32 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("device_type", "bin_lo")
 
+  /** q78: SCD2-style interval construction — collapse a per-device
+    * reading stream into validity intervals of its value band
+    * (effective_from/effective_to, open-ended current row). One window
+    * sort per device: lag to find change points, lead over the change
+    * points to close intervals.
+    */
+  val scd2Intervals: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("device_id").orderBy("time", "event_id")
+    val banded = readings(s, dir)
+      .withColumn("band", floor(col("value") / 100).cast("long"))
+      .withColumn("prev_band", lag("band", 1).over(w))
+    val changes = banded
+      .filter(col("prev_band").isNull || col("band") =!= col("prev_band"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("device_id").orderBy("time", "event_id")
+    changes
+      .withColumn("effective_to", lead("time", 1).over(wc))
+      .select(
+        col("device_id"), col("band"),
+        col("time").cast("timestamp_ntz").as("effective_from"),
+        col("effective_to").cast("timestamp_ntz").as("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+      .orderBy("device_id", "effective_from")
+  }
+
   val queries: Map[String, Q] = Map(
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -212,7 +238,8 @@ object AnalyticsQueries {
     "q74_trailing_distinct" -> trailingDistinct,
     "q75_cohort_retention" -> cohortRetention,
     "q76_funnel" -> funnel,
-    "q77_histogram" -> histogram)
+    "q77_histogram" -> histogram,
+    "q78_scd2_intervals" -> scd2Intervals)
 
   import Num.{O => N}
 
@@ -286,6 +313,20 @@ object AnalyticsQueries {
       s"""WITH ${graft.functions.expressions.ZOrder2.oracleCtes(
              "SELECT event_id, user_id AS xa, (event_id % 1024) AS xb FROM events")}
          |SELECT event_id, z FROM zf ORDER BY event_id""".stripMargin,
+    "q78_scd2_intervals" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |banded AS (SELECT device_id, event_id, time,
+         |             CAST(floor(value / 100) AS BIGINT) AS band,
+         |             lag(CAST(floor(value / 100) AS BIGINT)) OVER w AS prev_band
+         |           FROM readings
+         |           WINDOW w AS (PARTITION BY device_id ORDER BY time, event_id)),
+         |chg AS (SELECT * FROM banded WHERE prev_band IS NULL OR band != prev_band)
+         |SELECT device_id, band, time AS effective_from,
+         |  lead(time) OVER w AS effective_to,
+         |  (lead(time) OVER w IS NULL) AS is_current
+         |FROM chg
+         |WINDOW w AS (PARTITION BY device_id ORDER BY time, event_id)
+         |ORDER BY device_id, effective_from""".stripMargin,
     "q76_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
         |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
