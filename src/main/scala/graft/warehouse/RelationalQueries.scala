@@ -237,6 +237,20 @@ object RelationalQueries {
     s.sql(subqueryText)
   }
 
+  /** Aggregate FILTER clause (SQL:2003) — again one text, both engines. */
+  val filterClauseText: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE value > 250) AS n_big,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (WHERE value > 250) AS DOUBLE) AS sum_big,
+      |  COUNT(DISTINCT user_id) FILTER (WHERE value > 250) AS users_big
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val filterClause: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(filterClauseText)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_monthly_shipments" -> monthlyShipments,
@@ -252,7 +266,8 @@ object RelationalQueries {
     "q12_top_words" -> topWords,
     "q13_left_enrich" -> leftEnrich,
     "q14_sql_surface" -> sqlSurface,
-    "q72_subqueries" -> subqueries)
+    "q72_subqueries" -> subqueries,
+    "q79_filter_clause" -> filterClause)
 
   import Num.{O => N}
 
@@ -357,6 +372,7 @@ object RelationalQueries {
         |  json_extract_string(props, '$.k') AS quality
         |FROM events WHERE event_type = 'error'
         |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin,
-    "q72_subqueries" -> subqueryText
+    "q72_subqueries" -> subqueryText,
+    "q79_filter_clause" -> filterClauseText
   )
 }
