@@ -251,6 +251,23 @@ object RelationalQueries {
     s.sql(filterClauseText)
   }
 
+  /** Explicit GROUPING SETS (beyond ROLLUP q17 / CUBE q55): an
+    * asymmetric set list no rollup/cube shorthand can express. The only
+    * engine-dialect difference is the bitmask function's name —
+    * Spark `grouping_id(...)`, DuckDB `GROUPING(...)`.
+    */
+  def groupingSetsText(gidFn: String): String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       |  CAST($gidFn(l_returnflag, l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val groupingSets: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(groupingSetsText("grouping_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_monthly_shipments" -> monthlyShipments,
@@ -267,7 +284,8 @@ object RelationalQueries {
     "q13_left_enrich" -> leftEnrich,
     "q14_sql_surface" -> sqlSurface,
     "q72_subqueries" -> subqueries,
-    "q79_filter_clause" -> filterClause)
+    "q79_filter_clause" -> filterClause,
+    "q80_grouping_sets" -> groupingSets)
 
   import Num.{O => N}
 
@@ -373,6 +391,7 @@ object RelationalQueries {
         |FROM events WHERE event_type = 'error'
         |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin,
     "q72_subqueries" -> subqueryText,
-    "q79_filter_clause" -> filterClauseText
+    "q79_filter_clause" -> filterClauseText,
+    "q80_grouping_sets" -> groupingSetsText("GROUPING")
   )
 }
