@@ -36,24 +36,14 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (
       FunctionIdentifier("dot_product_d"),
-      new ExpressionInfo(
-        classOf[DotProductD].getCanonicalName,
-        null,
-        "dot_product_d",
-        "dot_product_d(x, y) - double-accumulated dot product of two float arrays; NULL on length mismatch.",
-        ""),
+      new ExpressionInfo(classOf[DotProductD].getCanonicalName, null, "dot_product_d"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product_d takes exactly 2 arguments")
         DotProductD(children.head, children(1))
       }),
     (
       FunctionIdentifier("hll_md5"),
-      new ExpressionInfo(
-        classOf[HllSketch].getCanonicalName,
-        null,
-        "hll_md5",
-        "hll_md5(x) - deterministic HyperLogLog distinct estimate of x (md5-based; cross-engine exact).",
-        ""),
+      new ExpressionInfo(classOf[HllSketch].getCanonicalName, null, "hll_md5"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "hll_md5 takes exactly 1 argument")
         // The analyzer wraps a bare AggregateFunction in its
@@ -62,12 +52,7 @@ object GraftExtensions {
       }),
     (
       FunctionIdentifier("zorder2"),
-      new ExpressionInfo(
-        classOf[ZOrder2].getCanonicalName,
-        null,
-        "zorder2",
-        "zorder2(a, b) - Morton interleave of the low 32 bits of two longs (multi-dim sort key).",
-        ""),
+      new ExpressionInfo(classOf[ZOrder2].getCanonicalName, null, "zorder2"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "zorder2 takes exactly 2 arguments")
         ZOrder2(children.head, children(1))
