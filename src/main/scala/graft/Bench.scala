@@ -35,8 +35,17 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val failures = results.count(_._2 < 0)
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+      println(line)
       System.out.flush()
+      // Also persist to a file: a long stdout can truncate mid-stream on
+      // the harness side, losing the per-query timings (round 2's
+      // BENCH_r02.json had "parsed": null for exactly that reason).
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     }
   }
 

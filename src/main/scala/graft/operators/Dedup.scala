@@ -191,12 +191,12 @@ object Dedup {
       localSolve(spark, sym)
     } else {
       // Iterate at parallelism scaled to the edge count, not the
-      // corpus' shuffle setting (restored afterwards).
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      val p = math.max(2L, math.min(prevShuffle.toLong, nEdges / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-      try connectedComponentsLoop(sym, maxIters)
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // corpus' shuffle setting — via explicit repartition of the loop
+      // frames, never by mutating the session conf (a shared session's
+      // concurrent queries must keep their own shuffle sizing).
+      val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toLong
+      val p = math.max(2L, math.min(sessionShuffle, nEdges / 100000L + 1L)).toInt
+      connectedComponentsLoop(sym.repartition(p, col("dst")).localCheckpoint(true), maxIters, p)
     }
   }
 
@@ -225,9 +225,10 @@ object Dedup {
       .repartition(col("cluster_rep"))
   }
 
-  private def connectedComponentsLoop(sym: DataFrame, maxIters: Int): DataFrame = {
+  private def connectedComponentsLoop(sym: DataFrame, maxIters: Int, p: Int): DataFrame = {
     var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
+      .repartition(p, col("doc"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
@@ -249,6 +250,7 @@ object Dedup {
         .select(col("doc"),
           least(col("old_lbl"), coalesce(col("nlbl"), col("old_lbl")), col("p_lbl")).as("lbl"),
           col("old_lbl"))
+        .repartition(p, col("doc"))
         .localCheckpoint(true)
       changed = updated.filter(col("lbl") =!= col("old_lbl")).count()
       val prev = labels

@@ -18,6 +18,13 @@ import graft.functions.Num
   */
 object Resample {
 
+  /** A single `sequence()` call materializes its whole array in one
+    * task; chunking bounds that allocation so one pathological key (a
+    * years-long span from a bad timestamp) degrades to many small arrays
+    * instead of one OOM-sized one.
+    */
+  val GridChunkHours = 1000L
+
   /** Hourly grid per key from the key's first to last bucket, left-join
     * the per-bucket mean, forward-fill misses. `is_gap` marks filled
     * rows.
@@ -26,10 +33,22 @@ object Resample {
     val hourly = df
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
       .agg(Num.davg(col(valueCol)).as("bucket_avg"))
+    // Two-level generation: outer explode yields chunk indices (span /
+    // GridChunkHours rows), inner explode yields at most GridChunkHours
+    // buckets per chunk — identical rows to a single sequence(h0, h1).
     val grid = hourly
       .groupBy(keyCol)
       .agg(min("bucket").as("h0"), max("bucket").as("h1"))
-      .select(col(keyCol), explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("bucket"))
+      .withColumn("span_h",
+        ((unix_timestamp(col("h1")) - unix_timestamp(col("h0"))) / 3600L).cast("long"))
+      .select(col(keyCol), col("h0"), col("h1"),
+        explode(sequence(lit(0L), (col("span_h") / GridChunkHours).cast("long"))).as("chunk"))
+      .select(col(keyCol),
+        explode(sequence(
+          expr(s"h0 + make_interval(0, 0, 0, 0, CAST(chunk * $GridChunkHours AS INT), 0, 0)"),
+          least(col("h1"),
+            expr(s"h0 + make_interval(0, 0, 0, 0, CAST((chunk + 1) * $GridChunkHours - 1 AS INT), 0, 0)")),
+          expr("interval 1 hour"))).as("bucket"))
     val w = Window.partitionBy(keyCol).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid

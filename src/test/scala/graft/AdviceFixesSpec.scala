@@ -65,6 +65,13 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("distributed CC never mutates the session's shuffle partitions") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
+    Dedup.connectedComponents(chain, maxIters = 10, localEdgeThreshold = 0L).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("adaptive local union-find agrees with the distributed loop") {
     // two components + an isolated pair, shuffled edge order
     val edges = Seq((5L, 3L), (1L, 2L), (3L, 1L), (9L, 8L), (20L, 21L), (2L, 5L))

@@ -39,6 +39,26 @@ class AnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(r == Seq((false, 15.0), (true, 15.0), (true, 15.0), (false, 40.0)))
   }
 
+  test("chunked grid survives a pathological multi-year span key") {
+    // Two readings 3 years apart: one sequence() would materialize a
+    // ~26k-element array in a single task; the chunked grid caps each
+    // inner array at GridChunkHours and yields identical rows.
+    val spanHours = 3L * 365 * 24
+    val df = Seq(
+      (1L, ts(0), 10.0),
+      (1L, ts(spanHours * 3600), 40.0),
+      (2L, ts(0), 7.0) // normal key unaffected
+    ).toDF("device_id", "time", "value")
+    val r = Resample.hourlyFfill(df, "device_id", "time", "value")
+    assert(r.filter($"device_id" === 1L).count() == spanHours + 1)
+    assert(r.filter($"device_id" === 2L).count() == 1L)
+    // boundary buckets are real readings, everything between is filled
+    val k1 = r.filter($"device_id" === 1L)
+    assert(k1.filter($"is_gap").count() == spanHours - 1)
+    assert(k1.filter(!$"is_gap" && $"value_filled" === 40.0).count() == 1L)
+    assert(k1.filter($"is_gap" && $"value_filled" =!= 10.0).count() == 0L)
+  }
+
   test("frame sampling emits every stride-th frame with the right slice") {
     // 26-char text → n_frames = 1 + 26 % 8 = 3 → sampled idx {0} at
     // stride 3; 31-char → n_frames 8 → idx {0, 3, 6}
