@@ -14,6 +14,13 @@ import org.apache.spark.sql.SparkSession
 object Verify {
   private val PerQueryTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_Q_TIMEOUT", "300").toInt
 
+  // Dev-loop subset: SPARK_GRAFT_ONLY=q65_ann_ivf,q67_embed_centroids
+  // restricts the dump (and oracle json) to the named queries.
+  private val Only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private def selected[V](m: Map[String, V]): Map[String, V] =
+    Only.map(s => m.view.filterKeys(s).toMap).getOrElse(m)
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,7 +35,7 @@ object Verify {
     graft.core.GraftSession.tune(spark)
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newCachedThreadPool()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected(SparkEntry.queries).foreach { case (name, fn) =>
       val task = new FutureTask[Unit](() => {
         spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -57,7 +64,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Num, Vec}
+import graft.functions.{Hashes, Num, Vec}
 
 /** Distributed embedding clustering: element-wise centroid aggregation
   * and Lloyd's k-means over DataFrames — the missing piece between the
@@ -61,18 +61,36 @@ object Clustering {
   def step(emb: DataFrame, centroids: DataFrame): DataFrame =
     reassemble(centroidsLong(assign(emb, centroids), "cluster_id"), "cluster_id")
 
-  /** Lloyd's k-means with a deterministic seed: every `seedStep`-th
-    * vec_id starts a cluster (k grows with the corpus, like IVF nlist).
-    * Returns the final (cluster_id, cemb). Iterations localCheckpoint so
-    * the plan does not grow (same lesson as Dedup.connectedComponents).
+  /** Deterministic FIXED-SIZE seeding: the k members with the smallest
+    * portable key hash (md5-derived, ties by vec_id) — a hash-random
+    * draw both engines reproduce bit-for-bit. k is a constant (or
+    * sublinear) in the corpus size, so everything downstream that
+    * broadcasts the centroid table stays O(k·dim) no matter how large
+    * the corpus grows — a billion vectors still yield exactly k seeds.
+    * (Round-2's `vec_id % step` seeding made k linear in n: an O(n)
+    * broadcast and O(n²/step) assignment at scale.)
     */
-  def kmeans(emb: DataFrame, seedStep: Int = 31, iters: Int = 5): DataFrame = {
-    var centroids = emb.filter(col("vec_id") % seedStep === 0)
+  def seedCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb
+      .orderBy(Hashes.md5Long32(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("cemb"))
-      .localCheckpoint(true)
+
+  /** Lloyd's k-means with deterministic hash seeding and an optional
+    * hash-sampled training subset (`trainPct` < 100): the quantizer is
+    * trained on a sample — the full corpus is only ever ASSIGNED, never
+    * used to update means — which is how a real IVF coarse quantizer is
+    * fit at scale. Returns the final (cluster_id, cemb). Iterations
+    * localCheckpoint so the plan does not grow (same lesson as
+    * Dedup.connectedComponents).
+    */
+  def kmeans(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame = {
+    val train = (if (trainPct >= 100) emb else Sampling.hashSample(emb, "vec_id", trainPct))
+      .select("vec_id", "embedding")
+    var centroids = seedCentroids(train, k).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val prev = centroids
-      centroids = step(emb, centroids).localCheckpoint(true)
+      centroids = step(train, centroids).localCheckpoint(true)
       prev.unpersist()
     }
     centroids

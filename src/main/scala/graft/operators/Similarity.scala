@@ -82,23 +82,30 @@ object Similarity {
       .select("query_id", "cand_id", "bucket", "cosine_sim", "rank")
   }
 
-  val IvfCentStep = 31 // centroids = vectors with vec_id % 31 == 0 (nlist grows with n)
+  val IvfNlist = 16 // FIXED coarse-list count — independent of corpus size
+  val IvfIters = 2 // Lloyd refinement rounds on the training sample
+  val IvfTrainPct = 25 // hash-sampled share of the corpus used to train
   val IvfProbes = 4 // coarse lists searched per query
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every 31st vec_id
-    * is a centroid — the list count grows with the corpus, like a real
-    * IVF nlist) assigns each vector to its nearest centroid; a query
-    * scores only the vectors in its `IvfProbes` nearest lists. The
-    * centroid table is tiny and broadcast; the only big shuffle is the
-    * candidate join keyed on cent_id. Ties in the argmax break on
-    * cent_id — cosines are bit-identical across engines (sequential
-    * folds), so the assignment is reproducible.
+  /** IVF-style ANN with a TRAINED coarse quantizer: `IvfNlist` centroids
+    * (a constant, NOT a function of corpus size) are hash-seeded and
+    * Lloyd-refined on a `IvfTrainPct`% hash sample of the corpus
+    * (Clustering.kmeans); each vector is then assigned to its nearest
+    * centroid and a query scores only the vectors in its `IvfProbes`
+    * nearest lists. The centroid table broadcasts at O(nlist·dim) and
+    * assignment costs O(n·nlist) — a billion vectors still broadcast 16
+    * centroids, where round-2's `vec_id % 31` quantizer would have
+    * broadcast 32M and paid O(n²/31) dot products. The only big shuffle
+    * is the candidate join keyed on cent_id. Every step (hash seeding,
+    * decimal-exact means, argmax ties on cent_id) is bit-reproducible,
+    * so the DuckDB oracle replays the identical training trajectory.
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"),
       sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
-    val centroids = n.filter(col("vec_id") % IvfCentStep === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val centroids = Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct)
+      .select(col("cluster_id").as("cent_id"), col("cemb"),
+        sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
@@ -135,6 +142,8 @@ object Similarity {
 
   /** DuckDB oracle fragments. */
   object O {
+    import graft.functions.{Hashes, Num, Vec => V}
+
     /** Bucket expression over embedding column `e` (md5-derived planes
       * computed inline in SQL — identical doubles to planeCoef).
       */
@@ -144,5 +153,45 @@ object Similarity {
         val dot = s"list_reduce(list_transform(range(1, ${Dim + 1}), d -> $coef * CAST($e[d] AS DOUBLE)), (x, y) -> x + y)"
         s"(CASE WHEN $dot >= 0 THEN (CAST(1 AS BIGINT) << $h) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
+
+    /** Full IVF oracle: replays the quantizer training (hash-sampled
+      * training set, hash-seeded c0, `IvfIters` unrolled Lloyd rounds
+      * with decimal-exact means cast to FLOAT) and then the
+      * assignment/probe/score pipeline — every arithmetic step is the
+      * bit-identical twin of the Spark side.
+      */
+    def ivf(queryPredSql: String, k: Int): String = {
+      val iterCtes = (1 to IvfIters).map { i =>
+        val prev = s"c${i - 1}"
+        s"""a$i AS (SELECT vec_id, embedding, cluster_id FROM (
+           |  SELECT s.vec_id, s.embedding, c.cluster_id,
+           |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           |      (${V.O.dot("s.embedding", "c.cemb")} / (s.nrm * sqrt(${V.O.dot("c.cemb", "c.cemb")}))) DESC, c.cluster_id) AS rn
+           |  FROM samp s CROSS JOIN $prev c) WHERE rn = 1),
+           |m$i AS (SELECT cluster_id, CAST(i AS INT) AS dim, ${Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
+           |  FROM a$i, range(1, ${Dim + 1}) t(i) GROUP BY cluster_id, i),
+           |c$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM m$i GROUP BY cluster_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |samp AS (SELECT vec_id, embedding, nrm FROM e WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
+         |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM samp
+         |       ORDER BY ${Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfNlist),
+         |$iterCtes,
+         |cent AS (SELECT cluster_id AS cent_id, cemb, sqrt(${V.O.dot("cemb", "cemb")}) AS cnrm FROM c$IvfIters),
+         |ranked AS (SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+         |             CAST(row_number() OVER (PARTITION BY v.vec_id
+         |               ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS INT) AS crn
+         |           FROM e v CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, cent_id FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id FROM ranked
+         |           WHERE ($queryPredSql) AND crn <= $IvfProbes)
+         |SELECT query_id, cand_id, cent_id, cosine_sim, rank FROM (
+         |  SELECT p.query_id, a.cand_id, a.cent_id,
+         |    round(${V.O.dot("p.qe", "a.ce")} / (p.qn * a.cn), 6) AS cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY round(${V.O.dot("p.qe", "a.ce")} / (p.qn * a.cn), 6) DESC, a.cand_id) AS INT) AS rank
+         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.cand_id != p.query_id)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
   }
 }

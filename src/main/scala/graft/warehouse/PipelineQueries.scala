@@ -222,24 +222,7 @@ object PipelineQueries {
          |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
          |  WHERE q.vec_id < 20)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "q65_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e
-         |         WHERE vec_id % ${Similarity.IvfCentStep} = 0),
-         |ranked AS (SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
-         |             CAST(row_number() OVER (PARTITION BY v.vec_id
-         |               ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS INT) AS crn
-         |           FROM e v CROSS JOIN cent c),
-         |assigned AS (SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, cent_id FROM ranked WHERE crn = 1),
-         |probes AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id FROM ranked
-         |           WHERE vec_id < 20 AND crn <= ${Similarity.IvfProbes})
-         |SELECT query_id, cand_id, cent_id, cosine_sim, rank FROM (
-         |  SELECT p.query_id, a.cand_id, a.cent_id,
-         |    round(${V.O.dot("p.qe", "a.ce")} / (p.qn * a.cn), 6) AS cosine_sim,
-         |    CAST(row_number() OVER (PARTITION BY p.query_id
-         |      ORDER BY round(${V.O.dot("p.qe", "a.ce")} / (p.qn * a.cn), 6) DESC, a.cand_id) AS INT) AS rank
-         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.cand_id != p.query_id)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q65_ann_ivf" -> Similarity.O.ivf("vec_id < 20", k = 5),
     "q66_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, CAST(1 + len(text) % 8 AS INT) AS n_frames FROM documents),
         |f AS (SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 3)) AS INT) AS frame_idx, text FROM m)

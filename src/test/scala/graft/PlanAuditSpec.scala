@@ -49,4 +49,18 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     val p = plan("q02_monthly_shipments")
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p.take(1200))
   }
+
+  test("IVF assignment broadcasts a fixed-size quantizer, never O(n)") {
+    import graft.operators.{Clustering, Similarity}
+    import graft.sources.Tables
+    // nlist stays at the configured constant while the corpus scales
+    // 4× (sf0.001: 500 vectors → sf0.1: 2000) — the broadcast side of
+    // the assignment join is O(nlist·dim) by construction.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val cents = Clustering.kmeans(
+        Tables(spark, sf, "embeddings"),
+        Similarity.IvfNlist, Similarity.IvfIters, Similarity.IvfTrainPct)
+      assert(cents.count() <= Similarity.IvfNlist, s"nlist grew at $sf")
+    }
+  }
 }
