@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -25,15 +27,22 @@ object StreamSinks {
   /** foreachBatch upsert into a parquet directory keyed by `keyCols`.
     * Empty batches are skipped without triggering a second job
     * (reference double-counts: spark_streaming_consumer.py:230-231).
+    * With `partitionCol` set (e.g. the window start), the store is
+    * partition-scoped: a micro-batch rewrites only the partitions it
+    * touches instead of the whole store.
     */
   def parquetUpsert(df: DataFrame, outDir: String, keyCols: Seq[String],
-      checkpointDir: String, triggerInterval: String = "5 seconds"): DataStreamWriter[Row] =
+      checkpointDir: String, triggerInterval: String = "5 seconds",
+      partitionCol: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(batch, outDir, keyCols)
+        partitionCol match {
+          case Some(p) => upsertBatchPartitioned(batch, outDir, keyCols, p)
+          case None => upsertBatch(batch, outDir, keyCols)
+        }
       }
 
   /** The merge step, exposed for direct testing.
@@ -49,35 +58,103 @@ object StreamSinks {
     * played by a transactional table format's commit protocol.
     */
   def upsertBatch(batch: DataFrame, outDir: String, keyCols: Seq[String]): Unit = {
-    val spark = batch.sparkSession
+    val fresh = batch.persist()
+    try {
+      if (!fresh.isEmpty) mergeDir(fresh, outDir, keyCols)
+    } finally fresh.unpersist()
+  }
+
+  /** Partition-scoped upsert: rows route to a partition directory by
+    * `partCol` (typically the aggregation window start) and a
+    * micro-batch rewrites ONLY the partitions it touches — per-batch
+    * cost is bounded by the batch's own window span, not the store's
+    * accumulated size (a flat store rewrites everything every batch:
+    * O(total²) over a day of 5 s triggers). Each partition keeps its own
+    * gen-N/_CURRENT commit protocol, so atomicity is unchanged, now at
+    * partition granularity; a crash mid-batch leaves every partition
+    * readable and checkpoint replay re-merges idempotently.
+    *
+    * The driver-side loop over `collect()`ed partition values is
+    * bounded by the number of distinct windows in ONE micro-batch (a
+    * handful), never by store or corpus size.
+    */
+  def upsertBatchPartitioned(batch: DataFrame, outDir: String, keyCols: Seq[String],
+      partCol: String): Unit = {
     val fresh = batch.persist()
     try {
       if (!fresh.isEmpty) {
-        val cur = currentGen(outDir)
-        val merged = cur match {
-          case Some(g) =>
-            val existing = spark.read.parquet(genPath(outDir, g))
-            val newKeys = fresh.select(keyCols.map(col): _*).distinct()
-            existing.join(broadcast(newKeys), keyCols, "left_anti").unionByName(fresh)
-          case None => fresh
+        val parts = fresh.select(col(partCol)).distinct().collect().map(_.get(0))
+        parts.foreach { pv =>
+          val slice =
+            if (pv == null) fresh.filter(col(partCol).isNull)
+            else fresh.filter(col(partCol) === lit(pv))
+          mergeDir(slice, partPath(outDir, pv), keyCols)
         }
-        val next = cur.map(_ + 1).getOrElse(0L)
-        merged.write.mode(SaveMode.Overwrite).parquet(genPath(outDir, next))
-        val tmp = Paths.get(outDir, "_CURRENT.tmp")
-        Files.write(tmp, next.toString.getBytes(UTF_8))
-        Files.move(tmp, Paths.get(outDir, "_CURRENT"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        cur.filter(_ >= 1).foreach(g => deleteRecursively(genPath(outDir, g - 1)))
       }
     } finally fresh.unpersist()
   }
 
-  /** Read the committed state of an upsert store (resolves `_CURRENT`). */
-  def readStore(spark: SparkSession, outDir: String): DataFrame =
-    currentGen(outDir) match {
+  /** Merge `rows` into one generation-versioned directory (the commit
+    * unit: a whole flat store, or a single partition of a partitioned
+    * one).
+    */
+  private def mergeDir(rows: DataFrame, dir: String, keyCols: Seq[String]): Unit = {
+    val spark = rows.sparkSession
+    val cur = currentGen(dir)
+    val merged = cur match {
+      case Some(g) =>
+        val existing = spark.read.parquet(genPath(dir, g))
+        val newKeys = rows.select(keyCols.map(col): _*).distinct()
+        existing.join(broadcast(newKeys), keyCols, "left_anti").unionByName(rows)
+      case None => rows
+    }
+    val next = cur.map(_ + 1).getOrElse(0L)
+    merged.write.mode(SaveMode.Overwrite).parquet(genPath(dir, next))
+    val tmp = Paths.get(dir, "_CURRENT.tmp")
+    Files.write(tmp, next.toString.getBytes(UTF_8))
+    Files.move(tmp, Paths.get(dir, "_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    cur.filter(_ >= 1).foreach(g => deleteRecursively(genPath(dir, g - 1)))
+  }
+
+  /** Read the committed state of an upsert store (resolves `_CURRENT`;
+    * for a partitioned store, unions every partition's committed
+    * generation).
+    */
+  def readStore(spark: SparkSession, outDir: String): DataFrame = {
+    val partDirs = listPartDirs(outDir)
+    if (partDirs.nonEmpty) {
+      val frames = partDirs.flatMap(d =>
+        currentGen(d).map(g => spark.read.parquet(genPath(d, g))))
+      if (frames.isEmpty)
+        throw new IllegalStateException(s"no committed generation under $outDir")
+      frames.reduce(_.unionByName(_))
+    } else currentGen(outDir) match {
       case Some(g) => spark.read.parquet(genPath(outDir, g))
       case None => throw new IllegalStateException(s"no committed generation under $outDir")
     }
+  }
+
+  /** Filesystem-safe partition directory (URL-encoded value; nulls get
+    * a reserved token).
+    */
+  private def partPath(outDir: String, pv: Any): String = {
+    val enc = if (pv == null) "__NULL__"
+      else java.net.URLEncoder.encode(String.valueOf(pv), UTF_8)
+    s"$outDir/p=$enc"
+  }
+
+  private def listPartDirs(outDir: String): Seq[String] = {
+    val root = Paths.get(outDir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p="))
+        .map(_.toString).sorted
+      finally s.close()
+    }
+  }
 
   private def genPath(outDir: String, g: Long): String = s"$outDir/gen-$g"
 

@@ -73,6 +73,51 @@ class StreamRecoverySpec extends AnyFunSuite with TestSpark {
     assert(ok, metrics.snapshots.toString)
   }
 
+  test("partitioned upsert leaves untouched partitions byte-identical") {
+    import java.security.MessageDigest
+    val dir = Files.createTempDirectory("graft-part-upsert").toString + "/store"
+    val w1 = new Timestamp(1704067200000L) // window A
+    val w2 = new Timestamp(1704067260000L) // window B
+
+    def fileState(p: String): Map[String, (Long, String)] = {
+      val root = Paths.get(p)
+      val s = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).map { f =>
+          val md5 = MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f))
+            .map("%02x".format(_)).mkString
+          f.toString -> ((Files.getLastModifiedTime(f).toMillis, md5))
+        }.toMap
+      } finally s.close()
+    }
+
+    // batch 1 touches windows A and B
+    StreamSinks.upsertBatchPartitioned(
+      Seq((w1, "d1", 10.0), (w1, "d2", 11.0), (w2, "d1", 20.0))
+        .toDF("window_start", "device_id", "v"),
+      dir, Seq("window_start", "device_id"), "window_start")
+    val partDirs = Files.list(Paths.get(dir)).toArray.map(_.toString).filter(_.contains("p=")).sorted
+    assert(partDirs.length == 2, partDirs.mkString(","))
+    val aDir = partDirs.head // window A's partition
+    val aBefore = fileState(aDir)
+
+    // batch 2 re-emits ONLY window B (late data updates d1, adds d3)
+    StreamSinks.upsertBatchPartitioned(
+      Seq((w2, "d1", 25.0), (w2, "d3", 30.0)).toDF("window_start", "device_id", "v"),
+      dir, Seq("window_start", "device_id"), "window_start")
+
+    // window A's partition was not rewritten: same files, same bytes, same mtimes
+    assert(fileState(aDir) == aBefore)
+
+    // and the merged read is correct across both partitions
+    val got = StreamSinks.readStore(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(
+      (w1, "d1") -> 10.0, (w1, "d2") -> 11.0,
+      (w2, "d1") -> 25.0, (w2, "d3") -> 30.0))
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
