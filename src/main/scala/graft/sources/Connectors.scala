@@ -1,8 +1,9 @@
 package graft.sources
 
+import java.sql.{DriverManager, Types}
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** Connector builders for the reference's source/sink surface beyond
   * parquet (SURVEY §2.1): JDBC (S1-S4, S8-S10), CSV (S15), Kafka batch
@@ -58,6 +59,58 @@ object Connectors {
     props.setProperty("user", user)
     props.setProperty("password", password)
     df.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** Keyed JDBC upsert (MERGE semantics) — the sink the reference's
+    * stream-agg table actually needs: its PRIMARY KEY (window_start,
+    * device_id, device_type) (create_stream_tables.sql:19-23) is
+    * violated by plain append the second time update mode re-emits a
+    * window. Implemented as engine-portable update-else-insert per row
+    * inside one transaction per partition (works on Derby/MySQL/
+    * PostgreSQL alike; a dialect layer would swap in `INSERT .. ON
+    * CONFLICT` / `MERGE` for single-round-trip batches at scale).
+    *
+    * Scale notes: runs distributed — each partition holds one
+    * connection and one transaction; parallelism = partition count, and
+    * rows never funnel through the driver. Upstream should be the
+    * (small) per-batch aggregate delta, not raw events.
+    */
+  def upsertJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      user: String, password: String): Unit = {
+    val cols = df.schema.fieldNames.toSeq
+    val valCols = cols.filterNot(keyCols.contains)
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains), s"bad keyCols $keyCols for $cols")
+    require(valCols.nonEmpty, "upsertJdbc needs at least one non-key column")
+    def q(c: String) = s""""$c""""
+    val updateSql =
+      s"""UPDATE $table SET ${valCols.map(c => s"${q(c)} = ?").mkString(", ")}
+         | WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}""".stripMargin
+    val insertSql =
+      s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val colIdx = cols.zipWithIndex.toMap
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url, user, password)
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          def set(ps: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =
+            order.zipWithIndex.foreach { case (c, i) =>
+              val v = row.get(colIdx(c))
+              if (v == null) ps.setNull(i + 1, Types.NULL) else ps.setObject(i + 1, v)
+            }
+          rows.foreach { row =>
+            set(upd, valCols ++ keyCols, row)
+            if (upd.executeUpdate() == 0) {
+              set(ins, cols, row)
+              ins.executeUpdate()
+            }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
   }
 
   /** CSV with header + schema inference off by default (deterministic). */

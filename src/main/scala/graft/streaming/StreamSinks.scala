@@ -170,6 +170,26 @@ object StreamSinks {
         .forEach(f => Files.deleteIfExists(f))
   }
 
+  /** foreachBatch keyed JDBC upsert — update-mode window re-emissions
+    * MERGE into the PK'd aggregate table instead of violating its
+    * primary key on replay (the reference's stream-agg table has
+    * PRIMARY KEY (window_start, device_id, device_type)).
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      user: String, password: String, checkpointDir: String,
+      triggerInterval: String = "5 seconds"): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = batch.persist()
+        try {
+          if (!fresh.isEmpty)
+            graft.sources.Connectors.upsertJdbc(fresh, url, table, keyCols, user, password)
+        } finally fresh.unpersist()
+      }
+
   /** Plain append sink for raw validated events (S11 append branch). */
   def parquetAppend(df: DataFrame, outDir: String, checkpointDir: String,
       triggerInterval: String = "5 seconds"): DataStreamWriter[Row] =

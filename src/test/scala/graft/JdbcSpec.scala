@@ -33,4 +33,42 @@ class JdbcSpec extends AnyFunSuite with TestSpark {
     val total = pushed.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
     assert(total == df.filter($"reading" > 75).count())
   }
+
+  test("keyed upsert MERGEs a re-emitted window into the PK'd agg table") {
+    import java.sql.{DriverManager, Timestamp}
+    // The reference's stream-agg table shape: PRIMARY KEY (window_start,
+    // device_id, device_type) — plain append dies on the second emission
+    // of a window; upsertJdbc must update in place.
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE stream_agg (
+        |  "window_start" TIMESTAMP NOT NULL,
+        |  "device_id" VARCHAR(32) NOT NULL,
+        |  "device_type" VARCHAR(32) NOT NULL,
+        |  "reading_count" BIGINT,
+        |  "avg_value" DOUBLE,
+        |  PRIMARY KEY ("window_start", "device_id", "device_type"))""".stripMargin)
+    conn.close()
+    val w1 = new Timestamp(1704067200000L)
+    val keys = Seq("window_start", "device_id", "device_type")
+
+    // first emission of the window
+    Connectors.upsertJdbc(
+      Seq((w1, "d1", "temperature", 2L, 15.0), (w1, "d2", "temperature", 1L, 9.0))
+        .toDF("window_start", "device_id", "device_type", "reading_count", "avg_value"),
+      url, "stream_agg", keys, "", "")
+    // late data re-emits the same window for d1 (update) and adds d3 (insert)
+    Connectors.upsertJdbc(
+      Seq((w1, "d1", "temperature", 3L, 20.0), (w1, "d3", "humidity", 1L, 55.0))
+        .toDF("window_start", "device_id", "device_type", "reading_count", "avg_value"),
+      url, "stream_agg", keys, "", "")
+
+    val got = Connectors.readJdbc(spark, url, "stream_agg", "", "")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("d1", "temperature") -> ((3L, 20.0)), // updated in place, no PK violation
+      ("d2", "temperature") -> ((1L, 9.0)), // untouched
+      ("d3", "humidity") -> ((1L, 55.0)))) // inserted
+  }
 }
