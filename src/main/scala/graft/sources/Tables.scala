@@ -39,7 +39,43 @@ object Tables {
     else df
   }
 
+  /** Calendar dimension (reference dim_time,
+    * warehouse/create_dwh_schema.sql:39-53 — declared there but never
+    * populated by the reference's own loaders): one row per hour
+    * covering the events table's full day span. `time_id` is a
+    * deterministic 1-based hour index instead of a SERIAL, so the
+    * dimension is reproducible and joinable by value on any engine.
+    * Generated distributed (sequence + explode over the span) — never a
+    * driver loop.
+    */
+  def dimTime(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TimeF
+    apply(spark, dir, "events")
+      .agg(
+        date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      .select(col("d0"),
+        explode(sequence(col("d0"), expr("d1 + interval 23 hours"), expr("interval 1 hour")))
+          .as("ts_hour"))
+      .select(
+        (((unix_timestamp(col("ts_hour")) - unix_timestamp(col("d0"))) / 3600) + 1)
+          .cast("int").as("time_id"),
+        to_date(col("ts_hour")).as("date"),
+        hour(col("ts_hour")).cast("int").as("hour"),
+        TimeF.dow(col("ts_hour")).cast("int").as("day_of_week"),
+        date_format(col("ts_hour"), "EEEE").as("day_name"),
+        weekofyear(col("ts_hour")).cast("int").as("week_of_year"),
+        month(col("ts_hour")).cast("int").as("month"),
+        date_format(col("ts_hour"), "MMMM").as("month_name"),
+        quarter(col("ts_hour")).cast("int").as("quarter"),
+        year(col("ts_hour")).cast("int").as("year"),
+        TimeF.isWeekend(col("ts_hour")).as("is_weekend"),
+        TimeF.isBusinessHours(col("ts_hour")).as("is_business_hours"))
+  }
+
   /** Register every table as a temp view (for the Spark SQL surface). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    dimTime(spark, dir).createOrReplaceTempView("dim_time")
+  }
 }

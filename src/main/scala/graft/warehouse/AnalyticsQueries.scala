@@ -222,7 +222,26 @@ object AnalyticsQueries {
       .orderBy("device_id", "effective_from")
   }
 
+  /** q81: the dim_time calendar dimension end-to-end — generated from
+    * the events span, all 11 attribute columns, left-joined to hourly
+    * event counts (empty hours survive with 0). Completes the
+    * reference's star schema (dim_time is declared in its DDL but never
+    * populated by its loaders).
+    */
+  val dimTimeCalendar: Q = (s, dir) => {
+    val dt = Tables.dimTime(s, dir)
+    val hourly = Tables(s, dir, "events")
+      .groupBy(
+        to_date(col("ts")).as("date"),
+        hour(col("ts")).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    dt.join(hourly, Seq("date", "hour"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .orderBy("time_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_dim_time" -> dimTimeCalendar,
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
     "q56_rank_suite" -> rankSuite,
@@ -247,6 +266,30 @@ object AnalyticsQueries {
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
 
   val oracle: Map[String, String] = Map(
+    "q81_dim_time" ->
+      """WITH b AS (SELECT date_trunc('day', CAST(min(ts) AS TIMESTAMP)) AS d0,
+        |                  date_trunc('day', CAST(max(ts) AS TIMESTAMP)) AS d1 FROM events),
+        |g AS (SELECT d0, unnest(range(d0, d1 + INTERVAL 24 HOUR, INTERVAL 1 HOUR)) AS ts_hour FROM b),
+        |d AS (SELECT
+        |        CAST((epoch(ts_hour) - epoch(d0)) / 3600 + 1 AS INT) AS time_id,
+        |        CAST(ts_hour AS DATE) AS "date",
+        |        CAST(hour(ts_hour) AS INT) AS hour,
+        |        CAST(dayofweek(ts_hour) + 1 AS INT) AS day_of_week,
+        |        dayname(ts_hour) AS day_name,
+        |        CAST(weekofyear(ts_hour) AS INT) AS week_of_year,
+        |        CAST(month(ts_hour) AS INT) AS month,
+        |        monthname(ts_hour) AS month_name,
+        |        CAST(quarter(ts_hour) AS INT) AS quarter,
+        |        CAST(year(ts_hour) AS INT) AS year,
+        |        (dayofweek(ts_hour) IN (0, 6)) AS is_weekend,
+        |        (hour(ts_hour) BETWEEN 9 AND 17) AS is_business_hours
+        |      FROM g),
+        |h AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS "date",
+        |        CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour, COUNT(*) AS n_events
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.*, COALESCE(h.n_events, 0) AS n_events
+        |FROM d LEFT JOIN h USING ("date", hour)
+        |ORDER BY time_id""".stripMargin,
     "q54_pivot" ->
       s"""${cte}SELECT CAST(hour(time) AS INT) AS hour_of_day,
          |  ${DeviceTypes.map(pivotCol).mkString(",\n  ")}
