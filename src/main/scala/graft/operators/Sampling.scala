@@ -29,6 +29,23 @@ object Sampling {
     df.withColumn("bucket", hashBucket(col(keyCol)).cast("int"))
       .filter(col("bucket") < keepPct)
 
+  /** Stratified hash sampling: a different deterministic keep-rate per
+    * stratum (e.g. downsample boilerplate-heavy sources hard, keep
+    * high-quality ones whole — the standard corpus-mixing primitive).
+    * Same purity guarantees as hashSample: membership is a function of
+    * (key, stratum rate) only — stable across runs, partitionings, and
+    * incremental re-ingestion. Narrow projection + filter; no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (els, (s, pct)) =>
+      when(col(strataCol) === s, lit(pct)).otherwise(els)
+    }
+    df.withColumn("bucket", hashBucket(col(keyCol)).cast("int"))
+      .withColumn("keep_pct", rate)
+      .filter(col("bucket") < col("keep_pct"))
+  }
+
   /** Assign a stable train/val/test split by key hash. */
   def withSplit(df: DataFrame, keyCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val b = hashBucket(col(keyCol))
@@ -42,6 +59,10 @@ object Sampling {
   object O {
     def hashBucket(key: String): String =
       s"(${Hashes.O.md5Long32(s"CAST($key AS VARCHAR)")} % $Buckets)"
+    def strataRate(strataCol: String, rates: Map[String, Int], defaultPct: Int): String =
+      rates.toSeq.sortBy(_._1)
+        .map { case (s, pct) => s"WHEN $strataCol = '$s' THEN $pct" }
+        .mkString("CASE ", " ", s" ELSE $defaultPct END")
     def split(key: String, trainPct: Int = 80, valPct: Int = 10): String =
       s"""CASE WHEN ${hashBucket(key)} < $trainPct THEN 'train'
          |     WHEN ${hashBucket(key)} < ${trainPct + valPct} THEN 'val'

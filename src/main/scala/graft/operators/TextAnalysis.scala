@@ -88,6 +88,46 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", predicted)
   }
 
+  /** Gopher-style repetition quality stats: distinct-word ratio, most
+    * frequent word / bigram share. The standard cheap repetition filter
+    * for pretraining corpora — a doc dominated by one word or one
+    * 2-gram is boilerplate/spam, not prose.
+    *
+    * Scale design: one explode + keyed (doc_id, token) count per
+    * n-gram order, partial-aggregated map-side; everything else is
+    * narrow. All arithmetic is exact integer ratios — bit-identical
+    * cross-engine with no rounding.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxTopWordFrac: Double = 0.20,
+      maxTopBigramFrac: Double = 0.18,
+      minDistinctRatio: Double = 0.30): DataFrame = {
+    val w = split(col(textCol), " ")
+    val base = docs.select(col("doc_id"), w.as("w"))
+    val words = base.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_word_count"), count(lit(1)).as("n_distinct_words"))
+    val bigrams = docs
+      .select(col("doc_id"), explode(graft.functions.Text.shingles(col(textCol), 2)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
+    base.select(col("doc_id"), size(col("w")).as("n_words"))
+      .join(words, Seq("doc_id"))
+      .join(bigrams, Seq("doc_id"), "left")
+      .withColumn("top_bigram_count", coalesce(col("top_bigram_count"), lit(0L)))
+      .withColumn("distinct_ratio", col("n_distinct_words") / col("n_words"))
+      .withColumn("top_word_frac", col("top_word_count") / col("n_words"))
+      .withColumn("top_bigram_frac",
+        when(col("n_words") > 1, col("top_bigram_count") / (col("n_words") - 1)))
+      .withColumn("pass_repetition",
+        col("top_word_frac") <= maxTopWordFrac &&
+          coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true)) &&
+          col("distinct_ratio") >= minDistinctRatio)
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -137,6 +177,31 @@ object TextAnalysis {
       LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
         .mkString("CASE ", " ", " END")
     }
+
+    /** Mirrors repetitionStats (thresholds must match the Spark call). */
+    def repetitionStats(
+        maxTopWordFrac: Double = 0.20,
+        maxTopBigramFrac: Double = 0.18,
+        minDistinctRatio: Double = 0.30): String =
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tw AS (SELECT doc_id, max(c) AS top_word_count, COUNT(*) AS n_distinct_words FROM (
+         |         SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(w) AS tok FROM w) GROUP BY doc_id, tok)
+         |       GROUP BY doc_id),
+         |bg AS (SELECT doc_id, max(c) AS top_bigram_count FROM (
+         |         SELECT doc_id, tok, COUNT(*) AS c FROM (
+         |           SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS tok FROM w)
+         |         GROUP BY doc_id, tok)
+         |       GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.w) AS INT) AS n_words, tw.top_word_count, tw.n_distinct_words,
+         |  COALESCE(bg.top_bigram_count, 0) AS top_bigram_count,
+         |  (tw.n_distinct_words / len(w.w)) AS distinct_ratio,
+         |  (tw.top_word_count / len(w.w)) AS top_word_frac,
+         |  (CASE WHEN len(w.w) > 1 THEN COALESCE(bg.top_bigram_count, 0) / (len(w.w) - 1) END) AS top_bigram_frac,
+         |  ((tw.top_word_count / len(w.w)) <= $maxTopWordFrac
+         |   AND COALESCE((CASE WHEN len(w.w) > 1 THEN COALESCE(bg.top_bigram_count, 0) / (len(w.w) - 1) END) <= $maxTopBigramFrac, TRUE)
+         |   AND (tw.n_distinct_words / len(w.w)) >= $minDistinctRatio) AS pass_repetition
+         |FROM w JOIN tw USING (doc_id) LEFT JOIN bg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
 
     def rollingFp: String =
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +

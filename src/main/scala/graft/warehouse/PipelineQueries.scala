@@ -139,6 +139,19 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "split")
 
+  /** q82: Gopher-style repetition quality filter over the corpus. */
+  val repetition: Q = (s, dir) =>
+    TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
+
+  /** q83: stratified hash sampling — per-source keep rates. */
+  val StrataRates = Map("src0" -> 50, "src1" -> 20)
+  val StrataDefaultPct = 10
+  val stratified: Q = (s, dir) =>
+    Sampling
+      .stratifiedSample(docs(s, dir), "doc_id", "source", StrataRates, StrataDefaultPct)
+      .select("doc_id", "source", "bucket", "keep_pct")
+      .orderBy("doc_id")
+
   val textClean: Q = (s, dir) =>
     TextAnalysis
       .withCleanText(docs(s, dir))
@@ -168,7 +181,9 @@ object PipelineQueries {
     "q67_embed_centroids" -> embedCentroids,
     "q68_hash_sample" -> hashSample,
     "q69_split_assign" -> splitAssign,
-    "q70_text_clean" -> textClean)
+    "q70_text_clean" -> textClean,
+    "q82_repetition" -> repetition,
+    "q83_stratified_sample" -> stratified)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -247,6 +262,13 @@ object PipelineQueries {
          |  CAST(length(${TO.cleanText}) AS INT) AS clean_len,
          |  CAST(len(string_split(${TO.cleanText}, ' ')) AS INT) AS clean_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q82_repetition" -> TO.repetitionStats(),
+    "q83_stratified_sample" ->
+      s"""SELECT doc_id, source, CAST(${Sampling.O.hashBucket("doc_id")} AS INT) AS bucket,
+         |  CAST(${Sampling.O.strataRate("source", StrataRates, StrataDefaultPct)} AS INT) AS keep_pct
+         |FROM documents
+         |WHERE ${Sampling.O.hashBucket("doc_id")} < ${Sampling.O.strataRate("source", StrataRates, StrataDefaultPct)}
+         |ORDER BY doc_id""".stripMargin,
     "q48_lang_id" ->
       s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
          |FROM (SELECT lang, ${TO.langScores} FROM documents)

@@ -34,6 +34,23 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(r(2L) == "en")
   }
 
+  test("repetition stats flag the degenerate doc and pass the diverse one") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam ham"), // one word dominates
+      (2L, "the quick brown fox jumps over a lazy dog today"), // diverse
+      (3L, "solo") // single word: bigram frac is NULL, not a crash
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(8)))).toMap
+    // doc 1: 6 words, top word 5x, 2 distinct, top bigram "spam spam" 4x → fail
+    assert(r(1L) == ((6, 5L, 2L, 4L, false)))
+    // doc 2: 10 words all distinct → pass
+    assert(r(2L) == ((10, 1L, 10L, 1L, true)))
+    // doc 3: 1 word → bigram count 0, frac null, pass hinges on word frac
+    assert(r(3L)._1 == 1 && !r(3L)._5) // top_word_frac 1.0 > 0.2 → fail
+  }
+
   test("multimodal decode stub agrees with the expression path") {
     val docs = Seq((1L, "hello world", "s1"), (2L, "abcdefgh", "s2"))
       .toDF("doc_id", "text", "source")
