@@ -128,6 +128,32 @@ object TextAnalysis {
           col("distinct_ratio") >= minDistinctRatio)
   }
 
+  /** TF-IDF top-k terms per document: tf from one keyed (doc, term)
+    * count, document frequency from a second keyed count over the tf
+    * frame (never re-reading the corpus), corpus size as a single-row
+    * broadcast scalar. idf = ln(N/df), rounded at 6 dp BEFORE ranking so
+    * both engines rank identical values (ln is the one genuinely
+    * engine-divergent step; everything else is exact).
+    *
+    * Scale design: two keyed hash aggregations with map-side partials +
+    * one per-doc top-k window — the same shuffle shape as word count.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -177,6 +203,22 @@ object TextAnalysis {
       LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
         .mkString("CASE ", " ", " END")
     }
+
+    /** Mirrors tfidfTopTerms (DuckDB `log` is base-10 — `ln` is the
+      * twin of Spark's `log`). Rounded before ranking in BOTH engines.
+      */
+    def tfidfTopTerms(k: Int = 3): String =
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+         |  SELECT t.doc_id, t.term, t.tf, d.df,
+         |    round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+         |    CAST(row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) DESC, t.term) AS INT) AS rank
+         |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+         |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
     /** Mirrors repetitionStats (thresholds must match the Spark call). */
     def repetitionStats(

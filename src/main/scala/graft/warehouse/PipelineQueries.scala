@@ -152,6 +152,23 @@ object PipelineQueries {
       .select("doc_id", "source", "bucket", "keep_pct")
       .orderBy("doc_id")
 
+  /** q84: bloom-prefiltered exact semi join — events of users who made
+    * a high-value purchase. Contract: identical to a plain semi join.
+    */
+  val bloomSemi: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val highValue = ev
+      .filter(col("event_type") === "purchase" && col("value") > 200)
+      .select("user_id")
+    BloomJoin.semiJoin(ev, highValue, "user_id", estimatedItems = 10000L, numBits = 1L << 17)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q85: TF-IDF top-3 terms per document. */
+  val tfidf: Q = (s, dir) =>
+    TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3).orderBy("doc_id", "rank")
+
   val textClean: Q = (s, dir) =>
     TextAnalysis
       .withCleanText(docs(s, dir))
@@ -183,7 +200,9 @@ object PipelineQueries {
     "q69_split_assign" -> splitAssign,
     "q70_text_clean" -> textClean,
     "q82_repetition" -> repetition,
-    "q83_stratified_sample" -> stratified)
+    "q83_stratified_sample" -> stratified,
+    "q84_bloom_semi_join" -> bloomSemi,
+    "q85_tfidf" -> tfidf)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -262,6 +281,11 @@ object PipelineQueries {
          |  CAST(length(${TO.cleanText}) AS INT) AS clean_len,
          |  CAST(len(string_split(${TO.cleanText}, ' ')) AS INT) AS clean_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q84_bloom_semi_join" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q85_tfidf" -> TO.tfidfTopTerms(k = 3),
     "q82_repetition" -> TO.repetitionStats(),
     "q83_stratified_sample" ->
       s"""SELECT doc_id, source, CAST(${Sampling.O.hashBucket("doc_id")} AS INT) AS bucket,
