@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training data: sequence packing
+  * (concat-then-chunk document → training-sequence assignment) and
+  * sliding-window token chunking (RAG/embedding chunks with overlap).
+  *
+  * Scale design: packing is one windowed running sum per stratum (keyed
+  * shuffle, linear state — NEVER a global single-task window: the
+  * stream is packed per source so a trillion-token corpus packs in
+  * parallel); chunking is a narrow explode with per-row bounded arrays.
+  * All arithmetic is integer/string-exact — no rounding, engines agree
+  * bit-for-bit.
+  */
+object Corpus {
+
+  /** Assign each document its position in per-source concatenated
+    * training sequences of `tokenBudget` tokens ("concat then chunk").
+    * seq_id = the chunk the doc STARTS in; offset_in_seq its start
+    * offset there. Deterministic order: doc_id within source.
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"), size(split(col(textCol), " ")).as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", (col("start_offset") / tokenBudget).cast("long"))
+      .withColumn("offset_in_seq", (col("start_offset") % tokenBudget).cast("long"))
+  }
+
+  /** Sliding-window token chunks: windows of `chunkTokens` words every
+    * `stride` words (overlap = chunkTokens - stride), one row per chunk
+    * with its text fingerprint. The generated array per row is bounded
+    * by chunkTokens — a book-length doc yields many rows, never a big
+    * one.
+    */
+  def chunkTokens(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+      textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs
+      .select(col("doc_id"), w.as("w"), size(w).as("n_tokens"))
+      .select(col("doc_id"), col("w"), col("n_tokens"),
+        explode(sequence(lit(1), col("n_tokens"), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / stride).cast("int").as("chunk_idx"),
+        least(lit(chunkTokens), col("n_tokens") - col("start") + 1).as("chunk_len"),
+        md5(concat_ws(" ", slice(col("w"), col("start"), lit(chunkTokens)))).as("chunk_md5"))
+  }
+
+  /** DuckDB oracle twins. */
+  object O {
+    def packSequences(tokenBudget: Int = 256): String =
+      s"""SELECT source, doc_id, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+         |  CAST(floor((cum - n_tokens) / $tokenBudget) AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % $tokenBudget AS BIGINT) AS offset_in_seq
+         |FROM (SELECT source, doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |            FROM documents))""".stripMargin
+
+    def chunkTokens(chunkTokens: Int = 64, stride: Int = 48): String =
+      s"""SELECT doc_id,
+         |  CAST((start - 1) / $stride AS INT) AS chunk_idx,
+         |  CAST(least($chunkTokens, n_tokens - start + 1) AS INT) AS chunk_len,
+         |  md5(array_to_string(w[start:least(start + ${chunkTokens - 1}, n_tokens)], ' ')) AS chunk_md5
+         |FROM (SELECT doc_id, w, len(w) AS n_tokens,
+         |        CAST(unnest(range(1, len(w) + 1, $stride)) AS INT) AS start
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
+  }
+}

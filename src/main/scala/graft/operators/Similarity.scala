@@ -126,6 +126,25 @@ object Similarity {
       .select("query_id", "cand_id", "cent_id", "cosine_sim", "rank")
   }
 
+  /** Symmetric int8 vector quantization (absmax scaling) — the standard
+    * 4× compression for embedding storage/ANN at scale. Deterministic by
+    * construction: floor(x/scale·127 + 0.5) instead of round(), so both
+    * engines resolve .5 boundaries identically (dyadic float ratios DO
+    * land on exact halves). Narrow projection, no shuffle.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"), x => abs(x))).cast("double")
+    emb
+      .withColumn("scale", scale)
+      .withColumn("q", transform(col("embedding"), x =>
+        when(col("scale") === 0d, lit(0L))
+          .otherwise(floor(x.cast("double") / col("scale") * 127 + lit(0.5)).cast("long"))))
+      .select(
+        col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (label):
     * cosine above threshold. The block join keeps the pair space keyed.
     */

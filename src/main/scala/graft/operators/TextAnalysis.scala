@@ -154,6 +154,30 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "tfidf", "rank")
   }
 
+  /** Corpus-trained bigram language-model score per document: the mean
+    * conditional log-probability ln(C(w1,w2)/C(w1·)) of the doc's word
+    * bigrams, with counts from the whole corpus — the cheap stand-in for
+    * a perplexity quality filter (low scorers are gibberish or
+    * boilerplate relative to the corpus). Per-row ln values ride through
+    * a decimal-backed mean (graft.Num), so the aggregate is
+    * order-independent and engine-identical.
+    *
+    * Scale: two keyed counts (bigram, first-word) + keyed joins back to
+    * the bigram stream — word-count shuffle shapes throughout.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.{Num, Text}
+    val stream = docs
+      .select(col("doc_id"), explode(Text.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val bgCounts = stream.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val w1Counts = stream.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    stream.join(bgCounts, "bg").join(w1Counts, "w1")
+      .withColumn("lp", log(col("c_bg").cast("double") / col("c_w1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), Num.davg(col("lp")).as("avg_logprob"))
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -203,6 +227,19 @@ object TextAnalysis {
       LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
         .mkString("CASE ", " ", " END")
     }
+
+    /** Mirrors bigramLmScore (decimal-backed mean of per-bigram ln). */
+    def bigramLmScore: String =
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |      FROM wl WHERE len(w) >= 2),
+         |s AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM b),
+         |cb AS (SELECT bg, COUNT(*) AS c_bg FROM s GROUP BY 1),
+         |cw AS (SELECT w1, COUNT(*) AS c_w1 FROM s GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ${graft.functions.Num.O.avg("ln(CAST(cb.c_bg AS DOUBLE) / cw.c_w1)")} AS avg_logprob
+         |FROM s JOIN cb USING (bg) JOIN cw USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     /** Mirrors tfidfTopTerms (DuckDB `log` is base-10 — `ln` is the
       * twin of Spark's `log`). Rounded before ranking in BOTH engines.

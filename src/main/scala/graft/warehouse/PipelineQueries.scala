@@ -169,6 +169,23 @@ object PipelineQueries {
   val tfidf: Q = (s, dir) =>
     TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3).orderBy("doc_id", "rank")
 
+  /** q86: bigram-LM (perplexity-style) quality score per doc. */
+  val bigramLm: Q = (s, dir) =>
+    TextAnalysis.bigramLmScore(docs(s, dir)).orderBy("doc_id")
+
+  /** q87: concat-then-chunk sequence packing per source. */
+  val packSeqs: Q = (s, dir) =>
+    Corpus.packSequences(docs(s, dir), tokenBudget = 256).orderBy("source", "doc_id")
+
+  /** q88: sliding-window token chunking with overlap. */
+  val chunks: Q = (s, dir) =>
+    Corpus.chunkTokens(docs(s, dir), chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** q89: int8 absmax quantization of the embedding corpus. */
+  val quantize: Q = (s, dir) =>
+    Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")
+
   val textClean: Q = (s, dir) =>
     TextAnalysis
       .withCleanText(docs(s, dir))
@@ -202,7 +219,11 @@ object PipelineQueries {
     "q82_repetition" -> repetition,
     "q83_stratified_sample" -> stratified,
     "q84_bloom_semi_join" -> bloomSemi,
-    "q85_tfidf" -> tfidf)
+    "q85_tfidf" -> tfidf,
+    "q86_bigram_lm" -> bigramLm,
+    "q87_pack_sequences" -> packSeqs,
+    "q88_token_chunks" -> chunks,
+    "q89_quantize_int8" -> quantize)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -281,6 +302,23 @@ object PipelineQueries {
          |  CAST(length(${TO.cleanText}) AS INT) AS clean_len,
          |  CAST(len(string_split(${TO.cleanText}, ' ')) AS INT) AS clean_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q86_bigram_lm" -> TO.bigramLmScore,
+    "q87_pack_sequences" ->
+      s"${Corpus.O.packSequences(tokenBudget = 256)}\nORDER BY source, doc_id",
+    "q88_token_chunks" ->
+      s"${Corpus.O.chunkTokens(chunkTokens = 64, stride = 48)}\nORDER BY doc_id, chunk_idx",
+    "q89_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor((CAST(x AS DOUBLE) / scale) * 127 + 0.5) AS BIGINT) END) AS q
+        |      FROM e)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b) AS q_sum,
+        |  md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_md5
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q84_bloom_semi_join" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200)
