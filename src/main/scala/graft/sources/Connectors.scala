@@ -121,6 +121,23 @@ object Connectors {
   def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
+  /** JSON-lines source. Schema-explicit by default: at 100 TB schema
+    * inference is a full extra pass over the data, and inferred types
+    * drift with the sample — production readers must pin the schema.
+    */
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+
+  def writeJsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** ORC source/sink (column-pruned + predicate-pushdown, like parquet). */
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Kafka batch producer (test-harness side of S13). */
   def writeKafka(df: DataFrame, bootstrapServers: String, topic: String): Unit =
     df.write.format("kafka")

@@ -46,4 +46,28 @@ class ConnectorsSpec extends AnyFunSuite with TestSpark {
     assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("1", "a"), ("2", "b"))) // inferSchema off: strings, deterministic
   }
+
+  test("json-lines round-trip with a pinned schema") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Connectors.writeJsonLines(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = Connectors.readJsonLines(spark, dir, Some(schema))
+    assert(back.schema == schema) // pinned, not inferred
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("orc round-trip preserves schema and rows") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Connectors.writeOrc(df, dir)
+    val back = Connectors.readOrc(spark, dir)
+    // files read back nullable; names/types must survive exactly
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
 }
