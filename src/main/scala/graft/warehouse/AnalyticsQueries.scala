@@ -240,7 +240,33 @@ object AnalyticsQueries {
       .orderBy("time_id")
   }
 
+  /** q90: CDC apply — collapse the event stream as an upsert/delete
+    * changelog into its current snapshot (errors act as deletes).
+    */
+  val cdcSnapshot: Q = (s, dir) => {
+    val changes = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+    graft.operators.Cdc.applyLatest(changes, Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** q91: winsorized mean per device type (clip at p05/p95). */
+  val winsorized: Q = (s, dir) =>
+    graft.operators.Robust.winsorizedAvg(readings(s, dir), "device_type", "value")
+      .orderBy("device_type")
+
+  /** q92: MAD-based outlier counts per device type. */
+  val madOutliers: Q = (s, dir) =>
+    graft.operators.Robust.madOutliers(readings(s, dir), "device_type", "value")
+      .orderBy("device_type")
+
   val queries: Map[String, Q] = Map(
+    "q90_cdc_snapshot" -> cdcSnapshot,
+    "q91_winsorized" -> winsorized,
+    "q92_mad_outliers" -> madOutliers,
     "q81_dim_time" -> dimTimeCalendar,
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -266,6 +292,34 @@ object AnalyticsQueries {
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
 
   val oracle: Map[String, String] = Map(
+    "q90_cdc_snapshot" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND op != 'D' ORDER BY user_id""".stripMargin,
+    "q91_winsorized" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |b AS (SELECT device_type, round(quantile_cont(value, 0.05), 6) AS lo,
+         |             round(quantile_cont(value, 0.95), 6) AS hi
+         |      FROM readings GROUP BY 1)
+         |SELECT r.device_type, COUNT(*) AS n, b.lo AS lo, b.hi AS hi,
+         |  ${N.avg("r.value")} AS raw_avg,
+         |  ${N.avg("least(greatest(r.value, b.lo), b.hi)")} AS winsorized_avg
+         |FROM readings r JOIN b USING (device_type)
+         |GROUP BY r.device_type, b.lo, b.hi ORDER BY device_type""".stripMargin,
+    "q92_mad_outliers" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |m AS (SELECT device_type, round(quantile_cont(value, 0.5), 6) AS med
+         |      FROM readings GROUP BY 1),
+         |d AS (SELECT r.device_type, abs(r.value - m.med) AS adev, m.med
+         |      FROM readings r JOIN m USING (device_type)),
+         |md AS (SELECT device_type, round(quantile_cont(adev, 0.5), 6) AS mad FROM d GROUP BY 1)
+         |SELECT d.device_type, COUNT(*) AS n, d.med AS med, md.mad AS mad,
+         |  CAST(SUM(CASE WHEN d.adev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM d JOIN md USING (device_type)
+         |GROUP BY d.device_type, d.med, md.mad ORDER BY device_type""".stripMargin,
     "q81_dim_time" ->
       """WITH b AS (SELECT date_trunc('day', CAST(min(ts) AS TIMESTAMP)) AS d0,
         |                  date_trunc('day', CAST(max(ts) AS TIMESTAMP)) AS d1 FROM events),
