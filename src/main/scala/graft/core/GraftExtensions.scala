@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProductD, HllSketch, ZOrder2}
+import graft.functions.expressions.{DotProductD, HllSketch, TopKByScore, ZOrder2}
 
 /** Catalyst extension point: registers graft's custom expressions with
   * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
@@ -49,6 +49,17 @@ object GraftExtensions {
         // The analyzer wraps a bare AggregateFunction in its
         // AggregateExpression during function resolution.
         HllSketch(children.head)
+      }),
+    (
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getCanonicalName, null, "topk_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "topk_by_score takes (score, id, k)")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval(null).asInstanceOf[Number].intValue()
+        }
+        TopKByScore(children.head, children(1), k)
       }),
     (
       FunctionIdentifier("zorder2"),

@@ -117,6 +117,17 @@ object Sketch {
     GraftBridge.column(
       graft.functions.expressions.HllSketch(GraftBridge.expression(c)).toAggregateExpression())
   }
+
+  /** Bounded top-k-per-group aggregate (score DESC, id ASC) — the
+    * map-side-combinable replacement for the `row_number <= k` window
+    * idiom (graft.functions.expressions.TopKByScore).
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      graft.functions.expressions.TopKByScore(
+        GraftBridge.expression(score), GraftBridge.expression(id), k).toAggregateExpression())
+  }
 }
 
 object Vec {

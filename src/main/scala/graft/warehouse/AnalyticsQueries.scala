@@ -263,7 +263,24 @@ object AnalyticsQueries {
     graft.operators.Robust.madOutliers(readings(s, dir), "device_type", "value")
       .orderBy("device_type")
 
+  /** q93: top-5 readings per device type via the custom mergeable
+    * TopKByScore aggregate — map-side partial top-k instead of a full
+    * window sort (each task ships ≤k pairs per group into the shuffle).
+    */
+  val topKAgg: Q = (s, dir) =>
+    readings(s, dir)
+      .groupBy("device_type")
+      .agg(graft.functions.Sketch.topKByScore(col("value"), col("event_id"), 5).as("top"))
+      .select(col("device_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("device_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.score").as("value"),
+        col("t.id").as("event_id"))
+      .orderBy("device_type", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q93_topk_agg" -> topKAgg,
     "q90_cdc_snapshot" -> cdcSnapshot,
     "q91_winsorized" -> winsorized,
     "q92_mad_outliers" -> madOutliers,
@@ -292,6 +309,12 @@ object AnalyticsQueries {
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
 
   val oracle: Map[String, String] = Map(
+    "q93_topk_agg" ->
+      s"""${cte}SELECT device_type, CAST(rank AS INT) AS rank, value, event_id FROM (
+         |  SELECT device_type, value, event_id,
+         |    row_number() OVER (PARTITION BY device_type ORDER BY value DESC, event_id ASC) AS rank
+         |  FROM readings)
+         |WHERE rank <= 5 ORDER BY device_type, rank""".stripMargin,
     "q90_cdc_snapshot" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM (
         |  SELECT user_id, ts, event_id, value,

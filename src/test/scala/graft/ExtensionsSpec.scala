@@ -21,6 +21,19 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(sqlEst == colEst)
   }
 
+  test("topk_by_score is callable from SQL and matches the Column API") {
+    (1L to 100L).map(i => (i % 3, i.toDouble, i)).toDF("g", "s", "id")
+      .createOrReplaceTempView("topk_in")
+    val viaSql = spark.sql(
+      "SELECT g, topk_by_score(s, id, 2) AS t FROM topk_in GROUP BY g ORDER BY g").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))).toMap
+    val viaCol = spark.table("topk_in").groupBy("g")
+      .agg(graft.functions.Sketch.topKByScore($"s", $"id", 2).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))).toMap
+    assert(viaSql == viaCol)
+    assert(viaSql(0L) == Seq(99L, 96L)) // 99.0 then 96.0
+  }
+
   test("optimizer rule rewrites the zip_with/aggregate fold to dot_product_d") {
     val df = Seq(
       (Array(1f, 2f), Array(3f, 4f)),
