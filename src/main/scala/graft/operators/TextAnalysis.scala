@@ -171,7 +171,12 @@ object TextAnalysis {
       .select(col("doc_id"), explode(Text.shingles(col(textCol), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     val bgCounts = stream.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val w1Counts = stream.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    // First-word totals roll up from the (small) bigram-count table —
+    // sum of c_bg per w1 — instead of a second explode pass over the
+    // corpus: same numbers, one less full-corpus scan.
+    val w1Counts = bgCounts
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"))
     stream.join(bgCounts, "bg").join(w1Counts, "w1")
       .withColumn("lp", log(col("c_bg").cast("double") / col("c_w1")))
       .groupBy("doc_id")

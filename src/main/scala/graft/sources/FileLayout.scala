@@ -32,6 +32,29 @@ object FileLayout {
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a directory of small parquet files into
+    * ceil(rows/targetRowsPerFile) right-sized ones — the maintenance
+    * pass every streaming/append sink needs (a 5 s trigger writing 100
+    * files/hour turns a year-old table into millions of tiny files whose
+    * open/footer overhead dwarfs the data). Writes to a staging dir and
+    * swaps via rename, so a crash leaves either the old or the new
+    * layout, never a mix.
+    */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val staging = path + "__compacting"
+    val retired = path + "__retired"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
+    Files.move(Paths.get(path), Paths.get(retired))
+    Files.move(Paths.get(staging), Paths.get(path))
+    // best-effort cleanup of the old generation
+    Files.walk(Paths.get(retired)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
   /** Write `df` Z-order-clustered on `zKey` (typically
     * `Fns.zorder2(bucketA, bucketB)`): range-partition into `numFiles`
     * disjoint key ranges, sort inside each, one file per range. Every

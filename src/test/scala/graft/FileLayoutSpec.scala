@@ -37,6 +37,19 @@ class FileLayoutSpec extends AnyFunSuite with TestSpark {
     assert(!scannedParts.contains("p_date=2024-01-05"))
   }
 
+  test("compaction collapses small files without losing rows") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
+    df.repartition(20).write.parquet(dir) // 20 tiny files
+    def parquetFiles = Files.walk(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).count(f => f.endsWith(".parquet") && !f.contains("__"))
+    assert(parquetFiles == 20)
+    FileLayout.compact(spark, dir, targetRowsPerFile = 500)
+    assert(parquetFiles == 2)
+    assert(spark.read.parquet(dir).count() == 1000)
+    assert(spark.read.parquet(dir).agg(sum("v")).head.getLong(0) == 1001000L)
+  }
+
   test("z-ordered files own disjoint key ranges") {
     val dir = Files.createTempDirectory("graft-zorder").toString + "/t"
     val df = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("a", "b")
