@@ -166,21 +166,30 @@ object TextAnalysis {
     * the bigram stream — word-count shuffle shapes throughout.
     */
   def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import graft.functions.{Num, Text}
-    val stream = docs
+    import graft.functions.Text
+    // One corpus explode, then a cascade of SHRINKING aggregates: the
+    // occurrence stream collapses to per-doc distinct bigrams before any
+    // join; corpus bigram counts roll up from that table and first-word
+    // totals from the bigram counts. The joins then carry distinct
+    // bigrams (≈¼ the occurrence volume), and each occurrence's ln
+    // contributes as n × decimal(lp) — bit-identical to summing n
+    // copies, so the occurrence-stream oracle still hash-matches.
+    val docBg = docs
       .select(col("doc_id"), explode(Text.shingles(col(textCol), 2)).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val bgCounts = stream.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    // First-word totals roll up from the (small) bigram-count table —
-    // sum of c_bg per w1 — instead of a second explode pass over the
-    // corpus: same numbers, one less full-corpus scan.
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+    val bgCounts = docBg.groupBy("bg").agg(sum(col("n")).as("c_bg"))
     val w1Counts = bgCounts
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("c_bg")).as("c_w1"))
-    stream.join(bgCounts, "bg").join(w1Counts, "w1")
+    docBg
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(bgCounts, "bg").join(w1Counts, "w1")
       .withColumn("lp", log(col("c_bg").cast("double") / col("c_w1")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), Num.davg(col("lp")).as("avg_logprob"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        (sum(col("lp").cast("decimal(38,6)") * col("n")).cast("double") / sum(col("n")))
+          .as("avg_logprob"))
   }
 
   /** Rolling polynomial hash over the token stream (order-sensitive
