@@ -158,6 +158,27 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Edit-distance near-dup pairs — the fuzzy-match family member the
+    * hash families can't express (they see token SETS; Levenshtein sees
+    * character EDITS, catching typo-level duplication). Quadratic cost
+    * is tamed the same way as every other pair generator here: a cheap
+    * equality blocking key (the first two words) keys the join, and the
+    * O(len²) distance only runs on pairs sharing a block, over a bounded
+    * prefix.
+    */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 60, maxDist: Int = 25): DataFrame = {
+    val t = docs.select(
+      col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pfx"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+    t.as("a")
+      .join(t.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Connected components over a near-dup pair graph: min-label
     * propagation accelerated with pointer jumping (each round a node
     * takes the min of its own label, its neighbors' labels, AND its
@@ -289,6 +310,16 @@ object Dedup {
     def exact: String =
       """SELECT md5(text) AS content_md5, min(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin
+
+    def editDistancePairs(prefixLen: Int = 60, maxDist: Int = 25): String =
+      s"""WITH t AS (SELECT doc_id, substring(text, 1, $prefixLen) AS pfx,
+         |             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
+         |           FROM documents)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist
+         |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.pfx, b.pfx) <= $maxDist
+         |ORDER BY d1, d2""".stripMargin
 
     def minhashPairs: String = {
       val hs = (0 until MinhashK)

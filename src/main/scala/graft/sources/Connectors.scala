@@ -113,6 +113,40 @@ object Connectors {
     }
   }
 
+  /** Effectively-once micro-batch apply: skip a batch whose `batchId`
+    * is already recorded in `progressTable` (checkpoint replay after a
+    * crash re-delivers the last batch), apply + record it otherwise.
+    * The keyed merge is idempotent by itself; the progress table extends
+    * the guarantee to non-idempotent follow-ups and saves the replayed
+    * work. Returns true when the batch was applied, false when skipped.
+    */
+  def upsertJdbcOnce(batch: DataFrame, batchId: Long, url: String, table: String,
+      progressTable: String, keyCols: Seq[String], user: String, password: String): Boolean = {
+    val conn = DriverManager.getConnection(url, user, password)
+    val committed =
+      try {
+        try conn.createStatement().execute(
+          s"""CREATE TABLE $progressTable ("sink" VARCHAR(128) NOT NULL,
+             | "batch_id" BIGINT NOT NULL, PRIMARY KEY ("sink", "batch_id"))""".stripMargin)
+        catch { case _: java.sql.SQLException => () } // already exists
+        val ps = conn.prepareStatement(
+          s"""SELECT 1 FROM $progressTable WHERE "sink" = ? AND "batch_id" = ?""")
+        ps.setString(1, table); ps.setLong(2, batchId)
+        ps.executeQuery().next()
+      } finally conn.close()
+    if (!committed) {
+      upsertJdbc(batch, url, table, keyCols, user, password)
+      val c2 = DriverManager.getConnection(url, user, password)
+      try {
+        val ins = c2.prepareStatement(
+          s"""INSERT INTO $progressTable ("sink", "batch_id") VALUES (?, ?)""")
+        ins.setString(1, table); ins.setLong(2, batchId)
+        ins.executeUpdate()
+      } finally c2.close()
+    }
+    !committed
+  }
+
   /** CSV with header + schema inference off by default (deterministic). */
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,
       inferSchema: Boolean = false): DataFrame =

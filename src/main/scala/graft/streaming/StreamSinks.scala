@@ -177,7 +177,8 @@ object StreamSinks {
     */
   def jdbcUpsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
       user: String, password: String, checkpointDir: String,
-      triggerInterval: String = "5 seconds"): DataStreamWriter[Row] =
+      triggerInterval: String = "5 seconds",
+      progressTable: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -185,8 +186,13 @@ object StreamSinks {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fresh = batch.persist()
         try {
-          if (!fresh.isEmpty)
-            graft.sources.Connectors.upsertJdbc(fresh, url, table, keyCols, user, password)
+          if (!fresh.isEmpty) progressTable match {
+            case Some(pt) =>
+              graft.sources.Connectors.upsertJdbcOnce(
+                fresh, batchId, url, table, pt, keyCols, user, password): Unit
+            case None =>
+              graft.sources.Connectors.upsertJdbc(fresh, url, table, keyCols, user, password)
+          }
         } finally fresh.unpersist()
       }
 

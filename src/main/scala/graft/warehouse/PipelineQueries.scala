@@ -169,6 +169,10 @@ object PipelineQueries {
   val tfidf: Q = (s, dir) =>
     TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3).orderBy("doc_id", "rank")
 
+  /** q94: edit-distance (typo-level) near-dup pairs, blocked. */
+  val fuzzyPairs: Q = (s, dir) =>
+    Dedup.editDistancePairs(docs(s, dir)).orderBy("d1", "d2")
+
   /** q86: bigram-LM (perplexity-style) quality score per doc. */
   val bigramLm: Q = (s, dir) =>
     TextAnalysis.bigramLmScore(docs(s, dir)).orderBy("doc_id")
@@ -223,7 +227,8 @@ object PipelineQueries {
     "q86_bigram_lm" -> bigramLm,
     "q87_pack_sequences" -> packSeqs,
     "q88_token_chunks" -> chunks,
-    "q89_quantize_int8" -> quantize)
+    "q89_quantize_int8" -> quantize,
+    "q94_fuzzy_pairs" -> fuzzyPairs)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -302,6 +307,7 @@ object PipelineQueries {
          |  CAST(length(${TO.cleanText}) AS INT) AS clean_len,
          |  CAST(len(string_split(${TO.cleanText}, ' ')) AS INT) AS clean_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q94_fuzzy_pairs" -> Dedup.O.editDistancePairs(),
     "q86_bigram_lm" -> TO.bigramLmScore,
     "q87_pack_sequences" ->
       s"${Corpus.O.packSequences(tokenBudget = 256)}\nORDER BY source, doc_id",

@@ -71,4 +71,24 @@ class JdbcSpec extends AnyFunSuite with TestSpark {
       ("d2", "temperature") -> ((1L, 9.0)), // untouched
       ("d3", "humidity") -> ((1L, 55.0)))) // inserted
   }
+
+  test("batch-id tracking skips a replayed micro-batch") {
+    import java.sql.DriverManager
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE once_agg ("k" BIGINT NOT NULL PRIMARY KEY, "v" DOUBLE)""")
+    conn.close()
+    val keys = Seq("k")
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    assert(Connectors.upsertJdbcOnce(b0, 0L, url, "once_agg", "once_progress", keys, "", ""))
+    // crash-replay of batch 0 delivers DIFFERENT data (e.g. a
+    // non-deterministic upstream); tracking must skip it entirely
+    val b0replay = Seq((1L, 999.0)).toDF("k", "v")
+    assert(!Connectors.upsertJdbcOnce(b0replay, 0L, url, "once_agg", "once_progress", keys, "", ""))
+    assert(Connectors.upsertJdbcOnce(Seq((3L, 30.0)).toDF("k", "v"),
+      1L, url, "once_agg", "once_progress", keys, "", ""))
+    val got = Connectors.readJdbc(spark, url, "once_agg", "", "")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)) // replay had no effect
+  }
 }
