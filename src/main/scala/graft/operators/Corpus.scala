@@ -53,8 +53,44 @@ object Corpus {
         md5(concat_ws(" ", slice(col("w"), col("start"), lit(chunkTokens)))).as("chunk_md5"))
   }
 
+  /** Benchmark decontamination: per-document count/share of word
+    * 3-gram shingles that also appear in a benchmark/eval document set
+    * (`benchPred`) — the standard n-gram contamination check run before
+    * training. Per-doc shingles dedup map-side (array_distinct before
+    * explode); the benchmark gram set is keyed and joined by equality,
+    * so cost is linear in corpus grams + one keyed join, never
+    * all-pairs.
+    */
+  def contamination(docs: DataFrame, benchPred: org.apache.spark.sql.Column,
+      textCol: String = "text", threshold: Double = 0.05): DataFrame = {
+    import graft.functions.Text
+    val sh = docs.select(col("doc_id"), benchPred.as("is_bench"),
+      explode(array_distinct(Text.shingles(col(textCol)))).as("g"))
+    val bench = sh.filter(col("is_bench")).select("g").distinct()
+    val corpus = sh.filter(!col("is_bench"))
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(bench, "g").groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contamination", col("n_shared") / col("n_grams"))
+      .withColumn("is_contaminated", col("contamination") > threshold)
+  }
+
   /** DuckDB oracle twins. */
   object O {
+    /** Mirrors contamination (benchPredSql over doc_id etc.). */
+    def contamination(benchPredSql: String, threshold: Double = 0.05): String =
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |       FROM wl WHERE len(w) >= 3),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE $benchPredSql),
+         |c AS (SELECT doc_id, g FROM sh WHERE NOT ($benchPredSql)),
+         |t AS (SELECT doc_id, COUNT(*) AS n_grams FROM c GROUP BY 1),
+         |h AS (SELECT doc_id, COUNT(*) AS n_shared FROM c JOIN bench USING (g) GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams, COALESCE(h.n_shared, 0) AS n_shared,
+         |  (COALESCE(h.n_shared, 0) / t.n_grams) AS contamination,
+         |  ((COALESCE(h.n_shared, 0) / t.n_grams) > $threshold) AS is_contaminated
+         |FROM t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
     def packSequences(tokenBudget: Int = 256): String =
       s"""SELECT source, doc_id, n_tokens,
          |  CAST(cum - n_tokens AS BIGINT) AS start_offset,

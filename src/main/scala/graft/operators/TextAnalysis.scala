@@ -192,6 +192,40 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** PMI collocation mining: corpus-level top-k word pairs by pointwise
+    * mutual information ln(P(w1,w2)/(P(w1)P(w2))) with a minimum-count
+    * support filter — the classic phrase/stopword-structure extractor.
+    * All counts are exact (products stay < 2^53, so the double-math ln
+    * argument is bit-identical cross-engine); PMI is rounded at 6 dp
+    * BEFORE the top-k ordering. Global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import graft.functions.Text
+    val bgCounts = docs
+      .select(explode(Text.shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val wCounts = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = bgCounts.agg(sum(col("c_bg")).as("n_bg"))
+      .crossJoin(wCounts.agg(sum(col("c_w")).as("n_w")))
+    bgCounts
+      .filter(col("c_bg") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(wCounts.select(col("w").as("w1"), col("c_w").as("c_w1")), "w1")
+      .join(wCounts.select(col("w").as("w2"), col("c_w").as("c_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("c_bg").cast("double") * col("n_w") * col("n_w")) /
+          (col("n_bg").cast("double") * col("c_w1") * col("c_w2"))), 6))
+      .select("w1", "w2", "c_bg", "pmi")
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -241,6 +275,26 @@ object TextAnalysis {
       LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
         .mkString("CASE ", " ", " END")
     }
+
+    /** Mirrors pmiCollocations (same ln-argument association order). */
+    def pmiCollocations(minCount: Long = 5L, k: Int = 50): String =
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |       FROM wl WHERE len(w) >= 2),
+         |cb AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY 1),
+         |cw AS (SELECT unnest(w) AS w FROM wl),
+         |cwc AS (SELECT w, COUNT(*) AS c_w FROM cw GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(c_bg) FROM cb) AS n_bg, (SELECT SUM(c_w) FROM cwc) AS n_w)
+         |SELECT w1, w2, c_bg, pmi FROM (
+         |  SELECT string_split(cb.bg, ' ')[1] AS w1, string_split(cb.bg, ' ')[2] AS w2, cb.c_bg,
+         |    round(ln((CAST(cb.c_bg AS DOUBLE) * t.n_w * t.n_w)
+         |          / (CAST(t.n_bg AS DOUBLE) * a.c_w * b.c_w)), 6) AS pmi
+         |  FROM cb
+         |  JOIN cwc a ON a.w = string_split(cb.bg, ' ')[1]
+         |  JOIN cwc b ON b.w = string_split(cb.bg, ' ')[2]
+         |  CROSS JOIN tot t
+         |  WHERE cb.c_bg >= $minCount)
+         |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
 
     /** Mirrors bigramLmScore (decimal-backed mean of per-bigram ln). */
     def bigramLmScore: String =

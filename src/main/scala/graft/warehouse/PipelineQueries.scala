@@ -173,6 +173,14 @@ object PipelineQueries {
   val fuzzyPairs: Q = (s, dir) =>
     Dedup.editDistancePairs(docs(s, dir)).orderBy("d1", "d2")
 
+  /** q95: benchmark decontamination — shared 3-grams vs an eval set. */
+  val contamination: Q = (s, dir) =>
+    Corpus.contamination(docs(s, dir), col("doc_id") < 10).orderBy("doc_id")
+
+  /** q96: PMI collocations — corpus-level top-50 associated pairs. */
+  val pmi: Q = (s, dir) =>
+    TextAnalysis.pmiCollocations(docs(s, dir))
+
   /** q86: bigram-LM (perplexity-style) quality score per doc. */
   val bigramLm: Q = (s, dir) =>
     TextAnalysis.bigramLmScore(docs(s, dir)).orderBy("doc_id")
@@ -228,7 +236,9 @@ object PipelineQueries {
     "q87_pack_sequences" -> packSeqs,
     "q88_token_chunks" -> chunks,
     "q89_quantize_int8" -> quantize,
-    "q94_fuzzy_pairs" -> fuzzyPairs)
+    "q94_fuzzy_pairs" -> fuzzyPairs,
+    "q95_contamination" -> contamination,
+    "q96_pmi_collocations" -> pmi)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -308,6 +318,8 @@ object PipelineQueries {
          |  CAST(len(string_split(${TO.cleanText}, ' ')) AS INT) AS clean_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q94_fuzzy_pairs" -> Dedup.O.editDistancePairs(),
+    "q95_contamination" -> Corpus.O.contamination("doc_id < 10"),
+    "q96_pmi_collocations" -> TO.pmiCollocations(),
     "q86_bigram_lm" -> TO.bigramLmScore,
     "q87_pack_sequences" ->
       s"${Corpus.O.packSequences(tokenBudget = 256)}\nORDER BY source, doc_id",
