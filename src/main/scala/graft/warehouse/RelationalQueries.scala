@@ -268,7 +268,37 @@ object RelationalQueries {
     s.sql(groupingSetsText("grouping_id"))
   }
 
+  /** q97: the full 6-table local-supplier revenue query (TPC-H Q5
+    * shape): lineitem⨝orders⨝customer⨝supplier with the
+    * customer-and-supplier-same-nation condition, nation/region as
+    * broadcast dims, region + date filters pushed to the scans. The
+    * join-ordering showcase: three fact shuffles keyed on
+    * orderkey/custkey/suppkey, two zero-shuffle broadcasts, one
+    * group-count-sized aggregate.
+    */
+  val localSupplierRevenue: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q97_local_supplier" -> localSupplierRevenue,
     "q01_pricing_summary" -> pricingSummary,
     "q02_monthly_shipments" -> monthlyShipments,
     "q03_star_join" -> starJoin,
@@ -290,6 +320,19 @@ object RelationalQueries {
   import Num.{O => N}
 
   val oracle: Map[String, String] = Map(
+    "q97_local_supplier" ->
+      s"""SELECT n_name, COUNT(*) AS n_lineitems,
+         |  ${N.sum("(l_extendedprice * (1.0 - l_discount))")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${N.sum("l_quantity")} AS sum_qty,
