@@ -73,6 +73,55 @@ class StreamRecoverySpec extends AnyFunSuite with TestSpark {
     assert(ok, metrics.snapshots.toString)
   }
 
+  test("live partitioned-upsert stream: restart updates only the late window") {
+    import java.security.MessageDigest
+    val dir = Files.createTempDirectory("graft-live-part").toString
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    // two distinct 1-minute windows in the first batch
+    writeBatch(dir, "b1", Seq(ev(0, "d1", 10.0), ev(70, "d1", 20.0)))
+
+    def startQuery() = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[graft.model.SensorEvent].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*")
+      val agg = StreamAggregates.windowedAggregates(
+        StreamTransforms.withProcessingMeta(src)).drop("avg_latency_seconds")
+      StreamSinks.parquetUpsert(agg, s"$dir/agg",
+        Seq("window_start", "device_id", "device_type"), s"$dir/ckpt", "1 seconds",
+        partitionCol = Some("window_start"))
+        .queryName("live_part").start()
+    }
+
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val partDirs = Files.list(Paths.get(s"$dir/agg")).toArray.map(_.toString)
+      .filter(_.contains("p=")).sorted
+    assert(partDirs.length == 2, partDirs.mkString(","))
+    def state(p: String): Seq[(String, Long, String)] = {
+      val s = Files.walk(Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).map { f =>
+          val md5 = MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f))
+            .map("%02x".format(_)).mkString
+          (f.toString, Files.getLastModifiedTime(f).toMillis, md5)
+        }.toSeq.sortBy(_._1)
+      } finally s.close()
+    }
+    val w1Before = state(partDirs.head)
+
+    // late data for the SECOND window only, while the query is down
+    writeBatch(dir, "b2", Seq(ev(80, "d1", 40.0)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    assert(state(partDirs.head) == w1Before) // first window never rewritten
+    val store = StreamSinks.readStore(spark, s"$dir/agg")
+      .select("window_start", "reading_count", "avg_value").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(store.size == 2)
+    assert(store.values.toSet == Set((1L, 10.0), (2L, 30.0))) // w2 merged late row
+  }
+
   test("partitioned upsert leaves untouched partitions byte-identical") {
     import java.security.MessageDigest
     val dir = Files.createTempDirectory("graft-part-upsert").toString + "/store"
