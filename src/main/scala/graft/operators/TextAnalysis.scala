@@ -192,6 +192,23 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Character-level Shannon entropy per document — the degenerate-text
+    * detector that catches what word-level stats miss (base64 blobs,
+    * key-mash, single-char floods). p·ln(p) terms ride through a
+    * decimal-backed sum (order-independent, engine-identical); one
+    * explode + keyed count, same shuffle shape as word count.
+    */
+  def charEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), length(col(textCol)).as("len"),
+        explode(expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))")).as("ch"))
+      .groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("term", (col("c") / col("len")) * log(col("c") / col("len")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_chars"),
+        (-sum(col("term").cast("decimal(38,6)"))).cast("double").as("entropy"))
+
   /** PMI collocation mining: corpus-level top-k word pairs by pointwise
     * mutual information ln(P(w1,w2)/(P(w1)P(w2))) with a minimum-count
     * support filter — the classic phrase/stopword-structure extractor.
@@ -275,6 +292,16 @@ object TextAnalysis {
       LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
         .mkString("CASE ", " ", " END")
     }
+
+    /** Mirrors charEntropy (decimal-backed p·ln(p) sum). */
+    def charEntropy: String =
+      """WITH ch AS (SELECT doc_id, length(text) AS len,
+        |              unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS ch
+        |            FROM documents),
+        |c AS (SELECT doc_id, len, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3)
+        |SELECT doc_id, COUNT(*) AS n_distinct_chars,
+        |  CAST(-SUM(CAST(((c / len) * ln(c / len)) AS DECIMAL(38,6))) AS DOUBLE) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     /** Mirrors pmiCollocations (same ln-argument association order). */
     def pmiCollocations(minCount: Long = 5L, k: Int = 50): String =

@@ -181,6 +181,10 @@ object PipelineQueries {
   val pmi: Q = (s, dir) =>
     TextAnalysis.pmiCollocations(docs(s, dir))
 
+  /** q98: character-entropy degenerate-text detector. */
+  val entropy: Q = (s, dir) =>
+    TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")
+
   /** q86: bigram-LM (perplexity-style) quality score per doc. */
   val bigramLm: Q = (s, dir) =>
     TextAnalysis.bigramLmScore(docs(s, dir)).orderBy("doc_id")
@@ -238,7 +242,8 @@ object PipelineQueries {
     "q89_quantize_int8" -> quantize,
     "q94_fuzzy_pairs" -> fuzzyPairs,
     "q95_contamination" -> contamination,
-    "q96_pmi_collocations" -> pmi)
+    "q96_pmi_collocations" -> pmi,
+    "q98_char_entropy" -> entropy)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -320,6 +325,7 @@ object PipelineQueries {
     "q94_fuzzy_pairs" -> Dedup.O.editDistancePairs(),
     "q95_contamination" -> Corpus.O.contamination("doc_id < 10"),
     "q96_pmi_collocations" -> TO.pmiCollocations(),
+    "q98_char_entropy" -> TO.charEntropy,
     "q86_bigram_lm" -> TO.bigramLmScore,
     "q87_pack_sequences" ->
       s"${Corpus.O.packSequences(tokenBudget = 256)}\nORDER BY source, doc_id",
