@@ -48,6 +48,47 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("sequence packing: offsets are contiguous and budget-consistent per source") {
+    import org.apache.spark.sql.functions._
+    for (round <- 1 to 3) {
+      val docs = List.tabulate(30) { i =>
+        val words = List.fill(1 + rng.nextInt(12))("w" + rng.nextInt(5)).mkString(" ")
+        (i.toLong, words, "src" + (i % 3))
+      }.map { case (id, text, src) => (id, text, src) }
+      val df = docs.toDF("doc_id", "text", "source")
+      val packed = graft.operators.Corpus.packSequences(df, tokenBudget = 16)
+        .orderBy("source", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      // per source: start offsets are the running sum (contiguous stream)
+      packed.groupBy(_._1).foreach { case (_, rows) =>
+        var expected = 0L
+        rows.sortBy(_._2).foreach { case (_, _, n, start, seq, off) =>
+          assert(start == expected)
+          assert(seq == start / 16 && off == start % 16)
+          expected += n
+        }
+      }
+      assert(packed.map(_._3).sum == docs.map(_._2.split(" ").length).sum, s"round $round")
+    }
+  }
+
+  test("int8 quantization round-trips within one scale step") {
+    import org.apache.spark.sql.functions._
+    val vecs = List.tabulate(20) { i =>
+      (i.toLong, Array.fill(8)((rng.nextFloat() - 0.5f) * 10f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    vecs.foreach { case (id, v) =>
+      val scale = v.map(math.abs).max.toDouble
+      val q = v.map(x => math.floor(x / scale * 127 + 0.5).toLong)
+      assert(got(id) == ((scale, q.sum)), s"vec $id")
+      // every quantized value is representable in int8 range
+      assert(q.forall(x => x >= -128 && x <= 127))
+    }
+  }
+
   test("morton interleave is injective (bit-exact decode) on random 32-bit pairs") {
     def compact(x: Long): Long = {
       var v = x & 0x5555555555555555L
