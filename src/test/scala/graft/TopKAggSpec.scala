@@ -36,6 +36,30 @@ class TopKAggSpec extends AnyFunSuite with TestSpark {
     assert(r(2L) == Seq(1L)) // under-full group returns what exists
   }
 
+  test("topk state merges across streaming micro-batches == one-shot batch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Double, Long)]
+    val q = mem.toDF().toDF("g", "score", "id")
+      .groupBy("g").agg(Sketch.topKByScore($"score", $"id", 3).as("top"))
+      .writeStream.format("memory").queryName("topk_stream").outputMode("complete").start()
+    try {
+      val all = (1L to 200L).map(i => (i % 2, (i * 31 % 100).toDouble, i))
+      mem.addData(all.take(120): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(120): _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select($"g", $"top").collect()
+          .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+          .toMap
+      val streamed = canon(spark.table("topk_stream"))
+      val batch = canon(all.toDF("g", "score", "id").groupBy("g")
+        .agg(Sketch.topKByScore($"score", $"id", 3).as("top")))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("the aggregate plans with map-side partial aggregation (no window sort)") {
     val df = (1L to 100L).map(i => (i % 3, i.toDouble, i)).toDF("g", "score", "id")
     val plan = df.groupBy("g")
