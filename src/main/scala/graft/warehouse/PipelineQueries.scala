@@ -181,6 +181,21 @@ object PipelineQueries {
   val pmi: Q = (s, dir) =>
     TextAnalysis.pmiCollocations(docs(s, dir))
 
+  /** q99: per-vector element statistics — the higher-order-function
+    * surface (array_min/max, filter, exists, sequential aggregate fold)
+    * as pure narrow codegen'd projections.
+    */
+  val vecStats: Q = (s, dir) =>
+    emb(s, dir).select(
+      col("vec_id"),
+      array_min(col("embedding")).as("min_v"),
+      array_max(col("embedding")).as("max_v"),
+      size(filter(col("embedding"), x => x > lit(0f))).as("n_pos"),
+      (aggregate(col("embedding"), lit(0d), (a, x) => a + x.cast("double")) / lit(64))
+        .as("mean_v"),
+      exists(col("embedding"), x => abs(x) > lit(0.9f)).as("has_large"))
+      .orderBy("vec_id")
+
   /** q98: character-entropy degenerate-text detector. */
   val entropy: Q = (s, dir) =>
     TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")
@@ -243,7 +258,8 @@ object PipelineQueries {
     "q94_fuzzy_pairs" -> fuzzyPairs,
     "q95_contamination" -> contamination,
     "q96_pmi_collocations" -> pmi,
-    "q98_char_entropy" -> entropy)
+    "q98_char_entropy" -> entropy,
+    "q99_vector_stats" -> vecStats)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -326,6 +342,14 @@ object PipelineQueries {
     "q95_contamination" -> Corpus.O.contamination("doc_id < 10"),
     "q96_pmi_collocations" -> TO.pmiCollocations(),
     "q98_char_entropy" -> TO.charEntropy,
+    "q99_vector_stats" ->
+      """SELECT vec_id,
+        |  list_min(embedding) AS min_v,
+        |  list_max(embedding) AS max_v,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  (list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) / 64) AS mean_v,
+        |  (len(list_filter(embedding, x -> abs(x) > CAST(0.9 AS FLOAT))) > 0) AS has_large
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q86_bigram_lm" -> TO.bigramLmScore,
     "q87_pack_sequences" ->
       s"${Corpus.O.packSequences(tokenBudget = 256)}\nORDER BY source, doc_id",

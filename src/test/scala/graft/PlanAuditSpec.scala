@@ -50,6 +50,42 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p.take(1200))
   }
 
+  test("join strategy is controllable: shuffle_hash hint avoids the sort-merge sort") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import graft.sources.Tables
+      val o = Tables(spark, dir, "orders")
+      val c = Tables(spark, dir, "customer")
+      val smj = o.join(c, o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(smj.contains("SortMergeJoin"), smj.take(600))
+      val shj = o.join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString
+      // hash join skips both sort passes — the right call when one side
+      // fits per-partition memory but not a broadcast
+      assert(shj.contains("ShuffledHashJoin"), shj.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ANALYZE TABLE feeds exact row counts to the cost-based optimizer") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS t_cbo_audit")
+    val loc = java.nio.file.Paths.get("spark-warehouse/t_cbo_audit")
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    (1L to 321L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("t_cbo_audit")
+    spark.sql("ANALYZE TABLE t_cbo_audit COMPUTE STATISTICS")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("t_cbo_audit").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(321)), stats.toString)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("IVF assignment broadcasts a fixed-size quantizer, never O(n)") {
     import graft.operators.{Clustering, Similarity}
     import graft.sources.Tables
