@@ -86,6 +86,33 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // the downstream aggregate reuses the join's partitioning; force
+      // the split anyway (costs one extra shuffle — the right trade for
+      // a straggler that would otherwise run 20x longer)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one pathological key carrying ~95% of the left side
+      val left = ((1L to 200000L).map(i => (1L, i)) ++ (1L to 10000L).map(i => (1L + i % 50, i)))
+        .toDF("k", "v")
+      val right = (1L to 51L).map(i => (i, s"r$i")).toDF("k", "name")
+      val q = left.join(right, "k").groupBy("k").count()
+      q.collect() // AQE re-plans during execution
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(1500))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("IVF assignment broadcasts a fixed-size quantizer, never O(n)") {
     import graft.operators.{Clustering, Similarity}
     import graft.sources.Tables
