@@ -36,9 +36,15 @@ case class TopKByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
-    with BinaryLike[Expression] {
+    with BinaryLike[Expression]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  // Analysis-time typing: numeric inputs coerce to (double, long); a
+  // non-castable call fails in the analyzer, not as a per-task
+  // ClassCastException on a 100 TB job.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
@@ -49,9 +55,15 @@ case class TopKByScore(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     new ArrayBuffer[(Double, Long)](k + 1)
 
-  // (score DESC, id ASC): a is strictly better than b
-  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // (score DESC, id ASC): a is strictly better than b. Scores compare
+  // via Double.compare — a TOTAL order (NaN greatest, same as Spark
+  // SQL's DoubleType ordering), so the sortWith comparator contract
+  // holds even when upstream arithmetic produces NaN and the result
+  // still matches the row_number-window idiom on such inputs.
+  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.length > k) {

@@ -45,6 +45,8 @@ object BloomJoin {
       small.agg(bloomAgg(col(key), estimatedItems, numBits).as("bloom")))
     large
       .filter(mightContain(bloom, col(key)))
-      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+      // left_semi ignores duplicate build rows by construction — no
+      // pre-distinct needed (it would just add a shuffle).
+      .join(small.select(col(key)), Seq(key), "left_semi")
   }
 }

@@ -214,7 +214,12 @@ object Dedup {
       // Iterate at parallelism scaled to the edge count, not the
       // corpus' shuffle setting — via explicit repartition of the loop
       // frames, never by mutating the session conf (a shared session's
-      // concurrent queries must keep their own shuffle sizing).
+      // concurrent queries must keep their own shuffle sizing). The
+      // loop-internal groupBy/join exchanges still start at the session
+      // partition count, but AQE's coalescePartitions (on in
+      // GraftSession/tune) merges them down to the data's actual size
+      // each round, so a 2000-partition production session doesn't pay
+      // 2000 near-empty tasks per iteration.
       val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toLong
       val p = math.max(2L, math.min(sessionShuffle, nEdges / 100000L + 1L)).toInt
       connectedComponentsLoop(sym.repartition(p, col("dst")).localCheckpoint(true), maxIters, p)

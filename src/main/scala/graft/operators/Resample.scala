@@ -44,10 +44,13 @@ object Resample {
       .select(col(keyCol), col("h0"), col("h1"),
         explode(sequence(lit(0L), (col("span_h") / GridChunkHours).cast("long"))).as("chunk"))
       .select(col(keyCol),
+        // interval * bigint (not a CAST-to-int hour count, which would
+        // wrap negative once the span exceeds 2^31 hours — exactly the
+        // corrupted-timestamp scenario this chunking exists to survive)
         explode(sequence(
-          expr(s"h0 + make_interval(0, 0, 0, 0, CAST(chunk * $GridChunkHours AS INT), 0, 0)"),
+          expr(s"h0 + chunk * INTERVAL '$GridChunkHours' HOUR"),
           least(col("h1"),
-            expr(s"h0 + make_interval(0, 0, 0, 0, CAST((chunk + 1) * $GridChunkHours - 1 AS INT), 0, 0)")),
+            expr(s"h0 + (chunk + 1) * INTERVAL '$GridChunkHours' HOUR - INTERVAL '1' HOUR")),
           expr("interval 1 hour"))).as("bucket"))
     val w = Window.partitionBy(keyCol).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -75,76 +75,102 @@ object Connectors {
     * rows never funnel through the driver. Upstream should be the
     * (small) per-batch aggregate delta, not raw events.
     */
-  def upsertJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      user: String, password: String): Unit = {
+  /** The per-row merge plumbing shared by the upsert sinks. */
+  private case class MergeSql(cols: Seq[String], valCols: Seq[String], keyCols: Seq[String],
+      updateSql: String, insertSql: String, colIdx: Map[String, Int]) {
+    def apply(conn: java.sql.Connection, rows: Iterator[Row]): Unit = {
+      val upd = conn.prepareStatement(updateSql)
+      val ins = conn.prepareStatement(insertSql)
+      def set(ps: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =
+        order.zipWithIndex.foreach { case (c, i) =>
+          val v = row.get(colIdx(c))
+          if (v == null) ps.setNull(i + 1, Types.NULL) else ps.setObject(i + 1, v)
+        }
+      rows.foreach { row =>
+        set(upd, valCols ++ keyCols, row)
+        if (upd.executeUpdate() == 0) {
+          set(ins, cols, row)
+          ins.executeUpdate()
+        }
+      }
+    }
+  }
+
+  private def mergeSql(df: DataFrame, table: String, keyCols: Seq[String]): MergeSql = {
     val cols = df.schema.fieldNames.toSeq
     val valCols = cols.filterNot(keyCols.contains)
     require(keyCols.nonEmpty && keyCols.forall(cols.contains), s"bad keyCols $keyCols for $cols")
     require(valCols.nonEmpty, "upsertJdbc needs at least one non-key column")
     def q(c: String) = s""""$c""""
-    val updateSql =
+    MergeSql(
+      cols, valCols, keyCols,
       s"""UPDATE $table SET ${valCols.map(c => s"${q(c)} = ?").mkString(", ")}
-         | WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}""".stripMargin
-    val insertSql =
-      s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val colIdx = cols.zipWithIndex.toMap
+         | WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}""".stripMargin,
+      s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})",
+      cols.zipWithIndex.toMap)
+  }
+
+  def upsertJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+      user: String, password: String): Unit = {
+    val m = mergeSql(df, table, keyCols)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(url, user, password)
         try {
           conn.setAutoCommit(false)
-          val upd = conn.prepareStatement(updateSql)
-          val ins = conn.prepareStatement(insertSql)
-          def set(ps: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =
-            order.zipWithIndex.foreach { case (c, i) =>
-              val v = row.get(colIdx(c))
-              if (v == null) ps.setNull(i + 1, Types.NULL) else ps.setObject(i + 1, v)
-            }
-          rows.foreach { row =>
-            set(upd, valCols ++ keyCols, row)
-            if (upd.executeUpdate() == 0) {
-              set(ins, cols, row)
-              ins.executeUpdate()
-            }
-          }
+          m(conn, rows)
           conn.commit()
         } finally conn.close()
       }
     }
   }
 
-  /** Effectively-once micro-batch apply: skip a batch whose `batchId`
-    * is already recorded in `progressTable` (checkpoint replay after a
-    * crash re-delivers the last batch), apply + record it otherwise.
-    * The keyed merge is idempotent by itself; the progress table extends
-    * the guarantee to non-idempotent follow-ups and saves the replayed
-    * work. Returns true when the batch was applied, false when skipped.
+  /** Exactly-once micro-batch apply: the batch-id check, every row
+    * merge, and the batch-id record run in ONE transaction on ONE
+    * connection — a crash at any point either commits the whole batch
+    * with its progress marker or none of it, so a replayed batch (even
+    * one whose rows differ, from a non-deterministic upstream) is
+    * skipped atomically and can never double-apply or half-apply.
+    *
+    * Scale contract: the batch funnels through one connection
+    * (coalesce(1)), which is exactly right for its intended input — the
+    * per-trigger AGGREGATE delta (windows × devices), never raw events.
+    * For large idempotent batches use `upsertJdbc` (parallel,
+    * per-partition transactions) without the progress marker.
+    * Returns true when the batch was applied, false when skipped.
     */
   def upsertJdbcOnce(batch: DataFrame, batchId: Long, url: String, table: String,
       progressTable: String, keyCols: Seq[String], user: String, password: String): Boolean = {
-    val conn = DriverManager.getConnection(url, user, password)
-    val committed =
+    // DDL first, on its own autocommit connection (not transactional in
+    // most engines anyway).
+    val c0 = DriverManager.getConnection(url, user, password)
+    try c0.createStatement().execute(
+      s"""CREATE TABLE $progressTable ("sink" VARCHAR(128) NOT NULL,
+         | "batch_id" BIGINT NOT NULL, PRIMARY KEY ("sink", "batch_id"))""".stripMargin)
+    catch { case _: java.sql.SQLException => () } // already exists
+    finally c0.close()
+
+    val m = mergeSql(batch, table, keyCols)
+    val applied = batch.sparkSession.sparkContext.longAccumulator("graft.upsertJdbcOnce.applied")
+    batch.coalesce(1).foreachPartition { rows: Iterator[Row] =>
+      val conn = DriverManager.getConnection(url, user, password)
       try {
-        try conn.createStatement().execute(
-          s"""CREATE TABLE $progressTable ("sink" VARCHAR(128) NOT NULL,
-             | "batch_id" BIGINT NOT NULL, PRIMARY KEY ("sink", "batch_id"))""".stripMargin)
-        catch { case _: java.sql.SQLException => () } // already exists
-        val ps = conn.prepareStatement(
+        conn.setAutoCommit(false)
+        val chk = conn.prepareStatement(
           s"""SELECT 1 FROM $progressTable WHERE "sink" = ? AND "batch_id" = ?""")
-        ps.setString(1, table); ps.setLong(2, batchId)
-        ps.executeQuery().next()
+        chk.setString(1, table); chk.setLong(2, batchId)
+        if (!chk.executeQuery().next()) {
+          m(conn, rows)
+          val rec = conn.prepareStatement(
+            s"""INSERT INTO $progressTable ("sink", "batch_id") VALUES (?, ?)""")
+          rec.setString(1, table); rec.setLong(2, batchId)
+          rec.executeUpdate()
+          conn.commit()
+          applied.add(1L)
+        } else conn.rollback()
       } finally conn.close()
-    if (!committed) {
-      upsertJdbc(batch, url, table, keyCols, user, password)
-      val c2 = DriverManager.getConnection(url, user, password)
-      try {
-        val ins = c2.prepareStatement(
-          s"""INSERT INTO $progressTable ("sink", "batch_id") VALUES (?, ?)""")
-        ins.setString(1, table); ins.setLong(2, batchId)
-        ins.executeUpdate()
-      } finally c2.close()
     }
-    !committed
+    applied.value > 0
   }
 
   /** CSV with header + schema inference off by default (deterministic). */

@@ -36,23 +36,44 @@ object FileLayout {
     * ceil(rows/targetRowsPerFile) right-sized ones — the maintenance
     * pass every streaming/append sink needs (a 5 s trigger writing 100
     * files/hour turns a year-old table into millions of tiny files whose
-    * open/footer overhead dwarfs the data). Writes to a staging dir and
-    * swaps via rename, so a crash leaves either the old or the new
-    * layout, never a mix.
+    * open/footer overhead dwarfs the data).
+    *
+    * Crash contract: the swap is two renames, so a crash can leave the
+    * data parked at `<path>__retired` with nothing at `path` — never
+    * half-and-half — and the NEXT compact() (or `recover`) restores it
+    * before doing anything else. Stale staging/retired leftovers from
+    * old crashes are cleared up front, so a previous failure can't wedge
+    * later runs. On a real deployment this role belongs to a
+    * transactional table format's commit protocol.
     */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
     import java.nio.file.{Files, Paths}
+    val staging = path + "__compacting"
+    val retired = path + "__retired"
+    def rmTree(p: String): Unit =
+      if (Files.exists(Paths.get(p)))
+        Files.walk(Paths.get(p)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+    recover(path)
+    rmTree(staging)
+    rmTree(retired)
     val df = spark.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val staging = path + "__compacting"
-    val retired = path + "__retired"
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
     Files.move(Paths.get(path), Paths.get(retired))
     Files.move(Paths.get(staging), Paths.get(path))
-    // best-effort cleanup of the old generation
-    Files.walk(Paths.get(retired)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    rmTree(retired)
+  }
+
+  /** Restore a table whose last compact() crashed between the two
+    * renames (data intact at `<path>__retired`, nothing at `path`).
+    */
+  def recover(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val retired = Paths.get(path + "__retired")
+    if (!Files.exists(Paths.get(path)) && Files.exists(retired))
+      Files.move(retired, Paths.get(path))
   }
 
   /** Write `df` Z-order-clustered on `zKey` (typically

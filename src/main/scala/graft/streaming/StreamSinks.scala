@@ -80,6 +80,10 @@ object StreamSinks {
     */
   def upsertBatchPartitioned(batch: DataFrame, outDir: String, keyCols: Seq[String],
       partCol: String): Unit = {
+    // Each partition dedups only within itself; a key that could appear
+    // under two partition values would silently duplicate in the store.
+    require(keyCols.contains(partCol),
+      s"partCol '$partCol' must be one of the merge keys $keyCols")
     val fresh = batch.persist()
     try {
       if (!fresh.isEmpty) {
@@ -135,12 +139,19 @@ object StreamSinks {
     }
   }
 
-  /** Filesystem-safe partition directory (URL-encoded value; nulls get
-    * a reserved token).
+  /** Filesystem-safe partition directory. Temporal values encode as
+    * epoch numbers — `Timestamp.toString` renders in the JVM's default
+    * zone, which would map the SAME window to DIFFERENT directories
+    * after a restart in another timezone. Nulls get a reserved token.
     */
   private def partPath(outDir: String, pv: Any): String = {
-    val enc = if (pv == null) "__NULL__"
-      else java.net.URLEncoder.encode(String.valueOf(pv), UTF_8)
+    val enc = pv match {
+      case null => "__NULL__"
+      case t: java.sql.Timestamp => s"ts-${t.getTime}"
+      case d: java.sql.Date => s"d-${d.getTime}"
+      case t: java.time.Instant => s"ts-${t.toEpochMilli}"
+      case other => java.net.URLEncoder.encode(String.valueOf(other), UTF_8)
+    }
     s"$outDir/p=$enc"
   }
 
