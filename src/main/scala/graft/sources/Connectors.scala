@@ -120,6 +120,12 @@ object Connectors {
           conn.setAutoCommit(false)
           m(conn, rows)
           conn.commit()
+        } catch {
+          case e: Throwable =>
+            // release locks before close — an in-transaction close can
+            // leak them (and in embedded engines block the retry)
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
         } finally conn.close()
       }
     }
@@ -168,6 +174,10 @@ object Connectors {
           conn.commit()
           applied.add(1L)
         } else conn.rollback()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw e
       } finally conn.close()
     }
     applied.value > 0

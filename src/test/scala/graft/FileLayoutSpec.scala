@@ -50,6 +50,17 @@ class FileLayoutSpec extends AnyFunSuite with TestSpark {
     assert(spark.read.parquet(dir).agg(sum("v")).head.getLong(0) == 1001000L)
   }
 
+  test("compaction recovers a table stranded by a crash between renames") {
+    val dir = Files.createTempDirectory("graft-compact-crash").toString + "/t"
+    (1L to 100L).map(i => (i, i)).toDF("k", "v").repartition(5).write.parquet(dir)
+    // simulate the crash window: data moved to __retired, nothing at path
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + "__retired"))
+    FileLayout.compact(spark, dir, targetRowsPerFile = 50) // recovers, then compacts
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "__retired")))
+  }
+
   test("z-ordered files own disjoint key ranges") {
     val dir = Files.createTempDirectory("graft-zorder").toString + "/t"
     val df = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("a", "b")

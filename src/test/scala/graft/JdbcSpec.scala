@@ -91,4 +91,23 @@ class JdbcSpec extends AnyFunSuite with TestSpark {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)) // replay had no effect
   }
+
+  test("a failing batch rolls back atomically: no rows, no progress marker") {
+    import java.sql.DriverManager
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE atomic_agg ("k" BIGINT NOT NULL PRIMARY KEY, "v" DOUBLE NOT NULL)""")
+    conn.close()
+    // second row violates NOT NULL mid-transaction → the whole batch
+    // (including the progress record) must vanish
+    val bad = Seq((1L, Some(10.0)), (2L, None)).toDF("k", "v")
+    intercept[Exception] {
+      Connectors.upsertJdbcOnce(bad, 0L, url, "atomic_agg", "atomic_progress", Seq("k"), "", "")
+    }
+    assert(Connectors.readJdbc(spark, url, "atomic_agg", "", "").count() == 0)
+    // the replay of batch 0 with good data is NOT skipped — nothing was recorded
+    assert(Connectors.upsertJdbcOnce(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+      0L, url, "atomic_agg", "atomic_progress", Seq("k"), "", ""))
+    assert(Connectors.readJdbc(spark, url, "atomic_agg", "", "").count() == 2)
+  }
 }

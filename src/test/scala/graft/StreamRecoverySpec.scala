@@ -122,6 +122,15 @@ class StreamRecoverySpec extends AnyFunSuite with TestSpark {
     assert(store.values.toSet == Set((1L, 10.0), (2L, 30.0))) // w2 merged late row
   }
 
+  test("partitioned upsert rejects a partition column outside the merge keys") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      StreamSinks.upsertBatchPartitioned(
+        Seq((1L, "d1", 1.0)).toDF("w", "device_id", "v"),
+        Files.createTempDirectory("graft-badpart").toString, Seq("device_id"), "w")
+    }
+  }
+
   test("partitioned upsert leaves untouched partitions byte-identical") {
     import java.security.MessageDigest
     val dir = Files.createTempDirectory("graft-part-upsert").toString + "/store"

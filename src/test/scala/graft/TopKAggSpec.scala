@@ -36,6 +36,21 @@ class TopKAggSpec extends AnyFunSuite with TestSpark {
     assert(r(2L) == Seq(1L)) // under-full group returns what exists
   }
 
+  test("NaN scores keep the window-idiom order (NaN greatest) and a total sort") {
+    val df = Seq(
+      (1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, Double.NaN, 12L), (1L, 7.0, 13L))
+      .toDF("g", "score", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(Sketch.topKByScore($"score", $"id", 3).as("top"))
+      .select(posexplode($"top")).select($"col.id").collect().map(_.getLong(0)).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(desc("score"), asc("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .orderBy("rn").select("id").collect().map(_.getLong(0)).toSeq
+    assert(viaAgg == viaWindow) // NaN ranks above real values, ids break ties
+    assert(viaAgg == Seq(10L, 12L, 13L))
+  }
+
   test("topk state merges across streaming micro-batches == one-shot batch") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
