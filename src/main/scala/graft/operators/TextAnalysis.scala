@@ -209,6 +209,24 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_chars"),
         (-sum(col("term").cast("decimal(38,6)"))).cast("double").as("entropy"))
 
+  /** The composed per-document quality gate: every signal family
+    * (token stats, repetition, corpus-LM fluency, character entropy)
+    * joined into one decision row — the operator an ingestion pipeline
+    * actually calls. Each input is itself oracle-verified; the gate
+    * adds only keyed joins and exact threshold comparisons, so the
+    * composition stays hash-checkable end-to-end.
+    */
+  def qualityGate(docs: DataFrame, minLogprob: Double = -3.43,
+      minEntropy: Double = 2.77): DataFrame =
+    withTextStats(docs).select("doc_id", "n_tokens", "quality_score")
+      .join(repetitionStats(docs)
+        .select("doc_id", "distinct_ratio", "top_word_frac", "pass_repetition"), "doc_id")
+      .join(bigramLmScore(docs).select("doc_id", "avg_logprob"), "doc_id")
+      .join(charEntropy(docs).select("doc_id", "entropy"), "doc_id")
+      .withColumn("pass_quality",
+        col("pass_repetition") &&
+          col("avg_logprob") >= minLogprob && col("entropy") >= minEntropy)
+
   /** PMI collocation mining: corpus-level top-k word pairs by pointwise
     * mutual information ln(P(w1,w2)/(P(w1)P(w2))) with a minimum-count
     * support filter — the classic phrase/stopword-structure extractor.
@@ -292,6 +310,20 @@ object TextAnalysis {
       LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
         .mkString("CASE ", " ", " END")
     }
+
+    /** Mirrors qualityGate — the verified fragments composed as
+      * subqueries (DuckDB accepts a WITH inside each).
+      */
+    def qualityGate(minLogprob: Double = -3.43, minEntropy: Double = 2.77): String =
+      s"""SELECT s.doc_id, s.n_tokens, s.quality_score,
+         |  r.distinct_ratio, r.top_word_frac, r.pass_repetition,
+         |  l.avg_logprob, e.entropy,
+         |  (r.pass_repetition AND l.avg_logprob >= $minLogprob AND e.entropy >= $minEntropy) AS pass_quality
+         |FROM (SELECT doc_id, $textStats FROM documents) s
+         |JOIN (${repetitionStats()}) r USING (doc_id)
+         |JOIN ($bigramLmScore) l USING (doc_id)
+         |JOIN ($charEntropy) e USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin
 
     /** Mirrors charEntropy (decimal-backed p·ln(p) sum). */
     def charEntropy: String =

@@ -196,6 +196,10 @@ object PipelineQueries {
       exists(col("embedding"), x => abs(x) > lit(0.9f)).as("has_large"))
       .orderBy("vec_id")
 
+  /** q100: the composed quality gate over every text signal family. */
+  val qualityGate: Q = (s, dir) =>
+    TextAnalysis.qualityGate(docs(s, dir)).orderBy("doc_id")
+
   /** q98: character-entropy degenerate-text detector. */
   val entropy: Q = (s, dir) =>
     TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")
@@ -259,7 +263,8 @@ object PipelineQueries {
     "q95_contamination" -> contamination,
     "q96_pmi_collocations" -> pmi,
     "q98_char_entropy" -> entropy,
-    "q99_vector_stats" -> vecStats)
+    "q99_vector_stats" -> vecStats,
+    "q100_quality_gate" -> qualityGate)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -342,6 +347,7 @@ object PipelineQueries {
     "q95_contamination" -> Corpus.O.contamination("doc_id < 10"),
     "q96_pmi_collocations" -> TO.pmiCollocations(),
     "q98_char_entropy" -> TO.charEntropy,
+    "q100_quality_gate" -> TO.qualityGate(),
     "q99_vector_stats" ->
       """SELECT vec_id,
         |  list_min(embedding) AS min_v,
