@@ -55,13 +55,13 @@ case class TopKByScore(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     new ArrayBuffer[(Double, Long)](k + 1)
 
-  // (score DESC, id ASC): a is strictly better than b. Scores compare
-  // via Double.compare — a TOTAL order (NaN greatest, same as Spark
-  // SQL's DoubleType ordering), so the sortWith comparator contract
-  // holds even when upstream arithmetic produces NaN and the result
-  // still matches the row_number-window idiom on such inputs.
+  // (score DESC, id ASC): a is strictly better than b. Score comparison
+  // replicates Spark SQL's DoubleType ordering exactly (`x == y` first,
+  // so -0.0 ties 0.0, then Double.compare, so NaN is greatest and the
+  // order stays TOTAL): the sortWith comparator contract holds on NaN
+  // inputs and the result always matches the row_number-window idiom.
   @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+    val c = if (a._1 == b._1) 0 else java.lang.Double.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)
   }
 

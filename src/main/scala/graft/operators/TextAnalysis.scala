@@ -200,6 +200,10 @@ object TextAnalysis {
     */
   def charEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
+      // empty docs carry no distribution: drop them (mirrors the
+      // oracle's empty range(1,1)) — also keeps sequence(1, 0) from
+      // generating its descending [1,0] and c/len from dividing by zero
+      .filter(length(col(textCol)) > 0)
       .select(col("doc_id"), length(col(textCol)).as("len"),
         explode(expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))")).as("ch"))
       .groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("c"))
@@ -218,14 +222,21 @@ object TextAnalysis {
     */
   def qualityGate(docs: DataFrame, minLogprob: Double = -3.43,
       minEntropy: Double = 2.77): DataFrame =
+    // LM/entropy signals join LEFT: a doc too degenerate to produce
+    // them at all (single word, empty text) must still get a verdict —
+    // a missing signal FAILS the gate, it doesn't exempt the doc.
+    // At scale, pass a cached/checkpointed docs frame: the gate
+    // deliberately composes four independently-verified signal subtrees
+    // rather than one fused pass.
     withTextStats(docs).select("doc_id", "n_tokens", "quality_score")
       .join(repetitionStats(docs)
         .select("doc_id", "distinct_ratio", "top_word_frac", "pass_repetition"), "doc_id")
-      .join(bigramLmScore(docs).select("doc_id", "avg_logprob"), "doc_id")
-      .join(charEntropy(docs).select("doc_id", "entropy"), "doc_id")
+      .join(bigramLmScore(docs).select("doc_id", "avg_logprob"), Seq("doc_id"), "left")
+      .join(charEntropy(docs).select("doc_id", "entropy"), Seq("doc_id"), "left")
       .withColumn("pass_quality",
         col("pass_repetition") &&
-          col("avg_logprob") >= minLogprob && col("entropy") >= minEntropy)
+          coalesce(col("avg_logprob") >= minLogprob, lit(false)) &&
+          coalesce(col("entropy") >= minEntropy, lit(false)))
 
   /** PMI collocation mining: corpus-level top-k word pairs by pointwise
     * mutual information ln(P(w1,w2)/(P(w1)P(w2))) with a minimum-count
@@ -318,11 +329,12 @@ object TextAnalysis {
       s"""SELECT s.doc_id, s.n_tokens, s.quality_score,
          |  r.distinct_ratio, r.top_word_frac, r.pass_repetition,
          |  l.avg_logprob, e.entropy,
-         |  (r.pass_repetition AND l.avg_logprob >= $minLogprob AND e.entropy >= $minEntropy) AS pass_quality
+         |  (r.pass_repetition AND COALESCE(l.avg_logprob >= $minLogprob, FALSE)
+         |   AND COALESCE(e.entropy >= $minEntropy, FALSE)) AS pass_quality
          |FROM (SELECT doc_id, $textStats FROM documents) s
          |JOIN (${repetitionStats()}) r USING (doc_id)
-         |JOIN ($bigramLmScore) l USING (doc_id)
-         |JOIN ($charEntropy) e USING (doc_id)
+         |LEFT JOIN ($bigramLmScore) l USING (doc_id)
+         |LEFT JOIN ($charEntropy) e USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin
 
     /** Mirrors charEntropy (decimal-backed p·ln(p) sum). */

@@ -143,12 +143,17 @@ object StreamSinks {
     * epoch numbers — `Timestamp.toString` renders in the JVM's default
     * zone, which would map the SAME window to DIFFERENT directories
     * after a restart in another timezone. Nulls get a reserved token.
+    * The encoding is part of the store's on-disk format: changing it
+    * requires rewriting (or draining) existing stores, exactly like a
+    * table-format version bump.
     */
   private def partPath(outDir: String, pv: Any): String = {
     val enc = pv match {
       case null => "__NULL__"
       case t: java.sql.Timestamp => s"ts-${t.getTime}"
-      case d: java.sql.Date => s"d-${d.getTime}"
+      // Date.getTime is local-midnight millis (zone-dependent);
+      // toLocalDate renders the stable calendar value
+      case d: java.sql.Date => s"d-${d.toLocalDate}"
       case t: java.time.Instant => s"ts-${t.toEpochMilli}"
       case other => java.net.URLEncoder.encode(String.valueOf(other), UTF_8)
     }

@@ -191,8 +191,8 @@ object PipelineQueries {
       array_min(col("embedding")).as("min_v"),
       array_max(col("embedding")).as("max_v"),
       size(filter(col("embedding"), x => x > lit(0f))).as("n_pos"),
-      (aggregate(col("embedding"), lit(0d), (a, x) => a + x.cast("double")) / lit(64))
-        .as("mean_v"),
+      (aggregate(col("embedding"), lit(0d), (a, x) => a + x.cast("double"))
+        / size(col("embedding"))).as("mean_v"),
       exists(col("embedding"), x => abs(x) > lit(0.9f)).as("has_large"))
       .orderBy("vec_id")
 
@@ -353,7 +353,7 @@ object PipelineQueries {
         |  list_min(embedding) AS min_v,
         |  list_max(embedding) AS max_v,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-        |  (list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) / 64) AS mean_v,
+        |  (list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) / len(embedding)) AS mean_v,
         |  (len(list_filter(embedding, x -> abs(x) > CAST(0.9 AS FLOAT))) > 0) AS has_large
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q86_bigram_lm" -> TO.bigramLmScore,
