@@ -32,19 +32,24 @@ object Bench {
   private def emit(results: Seq[(String, Double)], sfDir: String): Unit = synchronized {
     if (!printed) {
       printed = true
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val failures = results.count(_._2 < 0)
-      val line =
+      def line(keyed: Seq[(String, Double)]): String = {
+        val qs = keyed
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        val total = results.map(_._2).filter(_ >= 0).sum
+        val failures = results.count(_._2 < 0)
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
-      println(line)
+      }
+      // The harness captures only the LAST 2000 chars of stdout (rounds
+      // 2+3 both lost the JSON to that window: "parsed": null). With 95+
+      // queries the full-name line is ~2.6 KB, so stdout gets SHORT keys
+      // ("q95" for "q95_contamination", ~1.2 KB); the full-name line is
+      // persisted to bench_out.json for humans/judges.
+      println(line(results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }))
       System.out.flush()
-      // Also persist to a file: a long stdout can truncate mid-stream on
-      // the harness side, losing the per-query timings (round 2's
-      // BENCH_r02.json had "parsed": null for exactly that reason).
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (line(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
   }
@@ -67,7 +72,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.tune(spark)
 
+    // SPARK_GRAFT_ONLY=q95_contamination,q96_... subsets the run — the
+    // fast dev loop for profiling a single query under bench conditions.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = new scala.collection.mutable.LinkedHashMap[String, Double]
     names.foreach(n => results(n) = -1.0)
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(results.toSeq, sfDir)))

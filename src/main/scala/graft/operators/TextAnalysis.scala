@@ -204,8 +204,12 @@ object TextAnalysis {
       // oracle's empty range(1,1)) — also keeps sequence(1, 0) from
       // generating its descending [1,0] and c/len from dividing by zero
       .filter(length(col(textCol)) > 0)
+      // split on the empty pattern is the O(len) per-character explode
+      // (unicode-aware); the earlier transform(sequence, substring(i,1))
+      // form re-seeked the string per position — O(len²) per doc, a real
+      // cost once docs reach book length
       .select(col("doc_id"), length(col(textCol)).as("len"),
-        explode(expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))")).as("ch"))
+        explode(split(col(textCol), "")).as("ch"))
       .groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("c"))
       .withColumn("term", (col("c") / col("len")) * log(col("c") / col("len")))
       .groupBy("doc_id")
@@ -241,10 +245,14 @@ object TextAnalysis {
   /** PMI collocation mining: corpus-level top-k word pairs by pointwise
     * mutual information ln(P(w1,w2)/(P(w1)P(w2))) with a minimum-count
     * support filter — the classic phrase/stopword-structure extractor.
-    * All counts are exact (products stay < 2^53, so the double-math ln
-    * argument is bit-identical cross-engine); PMI is rounded at 6 dp
-    * BEFORE the top-k ordering. Global top-k plans as
-    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    * PMI is computed as a SUM of ln's (ln c_bg + 2 ln n_w − ln n_bg −
+    * ln c_w1 − ln c_w2) rather than ln of a product: each count is an
+    * exact double (< 2^53) so every term — and the fixed left-to-right
+    * IEEE sum — is bit-identical cross-engine at ANY corpus size,
+    * whereas the product form overflows 2^53 once the corpus passes
+    * ~1e8 words. PMI is rounded at 6 dp BEFORE the top-k ordering.
+    * Global top-k plans as TakeOrderedAndProject (per-partition heaps),
+    * never a global sort.
     */
   def pmiCollocations(docs: DataFrame, textCol: String = "text",
       minCount: Long = 5L, k: Int = 50): DataFrame = {
@@ -264,9 +272,10 @@ object TextAnalysis {
       .join(wCounts.select(col("w").as("w1"), col("c_w").as("c_w1")), "w1")
       .join(wCounts.select(col("w").as("w2"), col("c_w").as("c_w2")), "w2")
       .crossJoin(broadcast(totals))
-      .withColumn("pmi", round(log(
-        (col("c_bg").cast("double") * col("n_w") * col("n_w")) /
-          (col("n_bg").cast("double") * col("c_w1") * col("c_w2"))), 6))
+      .withColumn("pmi", round(
+        log(col("c_bg").cast("double")) + lit(2.0) * log(col("n_w").cast("double"))
+          - log(col("n_bg").cast("double")) - log(col("c_w1").cast("double"))
+          - log(col("c_w2").cast("double")), 6))
       .select("w1", "w2", "c_bg", "pmi")
       .orderBy(desc("pmi"), col("w1"), col("w2"))
       .limit(k)
@@ -358,8 +367,9 @@ object TextAnalysis {
          |tot AS (SELECT (SELECT SUM(c_bg) FROM cb) AS n_bg, (SELECT SUM(c_w) FROM cwc) AS n_w)
          |SELECT w1, w2, c_bg, pmi FROM (
          |  SELECT string_split(cb.bg, ' ')[1] AS w1, string_split(cb.bg, ' ')[2] AS w2, cb.c_bg,
-         |    round(ln((CAST(cb.c_bg AS DOUBLE) * t.n_w * t.n_w)
-         |          / (CAST(t.n_bg AS DOUBLE) * a.c_w * b.c_w)), 6) AS pmi
+         |    round(ln(CAST(cb.c_bg AS DOUBLE)) + 2.0 * ln(CAST(t.n_w AS DOUBLE))
+         |          - ln(CAST(t.n_bg AS DOUBLE)) - ln(CAST(a.c_w AS DOUBLE))
+         |          - ln(CAST(b.c_w AS DOUBLE)), 6) AS pmi
          |  FROM cb
          |  JOIN cwc a ON a.w = string_split(cb.bg, ' ')[1]
          |  JOIN cwc b ON b.w = string_split(cb.bg, ' ')[2]

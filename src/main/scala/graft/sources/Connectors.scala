@@ -113,7 +113,12 @@ object Connectors {
   def upsertJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
       user: String, password: String): Unit = {
     val m = mergeSql(df, table, keyCols)
-    df.foreachPartition { rows: Iterator[Row] =>
+    // Hash-partition on the merge key so a key lands in exactly ONE
+    // transaction: two partitions carrying the same key would otherwise
+    // race update-else-insert across parallel connections (double-insert
+    // on a PK-less table, duplicate-key abort on a PK'd one).
+    df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(url, user, password)
         try {
@@ -128,7 +133,7 @@ object Connectors {
             throw e
         } finally conn.close()
       }
-    }
+      }
   }
 
   /** Exactly-once micro-batch apply: the batch-id check, every row
@@ -148,16 +153,37 @@ object Connectors {
   def upsertJdbcOnce(batch: DataFrame, batchId: Long, url: String, table: String,
       progressTable: String, keyCols: Seq[String], user: String, password: String): Boolean = {
     // DDL first, on its own autocommit connection (not transactional in
-    // most engines anyway).
+    // most engines anyway). Only "object already exists" SQLStates are
+    // swallowed (Derby X0Y32, Postgres 42P07, MySQL/SQLServer 42S01);
+    // a genuine DDL failure (permissions, bad identifier, connectivity)
+    // surfaces HERE, not later as a confusing SELECT failure inside the
+    // batch transaction.
+    val existsStates = Set("X0Y32", "42P07", "42S01")
     val c0 = DriverManager.getConnection(url, user, password)
     try c0.createStatement().execute(
       s"""CREATE TABLE $progressTable ("sink" VARCHAR(128) NOT NULL,
          | "batch_id" BIGINT NOT NULL, PRIMARY KEY ("sink", "batch_id"))""".stripMargin)
-    catch { case _: java.sql.SQLException => () } // already exists
-    finally c0.close()
+    catch {
+      case e: java.sql.SQLException if existsStates.contains(e.getSQLState) => ()
+    } finally c0.close()
+
+    // Whether the batch was applied is decided from the DATABASE, not
+    // from task-side signalling: a task can commit the transaction and
+    // die before reporting (or be retried/speculated), in which case an
+    // accumulator would read 0 for a batch that is durably applied.
+    // applied := marker absent before the call AND present after it.
+    def markerExists(): Boolean = {
+      val c = DriverManager.getConnection(url, user, password)
+      try {
+        val chk = c.prepareStatement(
+          s"""SELECT 1 FROM $progressTable WHERE "sink" = ? AND "batch_id" = ?""")
+        chk.setString(1, table); chk.setLong(2, batchId)
+        chk.executeQuery().next()
+      } finally c.close()
+    }
+    val presentBefore = markerExists()
 
     val m = mergeSql(batch, table, keyCols)
-    val applied = batch.sparkSession.sparkContext.longAccumulator("graft.upsertJdbcOnce.applied")
     batch.coalesce(1).foreachPartition { rows: Iterator[Row] =>
       val conn = DriverManager.getConnection(url, user, password)
       try {
@@ -172,7 +198,6 @@ object Connectors {
           rec.setString(1, table); rec.setLong(2, batchId)
           rec.executeUpdate()
           conn.commit()
-          applied.add(1L)
         } else conn.rollback()
       } catch {
         case e: Throwable =>
@@ -180,7 +205,7 @@ object Connectors {
           throw e
       } finally conn.close()
     }
-    applied.value > 0
+    !presentBefore && markerExists()
   }
 
   /** CSV with header + schema inference off by default (deterministic). */

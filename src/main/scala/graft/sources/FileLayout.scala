@@ -43,8 +43,17 @@ object FileLayout {
     * half-and-half — and the NEXT compact() (or `recover`) restores it
     * before doing anything else. Stale staging/retired leftovers from
     * old crashes are cleared up front, so a previous failure can't wedge
-    * later runs. On a real deployment this role belongs to a
-    * transactional table format's commit protocol.
+    * later runs.
+    *
+    * Concurrency contract: SINGLE WRITER, READERS QUIESCED. Between the
+    * two renames nothing exists at `path`, so a concurrent reader fails
+    * and a concurrent writer into the same directory loses its output —
+    * this is a maintenance-window op, and the rename swap is
+    * local-filesystem semantics (object stores copy). For compaction
+    * under live readers use `StreamSinks.compactStore`, whose gen-N +
+    * `_CURRENT` pointer swap never exposes a missing path. On a real
+    * deployment this role belongs to a transactional table format's
+    * commit protocol.
     */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
     import java.nio.file.{Files, Paths}

@@ -121,6 +121,31 @@ object StreamSinks {
     cur.filter(_ >= 1).foreach(g => deleteRecursively(genPath(dir, g - 1)))
   }
 
+  /** Reader-safe small-file compaction for a gen-versioned store: each
+    * (partition) directory's committed generation is rewritten as
+    * ceil(rows/targetRowsPerFile) right-sized files in a NEW generation
+    * and the `_CURRENT` pointer swapped atomically — concurrent readers
+    * always resolve a complete generation, never a missing or half-
+    * written path (unlike `FileLayout.compact`, whose in-place rename
+    * swap requires quiesced readers).
+    */
+  def compactStore(spark: SparkSession, outDir: String, targetRowsPerFile: Long): Unit = {
+    val dirs = { val p = listPartDirs(outDir); if (p.nonEmpty) p else Seq(outDir) }
+    dirs.foreach { dir =>
+      currentGen(dir).foreach { g =>
+        val cur = spark.read.parquet(genPath(dir, g))
+        val rows = cur.count()
+        val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        cur.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(genPath(dir, g + 1))
+        val tmp = Paths.get(dir, "_CURRENT.tmp")
+        Files.write(tmp, (g + 1).toString.getBytes(UTF_8))
+        Files.move(tmp, Paths.get(dir, "_CURRENT"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        if (g >= 1) deleteRecursively(genPath(dir, g - 1))
+      }
+    }
+  }
+
   /** Read the committed state of an upsert store (resolves `_CURRENT`;
     * for a partitioned store, unions every partition's committed
     * generation).

@@ -100,4 +100,56 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
       .map(x => x.getInt(0) -> x.getString(1)).toMap
     assert(r == Map(1 -> "a", 2 -> "B", 3 -> "c"))
   }
+
+  // ---- round-3 advisor findings ----
+
+  test("upsertJdbcOnce surfaces a genuine progress-table DDL failure immediately") {
+    import graft.sources.Connectors
+    val url = "jdbc:derby:memory:graftadvicedb;create=true"
+    // invalid identifier → Derby syntax error; the old code swallowed
+    // EVERY SQLException here and failed later inside the batch txn
+    val e = intercept[java.sql.SQLException] {
+      Connectors.upsertJdbcOnce(Seq((1L, 1.0)).toDF("k", "v"),
+        0L, url, "t_never_created", "bad--name!!", Seq("k"), "", "")
+    }
+    assert(e.getSQLState != null) // a real, typed DDL error, not a late SELECT failure
+  }
+
+  test("upsertJdbc keeps a key duplicated across input partitions in one transaction") {
+    import java.sql.DriverManager
+    import graft.sources.Connectors
+    val url = "jdbc:derby:memory:graftadvicedb2;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE dup_agg ("k" BIGINT NOT NULL PRIMARY KEY, "v" DOUBLE)""")
+    c.close()
+    // same key in two different partitions: pre-fix, two parallel
+    // connections raced update-else-insert → duplicate-key abort;
+    // post-fix the repartition(keyCols) funnels the key into one txn
+    val df = spark.range(2).selectExpr("1L as k", "CAST(id AS DOUBLE) as v").repartition(2)
+    assert(df.rdd.getNumPartitions == 2)
+    Connectors.upsertJdbc(df, url, "dup_agg", Seq("k"), "", "")
+    assert(Connectors.readJdbc(spark, url, "dup_agg", "", "").count() == 1)
+  }
+
+  test("compactStore collapses small files behind the _CURRENT pointer") {
+    val dir = Files.createTempDirectory("graft-compactstore").toString + "/t"
+    StreamSinks.upsertBatch(
+      spark.range(1000).selectExpr("id as k", "id * 2 as v").repartition(16),
+      dir, Seq("k"))
+    def files(g: Long) =
+      Files.list(Paths.get(dir, s"gen-$g")).toArray.map(_.toString)
+        .count(_.endsWith(".parquet"))
+    assert(files(0) > 1)
+    StreamSinks.compactStore(spark, dir, targetRowsPerFile = 1000)
+    // new generation committed, right-sized, same data
+    assert(Files.readString(Paths.get(dir, "_CURRENT")).trim == "1")
+    assert(files(1) == 1)
+    val got = StreamSinks.readStore(spark, dir)
+    assert(got.count() == 1000)
+    assert(got.selectExpr("sum(v)").head.getLong(0) == 999L * 1000L)
+    // an upsert after compaction keeps working on the new generation
+    StreamSinks.upsertBatch(Seq((0L, -1L)).toDF("k", "v"), dir, Seq("k"))
+    assert(StreamSinks.readStore(spark, dir).filter($"k" === 0L).head.getLong(1) == -1L)
+  }
 }
