@@ -28,6 +28,7 @@ object Dedup {
   val SimhashMaxHamming = 4
   val JaccardDocFreqCap = 50 // drop shingles present in more docs (stop-shingles)
   val JaccardThreshold = 0.05
+  val ContainmentThreshold = 0.10
 
   /** Exact dedup: group identical texts by content hash, keep the lowest
     * id as representative. One hash-shuffle; at 100 TB group by the md5
@@ -140,6 +141,34 @@ object Dedup {
     // The per-doc set size rides along through the explode (it is
     // functionally dependent on doc_id, so grouping by it is free):
     // no separate `sizes` aggregation, and no post-pair lookup joins.
+    overlapPairs(docs)
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2", "n_common", "n1", "n2", "jaccard")
+  }
+
+  /** Directed n-gram CONTAINMENT pairs — |A∩B| / min(|A|,|B|), the
+    * asymmetric near-dup detector Jaccard misses: a paragraph fully
+    * embedded in a much longer document scores ~1.0 here but near 0 on
+    * Jaccard (the union is dominated by the long doc). The standard
+    * second pass for sub-document duplication in pretraining corpora.
+    * Same scale-safe candidate generation as Jaccard (shared
+    * `overlapPairs`): keyed equality join on hashed shingles with the
+    * doc-frequency cap — never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame =
+    overlapPairs(docs)
+      .withColumn("containment",
+        round(col("n_common").cast("double") / least(col("n1"), col("n2")), 6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("d1", "d2", "n_common", "n1", "n2", "containment")
+
+  /** Shared candidate generation for the set-overlap family: per-doc
+    * hashed distinct shingles → doc-frequency cap → keyed self-join →
+    * (d1, d2, n1, n2, n_common) per intersecting pair.
+    */
+  private def overlapPairs(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
         array_distinct(transform(Text.shingles(col("text")), s => Hashes.md5Long32(s))).as("arr"))
@@ -152,10 +181,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("n_common"))
-      .select(col("d1"), col("d2"), col("n_common"), col("n1"), col("n2"),
-        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** Edit-distance near-dup pairs — the fuzzy-match family member the
@@ -379,6 +404,16 @@ object Dedup {
          |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
          |          FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)""".stripMargin
+
+    def containmentPairs: String =
+      s"""$jaccardCtes
+         |SELECT d1, d2, n_common, za.n_shingles AS n1, zb.n_shingles AS n2,
+         |  round(CAST(n_common AS DOUBLE) / least(za.n_shingles, zb.n_shingles), 6) AS containment
+         |FROM inter
+         |JOIN sizes za ON d1 = za.doc_id
+         |JOIN sizes zb ON d2 = zb.doc_id
+         |WHERE round(CAST(n_common AS DOUBLE) / least(za.n_shingles, zb.n_shingles), 6) >= $ContainmentThreshold
+         |ORDER BY d1, d2""".stripMargin
 
     def ngramJaccardPairs: String =
       s"""$jaccardCtes

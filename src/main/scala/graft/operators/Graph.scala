@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the quality-signal family for
+  * web-scale pretraining corpora (PageRank-style centrality is the
+  * canonical page-quality weight for crawl data, and the same iterative
+  * join/agg shape covers label propagation and hub scoring).
+  *
+  * Scale design: one iteration = one keyed equi-join (rank → out-edges)
+  * plus one keyed aggregation (sum of contributions by destination) —
+  * the Pregel message-passing shuffle shape, linear in |E| per round,
+  * with NO driver-side state and no O(|V|) broadcast. The edge list and
+  * its degrees are localCheckpoint'd once and reused; each iteration's
+  * rank frame is localCheckpoint'd so the plan stays constant-size
+  * instead of growing by two joins per round (the round-2 lesson from
+  * connectedComponents: Catalyst re-optimizes the WHOLE lineage each
+  * action, so iterative operators must cut it).
+  *
+  * Determinism: the rank is a FIXED-POINT BIGINT in micro-units (6
+  * implied decimals) and every step is integer arithmetic — truncating
+  * division by out-degree, damping as the rational dampingNum/
+  * dampingDen — so the result is exact and engine-independent by
+  * construction. Double arithmetic is unusable here even with rounding:
+  * rank/degree is a 6-dp rational over a small integer, which lands
+  * EXACTLY on 6-dp halves, where Spark (BigDecimal of the shortest
+  * string, HALF_UP) and other engines (binary-value rounding) disagree
+  * by 1 ulp — observed on ~4% of nodes before the fixed-point rewrite.
+  */
+object Graph {
+
+  /** Normalized PageRank (mean ≈ 1.0) over a DIRECTED edge list, fixed
+    * `iters` power-iteration rounds, in micro-units:
+    *
+    *   m'(v) = teleportMicro
+    *         + (dampingNum · Σ_{(u,v) ∈ E} (m(u) div outdeg(u))) div dampingDen
+    *
+    * This is |V|-scaled PageRank (divide by |V| for the probability
+    * form) — the scaled recursion keeps values near 10^6 micro-units,
+    * where truncation loses < 1e-6 relative signal at ANY graph size
+    * (the probability form would underflow once |V| passes ~1e6).
+    * Reported `pagerank` = m / 1e6 (one exact BIGINT→DOUBLE division).
+    *
+    * Simple-variant semantics: nodes = endpoints of `edges`; dangling
+    * mass is not redistributed (on a symmetrized similarity graph every
+    * node has out-degree ≥ 1, so no mass leaks); a node with no
+    * in-edges settles at the teleport mass.
+    *
+    * Overflow headroom: per-node inbound sums stay ≤ indeg · 10^6, so
+    * dampingNum · sum fits BIGINT up to ~5·10^11 in-edges per node.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, dampingNum: Long = 17,
+      dampingDen: Long = 20, teleportMicro: Long = 150000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var r = nodes.withColumn("m", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(r.select(col("id").as("src"), col("m")), "src")
+        .select(col("dst").as("id"), expr("m div deg").as("c"))
+      r = nodes
+        .join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleportMicro) +
+            expr(s"(${dampingNum}L * coalesce(s, 0L)) div ${dampingDen}L")).as("m"))
+        .localCheckpoint()
+    }
+    r.join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("out_degree"),
+        (col("m") / lit(1000000.0)).as("pagerank"))
+  }
+
+  /** DuckDB oracle fragment: the `iters` unrolled rank CTEs over
+    * prepared CTEs `edges(src, dst)` / `deg(src, deg)` / `nodes(id)`,
+    * ending with CTE `r$iters(id, m)` — the caller appends its SELECT
+    * (report `m / 1000000.0` to mirror the Spark output).
+    */
+  object O {
+    def pageRankCtes(iters: Int = 5, dampingNum: Long = 17,
+        dampingDen: Long = 20, teleportMicro: Long = 150000L): String = {
+      val steps = (1 to iters).map { i =>
+        s"""r$i AS (
+           |  SELECT n.id,
+           |    CAST($teleportMicro AS BIGINT)
+           |      + ($dampingNum * COALESCE(SUM(p.m // d.deg), 0)) // $dampingDen AS m
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.id
+           |  LEFT JOIN r${i - 1} p ON p.id = e.src
+           |  LEFT JOIN deg d ON d.src = e.src
+           |  GROUP BY n.id)""".stripMargin
+      }
+      (Seq("r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes)") ++ steps)
+        .mkString(",\n")
+    }
+  }
+}

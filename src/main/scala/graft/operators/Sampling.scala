@@ -55,10 +55,33 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws u ~ U(0,1) from the md5
+    * of its key and scores es_key = −ln(u)/w; the k SMALLEST keys are
+    * the weighted sample (a row with twice the weight is twice as
+    * likely in). Same purity guarantee as hashSample — membership is a
+    * function of (key, weight, k) only — which seeded rand() cannot
+    * give across engines/partitionings.
+    *
+    * Scale: narrow projection + global top-k, which plans as
+    * TakeOrderedAndProject (per-partition heaps of k), never a global
+    * sort. es_key is rounded at 9 dp before ranking with the key as
+    * tiebreak, so both engines rank identical values.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    val u = (Hashes.md5Long32(col(keyCol).cast("string")) + 1).cast("double") /
+      lit(4294967297.0) // (h+1)/(2^32+1) ∈ (0,1), exact numerator
+    df.withColumn("es_key", round(-log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("es_key"), col(keyCol))
+      .limit(k)
+  }
+
   /** DuckDB oracle fragments (identical md5 arithmetic). */
   object O {
     def hashBucket(key: String): String =
       s"(${Hashes.O.md5Long32(s"CAST($key AS VARCHAR)")} % $Buckets)"
+    def esKey(key: String, weight: String): String =
+      s"round(-ln((${Hashes.O.md5Long32(s"CAST($key AS VARCHAR)")} + 1) / 4294967297.0) / CAST($weight AS DOUBLE), 9)"
     def strataRate(strataCol: String, rates: Map[String, Int], defaultPct: Int): String =
       rates.toSeq.sortBy(_._1)
         .map { case (s, pct) => s"WHEN $strataCol = '$s' THEN $pct" }

@@ -230,6 +230,44 @@ object PipelineQueries {
         col("clean_len"), col("clean_tokens"))
       .orderBy("doc_id")
 
+  /** q101: normalized PageRank over the symmetrized embedding
+    * similarity graph — centrality as a document-quality weight, the
+    * web-graph signal pretraining pipelines attach to crawl data.
+    */
+  val pagerank: Q = (s, dir) => {
+    // 0.15 (vs the near-dup 0.40) keeps most of the corpus connected:
+    // centrality needs the broad similarity graph, not just duplicates
+    val pairs = Similarity.nearDupPairs(emb(s, dir), threshold = 0.15)
+    Graph.pageRank(
+      pairs.select(col("v1").as("src"), col("v2").as("dst"))
+        .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst"))))
+      .orderBy("id")
+  }
+
+  /** q102: VARIANT semi-structured shred — one parse_json per event,
+    * typed path extraction, then a per-type rollup over the extracted
+    * field (exact decimal-backed mean).
+    */
+  val variantShred: Q = (s, dir) =>
+    SemiStructured.shredProps(Tables(s, dir, "events"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("prop_k")).as("min_k"),
+        max(col("prop_k")).as("max_k"),
+        sum(col("prop_k").cast("long")).as("sum_k"),
+        round(Num.davg(col("prop_k")), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  /** q103: directed n-gram containment — sub-document duplication. */
+  val containment: Q = (s, dir) =>
+    Dedup.containmentPairs(docs(s, dir)).orderBy("d1", "d2")
+
+  /** q104: deterministic weighted sample (A-ES, weight = n_chars). */
+  val weightedSample: Q = (s, dir) =>
+    Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", k = 100)
+      .select("doc_id", "source", "n_chars", "es_key")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -264,7 +302,11 @@ object PipelineQueries {
     "q96_pmi_collocations" -> pmi,
     "q98_char_entropy" -> entropy,
     "q99_vector_stats" -> vecStats,
-    "q100_quality_gate" -> qualityGate)
+    "q100_quality_gate" -> qualityGate,
+    "q101_pagerank" -> pagerank,
+    "q102_variant_shred" -> variantShred,
+    "q103_containment" -> containment,
+    "q104_weighted_sample" -> weightedSample)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -348,6 +390,29 @@ object PipelineQueries {
     "q96_pmi_collocations" -> TO.pmiCollocations(),
     "q98_char_entropy" -> TO.charEntropy,
     "q100_quality_gate" -> TO.qualityGate(),
+    "q102_variant_shred" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  min(${SemiStructured.O.propK()}) AS min_k,
+         |  max(${SemiStructured.O.propK()}) AS max_k,
+         |  CAST(SUM(${SemiStructured.O.propK()}) AS BIGINT) AS sum_k,
+         |  round(${Num.O.avg(SemiStructured.O.propK())}, 6) AS avg_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q103_containment" -> Dedup.O.containmentPairs,
+    "q104_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars, ${Sampling.O.esKey("doc_id", "n_chars")} AS es_key
+         |FROM documents
+         |ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
+    "q101_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.15),
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges),
+         |${Graph.O.pageRankCtes(iters = 5)}
+         |SELECT r5.id, COALESCE(d.deg, 0) AS out_degree, r5.m / 1000000.0 AS pagerank
+         |FROM r5 LEFT JOIN deg d ON d.src = r5.id ORDER BY id""".stripMargin,
     "q99_vector_stats" ->
       """SELECT vec_id,
         |  list_min(embedding) AS min_v,
