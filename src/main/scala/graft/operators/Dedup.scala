@@ -164,6 +164,31 @@ object Dedup {
       .filter(col("containment") >= ContainmentThreshold)
       .select("d1", "d2", "n_common", "n1", "n2", "containment")
 
+  /** The end-to-end dedup DECISION: near-dup clusters → ONE canonical
+    * member per cluster (longest text by n_chars, tie lowest doc_id) →
+    * a keep/drop verdict for EVERY corpus document (singletons keep
+    * themselves). This is what an ingestion pipeline actually applies;
+    * the cluster labels only explain it.
+    *
+    * Scale: clustering as in connectedComponents; canonical selection
+    * is one keyed window per cluster (row_number over a cluster-keyed
+    * shuffle, linear state); the final verdict is a left join back to
+    * the corpus on doc_id.
+    */
+  def canonicalKeep(docs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(ngramJaccardPairs(docs))
+      .select("doc_id", "cluster_rep", "cluster_size")
+    val w = Window.partitionBy("cluster_rep").orderBy(desc("n_chars"), col("doc_id"))
+    val ranked = clusters.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+    docs.select("doc_id")
+      .join(ranked.select("doc_id", "cluster_rep", "cluster_size", "rnk"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (coalesce(col("rnk"), lit(1)) === 1).as("keep"))
+  }
+
   /** Shared candidate generation for the set-overlap family: per-doc
     * hashed distinct shingles → doc-frequency cap → keyed self-join →
     * (d1, d2, n1, n2, n_common) per intersecting pair.
@@ -443,5 +468,33 @@ object Dedup {
          |SELECT src AS doc_id, min(dst) AS cluster_rep, COUNT(DISTINCT dst) AS cluster_size,
          |  (src = min(dst)) AS is_kept
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+    /** The end-to-end dedup DECISION list (mirrors canonicalKeep): the
+      * q52 closure, then the canonical member per cluster by
+      * (n_chars DESC, doc_id), then every corpus doc left-joined in so
+      * singletons keep themselves.
+      */
+    def canonicalKeep: String =
+      s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT d1, d2 FROM inter
+         |          JOIN sizes za ON d1 = za.doc_id
+         |          JOIN sizes zb ON d2 = zb.doc_id
+         |          WHERE round(CAST(n_common AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_common), 6) >= $JaccardThreshold),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_rep, COUNT(DISTINCT dst) AS cluster_size
+         |       FROM reach GROUP BY src),
+         |ranked AS (SELECT cl.doc_id, cl.cluster_rep, cl.cluster_size,
+         |    row_number() OVER (PARTITION BY cl.cluster_rep ORDER BY d.n_chars DESC, cl.doc_id) AS rnk
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(r.cluster_rep, d.doc_id) AS cluster_rep,
+         |  COALESCE(r.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+         |  (COALESCE(r.rnk, 1) = 1) AS keep
+         |FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -279,7 +279,74 @@ object AnalyticsQueries {
         col("t.id").as("event_id"))
       .orderBy("device_type", "rank")
 
+  /** q106: exact least-squares regression + correlation of extended
+    * price on quantity per return flag — the SQL statistics surface
+    * (corr / regr_slope / regr_intercept / regr_r2) rebuilt from exact
+    * decimal-backed sums, because the builtin aggregates accumulate in
+    * doubles whose partition-order-dependent rounding can't cross-engine
+    * hash-match. One map-side-combined keyed aggregation; the nonlinear
+    * finish is per-group double math with an identical expression shape
+    * in the oracle, rounded at 6 dp.
+    */
+  val regrStats: Q = (s, dir) => {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val g = Tables(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.dsum(x).as("sx"), Num.dsum(y).as("sy"),
+      Num.dsum(x * x).as("sxx"), Num.dsum(y * y).as("syy"),
+      Num.dsum(x * y).as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(
+      col("l_returnflag"), col("n").cast("long").as("n"),
+      round(cov / varx, 6).as("slope"),
+      round((col("sy") - cov / varx * col("sx")) / col("n"), 6).as("intercept"),
+      round(cov / sqrt(varx * vary), 6).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q107: per-source equi-depth (decile) binning of document length —
+    * the feature-bucketing primitive. ntile over stratum-keyed windows
+    * (deterministic: unique (n_chars, doc_id) total order per source),
+    * so the sort distributes by stratum — never one global partition.
+    */
+  val ntileBins: Q = (s, dir) => {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables(s, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("source", "bin")
+  }
+
+  /** q108: first/last-touch attribution per user — the journey summary
+    * (entry event, exit event, conversion flag) via two keyed windows
+    * over one user-partitioned shuffle.
+    */
+  val attribution: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val wAsc = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    ev
+      .withColumn("rn_last", row_number().over(wDesc))
+      .withColumn("rn_first", row_number().over(wAsc))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(col("rn_first") === 1, col("event_type"))).as("first_touch"),
+        max(when(col("rn_last") === 1, col("event_type"))).as("last_touch"),
+        max((col("event_type") === "purchase").cast("int")).cast("boolean").as("converted"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q106_regr_stats" -> regrStats,
+    "q107_ntile_bins" -> ntileBins,
+    "q108_attribution" -> attribution,
     "q93_topk_agg" -> topKAgg,
     "q90_cdc_snapshot" -> cdcSnapshot,
     "q91_winsorized" -> winsorized,
@@ -309,6 +376,36 @@ object AnalyticsQueries {
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
 
   val oracle: Map[String, String] = Map(
+    "q106_regr_stats" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${N.sum("l_quantity")} AS sx, ${N.sum("l_extendedprice")} AS sy,
+         |    ${N.sum("l_quantity * l_quantity")} AS sxx,
+         |    ${N.sum("l_extendedprice * l_extendedprice")} AS syy,
+         |    ${N.sum("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+         |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "q107_ntile_bins" ->
+      """SELECT source, CAST(bin AS INT) AS bin, COUNT(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT source, n_chars,
+        |        ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bin
+        |      FROM documents)
+        |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q108_attribution" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  max(CASE WHEN rn_first = 1 THEN event_type END) AS first_touch,
+        |  max(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BOOLEAN) AS converted
+        |FROM (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_first,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q93_topk_agg" ->
       s"""${cte}SELECT device_type, CAST(rank AS INT) AS rank, value, event_id FROM (
          |  SELECT device_type, value, event_id,

@@ -268,6 +268,12 @@ object PipelineQueries {
     Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", k = 100)
       .select("doc_id", "source", "n_chars", "es_key")
 
+  /** q105: the end-to-end dedup decision list — keep/drop verdict for
+    * every corpus doc, canonical member per near-dup cluster.
+    */
+  val canonicalKeep: Q = (s, dir) =>
+    Dedup.canonicalKeep(docs(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -306,7 +312,8 @@ object PipelineQueries {
     "q101_pagerank" -> pagerank,
     "q102_variant_shred" -> variantShred,
     "q103_containment" -> containment,
-    "q104_weighted_sample" -> weightedSample)
+    "q104_weighted_sample" -> weightedSample,
+    "q105_canonical_keep" -> canonicalKeep)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -398,6 +405,7 @@ object PipelineQueries {
          |  round(${Num.O.avg(SemiStructured.O.propK())}, 6) AS avg_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q103_containment" -> Dedup.O.containmentPairs,
+    "q105_canonical_keep" -> Dedup.O.canonicalKeep,
     "q104_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars, ${Sampling.O.esKey("doc_id", "n_chars")} AS es_key
          |FROM documents

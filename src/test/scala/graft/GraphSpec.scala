@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+
+/** Fixed-point PageRank: hand-computed values, teleport floor for
+  * in-edge-less nodes, and the end-to-end canonical-keep decision.
+  */
+class GraphSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  test("pageRank matches hand-computed fixed-point iterations on a path graph") {
+    // symmetric path 1–2–3: deg(1)=deg(3)=1, deg(2)=2
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // iter1: ends 150000+(17*500000)/20=575000; mid 150000+(17*2000000)/20=1850000
+    // iter2: ends 150000+(17*925000)/20=936250; mid 150000+(17*1150000)/20=1127500
+    assert(r == Map(
+      1L -> ((1L, 0.93625)),
+      2L -> ((2L, 1.1275)),
+      3L -> ((1L, 0.93625))))
+  }
+
+  test("a node with no in-edges settles at the teleport mass") {
+    val edges = Seq((4L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(4L) == 0.15)
+    assert(r(2L) > 0.15 && r(1L) > r(2L)) // 1 receives from both 2 and 4
+  }
+
+  test("canonicalKeep keeps the longest member per cluster and all singletons") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta"
+    val short = "alpha beta gamma delta epsilon zeta"// high overlap with `long`
+    val docs = Seq(
+      (1L, short, short.length.toLong),
+      (2L, long, long.length.toLong),
+      (3L, "completely different words entirely here now", 45L)
+    ).toDF("doc_id", "text", "n_chars")
+    val r = Dedup.canonicalKeep(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((1L, 2L, false))) // clustered with 2, shorter → dropped
+    assert(r(2L) == ((1L, 2L, true))) // longest member → canonical
+    assert(r(3L) == ((3L, 1L, true))) // singleton keeps itself
+  }
+}
