@@ -281,6 +281,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Zipf-law fit over the corpus word-frequency distribution: the
+    * least-squares slope of ln(freq) on ln(rank) over the top `topR`
+    * words (natural corpora sit near −1; a corpus of boilerplate or
+    * generated spam drifts off) — a one-row corpus health check.
+    *
+    * Scale: word counts are one keyed aggregation; the top-R is a
+    * TakeOrderedAndProject (per-partition heaps of R); the regression
+    * runs over a CONSTANT R rows, so the trailing single-partition
+    * window costs nothing at any corpus size. Sums of ln-products ride
+    * through decimals (order-independent); slope/corr finish in double
+    * with the identical expression shape in the oracle, rounded 6 dp.
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text", topR: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Num
+    val top = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(topR)
+    val xy = top
+      .withColumn("rank", row_number().over(Window.orderBy(desc("c"), col("w"))))
+      .select(log(col("rank").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    val g = xy.agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.dsum(col("x")).as("sx"), Num.dsum(col("y")).as("sy"),
+      Num.dsum(col("x") * col("x")).as("sxx"),
+      Num.dsum(col("x") * col("y")).as("sxy"),
+      Num.dsum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(
+      col("n").cast("long").as("n_words"),
+      round(cov / varx, 6).as("zipf_slope"),
+      round(cov / sqrt(varx * vary), 6).as("corr"))
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -355,6 +392,26 @@ object TextAnalysis {
         |SELECT doc_id, COUNT(*) AS n_distinct_chars,
         |  CAST(-SUM(CAST(((c / len) * ln(c / len)) AS DECIMAL(38,6))) AS DOUBLE) AS entropy
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirrors zipfFit (identical sums-then-double expression shape). */
+    def zipfFit(topR: Int = 200): String = {
+      import graft.functions.{Num => N}
+      s"""WITH cnt AS (SELECT w, COUNT(*) AS c
+         |             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |             GROUP BY w),
+         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT $topR),
+         |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         |              ln(CAST(c AS DOUBLE)) AS y FROM top),
+         |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |        ${N.O.sum("x")} AS sx, ${N.O.sum("y")} AS sy,
+         |        ${N.O.sum("x * x")} AS sxx, ${N.O.sum("x * y")} AS sxy,
+         |        ${N.O.sum("y * y")} AS syy
+         |      FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_words,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+         |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+         |FROM g""".stripMargin
+    }
 
     /** Mirrors pmiCollocations (same ln-argument association order). */
     def pmiCollocations(minCount: Long = 5L, k: Int = 50): String =

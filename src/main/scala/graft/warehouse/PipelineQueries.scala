@@ -274,6 +274,26 @@ object PipelineQueries {
   val canonicalKeep: Q = (s, dir) =>
     Dedup.canonicalKeep(docs(s, dir)).orderBy("doc_id")
 
+  /** q109: per-dimension embedding diagnostics (mean/std/min/max) —
+    * the drift/collapse check run before indexing an embedding corpus.
+    * One posexplode + keyed agg: the word-count shuffle shape.
+    */
+  val dimStats: Q = (s, dir) =>
+    emb(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("int").as("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(Num.davg(col("v")), 6).as("mean_v"),
+        round(Num.dstddev(col("v")), 6).as("std_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("dim")
+
+  /** q110: Zipf-law fit over corpus word frequencies. */
+  val zipf: Q = (s, dir) => TextAnalysis.zipfFit(docs(s, dir))
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -313,7 +333,9 @@ object PipelineQueries {
     "q102_variant_shred" -> variantShred,
     "q103_containment" -> containment,
     "q104_weighted_sample" -> weightedSample,
-    "q105_canonical_keep" -> canonicalKeep)
+    "q105_canonical_keep" -> canonicalKeep,
+    "q109_dim_stats" -> dimStats,
+    "q110_zipf_fit" -> zipf)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -406,6 +428,15 @@ object PipelineQueries {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q103_containment" -> Dedup.O.containmentPairs,
     "q105_canonical_keep" -> Dedup.O.canonicalKeep,
+    "q109_dim_stats" ->
+      s"""SELECT CAST(i AS INT) AS dim, COUNT(*) AS n,
+         |  round(${Num.O.avg("CAST(embedding[i] AS DOUBLE)")}, 6) AS mean_v,
+         |  round(${Num.O.stddev("CAST(embedding[i] AS DOUBLE)")}, 6) AS std_v,
+         |  min(CAST(embedding[i] AS DOUBLE)) AS min_v,
+         |  max(CAST(embedding[i] AS DOUBLE)) AS max_v
+         |FROM embeddings, range(1, ${Similarity.Dim + 1}) t(i)
+         |GROUP BY i ORDER BY dim""".stripMargin,
+    "q110_zipf_fit" -> TO.zipfFit(),
     "q104_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars, ${Sampling.O.esKey("doc_id", "n_chars")} AS es_key
          |FROM documents

@@ -39,6 +39,16 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("weighted sample and zipf top-R plan as TakeOrderedAndProject") {
+    assert(plan("q104_weighted_sample").contains("TakeOrderedAndProject"))
+    assert(plan("q110_zipf_fit").contains("TakeOrderedAndProject"))
+  }
+
+  test("pagerank contributions aggregate map-side (partial sum before the shuffle)") {
+    val p = plan("q101_pagerank")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
+  }
+
   test("rolling-window family shares one Exchange") {
     val p = plan("q23_rolling_stats")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
