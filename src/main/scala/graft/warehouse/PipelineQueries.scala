@@ -294,6 +294,27 @@ object PipelineQueries {
   /** q110: Zipf-law fit over corpus word frequencies. */
   val zipf: Q = (s, dir) => TextAnalysis.zipfFit(docs(s, dir))
 
+  /** q111: ANN candidate-generation RECALL — the share of exact
+    * near-dup pairs the sign-LSH bucketing reproduces, plus the
+    * candidate volume it pays for them. The evaluation a pipeline runs
+    * before trusting approximate dedup at scale; one row out, so the
+    * scalar cross-joins are single-row broadcasts.
+    */
+  val lshRecall: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val exact = Similarity.nearDupPairs(e, threshold = 0.40).select("v1", "v2")
+    val b = e.select(col("vec_id"), Similarity.bucketOf(col("embedding")).as("bucket"))
+    val cand = b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(exact.join(cand, Seq("v1", "v2"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -335,7 +356,8 @@ object PipelineQueries {
     "q104_weighted_sample" -> weightedSample,
     "q105_canonical_keep" -> canonicalKeep,
     "q109_dim_stats" -> dimStats,
-    "q110_zipf_fit" -> zipf)
+    "q110_zipf_fit" -> zipf,
+    "q111_lsh_recall" -> lshRecall)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -437,6 +459,19 @@ object PipelineQueries {
          |FROM embeddings, range(1, ${Similarity.Dim + 1}) t(i)
          |GROUP BY i ORDER BY dim""".stripMargin,
     "q110_zipf_fit" -> TO.zipfFit(),
+    "q111_lsh_recall" ->
+      s"""WITH ex AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40),
+         |bk AS (SELECT vec_id, ${Similarity.O.bucket("embedding")} AS bucket FROM embeddings),
+         |cand AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+         |         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+         |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |  (SELECT COUNT(*) FROM ex SEMI JOIN cand USING (v1, v2)) AS n_hit,
+         |  round((SELECT COUNT(*) FROM ex SEMI JOIN cand USING (v1, v2))
+         |        / (SELECT COUNT(*) FROM ex), 6) AS recall""".stripMargin,
     "q104_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars, ${Sampling.O.esKey("doc_id", "n_chars")} AS es_key
          |FROM documents
