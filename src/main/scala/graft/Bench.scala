@@ -33,11 +33,14 @@ object Bench {
     if (!printed) {
       printed = true
       def line(keyed: Seq[(String, Double)]): String = {
+        // Locale.ROOT: the f"" interpolator formats in the JVM default
+        // locale — a comma-decimal locale would emit invalid JSON
+        def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
         val qs = keyed
-          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .map { case (k, v) => "\"" + k + "\":" + d3(v) }
           .mkString("{", ",", "}")
-        val total = results.map(_._2).filter(_ >= 0).sum
-        val failures = results.count(_._2 < 0)
+        val total = keyed.map(_._2).filter(_ >= 0).sum
+        val failures = keyed.count(_._2 < 0)
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
       }
       // The harness captures only the LAST 2000 chars of stdout (rounds

@@ -50,6 +50,22 @@ object Num {
     when(count(c).over(w) > 1, sqrt(greatest(s2 - (s * s) / n, lit(0d)) / (n - lit(1d))))
   }
 
+  /** Least-squares fit from exact aggregate sums (n as double, the s*
+    * columns from dsum): one shared expression shape for every
+    * regression-flavored operator, mirrored 1:1 in `O.fit*` so a parity
+    * tweak can never drift the Scala and oracle forms apart. Callers
+    * round the results (6 dp).
+    */
+  def fitSlope(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column): Column =
+    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+  def fitIntercept(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column): Column =
+    (sy - fitSlope(n, sx, sy, sxx, sxy) * sx) / n
+
+  def fitCorr(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+      syy: Column): Column =
+    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+
   /** Matching DuckDB oracle fragments — kept adjacent so the two engines'
     * expression shapes cannot drift apart. `over` ("" for plain
     * aggregation, " OVER w" for windows) is appended to each aggregate.
@@ -59,6 +75,15 @@ object Num {
       s"CAST(SUM(CAST($c AS DECIMAL(38,6)))$over AS DOUBLE)"
     def avg(c: String, over: String = ""): String =
       s"(${sum(c, over)} / COUNT($c)$over)"
+    def fitSlope(n: String = "n", sx: String = "sx", sy: String = "sy",
+        sxx: String = "sxx", sxy: String = "sxy"): String =
+      s"(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx))"
+    def fitIntercept(n: String = "n", sx: String = "sx", sy: String = "sy",
+        sxx: String = "sxx", sxy: String = "sxy"): String =
+      s"(($sy - ${fitSlope(n, sx, sy, sxx, sxy)} * $sx) / $n)"
+    def fitCorr(n: String = "n", sx: String = "sx", sy: String = "sy",
+        sxx: String = "sxx", sxy: String = "sxy", syy: String = "syy"): String =
+      s"(($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)))"
     def stddev(c: String, over: String = ""): String = {
       val n = s"CAST(COUNT($c)$over AS DOUBLE)"
       val s = sum(c, over)

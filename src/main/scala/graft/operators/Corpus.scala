@@ -64,9 +64,6 @@ object Corpus {
   def contamination(docs: DataFrame, benchPred: org.apache.spark.sql.Column,
       textCol: String = "text", threshold: Double = 0.05): DataFrame = {
     import graft.functions.Text
-    // Per-doc distinct shingle sets, computed ONCE (an earlier version
-    // re-derived this subtree for the bench set, the totals and the hit
-    // join — three full corpus explodes).
     val withSh = docs.select(col("doc_id"), benchPred.as("is_bench"),
       array_distinct(Text.shingles(col(textCol))).as("gs"))
     // The eval/benchmark side is small BY CONTRACT (a benchmark suite,
@@ -75,16 +72,20 @@ object Corpus {
     // shingle strings. benchPred prunes before the explode.
     val bench = withSh.filter(col("is_bench"))
       .select(explode(col("gs")).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    // ONE corpus shingling pass: explode per-doc distinct grams, flag
+    // benchmark grams via the broadcast left join, and take BOTH counts
+    // from the same aggregation (n_grams = all rows since gs is
+    // distinct; n_shared = flagged rows). An earlier version derived
+    // totals and hits from separate branches — two extra full
+    // text-shingling passes over the corpus.
     // size > 0 keeps parity with the explode formulation (and the
     // oracle), which drops docs too short to have any 3-gram.
-    val corpus = withSh.filter(!col("is_bench") && size(col("gs")) > 0)
-    // Totals need no explode at all: |distinct shingles| = size(gs).
-    val totals = corpus.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
-    val hits = corpus.select(col("doc_id"), explode(col("gs")).as("g"))
-      .join(broadcast(bench), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+    withSh.filter(!col("is_bench") && size(col("gs")) > 0)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
       .withColumn("contamination", col("n_shared") / col("n_grams"))
       .withColumn("is_contaminated", col("contamination") > threshold)
   }

@@ -59,19 +59,35 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     var r = nodes.withColumn("m", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(r.select(col("id").as("src"), col("m")), "src")
-        .select(col("dst").as("id"), expr("m div deg").as("c"))
-      r = nodes
-        .join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
-        .select(col("id"),
-          (lit(teleportMicro) +
-            expr(s"(${dampingNum}L * coalesce(s, 0L)) div ${dampingDen}L")).as("m"))
-        .localCheckpoint()
+      val prev = r
+      r = step(withDeg, nodes, prev, dampingNum, dampingDen, teleportMicro)
+        .localCheckpoint(true)
+      // superseded iterations are dead weight in executor storage: drop
+      // them as the loop advances (the round-2 CC lesson) instead of
+      // waiting for a driver GC to trigger ContextCleaner
+      prev.unpersist()
     }
     r.join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("out_degree"),
         (col("m") / lit(1000000.0)).as("pagerank"))
+  }
+
+  /** One power-iteration round, pre-checkpoint — exposed so the plan
+    * audit can assert the contribution aggregate combines map-side
+    * (inside `pageRank` every round hides behind a localCheckpoint, so
+    * the final explain shows only the last join).
+    */
+  private[graft] def step(withDeg: DataFrame, nodes: DataFrame, r: DataFrame,
+      dampingNum: Long = 17, dampingDen: Long = 20,
+      teleportMicro: Long = 150000L): DataFrame = {
+    val contrib = withDeg
+      .join(r.select(col("id").as("src"), col("m")), "src")
+      .select(col("dst").as("id"), expr("m div deg").as("c"))
+    nodes
+      .join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
+      .select(col("id"),
+        (lit(teleportMicro) +
+          expr(s"(${dampingNum}L * coalesce(s, 0L)) div ${dampingDen}L")).as("m"))
   }
 
   /** DuckDB oracle fragment: the `iters` unrolled rank CTEs over

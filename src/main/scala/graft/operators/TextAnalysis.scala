@@ -297,7 +297,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Num
     val top = docs
-      .select(explode(split(col(textCol), " ")).as("w"))
+      .select(explode(graft.functions.Text.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("w")).limit(topR)
     val xy = top
@@ -309,13 +309,12 @@ object TextAnalysis {
       Num.dsum(col("x") * col("x")).as("sxx"),
       Num.dsum(col("x") * col("y")).as("sxy"),
       Num.dsum(col("y") * col("y")).as("syy"))
-    val cov = col("n") * col("sxy") - col("sx") * col("sy")
-    val varx = col("n") * col("sxx") - col("sx") * col("sx")
-    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    val (n, sx, sy, sxx, sxy, syy) =
+      (col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
     g.select(
       col("n").cast("long").as("n_words"),
-      round(cov / varx, 6).as("zipf_slope"),
-      round(cov / sqrt(varx * vary), 6).as("corr"))
+      round(Num.fitSlope(n, sx, sy, sxx, sxy), 6).as("zipf_slope"),
+      round(Num.fitCorr(n, sx, sy, sxx, sxy, syy), 6).as("corr"))
   }
 
   /** Rolling polynomial hash over the token stream (order-sensitive
@@ -408,8 +407,8 @@ object TextAnalysis {
          |        ${N.O.sum("y * y")} AS syy
          |      FROM xy)
          |SELECT CAST(n AS BIGINT) AS n_words,
-         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-         |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+         |  round(${N.O.fitSlope()}, 6) AS zipf_slope,
+         |  round(${N.O.fitCorr()}, 6) AS corr
          |FROM g""".stripMargin
     }
 

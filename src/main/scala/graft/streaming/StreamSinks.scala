@@ -128,6 +128,14 @@ object StreamSinks {
     * always resolve a complete generation, never a missing or half-
     * written path (unlike `FileLayout.compact`, whose in-place rename
     * swap requires quiesced readers).
+    *
+    * WRITER contract: reader-safe is NOT writer-safe. Like every
+    * writer of this store format, compactStore derives the next
+    * generation from `_CURRENT` — racing a concurrent `upsertBatch*`
+    * both writers target the same `gen-(g+1)` and whichever swaps the
+    * pointer last silently discards the other's rows. Run it from the
+    * store's single writer, between micro-batches (foreachBatch
+    * serializes per query, so calling it there is safe).
     */
   def compactStore(spark: SparkSession, outDir: String, targetRowsPerFile: Long): Unit = {
     val dirs = { val p = listPartDirs(outDir); if (p.nonEmpty) p else Seq(outDir) }

@@ -296,14 +296,13 @@ object AnalyticsQueries {
       Num.dsum(x).as("sx"), Num.dsum(y).as("sy"),
       Num.dsum(x * x).as("sxx"), Num.dsum(y * y).as("syy"),
       Num.dsum(x * y).as("sxy"))
-    val cov = col("n") * col("sxy") - col("sx") * col("sy")
-    val varx = col("n") * col("sxx") - col("sx") * col("sx")
-    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    val (n, sx, sy, sxx, sxy, syy) =
+      (col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
     g.select(
       col("l_returnflag"), col("n").cast("long").as("n"),
-      round(cov / varx, 6).as("slope"),
-      round((col("sy") - cov / varx * col("sx")) / col("n"), 6).as("intercept"),
-      round(cov / sqrt(varx * vary), 6).as("corr"))
+      round(Num.fitSlope(n, sx, sy, sxx, sxy), 6).as("slope"),
+      round(Num.fitIntercept(n, sx, sy, sxx, sxy), 6).as("intercept"),
+      round(Num.fitCorr(n, sx, sy, sxx, sxy, syy), 6).as("corr"))
       .orderBy("l_returnflag")
   }
 
@@ -385,9 +384,9 @@ object AnalyticsQueries {
          |    ${N.sum("l_quantity * l_extendedprice")} AS sxy
          |  FROM lineitem GROUP BY 1)
          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
-         |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+         |  round(${N.fitSlope()}, 6) AS slope,
+         |  round(${N.fitIntercept()}, 6) AS intercept,
+         |  round(${N.fitCorr()}, 6) AS corr
          |FROM g ORDER BY l_returnflag""".stripMargin,
     "q107_ntile_bins" ->
       """SELECT source, CAST(bin AS INT) AS bin, COUNT(*) AS n_docs,

@@ -304,13 +304,23 @@ object PipelineQueries {
     val e = emb(s, dir)
     val exact = Similarity.nearDupPairs(e, threshold = 0.40).select("v1", "v2")
     val b = e.select(col("vec_id"), Similarity.bucketOf(col("embedding")).as("bucket"))
-    val cand = b.as("a")
-      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(exact.join(cand, Seq("v1", "v2"), "left_semi")
-        .agg(count(lit(1)).as("n_hit")))
+    // candidate VOLUME needs no pair materialization: Σ C(size,2) over
+    // buckets (s·(s−1) is even, so the integer division is exact)
+    val nCand = b.groupBy("bucket").agg(count(lit(1)).as("s"))
+      .agg(sum(expr("(s * (s - 1)) div 2")).as("n_candidates"))
+    // a pair is a HIT when both sides share a bucket: two keyed joins
+    // of the (small) exact pair set against the bucket table — the
+    // bucket table is O(corpus), NEVER broadcast; AQE broadcasts the
+    // pair side when it fits. n_exact and n_hit then come from the SAME
+    // single-pass aggregation (an earlier version semi-joined a
+    // materialized candidate pair set, evaluating the cosine self-join
+    // and the bucket join twice each)
+    exact
+      .join(b.select(col("vec_id").as("v1"), col("bucket").as("b1")), "v1")
+      .join(b.select(col("vec_id").as("v2"), col("bucket").as("b2")), "v2")
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("b1") === col("b2"), 1)).as("n_hit"))
+      .crossJoin(nCand)
       .select(col("n_exact"), col("n_candidates"), col("n_hit"),
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
@@ -465,13 +475,15 @@ object PipelineQueries {
          |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40),
          |bk AS (SELECT vec_id, ${Similarity.O.bucket("embedding")} AS bucket FROM embeddings),
-         |cand AS (SELECT a.vec_id AS v1, b.vec_id AS v2
-         |         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
-         |  (SELECT COUNT(*) FROM cand) AS n_candidates,
-         |  (SELECT COUNT(*) FROM ex SEMI JOIN cand USING (v1, v2)) AS n_hit,
-         |  round((SELECT COUNT(*) FROM ex SEMI JOIN cand USING (v1, v2))
-         |        / (SELECT COUNT(*) FROM ex), 6) AS recall""".stripMargin,
+         |nc AS (SELECT CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS n_candidates
+         |       FROM (SELECT COUNT(*) AS s FROM bk GROUP BY bucket)),
+         |j AS (SELECT a.bucket AS b1, c.bucket AS b2
+         |      FROM ex JOIN bk a ON a.vec_id = ex.v1 JOIN bk c ON c.vec_id = ex.v2)
+         |SELECT (SELECT COUNT(*) FROM j) AS n_exact,
+         |  (SELECT n_candidates FROM nc) AS n_candidates,
+         |  (SELECT COUNT(*) FROM j WHERE b1 = b2) AS n_hit,
+         |  round((SELECT COUNT(*) FROM j WHERE b1 = b2)
+         |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
     "q104_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars, ${Sampling.O.esKey("doc_id", "n_chars")} AS es_key
          |FROM documents

@@ -45,8 +45,19 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
   }
 
   test("pagerank contributions aggregate map-side (partial sum before the shuffle)") {
-    val p = plan("q101_pagerank")
-    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1500))
+    // audit one pre-checkpoint iteration directly: inside pageRank each
+    // round hides behind a localCheckpoint, so the end-to-end explain
+    // would only show the final join (and pass vacuously)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src")
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val r = nodes.withColumn("m", lit(1000000L))
+    val p = graft.operators.Graph.step(withDeg, nodes, r)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), p.take(2000))
   }
 
   test("rolling-window family shares one Exchange") {
