@@ -342,7 +342,27 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** q112: re-aggregation proof — the monthly rollup computed FROM
+    * daily partial aggregates (count + decimal sum), hash-checked
+    * against the oracle's direct monthly aggregation over raw events.
+    * This is the contract that makes materialized partials valid at
+    * 100 TB (aggregate the day once, answer month/quarter/year from
+    * partials): decimal partial sums merge exactly, so
+    * aggregate-of-aggregates ≡ aggregate-of-raw, bit for bit.
+    */
+  val reaggregation: Q = (s, dir) => {
+    val daily = readings(s, dir)
+      .groupBy(col("device_type"), to_date(col("time")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(38,6)")).as("tot"))
+    daily
+      .groupBy(col("device_type"), date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(sum(col("n")).as("n_events"), sum(col("tot")).cast("double").as("total_value"))
+      .withColumn("avg_value", col("total_value") / col("n_events"))
+      .orderBy("device_type", "month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q112_reaggregation" -> reaggregation,
     "q106_regr_stats" -> regrStats,
     "q107_ntile_bins" -> ntileBins,
     "q108_attribution" -> attribution,
@@ -375,6 +395,16 @@ object AnalyticsQueries {
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
 
   val oracle: Map[String, String] = Map(
+    // deliberately aggregates the RAW stream in one step — equality with
+    // the Spark side's daily→monthly two-step IS the re-aggregation proof
+    "q112_reaggregation" ->
+      s"""${cte}SELECT device_type,
+         |  CAST(date_trunc('month', CAST(time AS DATE)) AS DATE) AS month,
+         |  COUNT(*) AS n_events,
+         |  ${N.sum("value")} AS total_value,
+         |  (${N.sum("value")} / COUNT(*)) AS avg_value
+         |FROM readings
+         |GROUP BY 1, 2 ORDER BY device_type, month""".stripMargin,
     "q106_regr_stats" ->
       s"""WITH g AS (
          |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
