@@ -153,6 +153,52 @@ object Sketch {
       graft.functions.expressions.TopKByScore(
         GraftBridge.expression(score), GraftBridge.expression(id), k).toAggregateExpression())
   }
+
+  /** Deterministic Count-Min Sketch counter table (see
+    * graft.functions.expressions.CmsSketch): array<bigint> of
+    * Depth x Width bucket counters, mergeable across partitions and
+    * micro-batches; pair with [[cmsEstimate]] for point estimates.
+    */
+  def cmsMd5(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      graft.functions.expressions.CmsSketch(GraftBridge.expression(c)).toAggregateExpression())
+  }
+
+  /** CMS point estimate of `key`'s count from a [[cmsMd5]] counter
+    * array: min over the key's Depth buckets — always >= the exact
+    * count. Pure codegen'd arithmetic on the same 60-bit md5 hash the
+    * sketch used, so the estimate is engine-exact.
+    */
+  def cmsEstimate(cms: Column, key: Column): Column = {
+    import graft.functions.expressions.CmsSketch.{Depth, Width}
+    val h = Hashes.md5Long60(key)
+    least((0 until Depth).map { r =>
+      element_at(cms,
+        (shiftright(h, 8 * r).bitwiseAND(lit((Width - 1).toLong)) + lit(r.toLong * Width) + lit(1L))
+          .cast(IntegerType))
+    }: _*)
+  }
+
+  object O {
+    import graft.functions.expressions.CmsSketch.{Depth, Width}
+
+    /** DuckDB twin of the cmsMd5 counter table: (r, bucket, c) rows from
+      * the identical md5-derived hash over `rowsSql` (a relation whose
+      * `keyExpr` is the sketched value). A point estimate then joins a
+      * candidate's Depth buckets against this and takes MIN(c) — the
+      * exact computation cmsEstimate performs on the array.
+      */
+    def cmsBuckets(rowsSql: String, keyExpr: String): String = {
+      val h = Hashes.O.md5Long60(keyExpr)
+      s"""SELECT rr.r, ($h >> (8 * rr.r)) & ${Width - 1} AS bucket, COUNT(*) AS c
+         |FROM ($rowsSql) CROSS JOIN (SELECT unnest(range(0, $Depth)) AS r) rr
+         |GROUP BY 1, 2""".stripMargin
+    }
+
+    def bucketOf(keyExpr: String, r: String): String =
+      s"(${Hashes.O.md5Long60(keyExpr)} >> (8 * $r)) & ${Width - 1}"
+  }
 }
 
 object Vec {

@@ -325,6 +325,27 @@ object PipelineQueries {
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
 
+  /** q113: Count-Min-Sketch heavy hitters — the exact top-20 corpus
+    * words priced against the mergeable CMS frequency estimate (min over
+    * the word's Depth buckets; always an overcount). The sketch is ONE
+    * 8 KB array aggregated with map-side partials and broadcast back —
+    * at 100 TB the exact branch is the cost, the sketch is free; in a
+    * real pipeline the sketch REPLACES the exact count and this query is
+    * the calibration run that justifies it.
+    */
+  val cmsHeavyHitters: Q = (s, dir) => {
+    import graft.functions.{Sketch, Text}
+    val words = docs(s, dir).select(explode(Text.words(col("text"))).as("w"))
+    val sketch = words.agg(Sketch.cmsMd5(col("w")).as("cms"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("exact_c"))
+      .orderBy(desc("exact_c"), col("w")).limit(20)
+    top.crossJoin(broadcast(sketch))
+      .select(col("w"), col("exact_c"),
+        Sketch.cmsEstimate(col("cms"), col("w")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_c"))
+      .orderBy(desc("exact_c"), col("w"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -367,7 +388,8 @@ object PipelineQueries {
     "q105_canonical_keep" -> canonicalKeep,
     "q109_dim_stats" -> dimStats,
     "q110_zipf_fit" -> zipf,
-    "q111_lsh_recall" -> lshRecall)
+    "q111_lsh_recall" -> lshRecall,
+    "q113_cms_heavy_hitters" -> cmsHeavyHitters)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -484,6 +506,18 @@ object PipelineQueries {
          |  (SELECT COUNT(*) FROM j WHERE b1 = b2) AS n_hit,
          |  round((SELECT COUNT(*) FROM j WHERE b1 = b2)
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
+    "q113_cms_heavy_hitters" -> {
+      import graft.functions.{Sketch => SK}
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |b AS (${SK.O.cmsBuckets("SELECT w FROM w", "w")}),
+         |top AS (SELECT w, COUNT(*) AS exact_c FROM w GROUP BY 1
+         |        ORDER BY exact_c DESC, w LIMIT 20),
+         |est AS (SELECT t.w, t.exact_c, MIN(b.c) AS cms_est
+         |        FROM top t JOIN b ON b.bucket = ${SK.O.bucketOf("t.w", "b.r")}
+         |        GROUP BY 1, 2)
+         |SELECT w, exact_c, cms_est, cms_est - exact_c AS overcount
+         |FROM est ORDER BY exact_c DESC, w""".stripMargin
+    },
     "q104_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars, ${Sampling.O.esKey("doc_id", "n_chars")} AS es_key
          |FROM documents
