@@ -345,8 +345,71 @@ object Dedup {
         (col("doc_id") === col("cluster_rep")).as("is_kept"))
   }
 
+  val SpanGramLen = 8 // L: duplicate-substring resolution, in words
+
+  /** Exact duplicate-substring spans at L-word resolution: for each
+    * document, the maximal word ranges covered by L-grams that also
+    * occur in at least one OTHER document — the span-level exact-dedup
+    * pass (remove the repeated boilerplate, keep the novel prose) that
+    * document-level dedup cannot express.
+    *
+    * Scale design: positions shuffle on the 16-byte gram md5, never the
+    * gram text; the cross-doc test is a two-stage keyed aggregation
+    * (distinct (gram, doc) then count), and span assembly is one lag +
+    * running-sum window per document (linear state). A boilerplate gram
+    * shared by a million docs costs its own position rows and nothing
+    * more — no pair set is ever materialized.
+    */
+  def duplicateSpans(docs: DataFrame, L: Int = SpanGramLen,
+      textCol: String = "text"): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), posexplode(Text.shingles(col(textCol), L)).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), md5(col("g")).as("gk"))
+    val dup = g.select("gk", "doc_id").distinct()
+      .groupBy("gk").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("gk")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    g.join(dup, "gk")
+      .select("doc_id", "pos")
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      // merge overlapping or adjacent spans: position p covers words
+      // p..p+L-1, so the next dup position continues the span iff it
+      // starts at or before prev+L
+      .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + L, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select("doc_id", "span_start", "span_end", "n_dup_grams")
+  }
+
   /** DuckDB oracle SQL builders (quadratic but equivalent pair sets). */
   object O {
+
+    /** Mirrors duplicateSpans: identical gram hashing, island merge. */
+    def duplicateSpans(l: Int = SpanGramLen): String =
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
+         |      FROM wl WHERE len(w) >= $l),
+         |g AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM p),
+         |dup AS (SELECT gk FROM (SELECT DISTINCT gk, doc_id FROM g) GROUP BY gk HAVING COUNT(*) > 1),
+         |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gk)),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 1
+         |             WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $l THEN 1
+         |             ELSE 0 END AS brk
+         |      FROM h),
+         |isl AS (SELECT doc_id, pos,
+         |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |        FROM i)
+         |SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + ${l - 1} AS INT) AS span_end,
+         |  COUNT(*) AS n_dup_grams
+         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
     private val shingleCte =
       """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (

@@ -346,6 +346,13 @@ object PipelineQueries {
       .orderBy(desc("exact_c"), col("w"))
   }
 
+  /** q114: exact duplicate-substring spans — the word ranges of each
+    * document whose 8-grams also occur in another document (span-level
+    * boilerplate removal, the pass document-level dedup can't express).
+    */
+  val dupSpans: Q = (s, dir) =>
+    Dedup.duplicateSpans(docs(s, dir)).orderBy("doc_id", "span_start")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -389,7 +396,8 @@ object PipelineQueries {
     "q109_dim_stats" -> dimStats,
     "q110_zipf_fit" -> zipf,
     "q111_lsh_recall" -> lshRecall,
-    "q113_cms_heavy_hitters" -> cmsHeavyHitters)
+    "q113_cms_heavy_hitters" -> cmsHeavyHitters,
+    "q114_dup_spans" -> dupSpans)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -506,6 +514,7 @@ object PipelineQueries {
          |  (SELECT COUNT(*) FROM j WHERE b1 = b2) AS n_hit,
          |  round((SELECT COUNT(*) FROM j WHERE b1 = b2)
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
+    "q114_dup_spans" -> Dedup.O.duplicateSpans(),
     "q113_cms_heavy_hitters" -> {
       import graft.functions.{Sketch => SK}
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -61,6 +61,31 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(got == expected)
   }
 
+  test("duplicate spans: cross-doc 8-gram runs merge into maximal ranges") {
+    // w1..w12 shared prefix (12 words) then unique tails; doc 30 is unrelated
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (10L, shared + " apple banana cherry date elder fig grape haw iris"),
+      (20L, shared + " kiwi lemon mango nectar olive peach quince rose sage"),
+      (30L, (1 to 25).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // shared 12 words -> dup 8-gram positions 1..5 in both docs, one
+    // merged span covering words 1..12; doc 30 contributes nothing
+    assert(spans.toSeq == Seq((10L, 1, 12, 5L), (20L, 1, 12, 5L)))
+  }
+
+  test("duplicate spans: same-doc repetition alone is not a duplicate") {
+    val rep = ((1 to 10).map(i => s"r$i") ++ (1 to 10).map(i => s"r$i")).mkString(" ")
+    val d = Seq(
+      (1L, rep), // 8-grams repeat WITHIN the doc only
+      (2L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(d).count() == 0)
+  }
+
   test("embedding near-dup and brute-force top-k ordering") {
     val e = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
