@@ -353,6 +353,63 @@ object PipelineQueries {
   val dupSpans: Q = (s, dir) =>
     Dedup.duplicateSpans(docs(s, dir)).orderBy("doc_id", "span_start")
 
+  /** q115: sharded inverted index — per term, doc-id posting lists cut
+    * into fixed-size shards (row size is bounded by ShardSize no matter
+    * how hot the term). Document frequency is decided BEFORE any list
+    * materializes (distinct pairs → keyed count → df filter → join
+    * back), so a stop word past MaxDf costs one counter, never an
+    * unbounded collect buffer. Posting arrays are emitted as scalars
+    * (md5 of the csv + count + endpoints) per the array-output
+    * convention (cf. q89).
+    */
+  val InvIdxMinDf = 5
+  val InvIdxMaxDf = 10000
+  val InvIdxShard = 64
+  val invertedIndex: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val pairs = docs(s, dir)
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
+      .distinct()
+    val terms = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(InvIdxMinDf, InvIdxMaxDf))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    pairs.join(terms, "term")
+      .withColumn("shard", ((row_number().over(w) - 1) / InvIdxShard).cast("int"))
+      .groupBy("term", "df", "shard")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",", sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+          .as("postings_md5"))
+      .orderBy("term", "shard")
+  }
+
+  /** q116: key-skew diagnostic profile — the one-row report (key count,
+    * max/avg/percentile key sizes, hottest key, skew ratio) a pipeline
+    * reads before choosing salting / AQE-skew settings for a join or
+    * aggregation. One keyed count + one scalar aggregate; the top key is
+    * a TakeOrderedAndProject single row, cross-joined as a broadcast
+    * scalar.
+    */
+  val keySkew: Q = (s, dir) => {
+    val counts = Tables(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(desc("c"), col("user_id")).limit(1)
+      .select(col("user_id").as("top_key"), col("c").as("top_c"))
+    counts
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        round(Num.davg(col("c")), 6).as("avg_c"),
+        round(percentile(col("c"), lit(0.5)), 6).as("p50_c"),
+        round(percentile(col("c"), lit(0.99)), 6).as("p99_c"))
+      .crossJoin(broadcast(top))
+      .withColumn("skew_ratio", round(col("max_c") / col("avg_c"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -397,7 +454,9 @@ object PipelineQueries {
     "q110_zipf_fit" -> zipf,
     "q111_lsh_recall" -> lshRecall,
     "q113_cms_heavy_hitters" -> cmsHeavyHitters,
-    "q114_dup_spans" -> dupSpans)
+    "q114_dup_spans" -> dupSpans,
+    "q115_inverted_index" -> invertedIndex,
+    "q116_key_skew" -> keySkew)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -515,6 +574,29 @@ object PipelineQueries {
          |  round((SELECT COUNT(*) FROM j WHERE b1 = b2)
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
     "q114_dup_spans" -> Dedup.O.duplicateSpans(),
+    "q116_key_skew" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+         |top AS (SELECT user_id AS top_key, c AS top_c FROM c ORDER BY c DESC, user_id LIMIT 1),
+         |a AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_c,
+         |        round(${Num.O.avg("c")}, 6) AS avg_c,
+         |        round(quantile_cont(c, 0.5), 6) AS p50_c,
+         |        round(quantile_cont(c, 0.99), 6) AS p99_c
+         |      FROM c)
+         |SELECT n_keys, n_rows, max_c, avg_c, p50_c, p99_c, top_key, top_c,
+         |  round(max_c / avg_c, 6) AS skew_ratio
+         |FROM a CROSS JOIN top""".stripMargin,
+    "q115_inverted_index" ->
+      s"""WITH p AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |t AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1
+         |      HAVING COUNT(*) BETWEEN $InvIdxMinDf AND $InvIdxMaxDf),
+         |sh AS (SELECT p.term, t.df, p.doc_id,
+         |         CAST((row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id) - 1)
+         |              // $InvIdxShard AS INT) AS shard
+         |       FROM p JOIN t USING (term))
+         |SELECT term, df, shard, COUNT(*) AS n,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+         |FROM sh GROUP BY term, df, shard ORDER BY term, shard""".stripMargin,
     "q113_cms_heavy_hitters" -> {
       import graft.functions.{Sketch => SK}
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
