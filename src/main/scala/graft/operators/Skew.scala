@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -32,5 +32,25 @@ object Skew {
         sum(col("__n")).as("n"),
         sum(col("__s")).cast(DoubleType).as("sum_value"))
       .withColumn("avg_value", col("sum_value") / col("n"))
+  }
+
+  /** Explicit salted equi-join for a pathologically hot probe-side key —
+    * the manual fallback when AQE's skew split cannot help (e.g. the hot
+    * key's rows must still meet a non-broadcastable build side). The
+    * probe side spreads each key over `r` salts via a deterministic
+    * expression (`spread`, e.g. a row id — NEVER rand(), which breaks
+    * retry/replay determinism); the build side replicates each row `r`
+    * times. Result is row-identical to the plain join by construction:
+    * every probe row meets exactly the one build replica carrying its
+    * salt. Cost: build side grows r-fold — use for hot-key/medium-dim
+    * joins where r * |build| still shuffles comfortably.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String], r: Int,
+      spread: Column): DataFrame = {
+    require(r > 0, s"salt fan-out must be positive, got $r")
+    val salted = probe.withColumn("__salt", pmod(spread, lit(r)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(r - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 }

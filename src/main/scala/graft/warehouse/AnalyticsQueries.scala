@@ -103,6 +103,20 @@ object AnalyticsQueries {
     Skew.saltedStats(readings(s, dir), Seq("device_type"), "value")
       .orderBy("device_type")
 
+  /** q118: salted equi-join for a hot probe key; the oracle is the
+    * PLAIN JOIN + GROUP BY — row-identity with it is the operator's
+    * contract (every probe row meets exactly one build replica).
+    */
+  val skewSaltedJoin: Q = (s, dir) => {
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val cust = Tables(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    Skew.saltedJoin(orders, cust, Seq("c_custkey"), r = 8, spread = col("o_orderkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q62 (rows-only): sketch-based hourly aggregate for the 100 TB path. */
   val hourlyApprox: Q = (s, dir) =>
     WarehouseAggregates.hourlyAggApprox(readings(s, dir)).orderBy("bucket", "device_type")
@@ -378,6 +392,7 @@ object AnalyticsQueries {
     "q58_range_join" -> rangeJoin,
     "q59_gap_fill" -> gapFill,
     "q60_skew_salted" -> skewSalted,
+    "q118_salted_join" -> skewSaltedJoin,
     "q61_unpivot" -> unpivot,
     "q62_hourly_approx" -> hourlyApprox,
     "q63_approx_distinct" -> approxDistinct,
@@ -606,6 +621,10 @@ object AnalyticsQueries {
       s"""${cte}SELECT device_type, COUNT(value) AS n,
          |  ${N.sum("value")} AS sum_value,
          |  (${N.sum("value")} / COUNT(value)) AS avg_value
-         |FROM readings GROUP BY device_type ORDER BY device_type""".stripMargin
+         |FROM readings GROUP BY device_type ORDER BY device_type""".stripMargin,
+    "q118_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${N.sum("o_totalprice")} AS total_spend
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

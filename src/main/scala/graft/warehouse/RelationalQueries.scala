@@ -174,6 +174,24 @@ object RelationalQueries {
     purchasersNoError.unionAll(both).orderBy("segment", "user_id")
   }
 
+  /** q117: multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+    * duplicate cardinalities (a user who purchased 3x and errored once
+    * survives EXCEPT ALL twice), the semantics q11's DISTINCT variants
+    * erase. Spark plans these as keyed joins on (row, count) — no sort,
+    * scale-safe.
+    */
+  val setOpsAll: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    def users(tpe: String) = e.filter(col("event_type") === tpe).select("user_id")
+    val exceptAll = users("purchase").exceptAll(users("error"))
+      .withColumn("segment", lit("purchase_except_all_error"))
+    val intersectAll = users("purchase").intersectAll(users("signup"))
+      .withColumn("segment", lit("purchase_intersect_all_signup"))
+    exceptAll.unionAll(intersectAll)
+      .groupBy("segment", "user_id").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("segment", "user_id")
+  }
+
   /** Left-outer enrichment join (J1-J3 semantics: fact keeps rows with no
     * dimension match; reference spark_transform.py:46-57): every customer
     * with their order rollup, zero-filled when absent.
@@ -312,6 +330,7 @@ object RelationalQueries {
     "q11_set_ops" -> setOps,
     "q12_top_words" -> topWords,
     "q13_left_enrich" -> leftEnrich,
+    "q117_set_ops_all" -> setOpsAll,
     "q14_sql_surface" -> sqlSurface,
     "q72_subqueries" -> subqueries,
     "q79_filter_clause" -> filterClause,
@@ -418,6 +437,20 @@ object RelationalQueries {
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q117_set_ops_all" ->
+      """WITH ea AS (
+        |  SELECT user_id, 'purchase_except_all_error' AS segment FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'purchase'
+        |    EXCEPT ALL
+        |    SELECT user_id FROM events WHERE event_type = 'error')),
+        |ia AS (
+        |  SELECT user_id, 'purchase_intersect_all_signup' AS segment FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'purchase'
+        |    INTERSECT ALL
+        |    SELECT user_id FROM events WHERE event_type = 'signup'))
+        |SELECT segment, user_id, COUNT(*) AS multiplicity
+        |FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+        |GROUP BY 1, 2 ORDER BY segment, user_id""".stripMargin,
     "q13_left_enrich" ->
       s"""WITH o AS (
          |  SELECT o_custkey, COUNT(*) AS n_recent_orders, ${N.sum("o_totalprice")} AS recent_spend

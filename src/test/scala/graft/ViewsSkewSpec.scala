@@ -38,4 +38,20 @@ class ViewsSkewSpec extends AnyFunSuite with TestSpark {
     val salted = Skew.saltedStats(df, Seq("k"), "v").orderBy("k").collect()
     assert(direct.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
+
+  test("salted join is row-identical to the plain join under skew") {
+    import spark.implicits._
+    // 6000 probe rows on one hot key + a cold tail; build side is a dim
+    val probe = ((1 to 6000).map(i => (1L, i.toLong)) ++ (1 to 60).map(i => (i.toLong, -i.toLong)))
+      .toDF("k", "row_id").repartition(8)
+    val build = (1 to 60).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+    val plain = probe.join(build, Seq("k"))
+      .orderBy("k", "row_id").collect()
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), r = 7, spread = $"row_id")
+      .select("k", "row_id", "attr")
+      .orderBy("k", "row_id").collect()
+    assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
+    // negative spread values must still land in [0, r) — pmod, not %
+    assert(salted.length == plain.length)
+  }
 }
