@@ -43,7 +43,8 @@ object StreamDedupJoin {
       keyCol: String,
       timeCol: String,
       lookbackSec: Long,
-      delay: String): DataFrame = {
+      delay: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(timeCol, delay).alias("l")
     val r = right.columns
       .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
@@ -53,6 +54,24 @@ object StreamDedupJoin {
       r,
       col(s"l.$keyCol") === col(s"r.r_$keyCol") &&
         col(s"r.r_$timeCol") >= col(s"l.$timeCol") - expr(s"interval $lookbackSec seconds") &&
-        col(s"r.r_$timeCol") <= col(s"l.$timeCol"))
+        col(s"r.r_$timeCol") <= col(s"l.$timeCol"),
+      joinType)
   }
+
+  /** Left-outer watermarked interval join: every left event is emitted —
+    * matched rows as they join, unmatched rows with null right columns
+    * once the watermark proves no match can still arrive. The delayed
+    * null emission is the semantic difference from batch left join:
+    * correctness requires the state store to hold the left row until
+    * the watermark passes its join window, which the time-range
+    * predicate bounds.
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      lookbackSec: Long,
+      delay: String): DataFrame =
+    intervalJoin(left, right, keyCol, timeCol, lookbackSec, delay, "left_outer")
 }

@@ -54,4 +54,39 @@ class StreamDedupJoinSpec extends AnyFunSuite with TestSpark {
       assert(rows == Set(("d1", 1.0, 10.0), ("d1", 2.0, 20.0)))
     } finally q.stop()
   }
+
+  test("left-outer interval join emits unmatched rows with nulls after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[SensorEvent]
+    val clicks = MemoryStream[SensorEvent]
+    val joined = StreamDedupJoin.intervalJoinLeftOuter(
+      purchases.toDF().select($"time", $"device_id", $"value"),
+      clicks.toDF().select($"time", $"device_id", $"value"),
+      "device_id", "time", lookbackSec = 300, delay = "1 minute")
+    val q = joined
+      .select($"device_id", $"value".as("purchase_value"), $"r_value".as("click_value"))
+      .writeStream.format("memory").queryName("loj_out").outputMode("append").start()
+    try {
+      clicks.addData(ev(0, "d1", 10.0))
+      purchases.addData(ev(100, "d1", 1.0), ev(100, "d2", 2.0)) // d2 has no click
+      q.processAllAvailable()
+      // the matched row may emit now; the unmatched d2 row CANNOT emit
+      // until the watermark proves no d2 click can still arrive
+      val early = spark.table("loj_out").collect()
+      assert(!early.exists(r => r.getString(0) == "d2"))
+      // advance both watermarks far past d2@100's join window
+      clicks.addData(ev(5000, "dx", 0.0))
+      purchases.addData(ev(5000, "dx", 0.0))
+      q.processAllAvailable()
+      // one more batch so the state-store eviction pass runs
+      clicks.addData(ev(5100, "dx", 0.0))
+      purchases.addData(ev(5100, "dx", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out")
+        .select($"device_id", $"purchase_value", $"click_value").collect()
+        .map(r => (r.getString(0), r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(rows.contains(("d1", 1.0, Some(10.0))))
+      assert(rows.contains(("d2", 2.0, None))) // null-matched after expiry
+    } finally q.stop()
+  }
 }
