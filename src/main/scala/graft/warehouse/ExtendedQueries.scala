@@ -91,16 +91,99 @@ object ExtendedQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** q119: string-function surface parity — the scalar string toolkit
+    * (pad/substr/strpos/translate/repeat/prefix tests) as pure narrow
+    * codegen'd projections with exact DuckDB twins.
+    */
+  val stringSurface: Q = (s, dir) =>
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      upper(col("lang")).as("lang_up"),
+      lpad(col("source"), 8, "_").as("src_pad"),
+      reverse(col("lang")).as("lang_rev"),
+      substring(col("text"), 1, 12).as("prefix12"),
+      instr(col("text"), "the").as("the_pos"),
+      translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"),
+      repeat(col("lang"), 2).as("lang2"),
+      col("text").startsWith("the").as("starts_the"),
+      col("text").endsWith("s").as("ends_s"),
+      col("text").contains("data").as("has_data"))
+      .orderBy("doc_id")
+
+  /** q120: aggregate-surface parity — count_if / bool_and / bool_or /
+    * exact interpolated median, per event type.
+    */
+  val aggSurface: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("value") > 100).as("n_high"),
+        bool_and(col("value") >= 0).as("all_nonneg"),
+        bool_or(col("value") > 400).as("any_gt400"),
+        round(median(col("value")), 6).as("median_value"))
+      .orderBy("event_type")
+
+  /** q121: per-user ordered event paths — the sequence-mining input
+    * (funnels, next-event prediction). The path is capped at PathCap
+    * steps so per-user state is bounded; ordering ties break on
+    * event_id, and the path is emitted as an md5 scalar per the
+    * array-output convention.
+    */
+  val PathCap = 50
+  val eventPaths: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        md5(concat_ws(">",
+          slice(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            1, PathCap))).as("path_md5"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q15_asof_join" -> asof,
     "q16_sessions" -> sessions,
     "q17_rollup" -> rollup,
     "q18_count_distinct" -> countDistinct,
-    "q64_session_window" -> sessionWindow)
+    "q64_session_window" -> sessionWindow,
+    "q119_string_surface" -> stringSurface,
+    "q120_agg_surface" -> aggSurface,
+    "q121_event_paths" -> eventPaths)
 
   import Num.{O => N}
 
   val oracle: Map[String, String] = Map(
+    "q119_string_surface" ->
+      """SELECT doc_id,
+        |  upper(lang) AS lang_up,
+        |  lpad(source, 8, '_') AS src_pad,
+        |  reverse(lang) AS lang_rev,
+        |  substr(text, 1, 12) AS prefix12,
+        |  CAST(strpos(text, 'the') AS INT) AS the_pos,
+        |  translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+        |  repeat(lang, 2) AS lang2,
+        |  starts_with(text, 'the') AS starts_the,
+        |  ends_with(text, 's') AS ends_s,
+        |  contains(text, 'data') AS has_data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q120_agg_surface" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(count_if(value > 100) AS BIGINT) AS n_high,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  bool_or(value > 400) AS any_gt400,
+        |  round(median(value), 6) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q121_event_paths" ->
+      """WITH w AS (SELECT user_id, event_type, ts, event_id,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |           FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  md5(string_agg(CASE WHEN rn <= 50 THEN event_type END, '>' ORDER BY ts, event_id)) AS path_md5
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q15_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS rid,
         |             CAST(NULL AS STRUCT(asof_ts TIMESTAMP, asof_event_id BIGINT, asof_value DOUBLE)) AS p,
