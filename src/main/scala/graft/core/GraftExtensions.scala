@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProductD, HllSketch, TopKByScore, ZOrder2}
+import graft.functions.expressions.{CmsSketch, DotProductD, HllSketch, TopKByScore, ZOrder2}
 
 /** Catalyst extension point: registers graft's custom expressions with
   * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
@@ -60,6 +60,13 @@ object GraftExtensions {
           case other => other.eval(null).asInstanceOf[Number].intValue()
         }
         TopKByScore(children.head, children(1), k)
+      }),
+    (
+      FunctionIdentifier("cms_md5"),
+      new ExpressionInfo(classOf[CmsSketch].getCanonicalName, null, "cms_md5"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "cms_md5 takes exactly 1 argument")
+        CmsSketch(children.head)
       }),
     (
       FunctionIdentifier("zorder2"),

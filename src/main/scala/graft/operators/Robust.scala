@@ -38,6 +38,86 @@ object Robust {
         Num.davg(col("clipped")).as("winsorized_avg"))
   }
 
+  val HistLo = 0.0
+  val HistHi = 600.0
+  val HistBins = 240 // width 2.5 — exactly representable in binary
+
+  /** Bounded-memory quantile ESTIMATES from a fixed equi-width histogram
+    * — the mergeable sketch that replaces exact `percentile` where
+    * per-group value buffering cannot run (exact percentile holds every
+    * value of a group in memory; this holds `HistBins` counters no
+    * matter how many rows). Counters are plain counts, so partial
+    * aggregation, merging across partitions, and streaming micro-batch
+    * merges are all exact; the estimate interpolates the target rank
+    * inside its bin with a fixed expression shape (integer counts, one
+    * double divide) that a DuckDB oracle reproduces bit-for-bit —
+    * deterministic in a way t-digest/KLL can never be.
+    *
+    * Accuracy contract: error <= one bin width (2.5 here); the q122
+    * calibration query prices the estimates against exact percentiles.
+    */
+  def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = (HistHi - HistLo) / HistBins
+    def pName(p: Double) = s"p${math.round(p * 100)}"
+    val bin = least(lit(HistBins - 1), greatest(lit(0),
+      floor((col(valueCol) - HistLo) / width).cast("int")))
+    val binned = df.select(col(groupCol), bin.as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = binned
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(groupCol)))
+    // per target p: the FIRST bin whose cumulative count reaches the
+    // target rank, captured as a struct min (bin leads, so the struct
+    // order is the bin order)
+    val sels = ps.map { p =>
+      val t = ceil(lit(p) * col("n").cast("double"))
+      min(when(col("cum") >= t,
+        struct(col("bin"), col("cum"), col("c"), t.as("t")))).as(s"sel_${pName(p)}")
+    }
+    val g = cums.groupBy(groupCol)
+      .agg(max(col("n")).as("n"), sels: _*)
+    ps.foldLeft(g) { (acc, p) =>
+      val s = col(s"sel_${pName(p)}")
+      acc.withColumn(s"est_${pName(p)}",
+        round(
+          lit(HistLo) + lit(width) * (s.getField("bin").cast("double") +
+            (s.getField("t") - (s.getField("cum") - s.getField("c")).cast("double"))
+              / s.getField("c").cast("double")),
+          6))
+    }.drop(ps.map(p => s"sel_${pName(p)}"): _*)
+  }
+
+  /** DuckDB twin of histQuantile for one percentile, as CTE text over
+    * relation `m(g, bin, c, cum, n)`; kept beside the implementation so
+    * the expression shapes cannot drift.
+    */
+  object O {
+    def histCte(table: String, groupCol: String, valueCol: String): String = {
+      val width = (HistHi - HistLo) / HistBins
+      s"""SELECT $groupCol AS g, bin, COUNT(*) AS c,
+         |  SUM(COUNT(*)) OVER (PARTITION BY $groupCol ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         |  SUM(COUNT(*)) OVER (PARTITION BY $groupCol) AS n
+         |FROM (SELECT $groupCol,
+         |        least(${HistBins - 1}, greatest(0, CAST(floor(($valueCol - $HistLo) / $width) AS INT))) AS bin
+         |      FROM $table)
+         |GROUP BY $groupCol, bin""".stripMargin
+    }
+
+    def estSelect(p: Double): String = {
+      val width = (HistHi - HistLo) / HistBins
+      s"""SELECT g, round($HistLo + $width * (CAST(bin AS DOUBLE) +
+         |    (t - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)), 6) AS est
+         |FROM (SELECT g, bin, c, cum, ceil($p * CAST(n AS DOUBLE)) AS t,
+         |        row_number() OVER (PARTITION BY g ORDER BY bin) AS rn
+         |      FROM m WHERE cum >= ceil($p * CAST(n AS DOUBLE)))
+         |WHERE rn = 1""".stripMargin
+    }
+  }
+
   /** Per-group MAD outlier stats: median, median-absolute-deviation,
     * and the count of values beyond `k` MADs.
     */

@@ -117,6 +117,25 @@ object AnalyticsQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q122: histogram-quantile sketch calibration — the bounded-memory
+    * quantile ESTIMATE (240 fixed bins, mergeable counters, error <= one
+    * bin width) priced against the exact percentile per group. At 100 TB
+    * the exact branch cannot run (per-group value buffering); the sketch
+    * replaces it and this query is the error audit that justifies it.
+    */
+  val histQuantile: Q = (s, dir) => {
+    import graft.operators.Robust
+    val e = Tables(s, dir, "events")
+    val est = Robust.histQuantile(e, "event_type", "value")
+    val exact = e.groupBy("event_type").agg(
+      round(percentile(col("value"), lit(0.5)), 6).as("exact_p50"),
+      round(percentile(col("value"), lit(0.95)), 6).as("exact_p95"))
+    est.join(exact, "event_type")
+      .withColumn("err_p50", round(abs(col("est_p50") - col("exact_p50")), 6))
+      .withColumn("err_p95", round(abs(col("est_p95") - col("exact_p95")), 6))
+      .orderBy("event_type")
+  }
+
   /** q62 (rows-only): sketch-based hourly aggregate for the 100 TB path. */
   val hourlyApprox: Q = (s, dir) =>
     WarehouseAggregates.hourlyAggApprox(readings(s, dir)).orderBy("bucket", "device_type")
@@ -393,6 +412,7 @@ object AnalyticsQueries {
     "q59_gap_fill" -> gapFill,
     "q60_skew_salted" -> skewSalted,
     "q118_salted_join" -> skewSaltedJoin,
+    "q122_hist_quantile" -> histQuantile,
     "q61_unpivot" -> unpivot,
     "q62_hourly_approx" -> hourlyApprox,
     "q63_approx_distinct" -> approxDistinct,
@@ -625,6 +645,22 @@ object AnalyticsQueries {
     "q118_salted_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${N.sum("o_totalprice")} AS total_spend
          |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q122_hist_quantile" -> {
+      import graft.operators.{Robust => R}
+      s"""WITH m AS (${R.O.histCte("events", "event_type", "value")}),
+         |nn AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n FROM m GROUP BY g),
+         |p50 AS (SELECT g, est AS est_p50 FROM (${R.O.estSelect(0.5)})),
+         |p95 AS (SELECT g, est AS est_p95 FROM (${R.O.estSelect(0.95)})),
+         |ex AS (SELECT event_type AS g,
+         |         round(quantile_cont(value, 0.5), 6) AS exact_p50,
+         |         round(quantile_cont(value, 0.95), 6) AS exact_p95
+         |       FROM events GROUP BY 1)
+         |SELECT g AS event_type, n, est_p50, est_p95, exact_p50, exact_p95,
+         |  round(abs(est_p50 - exact_p50), 6) AS err_p50,
+         |  round(abs(est_p95 - exact_p95), 6) AS err_p95
+         |FROM nn JOIN p50 USING (g) JOIN p95 USING (g) JOIN ex USING (g)
+         |ORDER BY event_type""".stripMargin
+    }
   )
 }

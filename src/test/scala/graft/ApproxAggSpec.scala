@@ -30,4 +30,23 @@ class ApproxAggSpec extends AnyFunSuite with TestSpark {
     // sketch result is an actual sample, bounded by the data range
     assert(approx.getDouble(0) >= 0.0 && approx.getDouble(0) <= 9999.0)
   }
+
+  test("histogram quantile estimate is partitioning-invariant and within one bin width") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Robust
+    val width = (Robust.HistHi - Robust.HistLo) / Robust.HistBins
+    // deterministic non-uniform values in [0, 600)
+    val rows = (0 until 8000).map(i => ("g" + (i % 2), (i * i % 5997) / 10.0))
+    val df = rows.toDF("g", "v")
+    val a = Robust.histQuantile(df.repartition(1), "g", "v").orderBy("g").collect()
+    val b = Robust.histQuantile(df.repartition(13), "g", "v").orderBy("g").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // merge path bit-identical
+    val exact = df.groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("e50"), percentile(col("v"), lit(0.95)).as("e95"))
+      .orderBy("g").collect()
+    a.zip(exact).foreach { case (est, ex) =>
+      assert(math.abs(est.getDouble(2) - ex.getDouble(1)) <= width, s"p50 off: $est vs $ex")
+      assert(math.abs(est.getDouble(3) - ex.getDouble(2)) <= width, s"p95 off: $est vs $ex")
+    }
+  }
 }

@@ -21,6 +21,14 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(sqlEst == colEst)
   }
 
+  test("cms_md5 is callable from SQL and matches the Column API") {
+    (1 to 500).map(i => s"w${i % 61}").toDF("w").createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql("SELECT cms_md5(w) AS c FROM cms_in").head.getSeq[Long](0)
+    val viaCol = spark.table("cms_in")
+      .agg(graft.functions.Sketch.cmsMd5($"w")).head.getSeq[Long](0)
+    assert(viaSql == viaCol)
+  }
+
   test("topk_by_score is callable from SQL and matches the Column API") {
     (1L to 100L).map(i => (i % 3, i.toDouble, i)).toDF("g", "s", "id")
       .createOrReplaceTempView("topk_in")

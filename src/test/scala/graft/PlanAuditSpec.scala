@@ -147,4 +147,27 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
       assert(cents.count() <= Similarity.IvfNlist, s"nlist grew at $sf")
     }
   }
+
+  test("CMS sketch aggregates with map-side partials (ObjectHashAggregate)") {
+    val p = plan("q113_cms_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p.take(1000))
+    assert(p.contains("partial_cms_md5"), p.take(1000))
+  }
+
+  test("salted join carries the salt in the join keys (hot key split across reducers)") {
+    val p = plan("q118_salted_join")
+    assert(p.contains("__salt"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("inverted index decides df before any posting list materializes") {
+    // the collect_list aggregate must sit ABOVE the df-filtering join in
+    // the plan tree: no list buffer exists for a term outside the band
+    val p = plan("q115_inverted_index")
+    val collectAt = p.indexOf("collect_list")
+    val joinAt = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    assert(collectAt >= 0 && joinAt >= 0, p.take(1200))
+    assert(collectAt < joinAt, s"collect_list (at $collectAt) should be upstream-of-root " +
+      s"relative to the df join (at $joinAt)\n${p.take(1500)}")
+  }
 }
