@@ -410,6 +410,60 @@ object PipelineQueries {
       .withColumn("skew_ratio", round(col("max_c") / col("avg_c"), 6))
   }
 
+  /** q123: training-mixture composer — given target corpus shares per
+    * source, the per-source keep rate and expected token yield that hit
+    * the mixture. The planning step before a weighted-sampling pass; one
+    * keyed token count + a broadcast scalar total.
+    */
+  val MixtureTargets = Map("src0" -> 20, "src1" -> 15) // % of the mix
+  val MixtureDefaultPct = 5
+  val mixture: Q = (s, dir) => {
+    import graft.functions.Text
+    val perSource = docs(s, dir)
+      .select(col("source"), size(Text.words(col("text"))).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("actual_tokens"))
+    val total = perSource.agg(sum(col("actual_tokens")).as("total_tokens"))
+    val share = MixtureTargets.foldRight(lit(MixtureDefaultPct)) {
+      case ((src, pct), els) => when(col("source") === src, lit(pct)).otherwise(els)
+    }
+    perSource.crossJoin(broadcast(total))
+      .withColumn("target_pct", share)
+      .withColumn("target_tokens",
+        col("total_tokens").cast("double") * col("target_pct") / 100.0)
+      .withColumn("keep_pct", round(
+        least(lit(1.0), col("target_tokens") / col("actual_tokens").cast("double")) * 100.0, 6))
+      .withColumn("expected_tokens", round(
+        col("actual_tokens").cast("double") *
+          least(lit(1.0), col("target_tokens") / col("actual_tokens").cast("double")), 6))
+      .select("source", "n_docs", "actual_tokens", "target_pct",
+        "keep_pct", "expected_tokens")
+      .orderBy("source")
+  }
+
+  /** q124: vocabulary coverage curve — the top-20 words ranked by
+    * frequency with cumulative corpus share (the tokenizer-vocab sizing
+    * read: how small a vocab covers 90% of tokens). TakeOrdered top-k,
+    * then a constant-size window.
+    */
+  val vocabCoverage: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val words = docs(s, dir).select(explode(Text.words(col("text"))).as("w"))
+    val total = words.agg(count(lit(1)).as("total"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(20)
+    val wRank = Window.orderBy(desc("c"), col("w"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum_c",
+        sum(col("c")).over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_share", round(col("cum_c").cast("double") / col("total"), 6))
+      .withColumn("covers_90pct", col("cum_share") >= 0.9)
+      .select("rank", "w", "c", "cum_c", "cum_share", "covers_90pct")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -456,7 +510,9 @@ object PipelineQueries {
     "q113_cms_heavy_hitters" -> cmsHeavyHitters,
     "q114_dup_spans" -> dupSpans,
     "q115_inverted_index" -> invertedIndex,
-    "q116_key_skew" -> keySkew)
+    "q116_key_skew" -> keySkew,
+    "q123_mixture" -> mixture,
+    "q124_vocab_coverage" -> vocabCoverage)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -574,6 +630,35 @@ object PipelineQueries {
          |  round((SELECT COUNT(*) FROM j WHERE b1 = b2)
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
     "q114_dup_spans" -> Dedup.O.duplicateSpans(),
+    "q123_mixture" -> {
+      val caseSql = MixtureTargets
+        .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
+        .mkString("CASE ", " ", s" ELSE $MixtureDefaultPct END")
+      s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+         |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(actual_tokens) AS BIGINT) AS total_tokens FROM s),
+         |j AS (SELECT s.*, t.total_tokens, CAST($caseSql AS INT) AS target_pct
+         |      FROM s CROSS JOIN t),
+         |k AS (SELECT *, CAST(total_tokens AS DOUBLE) * target_pct / 100.0 AS target_tokens
+         |      FROM j)
+         |SELECT source, n_docs, actual_tokens, target_pct,
+         |  round(least(1.0, target_tokens / CAST(actual_tokens AS DOUBLE)) * 100.0, 6) AS keep_pct,
+         |  round(CAST(actual_tokens AS DOUBLE)
+         |        * least(1.0, target_tokens / CAST(actual_tokens AS DOUBLE)), 6) AS expected_tokens
+         |FROM k ORDER BY source""".stripMargin
+    },
+    "q124_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT COUNT(*) AS total FROM w),
+        |top AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1 ORDER BY c DESC, w LIMIT 20),
+        |r AS (SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w) AS INT) AS rank,
+        |        CAST(SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        |      FROM top)
+        |SELECT rank, w, c, cum_c,
+        |  round(CAST(cum_c AS DOUBLE) / total, 6) AS cum_share,
+        |  (round(CAST(cum_c AS DOUBLE) / total, 6) >= 0.9) AS covers_90pct
+        |FROM r CROSS JOIN t ORDER BY rank""".stripMargin,
     "q116_key_skew" ->
       s"""WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
          |top AS (SELECT user_id AS top_key, c AS top_c FROM c ORDER BY c DESC, user_id LIMIT 1),

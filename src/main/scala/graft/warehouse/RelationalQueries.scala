@@ -192,6 +192,31 @@ object RelationalQueries {
       .orderBy("segment", "user_id")
   }
 
+  /** q125: FULL OUTER reconciliation — purchasers vs error-reporters
+    * per user, both sides preserved (the join type the enrich/semi/anti
+    * family doesn't cover). Keys coalesce through the USING-style join;
+    * the activity class is a deterministic CASE over null sides.
+    */
+  val fullOuter: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), Num.dsum(col("value")).as("spend"))
+    val er = e.filter(col("event_type") === "error")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_errors"))
+    p.join(er, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        when(col("n_purchases").isNull, lit("errors_only"))
+          .when(col("n_errors").isNull, lit("purchases_only"))
+          .otherwise(lit("both")).as("activity"))
+      .orderBy("user_id")
+  }
+
   /** Left-outer enrichment join (J1-J3 semantics: fact keeps rows with no
     * dimension match; reference spark_transform.py:46-57): every customer
     * with their order rollup, zero-filled when absent.
@@ -331,6 +356,7 @@ object RelationalQueries {
     "q12_top_words" -> topWords,
     "q13_left_enrich" -> leftEnrich,
     "q117_set_ops_all" -> setOpsAll,
+    "q125_full_outer" -> fullOuter,
     "q14_sql_surface" -> sqlSurface,
     "q72_subqueries" -> subqueries,
     "q79_filter_clause" -> filterClause,
@@ -437,6 +463,20 @@ object RelationalQueries {
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q125_full_outer" ->
+      s"""WITH p AS (SELECT user_id, COUNT(*) AS n_purchases, ${N.sum("value")} AS spend
+         |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |e AS (SELECT user_id, COUNT(*) AS n_errors
+         |      FROM events WHERE event_type = 'error' GROUP BY 1)
+         |SELECT user_id,
+         |  coalesce(n_purchases, 0) AS n_purchases,
+         |  coalesce(spend, 0.0) AS spend,
+         |  coalesce(n_errors, 0) AS n_errors,
+         |  CASE WHEN n_purchases IS NULL THEN 'errors_only'
+         |       WHEN n_errors IS NULL THEN 'purchases_only'
+         |       ELSE 'both' END AS activity
+         |FROM p FULL JOIN e USING (user_id)
+         |ORDER BY user_id""".stripMargin,
     "q117_set_ops_all" ->
       """WITH ea AS (
         |  SELECT user_id, 'purchase_except_all_error' AS segment FROM (
