@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num
@@ -38,4 +38,30 @@ object QualityChecks {
           lit(100.0) * sum(when(col("quality_score") >= 50, 1L).otherwise(0L)) / count(lit(1)),
           6).as("high_quality_pct"),
         round(Num.davg(col("quality_score")), 6).as("avg_quality"))
+
+  /** One declarative data-quality expectation: `pass` iff the aggregate
+    * metric is <= `maxAllowed`. Express lower bounds by negating the
+    * metric (e.g. `-count(*)` <= -1000 means "at least 1000 rows").
+    */
+  final case class Expect(name: String, metric: Column, maxAllowed: Double)
+
+  /** Evaluate a set of expectations in ONE aggregation pass over the
+    * frame, returning a long-format report row per check (name, metric,
+    * bound, pass) — the ingestion gate that decides whether a batch may
+    * publish. All metrics are exact counts/ratios, so the report
+    * hash-matches a SQL oracle.
+    */
+  def expectations(df: DataFrame, checks: Seq[Expect]): DataFrame = {
+    require(checks.nonEmpty, "at least one expectation required")
+    val aggs = checks.map(c => c.metric.cast("double").as(c.name))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.map { c =>
+        struct(
+          lit(c.name).as("check_name"),
+          col(c.name).as("metric"),
+          lit(c.maxAllowed).as("max_allowed"),
+          (col(c.name) <= c.maxAllowed).as("pass"))
+      }: _*)).as("e"))
+      .select("e.*")
+  }
 }

@@ -193,6 +193,35 @@ object StreamSinks {
     s"$outDir/p=$enc"
   }
 
+  /** Generations currently on disk for an (unpartitioned) store dir,
+    * ascending. Retention keeps the current and previous generation
+    * (upsert/compact delete `gen-(g-1)` only after committing `g+1`),
+    * so a reader can pin the prior snapshot while a writer advances.
+    */
+  def listGenerations(outDir: String): Seq[Long] = {
+    val d = new java.io.File(outDir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toLong)
+      .sorted
+  }
+
+  /** Time-travel read: a SPECIFIC committed generation of an
+    * unpartitioned store — the snapshot-isolation read (audits, diffing
+    * a batch's effect, reproducing yesterday's training input) the
+    * `_CURRENT`-resolving readStore cannot express. Throws if the
+    * generation has been retired by retention.
+    */
+  def readStoreAt(spark: SparkSession, outDir: String, gen: Long): DataFrame = {
+    if (!listGenerations(outDir).contains(gen))
+      throw new IllegalArgumentException(
+        s"generation $gen not on disk under $outDir (have ${listGenerations(outDir).mkString(",")})")
+    spark.read.parquet(genPath(outDir, gen))
+  }
+
+  /** The committed generation number of an unpartitioned store. */
+  def currentGeneration(outDir: String): Option[Long] = currentGen(outDir)
+
   private def listPartDirs(outDir: String): Seq[String] = {
     val root = Paths.get(outDir)
     if (!Files.isDirectory(root)) Seq.empty

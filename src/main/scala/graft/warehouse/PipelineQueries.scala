@@ -464,6 +464,26 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** q126: declarative expectations gate — constraint report (row
+    * volume, PK uniqueness, null rate, value range, future timestamps)
+    * evaluated in ONE aggregation pass; the publish/quarantine decision
+    * an ingestion batch runs before its output becomes visible.
+    */
+  val expectationsGate: Q = (s, dir) => {
+    import graft.operators.QualityChecks.{expectations, Expect}
+    val e = Tables(s, dir, "events")
+    expectations(e, Seq(
+      Expect("min_rows", -count(lit(1)), -1000.0),
+      Expect("pk_duplicates", count(lit(1)) - count_distinct(col("event_id")), 0.0),
+      Expect("null_user_pct",
+        lit(100.0) * count(when(col("user_id").isNull, 1)) / count(lit(1)), 1.0),
+      Expect("value_out_of_range",
+        count(when(col("value") < 0 || col("value") > 1000, 1)), 0.0),
+      Expect("future_ts",
+        count(when(col("ts") > lit("2026-01-01 00:00:00").cast("timestamp"), 1)), 0.0)))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -512,7 +532,8 @@ object PipelineQueries {
     "q115_inverted_index" -> invertedIndex,
     "q116_key_skew" -> keySkew,
     "q123_mixture" -> mixture,
-    "q124_vocab_coverage" -> vocabCoverage)
+    "q124_vocab_coverage" -> vocabCoverage,
+    "q126_expectations" -> expectationsGate)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -630,6 +651,25 @@ object PipelineQueries {
          |  round((SELECT COUNT(*) FROM j WHERE b1 = b2)
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
     "q114_dup_spans" -> Dedup.O.duplicateSpans(),
+    "q126_expectations" ->
+      """WITH m AS (SELECT
+        |    CAST(-COUNT(*) AS DOUBLE) AS min_rows,
+        |    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS DOUBLE) AS pk_duplicates,
+        |    CAST(100.0 * count_if(user_id IS NULL) / COUNT(*) AS DOUBLE) AS null_user_pct,
+        |    CAST(count_if(value < 0 OR value > 1000) AS DOUBLE) AS value_out_of_range,
+        |    CAST(count_if(ts > TIMESTAMP '2026-01-01 00:00:00') AS DOUBLE) AS future_ts
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'future_ts' AS check_name, future_ts AS metric, 0.0 AS max_allowed, future_ts <= 0.0 AS pass FROM m
+        |  UNION ALL
+        |  SELECT 'min_rows', min_rows, -1000.0, min_rows <= -1000.0 FROM m
+        |  UNION ALL
+        |  SELECT 'null_user_pct', null_user_pct, 1.0, null_user_pct <= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'pk_duplicates', pk_duplicates, 0.0, pk_duplicates <= 0.0 FROM m
+        |  UNION ALL
+        |  SELECT 'value_out_of_range', value_out_of_range, 0.0, value_out_of_range <= 0.0 FROM m)
+        |ORDER BY check_name""".stripMargin,
     "q123_mixture" -> {
       val caseSql = MixtureTargets
         .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }

@@ -176,6 +176,28 @@ class StreamRecoverySpec extends AnyFunSuite with TestSpark {
       (w2, "d1") -> 25.0, (w2, "d3") -> 30.0))
   }
 
+  test("time travel: the prior committed generation stays readable as the store advances") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-timetravel").toString + "/store"
+    StreamSinks.upsertBatch(Seq(("k1", 1.0)).toDF("k", "v"), dir, Seq("k"))
+    val g1 = StreamSinks.currentGeneration(dir).get
+    StreamSinks.upsertBatch(Seq(("k1", 2.0), ("k2", 5.0)).toDF("k", "v"), dir, Seq("k"))
+    val g2 = StreamSinks.currentGeneration(dir).get
+    assert(g2 == g1 + 1)
+    assert(StreamSinks.listGenerations(dir).containsSlice(Seq(g1, g2)))
+    // snapshot-isolation read: the pre-batch state, byte-for-byte
+    val old = StreamSinks.readStoreAt(spark, dir, g1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(old == Map("k1" -> 1.0))
+    val cur = StreamSinks.readStore(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cur == Map("k1" -> 2.0, "k2" -> 5.0))
+    // a retired/never-written generation is an explicit error
+    intercept[IllegalArgumentException] {
+      StreamSinks.readStoreAt(spark, dir, g2 + 7)
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
