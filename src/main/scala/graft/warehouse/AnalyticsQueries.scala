@@ -136,6 +136,62 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** q127: event-time regression diagnostics — per user, how often the
+    * event time moves BACKWARD relative to arrival order (event_id) and
+    * the largest backward jump. The late-data health read that sizes a
+    * streaming watermark delay. One keyed window (lag) + one keyed agg.
+    */
+  val outOfOrder: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("regress_us",
+        when(col("ts") < col("prev_ts"),
+          unix_micros(col("prev_ts")) - unix_micros(col("ts"))))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("regress_us")).as("n_backward"),
+        round(lit(100.0) * count(col("regress_us")) / count(lit(1)), 6).as("backward_pct"),
+        max(col("regress_us")).as("max_regression_us"))
+      .orderBy("user_id")
+  }
+
+  /** q128: population stability index — value-distribution drift between
+    * the first and second half of the stream, per event type. Fixed
+    * 24-bin histogram on both sides (one keyed count), PSI summed over
+    * bins populated on BOTH sides via a decimal-backed sum so the fold
+    * is order-independent. The drift monitor run before trusting a
+    * model/filter trained on last month's distribution.
+    */
+  val PsiSplit = "2024-01-16 00:00:00"
+  val PsiBins = 24 // width 25 over [0, 600)
+  val psiDrift: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val bin = least(lit(PsiBins - 1), greatest(lit(0),
+      floor(col("value") / 25.0).cast("int")))
+    val byBin = e
+      .select(col("event_type"), bin.as("bin"),
+        (col("ts") < lit(PsiSplit).cast("timestamp")).as("early"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(when(col("early"), 1)).as("c1"),
+        count(when(!col("early"), 1)).as("c2"))
+    val tot = byBin.groupBy("event_type")
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    byBin.join(tot, "event_type")
+      .filter(col("c1") > 0 && col("c2") > 0)
+      .withColumn("p1", col("c1").cast("double") / col("n1"))
+      .withColumn("p2", col("c2").cast("double") / col("n2"))
+      .withColumn("term", (col("p1") - col("p2")) * log(col("p1") / col("p2")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_bins_used"),
+        round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   /** q62 (rows-only): sketch-based hourly aggregate for the 100 TB path. */
   val hourlyApprox: Q = (s, dir) =>
     WarehouseAggregates.hourlyAggApprox(readings(s, dir)).orderBy("bucket", "device_type")
@@ -413,6 +469,8 @@ object AnalyticsQueries {
     "q60_skew_salted" -> skewSalted,
     "q118_salted_join" -> skewSaltedJoin,
     "q122_hist_quantile" -> histQuantile,
+    "q127_out_of_order" -> outOfOrder,
+    "q128_psi_drift" -> psiDrift,
     "q61_unpivot" -> unpivot,
     "q62_hourly_approx" -> hourlyApprox,
     "q63_approx_distinct" -> approxDistinct,
@@ -646,6 +704,35 @@ object AnalyticsQueries {
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${N.sum("o_totalprice")} AS total_spend
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q127_out_of_order" ->
+      """WITH w AS (SELECT user_id, event_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |           FROM events),
+        |r AS (SELECT user_id,
+        |        CASE WHEN ts < prev_ts THEN epoch_us(prev_ts) - epoch_us(ts) END AS regress_us
+        |      FROM w)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(regress_us) AS n_backward,
+        |  round(100.0 * COUNT(regress_us) / COUNT(*), 6) AS backward_pct,
+        |  MAX(regress_us) AS max_regression_us
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q128_psi_drift" ->
+      s"""WITH b AS (SELECT event_type,
+         |             least(${PsiBins - 1}, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bin,
+         |             (ts < TIMESTAMP '$PsiSplit') AS early
+         |           FROM events),
+         |c AS (SELECT event_type, bin,
+         |        CAST(count_if(early) AS BIGINT) AS c1,
+         |        CAST(count_if(NOT early) AS BIGINT) AS c2
+         |      FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+         |      FROM c GROUP BY 1),
+         |j AS (SELECT c.event_type,
+         |        CAST(c1 AS DOUBLE) / n1 AS p1, CAST(c2 AS DOUBLE) / n2 AS p2
+         |      FROM c JOIN t USING (event_type) WHERE c1 > 0 AND c2 > 0)
+         |SELECT event_type, COUNT(*) AS n_bins_used,
+         |  round(CAST(SUM(CAST((p1 - p2) * ln(p1 / p2) AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q122_hist_quantile" -> {
       import graft.operators.{Robust => R}
       s"""WITH m AS (${R.O.histCte("events", "event_type", "value")}),
