@@ -95,4 +95,93 @@ object Clustering {
     }
     centroids
   }
+
+  val PcaIters = 4
+
+  /** Top principal direction of the (uncentered) embedding corpus by
+    * power iteration on X^T X, computed WITHOUT materializing the
+    * covariance matrix: each round is t = X·v (per-row sequential-fold
+    * dot product — never a d×d intermediate) followed by u = X^T·t (one
+    * posexplode + per-dimension decimal-backed sum) and a normalize.
+    * Per round the corpus is touched twice with word-count shuffle
+    * shapes; v is a 1-row array broadcast.
+    *
+    * Deterministic BY CONSTRUCTION, so a DuckDB oracle replays the
+    * identical trajectory: the init is constant (1/8 — exact in
+    * binary), row dots fold sequentially (matching list_reduce),
+    * per-dim sums ride decimals (order-independent), and
+    * sqrt/divide are correctly-rounded IEEE ops. Eigenvector sign
+    * follows the deterministic init. Returns (dim, loading,
+    * eigenvalue): loading the unit direction, eigenvalue the last
+    * pre-normalization norm (the Rayleigh estimate of λ_max).
+    */
+  def topPrincipalComponent(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    val spark = emb.sparkSession
+    val dims = emb.select(size(col("embedding")).as("d")).limit(1)
+    // v as a 1-row array frame; init 1/8 = exact dyadic constant
+    var v = dims.select(transform(sequence(lit(1), col("d")),
+      _ => lit(0.125)).as("v"))
+    var lastNorm: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to iters) {
+      val t = emb.crossJoin(broadcast(v))
+        .select(col("embedding"),
+          aggregate(
+            zip_with(col("embedding"), col("v"), (x, y) => x.cast("double") * y),
+            lit(0d), (acc, x) => acc + x).as("t"))
+      val u = t
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("t"))
+        .groupBy((col("pos") + 1).as("dim"))
+        .agg(sum((col("x").cast("double") * col("t")).cast("decimal(38,12)"))
+          .cast("double").as("ud"))
+      val uArr = u
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("ud")))),
+          x => x.getField("ud")).as("u"))
+      val withNorm = uArr.select(col("u"),
+        sqrt(aggregate(col("u"), lit(0d), (acc, x) => acc + x * x)).as("nrm"))
+      lastNorm = withNorm.select(col("nrm"))
+      v = withNorm.select(transform(col("u"), x => x / col("nrm")).as("v"))
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(posexplode(col("v")).as(Seq("pos", "loading")), col("nrm"))
+      .select(
+        (col("pos") + 1).as("dim"),
+        round(col("loading"), 6).as("loading"),
+        round(col("nrm"), 6).as("eigenvalue"))
+  }
+
+  /** DuckDB oracle builders. */
+  object O {
+
+    /** Mirrors topPrincipalComponent: the same power-iteration
+      * trajectory unrolled as CTEs (generated, so the iteration count
+      * and expression shapes cannot drift from the Spark side).
+      */
+    def topPrincipalComponent(iters: Int = PcaIters, dim: Int = 64): String = {
+      val d1 = dim + 1
+      val sb = new StringBuilder(
+        s"WITH v0 AS (SELECT list_transform(range(1, $d1), i -> 0.125) AS v)")
+      for (k <- 1 to iters) {
+        val p = k - 1
+        sb.append(s""",
+          |t$k AS (SELECT e.embedding,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list_transform(range(1, $d1), i -> CAST(e.embedding[i] AS DOUBLE) * w.v[i])),
+          |    (a, b) -> a + b) AS t
+          |  FROM embeddings e CROSS JOIN v$p w),
+          |u$k AS (SELECT i AS dim,
+          |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * t AS DECIMAL(38,12))) AS DOUBLE) AS ud
+          |  FROM t$k CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i),
+          |n$k AS (SELECT u, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nrm
+          |  FROM (SELECT list(ud ORDER BY dim) AS u FROM u$k)),
+          |v$k AS (SELECT list_transform(u, x -> x / nrm) AS v FROM n$k)""".stripMargin)
+      }
+      sb.append(s"""
+        |SELECT CAST(i AS INT) AS dim, round(v[i], 6) AS loading, round(nrm, 6) AS eigenvalue
+        |FROM v$iters CROSS JOIN n$iters CROSS JOIN (SELECT unnest(range(1, $d1)) AS i)
+        |ORDER BY dim""".stripMargin)
+      sb.toString
+    }
+  }
 }

@@ -484,6 +484,13 @@ object PipelineQueries {
       .orderBy("check_name")
   }
 
+  /** q129: top principal direction of the embedding corpus — power
+    * iteration without materializing the covariance matrix, every step
+    * deterministic so the oracle replays the identical trajectory.
+    */
+  val topPc: Q = (s, dir) =>
+    Clustering.topPrincipalComponent(emb(s, dir)).orderBy("dim")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -533,7 +540,8 @@ object PipelineQueries {
     "q116_key_skew" -> keySkew,
     "q123_mixture" -> mixture,
     "q124_vocab_coverage" -> vocabCoverage,
-    "q126_expectations" -> expectationsGate)
+    "q126_expectations" -> expectationsGate,
+    "q129_top_pc" -> topPc)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -651,6 +659,7 @@ object PipelineQueries {
          |  round((SELECT COUNT(*) FROM j WHERE b1 = b2)
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
     "q114_dup_spans" -> Dedup.O.duplicateSpans(),
+    "q129_top_pc" -> Clustering.O.topPrincipalComponent(),
     "q126_expectations" ->
       """WITH m AS (SELECT
         |    CAST(-COUNT(*) AS DOUBLE) AS min_rows,

@@ -55,4 +55,27 @@ class ClusteringSpec extends AnyFunSuite with TestSpark {
     assert(long.map(_.getDouble(3)).toSeq == Seq(2.0, 4.0))
     assert(long.forall(_.getLong(2) == 2L))
   }
+
+  test("top principal component: partitioning-invariant and a genuine dominant direction") {
+    // anisotropic cloud: dominant variance along (1,1,0,0)/sqrt(2)
+    val rows = (0 until 400).map { i =>
+      val s = (i % 41 - 20) / 4.0 // big spread along the diagonal
+      val n1 = (i % 7 - 3) / 30.0 // small noise
+      val n2 = (i % 11 - 5) / 30.0
+      (i.toLong, Array((s + n1).toFloat, (s - n1).toFloat, n2.toFloat, (n2 / 2).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val a = Clustering.topPrincipalComponent(df.repartition(1))
+      .orderBy("dim").collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val b = Clustering.topPrincipalComponent(df.repartition(9))
+      .orderBy("dim").collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq) // decimal-backed sums: merge path bit-identical
+    val v = a.map(_._2)
+    // unit direction dominated by the first two (diagonal) coordinates
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-5)
+    assert(math.abs(v(0) - v(1)) < 0.02, v.mkString(",")) // symmetric diagonal
+    assert(math.abs(v(0)) > 0.65 && math.abs(v(2)) < 0.15, v.mkString(","))
+    // eigenvalue positive and identical across rows
+    assert(a.map(_._3).distinct.length == 1 && a.head._3 > 0)
+  }
 }
