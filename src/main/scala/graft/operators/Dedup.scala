@@ -59,15 +59,22 @@ object Dedup {
     * components). Bands are joined by equality — the candidate join is
     * keyed, not quadratic.
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
+  /** (doc_id, band_id, band_val) rows from a signature table — the LSH
+    * bucketing shared by pair generation and incremental flagging.
+    */
+  private def bandTable(sig: DataFrame): DataFrame = {
     val rows = MinhashK / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("band_val"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).cache()
+    val banded = bandTable(sig)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
@@ -345,6 +352,38 @@ object Dedup {
         (col("doc_id") === col("cluster_rep")).as("is_kept"))
   }
 
+  /** Incremental ingest dedup: flag each NEW document (doc_id >=
+    * splitId) as an exact and/or LSH-band near duplicate of the EXISTING
+    * corpus (doc_id < splitId) — the nightly-batch question ("is this
+    * new crawl already in the corpus?") that pairwise dedup answers
+    * quadratically. Exact is a semi join on the 16-byte content md5;
+    * near is a semi join of the new side's bands against the old side's
+    * distinct band set — both keyed, both broadcast-friendly when the
+    * new batch is small relative to the corpus.
+    */
+  def incrementalFlags(docs: DataFrame, splitId: Long): DataFrame = {
+    val banded = bandTable(minhashSignatures(docs))
+    val oldBands = banded.filter(col("doc_id") < splitId)
+      .select("band_id", "band_val").distinct()
+    val near = banded.filter(col("doc_id") >= splitId)
+      .join(oldBands, Seq("band_id", "band_val"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("near", lit(true))
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("ch"))
+    val oldHashes = hashed.filter(col("doc_id") < splitId).select("ch").distinct()
+    val exact = hashed.filter(col("doc_id") >= splitId)
+      .join(oldHashes, Seq("ch"), "left_semi")
+      .select("doc_id")
+      .withColumn("exact", lit(true))
+    docs.filter(col("doc_id") >= splitId).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("exact"), lit(false)).as("is_exact_dup"),
+        coalesce(col("near"), lit(false)).as("is_near_dup"))
+  }
+
   val SpanGramLen = 8 // L: duplicate-substring resolution, in words
 
   /** Exact duplicate-substring spans at L-word resolution: for each
@@ -439,14 +478,39 @@ object Dedup {
          |WHERE levenshtein(a.pfx, b.pfx) <= $maxDist
          |ORDER BY d1, d2""".stripMargin
 
-    def minhashPairs: String = {
-      val hs = (0 until MinhashK)
-        .map(i => s"min(('0x' || substr(md5('$i:' || sh), 1, 8))::BIGINT) AS h$i")
-        .mkString(",\n         ")
+    private def minhashHs: String = (0 until MinhashK)
+      .map(i => s"min(('0x' || substr(md5('$i:' || sh), 1, 8))::BIGINT) AS h$i")
+      .mkString(",\n         ")
+
+    private def minhashBandsEq: String = {
       val rows = MinhashK / MinhashBands
-      val bands = (0 until MinhashBands).map { b =>
+      (0 until MinhashBands).map { b =>
         (0 until rows).map(r => s"a.h${b * rows + r} = b.h${b * rows + r}").mkString("(", " AND ", ")")
       }.mkString(" OR ")
+    }
+
+    /** Mirrors incrementalFlags (band equality as the OR of per-band
+      * component conjunctions — equivalent to the concat key, since the
+      * separator is outside the digit alphabet).
+      */
+    def incrementalFlags(splitId: Long): String =
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id,
+         |         $minhashHs
+         |        FROM sh GROUP BY doc_id),
+         |near AS (SELECT DISTINCT a.doc_id FROM sig a JOIN sig b
+         |         ON b.doc_id < $splitId AND a.doc_id >= $splitId AND ($minhashBandsEq)),
+         |ch AS (SELECT doc_id, md5(text) AS ch FROM documents),
+         |ex AS (SELECT DISTINCT a.doc_id FROM ch a JOIN ch b
+         |       ON b.doc_id < $splitId AND a.doc_id >= $splitId AND a.ch = b.ch)
+         |SELECT d.doc_id,
+         |  (d.doc_id IN (SELECT doc_id FROM ex)) AS is_exact_dup,
+         |  (d.doc_id IN (SELECT doc_id FROM near)) AS is_near_dup
+         |FROM documents d WHERE d.doc_id >= $splitId ORDER BY doc_id""".stripMargin
+
+    def minhashPairs: String = {
+      val hs = minhashHs
+      val bands = minhashBandsEq
       val matches = (0 until MinhashK)
         .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")

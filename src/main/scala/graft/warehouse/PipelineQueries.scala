@@ -491,6 +491,34 @@ object PipelineQueries {
   val topPc: Q = (s, dir) =>
     Clustering.topPrincipalComponent(emb(s, dir)).orderBy("dim")
 
+  /** q130: n-gram novelty — per document, the share of its distinct
+    * 3-grams never seen in any EARLIER document (doc_id order): the
+    * incremental-crawl value signal (a doc that is 90% old grams adds
+    * little). First-occurrence attribution is one keyed min + one keyed
+    * join — no pair set.
+    */
+  val novelty: Q = (s, dir) => {
+    import graft.functions.Text
+    val g = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(Text.shingles(col("text")))).as("g"))
+    val firstSeen = g.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    g.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") < col("doc_id"), 1)).as("n_seen_before"))
+      .withColumn("novelty",
+        round((col("n_grams") - col("n_seen_before")).cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** q131: incremental ingest dedup — new batch (doc_id >= 400) flagged
+    * exact / band-near-dup against the existing corpus.
+    */
+  val IncrementalSplit = 400L
+  val incrementalDedup: Q = (s, dir) =>
+    Dedup.incrementalFlags(docs(s, dir), IncrementalSplit).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -541,7 +569,9 @@ object PipelineQueries {
     "q123_mixture" -> mixture,
     "q124_vocab_coverage" -> vocabCoverage,
     "q126_expectations" -> expectationsGate,
-    "q129_top_pc" -> topPc)
+    "q129_top_pc" -> topPc,
+    "q130_novelty" -> novelty,
+    "q131_incremental_dedup" -> incrementalDedup)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -660,6 +690,18 @@ object PipelineQueries {
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
     "q114_dup_spans" -> Dedup.O.duplicateSpans(),
     "q129_top_pc" -> Clustering.O.topPrincipalComponent(),
+    "q130_novelty" ->
+      """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |         FROM wl WHERE len(w) >= 3) t),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(count_if(first_doc < doc_id) AS BIGINT) AS n_seen_before,
+        |  round(CAST(COUNT(*) - count_if(first_doc < doc_id) AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sh JOIN f USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q131_incremental_dedup" -> Dedup.O.incrementalFlags(IncrementalSplit),
     "q126_expectations" ->
       """WITH m AS (SELECT
         |    CAST(-COUNT(*) AS DOUBLE) AS min_rows,
