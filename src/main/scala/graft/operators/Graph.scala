@@ -95,7 +95,76 @@ object Graph {
     * ending with CTE `r$iters(id, m)` — the caller appends its SELECT
     * (report `m / 1000000.0` to mirror the Spark output).
     */
+  /** Per-node triangle counts and local clustering coefficient over an
+    * UNDIRECTED edge list (src < dst, no self-loops, deduped).
+    *
+    * Scale design: the classic degree-ordered orientation — each edge
+    * points from its lower-(degree, id) endpoint to the higher one, so
+    * every wedge is enumerated at exactly one apex and a hub of degree d
+    * contributes only the wedges of its ORIENTED out-degree (bounded by
+    * O(sqrt(|E|)) on real graphs), never d². Wedge generation is one
+    * self-join keyed on the apex; closure is one keyed join against the
+    * oriented edge set. Counts are exact integers; the coefficient is
+    * one double division rounded at 6 dp.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient: lower (deg, id) -> higher (deg, id)
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u"), col("e.w"))
+    // wedges at apex u: pairs of out-neighbors; closed iff (lo, hi) is
+    // itself an oriented edge (orientation is a total order, so the
+    // closing edge always runs lo -> hi)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+      .select(col("x.u").as("apex"), col("x.w").as("lo"), col("y.w").as("hi"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("lo"), col("w").as("hi")), Seq("lo", "hi"))
+    // every triangle counted once; credit all three corners
+    val perNode = tris
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(
+        col("v").as("id"),
+        col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 6))
+          .as("clustering_coeff"))
+  }
+
   object O {
+
+    /** Mirrors triangles over the same edge CTE (`edges(src, dst)`). */
+    def trianglesSql: String =
+      """und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |tdeg AS (SELECT v, COUNT(*) AS deg FROM (
+        |          SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |ori AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+        |               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w
+        |        FROM (SELECT und.a, und.b, x.deg AS da, y.deg AS db
+        |              FROM und JOIN tdeg x ON x.v = und.a JOIN tdeg y ON y.v = und.b)),
+        |tri AS (SELECT x.u AS apex, x.w AS lo, y.w AS hi
+        |        FROM ori x JOIN ori y ON x.u = y.u AND x.w < y.w
+        |        JOIN ori z ON z.u = x.w AND z.w = y.w),
+        |pn AS (SELECT v, COUNT(*) AS n_triangles FROM (
+        |        SELECT apex AS v FROM tri UNION ALL SELECT lo FROM tri
+        |        UNION ALL SELECT hi FROM tri) GROUP BY 1)""".stripMargin
+
     def pageRankCtes(iters: Int = 5, dampingNum: Long = 17,
         dampingDen: Long = 20, teleportMicro: Long = 150000L): String = {
       val steps = (1 to iters).map { i =>

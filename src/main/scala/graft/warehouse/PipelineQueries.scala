@@ -519,6 +519,18 @@ object PipelineQueries {
   val incrementalDedup: Q = (s, dir) =>
     Dedup.incrementalFlags(docs(s, dir), IncrementalSplit).orderBy("doc_id")
 
+  /** q132: triangle counts + local clustering coefficient over the
+    * similarity graph — the community-density signal (a crawl cluster
+    * that is all triangles is one source template; a sparse star is
+    * genuine variety). Degree-ordered orientation bounds wedge
+    * generation at hubs.
+    */
+  val triangleStats: Q = (s, dir) =>
+    Graph.triangles(
+      Similarity.nearDupPairs(emb(s, dir), threshold = 0.15)
+        .select(col("v1").as("src"), col("v2").as("dst")))
+      .orderBy("id")
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -571,7 +583,8 @@ object PipelineQueries {
     "q126_expectations" -> expectationsGate,
     "q129_top_pc" -> topPc,
     "q130_novelty" -> novelty,
-    "q131_incremental_dedup" -> incrementalDedup)
+    "q131_incremental_dedup" -> incrementalDedup,
+    "q132_triangles" -> triangleStats)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -702,6 +715,18 @@ object PipelineQueries {
         |FROM sh JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q131_incremental_dedup" -> Dedup.O.incrementalFlags(IncrementalSplit),
+    "q132_triangles" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.15),
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs),
+         |${Graph.O.trianglesSql}
+         |SELECT t.v AS id, t.deg, COALESCE(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN t.deg >= 2
+         |       THEN round(2.0 * COALESCE(pn.n_triangles, 0) / (t.deg * (t.deg - 1)), 6) END
+         |    AS clustering_coeff
+         |FROM tdeg t LEFT JOIN pn USING (v) ORDER BY id""".stripMargin,
     "q126_expectations" ->
       """WITH m AS (SELECT
         |    CAST(-COUNT(*) AS DOUBLE) AS min_rows,

@@ -46,4 +46,21 @@ class GraphSpec extends AnyFunSuite with TestSpark {
     assert(r(2L) == ((1L, 2L, true))) // longest member → canonical
     assert(r(3L) == ((3L, 1L, true))) // singleton keeps itself
   }
+
+  test("triangles: K4 minus one edge, hand-counted corners and coefficients") {
+    import spark.implicits._
+    // edges of K4 without (1,4): triangles (1,2,3) and (2,3,4);
+    // input includes a duplicate and a reversed edge — must normalize
+    val e = Seq((1L, 2L), (3L, 1L), (2L, 3L), (4L, 2L), (3L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.triangles(e)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L, Some(1.0)),
+      (2L, 3L, 2L, Some(0.666667)),
+      (3L, 3L, 2L, Some(0.666667)),
+      (4L, 2L, 1L, Some(1.0))))
+  }
 }
