@@ -55,6 +55,35 @@ class StreamDedupJoinSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("dedup state is EVICTED as the watermark advances (bounded-state evidence)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SensorEvent]
+    val q = StreamDedupJoin
+      .dedupWithinWatermark(mem.toDF(), "time", "1 minute", Seq("device_id", "time"))
+      .writeStream.format("memory").queryName("dedup_state").outputMode("append").start()
+    try {
+      def stateRows: Long = {
+        val p = q.lastProgress
+        if (p == null || p.stateOperators.isEmpty) -1L
+        else p.stateOperators.map(_.numRowsTotal).sum
+      }
+      // batch 1: 200 distinct keys near t=0 → ~200 state rows
+      mem.addData((1 to 200).map(i => ev(i % 50, s"dev$i", i.toDouble)): _*)
+      q.processAllAvailable()
+      val afterLoad = stateRows
+      assert(afterLoad >= 200, s"expected the keys in state, got $afterLoad")
+      // batch 2: jump event time far ahead → watermark passes the old
+      // keys; one more batch for the eviction pass to run
+      mem.addData(ev(100000, "late-driver", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(100060, "late-driver-2", 0.0))
+      q.processAllAvailable()
+      val afterEvict = stateRows
+      assert(afterEvict >= 0 && afterEvict < 50,
+        s"state not evicted: $afterLoad -> $afterEvict rows")
+    } finally q.stop()
+  }
+
   test("left-outer interval join emits unmatched rows with nulls after the watermark") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[SensorEvent]
