@@ -531,6 +531,51 @@ object PipelineQueries {
         .select(col("v1").as("src"), col("v2").as("dst")))
       .orderBy("id")
 
+  /** q133: end-to-end curation yield funnel — docs and tokens surviving
+    * near-dup canonical keep AND the composed quality gate, as one
+    * report row. Each stage is independently oracle-verified (q105,
+    * q100); this query proves the COMPOSITION stays hash-checkable and
+    * is the number a data lead actually asks for ("how much survives?").
+    */
+  val dedupFunnel: Q = (s, dir) => {
+    import graft.functions.Text
+    val d = docs(s, dir)
+    val kept = Dedup.canonicalKeep(d).select(col("doc_id"), col("keep"))
+    val qual = TextAnalysis.qualityGate(d).select(col("doc_id"), col("pass_quality"))
+    d.select(col("doc_id"), size(Text.words(col("text"))).as("toks"))
+      .join(kept, "doc_id")
+      .join(qual, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_after_dedup"),
+        count(when(col("pass_quality"), 1)).as("n_pass_quality"),
+        count(when(col("keep") && col("pass_quality"), 1)).as("n_final"),
+        sum(col("toks")).as("tokens_in"),
+        sum(when(col("keep") && col("pass_quality"), col("toks"))).as("tokens_final"))
+      .withColumn("yield_pct",
+        round(lit(100.0) * col("tokens_final") / col("tokens_in"), 6))
+  }
+
+  /** q134: cross-modal dedup agreement — how often the text near-dup
+    * pairs (n-gram Jaccard) and the embedding near-dup pairs (blocked
+    * cosine) claim the SAME pairs. The calibration read before trusting
+    * one modality to stand in for the other.
+    */
+  val crossModalAgreement: Q = (s, dir) => {
+    val tp = Dedup.ngramJaccardPairs(docs(s, dir))
+      .select(col("d1"), col("d2")).withColumn("t", lit(true))
+    val ep = Similarity.nearDupPairs(emb(s, dir), threshold = 0.40)
+      .select(col("v1").as("d1"), col("v2").as("d2")).withColumn("e", lit(true))
+    tp.join(ep, Seq("d1", "d2"), "full_outer")
+      .agg(
+        count(when(col("t") && col("e"), 1)).as("n_both"),
+        count(when(col("t") && col("e").isNull, 1)).as("n_text_only"),
+        count(when(col("t").isNull && col("e"), 1)).as("n_emb_only"))
+      .withColumn("agreement", round(
+        col("n_both").cast("double")
+          / (col("n_both") + col("n_text_only") + col("n_emb_only")), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -584,7 +629,9 @@ object PipelineQueries {
     "q129_top_pc" -> topPc,
     "q130_novelty" -> novelty,
     "q131_incremental_dedup" -> incrementalDedup,
-    "q132_triangles" -> triangleStats)
+    "q132_triangles" -> triangleStats,
+    "q133_dedup_funnel" -> dedupFunnel,
+    "q134_crossmodal_agreement" -> crossModalAgreement)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -715,6 +762,33 @@ object PipelineQueries {
         |FROM sh JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q131_incremental_dedup" -> Dedup.O.incrementalFlags(IncrementalSplit),
+    "q133_dedup_funnel" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS toks FROM documents),
+         |k AS (SELECT doc_id, keep FROM (${Dedup.O.canonicalKeep})),
+         |g AS (SELECT doc_id, pass_quality FROM (${TO.qualityGate()}))
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(count_if(keep) AS BIGINT) AS n_after_dedup,
+         |  CAST(count_if(pass_quality) AS BIGINT) AS n_pass_quality,
+         |  CAST(count_if(keep AND pass_quality) AS BIGINT) AS n_final,
+         |  CAST(SUM(toks) AS BIGINT) AS tokens_in,
+         |  CAST(SUM(CASE WHEN keep AND pass_quality THEN toks END) AS BIGINT) AS tokens_final,
+         |  round(100.0 * CAST(SUM(CASE WHEN keep AND pass_quality THEN toks END) AS BIGINT)
+         |        / CAST(SUM(toks) AS BIGINT), 6) AS yield_pct
+         |FROM t JOIN k USING (doc_id) JOIN g USING (doc_id)""".stripMargin,
+    "q134_crossmodal_agreement" ->
+      s"""WITH tp AS (SELECT d1, d2, TRUE AS t FROM (${Dedup.O.ngramJaccardPairs})),
+         |ep AS (SELECT a.vec_id AS d1, b.vec_id AS d2, TRUE AS e
+         |       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |       WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40),
+         |f AS (SELECT t, e FROM tp FULL JOIN ep USING (d1, d2))
+         |SELECT
+         |  CAST(count_if(t AND e) AS BIGINT) AS n_both,
+         |  CAST(count_if(t AND e IS NULL) AS BIGINT) AS n_text_only,
+         |  CAST(count_if(t IS NULL AND e) AS BIGINT) AS n_emb_only,
+         |  round(CAST(count_if(t AND e) AS DOUBLE)
+         |        / (count_if(t AND e) + count_if(t AND e IS NULL) + count_if(t IS NULL AND e)), 6)
+         |    AS agreement
+         |FROM f""".stripMargin,
     "q132_triangles" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2
