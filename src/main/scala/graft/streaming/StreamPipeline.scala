@@ -48,3 +48,17 @@ class StreamPipeline(
 
   def stopAll(queries: Seq[StreamingQuery]): Unit = queries.foreach(_.stop())
 }
+
+object StreamPipeline {
+
+  /** Stream-static enrichment: each streaming row left-joins a STATIC
+    * dimension, broadcast so no stream-side shuffle or state store is
+    * involved (stream-static joins are stateless by definition — the
+    * static side is re-resolved per micro-batch, which is also how a
+    * slowly-refreshed dim file picks up changes between batches).
+    * Unmatched rows keep null dim columns: enrichment must never drop
+    * an event.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+}

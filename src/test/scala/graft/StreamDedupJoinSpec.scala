@@ -84,6 +84,24 @@ class StreamDedupJoinSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim, keeps unmatched rows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SensorEvent]
+    val dim = Seq(("d1", "factory-a"), ("d2", "factory-b"))
+      .toDF("device_id", "site")
+    val q = graft.streaming.StreamPipeline
+      .enrichWithDim(mem.toDF().select($"time", $"device_id", $"value"), dim, "device_id")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData(ev(0, "d1", 1.0), ev(1, "d9", 2.0)) // d9 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select($"device_id", $"site").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+      assert(rows == Map("d1" -> Some("factory-a"), "d9" -> None))
+    } finally q.stop()
+  }
+
   test("left-outer interval join emits unmatched rows with nulls after the watermark") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[SensorEvent]
