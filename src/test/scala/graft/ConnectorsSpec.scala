@@ -60,6 +60,25 @@ class ConnectorsSpec extends AnyFunSuite with TestSpark {
       Set((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("json-lines source captures malformed rows instead of failing (PERMISSIVE)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl-bad").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      java.util.Arrays.asList(
+        """{"id":1,"v":"ok"}""",
+        """{"id":2,"v":}""", // malformed — must not kill the read
+        """{"id":3,"v":"fine"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val rows = Connectors.readJsonLines(spark, dir.toString, Some(schema)).collect()
+    assert(rows.length == 3) // nothing dropped
+    val bad = rows.filter(!_.isNullAt(2))
+    assert(bad.length == 1 && bad.head.isNullAt(0)) // quarantined, typed cols null
+    assert(bad.head.getString(2).contains(""""id":2"""))
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("orc round-trip preserves schema and rows") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
