@@ -144,6 +144,35 @@ object ExtendedQueries {
             1, PathCap))).as("path_md5"))
       .orderBy("user_id")
 
+  /** q135: deterministic argmax / argmin / mode — the selection
+    * aggregates (WHO had the max, not what it was) with explicit
+    * tie-breaks: struct ordering pins (value, event_id) so the answer
+    * is unique even under ties, where a bare max_by is free to pick
+    * either. Mode is over a value bucket with largest-count /
+    * smallest-bucket resolution.
+    */
+  val argmaxMode: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val sel = e.groupBy("event_type")
+      .agg(
+        max(struct(col("value"), col("event_id"), col("user_id"))).as("mx"),
+        min(struct(col("value"), col("event_id"), col("user_id"))).as("mn"))
+      .select(
+        col("event_type"),
+        col("mx.user_id").as("top_user"),
+        col("mx.value").as("top_value"),
+        col("mn.user_id").as("bottom_user"),
+        col("mn.value").as("bottom_value"))
+    val mode = e
+      .groupBy(col("event_type"), floor(col("value") / 50.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(min(struct((-col("c")).as("negc"), col("bucket"))).as("m"))
+      .select(col("event_type"), col("m.bucket").as("mode_bucket"),
+        (-col("m.negc")).as("mode_count"))
+    sel.join(mode, "event_type").orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_asof_join" -> asof,
     "q16_sessions" -> sessions,
@@ -152,11 +181,29 @@ object ExtendedQueries {
     "q64_session_window" -> sessionWindow,
     "q119_string_surface" -> stringSurface,
     "q120_agg_surface" -> aggSurface,
-    "q121_event_paths" -> eventPaths)
+    "q121_event_paths" -> eventPaths,
+    "q135_argmax_mode" -> argmaxMode)
 
   import Num.{O => N}
 
   val oracle: Map[String, String] = Map(
+    "q135_argmax_mode" ->
+      """WITH mx AS (SELECT event_type, user_id AS top_user, value AS top_value FROM (
+        |       SELECT event_type, user_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+        |       FROM events) WHERE rn = 1),
+        |mn AS (SELECT event_type, user_id AS bottom_user, value AS bottom_value FROM (
+        |       SELECT event_type, user_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+        |       FROM events) WHERE rn = 1),
+        |md AS (SELECT event_type, bucket AS mode_bucket, c AS mode_count FROM (
+        |       SELECT event_type, bucket, c,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, bucket ASC) AS rn
+        |       FROM (SELECT event_type, CAST(floor(value / 50.0) AS INT) AS bucket, COUNT(*) AS c
+        |             FROM events GROUP BY 1, 2)) WHERE rn = 1)
+        |SELECT event_type, top_user, top_value, bottom_user, bottom_value, mode_bucket, mode_count
+        |FROM mx JOIN mn USING (event_type) JOIN md USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q119_string_surface" ->
       """SELECT doc_id,
         |  upper(lang) AS lang_up,
