@@ -79,6 +79,18 @@ class ConnectorsSpec extends AnyFunSuite with TestSpark {
     assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    // v1 writer: (id, a); v2 writer adds column b
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/p=1")
+    Seq((2L, "y", 9.5)).toDF("id", "a", "b").write.parquet(s"$dir/p=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "a", "b", "p"))
+    val rows = back.select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSet == Set((1L, "x", None), (2L, "y", Some(9.5))))
+  }
+
   test("orc round-trip preserves schema and rows") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
