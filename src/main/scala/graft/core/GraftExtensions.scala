@@ -48,7 +48,7 @@ object GraftExtensions {
         require(children.length == 1, "hll_md5 takes exactly 1 argument")
         // The analyzer wraps a bare AggregateFunction in its
         // AggregateExpression during function resolution.
-        HllSketch(children.head)
+        HllSketch.forInput(children.head)
       }),
     (
       FunctionIdentifier("topk_by_score"),
@@ -66,7 +66,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CmsSketch].getCanonicalName, null, "cms_md5"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "cms_md5 takes exactly 1 argument")
-        CmsSketch(children.head)
+        CmsSketch.forInput(children.head)
       }),
     (
       FunctionIdentifier("zorder2"),

@@ -140,7 +140,8 @@ object Sketch {
   def hllMd5(c: Column): Column = {
     import org.apache.spark.sql.classic.GraftBridge
     GraftBridge.column(
-      graft.functions.expressions.HllSketch(GraftBridge.expression(c)).toAggregateExpression())
+      graft.functions.expressions.HllSketch.forInput(GraftBridge.expression(c))
+        .toAggregateExpression())
   }
 
   /** Bounded top-k-per-group aggregate (score DESC, id ASC) — the
@@ -162,7 +163,8 @@ object Sketch {
   def cmsMd5(c: Column): Column = {
     import org.apache.spark.sql.classic.GraftBridge
     GraftBridge.column(
-      graft.functions.expressions.CmsSketch(GraftBridge.expression(c)).toAggregateExpression())
+      graft.functions.expressions.CmsSketch.forInput(GraftBridge.expression(c))
+        .toAggregateExpression())
   }
 
   /** CMS point estimate of `key`'s count from a [[cmsMd5]] counter

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -99,4 +99,14 @@ case class CmsSketch(
 object CmsSketch {
   val Depth = 4
   val Width = 256
+
+  /** Canonical constructor: pins the hashed value to the SQL string
+    * rendering. A non-string child is wrapped in CAST(child AS STRING),
+    * so the sketch buckets on exactly what md5Long60/cmsEstimate (and
+    * the DuckDB twin) hash — a raw internal value (timestamp micros,
+    * date epoch-day) would bucket differently and silently break the
+    * one-sided est >= exact guarantee.
+    */
+  def forInput(child: Expression): CmsSketch =
+    CmsSketch(if (child.dataType == StringType) child else Cast(child, StringType))
 }

@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -94,6 +94,14 @@ case class HllSketch(
 }
 
 object HllSketch {
+
+  /** Canonical constructor: SQL string rendering, not the internal
+    * value (see CmsSketch.forInput) — a timestamp child must hash
+    * "2024-01-01 00:00:00", not raw micros, or the estimate diverges
+    * from the md5-based oracle.
+    */
+  def forInput(child: Expression): HllSketch =
+    HllSketch(if (child.dataType == StringType) child else Cast(child, StringType))
 
   /** DuckDB oracle SQL computing the identical estimate for `key` over
     * table rows grouped by `groupCols` — generated next to the

@@ -116,6 +116,7 @@ object Clustering {
     * pre-normalization norm (the Rayleigh estimate of λ_max).
     */
   def topPrincipalComponent(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    require(iters >= 1, s"power iteration needs at least one round, got $iters")
     val spark = emb.sparkSession
     val dims = emb.select(size(col("embedding")).as("d")).limit(1)
     // v as a 1-row array frame; init 1/8 = exact dyadic constant

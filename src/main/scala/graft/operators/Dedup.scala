@@ -362,7 +362,10 @@ object Dedup {
     * new batch is small relative to the corpus.
     */
   def incrementalFlags(docs: DataFrame, splitId: Long): DataFrame = {
-    val banded = bandTable(minhashSignatures(docs))
+    // cache: the band table feeds BOTH sides of the semi join (old
+    // distinct bands and new probes) — without it the full shingling +
+    // min-hash aggregation runs twice (same reason minhashPairs caches)
+    val banded = bandTable(minhashSignatures(docs)).cache()
     val oldBands = banded.filter(col("doc_id") < splitId)
       .select("band_id", "band_val").distinct()
     val near = banded.filter(col("doc_id") >= splitId)

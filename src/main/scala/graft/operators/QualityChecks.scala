@@ -53,6 +53,10 @@ object QualityChecks {
     */
   def expectations(df: DataFrame, checks: Seq[Expect]): DataFrame = {
     require(checks.nonEmpty, "at least one expectation required")
+    require(checks.map(_.name).distinct.length == checks.length,
+      s"duplicate expectation names: ${checks.map(_.name).diff(checks.map(_.name).distinct).mkString(",")}")
+    require(checks.forall(c => !c.name.contains(".") && !c.name.contains("`")),
+      "expectation names are used as column names — no dots or backticks")
     val aggs = checks.map(c => c.metric.cast("double").as(c.name))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(checks.map { c =>

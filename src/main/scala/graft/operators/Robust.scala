@@ -63,7 +63,11 @@ object Robust {
     def pName(p: Double) = s"p${math.round(p * 100)}"
     val bin = least(lit(HistBins - 1), greatest(lit(0),
       floor((col(valueCol) - HistLo) / width).cast("int")))
-    val binned = df.select(col(groupCol), bin.as("bin"))
+    // NULLs carry no rank information — drop them like exact percentile
+    // does (Spark's greatest/least skip nulls, so an unfiltered NULL
+    // would silently count as bin 0 and skew every estimate)
+    val binned = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), bin.as("bin"))
       .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(groupCol).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -103,7 +107,7 @@ object Robust {
          |  SUM(COUNT(*)) OVER (PARTITION BY $groupCol) AS n
          |FROM (SELECT $groupCol,
          |        least(${HistBins - 1}, greatest(0, CAST(floor(($valueCol - $HistLo) / $width) AS INT))) AS bin
-         |      FROM $table)
+         |      FROM $table WHERE $valueCol IS NOT NULL)
          |GROUP BY $groupCol, bin""".stripMargin
     }
 

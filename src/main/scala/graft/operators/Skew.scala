@@ -48,7 +48,10 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String], r: Int,
       spread: Column): DataFrame = {
     require(r > 0, s"salt fan-out must be positive, got $r")
-    val salted = probe.withColumn("__salt", pmod(spread, lit(r)).cast("int"))
+    // NULL spread must not lose the row (pmod(NULL) = NULL would never
+    // match a replica): any salt preserves correctness, so route to 0
+    val salted = probe.withColumn("__salt",
+      coalesce(pmod(spread, lit(r)).cast("int"), lit(0)))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(r - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -31,6 +31,20 @@ class ApproxAggSpec extends AnyFunSuite with TestSpark {
     assert(approx.getDouble(0) >= 0.0 && approx.getDouble(0) <= 9999.0)
   }
 
+  test("histogram quantile ignores NULL values like exact percentile does") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Robust
+    val width = (Robust.HistHi - Robust.HistLo) / Robust.HistBins
+    // 100 values near 500 plus 100 NULLs: NULLs must not drag p50 to bin 0
+    val rows = (1 to 100).map(i => ("g", Some(500.0 + (i % 5) / 10.0))) ++
+      (1 to 100).map(_ => ("g", Option.empty[Double]))
+    val df = rows.toDF("g", "v")
+    val est = Robust.histQuantile(df, "g", "v").head()
+    val exact = df.agg(percentile(col("v"), lit(0.5))).head.getDouble(0)
+    assert(est.getLong(1) == 100L) // n counts only non-null values
+    assert(math.abs(est.getDouble(2) - exact) <= width, s"p50 ${est.getDouble(2)} vs $exact")
+  }
+
   test("histogram quantile estimate is partitioning-invariant and within one bin width") {
     import org.apache.spark.sql.functions._
     import graft.operators.Robust

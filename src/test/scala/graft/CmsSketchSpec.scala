@@ -53,6 +53,21 @@ class CmsSketchSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("non-string child buckets on its SQL rendering (implicit cast), so estimates stay one-sided") {
+    import java.sql.Timestamp
+    val ts = (1 to 300).map(i => new Timestamp(1704067200000L + (i % 7) * 1000L))
+    val df = ts.toDF("t")
+    // sketch on the raw timestamp == sketch on its explicit string cast
+    val a = df.agg(Sketch.cmsMd5($"t")).head.getSeq[Long](0)
+    val b = df.agg(Sketch.cmsMd5($"t".cast("string"))).head.getSeq[Long](0)
+    assert(a == b)
+    // and the estimate path (which hashes the string) is >= exact
+    val cms = df.agg(Sketch.cmsMd5($"t").as("cms"))
+    val est = df.distinct().crossJoin(broadcast(cms))
+      .select(Sketch.cmsEstimate($"cms", $"t".cast("string")).as("e")).collect()
+    assert(est.forall(_.getLong(0) >= 300 / 7)) // every key appears ~43x
+  }
+
   test("heavy hitter estimate is tight when the key space is small") {
     val rows = Seq.fill(5000)("hot") ++ (1 to 200).map(i => s"cold$i")
     val est = estimates(rows, Seq("hot"), parts = 3)

@@ -54,4 +54,13 @@ class ViewsSkewSpec extends AnyFunSuite with TestSpark {
     // negative spread values must still land in [0, r) — pmod, not %
     assert(salted.length == plain.length)
   }
+
+  test("salted join keeps rows whose spread value is NULL") {
+    import spark.implicits._
+    val probe = Seq((1L, Some(10L)), (2L, Option.empty[Long])).toDF("k", "row_id")
+    val build = Seq((1L, "a"), (2L, "b")).toDF("k", "attr")
+    val out = Skew.saltedJoin(probe, build, Seq("k"), r = 5, spread = $"row_id")
+      .select("k", "attr").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "b"))) // NULL spread routes to salt 0, row survives
+  }
 }
