@@ -53,8 +53,13 @@ object Robust {
     * double divide) that a DuckDB oracle reproduces bit-for-bit —
     * deterministic in a way t-digest/KLL can never be.
     *
-    * Accuracy contract: error <= one bin width (2.5 here); the q122
-    * calibration query prices the estimates against exact percentiles.
+    * Accuracy contract: the estimate lies in the bin containing the
+    * value at target rank ceil(p·n), so it is within one bin width
+    * (2.5 here) of that ORDER STATISTIC; vs percentile_cont's
+    * interpolated value the error additionally carries the local
+    * inter-rank gap (negligible on dense groups, unbounded on sparse
+    * tails). The q122 calibration query prices the estimates against
+    * exact percentiles on the real data.
     */
   def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {

@@ -105,4 +105,73 @@ class PropertySpec extends AnyFunSuite with TestSpark {
       assert(compact(z) == a && compact(z >> 1) == b, s"decode failed for ($a, $b)")
     }
   }
+
+  test("duplicate spans match a brute-force reference on random corpora") {
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val L = graft.operators.Dedup.SpanGramLen
+    for (round <- 1 to 4) {
+      val docs = (0L until 6L).map { id =>
+        (id, List.fill(12 + rng.nextInt(10))(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.duplicateSpans(df)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      // brute force: positions whose L-gram occurs in another doc, then
+      // greedy island merge at distance <= L
+      val grams = docs.flatMap { case (id, text) =>
+        val w = text.split(" ")
+        (0 to w.length - L).map(p => (id, p + 1, w.slice(p, p + L).mkString(" ")))
+      }
+      val byGram = grams.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+      val hits = grams.filter { case (id, _, g) => (byGram(g) - id).nonEmpty }
+      val expected = hits.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val islands = sorted.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (cur :: done, p) if p <= cur.head + L => (p :: cur) :: done
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(is => (id, is.min, is.max + L - 1, is.size.toLong))
+      }.toSet
+      assert(got == expected, s"round $round: $docs")
+    }
+  }
+
+  test("CMS estimate >= exact count on random streams, any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Sketch
+    for (round <- 1 to 3) {
+      val rows = List.fill(2000)(s"k${rng.nextInt(300)}")
+      val df = rows.toDF("w").repartition(1 + rng.nextInt(8))
+      val cms = df.agg(Sketch.cmsMd5(col("w")).as("cms"))
+      val est = df.distinct().crossJoin(broadcast(cms))
+        .select(col("w"), Sketch.cmsEstimate(col("cms"), col("w")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (k, c) =>
+        assert(est(k) >= c, s"round $round: $k est ${est(k)} < exact $c")
+      }
+    }
+  }
+
+  test("histogram quantile is within one bin width of the rank-t order statistic") {
+    // The GUARANTEED bound: the estimate lives in the bin that contains
+    // the value at target rank t = ceil(p*n), so |est - v_t| <= width.
+    // (vs percentile_cont the error additionally carries the local
+    // inter-rank gap — unbounded on sparse tails by construction.)
+    import graft.operators.Robust
+    val width = (Robust.HistHi - Robust.HistLo) / Robust.HistBins
+    for (round <- 1 to 3) {
+      val rows = List.fill(1500)(("g" + rng.nextInt(3), rng.nextDouble() * 590.0))
+      val df = rows.toDF("g", "v")
+      val est = Robust.histQuantile(df, "g", "v").collect()
+        .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      rows.groupBy(_._1).foreach { case (g, members) =>
+        val sorted = members.map(_._2).sorted
+        def rankStat(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+        assert(math.abs(est(g)._1 - rankStat(0.5)) <= width, s"round $round $g p50")
+        assert(math.abs(est(g)._2 - rankStat(0.95)) <= width, s"round $round $g p95")
+      }
+    }
+  }
 }
