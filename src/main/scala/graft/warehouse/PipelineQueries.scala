@@ -576,6 +576,31 @@ object PipelineQueries {
           / (col("n_both") + col("n_text_only") + col("n_emb_only")), 6))
   }
 
+  /** q136: dedup threshold sensitivity — the near-dup pair count per
+    * Jaccard decile. The tuning read before moving the dedup threshold:
+    * a fat decile just above the cut means the rate is threshold-
+    * sensitive there.
+    */
+  val thresholdSweep: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(docs(s, dir))
+      .select(floor(col("jaccard") * 10).cast("int").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("decile")
+
+  /** q137: MinHash calibration — estimated vs exact Jaccard on the
+    * pairs both generators claim, with the decimal-exact mean absolute
+    * error. The accuracy audit for the 16-hash signature.
+    */
+  val minhashCalibration: Q = (s, dir) => {
+    val mh = Dedup.minhashPairs(docs(s, dir)).select("d1", "d2", "est_jaccard")
+    val ex = Dedup.ngramJaccardPairs(docs(s, dir)).select("d1", "d2", "jaccard")
+    mh.join(ex, Seq("d1", "d2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(Num.davg(abs(col("est_jaccard") - col("jaccard"))), 6).as("mae"),
+        round(max(abs(col("est_jaccard") - col("jaccard"))), 6).as("max_err"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
@@ -631,7 +656,9 @@ object PipelineQueries {
     "q131_incremental_dedup" -> incrementalDedup,
     "q132_triangles" -> triangleStats,
     "q133_dedup_funnel" -> dedupFunnel,
-    "q134_crossmodal_agreement" -> crossModalAgreement)
+    "q134_crossmodal_agreement" -> crossModalAgreement,
+    "q136_threshold_sweep" -> thresholdSweep,
+    "q137_minhash_calibration" -> minhashCalibration)
 
   import graft.functions.{Vec => V}
   import TextAnalysis.{O => TO}
@@ -762,6 +789,17 @@ object PipelineQueries {
         |FROM sh JOIN f USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q131_incremental_dedup" -> Dedup.O.incrementalFlags(IncrementalSplit),
+    "q136_threshold_sweep" ->
+      s"""SELECT CAST(floor(jaccard * 10) AS INT) AS decile, COUNT(*) AS n_pairs
+         |FROM (${Dedup.O.ngramJaccardPairs})
+         |GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q137_minhash_calibration" ->
+      s"""WITH mh AS (SELECT d1, d2, est_jaccard FROM (${Dedup.O.minhashPairs})),
+         |ex AS (SELECT d1, d2, jaccard FROM (${Dedup.O.ngramJaccardPairs}))
+         |SELECT COUNT(*) AS n_pairs,
+         |  round(${Num.O.avg("abs(est_jaccard - jaccard)")}, 6) AS mae,
+         |  round(MAX(abs(est_jaccard - jaccard)), 6) AS max_err
+         |FROM mh JOIN ex USING (d1, d2)""".stripMargin,
     "q133_dedup_funnel" ->
       s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS toks FROM documents),
          |k AS (SELECT doc_id, keep FROM (${Dedup.O.canonicalKeep})),
