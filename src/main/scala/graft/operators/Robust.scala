@@ -61,19 +61,36 @@ object Robust {
     * tails). The q122 calibration query prices the estimates against
     * exact percentiles on the real data.
     */
-  def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The sketch-building half of histQuantile: per-group fixed-bin
+    * counters as a plain keyed aggregation — STREAMING-COMPATIBLE
+    * (update/complete-mode groupBy, no window functions), so the same
+    * quantile sketch accumulates across micro-batches; feed the result
+    * to [[estimateFromBins]] batch-side.
+    */
+  def histBinCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val width = (HistHi - HistLo) / HistBins
-    def pName(p: Double) = s"p${math.round(p * 100)}"
     val bin = least(lit(HistBins - 1), greatest(lit(0),
       floor((col(valueCol) - HistLo) / width).cast("int")))
     // NULLs carry no rank information — drop them like exact percentile
     // does (Spark's greatest/least skip nulls, so an unfiltered NULL
     // would silently count as bin 0 and skew every estimate)
-    val binned = df.filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), bin.as("bin"))
       .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("c"))
+  }
+
+  def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    estimateFromBins(histBinCounts(df, groupCol, valueCol), groupCol, ps)
+
+  /** Quantile estimates from a (group, bin, c) counter table (see
+    * histBinCounts — possibly accumulated across a stream's lifetime).
+    */
+  def estimateFromBins(binned: DataFrame, groupCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = (HistHi - HistLo) / HistBins
+    def pName(p: Double) = s"p${math.round(p * 100)}"
     val wCum = Window.partitionBy(groupCol).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cums = binned

@@ -31,6 +31,27 @@ class ApproxAggSpec extends AnyFunSuite with TestSpark {
     assert(approx.getDouble(0) >= 0.0 && approx.getDouble(0) <= 9999.0)
   }
 
+  test("histogram quantile sketch accumulates across streaming micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Robust
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = Robust.histBinCounts(mem.toDF().toDF("g", "v"), "g", "v")
+      .writeStream.format("memory").queryName("hist_stream").outputMode("complete").start()
+    try {
+      val batch1 = (1 to 400).map(i => ("g", (i % 590).toDouble))
+      val batch2 = (1 to 300).map(i => ("g", ((i * 7) % 590).toDouble))
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = Robust.estimateFromBins(spark.table("hist_stream"), "g")
+        .head().toSeq
+      val batch = Robust.histQuantile((batch1 ++ batch2).toDF("g", "v"), "g", "v")
+        .head().toSeq
+      assert(streamed == batch) // stream-accumulated sketch == one-shot batch
+    } finally q.stop()
+  }
+
   test("histogram quantile ignores NULL values like exact percentile does") {
     import org.apache.spark.sql.functions._
     import graft.operators.Robust
