@@ -15,6 +15,30 @@ import graft.gen.IotSimulator
   */
 class GoldenSpec extends AnyFunSuite with TestSpark {
 
+  test("query registries are collision-free and every query is gated") {
+    import graft.warehouse._
+    // SparkEntry.queries merges five maps with ++ — a duplicate name
+    // would silently SHADOW a query out of the correctness gate
+    val maps = Seq(
+      "relational" -> RelationalQueries.queries.keySet,
+      "extended" -> ExtendedQueries.queries.keySet,
+      "iot" -> IotQueries.queries.keySet,
+      "pipeline" -> PipelineQueries.queries.keySet,
+      "analytics" -> AnalyticsQueries.queries.keySet)
+    for (Seq((na, a), (nb, b)) <- maps.combinations(2)) {
+      assert((a intersect b).isEmpty, s"$na and $nb both register: ${a intersect b}")
+    }
+    // every query either has a DuckDB oracle or is an explicitly
+    // documented rows-only sketch; no oracle dangles without a query
+    val rowsOnly = Set("q62_hourly_approx", "q63_approx_distinct")
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert((queries -- oracles -- rowsOnly).isEmpty,
+      s"queries without an oracle: ${queries -- oracles -- rowsOnly}")
+    assert((oracles -- queries).isEmpty, s"oracles without a query: ${oracles -- queries}")
+    assert((rowsOnly -- queries).isEmpty && (rowsOnly intersect oracles).isEmpty)
+  }
+
   test("seeded simulator through the batch transform reproduces the golden signature") {
     val start = new Timestamp(1704067200000L) // 2024-01-01 UTC
     val events = IotSimulator.generateDF(spark, seed = 42, start, count = 2000)
