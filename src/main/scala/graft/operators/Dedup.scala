@@ -29,6 +29,8 @@ object Dedup {
   val JaccardDocFreqCap = 50 // drop shingles present in more docs (stop-shingles)
   val JaccardThreshold = 0.05
   val ContainmentThreshold = 0.10
+  val EditBlockCap = 50 // max docs per edit-distance blocking key (pre/post refinement)
+  val EditLenBucket = 20 // chars per length bucket when refining hot blocks
 
   /** Exact dedup: group identical texts by content hash, keep the lowest
     * id as representative. One hash-shuffle; at 100 TB group by the md5
@@ -222,14 +224,33 @@ object Dedup {
     * equality blocking key (the first two words) keys the join, and the
     * O(len²) distance only runs on pairs sharing a block, over a bounded
     * prefix.
+    *
+    * Block-size cap (part of the operator contract, mirrored in the
+    * oracle): a boilerplate opener ("the quick", a license header) can
+    * put millions of documents behind ONE blocking key, and an uncapped
+    * block is O(m²) pairs on one hot reducer. Blocks whose document
+    * frequency exceeds [[EditBlockCap]] are refined by a text-length
+    * bucket ([[EditLenBucket]] chars — typo-level duplicates have
+    * near-identical lengths, so refinement keeps recall); refined
+    * buckets STILL over the cap are dropped, like the Jaccard family's
+    * stop-shingles. Every joined block is therefore ≤ EditBlockCap
+    * docs, so pair fan-out per block is bounded at all scales.
     */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 60, maxDist: Int = 25): DataFrame = {
     val t = docs.select(
       col("doc_id"),
       substring(col("text"), 1, prefixLen).as("pfx"),
-      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
-    t.as("a")
-      .join(t.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+      floor(length(col("text")) / lit(EditLenBucket)).as("lb"))
+    val df0 = t.groupBy("blk").agg(count(lit(1)).as("df0"))
+    val refined = t.join(df0, "blk")
+      .withColumn("grp", when(col("df0") <= EditBlockCap, lit(-1L)).otherwise(col("lb")))
+    val keep = refined.groupBy("blk", "grp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= EditBlockCap)
+    val k = refined.join(keep.select("blk", "grp"), Seq("blk", "grp"))
+    k.as("a")
+      .join(k.as("b"), col("a.blk") === col("b.blk") && col("a.grp") === col("b.grp")
+        && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
@@ -471,13 +492,23 @@ object Dedup {
       """SELECT md5(text) AS content_md5, min(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin
 
+    /** Mirrors the two-level block cap: hot first-two-word blocks are
+      * refined by the length bucket; still-hot refined buckets drop.
+      */
     def editDistancePairs(prefixLen: Int = 60, maxDist: Int = 25): String =
       s"""WITH t AS (SELECT doc_id, substring(text, 1, $prefixLen) AS pfx,
-         |             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
-         |           FROM documents)
+         |             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+         |             length(text) // $EditLenBucket AS lb
+         |           FROM documents),
+         |d0 AS (SELECT blk, COUNT(*) AS df0 FROM t GROUP BY blk),
+         |r AS (SELECT t.doc_id, t.pfx, t.blk,
+         |        CASE WHEN d0.df0 <= $EditBlockCap THEN -1 ELSE t.lb END AS grp
+         |      FROM t JOIN d0 USING (blk)),
+         |keep AS (SELECT blk, grp FROM r GROUP BY blk, grp HAVING COUNT(*) <= $EditBlockCap),
+         |k AS (SELECT r.* FROM r JOIN keep USING (blk, grp))
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist
-         |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |FROM k a JOIN k b ON a.blk = b.blk AND a.grp = b.grp AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.pfx, b.pfx) <= $maxDist
          |ORDER BY d1, d2""".stripMargin
 

@@ -120,14 +120,18 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("u"), col("b").as("w")))
-        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
-      .select(col("e.u"), col("e.w"))
-    // wedges at apex u: pairs of out-neighbors; closed iff (lo, hi) is
-    // itself an oriented edge (orientation is a total order, so the
-    // closing edge always runs lo -> hi)
+        struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"), col("da").as("dw"))).as("e"))
+      .select(col("e.u"), col("e.w"), col("e.dw"))
+    // wedges at apex u: pairs of out-neighbors ordered by the SAME
+    // (deg, id) key used for orientation — raw-id ordering would lose
+    // any triangle whose closing edge runs against id order. The
+    // orientation is a total order on (deg, id), so the closing edge
+    // between the two out-neighbors, if present, always runs lo -> hi
+    // under THIS ordering.
     val wedges = oriented.as("x").join(oriented.as("y"),
-        col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+        col("x.u") === col("y.u") &&
+          struct(col("x.dw"), col("x.w")) < struct(col("y.dw"), col("y.w")))
       .select(col("x.u").as("apex"), col("x.w").as("lo"), col("y.w").as("hi"))
     val tris = wedges.join(
       oriented.select(col("u").as("lo"), col("w").as("hi")), Seq("lo", "hi"))
@@ -155,11 +159,12 @@ object Graph {
         |tdeg AS (SELECT v, COUNT(*) AS deg FROM (
         |          SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
         |ori AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
-        |               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w
+        |               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w,
+        |               CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dw
         |        FROM (SELECT und.a, und.b, x.deg AS da, y.deg AS db
         |              FROM und JOIN tdeg x ON x.v = und.a JOIN tdeg y ON y.v = und.b)),
         |tri AS (SELECT x.u AS apex, x.w AS lo, y.w AS hi
-        |        FROM ori x JOIN ori y ON x.u = y.u AND x.w < y.w
+        |        FROM ori x JOIN ori y ON x.u = y.u AND (x.dw, x.w) < (y.dw, y.w)
         |        JOIN ori z ON z.u = x.w AND z.w = y.w),
         |pn AS (SELECT v, COUNT(*) AS n_triangles FROM (
         |        SELECT apex AS v FROM tri UNION ALL SELECT lo FROM tri

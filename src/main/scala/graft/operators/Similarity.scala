@@ -145,8 +145,48 @@ object Similarity {
         md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
   }
 
+  val GraphBlockCap = 1000 // max vectors per (label, bucket) block in graph candidate generation
+
+  /** Bounded near-dup pair generation for similarity-GRAPH building
+    * (PageRank / triangles / cross-modal agreement): candidate pairs
+    * come from (label ∧ sign-LSH bucket) equality blocks, and blocks
+    * still holding more than [[GraphBlockCap]] vectors are dropped
+    * (the stop-shingle precedent from the Jaccard family — both steps
+    * are part of the operator contract and mirrored in the oracle).
+    *
+    * Why not [[nearDupPairs]]: that operator is all-pairs WITHIN a
+    * label, which is the right contract for a small curated block
+    * (q45) but quadratic in a hot label when a whole corpus routes
+    * through it to build the similarity graph. Adding the LSH bucket
+    * to the key splits every label ~[[LshPlanes]]²-ways, and the cap
+    * guarantees no block goes quadratic regardless of the corpus.
+    * Near-identical vectors agree on every hyperplane sign, so
+    * duplicate-level edges — the graph signal — land in the same
+    * bucket by construction; only far-apart same-label pairs are
+    * pruned with the candidate space.
+    */
+  def bucketedNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("bucket", bucketOf(col("embedding")))
+      .withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))
+    val ok = n.groupBy("label", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= GraphBlockCap).select("label", "bucket")
+    val k = n.join(ok, Seq("label", "bucket"))
+    val a = k.select(col("label"), col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = k.select(col("label"), col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("label", "bucket"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select("label", "v1", "v2", "cosine_sim")
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (label):
     * cosine above threshold. The block join keeps the pair space keyed.
+    * Contract: the caller owns the block sizes (q45's curated labels);
+    * for corpus-scale graph building use [[bucketedNearDupPairs]].
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val n = emb.withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))
@@ -172,6 +212,18 @@ object Similarity {
         val dot = s"list_reduce(list_transform(range(1, ${Dim + 1}), d -> $coef * CAST($e[d] AS DOUBLE)), (x, y) -> x + y)"
         s"(CASE WHEN $dot >= 0 THEN (CAST(1 AS BIGINT) << $h) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
+
+    /** CTE chain ending in `pairs(label, v1, v2)` — the bit-identical
+      * twin of [[bucketedNearDupPairs]] (bucket, block-size cap,
+      * rounded cosine threshold).
+      */
+    def bucketedPairsCte(threshold: Double): String =
+      s"""bkt AS (SELECT vec_id, label, embedding, (${bucket("embedding")}) AS bucket FROM embeddings),
+         |bsz AS (SELECT label, bucket FROM bkt GROUP BY label, bucket HAVING COUNT(*) <= $GraphBlockCap),
+         |blk AS (SELECT bkt.* FROM bkt JOIN bsz USING (label, bucket)),
+         |pairs AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2
+         |  FROM blk a JOIN blk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${graft.functions.Vec.O.cosine("a.embedding", "b.embedding")}, 6) >= $threshold)""".stripMargin
 
     /** Full IVF oracle: replays the quantizer training (hash-sampled
       * training set, hash-seeded c0, `IvfIters` unrolled Lloyd rounds

@@ -47,7 +47,10 @@ object PipelineQueries {
 
   /** Cluster resolution over the embedding near-dup graph — the same
     * connected-components operator composed with a different pair
-    * source (v1/v2 renamed to the d1/d2 contract).
+    * source (v1/v2 renamed to the d1/d2 contract). Pair generation is
+    * the q45 near-dup contract (label blocks, caller-owned sizes); the
+    * corpus-scale GRAPH builders (q101/q132/q134) use the bounded
+    * label∧bucket generator instead.
     */
   val embedClusters: Q = (s, dir) =>
     Dedup
@@ -236,8 +239,10 @@ object PipelineQueries {
     */
   val pagerank: Q = (s, dir) => {
     // 0.15 (vs the near-dup 0.40) keeps most of the corpus connected:
-    // centrality needs the broad similarity graph, not just duplicates
-    val pairs = Similarity.nearDupPairs(emb(s, dir), threshold = 0.15)
+    // centrality needs the broad similarity graph, not just duplicates.
+    // Bounded generator: the whole corpus feeds the edge join, so the
+    // candidate blocks must be capped (label ∧ LSH bucket).
+    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
     Graph.pageRank(
       pairs.select(col("v1").as("src"), col("v2").as("dst"))
         .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst"))))
@@ -527,7 +532,7 @@ object PipelineQueries {
     */
   val triangleStats: Q = (s, dir) =>
     Graph.triangles(
-      Similarity.nearDupPairs(emb(s, dir), threshold = 0.15)
+      Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
         .select(col("v1").as("src"), col("v2").as("dst")))
       .orderBy("id")
 
@@ -564,7 +569,7 @@ object PipelineQueries {
   val crossModalAgreement: Q = (s, dir) => {
     val tp = Dedup.ngramJaccardPairs(docs(s, dir))
       .select(col("d1"), col("d2")).withColumn("t", lit(true))
-    val ep = Similarity.nearDupPairs(emb(s, dir), threshold = 0.40)
+    val ep = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.40)
       .select(col("v1").as("d1"), col("v2").as("d2")).withColumn("e", lit(true))
     tp.join(ep, Seq("d1", "d2"), "full_outer")
       .agg(
@@ -815,9 +820,8 @@ object PipelineQueries {
          |FROM t JOIN k USING (doc_id) JOIN g USING (doc_id)""".stripMargin,
     "q134_crossmodal_agreement" ->
       s"""WITH tp AS (SELECT d1, d2, TRUE AS t FROM (${Dedup.O.ngramJaccardPairs})),
-         |ep AS (SELECT a.vec_id AS d1, b.vec_id AS d2, TRUE AS e
-         |       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |       WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40),
+         |${Similarity.O.bucketedPairsCte(0.40)},
+         |ep AS (SELECT v1 AS d1, v2 AS d2, TRUE AS e FROM pairs),
          |f AS (SELECT t, e FROM tp FULL JOIN ep USING (d1, d2))
          |SELECT
          |  CAST(count_if(t AND e) AS BIGINT) AS n_both,
@@ -828,10 +832,7 @@ object PipelineQueries {
          |    AS agreement
          |FROM f""".stripMargin,
     "q132_triangles" ->
-      s"""WITH pairs AS (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.15),
+      s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs),
          |${Graph.O.trianglesSql}
          |SELECT t.v AS id, t.deg, COALESCE(pn.n_triangles, 0) AS n_triangles,
@@ -927,10 +928,7 @@ object PipelineQueries {
          |FROM documents
          |ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
     "q101_pagerank" ->
-      s"""WITH pairs AS (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.15),
+      s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
          |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges),

@@ -99,4 +99,64 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       .orderBy("rank").select("cand_id").collect().map(_.getLong(0)).toSeq
     assert(topk == Seq(1L, 2L)) // most similar first, orthogonal second
   }
+
+  test("bucketed near-dup pairs: hot label is capped, cold pairs survive") {
+    // 3000 identical vectors under one label agree on every hyperplane
+    // sign, so they form ONE (label, bucket) block of 3000 > GraphBlockCap
+    // — uncapped generation would emit ~4.5M pairs through one reducer;
+    // the cap drops the block in bounded time. An exact-duplicate pair
+    // under a cold label (same bucket by construction) still pairs up.
+    val base = Array.tabulate(64)(i => (1.0f + i * 0.01f))
+    val hot = (1 to 3000).map(i => (i.toLong, base, "hot"))
+    val cold = Seq((5001L, base, "cold"), (5002L, base, "cold"))
+    val e = (hot ++ cold).toDF("vec_id", "embedding", "label")
+    val r = Similarity.bucketedNearDupPairs(e, threshold = 0.40)
+      .select("label", "v1", "v2", "cosine_sim").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(("cold", 5001L, 5002L, 1.0)))
+  }
+
+  test("edit-distance pairs find typo near-dups within a cold block") {
+    val d = Seq(
+      (1L, "cold start alpha beta gamma delta"),
+      (2L, "cold start alpha beta gamma deltq"), // 1 edit from doc 1
+      (3L, "other opener entirely different text")
+    ).toDF("doc_id", "text")
+    val r = Dedup.editDistancePairs(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("edit-distance block cap bounds a 10k-doc hot block") {
+    // 10 000 docs share the blocking key "dup dup" AND the same length
+    // bucket: uncapped blocking would emit ~50M candidate pairs through
+    // one reducer. The cap refines the hot block by length bucket, finds
+    // the refined bucket still hot, and drops it — bounded work, zero
+    // pairs from the boilerplate block. A cold block in the same corpus
+    // still yields its pair (recall outside hot blocks is untouched).
+    val hot = (1 to 10000).map(i => (1000L + i, s"dup dup pad$i"))
+    val cold = Seq(
+      (1L, "cold start alpha beta gamma delta"),
+      (2L, "cold start alpha beta gamma deltq"))
+    val d = (hot ++ cold).toDF("doc_id", "text")
+    val r = Dedup.editDistancePairs(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("edit-distance length-bucket refinement keeps recall in spread hot blocks") {
+    // 60 docs share "spread out" (over the 50-doc cap) but split across
+    // two length buckets of 30 — refinement keeps both buckets, so
+    // near-identical docs inside each bucket still pair up.
+    val shortDocs = (1 to 30).map(i => (100L + i, f"spread out s$i%02d")) // len 13 -> bucket 0
+    val longDocs = (1 to 30).map(i =>
+      (200L + i, f"spread out longer filler words here l$i%02d")) // len 37 -> bucket 1
+    val d = (shortDocs ++ longDocs).toDF("doc_id", "text")
+    val r = Dedup.editDistancePairs(d, maxDist = 4).collect()
+    // within-bucket pairs survive (any two short docs differ by <= 2 edits)
+    assert(r.nonEmpty)
+    val ids = r.map(x => (x.getLong(0), x.getLong(1)))
+    assert(ids.forall { case (a, b) => (a < 200) == (b < 200) }) // no cross-bucket pairs
+    assert(ids.exists { case (a, b) => a > 100 && b < 200 })
+  }
 }

@@ -63,4 +63,42 @@ class GraphSpec extends AnyFunSuite with TestSpark {
       (3L, 3L, 2L, Some(0.666667)),
       (4L, 2L, 1L, Some(1.0))))
   }
+
+  test("triangles: counted even when neighbor id order disagrees with degree order") {
+    // triangle {1,2,3} plus pendant edges 2-5 and 2-6: deg(2)=4 while
+    // deg(1)=deg(3)=2, so the closing edge 2-3 orients 3 -> 2 (degree
+    // order) against the raw id order 2 < 3 — the wedge pair at apex 1
+    // must be ordered by the same (deg, id) key or the closure join
+    // misses the triangle entirely.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 5L), (2L, 6L))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.triangles(e)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L), (2L, 4L, 1L), (3L, 2L, 1L), (5L, 1L, 0L), (6L, 1L, 0L)))
+  }
+
+  test("triangles matches brute-force enumeration on random graphs") {
+    // the exact shape the wedge-ordering bug hid in: random degree
+    // profiles where id order and degree order routinely disagree
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 12
+      val pairs = for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rng.nextDouble() < 0.3
+      } yield (a, b)
+      val adj = pairs.toSet
+      val brute = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if adj((a, b)) && adj((b, c)) && adj((a, c))
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val got = graft.operators.Graph.triangles(pairs.toDF("src", "dst"))
+        .collect().map(x => x.getLong(0) -> x.getLong(2))
+        .filter(_._2 > 0).toMap
+      assert(got == brute, s"trial $trial: $got vs $brute")
+    }
+  }
 }
