@@ -50,6 +50,11 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators cache shared subtrees (minhash signatures,
+      // shingle sets, band tables) and leave lifecycle to the caller;
+      // over a 130+-query run those pins would accumulate to real
+      // executor memory, so drop them once the query's output is on disk
+      spark.catalog.clearCache()
     }
     pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

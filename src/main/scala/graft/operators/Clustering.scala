@@ -157,8 +157,14 @@ object Clustering {
     /** Mirrors topPrincipalComponent: the same power-iteration
       * trajectory unrolled as CTEs (generated, so the iteration count
       * and expression shapes cannot drift from the Spark side).
+      *
+      * `dim` defaults to the ONE shared embedding-width constant
+      * ([[Similarity.Dim]]) — the Spark side derives the width from the
+      * data, so an oracle pinned to a stale literal would silently
+      * truncate/pad the replayed trajectory if the generator's width
+      * ever moved.
       */
-    def topPrincipalComponent(iters: Int = PcaIters, dim: Int = 64): String = {
+    def topPrincipalComponent(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
       val d1 = dim + 1
       val sb = new StringBuilder(
         s"WITH v0 AS (SELECT list_transform(range(1, $d1), i -> 0.125) AS v)")

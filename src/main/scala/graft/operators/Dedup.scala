@@ -41,16 +41,27 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-document DISTINCT shingle sets (doc_id, sh_arr) — the shared
+    * subtree for compositions that run MORE THAN ONE shingle-derived
+    * generator over the same corpus (q137 calibration: MinHash + exact
+    * Jaccard). Callers cache the returned frame so the shingling pass
+    * runs once per composition instead of once per generator.
+    */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(Text.shingles(col("text"))).as("sh_arr"))
+
   /** Per-document MinHash signature: k independent md5-derived hash
     * functions, min over the document's shingle set. Single explode +
     * one hash-aggregation (k mins computed in the same pass).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingleSets(docs))
+
+  private[graft] def minhashSignaturesFrom(shArr: DataFrame): DataFrame = {
     // Per-doc shingle dedup happens map-side (array_distinct before the
     // explode) — the old explode-then-distinct shape shuffled every
     // (doc, shingle) row just to dedup within the doc.
-    val sh = docs
-      .select(col("doc_id"), explode(array_distinct(Text.shingles(col("text")))).as("shingle"))
+    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
     val mins = (0 until MinhashK).map(i =>
       min(Hashes.md5Long32(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -74,8 +85,11 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
   }
 
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsFrom(shingleSets(docs))
+
+  private[graft] def minhashPairsFrom(shArr: DataFrame): DataFrame = {
+    val sig = minhashSignaturesFrom(shArr).cache()
     val banded = bandTable(sig)
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -157,6 +171,17 @@ object Dedup {
       .select("d1", "d2", "n_common", "n1", "n2", "jaccard")
   }
 
+  /** [[ngramJaccardPairs]] over a pre-built (cached) shingle-set frame
+    * from [[shingleSets]] — for compositions that also feed the same
+    * shingles to another generator.
+    */
+  private[graft] def ngramJaccardPairsFrom(shArr: DataFrame): DataFrame =
+    overlapPairsFrom(shArr)
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2", "n_common", "n1", "n2", "jaccard")
+
   /** Directed n-gram CONTAINMENT pairs — |A∩B| / min(|A|,|B|), the
     * asymmetric near-dup detector Jaccard misses: a paragraph fully
     * embedded in a much longer document scores ~1.0 here but near 0 on
@@ -202,10 +227,16 @@ object Dedup {
     * hashed distinct shingles → doc-frequency cap → keyed self-join →
     * (d1, d2, n1, n2, n_common) per intersecting pair.
     */
-  private def overlapPairs(docs: DataFrame): DataFrame = {
-    val sh = docs
+  private def overlapPairs(docs: DataFrame): DataFrame =
+    overlapPairsFrom(shingleSets(docs))
+
+  private def overlapPairsFrom(shArr: DataFrame): DataFrame = {
+    // hashing the already-distinct string set then re-distincting over
+    // the hashes is set-identical to the historical transform-then-
+    // distinct order (a rare md5Long32 collision collapses either way)
+    val sh = shArr
       .select(col("doc_id"),
-        array_distinct(transform(Text.shingles(col("text")), s => Hashes.md5Long32(s))).as("arr"))
+        array_distinct(transform(col("sh_arr"), s => Hashes.md5Long32(s))).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh"))
       .cache()
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= JaccardDocFreqCap)
@@ -385,7 +416,12 @@ object Dedup {
   def incrementalFlags(docs: DataFrame, splitId: Long): DataFrame = {
     // cache: the band table feeds BOTH sides of the semi join (old
     // distinct bands and new probes) — without it the full shingling +
-    // min-hash aggregation runs twice (same reason minhashPairs caches)
+    // min-hash aggregation runs twice (same reason minhashPairs caches).
+    // Lifecycle contract (shared by every caching operator here): the
+    // CALLER owns the pin — unpersist or spark.catalog.clearCache()
+    // after materializing the result in long-lived sessions (Verify
+    // clears between queries; a lazy unpersist here would race the
+    // caller's first action).
     val banded = bandTable(minhashSignatures(docs)).cache()
     val oldBands = banded.filter(col("doc_id") < splitId)
       .select("band_id", "band_val").distinct()

@@ -60,6 +60,14 @@ object Robust {
     * inter-rank gap (negligible on dense groups, unbounded on sparse
     * tails). The q122 calibration query prices the estimates against
     * exact percentiles on the real data.
+    *
+    * DOMAIN ASSUMPTION: values outside [HistLo, HistHi) are CLAMPED
+    * into the edge bins, and a clamped value silently voids the
+    * one-bin-width bound for any quantile landing in an edge bin (the
+    * events.value domain here is [0, 600), so the default range is
+    * lossless). Before trusting the bound on a new column, run
+    * [[outOfRangeCounts]] — a nonzero row means the range constants
+    * must be widened for that data.
     */
   /** The sketch-building half of histQuantile: per-group fixed-bin
     * counters as a plain keyed aggregation — STREAMING-COMPATIBLE
@@ -82,6 +90,16 @@ object Robust {
   def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
     estimateFromBins(histBinCounts(df, groupCol, valueCol), groupCol, ps)
+
+  /** Per-group count of values the fixed histogram range would clamp —
+    * the calibration check for the domain assumption above (run once
+    * when pointing the sketch at a new column; zero rows = the
+    * one-bin-width accuracy contract holds everywhere).
+    */
+  def outOfRangeCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .filter(col(valueCol) < HistLo || col(valueCol) >= HistHi)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_out_of_range"))
 
   /** Quantile estimates from a (group, bin, c) counter table (see
     * histBinCounts — possibly accumulated across a stream's lifetime).

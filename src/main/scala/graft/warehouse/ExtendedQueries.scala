@@ -125,24 +125,30 @@ object ExtendedQueries {
       .orderBy("event_type")
 
   /** q121: per-user ordered event paths — the sequence-mining input
-    * (funnels, next-event prediction). The path is capped at PathCap
-    * steps so per-user state is bounded; ordering ties break on
-    * event_id, and the path is emitted as an md5 scalar per the
-    * array-output convention.
+    * (funnels, next-event prediction). Per-user aggregation state is
+    * TRULY bounded at PathCap: events past the cap are filtered by a
+    * pre-aggregation window rank (collect_list skips the nulls), so a
+    * million-event user buffers 50 structs, not a million — the
+    * earlier shape collected everything and only then slice()d.
+    * Ordering ties break on event_id; the path is emitted as an md5
+    * scalar per the array-output convention.
     */
   val PathCap = 50
-  val eventPaths: Q = (s, dir) =>
+  val eventPaths: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
         md5(concat_ws(">",
-          slice(
-            transform(
-              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-              x => x.getField("event_type")),
-            1, PathCap))).as("path_md5"))
+          transform(
+            array_sort(collect_list(when(col("rn") <= PathCap,
+              struct(col("ts"), col("event_id"), col("event_type"))))),
+            x => x.getField("event_type")))).as("path_md5"))
       .orderBy("user_id")
+  }
 
   /** q135: deterministic argmax / argmin / mode — the selection
     * aggregates (WHO had the max, not what it was) with explicit

@@ -544,9 +544,26 @@ object PipelineQueries {
     */
   val dedupFunnel: Q = (s, dir) => {
     import graft.functions.Text
-    val d = docs(s, dir)
+    // the funnel composes SEVEN docs-scanning subtrees (pair gen, two
+    // canonical-keep joins, four quality signals); cache the corpus
+    // frame once so each subtree reads columnar memory, not parquet
+    val d = docs(s, dir).cache()
+    // The two funnel branches are independent, but canonicalKeep runs
+    // EAGER jobs at plan-build time (the connected-components solve) —
+    // composed naively, the quality-gate subtrees would wait out that
+    // barrier and only start with the final action. Materializing the
+    // gate on a second scheduler thread overlaps the branches: the
+    // FIFO scheduler interleaves both job sets across the executor
+    // cores (same wall-clock shape a multi-tenant production session
+    // gets for free).
+    val qual = TextAnalysis.qualityGate(d)
+      .select(col("doc_id"), col("pass_quality")).cache()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val gateWarm = Future(qual.count())
     val kept = Dedup.canonicalKeep(d).select(col("doc_id"), col("keep"))
-    val qual = TextAnalysis.qualityGate(d).select(col("doc_id"), col("pass_quality"))
+    Await.result(gateWarm, Duration.Inf)
     d.select(col("doc_id"), size(Text.words(col("text"))).as("toks"))
       .join(kept, "doc_id")
       .join(qual, "doc_id")
@@ -597,8 +614,12 @@ object PipelineQueries {
     * error. The accuracy audit for the 16-hash signature.
     */
   val minhashCalibration: Q = (s, dir) => {
-    val mh = Dedup.minhashPairs(docs(s, dir)).select("d1", "d2", "est_jaccard")
-    val ex = Dedup.ngramJaccardPairs(docs(s, dir)).select("d1", "d2", "jaccard")
+    // ONE cached shingling pass feeds both generators (the MinHash
+    // branch and the exact-Jaccard branch would otherwise each re-run
+    // Text.shingles over the whole corpus)
+    val sh = Dedup.shingleSets(docs(s, dir)).cache()
+    val mh = Dedup.minhashPairsFrom(sh).select("d1", "d2", "est_jaccard")
+    val ex = Dedup.ngramJaccardPairsFrom(sh).select("d1", "d2", "jaccard")
     mh.join(ex, Seq("d1", "d2"))
       .agg(
         count(lit(1)).as("n_pairs"),

@@ -152,4 +152,32 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
     StreamSinks.upsertBatch(Seq((0L, -1L)).toDF("k", "v"), dir, Seq("k"))
     assert(StreamSinks.readStore(spark, dir).filter($"k" === 0L).head.getLong(1) == -1L)
   }
+
+  test("outOfRangeCounts flags exactly the values the histogram would clamp") {
+    val df = Seq(
+      ("a", -0.5), ("a", 0.0), ("a", 599.9), ("a", 600.0), ("a", 1e9),
+      ("b", 250.0)
+    ).toDF("g", "v")
+    val r = graft.operators.Robust.outOfRangeCounts(df, "g", "v").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // -0.5 (below lo), 600.0 and 1e9 (at/above hi); 0.0 and 599.9 in range
+    assert(r == Map("a" -> 3L))
+  }
+
+  test("eventPaths md5 comes from the first PathCap events only") {
+    import graft.warehouse.ExtendedQueries
+    // 60 events for one user: the path must hash the first 50 by
+    // (ts, event_id) — identical to hashing the capped prefix directly
+    val rows = (1 to 60).map(i => (7L, ts(i), i.toLong, s"e$i"))
+    val dir = Files.createTempDirectory("graft-paths").toString
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ExtendedQueries.eventPaths(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 60L) // n_events counts ALL events
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 50).map(i => s"e$i").mkString(">").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(0).getString(2) == expected)
+  }
 }
