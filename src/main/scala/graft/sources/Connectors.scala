@@ -65,38 +65,117 @@ object Connectors {
     * stream-agg table actually needs: its PRIMARY KEY (window_start,
     * device_id, device_type) (create_stream_tables.sql:19-23) is
     * violated by plain append the second time update mode re-emits a
-    * window. Implemented as engine-portable update-else-insert per row
-    * inside one transaction per partition (works on Derby/MySQL/
-    * PostgreSQL alike; a dialect layer would swap in `INSERT .. ON
-    * CONFLICT` / `MERGE` for single-round-trip batches at scale).
+    * window. Dialect-aware: Postgres `INSERT .. ON CONFLICT`, MySQL
+    * `ON DUPLICATE KEY UPDATE`, Derby ANSI `MERGE` — one statement per
+    * row, batched `MergeBatchSize` rows per round trip; any other URL
+    * (or `portableOnly = true`) falls back to engine-portable
+    * update-else-insert per row inside the same transaction scope.
     *
     * Scale notes: runs distributed — each partition holds one
     * connection and one transaction; parallelism = partition count, and
     * rows never funnel through the driver. Upstream should be the
     * (small) per-batch aggregate delta, not raw events.
     */
-  /** The per-row merge plumbing shared by the upsert sinks. */
+  /** The per-row merge plumbing shared by the upsert sinks. When the
+    * dialect supports a single-statement merge, `single` carries
+    * (sql, param order) and rows flow as ONE batched round-trip per
+    * `MergeBatchSize` instead of two statements per row — at scale the
+    * row-at-a-time update-else-insert pays one server round trip per
+    * statement, which dominates sink throughput.
+    */
+  private[graft] val MergeBatchSize = 500
   private case class MergeSql(cols: Seq[String], valCols: Seq[String], keyCols: Seq[String],
-      updateSql: String, insertSql: String, colIdx: Map[String, Int]) {
-    def apply(conn: java.sql.Connection, rows: Iterator[Row]): Unit = {
-      val upd = conn.prepareStatement(updateSql)
-      val ins = conn.prepareStatement(insertSql)
-      def set(ps: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =
-        order.zipWithIndex.foreach { case (c, i) =>
-          val v = row.get(colIdx(c))
-          if (v == null) ps.setNull(i + 1, Types.NULL) else ps.setObject(i + 1, v)
-        }
-      rows.foreach { row =>
-        set(upd, valCols ++ keyCols, row)
-        if (upd.executeUpdate() == 0) {
-          set(ins, cols, row)
-          ins.executeUpdate()
-        }
+      updateSql: String, insertSql: String, colIdx: Map[String, Int],
+      single: Option[(String, Seq[String])]) {
+    private def set(ps: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =
+      order.zipWithIndex.foreach { case (c, i) =>
+        val v = row.get(colIdx(c))
+        if (v == null) ps.setNull(i + 1, Types.NULL) else ps.setObject(i + 1, v)
       }
+    def apply(conn: java.sql.Connection, rows: Iterator[Row]): Unit = single match {
+      case Some((sql, order)) =>
+        val ps = conn.prepareStatement(sql)
+        var pending = 0
+        rows.foreach { row =>
+          set(ps, order, row)
+          ps.addBatch()
+          pending += 1
+          if (pending == MergeBatchSize) { ps.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ps.executeBatch()
+      case None =>
+        val upd = conn.prepareStatement(updateSql)
+        val ins = conn.prepareStatement(insertSql)
+        rows.foreach { row =>
+          set(upd, valCols ++ keyCols, row)
+          if (upd.executeUpdate() == 0) {
+            set(ins, cols, row)
+            ins.executeUpdate()
+          }
+        }
     }
   }
 
-  private def mergeSql(df: DataFrame, table: String, keyCols: Seq[String]): MergeSql = {
+  /** ANSI SQL type for a CAST inside Derby's MERGE source-row VALUES
+    * (Derby cannot infer `?` parameter types there).
+    */
+  private def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case ShortType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case _ => "VARCHAR(4000)"
+    }
+  }
+
+  /** Dialect-keyed single-statement merge (None → portable two-statement
+    * fallback). Postgres/MySQL upsert against the table's unique key;
+    * Derby (the embedded engine JdbcSpec proves against) gets a real
+    * ANSI MERGE with typed source casts.
+    */
+  private def singleStatementMerge(df: DataFrame, url: String, table: String,
+      cols: Seq[String], valCols: Seq[String], keyCols: Seq[String]): Option[(String, Seq[String])] = {
+    def q(c: String) = s""""$c""""
+    val placeholders = cols.map(_ => "?").mkString(", ")
+    if (url.startsWith("jdbc:postgresql:"))
+      Some((
+        s"""INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES ($placeholders)
+           | ON CONFLICT (${keyCols.map(q).mkString(", ")})
+           | DO UPDATE SET ${valCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}""".stripMargin,
+        cols))
+    else if (url.startsWith("jdbc:mysql:"))
+      // backtick quoting: MySQL treats double quotes as strings unless
+      // ANSI_QUOTES is on
+      Some((
+        s"""INSERT INTO $table (${cols.map(c => s"`$c`").mkString(", ")}) VALUES ($placeholders)
+           | ON DUPLICATE KEY UPDATE ${valCols.map(c => s"`$c` = VALUES(`$c`)").mkString(", ")}""".stripMargin,
+        cols))
+    else if (url.startsWith("jdbc:derby:")) {
+      // Derby's MERGE source must be a base table, so the one-row
+      // SYSIBM.SYSDUMMY1 carries each row's parameters (typed CASTs —
+      // Derby cannot infer bare `?` types inside MERGE clauses).
+      // Parameter order: keys (ON), values (UPDATE), all cols (INSERT).
+      val types = df.schema.fields.map(f => f.name -> sqlType(f.dataType)).toMap
+      def p(c: String) = s"CAST(? AS ${types(c)})"
+      Some((
+        s"""MERGE INTO $table T USING SYSIBM.SYSDUMMY1
+           | ON ${keyCols.map(c => s"T.${q(c)} = ${p(c)}").mkString(" AND ")}
+           | WHEN MATCHED THEN UPDATE SET ${valCols.map(c => s"${q(c)} = ${p(c)}").mkString(", ")}
+           | WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+           |   VALUES (${cols.map(p).mkString(", ")})""".stripMargin,
+        keyCols ++ valCols ++ cols))
+    } else None
+  }
+
+  private def mergeSql(df: DataFrame, table: String, keyCols: Seq[String],
+      url: String = "", portableOnly: Boolean = false): MergeSql = {
     val cols = df.schema.fieldNames.toSeq
     val valCols = cols.filterNot(keyCols.contains)
     require(keyCols.nonEmpty && keyCols.forall(cols.contains), s"bad keyCols $keyCols for $cols")
@@ -107,12 +186,13 @@ object Connectors {
       s"""UPDATE $table SET ${valCols.map(c => s"${q(c)} = ?").mkString(", ")}
          | WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}""".stripMargin,
       s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})",
-      cols.zipWithIndex.toMap)
+      cols.zipWithIndex.toMap,
+      if (portableOnly) None else singleStatementMerge(df, url, table, cols, valCols, keyCols))
   }
 
   def upsertJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      user: String, password: String): Unit = {
-    val m = mergeSql(df, table, keyCols)
+      user: String, password: String, portableOnly: Boolean = false): Unit = {
+    val m = mergeSql(df, table, keyCols, url, portableOnly)
     // Hash-partition on the merge key so a key lands in exactly ONE
     // transaction: two partitions carrying the same key would otherwise
     // race update-else-insert across parallel connections (double-insert
@@ -183,7 +263,7 @@ object Connectors {
     }
     val presentBefore = markerExists()
 
-    val m = mergeSql(batch, table, keyCols)
+    val m = mergeSql(batch, table, keyCols, url)
     batch.coalesce(1).foreachPartition { rows: Iterator[Row] =>
       val conn = DriverManager.getConnection(url, user, password)
       try {

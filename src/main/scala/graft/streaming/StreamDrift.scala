@@ -63,16 +63,55 @@ object StreamDrift {
       id -> DeviceDrift(id, s.n, s.ewma, s.driftCount)
     }
 
+  /** Distributed batch twin of the stream fold — the backfill path,
+    * shaped for scale: repartition on the key, sort WITHIN partitions
+    * by (key, time, value), then ONE streaming pass per partition with
+    * a single constant-size fold state (no per-device buffering — a
+    * device with a billion readings costs one struct, where a
+    * groupByKey + sort twin would collect its whole history). The
+    * arithmetic per event is the identical [[step]] the streaming
+    * operator applies, so stream ≡ batch is structural; q138's DuckDB
+    * oracle replays the fold via an ordered list_reduce.
+    */
+  def detectBatchDs(
+      events: Dataset[SensorEvent],
+      alpha: Double = 0.125,
+      threshold: Double = 30.0,
+      minHistory: Long = 3L): Dataset[DeviceDrift] = {
+    import org.apache.spark.sql.functions.col
+    implicit val outEnc = Encoders.product[DeviceDrift]
+    val sorted = events
+      .repartition(col("device_id"))
+      .sortWithinPartitions(col("device_id"), col("time"), col("value"))
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[DeviceDrift] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): DeviceDrift = {
+          val id = buf.head.device_id
+          var s = DriftState(0L, 0.0, 0L)
+          while (buf.hasNext && buf.head.device_id == id)
+            s = step(s, buf.next(), alpha, threshold, minHistory)
+          DeviceDrift(id, s.n, s.ewma, s.driftCount)
+        }
+      }
+    }
+  }
+
   private def sortBatch(es: Seq[SensorEvent]): Seq[SensorEvent] =
     es.sortBy(e => (e.time.getTime, e.value))
 
+  /** One EWMA observation: flag BEFORE absorbing (alarm, don't censor). */
+  private def step(s: DriftState, e: SensorEvent, alpha: Double,
+      threshold: Double, minHistory: Long): DriftState = {
+    val drift = s.n >= minHistory && math.abs(e.value - s.ewma) > threshold
+    val ewma = if (s.n == 0L) e.value else alpha * e.value + (1.0 - alpha) * s.ewma
+    DriftState(s.n + 1, ewma, s.driftCount + (if (drift) 1L else 0L))
+  }
+
   private def fold(init: DriftState, sorted: Seq[SensorEvent], alpha: Double,
       threshold: Double, minHistory: Long): DriftState =
-    sorted.foldLeft(init) { (s, e) =>
-      val drift = s.n >= minHistory && math.abs(e.value - s.ewma) > threshold
-      val ewma = if (s.n == 0L) e.value else alpha * e.value + (1.0 - alpha) * s.ewma
-      DriftState(s.n + 1, ewma, s.driftCount + (if (drift) 1L else 0L))
-    }
+    sorted.foldLeft(init)(step(_, _, alpha, threshold, minHistory))
 
   private def updateFn(alpha: Double, threshold: Double, minHistory: Long)(
       deviceId: String,

@@ -46,6 +46,57 @@ object StreamSessions {
         updateFn(gapSeconds * 1000L))
   }
 
+  /** Distributed batch twin of the gap fold — the backfill path, shaped
+    * for scale: repartition on the key, sort WITHIN partitions by
+    * (key, time, value), one streaming pass per partition holding a
+    * single open-session struct (sessions emit lazily as the gap or the
+    * key breaks — never a per-device buffer). Session arithmetic (ms
+    * gap test, extend/close transitions, ordered value sum) matches the
+    * streaming updateFn; a fully-drained stream whose watermark passed
+    * every session closes the same set. q139's DuckDB oracle rebuilds
+    * the sessions INDEPENDENTLY (lag + running break-sum windows), so
+    * the cross-engine check covers the fold semantics, not a mirrored
+    * implementation.
+    */
+  def sessionizeBatch(events: Dataset[SensorEvent], gapSeconds: Long): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.functions.col
+    implicit val closedEnc = Encoders.product[ClosedSession]
+    val gapMs = gapSeconds * 1000L
+    val sorted = events
+      .repartition(col("device_id"))
+      .sortWithinPartitions(col("device_id"), col("time"), col("value"))
+    sorted.mapPartitions { rows =>
+      var open: Option[(String, OpenSession)] = None
+      def close(id: String, s: OpenSession): ClosedSession =
+        ClosedSession(id, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.sumValue)
+      val body = rows.flatMap { e =>
+        val t = e.time.getTime
+        open match {
+          case None =>
+            open = Some((e.device_id, OpenSession(t, t, 1L, e.value)))
+            Iterator.empty
+          case Some((id, s)) if id != e.device_id || t - s.endMs > gapMs =>
+            open = Some((e.device_id, OpenSession(t, t, 1L, e.value)))
+            Iterator.single(close(id, s))
+          case Some((id, s)) =>
+            open = Some((id, s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
+              sumValue = s.sumValue + e.value)))
+            Iterator.empty
+        }
+      }
+      // lazy tail: `open` is read only after `body` drains, flushing the
+      // partition's final session
+      body ++ new Iterator[ClosedSession] {
+        def hasNext: Boolean = open.isDefined
+        def next(): ClosedSession = {
+          val (id, s) = open.get
+          open = None
+          close(id, s)
+        }
+      }
+    }
+  }
+
   private def updateFn(gapMs: Long)(
       deviceId: String,
       events: Iterator[SensorEvent],

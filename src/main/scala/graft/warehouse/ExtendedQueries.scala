@@ -179,7 +179,65 @@ object ExtendedQueries {
     sel.join(mode, "event_type").orderBy("event_type")
   }
 
+  /** The events table as the SensorEvent stream shape (user as the
+    * device key) — the adapter that lets the STREAMING operators' batch
+    * twins run under the DuckDB gate. Null keys/values are dropped on
+    * both sides (a null device has no fold identity).
+    */
+  private def asSensorEvents(s: SparkSession, dir: String) = {
+    import graft.model.SensorEvent
+    implicit val enc = org.apache.spark.sql.Encoders.product[SensorEvent]
+    Tables(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(
+        col("ts").as("time"),
+        col("user_id").cast("string").as("device_id"),
+        lit("user").as("device_type"),
+        col("value"),
+        lit("unit").as("unit"),
+        lit(100).as("quality_score"),
+        lit(false).as("is_anomaly"),
+        lit("{}").as("metadata"))
+      .as[SensorEvent]
+  }
+
+  /** q138: per-key EWMA drift — the batch twin of the streaming
+    * mapGroupsWithState monitor, run through the REAL fold code
+    * (StreamDrift.detectBatchDs), so the online monitor's arithmetic is
+    * DuckDB-hash-checked, not just spec-checked.
+    */
+  val ewmaDrift: Q = (s, dir) =>
+    graft.streaming.StreamDrift.detectBatchDs(asSensorEvents(s, dir)).toDF()
+      .select(
+        col("device_id").cast("long").as("user_id"),
+        col("n_events"),
+        round(col("ewma"), 6).as("ewma"),
+        col("n_drift"))
+      .orderBy("user_id")
+
+  /** q139: gap sessionization via the streaming sessionizer's fold
+    * (12 h gap — the events table's median per-user inter-arrival is
+    * ~7 h, so sessions genuinely chain). The oracle rebuilds sessions
+    * INDEPENDENTLY with lag + running break-sum windows, so this
+    * checks the fold's semantics against a second formulation, unlike
+    * the mirrored-construction oracles. Boundary times are emitted as
+    * epoch ms (the fold's native resolution).
+    */
+  val SessionFoldGapSeconds = 43200L
+  val sessionFold: Q = (s, dir) =>
+    graft.streaming.StreamSessions.sessionizeBatch(asSensorEvents(s, dir), SessionFoldGapSeconds)
+      .toDF()
+      .select(
+        col("device_id").cast("long").as("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "start_ms")
+
   val queries: Map[String, Q] = Map(
+    "q138_ewma_drift" -> ewmaDrift,
+    "q139_session_fold" -> sessionFold,
     "q15_asof_join" -> asof,
     "q16_sessions" -> sessions,
     "q17_rollup" -> rollup,
@@ -193,6 +251,40 @@ object ExtendedQueries {
   import Num.{O => N}
 
   val oracle: Map[String, String] = Map(
+    // The fold is replayed as a RECURSIVE CTE (one exact sequential
+    // step per event) rather than a list_reduce struct lambda: DuckDB
+    // 1.0's struct-lambda fields can observe sibling assignments from
+    // the same construction, silently changing the drift test.
+    "q138_ewma_drift" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT user_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS BIGINT) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |f(user_id, rn, n, e, d) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DOUBLE), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM e0)
+        |  UNION ALL
+        |  SELECT f.user_id, x.rn, f.n + 1,
+        |    CASE WHEN f.n = 0 THEN x.value
+        |         ELSE CAST(0.125 AS DOUBLE) * x.value + CAST(0.875 AS DOUBLE) * f.e END,
+        |    f.d + CASE WHEN f.n >= 3 AND abs(x.value - f.e) > CAST(30.0 AS DOUBLE) THEN 1 ELSE 0 END
+        |  FROM f JOIN e0 x ON x.user_id = f.user_id AND x.rn = f.rn + 1),
+        |last AS (SELECT user_id, MAX(rn) AS rn FROM f GROUP BY user_id)
+        |SELECT f.user_id, f.n AS n_events, round(f.e, 6) AS ewma, f.d AS n_drift
+        |FROM f JOIN last USING (user_id, rn) ORDER BY user_id""".stripMargin,
+    "q139_session_fold" ->
+      s"""WITH w AS (SELECT user_id, ts, value,
+         |         CASE WHEN lag(ts) OVER win IS NULL
+         |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER win) > ${SessionFoldGapSeconds * 1000L}
+         |              THEN 1 ELSE 0 END AS brk
+         |       FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+         |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, value)),
+         |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+         |                               ROWS UNBOUNDED PRECEDING) AS sid FROM w)
+         |SELECT user_id, epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
+         |  COUNT(*) AS n_events,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
     "q135_argmax_mode" ->
       """WITH mx AS (SELECT event_type, user_id AS top_user, value AS top_value FROM (
         |       SELECT event_type, user_id, value,

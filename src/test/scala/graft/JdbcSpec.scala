@@ -72,6 +72,33 @@ class JdbcSpec extends AnyFunSuite with TestSpark {
       ("d3", "humidity") -> ((1L, 55.0)))) // inserted
   }
 
+  test("Derby MERGE fast path and portable fallback converge, past the batch boundary") {
+    import java.sql.DriverManager
+    val n = Connectors.MergeBatchSize + 57 // force a ragged final executeBatch
+    for (t <- Seq("merge_fast", "merge_portable")) {
+      val conn = DriverManager.getConnection(url)
+      conn.createStatement().execute(
+        s"""CREATE TABLE $t ("k" BIGINT NOT NULL, "v" DOUBLE, "s" VARCHAR(64),
+           |  PRIMARY KEY ("k"))""".stripMargin)
+      conn.close()
+    }
+    val first = (1 to n).map(i => (i.toLong, i * 1.5, s"row$i")).toDF("k", "v", "s")
+    // second wave updates the odd keys and inserts a tail past n
+    val second = ((1 to n by 2).map(i => (i.toLong, -1.0, "upd")) ++
+      Seq((n + 1L, 9.9, "new"))).toDF("k", "v", "s")
+    Connectors.upsertJdbc(first, url, "merge_fast", Seq("k"), "", "")
+    Connectors.upsertJdbc(second, url, "merge_fast", Seq("k"), "", "")
+    Connectors.upsertJdbc(first, url, "merge_portable", Seq("k"), "", "", portableOnly = true)
+    Connectors.upsertJdbc(second, url, "merge_portable", Seq("k"), "", "", portableOnly = true)
+    def snap(t: String) = Connectors.readJdbc(spark, url, t, "", "")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val fast = snap("merge_fast")
+    assert(fast == snap("merge_portable"))
+    assert(fast.size == n + 1)
+    assert(fast.contains((1L, -1.0, "upd")) && fast.contains((2L, 3.0, "row2"))
+      && fast.contains((n + 1L, 9.9, "new")))
+  }
+
   test("batch-id tracking skips a replayed micro-batch") {
     import java.sql.DriverManager
     val conn = DriverManager.getConnection(url)

@@ -48,4 +48,24 @@ class StreamDriftSpec extends AnyFunSuite with TestSpark {
     // d2 never accumulates minHistory → no drift possible
     assert(got("d2")._3 == 0L)
   }
+
+  test("distributed backfill twin equals the driver fold across many partitions") {
+    // 40 devices x 25 readings shuffled across 8 partitions: the
+    // sort-within-partitions single-pass fold must agree with the
+    // driver-side reference fold device-for-device (including a spiky
+    // device with several drifts)
+    val rng = new scala.util.Random(7)
+    val events = (for {
+      d <- 1 to 40; i <- 1 to 25
+    } yield ev(i * 60L + d, s"dev$d", if (rng.nextDouble() < 0.1) 200.0 else 20.0 + d))
+    val shuffled = rng.shuffle(events)
+    val got = StreamDrift.detectBatchDs(shuffled.toDS().repartition(8)).collect()
+      .map(r => r.device_id -> ((r.n_events, r.ewma, r.n_drift))).toMap
+    val expected = StreamDrift.detectBatch(shuffled)
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == ((e.n_events, e.ewma, e.n_drift)), s"device $id")
+    }
+    assert(expected.values.map(_.n_drift).sum > 0) // the fixture actually drifts
+  }
 }
