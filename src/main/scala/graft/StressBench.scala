@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-regression harness for the dedup family: times the
+  * q42/q52/q94/q105/q114/q133 operators on the sf0.1 documents corpus
+  * and on a DETERMINISTIC 10× synthesis of it, and prints one JSON line
+  * with the per-query wall-clock ratio. A keyed, capped pair generator
+  * costs ~linear in the corpus; a ratio far above the 10× input growth
+  * is the signature of an uncapped quadratic (the class of flaw the
+  * round-4 review found in edit-distance blocking) — this harness
+  * exists so the next one shows up as a number before it ships.
+  *
+  * The 10× corpus is 10 vocabulary-disjoint replicas (every word of
+  * copy k is prefixed `k<k>_`, ids offset by 10000·k): each replica
+  * reproduces the original's duplicate DENSITY but shares no shingles,
+  * blocks, or hashes with the others, so the ideal pair workload scales
+  * exactly 10× — the clean linear reference for the ratio. (Suffixing
+  * copies with near-identical text would instead multiply the pair
+  * count 45× and measure the input, not the operator.)
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.StressBench"
+  */
+object StressBench {
+
+  private val Family: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q42_ngram_jaccard" -> warehouse.PipelineQueries.ngramJaccard,
+    "q52_dedup_clusters" -> warehouse.PipelineQueries.dedupClusters,
+    "q94_fuzzy_pairs" -> warehouse.PipelineQueries.fuzzyPairs,
+    "q105_canonical_keep" -> warehouse.PipelineQueries.canonicalKeep,
+    "q114_dup_spans" -> warehouse.PipelineQueries.dupSpans,
+    "q133_dedup_funnel" -> warehouse.PipelineQueries.dedupFunnel)
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+    val base = sources.Tables(spark, srcDir, "documents")
+    val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    base.select(col("*"), k)
+      .select(
+        (col("doc_id") + col("k") * 10000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit("k"), col("k"), lit("_"), w)), " ").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    core.GraftSession.tune(spark)
+
+    val synthDir = "target/stress_x10"
+    synthesize(spark, sfDir, synthDir, copies = 10)
+
+    def run(dir: String): Map[String, Double] =
+      Family.map { case (name, q) =>
+        spark.catalog.clearCache()
+        val sec = time(q(spark, dir).write.mode("overwrite").format("noop").save())
+        System.err.println(f"[stress] $name%-22s $dir%-28s $sec%7.2fs")
+        name -> sec
+      }.toMap
+
+    run(sfDir) // warm JIT/codegen so the timed passes compare like-for-like
+    val base = run(sfDir)
+    val x10 = run(synthDir)
+    def j(m: Map[String, Double]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val ratios = Family.map { case (n, _) => n -> x10(n) / math.max(base(n), 0.001) }.toMap
+    println(s"""{"metric":"dedup_stress_x10","base_sf":"$sfDir","base":${j(base)},"x10":${j(x10)},"ratio":${j(ratios)}}""")
+    spark.stop()
+  }
+}
