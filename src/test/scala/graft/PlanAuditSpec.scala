@@ -170,4 +170,39 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(collectAt < joinAt, s"collect_list (at $collectAt) should be upstream-of-root " +
       s"relative to the df join (at $joinAt)\n${p.take(1500)}")
   }
+
+  test("streaming-fold batch twins shuffle once and sort within partitions only") {
+    // the backfill shape: ONE key exchange, partition-local sort (the
+    // `false` flag), single-pass mapPartitions — a global sort or a
+    // second exchange would mean the twin re-shuffles a 100 TB history
+    for (name <- Seq("q138_ewma_drift", "q139_session_fold")) {
+      val p = plan(name)
+      val keyExchanges = "Exchange hashpartitioning\\(device_id".r.findAllIn(p).length
+      assert(keyExchanges == 1, s"$name: expected 1 device_id exchange, got $keyExchanges\n${p.take(1500)}")
+      assert("Sort \\[device_id[^\\]]*\\], false".r.findFirstIn(p).isDefined,
+        s"$name: expected a partition-local (non-global) sort\n${p.take(1500)}")
+      // the only other exchange is the final output ordering
+      assert("Exchange hashpartitioning\\((?!device_id)".r.findAllIn(p).isEmpty,
+        s"$name: unexpected extra hash exchange\n${p.take(1500)}")
+    }
+  }
+
+  private def joinKeyLists(p: String): List[String] =
+    "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*\\], \\[[^\\]]*".r
+      .findAllIn(p).toList
+
+  test("similarity-graph candidate joins are keyed on label AND bucket") {
+    // the bounded generator's self-join must carry the LSH bucket in its
+    // equality keys — label-only keys are the hot-label quadratic the
+    // round-4 review flagged
+    val joinKeys = joinKeyLists(plan("q132_triangles"))
+    assert(joinKeys.exists(k => k.contains("label") && k.contains("bucket")),
+      joinKeys.mkString("\n"))
+  }
+
+  test("edit-distance self-join carries the refined (blk, grp) block key") {
+    val joinKeys = joinKeyLists(plan("q94_fuzzy_pairs"))
+    assert(joinKeys.exists(k => k.contains("blk") && k.contains("grp")),
+      joinKeys.mkString("\n"))
+  }
 }
