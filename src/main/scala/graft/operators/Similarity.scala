@@ -166,6 +166,10 @@ object Similarity {
     * pruned with the candidate space.
     */
   def bucketedNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    // NOT cached: the bucketed frame feeds the size aggregation and both
+    // join sides, but measured at sf0.1 the columnar (de)serialization of
+    // the embedding arrays costs more than recomputing the codegen'd
+    // bucket hash + norm per side (3.1s -> 6.9s with a cache here)
     val n = emb.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("bucket", bucketOf(col("embedding")))
       .withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))

@@ -217,6 +217,59 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_chars"),
         (-sum(col("term").cast("decimal(38,6)"))).cast("double").as("entropy"))
 
+  /** Duplicate n-gram character fraction — the rep-n repetition filter
+    * family from large-corpus curation (for each n, the share of a
+    * document's characters lying inside word n-grams that occur MORE
+    * THAN ONCE in the document). Complements [[repetitionStats]]: the
+    * top-fraction stats catch one dominant token; rep-n catches looping
+    * PASSAGES whose individual words all look normal (boilerplate spam,
+    * template loops, decode-failure stutter).
+    *
+    * Exact semantics (mirrored in the oracle): a word POSITION is
+    * covered when any occurrence of any duplicated n-gram spans it;
+    * dup_chars = Σ length(word) over covered positions; rep_frac =
+    * dup_chars / Σ length(word) (null for empty docs). Overlapping
+    * occurrences count each position once (the DISTINCT), so the
+    * fraction is a true coverage in [0, 1].
+    *
+    * Scale: per-n, one (doc, gram) count, one keyed join back, one
+    * positional explode bounded by n·occurrences, one (doc, wi) dedup —
+    * all keyed by doc_id, no pair space, linear in corpus size.
+    */
+  def repNGramChars(docs: DataFrame, textCol: String = "text",
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    import graft.functions.Text
+    val w = docs.select(col("doc_id"), Text.words(col(textCol)).as("w"))
+    val tot = w.select(col("doc_id"),
+      aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+        .as("total_chars"))
+    val wl = w.select(col("doc_id"), posexplode(col("w")).as(Seq("wi0", "word")))
+      .select(col("doc_id"), (col("wi0") + 1).as("wi"), length(col("word")).cast("long").as("wlen"))
+    val perN = ns.map { n =>
+      val g = docs
+        .select(col("doc_id"), posexplode(Text.shingles(col(textCol), n)).as(Seq("pos0", "gram")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+      val dup = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      val cov = g.join(dup.select("doc_id", "gram"), Seq("doc_id", "gram"))
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("wi"))
+        .distinct()
+      cov.join(wl, Seq("doc_id", "wi"))
+        .groupBy("doc_id").agg(sum("wlen").as("dup_chars"))
+        .withColumn("n", lit(n))
+    }
+    val dupAll = perN.reduce(_ unionByName _)
+    tot.select(col("doc_id"), col("total_chars"),
+        explode(array(ns.map(lit(_)): _*)).as("n"))
+      .join(dupAll, Seq("doc_id", "n"), "left")
+      .select(
+        col("doc_id"), col("n"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("total_chars"),
+        when(col("total_chars") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("total_chars"), 6))
+          .as("rep_frac"))
+  }
+
   /** The composed per-document quality gate: every signal family
     * (token stats, repetition, corpus-LM fluency, character entropy)
     * joined into one decision row — the operator an ingestion pipeline
@@ -365,6 +418,37 @@ object TextAnalysis {
       val g = LangKeywords.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
       LangKeywords.map { case (l, _) => s"WHEN score_$l = $g THEN '$l'" }
         .mkString("CASE ", " ", " END")
+    }
+
+    /** Mirrors repNGramChars: duplicated-gram coverage of word
+      * positions, char-weighted. `w[pos:pos+n-1]` is DuckDB's 1-based
+      * inclusive slice = the n words the Spark shingle joins.
+      */
+    def repNGramChars(ns: Seq[Int] = Seq(2, 3, 4)): String = {
+      val nList = ns.mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tot AS (SELECT doc_id,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS total_chars
+         |        FROM w),
+         |p AS (SELECT doc_id, w, n, CAST(unnest(range(1, greatest(len(w) - n + 2, 1))) AS INT) AS pos
+         |      FROM w CROSS JOIN (SELECT unnest($nList) AS n) t),
+         |g AS (SELECT doc_id, n, pos, array_to_string(w[pos:pos+n-1], ' ') AS gram FROM p),
+         |dup AS (SELECT doc_id, n, gram FROM g GROUP BY 1, 2, 3 HAVING COUNT(*) > 1),
+         |cov AS (SELECT DISTINCT doc_id, n, CAST(unnest(range(pos, pos + n)) AS INT) AS wi
+         |        FROM (SELECT g.doc_id, g.n, g.pos FROM g JOIN dup USING (doc_id, n, gram))),
+         |wl AS (SELECT doc_id, CAST(unnest(range(1, len(w) + 1)) AS INT) AS wi, w FROM w),
+         |wl2 AS (SELECT doc_id, wi, CAST(length(w[wi]) AS BIGINT) AS wlen FROM wl),
+         |dc AS (SELECT cov.doc_id, cov.n, CAST(SUM(wl2.wlen) AS BIGINT) AS dup_chars
+         |       FROM cov JOIN wl2 USING (doc_id, wi) GROUP BY 1, 2),
+         |base AS (SELECT tot.doc_id, t.n, tot.total_chars
+         |         FROM tot CROSS JOIN (SELECT unnest($nList) AS n) t)
+         |SELECT b.doc_id, CAST(b.n AS INT) AS n,
+         |  COALESCE(dc.dup_chars, 0) AS dup_chars, b.total_chars,
+         |  CASE WHEN b.total_chars > 0
+         |       THEN round(CAST(COALESCE(dc.dup_chars, 0) AS DOUBLE) / b.total_chars, 6) END AS rep_frac
+         |FROM base b LEFT JOIN dc ON dc.doc_id = b.doc_id AND dc.n = b.n
+         |ORDER BY 1, 2""".stripMargin
     }
 
     /** Mirrors qualityGate — the verified fragments composed as

@@ -627,7 +627,14 @@ object PipelineQueries {
         round(max(abs(col("est_jaccard") - col("jaccard"))), 6).as("max_err"))
   }
 
+  /** q140: rep-n duplicate n-gram character fraction (the Gopher-style
+    * looping-passage filter) for n = 2, 3, 4.
+    */
+  val repNGrams: Q = (s, dir) =>
+    TextAnalysis.repNGramChars(docs(s, dir)).orderBy("doc_id", "n")
+
   val queries: Map[String, Q] = Map(
+    "q140_rep_ngrams" -> repNGrams,
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
     "q42_ngram_jaccard" -> ngramJaccard,
@@ -690,6 +697,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q140_rep_ngrams" -> TO.repNGramChars(),
     "q40_dedup_exact" -> Dedup.O.exact,
     "q41_fingerprint" ->
       s"""SELECT doc_id,

@@ -64,4 +64,27 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
       .map(f => f.doc_id -> f.checksum).toMap
     assert(cs(1L) != cs(2L)) // payload-dependent
   }
+
+  test("rep-n duplicate n-gram char fraction: hand-computed coverage") {
+    val d = Seq(
+      (1L, "a b a b c"), // "a b" repeats at pos 1 and 3 → covers words 1-4 (4 of 5 chars)
+      (2L, "aaa bb aaa bb aaa"), // "aaa bb" ×2 → covers all 5 words, 13 chars
+      (3L, "all distinct words here now")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.repNGramChars(d).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getLong(3), if (x.isNullAt(4)) -1.0 else x.getDouble(4)))).toMap
+    assert(r((1L, 2)) == ((4L, 5L, 0.8)))
+    assert(r((1L, 3)) == ((0L, 5L, 0.0))) // "a b a","b a b","a b c" all unique
+    // doc 2: bigram "aaa bb" at pos 1,3 covers wi 1..4; "bb aaa" at 2,4 covers 2..5
+    assert(r((2L, 2)) == ((13L, 13L, 1.0)))
+    assert(r((2L, 3)) == ((13L, 13L, 1.0))) // "aaa bb aaa" repeats at pos 1 and 3
+    assert(r((2L, 4)) == ((0L, 13L, 0.0))) // 4-grams unique
+    assert(r((3L, 2)) == ((0L, 23L, 0.0)))
+    // overlapping occurrences count each position once
+    val loop = Seq((9L, "a a a a")).toDF("doc_id", "text")
+    val lr = graft.operators.TextAnalysis.repNGramChars(loop).collect()
+      .map(x => x.getInt(1) -> x.getDouble(4)).toMap
+    assert(lr(2) == 1.0 && lr(3) == 1.0)
+  }
 }
