@@ -167,9 +167,11 @@ object Similarity {
     */
   def bucketedNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     // NOT cached: the bucketed frame feeds the size aggregation and both
-    // join sides, but measured at sf0.1 the columnar (de)serialization of
-    // the embedding arrays costs more than recomputing the codegen'd
-    // bucket hash + norm per side (3.1s -> 6.9s with a cache here)
+    // join sides, but a cache here measured neutral at sf0.1 (columnar
+    // (de)serialization of the embedding arrays offsets the recompute
+    // saving) — and recomputing a codegen'd narrow projection is the
+    // default-right call at scale, where caching a corpus-wide frame
+    // costs cluster memory a 3× projection does not
     val n = emb.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("bucket", bucketOf(col("embedding")))
       .withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))
