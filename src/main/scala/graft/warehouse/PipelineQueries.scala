@@ -633,8 +633,30 @@ object PipelineQueries {
   val repNGrams: Q = (s, dir) =>
     TextAnalysis.repNGramChars(docs(s, dir)).orderBy("doc_id", "n")
 
+  /** q141: cross-split near-dup leakage — near-duplicate pairs whose
+    * members land in DIFFERENT train/val/test splits: the train→test
+    * contamination a random document split inflicts whenever dedup runs
+    * after splitting (the reason production pipelines split by cluster,
+    * not by document). Composes two verified operators (hash split q69,
+    * Jaccard pairs q42); the cross-split rows are the leak report.
+    */
+  val splitLeakage: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val sp = Sampling.withSplit(d.select(col("doc_id")), "doc_id")
+    Dedup.ngramJaccardPairs(d).select("d1", "d2")
+      .join(sp.select(col("doc_id").as("d1"), col("split").as("sp1")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col("split").as("sp2")), "d2")
+      .select(least(col("sp1"), col("sp2")).as("split_a"),
+        greatest(col("sp1"), col("sp2")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_rep_ngrams" -> repNGrams,
+    "q141_split_leakage" -> splitLeakage,
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
     "q42_ngram_jaccard" -> ngramJaccard,
@@ -698,6 +720,14 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q140_rep_ngrams" -> TO.repNGramChars(),
+    "q141_split_leakage" ->
+      s"""WITH pr AS (SELECT d1, d2 FROM (${Dedup.O.ngramJaccardPairs})),
+         |sp AS (SELECT doc_id, ${Sampling.O.split("doc_id")} AS split FROM documents)
+         |SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b,
+         |  COUNT(*) AS n_pairs,
+         |  (least(a.split, b.split) <> greatest(a.split, b.split)) AS is_leak
+         |FROM pr JOIN sp a ON a.doc_id = pr.d1 JOIN sp b ON b.doc_id = pr.d2
+         |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
     "q40_dedup_exact" -> Dedup.O.exact,
     "q41_fingerprint" ->
       s"""SELECT doc_id,

@@ -174,4 +174,41 @@ class PropertySpec extends AnyFunSuite with TestSpark {
       }
     }
   }
+
+  test("edit-distance pairs match a brute-force reference on random cold-block corpora") {
+    // every block under the cap → the contract reduces to plain blocked
+    // Levenshtein; the operator must agree with a driver-side reference
+    // pair-for-pair, distance-for-distance
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rng = new scala.util.Random(11)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (round <- 1 to 3) {
+      val docs = (1 to 60).map { i =>
+        val opener = s"${vocab(rng.nextInt(3))} ${vocab(rng.nextInt(3))}"
+        val tail = Seq.fill(3 + rng.nextInt(5))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+        (i.toLong, s"$opener $tail")
+      }
+      val expected = (for {
+        (i1, t1) <- docs; (i2, t2) <- docs
+        if i1 < i2
+        if t1.split(" ").take(2).mkString(" ") == t2.split(" ").take(2).mkString(" ")
+        d = lev(t1.take(60), t2.take(60))
+        if d <= 25
+      } yield (i1, i2, d)).toSet
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // 3x3 opener space over 60 docs: confirm blocks stayed cold so the
+      // reference above is the full contract
+      val blockSizes = docs.groupBy(_._2.split(" ").take(2).mkString(" ")).map(_._2.size)
+      assert(blockSizes.max <= Dedup.EditBlockCap, "fixture accidentally built a hot block")
+      assert(got == expected, s"round $round: ${(got diff expected, expected diff got)}")
+      assert(expected.nonEmpty)
+    }
+  }
 }
