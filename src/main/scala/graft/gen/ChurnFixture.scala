@@ -37,6 +37,8 @@ object ChurnFixture {
       Hashes.md5Long32(concat_ws(":", lit(seed), lit(tag), col("id"))) / lit(Two32)
     // weighted categorical via cumulative thresholds on the field's uniform
     def pick(tag: String, choices: Seq[(String, Double)]): Column = {
+      require(math.abs(choices.map(_._2).sum - 1.0) < 1e-9,
+        s"weights for '$tag' must sum to 1: $choices")
       val cum = choices.scanLeft(0.0)(_ + _._2).tail
       choices.map(_._1).zip(cum).init.foldRight(lit(choices.last._1): Column) {
         case ((v, c), rest) => when(u(tag) < c, v).otherwise(rest)
