@@ -30,12 +30,15 @@ object StressBench {
     "q94_fuzzy_pairs" -> warehouse.PipelineQueries.fuzzyPairs,
     "q105_canonical_keep" -> warehouse.PipelineQueries.canonicalKeep,
     "q114_dup_spans" -> warehouse.PipelineQueries.dupSpans,
-    "q133_dedup_funnel" -> warehouse.PipelineQueries.dedupFunnel)
+    "q133_dedup_funnel" -> warehouse.PipelineQueries.dedupFunnel,
+    // the graph family — evidence the bounded (label ∧ bucket) candidate
+    // generator stays linear where all-pairs-per-label went quadratic
+    "q101_pagerank" -> warehouse.PipelineQueries.pagerank,
+    "q132_triangles" -> warehouse.PipelineQueries.triangleStats)
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
-    val base = sources.Tables(spark, srcDir, "documents")
     val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
-    base.select(col("*"), k)
+    sources.Tables(spark, srcDir, "documents").select(col("*"), k)
       .select(
         (col("doc_id") + col("k") * 10000L).as("doc_id"),
         array_join(transform(split(col("text"), " "),
@@ -44,6 +47,16 @@ object StressBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // embeddings: label-disjoint replicas (label carries the copy id, so
+    // cross-copy pairs are impossible by key) with identical vectors —
+    // each replica reproduces the original's similarity structure
+    sources.Tables(spark, srcDir, "embeddings").select(col("*"), k)
+      .select(
+        (col("vec_id") + col("k") * 10000L).as("vec_id"),
+        col("embedding"),
+        concat(col("label").cast("string"), lit("#"), col("k")).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   private def time(body: => Unit): Double = {
