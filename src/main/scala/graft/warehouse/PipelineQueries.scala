@@ -654,9 +654,37 @@ object PipelineQueries {
       .orderBy("split_a", "split_b")
   }
 
+  /** q142: the dataset card — the one-row corpus datasheet a training
+    * run publishes (volume, token totals, exact-dup rate, language
+    * share, tokens/doc). Every input is an already-verified subtree
+    * (q49 stats, q40 exact dedup, q48 language id); the scalar joins
+    * are single-row broadcasts. Ratio fields are integer-over-integer
+    * divisions only (no decimal-averaging of raw doubles — computed
+    * quality scores can land exactly on round-half boundaries where
+    * engine rounding semantics differ).
+    */
+  val datasetCard: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val stats = TextAnalysis.withTextStats(d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens").cast("long")).as("total_tokens"),
+      sum(col("bpe_token_estimate")).as("total_bpe_tokens"),
+      round(Num.davg(col("n_tokens")), 6).as("avg_tokens_per_doc"))
+    val chars = d.agg(sum(length(col("text")).cast("long")).as("total_chars"))
+    val dup = Dedup.exact(d).agg(sum(col("n_copies") - 1).as("n_exact_dup_docs"))
+    val en = TextAnalysis.withLanguageId(d).agg(
+      count(when(col("predicted_lang") === "en", 1)).as("n_en_docs"))
+    stats.crossJoin(broadcast(chars)).crossJoin(broadcast(dup)).crossJoin(broadcast(en))
+      .withColumn("dup_rate", round(col("n_exact_dup_docs").cast("double") / col("n_docs"), 6))
+      .withColumn("en_share", round(col("n_en_docs").cast("double") / col("n_docs"), 6))
+      .select("n_docs", "total_tokens", "total_bpe_tokens", "avg_tokens_per_doc",
+        "total_chars", "n_exact_dup_docs", "dup_rate", "n_en_docs", "en_share")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_rep_ngrams" -> repNGrams,
     "q141_split_leakage" -> splitLeakage,
+    "q142_dataset_card" -> datasetCard,
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
     "q42_ngram_jaccard" -> ngramJaccard,
@@ -728,6 +756,22 @@ object PipelineQueries {
          |  (least(a.split, b.split) <> greatest(a.split, b.split)) AS is_leak
          |FROM pr JOIN sp a ON a.doc_id = pr.d1 JOIN sp b ON b.doc_id = pr.d2
          |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin,
+    "q142_dataset_card" ->
+      s"""WITH t AS (SELECT ${TO.textStats} FROM documents),
+         |s AS (SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |        CAST(SUM(bpe_token_estimate) AS BIGINT) AS total_bpe_tokens,
+         |        round(${Num.O.avg("n_tokens")}, 6) AS avg_tokens_per_doc
+         |      FROM t),
+         |c AS (SELECT CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents),
+         |dup AS (SELECT CAST(SUM(n - 1) AS BIGINT) AS n_exact_dup_docs FROM (
+         |        SELECT COUNT(*) AS n FROM documents GROUP BY md5(text))),
+         |e AS (SELECT CAST(count_if(${TO.predictedLang} = 'en') AS BIGINT) AS n_en_docs
+         |      FROM (SELECT ${TO.langScores} FROM documents))
+         |SELECT s.n_docs, s.total_tokens, s.total_bpe_tokens, s.avg_tokens_per_doc,
+         |  c.total_chars, dup.n_exact_dup_docs,
+         |  round(CAST(dup.n_exact_dup_docs AS DOUBLE) / s.n_docs, 6) AS dup_rate,
+         |  e.n_en_docs, round(CAST(e.n_en_docs AS DOUBLE) / s.n_docs, 6) AS en_share
+         |FROM s CROSS JOIN c CROSS JOIN dup CROSS JOIN e""".stripMargin,
     "q40_dedup_exact" -> Dedup.O.exact,
     "q41_fingerprint" ->
       s"""SELECT doc_id,

@@ -211,4 +211,36 @@ class PropertySpec extends AnyFunSuite with TestSpark {
       assert(expected.nonEmpty)
     }
   }
+
+  test("bucketed near-dup pairs match brute force under cold blocks on random vectors") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(23)
+    val vecs = (1 to 80).map { i =>
+      (i.toLong, Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat), s"L${i % 3}")
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    // driver-side reference: same label AND same sign-LSH bucket AND
+    // rounded cosine over threshold (blocks of ~80/96 stay far under cap)
+    def bucket(v: Array[Float]): Long =
+      (0 until Similarity.LshPlanes).map { h =>
+        val dot = (1 to Similarity.Dim).map(d => Similarity.planeCoef(h, d) * v(d - 1)).sum
+        if (dot >= 0) 1L << h else 0L
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val t = 0.05
+    val expected = (for {
+      (i1, v1, l1) <- vecs; (i2, v2, l2) <- vecs
+      if i1 < i2 && l1 == l2 && bucket(v1) == bucket(v2)
+      c = BigDecimal(cos(v1, v2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= t
+    } yield (i1, i2)).toSet
+    val got = Similarity.bucketedNearDupPairs(df, t).select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"${(got diff expected, expected diff got)}")
+    assert(expected.nonEmpty)
+  }
 }
