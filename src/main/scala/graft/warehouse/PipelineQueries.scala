@@ -681,10 +681,33 @@ object PipelineQueries {
         "total_chars", "n_exact_dup_docs", "dup_rate", "n_en_docs", "en_share")
   }
 
+  /** q143: IVF recall@10 against exact brute-force top-k — the accuracy
+    * audit for the trained coarse quantizer (symmetric to q111's LSH
+    * recall): of the true top-10 neighbors per query, how many does the
+    * 4-probe IVF search return? One keyed semi join between two
+    * independently-verified rankings (q46 exact, q65 IVF), one row out.
+    */
+  val ivfRecall: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 20, k = 10)
+      .select("query_id", "cand_id")
+    val approx = Similarity.ivfTopK(e, col("vec_id") < 20, k = 10)
+      .select("query_id", "cand_id")
+    val hits = exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(broadcast(hits))
+      .withColumn("recall_at_10",
+        round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_rep_ngrams" -> repNGrams,
     "q141_split_leakage" -> splitLeakage,
     "q142_dataset_card" -> datasetCard,
+    "q143_ivf_recall" -> ivfRecall,
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
     "q42_ngram_jaccard" -> ngramJaccard,
@@ -772,6 +795,22 @@ object PipelineQueries {
          |  round(CAST(dup.n_exact_dup_docs AS DOUBLE) / s.n_docs, 6) AS dup_rate,
          |  e.n_en_docs, round(CAST(e.n_en_docs AS DOUBLE) / s.n_docs, 6) AS en_share
          |FROM s CROSS JOIN c CROSS JOIN dup CROSS JOIN e""".stripMargin,
+    "q143_ivf_recall" ->
+      s"""WITH ex AS (SELECT query_id, cand_id FROM (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |    WHERE q.vec_id < 20)
+         |  WHERE rank <= 10)),
+         |iv AS (SELECT query_id, cand_id FROM (${Similarity.O.ivf("vec_id < 20", 10)})),
+         |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM ex JOIN iv USING (query_id, cand_id))
+         |SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) AS n_queries,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact_pairs,
+         |       h.n_hits,
+         |       round(CAST(h.n_hits AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6) AS recall_at_10
+         |FROM h""".stripMargin,
     "q40_dedup_exact" -> Dedup.O.exact,
     "q41_fingerprint" ->
       s"""SELECT doc_id,
