@@ -100,7 +100,8 @@ object Similarity {
     * decimal-exact means, argmax ties on cent_id) is bit-reproducible,
     * so the DuckDB oracle replays the identical training trajectory.
     */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      probes: Int = IvfProbes): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"),
       sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
     val centroids = Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct)
@@ -113,10 +114,10 @@ object Similarity {
     val assigned = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("cent_id"))
-    val probes = ranked.filter(queryPred && col("crn") <= IvfProbes)
+    val probeRows = ranked.filter(queryPred && col("crn") <= probes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id"))
-    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+    val scored = assigned.join(broadcast(probeRows), Seq("cent_id"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
@@ -237,7 +238,7 @@ object Similarity {
       * assignment/probe/score pipeline — every arithmetic step is the
       * bit-identical twin of the Spark side.
       */
-    def ivf(queryPredSql: String, k: Int): String = {
+    def ivf(queryPredSql: String, k: Int, probes: Int = IvfProbes): String = {
       val iterCtes = (1 to IvfIters).map { i =>
         val prev = s"c${i - 1}"
         s"""a$i AS (SELECT vec_id, embedding, cluster_id FROM (
@@ -261,7 +262,7 @@ object Similarity {
          |           FROM e v CROSS JOIN cent c),
          |assigned AS (SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, cent_id FROM ranked WHERE crn = 1),
          |probes AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id FROM ranked
-         |           WHERE ($queryPredSql) AND crn <= $IvfProbes)
+         |           WHERE ($queryPredSql) AND crn <= $probes)
          |SELECT query_id, cand_id, cent_id, cosine_sim, rank FROM (
          |  SELECT p.query_id, a.cand_id, a.cent_id,
          |    round(${V.O.dot("p.qe", "a.ce")} / (p.qn * a.cn), 6) AS cosine_sim,

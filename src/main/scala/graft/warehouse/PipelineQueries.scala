@@ -703,11 +703,38 @@ object PipelineQueries {
         round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
   }
 
+  /** q144: IVF probe-budget sweep — recall@10 at nprobe ∈ {1, 2, 4, 8}
+    * of the 16 coarse lists: the latency/recall tuning curve an ANN
+    * deployment reads before picking its operating point (each probe
+    * multiplies candidate volume ~nprobe/nlist). The exact ranking is
+    * shared; each budget re-ranks only its own candidate set.
+    */
+  val IvfSweepProbes = Seq(1, 2, 4, 8)
+  val ivfProbeSweep: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 20, k = 10)
+      .select("query_id", "cand_id")
+    val perP = IvfSweepProbes.map { p =>
+      val hits = exact.join(
+        Similarity.ivfTopK(e, col("vec_id") < 20, k = 10, probes = p)
+          .select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_semi")
+      hits.agg(count(lit(1)).as("n_hits")).withColumn("nprobe", lit(p))
+    }
+    val total = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    perP.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .select(col("nprobe"), col("n_hits"), col("n_exact_pairs"),
+        round(col("n_hits").cast("double") / col("n_exact_pairs"), 6).as("recall_at_10"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_rep_ngrams" -> repNGrams,
     "q141_split_leakage" -> splitLeakage,
     "q142_dataset_card" -> datasetCard,
     "q143_ivf_recall" -> ivfRecall,
+    "q144_ivf_probe_sweep" -> ivfProbeSweep,
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
     "q42_ngram_jaccard" -> ngramJaccard,
@@ -811,6 +838,28 @@ object PipelineQueries {
          |       h.n_hits,
          |       round(CAST(h.n_hits AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6) AS recall_at_10
          |FROM h""".stripMargin,
+    "q144_ivf_probe_sweep" -> {
+      val exactSub =
+        s"""SELECT query_id, cand_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           |  WHERE q.vec_id < 20)
+           |WHERE rank <= 10""".stripMargin
+      val perP = IvfSweepProbes.map { p =>
+        s"""SELECT $p AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |FROM ex JOIN (SELECT query_id, cand_id
+           |              FROM (${Similarity.O.ivf("vec_id < 20", 10, probes = p)})) iv$p
+           |USING (query_id, cand_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS ($exactSub),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM ex),
+         |h AS ($perP)
+         |SELECT CAST(h.nprobe AS INT) AS nprobe, h.n_hits, t.n_exact_pairs,
+         |  round(CAST(h.n_hits AS DOUBLE) / t.n_exact_pairs, 6) AS recall_at_10
+         |FROM h CROSS JOIN t ORDER BY nprobe""".stripMargin
+    },
     "q40_dedup_exact" -> Dedup.O.exact,
     "q41_fingerprint" ->
       s"""SELECT doc_id,
