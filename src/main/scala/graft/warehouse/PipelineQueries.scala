@@ -729,7 +729,31 @@ object PipelineQueries {
       .orderBy("nprobe")
   }
 
+  /** q145: collection-function surface parity — the higher-order and
+    * array primitives (distinct, sort, slice, filter, exists/contains,
+    * position, reverse) exercised per row and hash-checked against
+    * DuckDB's list family. Complements q119 (strings) and q120
+    * (aggregates): a user porting array-heavy SQL needs these to agree
+    * engine-for-engine, including the edge conventions (array_position
+    * is 1-based and 0 when absent; slice caps at the array end).
+    */
+  val collectionSurface: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        array_contains(col("w"), "the").as("has_the"),
+        array_position(col("w"), "the").as("pos_the"),
+        size(filter(col("w"), x => length(x) >= 6)).as("n_long_words"),
+        exists(col("w"), x => length(x) >= 10).as("any_very_long"),
+        md5(concat_ws(",", slice(array_sort(array_distinct(col("w"))), 1, 3))).as("sorted3_md5"),
+        element_at(reverse(col("w")), 1).as("last_word"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q145_collection_surface" -> collectionSurface,
     "q140_rep_ngrams" -> repNGrams,
     "q141_split_leakage" -> splitLeakage,
     "q142_dataset_card" -> datasetCard,
@@ -797,6 +821,18 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q145_collection_surface" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |  list_contains(w, 'the') AS has_the,
+        |  CAST(COALESCE(list_position(w, 'the'), 0) AS BIGINT) AS pos_the,
+        |  CAST(len(list_filter(w, x -> length(x) >= 6)) AS INT) AS n_long_words,
+        |  (len(list_filter(w, x -> length(x) >= 10)) > 0) AS any_very_long,
+        |  md5(array_to_string(list_sort(list_distinct(w))[1:3], ',')) AS sorted3_md5,
+        |  list_reverse(w)[1] AS last_word
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q140_rep_ngrams" -> TO.repNGramChars(),
     "q141_split_leakage" ->
       s"""WITH pr AS (SELECT d1, d2 FROM (${Dedup.O.ngramJaccardPairs})),
