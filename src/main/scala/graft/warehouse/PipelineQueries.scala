@@ -752,7 +752,40 @@ object PipelineQueries {
         element_at(reverse(col("w")), 1).as("last_word"))
       .orderBy("doc_id")
 
+  /** q146: the complete per-document curation decision — canonical-keep
+    * (near-dup dedup), quality gate, and train/val/test split composed
+    * into the row a pipeline actually materializes for every crawl
+    * document: is it in the training set, and if not, which stage cut
+    * it. q133 reports the funnel totals; this is the full decision
+    * TABLE (auditable per document, joinable back to the corpus).
+    * The same overlap trick as q133 hides the quality-gate evaluation
+    * inside canonicalKeep's eager connected-components barrier.
+    */
+  val curationDecisions: Q = (s, dir) => {
+    val d = docs(s, dir).cache()
+    val qual = TextAnalysis.qualityGate(d)
+      .select(col("doc_id"), col("pass_quality")).cache()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val gateWarm = Future(qual.count())
+    val kept = Dedup.canonicalKeep(d).select(col("doc_id"), col("keep"))
+    Await.result(gateWarm, Duration.Inf)
+    Sampling.withSplit(d.select(col("doc_id")), "doc_id")
+      .join(kept, "doc_id")
+      .join(qual, "doc_id")
+      .select(
+        col("doc_id"), col("keep"), col("pass_quality"), col("split"),
+        (col("keep") && col("pass_quality") && col("split") === "train").as("in_training_set"),
+        when(!col("keep"), "dedup")
+          .when(!col("pass_quality"), "quality")
+          .when(col("split") =!= "train", "holdout")
+          .otherwise("selected").as("cut_stage"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_curation_decisions" -> curationDecisions,
     "q145_collection_surface" -> collectionSurface,
     "q140_rep_ngrams" -> repNGrams,
     "q141_split_leakage" -> splitLeakage,
@@ -821,6 +854,18 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q146_curation_decisions" ->
+      s"""WITH k AS (SELECT doc_id, keep FROM (${Dedup.O.canonicalKeep})),
+         |g AS (SELECT doc_id, pass_quality FROM (${TO.qualityGate()})),
+         |sp AS (SELECT doc_id, ${Sampling.O.split("doc_id")} AS split FROM documents)
+         |SELECT sp.doc_id, k.keep, g.pass_quality, sp.split,
+         |  (k.keep AND g.pass_quality AND sp.split = 'train') AS in_training_set,
+         |  CASE WHEN NOT k.keep THEN 'dedup'
+         |       WHEN NOT g.pass_quality THEN 'quality'
+         |       WHEN sp.split <> 'train' THEN 'holdout'
+         |       ELSE 'selected' END AS cut_stage
+         |FROM sp JOIN k USING (doc_id) JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q145_collection_surface" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,
