@@ -127,6 +127,54 @@ object Similarity {
       .select("query_id", "cand_id", "cent_id", "cosine_sim", "rank")
   }
 
+  /** Probe-budget sweep over ONE trained quantizer: the IVF pipeline up
+    * through the corpus-to-centroid assignment is shared across every
+    * probe budget — training (eager Lloyd jobs) and the O(n·nlist)
+    * assignment window run once, and each budget's candidate set is a
+    * `crn <= p` filter over the single cached scored frame (a candidate
+    * reached at probe rank `crn` is exactly the candidate the p-probe
+    * run scores iff crn <= p, so each budget's rows are bit-identical
+    * to an independent `ivfTopK(_, _, k, p)` call). The cache holds
+    * only (ids, crn, cosine) — the embedding arrays are projected away
+    * before materialization, so its footprint is the candidate id set,
+    * not the vectors.
+    *
+    * Returns the union of per-budget top-k rankings tagged `nprobe`.
+    */
+  def ivfSweep(emb: DataFrame, queryPred: Column, k: Int,
+      probesList: Seq[Int]): DataFrame = {
+    require(probesList.nonEmpty, "ivfSweep needs at least one probe budget")
+    val maxP = probesList.max
+    val n = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val centroids = Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct)
+      .select(col("cluster_id").as("cent_id"), col("cemb"),
+        sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
+    val toCent = n.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
+    val ranked = toCent.withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cent_id"))
+    val probeRows = ranked.filter(queryPred && col("crn") <= maxP)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id"), col("crn"))
+    val scored = assigned.join(broadcast(probeRows), Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("cent_id"), col("crn"),
+        round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("cosine_sim"))
+      .cache()
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
+    probesList.map { p =>
+      scored.filter(col("crn") <= p)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(p).as("nprobe"), col("query_id"), col("cand_id"),
+          col("cent_id"), col("cosine_sim"), col("rank"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Symmetric int8 vector quantization (absmax scaling) — the standard
     * 4× compression for embedding storage/ANN at scale. Deterministic by
     * construction: floor(x/scale·127 + 0.5) instead of round(), so both

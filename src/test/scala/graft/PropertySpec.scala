@@ -243,4 +243,29 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     assert(got == expected, s"${(got diff expected, expected diff got)}")
     assert(expected.nonEmpty)
   }
+
+  test("ivfSweep per budget is row-identical to an independent ivfTopK run") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(31)
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = Seq(1, 2, 4)
+    val sweep = Similarity.ivfSweep(df, col("vec_id") < 5, k = 3, probes)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+      .groupBy(_._1)
+    probes.foreach { p =>
+      val solo = Similarity.ivfTopK(df, col("vec_id") < 5, k = 3, probes = p)
+        .collect()
+        .map(r => (p, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      assert(sweep(p).toSet == solo,
+        s"probe $p: ${(sweep(p).toSet diff solo, solo diff sweep(p).toSet)}")
+      assert(solo.nonEmpty)
+    }
+  }
 }
