@@ -108,21 +108,32 @@ object Graph {
     * one double division rounded at 6 dp.
     */
   def triangles(edges: DataFrame): DataFrame = {
+    // materialize the deduped edge list once: `und` feeds the degree
+    // count, the orientation join, and (via `oriented`) three more join
+    // sides — without the checkpoint each subtree re-evaluates the
+    // caller's edge GENERATION (for the similarity graph, a corpus-wide
+    // bucket join + cosine filter) instead of a compact 2-column list.
+    // Same pattern as pageRank's edge checkpoint above.
     val und = edges
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient: lower (deg, id) -> higher (deg, id)
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // also materialized: the wedge self-join and the closure join read
+    // `oriented` three times, and each read would otherwise replay the
+    // two degree joins
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
         .otherwise(struct(col("b").as("u"), col("a").as("w"), col("da").as("dw"))).as("e"))
       .select(col("e.u"), col("e.w"), col("e.dw"))
+      .localCheckpoint()
     // wedges at apex u: pairs of out-neighbors ordered by the SAME
     // (deg, id) key used for orientation — raw-id ordering would lose
     // any triangle whose closing edge runs against id order. The
