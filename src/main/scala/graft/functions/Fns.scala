@@ -244,8 +244,14 @@ object Text {
   /** Word n-gram shingles (default 3), matching DuckDB's
     * list_transform(range(1, len(w)-(n-2)), ...) construction.
     */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val w = words(c)
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesOfWords(words(c), n)
+
+  /** [[shingles]] over an already-split words array — for callers that
+    * hold a cached words frame and would otherwise re-split the text
+    * per n.
+    */
+  def shinglesOfWords(w: Column, n: Int = 3): Column = {
     val len = size(w) - (n - 1)
     // zip n shifted slices and concat per struct: the split/array
     // expressions evaluate O(n) times per ROW. The obvious

@@ -239,6 +239,11 @@ object TextAnalysis {
   def repNGramChars(docs: DataFrame, textCol: String = "text",
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     import graft.functions.Text
+    // deliberately UNCACHED: pinning either the words frame (corpus-wide
+    // string arrays) or the exploded position frame measured SLOWER at
+    // sf0.1 than recomputing the codegen'd scan+split per subtree — the
+    // same finding as the embedding frame in
+    // Similarity.bucketedNearDupPairs
     val w = docs.select(col("doc_id"), Text.words(col(textCol)).as("w"))
     val tot = w.select(col("doc_id"),
       aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (a, x) => a + x)
@@ -246,8 +251,8 @@ object TextAnalysis {
     val wl = w.select(col("doc_id"), posexplode(col("w")).as(Seq("wi0", "word")))
       .select(col("doc_id"), (col("wi0") + 1).as("wi"), length(col("word")).cast("long").as("wlen"))
     val perN = ns.map { n =>
-      val g = docs
-        .select(col("doc_id"), posexplode(Text.shingles(col(textCol), n)).as(Seq("pos0", "gram")))
+      val g = w
+        .select(col("doc_id"), posexplode(Text.shinglesOfWords(col("w"), n)).as(Seq("pos0", "gram")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
       val dup = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c")).filter(col("c") > 1)
       val cov = g.join(dup.select("doc_id", "gram"), Seq("doc_id", "gram"))
