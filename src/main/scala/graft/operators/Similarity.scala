@@ -175,6 +175,95 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  // deliberately below the q45 label-block threshold (0.40): the
+  // (cluster ∧ bucket) blocking is stricter than a curated label, so
+  // the pair generator already prunes far pairs — 0.35 keeps the
+  // duplicate-group branch exercised at every test SF
+  val SemDedupThreshold = 0.35
+
+  /** SemDeDup — semantic deduplication by cluster-then-prune (the
+    * published curation method of Abbas et al. 2023, arXiv:2303.09540):
+    * every vector is assigned to its trained k-means cluster (the same
+    * coarse quantizer as [[ivfTopK]]), near-duplicate pairs are
+    * generated WITHIN (cluster ∧ sign-LSH bucket) blocks under the
+    * [[GraphBlockCap]] size cap, duplicate groups are the connected
+    * components of that pair graph, and each group keeps exactly ONE
+    * member — the vector FARTHEST from its cluster centroid (the
+    * paper's low-centroid-similarity heuristic: boilerplate hugs the
+    * centroid, the outlier carries the information), ties by vec_id.
+    * Singletons keep themselves.
+    *
+    * Scale design: assignment is O(n·nlist) against a broadcast
+    * constant-size centroid table; pair generation is the capped keyed
+    * join of [[bucketedNearDupPairs]]; components ride
+    * Dedup.connectedComponents (threshold-gated solve); the verdict is
+    * one window per group plus a left join back to the corpus. No
+    * uncapped quadratic anywhere.
+    *
+    * Output: (vec_id, cent_id, cent_cos, group_rep, group_size, keep).
+    */
+  /** The slim (vec_id, cent_id, cent_cos) trained-quantizer assignment,
+    * materialized once: it feeds pair generation, the keep ranking, and
+    * the final verdict join — recomputing it would replay the
+    * O(n·nlist) window per consumer.
+    */
+  private[graft] def semDedupAssigned(emb: DataFrame): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val centroids = Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct)
+      .select(col("cluster_id").as("cent_id"), col("cemb"),
+        sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
+    val toCent = n.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
+    toCent.withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id"), round(col("cos_c"), 6).as("cent_cos"))
+      .localCheckpoint()
+  }
+
+  /** Capped (cluster ∧ sign-bucket) near-dup pair generation over the
+    * assignment — exposed so the plan audit can assert the join keys
+    * (the eager component solve hides this subtree from semDedup's
+    * final plan).
+    */
+  private[graft] def semDedupPairs(emb: DataFrame, assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val b = n.join(assigned.select("vec_id", "cent_id"), "vec_id")
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val ok = b.groupBy("cent_id", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= GraphBlockCap).select("cent_id", "bucket")
+    val k = b.join(ok, Seq("cent_id", "bucket"))
+    val pa = k.select(col("cent_id"), col("bucket"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val pb = k.select(col("cent_id"), col("bucket"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    pa.join(pb, Seq("cent_id", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .filter(round(Vec.dotFast(col("e1"), col("e2")) / (col("n1") * col("n2")), 6) >= threshold)
+      .select("d1", "d2")
+  }
+
+  def semDedup(emb: DataFrame, threshold: Double = SemDedupThreshold): DataFrame = {
+    val assigned = semDedupAssigned(emb)
+    val pairs = semDedupPairs(emb, assigned, threshold)
+    val groups = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_rep").as("group_rep"),
+        col("cluster_size").as("group_size"))
+    // keep = farthest from centroid: ascending cent_cos, ties by vec_id
+    val wk = Window.partitionBy("group_rep").orderBy(col("cent_cos"), col("vec_id"))
+    val ranked = groups.join(assigned, "vec_id")
+      .withColumn("rnk", row_number().over(wk))
+    assigned
+      .join(ranked.select("vec_id", "group_rep", "group_size", "rnk"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("cent_cos"),
+        coalesce(col("group_rep"), col("vec_id")).as("group_rep"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"),
+        (coalesce(col("rnk"), lit(1)) === 1).as("keep"))
+  }
+
   /** Symmetric int8 vector quantization (absmax scaling) — the standard
     * 4× compression for embedding storage/ANN at scale. Deterministic by
     * construction: floor(x/scale·127 + 0.5) instead of round(), so both
@@ -286,7 +375,14 @@ object Similarity {
       * assignment/probe/score pipeline — every arithmetic step is the
       * bit-identical twin of the Spark side.
       */
-    def ivf(queryPredSql: String, k: Int, probes: Int = IvfProbes): String = {
+    /** CTE chain `e, samp, c0, a1..cN, cent` — the trained coarse
+      * quantizer (hash-sampled training set, hash-seeded c0, unrolled
+      * Lloyd rounds with decimal-exact means cast to FLOAT), ending in
+      * `cent(cent_id, cemb, cnrm)`. Shared by the IVF and SemDeDup
+      * oracles; every arithmetic step is the bit-identical twin of
+      * Clustering.kmeans.
+      */
+    private def trainedCentroidCtes: String = {
       val iterCtes = (1 to IvfIters).map { i =>
         val prev = s"c${i - 1}"
         s"""a$i AS (SELECT vec_id, embedding, cluster_id FROM (
@@ -298,12 +394,56 @@ object Similarity {
            |  FROM a$i, range(1, ${Dim + 1}) t(i) GROUP BY cluster_id, i),
            |c$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM m$i GROUP BY cluster_id)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM embeddings),
+      s"""e AS (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM embeddings),
          |samp AS (SELECT vec_id, embedding, nrm FROM e WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
          |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM samp
          |       ORDER BY ${Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfNlist),
          |$iterCtes,
-         |cent AS (SELECT cluster_id AS cent_id, cemb, sqrt(${V.O.dot("cemb", "cemb")}) AS cnrm FROM c$IvfIters),
+         |cent AS (SELECT cluster_id AS cent_id, cemb, sqrt(${V.O.dot("cemb", "cemb")}) AS cnrm FROM c$IvfIters)""".stripMargin
+    }
+
+    /** Bit-identical twin of [[Similarity.semDedup]]: trained-quantizer
+      * assignment (rounded centroid cosine carried), capped
+      * (cluster ∧ bucket) pair generation, recursive-CTE reachability
+      * for the duplicate groups, farthest-from-centroid keep.
+      */
+    def semDedup(threshold: Double = SemDedupThreshold): String =
+      s"""WITH RECURSIVE $trainedCentroidCtes,
+         |rk AS (SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+         |         round(${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm), 6) AS cent_cos,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS crn
+         |       FROM e v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, embedding, nrm, cent_id, cent_cos FROM rk WHERE crn = 1),
+         |bkt AS (SELECT vec_id, embedding, nrm, cent_id, cent_cos,
+         |          (${bucket("embedding")}) AS bucket FROM asg),
+         |bsz AS (SELECT cent_id, bucket FROM bkt GROUP BY cent_id, bucket
+         |        HAVING COUNT(*) <= $GraphBlockCap),
+         |blk AS (SELECT bkt.* FROM bkt JOIN bsz USING (cent_id, bucket)),
+         |prs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+         |        FROM blk a JOIN blk b ON a.cent_id = b.cent_id AND a.bucket = b.bucket
+         |          AND a.vec_id < b.vec_id
+         |        WHERE round(${V.O.dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $threshold),
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM prs UNION SELECT d2, d1 FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |grp AS (SELECT src AS vec_id, min(dst) AS group_rep, COUNT(DISTINCT dst) AS group_size
+         |        FROM reach GROUP BY src),
+         |rnkd AS (SELECT g.vec_id, g.group_rep, g.group_size,
+         |           row_number() OVER (PARTITION BY g.group_rep
+         |             ORDER BY a.cent_cos, g.vec_id) AS rnk
+         |         FROM grp g JOIN asg a ON a.vec_id = g.vec_id)
+         |SELECT a.vec_id, a.cent_id, a.cent_cos,
+         |  COALESCE(r.group_rep, a.vec_id) AS group_rep,
+         |  COALESCE(r.group_size, 1) AS group_size,
+         |  (COALESCE(r.rnk, 1) = 1) AS keep
+         |FROM asg a LEFT JOIN rnkd r ON r.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+
+    def ivf(queryPredSql: String, k: Int, probes: Int = IvfProbes): String = {
+      s"""WITH $trainedCentroidCtes,
          |ranked AS (SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
          |             CAST(row_number() OVER (PARTITION BY v.vec_id
          |               ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS INT) AS crn

@@ -793,7 +793,17 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q147: SemDeDup — the published cluster-then-prune semantic dedup
+    * (trained-quantizer clusters, capped within-block cosine pairs,
+    * connected-component dup groups, farthest-from-centroid keep).
+    * The per-vector decision list an embedding-level curation pass
+    * materializes; complements q105 (text-side canonical keep).
+    */
+  val semDedupDecisions: Q = (s, dir) =>
+    Similarity.semDedup(emb(s, dir)).orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "q147_semdedup" -> semDedupDecisions,
     "q146_curation_decisions" -> curationDecisions,
     "q145_collection_surface" -> collectionSurface,
     "q140_rep_ngrams" -> repNGrams,
@@ -863,6 +873,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q147_semdedup" -> Similarity.O.semDedup(),
     "q146_curation_decisions" ->
       s"""WITH k AS (SELECT doc_id, keep FROM (${Dedup.O.canonicalKeep})),
          |g AS (SELECT doc_id, pass_quality FROM (${TO.qualityGate()})),

@@ -116,6 +116,46 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(r.toSeq == Seq(("cold", 5001L, 5002L, 1.0)))
   }
 
+  test("semDedup keeps exactly the farthest-from-centroid member per dup group") {
+    val rng = new scala.util.Random(47)
+    def rand() = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+    // background corpus + two planted near-identical groups (jittered
+    // copies: cosine > 0.999, so same cluster AND same sign bucket)
+    val bg = (0 until 80).map(i => (i.toLong, rand()))
+    def jitter(v: Array[Float], eps: Float) =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val g1base = rand()
+    val g1 = Seq((100L, g1base), (101L, jitter(g1base, 0.001f)), (102L, jitter(g1base, 0.002f)))
+    val g2base = rand()
+    val g2 = Seq((200L, g2base), (201L, jitter(g2base, 0.001f)))
+    val e = (bg ++ g1 ++ g2).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(e).collect()
+      .map(x => (x.getLong(0), (x.getDouble(2), x.getLong(3), x.getLong(4), x.getBoolean(5))))
+      .toMap
+    assert(r.size == 85)
+    // planted groups found (members may pull in a background straggler,
+    // but each planted member must sit in its plant's group)
+    for (ids <- Seq(Seq(100L, 101L, 102L), Seq(200L, 201L))) {
+      val reps = ids.map(r(_)._2).distinct
+      assert(reps.size == 1, s"planted group $ids split: $reps")
+      val members = r.filter(_._2._2 == reps.head).toSeq
+      assert(members.size.toLong == r(ids.head)._3)
+      // exactly one keep: the min (cent_cos, vec_id) member
+      val kept = members.filter(_._2._4).map(_._1)
+      val expected = members.minBy(m => (m._2._1, m._1))._1
+      assert(kept == Seq(expected), s"group $ids kept $kept, expected $expected")
+    }
+    // global invariant over EVERY group (random background vectors may
+    // legitimately pair too): exactly one keep per group — the minimal
+    // (cent_cos, vec_id) member — and size matches the membership
+    r.toSeq.groupBy(_._2._2).foreach { case (rep, members) =>
+      assert(members.forall(_._2._3 == members.size.toLong), s"group $rep size mismatch")
+      val kept = members.filter(_._2._4).map(_._1)
+      val expected = members.minBy(m => (m._2._1, m._1))._1
+      assert(kept == Seq(expected), s"group $rep kept $kept, expected $expected")
+    }
+  }
+
   test("edit-distance pairs find typo near-dups within a cold block") {
     val d = Seq(
       (1L, "cold start alpha beta gamma delta"),

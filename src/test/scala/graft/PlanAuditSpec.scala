@@ -194,9 +194,26 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
   test("similarity-graph candidate joins are keyed on label AND bucket") {
     // the bounded generator's self-join must carry the LSH bucket in its
     // equality keys — label-only keys are the hot-label quadratic the
-    // round-4 review flagged
-    val joinKeys = joinKeyLists(plan("q132_triangles"))
+    // round-4 review flagged. Audited on the generator's own plan:
+    // q132's triangle operator now localCheckpoints the edge list, so
+    // the generation subtree no longer appears in the query's final plan
+    val edges = graft.operators.Similarity.bucketedNearDupPairs(
+      spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15)
+    val joinKeys = joinKeyLists(edges.queryExecution.executedPlan.toString)
     assert(joinKeys.exists(k => k.contains("label") && k.contains("bucket")),
+      joinKeys.mkString("\n"))
+  }
+
+  test("semDedup pair joins are keyed on cluster AND bucket") {
+    // same contract for the semantic-dedup generator: candidate pairs
+    // must ride the (cent_id, bucket) equality block, never all-pairs
+    // (audited on the generator subtree — the eager component solve
+    // hides it from semDedup's final plan)
+    val Sim = graft.operators.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = Sim.semDedupPairs(e, Sim.semDedupAssigned(e), Sim.SemDedupThreshold)
+    val joinKeys = joinKeyLists(pairs.queryExecution.executedPlan.toString)
+    assert(joinKeys.exists(k => k.contains("cent_id") && k.contains("bucket")),
       joinKeys.mkString("\n"))
   }
 
