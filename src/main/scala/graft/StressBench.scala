@@ -59,6 +59,31 @@ object StressBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** 10× embeddings for the label-BLIND operators (semDedup clusters by
+    * trained k-means, not label): copy k's vectors are cyclically
+    * dimension-shifted by 6·k. A cyclic shift is a permutation, so every
+    * within-copy dot product — and therefore the copy's whole similarity
+    * structure — is preserved (up to float fold order), while cross-copy
+    * cosines collapse to the ~0 of unrelated random vectors, far below
+    * the pair threshold. The identical-vector replicas `synthesize`
+    * writes would instead hand a label-blind operator 10-member
+    * duplicate groups per vector (a 45× pair workload) and measure the
+    * input, not the operator.
+    */
+  def synthesizeShifted(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
+    val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    sources.Tables(spark, srcDir, "embeddings").select(col("*"), k)
+      .select(
+        (col("vec_id") + col("k") * 10000L).as("vec_id"),
+        transform(sequence(lit(0), lit(operators.Similarity.Dim - 1)),
+          i => element_at(col("embedding"),
+            ((i + lit(6) * col("k")) % operators.Similarity.Dim) + 1)).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -79,21 +104,28 @@ object StressBench {
 
     val synthDir = "target/stress_x10"
     synthesize(spark, sfDir, synthDir, copies = 10)
+    val semSynthDir = "target/stress_x10_sem"
+    synthesizeShifted(spark, sfDir, semSynthDir, copies = 10)
 
-    def run(dir: String): Map[String, Double] =
-      Family.map { case (name, q) =>
-        spark.catalog.clearCache()
-        val sec = time(q(spark, dir).write.mode("overwrite").format("noop").save())
-        System.err.println(f"[stress] $name%-22s $dir%-28s $sec%7.2fs")
-        name -> sec
-      }.toMap
+    def runOne(name: String, q: (SparkSession, String) => DataFrame,
+        dir: String): Double = {
+      spark.catalog.clearCache()
+      val sec = time(q(spark, dir).write.mode("overwrite").format("noop").save())
+      System.err.println(f"[stress] $name%-22s $dir%-28s $sec%7.2fs")
+      sec
+    }
+    // label-blind: runs against the dimension-shifted 10× corpus
+    val semQ = warehouse.PipelineQueries.semDedupDecisions
+    def run(dir: String, semDir: String): Map[String, Double] =
+      (Family.map { case (name, q) => name -> runOne(name, q, dir) } :+
+        ("q147_semdedup" -> runOne("q147_semdedup", semQ, semDir))).toMap
 
-    run(sfDir) // warm JIT/codegen so the timed passes compare like-for-like
-    val base = run(sfDir)
-    val x10 = run(synthDir)
+    run(sfDir, sfDir) // warm JIT/codegen so the timed passes compare like-for-like
+    val base = run(sfDir, sfDir)
+    val x10 = run(synthDir, semSynthDir)
     def j(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val ratios = Family.map { case (n, _) => n -> x10(n) / math.max(base(n), 0.001) }.toMap
+    val ratios = base.keys.map(n => n -> x10(n) / math.max(base(n), 0.001)).toMap
     println(s"""{"metric":"dedup_stress_x10","base_sf":"$sfDir","base":${j(base)},"x10":${j(x10)},"ratio":${j(ratios)}}""")
     spark.stop()
   }
