@@ -82,6 +82,33 @@ object Similarity {
       .select("query_id", "cand_id", "bucket", "cosine_sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive/retrieval training data: per
+    * query, the top-k most-similar candidates with a DIFFERENT label —
+    * near-misses semantically close to the query but not true positives,
+    * the negatives that actually move a bi-encoder (random negatives are
+    * trivially separable). Candidates come from the query's sign-LSH
+    * bucket (the [[lshTopK]] scale path: a keyed equality join, never
+    * all-pairs); the label disequality filters positives BEFORE ranking,
+    * so every returned rank is a usable negative.
+    */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val bucketed = emb.withColumn("bucket", bucketOf(col("embedding")))
+      .withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))
+    val q = bucketed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+      col("embedding").as("ce"), col("nrm").as("cn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine_sim", "rank")
+  }
+
   val IvfNlist = 16 // FIXED coarse-list count — independent of corpus size
   val IvfIters = 2 // Lloyd refinement rounds on the training sample
   val IvfTrainPct = 25 // hash-sampled share of the corpus used to train

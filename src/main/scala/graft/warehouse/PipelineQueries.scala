@@ -802,7 +802,18 @@ object PipelineQueries {
   val semDedupDecisions: Q = (s, dir) =>
     Similarity.semDedup(emb(s, dir)).orderBy("vec_id")
 
+  /** q148: hard-negative mining — per query, the top-5 most-similar
+    * DIFFERENT-label candidates from the query's LSH bucket: the
+    * contrastive-training negatives a retrieval pipeline materializes
+    * (random negatives are trivially separable; these are the
+    * near-misses that move a bi-encoder).
+    */
+  val hardNegativeMining: Q = (s, dir) =>
+    Similarity.hardNegatives(emb(s, dir), col("vec_id") < 20, k = 5)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q148_hard_negatives" -> hardNegativeMining,
     "q147_semdedup" -> semDedupDecisions,
     "q146_curation_decisions" -> curationDecisions,
     "q145_collection_surface" -> collectionSurface,
@@ -873,6 +884,17 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q148_hard_negatives" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+         |  (${Similarity.O.bucket("embedding")}) AS bucket FROM embeddings)
+         |SELECT query_id, cand_id, cosine_sim, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(${V.O.cosine("q.embedding", "c.embedding")}, 6) AS cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.label != q.label
+         |  WHERE q.vec_id < 20)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q147_semdedup" -> Similarity.O.semDedup(),
     "q146_curation_decisions" ->
       s"""WITH k AS (SELECT doc_id, keep FROM (${Dedup.O.canonicalKeep})),

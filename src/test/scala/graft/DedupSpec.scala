@@ -116,6 +116,24 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(r.toSeq == Seq(("cold", 5001L, 5002L, 1.0)))
   }
 
+  test("hard negatives exclude same-label positives and rank by similarity") {
+    val rng = new scala.util.Random(53)
+    val base = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+    def jitter(eps: Float) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) eps else -eps) }
+    val e = Seq(
+      (0L, base, "a"), // query
+      (1L, jitter(0.001f), "a"), // same-label positive — must never appear
+      (2L, jitter(0.002f), "b"),
+      (3L, jitter(0.003f), "c"),
+      (4L, base.map(-_), "d") // negated: opposite sign on every plane → other bucket
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(e, col("vec_id") === 0L, k = 5)
+      .orderBy("rank").select("cand_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSeq
+    assert(r == Seq((2L, 1), (3L, 2)), r.toString)
+  }
+
   test("semDedup keeps exactly the farthest-from-centroid member per dup group") {
     val rng = new scala.util.Random(47)
     def rand() = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
