@@ -90,6 +90,40 @@ object Corpus {
       .withColumn("is_contaminated", col("contamination") > threshold)
   }
 
+  /** First BPE-merge iteration over the corpus vocabulary: the
+    * adjacent-character-pair counts a tokenizer trainer computes before
+    * its first merge, weighted by corpus word frequency (BPE trains on
+    * the word-frequency dictionary, not the raw stream — Sennrich et
+    * al. 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units" §3.2). `pair_count` = total corpus occurrences of the pair
+    * inside words; `n_words` = distinct vocabulary words containing it.
+    *
+    * Scale design: the raw token stream collapses to the vocabulary
+    * (one word-count shuffle) BEFORE any character work, so pair
+    * explosion is over distinct words only — vocabulary size, not
+    * corpus size. Top-k goes through orderBy+limit
+    * (TakeOrderedAndProject), never a global window.
+    */
+  def bpeMergePairs(docs: DataFrame, topK: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val vocab = docs
+      .select(explode(Text.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    val top = vocab
+      .filter(length(col("w")) > 1)
+      .select(col("w"), col("wf"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("wf")).as("pair_count"), count_distinct(col("w")).as("n_words"))
+      .orderBy(desc("pair_count"), col("pair")).limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("pair_count"), col("pair"))))
+      .select("pair", "pair_count", "n_words", "rank")
+      .orderBy("rank")
+  }
+
   /** DuckDB oracle twins. */
   object O {
     /** Mirrors contamination (benchPredSql over doc_id etc.). */
@@ -115,6 +149,20 @@ object Corpus {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
          |            FROM documents))""".stripMargin
+
+    /** Mirrors bpeMergePairs (DuckDB range(1, n) is [1, n) — exactly the
+      * adjacent-pair start positions; Spark sequence(1, n-1) matches).
+      */
+    def bpeMergePairs(topK: Int = 30): String =
+      s"""WITH vocab AS (SELECT w, COUNT(*) AS wf FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+         |p AS (SELECT w, wf, unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+         |      FROM vocab WHERE length(w) > 1),
+         |g AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count,
+         |        CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words FROM p GROUP BY 1)
+         |SELECT pair, pair_count, n_words,
+         |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
+         |FROM g ORDER BY pair_count DESC, pair LIMIT $topK""".stripMargin
 
     def chunkTokens(chunkTokens: Int = 64, stride: Int = 48): String =
       s"""SELECT doc_id,

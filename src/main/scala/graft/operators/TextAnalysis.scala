@@ -375,6 +375,67 @@ object TextAnalysis {
       round(Num.fitCorr(n, sx, sy, sxx, sxy, syy), 6).as("corr"))
   }
 
+  /** Default keyword query for [[bm25TopK]] — mid-frequency corpus terms
+    * so tf, df, and length normalization all exercise non-trivially.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "window", "merge", "vector")
+
+  /** BM25 ranked retrieval: top-k documents for a fixed keyword query
+    * (Robertson–Spärck Jones idf, Lucene's +1 smoothing so idf stays
+    * positive; k1/b are the standard 1.2/0.75). Complements
+    * [[tfidfTopTerms]] (per-doc term profile) with the QUERY-side
+    * scoring a retrieval pipeline actually runs.
+    *
+    * Scale design: per-document tf for the query terms comes from
+    * narrow array expressions (size(filter(words))) — NO corpus
+    * explode, no shuffle; the corpus statistics (N, Σdl, per-term df)
+    * are ONE single-row aggregate broadcast back; top-k goes through
+    * orderBy+limit (TakeOrderedAndProject). The whole plan is one
+    * corpus scan + a 1-row broadcast — the shape you'd want at 100 TB.
+    *
+    * Determinism: the per-term contributions are summed as a FIXED
+    * left-associated expression tree (identical in the oracle), never a
+    * float aggregate, and the score is rounded to 6 dp before ranking
+    * in both engines.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val w = Text.words(col(textCol))
+    val base = docs.select(
+      col("doc_id") +: size(w).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(w, x => x === lit(t))).as(s"tf_$i")
+        }: _*)
+    val statAggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      when(col(s"tf_$i") > 0,
+        idf * tf * lit(k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val nHits = terms.indices
+      .map(i => (col(s"tf_$i") > 0).cast("int")).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nHits.as("n_hits"),
+        round(contribs.reduce(_ + _), 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .orderBy("rank")
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -550,6 +611,35 @@ object TextAnalysis {
          |      ORDER BY round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) DESC, t.term) AS INT) AS rank
          |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
          |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+    /** Mirrors bm25TopK: same contribution expression shape, same
+      * left-associated sum order, rounded to 6 dp before ranking.
+      */
+    def bm25TopK(terms: Seq[String] = Bm25QueryTerms,
+        k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$i"
+      }.mkString(",\n         |    ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+      val contribs = terms.indices.map { i =>
+        val idf = s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))"
+        s"(CASE WHEN tf_$i > 0 THEN $idf * CAST(tf_$i AS DOUBLE) * ${k1 + 1} / " +
+          s"(CAST(tf_$i AS DOUBLE) + $k1 * (${1 - b} + $b * dl / $avgdl)) ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols FROM base),
+         |scored AS (SELECT doc_id,
+         |    CAST(${terms.indices.map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS n_hits,
+         |    round($contribs, 6) AS score
+         |  FROM base CROSS JOIN stats)
+         |SELECT doc_id, n_hits, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+    }
 
     /** Mirrors repetitionStats (thresholds must match the Spark call). */
     def repetitionStats(

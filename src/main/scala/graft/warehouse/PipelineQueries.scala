@@ -812,7 +812,20 @@ object PipelineQueries {
     Similarity.hardNegatives(emb(s, dir), col("vec_id") < 20, k = 5)
       .orderBy("query_id", "rank")
 
+  /** q149: BM25 ranked retrieval — top-20 docs for a fixed keyword
+    * query (one corpus scan, narrow per-doc tf, 1-row broadcast stats,
+    * TakeOrderedAndProject top-k).
+    */
+  val bm25Search: Q = (s, dir) => TextAnalysis.bm25TopK(docs(s, dir))
+
+  /** q150: first BPE-merge iteration — adjacent character-pair counts
+    * over the word-frequency dictionary (tokenizer-training step 1).
+    */
+  val bpeMerges: Q = (s, dir) => Corpus.bpeMergePairs(docs(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "q149_bm25" -> bm25Search,
+    "q150_bpe_merges" -> bpeMerges,
     "q148_hard_negatives" -> hardNegativeMining,
     "q147_semdedup" -> semDedupDecisions,
     "q146_curation_decisions" -> curationDecisions,
@@ -884,6 +897,8 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q149_bm25" -> TO.bm25TopK(),
+    "q150_bpe_merges" -> Corpus.O.bpeMergePairs(),
     "q148_hard_negatives" ->
       s"""WITH b AS (SELECT vec_id, label, embedding,
          |  (${Similarity.O.bucket("embedding")}) AS bucket FROM embeddings)

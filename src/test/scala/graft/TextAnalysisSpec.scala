@@ -87,4 +87,43 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
       .map(x => x.getInt(1) -> x.getDouble(4)).toMap
     assert(lr(2) == 1.0 && lr(3) == 1.0)
   }
+
+  test("bm25: hand-computed score on a 3-doc corpus, ranked and bounded") {
+    val df = Seq(
+      (1L, "spark spark window"), // both query terms, short
+      (2L, "spark a b c d e f g h i j k l m n o"), // one hit, long doc
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(df, terms = Seq("spark", "window"), topK = 10)
+      .collect()
+    // doc 3 has no hits -> filtered; doc 1 beats doc 2 (2 terms, shorter)
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r.map(_.getInt(3)).toSeq == Seq(1, 2)) // dense ranks
+    assert(r(0).getInt(1) == 2 && r(1).getInt(1) == 1) // n_hits
+    // hand computation for doc 1, term "spark": N=3, df=2, tf=2, dl=3,
+    // avgdl=(3+16+3)/3; idf=ln(1+(3-2+0.5)/(2+0.5)); k1=1.2, b=0.75
+    val avgdl = 22.0 / 3
+    val idfS = math.log(1 + 1.5 / 2.5)
+    val cS = idfS * 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+    val idfW = math.log(1 + (3 - 1 + 0.5) / 1.5)
+    val cW = idfW * 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+    assert(math.abs(r(0).getDouble(2) - BigDecimal(cS + cW)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bpe merge pairs: frequency-weighted adjacent pairs over the vocab") {
+    val df = Seq(
+      (1L, "aab aab ba"), // vocab: aab(wf 2) -> aa, ab; ba(wf 1) -> ba
+      (2L, "aab x")) // aab wf -> 3; x is length-1 (no pairs)
+      .toDF("doc_id", "text")
+    val r = graft.operators.Corpus.bpeMergePairs(df, topK = 10).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getInt(3)))).toMap
+    assert(r("aa") == ((3L, 1L, 1)) || r("aa") == ((3L, 1L, 2)))
+    assert(r("ab")._1 == 3L && r("ab")._2 == 1L)
+    assert(r("ba") == ((1L, 1L, 3)))
+    assert(r.size == 3) // "x" contributes nothing
+    // "aaa" yields "aa" twice (overlapping positions both count)
+    val overlap = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val o = graft.operators.Corpus.bpeMergePairs(overlap).collect()
+    assert(o.length == 1 && o(0).getString(0) == "aa" && o(0).getLong(1) == 2L)
+  }
 }
