@@ -24,6 +24,15 @@ object Num {
   /** Order-independent exact sum, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
+  private val DecHi: DecimalType = DecimalType(38, 18)
+
+  /** [[dsum]] at 18-dp scale, for unit-magnitude per-row terms
+    * (probability masses, divergence contributions) where 6 dp would
+    * truncate the signal away. Headroom: 10^20 — fine for sums of
+    * per-word probabilities, wrong for money columns.
+    */
+  def dsumHi(c: Column): Column = sum(c.cast(DecHi)).cast(DoubleType)
+
   def dsumOver(c: Column, w: WindowSpec): Column = sum(c.cast(Dec)).over(w).cast(DoubleType)
 
   /** Mean from the exact sum (deterministic double division). */
@@ -73,6 +82,8 @@ object Num {
   object O {
     def sum(c: String, over: String = ""): String =
       s"CAST(SUM(CAST($c AS DECIMAL(38,6)))$over AS DOUBLE)"
+    def sumHi(c: String, over: String = ""): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(38,18)))$over AS DOUBLE)"
     def avg(c: String, over: String = ""): String =
       s"(${sum(c, over)} / COUNT($c)$over)"
     def fitSlope(n: String = "n", sx: String = "sx", sy: String = "sy",

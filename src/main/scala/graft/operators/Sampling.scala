@@ -77,6 +77,34 @@ object Sampling {
   }
 
   /** DuckDB oracle fragments (identical md5 arithmetic). */
+  /** Temperature-scaled source sampling weights (p_i ∝ share_i^α, the
+    * multilingual-sampling exponent — α < 1 upsamples low-resource
+    * sources without flattening the mixture). Input: a docs frame with
+    * `source` and `text`; output one row per source with its token
+    * share, sampling weight, and upsampling factor (weight/share).
+    *
+    * Scale: one per-source aggregate (map-side partials), two 1-row
+    * broadcast scalars — no data-volume shuffle beyond the token count.
+    */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.7,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.{Num, Text}
+    val perSource = docs
+      .select(col("source"), size(Text.words(col(textCol))).as("toks"))
+      .groupBy("source").agg(sum(col("toks").cast("long")).as("tokens"))
+    val tot = perSource.agg(sum(col("tokens")).as("total"))
+    val shares = perSource.crossJoin(broadcast(tot))
+      .withColumn("share", col("tokens").cast("double") / col("total"))
+      .withColumn("scaled", pow(col("share"), lit(alpha)))
+    val z = shares.agg(Num.dsumHi(col("scaled")).as("z"))
+    shares.crossJoin(broadcast(z))
+      .select(col("source"), col("tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("scaled") / col("z"), 6).as("weight"),
+        round(col("scaled") / col("z") / col("share"), 6).as("upsample"))
+      .orderBy("source")
+  }
+
   object O {
     def hashBucket(key: String): String =
       s"(${Hashes.O.md5Long32(s"CAST($key AS VARCHAR)")} % $Buckets)"

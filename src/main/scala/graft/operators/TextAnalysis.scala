@@ -436,6 +436,50 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Pairwise Jensen–Shannon divergence between the sources' word
+    * distributions — the domain-shift diagnostic a mixture designer
+    * reads before weighting sources (JSD ∈ [0, ln 2]; 0 = identical
+    * unigram distributions). Vocabulary-union semantics without a
+    * full-outer join: for words present in only one source, m = p/2, so
+    * that side contributes exactly (missing mass) × ln 2 — the inner
+    * join plus the two common-mass sums is algebraically the full
+    * union-vocabulary JSD.
+    *
+    * Scale design: one word-count shuffle, a keyed self-join on the
+    * word (each word carries ≤ n_sources rows — never a hot key), and a
+    * per-pair aggregate with decimal-backed (order-independent) sums.
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.{Num, Text}
+    val wc = docs
+      .select(col("source"), explode(Text.words(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val totals = wc.groupBy("source").agg(sum(col("c")).as("n"))
+    val p = wc.join(broadcast(totals), "source")
+      .select(col("source"), col("w"), (col("c").cast("double") / col("n")).as("p"))
+    val joined = p.select(col("source").as("src_a"), col("w"), col("p").as("pa"))
+      .join(p.select(col("source").as("src_b"), col("w"), col("p").as("pb")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+    val term =
+      col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+        col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb")))
+    joined.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_common_words"),
+        Num.dsumHi(term).as("ct"),
+        Num.dsumHi(col("pa")).as("ma"),
+        Num.dsumHi(col("pb")).as("mb"))
+      .select(col("src_a"), col("src_b"), col("n_common_words"),
+        round(lit(0.5) * col("ct") +
+          lit(HalfLn2) * ((lit(1.0) - col("ma")) + (lit(1.0) - col("mb"))), 6).as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** 0.5·ln 2, interpolated into the oracle SQL as the same Scala
+    * double (Double.toString round-trips, so both engines hold the
+    * identical constant).
+    */
+  val HalfLn2: Double = 0.5 * math.log(2.0)
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -639,6 +683,27 @@ object TextAnalysis {
          |SELECT doc_id, n_hits, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
          |FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+    }
+
+    /** Mirrors sourceDivergence: same term shape, same decimal-backed
+      * sums, same interpolated 0.5·ln2 constant.
+      */
+    def sourceDivergence: String = {
+      val term = "pa * ln(2.0 * pa / (pa + pb)) + pb * ln(2.0 * pb / (pa + pb))"
+      s"""WITH wc AS (SELECT source, w, COUNT(*) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2),
+         |t AS (SELECT source, SUM(c) AS n FROM wc GROUP BY 1),
+         |p AS (SELECT wc.source, w, (CAST(c AS DOUBLE) / n) AS p FROM wc JOIN t USING (source)),
+         |j AS (SELECT a.source AS src_a, b.source AS src_b, a.p AS pa, b.p AS pb
+         |      FROM p a JOIN p b USING (w) WHERE a.source < b.source),
+         |g AS (SELECT src_a, src_b, COUNT(*) AS n_common_words,
+         |        ${graft.functions.Num.O.sumHi(term)} AS ct,
+         |        ${graft.functions.Num.O.sumHi("pa")} AS ma,
+         |        ${graft.functions.Num.O.sumHi("pb")} AS mb
+         |      FROM j GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common_words,
+         |  round(0.5 * ct + $HalfLn2 * ((1.0 - ma) + (1.0 - mb)), 6) AS jsd
+         |FROM g ORDER BY src_a, src_b""".stripMargin
     }
 
     /** Mirrors repetitionStats (thresholds must match the Spark call). */

@@ -823,7 +823,23 @@ object PipelineQueries {
     */
   val bpeMerges: Q = (s, dir) => Corpus.bpeMergePairs(docs(s, dir))
 
+  /** q151: pairwise source Jensen–Shannon divergence over word
+    * distributions — the domain-shift diagnostic behind mixture design.
+    */
+  val sourceDivergence: Q = (s, dir) => TextAnalysis.sourceDivergence(docs(s, dir))
+
+  /** q152: temperature-scaled source sampling weights (p_i ∝ share_i^α,
+    * the multilingual-sampling exponent; α = 0.7): weight each source
+    * so low-resource sources are upsampled without flattening the
+    * mixture. Complements q123 (explicit target shares).
+    */
+  val TempAlpha = 0.7
+  val temperatureMixture: Q = (s, dir) =>
+    Sampling.temperatureWeights(docs(s, dir), TempAlpha)
+
   val queries: Map[String, Q] = Map(
+    "q151_source_divergence" -> sourceDivergence,
+    "q152_temperature_mixture" -> temperatureMixture,
     "q149_bm25" -> bm25Search,
     "q150_bpe_merges" -> bpeMerges,
     "q148_hard_negatives" -> hardNegativeMining,
@@ -897,6 +913,19 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q151_source_divergence" -> TO.sourceDivergence,
+    "q152_temperature_mixture" ->
+      s"""WITH ps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT SUM(tokens) AS total FROM ps),
+         |sh AS (SELECT source, tokens, (CAST(tokens AS DOUBLE) / total) AS share,
+         |         pow(CAST(tokens AS DOUBLE) / total, $TempAlpha) AS scaled
+         |       FROM ps CROSS JOIN tot),
+         |z AS (SELECT ${graft.functions.Num.O.sumHi("scaled")} AS z FROM sh)
+         |SELECT source, tokens, round(share, 6) AS share,
+         |  round(scaled / z, 6) AS weight,
+         |  round(scaled / z / share, 6) AS upsample
+         |FROM sh CROSS JOIN z ORDER BY source""".stripMargin,
     "q149_bm25" -> TO.bm25TopK(),
     "q150_bpe_merges" -> Corpus.O.bpeMergePairs(),
     "q148_hard_negatives" ->

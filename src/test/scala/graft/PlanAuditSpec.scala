@@ -39,6 +39,23 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("bm25 never explodes the corpus and takes top-k distributed") {
+    val p = plan("q149_bm25")
+    assert(!p.contains("Generate"), p.take(800)) // tf is narrow array math
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastNestedLoopJoin")) // 1-row stats side
+  }
+
+  test("bpe merge pairs explode the vocabulary, not the token stream") {
+    val p = plan("q150_bpe_merges")
+    // the char-pair Generate must sit ABOVE the word-count aggregate:
+    // exactly one explode of the token stream (words), one of the
+    // vocab (pairs), and the pair explode input is the aggregated side.
+    assert(p.contains("TakeOrderedAndProject"))
+    val generates = "Generate explode".r.findAllIn(p).length
+    assert(generates == 2, s"expected 2 explodes (words, vocab pairs), got $generates")
+  }
+
   test("weighted sample and zipf top-R plan as TakeOrderedAndProject") {
     assert(plan("q104_weighted_sample").contains("TakeOrderedAndProject"))
     assert(plan("q110_zipf_fit").contains("TakeOrderedAndProject"))

@@ -110,6 +110,44 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("source divergence: 0 for identical, ln2 for disjoint distributions") {
+    val df = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"), // identical dists
+      (3L, "x y z w", "s3") // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceDivergence(df).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(r(("s1", "s2")) == 0.0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.get(("s1", "s3")).isEmpty) // no common words -> no inner-join row
+    // disjoint pairs carry full missing mass: verify via a shared word
+    val df2 = Seq(
+      (1L, "k a a a a a a a a a", "s1"),
+      (2L, "k z z z z z z z z z", "s2")).toDF("doc_id", "text", "source")
+    val d2 = TextAnalysis.sourceDivergence(df2).head.getDouble(3)
+    assert(d2 > 0.5 && d2 < ln2) // near-disjoint, bounded by ln2
+  }
+
+  test("temperature mixture: upsamples small sources, weights sum to 1") {
+    val rows = (1 to 9).map(i => (i.toLong, "a b c d e f g h", "big")) :+
+      (10L, "a b", "small")
+    val df = rows.toDF("doc_id", "text", "source")
+    val r = graft.operators.Sampling.temperatureWeights(df, alpha = 0.7).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    val (bigT, bigShare, bigW, bigUp) = r("big")
+    val (smallT, smallShare, smallW, smallUp) = r("small")
+    assert(bigT == 72L && smallT == 2L)
+    // α<1 compresses: small source's weight exceeds its share
+    assert(smallUp > 1.0 && bigUp < 1.0)
+    assert(smallW > smallShare && bigW < bigShare)
+    assert(math.abs(bigW + smallW - 1.0) < 1e-5) // weights normalize
+    // hand computation: share^0.7 / Σ share^0.7
+    val z = math.pow(72.0 / 74, 0.7) + math.pow(2.0 / 74, 0.7)
+    assert(math.abs(smallW - math.pow(2.0 / 74, 0.7) / z) < 1e-6)
+  }
+
   test("bpe merge pairs: frequency-weighted adjacent pairs over the vocab") {
     val df = Seq(
       (1L, "aab aab ba"), // vocab: aab(wf 2) -> aa, ab; ba(wf 1) -> ba
