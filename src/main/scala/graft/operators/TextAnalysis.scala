@@ -436,6 +436,51 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the
+    * mean bigram log-likelihood RATIO between a target-domain LM and
+    * the whole-corpus LM, with add-0.5 smoothing over the corpus bigram
+    * vocabulary so target-unseen bigrams stay finite. Positive score =
+    * more target-like than the average document; the ranking a
+    * domain-focused data-selection pass resamples by.
+    *
+    * Scale design: the occurrence stream collapses to per-doc distinct
+    * bigrams before any join (the q86 cascade); target and corpus
+    * counts are two keyed rollups of that table; the smoothing
+    * constants are ONE 1-row broadcast. Each occurrence contributes as
+    * n × decimal(lp) — order-independent, engine-identical.
+    */
+  def dsirScores(docs: DataFrame, targetPred: Column,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val docBg = docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(Text.shingles(col(textCol), 2)).as("bg"))
+      .groupBy("doc_id", "is_target", "bg").agg(count(lit(1)).as("n"))
+    val corpus = docBg.groupBy("bg").agg(sum(col("n")).as("cc"))
+    val target = docBg.filter(col("is_target"))
+      .groupBy("bg").agg(sum(col("n")).as("ct"))
+    val stats = corpus.agg(
+      sum(col("cc")).as("nc"), count(lit(1)).as("v"))
+      .crossJoin(broadcast(target.agg(sum(col("ct")).as("nt"))))
+    val lp =
+      log((coalesce(col("ct"), lit(0L)) + lit(0.5)) /
+        (col("nt").cast("double") + lit(0.5) * col("v"))) -
+        log((col("cc") + lit(0.5)) /
+          (col("nc").cast("double") + lit(0.5) * col("v")))
+    docBg
+      .join(corpus, "bg").join(target, Seq("bg"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", lp)
+      .groupBy("doc_id", "is_target")
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(38,6)") * col("n")).cast("double") / sum(col("n")), 6)
+          .as("dsir_score"))
+      .withColumn("target_like", col("dsir_score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Pairwise Jensen–Shannon divergence between the sources' word
     * distributions — the domain-shift diagnostic a mixture designer
     * reads before weighting sources (JSD ∈ [0, ln 2]; 0 = identical
@@ -683,6 +728,28 @@ object TextAnalysis {
          |SELECT doc_id, n_hits, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
          |FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+    }
+
+    /** Mirrors dsirScores: occurrence-stream replay (n × decimal(lp) is
+      * bit-identical to summing n decimal copies), same smoothing
+      * shape, rounded before the target_like comparison in both.
+      */
+    def dsirScores(targetPredSql: String): String = {
+      val lp = "ln((COALESCE(ct, 0) + 0.5) / (CAST(nt AS DOUBLE) + 0.5 * v)) " +
+        "- ln((cc + 0.5) / (CAST(nc AS DOUBLE) + 0.5 * v))"
+      s"""WITH wl AS (SELECT doc_id, ($targetPredSql) AS is_target, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, is_target, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |      FROM wl WHERE len(w) >= 2),
+         |ccs AS (SELECT bg, COUNT(*) AS cc FROM b GROUP BY 1),
+         |cts AS (SELECT bg, COUNT(*) AS ct FROM b WHERE is_target GROUP BY 1),
+         |st AS (SELECT (SELECT COUNT(*) FROM b) AS nc, (SELECT COUNT(*) FROM ccs) AS v,
+         |              (SELECT COUNT(*) FROM b WHERE is_target) AS nt)
+         |SELECT doc_id, is_target, n_bigrams, dsir_score, (dsir_score > 0) AS target_like FROM (
+         |  SELECT doc_id, is_target, COUNT(*) AS n_bigrams,
+         |    round(${graft.functions.Num.O.avg(lp)}, 6) AS dsir_score
+         |  FROM b JOIN ccs USING (bg) LEFT JOIN cts USING (bg) CROSS JOIN st
+         |  GROUP BY doc_id, is_target)
+         |ORDER BY doc_id""".stripMargin
     }
 
     /** Mirrors sourceDivergence: same term shape, same decimal-backed

@@ -837,7 +837,14 @@ object PipelineQueries {
   val temperatureMixture: Q = (s, dir) =>
     Sampling.temperatureWeights(docs(s, dir), TempAlpha)
 
+  /** q153: DSIR importance scores — bigram-LM log-ratio vs the src0
+    * target domain (the data-selection ranking of arXiv:2302.03169).
+    */
+  val dsirScores: Q = (s, dir) =>
+    TextAnalysis.dsirScores(docs(s, dir), col("source") === "src0")
+
   val queries: Map[String, Q] = Map(
+    "q153_dsir" -> dsirScores,
     "q151_source_divergence" -> sourceDivergence,
     "q152_temperature_mixture" -> temperatureMixture,
     "q149_bm25" -> bm25Search,
@@ -913,6 +920,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q153_dsir" -> TO.dsirScores("source = 'src0'"),
     "q151_source_divergence" -> TO.sourceDivergence,
     "q152_temperature_mixture" ->
       s"""WITH ps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens

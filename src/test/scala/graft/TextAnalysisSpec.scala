@@ -148,6 +148,25 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(smallW - math.pow(2.0 / 74, 0.7) / z) < 1e-6)
   }
 
+  test("dsir: target-domain docs outscore off-domain docs") {
+    val df = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta alpha beta gamma", "tgt"),
+      (3L, "alpha beta alpha beta alpha", "web"), // target-like off-domain
+      (4L, "delta epsilon delta epsilon zeta", "web") // off-domain
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis
+      .dsirScores(df, org.apache.spark.sql.functions.col("source") === "tgt")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r(1L)._1 && !r(3L)._1)
+    // the target-like web doc ranks above the disjoint-vocab web doc
+    assert(r(3L)._2 > r(4L)._2)
+    assert(r(3L)._3 && !r(4L)._3) // target_like flag follows the sign
+    // a doc made of target bigrams scores positive
+    assert(r(1L)._2 > 0)
+  }
+
   test("bpe merge pairs: frequency-weighted adjacent pairs over the vocab") {
     val df = Seq(
       (1L, "aab aab ba"), // vocab: aab(wf 2) -> aa, ab; ba(wf 1) -> ba
