@@ -34,7 +34,13 @@ object StressBench {
     // the graph family — evidence the bounded (label ∧ bucket) candidate
     // generator stays linear where all-pairs-per-label went quadratic
     "q101_pagerank" -> warehouse.PipelineQueries.pagerank,
-    "q132_triangles" -> warehouse.PipelineQueries.triangleStats)
+    "q132_triangles" -> warehouse.PipelineQueries.triangleStats,
+    // the round-5 text-diagnostics family: vocabulary-keyed joins
+    // (BPE pairs over the vocab, JSD word self-join, DSIR bigram
+    // rollups) — each should track the 10× input, never the square
+    "q150_bpe_merges" -> warehouse.PipelineQueries.bpeMerges,
+    "q151_source_divergence" -> warehouse.PipelineQueries.sourceDivergence,
+    "q153_dsir" -> warehouse.PipelineQueries.dsirScores)
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
