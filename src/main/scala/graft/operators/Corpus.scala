@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,55 @@ object Corpus {
       .withColumn("is_contaminated", col("contamination") > threshold)
   }
 
+  /** T5-style span-corruption example generation (Raffel et al. 2020
+    * §3.1.4): replace word spans with numbered sentinels and emit the
+    * (masked input, target) pair a denoising pretrainer consumes.
+    * Randomness is replaced by a DETERMINISTIC grid: spans of
+    * `spanLen` words start at positions ≡ the doc's md5-derived phase
+    * (mod `stride`), so ~spanLen/stride of tokens are corrupted
+    * (15% at the 3/20 defaults), anchors can never overlap, and both
+    * engines derive identical examples — the property a reproducible
+    * data pipeline needs anyway.
+    *
+    * Scale design: the entire transform is narrow per-row array
+    * expressions (sequence/filter/transform/flatten) — zero shuffles,
+    * zero explodes; a trillion-document corpus corrupts
+    * embarrassingly parallel. Output carries md5s of input/target
+    * (array-output convention, cf. q89).
+    */
+  def spanCorruption(docs: DataFrame, spanLen: Int = 3, stride: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.{Hashes, Text}
+    val sentinel = (k: Column) => concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    // masked input: anchor -> numbered sentinel, in-span non-anchor ->
+    // dropped; everything else passes through
+    val input = array_join(filter(transform(sequence(lit(1), size(col("w"))), p => {
+      val k = array_position(col("anchors"), p) - 1
+      when(k >= 0, sentinel(k))
+        .otherwise(when(exists(col("anchors"),
+          a => p > a && p < a + spanLen), lit(null).cast("string"))
+          .otherwise(element_at(col("w"), p)))
+    }), x => x.isNotNull), " ")
+    // target: <extra_id_k> followed by the k-th span's words
+    val target = array_join(flatten(transform(col("anchors"), (a, k) =>
+      concat(array(sentinel(k)), slice(col("w"), a, lit(spanLen))))), " ")
+    docs
+      .select(col("doc_id"), Text.words(col(textCol)).as("w"))
+      // anchor positions: p in [1, n-spanLen+1] with p % stride == the
+      // doc's md5-derived phase (sequence guarded against n < spanLen,
+      // where its descending form would fire)
+      .withColumn("anchors",
+        when(size(col("w")) >= spanLen,
+          filter(sequence(lit(1), size(col("w")) - (spanLen - 1)),
+            p => p % stride === (Hashes.md5Long32(col("doc_id").cast("string")) % stride).cast("int")))
+          .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        size(col("anchors")).as("n_spans"),
+        md5(input).as("input_md5"),
+        md5(target).as("target_md5"))
+      .orderBy("doc_id")
+  }
+
   /** First BPE-merge iteration over the corpus vocabulary: the
     * adjacent-character-pair counts a tokenizer trainer computes before
     * its first merge, weighted by corpus word frequency (BPE trains on
@@ -149,6 +198,39 @@ object Corpus {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
          |            FROM documents))""".stripMargin
+
+    /** Mirrors spanCorruption. DuckDB parity notes: list_position
+      * yields 0 for a missing element (like Spark) — test `> 0`, not
+      * IS NOT NULL; array_to_string of an EMPTY list yields NULL where
+      * Spark's array_join yields '' — COALESCE both strings.
+      * list_transform has no index variant, so the target builds from
+      * range over anchor indices.
+      */
+    def spanCorruption(spanLen: Int = 3, stride: Int = 20): String = {
+      val phase = s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $stride)"
+      val inSpan = s"len(list_filter(anchors, a -> p > a AND p < a + $spanLen)) > 0"
+      val sentinelAt = s"'<extra_id_' || CAST(list_position(anchors, p) - 1 AS VARCHAR) || '>'"
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |an AS (SELECT doc_id, w, len(w) AS n,
+         |         CASE WHEN len(w) >= $spanLen THEN
+         |           list_filter(range(1, len(w) - ${spanLen - 2}), p -> p % $stride = $phase)
+         |         ELSE [] END AS anchors
+         |       FROM base),
+         |io AS (SELECT doc_id, n, anchors,
+         |         COALESCE(array_to_string(list_filter(
+         |           list_transform(range(1, n + 1), p ->
+         |             CASE WHEN list_position(anchors, p) > 0 THEN $sentinelAt
+         |                  WHEN $inSpan THEN NULL
+         |                  ELSE w[p] END),
+         |           x -> x IS NOT NULL), ' '), '') AS input_str,
+         |         COALESCE(array_to_string(flatten(list_transform(range(1, len(anchors) + 1), k ->
+         |           ['<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'] ||
+         |             w[anchors[k]:anchors[k] + ${spanLen - 1}])), ' '), '') AS target_str
+         |       FROM an)
+         |SELECT doc_id, CAST(n AS INT) AS n_words, CAST(len(anchors) AS INT) AS n_spans,
+         |  md5(input_str) AS input_md5, md5(target_str) AS target_md5
+         |FROM io ORDER BY doc_id""".stripMargin
+    }
 
     /** Mirrors bpeMergePairs (DuckDB range(1, n) is [1, n) — exactly the
       * adjacent-pair start positions; Spark sequence(1, n-1) matches).

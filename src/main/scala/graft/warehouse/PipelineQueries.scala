@@ -843,7 +843,13 @@ object PipelineQueries {
   val dsirScores: Q = (s, dir) =>
     TextAnalysis.dsirScores(docs(s, dir), col("source") === "src0")
 
+  /** q154: T5 span-corruption example generation — deterministic
+    * grid-anchored masking, zero-shuffle narrow array expressions.
+    */
+  val spanCorruption: Q = (s, dir) => Corpus.spanCorruption(docs(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "q154_span_corruption" -> spanCorruption,
     "q153_dsir" -> dsirScores,
     "q151_source_divergence" -> sourceDivergence,
     "q152_temperature_mixture" -> temperatureMixture,
@@ -920,6 +926,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q154_span_corruption" -> Corpus.O.spanCorruption(),
     "q153_dsir" -> TO.dsirScores("source = 'src0'"),
     "q151_source_divergence" -> TO.sourceDivergence,
     "q152_temperature_mixture" ->

@@ -167,6 +167,38 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(r(1L)._2 > 0)
   }
 
+  test("span corruption: matches a plain-Scala reimplementation") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (spanLen, stride) = (3, 20)
+    def expected(docId: Long, words: Seq[String]): (Int, String, String) = {
+      val phase = java.lang.Long.parseLong(md5hex(docId.toString).take(8), 16) % stride
+      val n = words.length
+      val anchors = if (n < spanLen) Seq.empty[Int]
+        else (1 to n - spanLen + 1).filter(_ % stride == phase)
+      val masked = (1 to n).flatMap { p =>
+        val k = anchors.indexOf(p)
+        if (k >= 0) Some(s"<extra_id_$k>")
+        else if (anchors.exists(a => p > a && p < a + spanLen)) None
+        else Some(words(p - 1))
+      }.mkString(" ")
+      val target = anchors.zipWithIndex.map { case (a, k) =>
+        (s"<extra_id_$k>" +: words.slice(a - 1, a - 1 + spanLen)).mkString(" ")
+      }.mkString(" ")
+      (anchors.length, md5hex(masked), md5hex(target))
+    }
+    val docs = Seq(
+      (7L, (1 to 45).map(i => s"w$i")),
+      (8L, (1 to 45).map(i => s"w$i")), // different phase, same words
+      (9L, Seq("a", "b"))) // too short for any span
+    val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.Corpus.spanCorruption(df, spanLen, stride).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3), r.getString(4)))).toMap
+    for ((id, ws) <- docs) assert(got(id) == expected(id, ws), s"doc $id")
+    assert(got(9L)._1 == 0 && got(9L)._3 == md5hex("")) // empty target
+  }
+
   test("bpe merge pairs: frequency-weighted adjacent pairs over the vocab") {
     val df = Seq(
       (1L, "aab aab ba"), // vocab: aab(wf 2) -> aa, ab; ba(wf 1) -> ba
