@@ -238,12 +238,25 @@ object Vec {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Squared L2 distance, the same sequential left fold shape as [[dot]]
+    * (diff*diff per element — no pow(), whose libm paths may differ
+    * across engines). Bit-identical to O.l2sq.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0d),
+      (acc, x) => acc + x)
+
   object O {
     /** dim must be the fixed vector length (testdata embeddings: 64). */
     def dot(a: String, b: String, dim: Int = 64): String =
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
     def cosine(a: String, b: String, dim: Int = 64): String =
       s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
+    def l2sq(a: String, b: String, dim: Int = 64): String =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
   }
 }
 

@@ -96,6 +96,43 @@ object Clustering {
     centroids
   }
 
+  /** Nearest-centroid assignment by SQUARED L2 distance (ties → lowest
+    * cluster_id) — the product-quantization metric: a subvector
+    * codeword must reproduce magnitude, which cosine is blind to.
+    */
+  def assignL2(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("cluster_id"), col("cemb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster_id"))
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(c))
+      .withColumn("d2", Vec.l2sq(col("embedding"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"), col("d2"))
+  }
+
+  /** One squared-L2 Lloyd iteration (assign, recompute decimal-exact
+    * means) — same update as [[step]], different metric.
+    */
+  def stepL2(emb: DataFrame, centroids: DataFrame): DataFrame =
+    reassemble(centroidsLong(assignL2(emb, centroids), "cluster_id"), "cluster_id")
+
+  /** [[kmeans]] under squared-L2 assignment — identical seeding,
+    * sampling, and localCheckpoint discipline; only the metric differs.
+    * Used per subspace by Similarity's product quantizer.
+    */
+  def kmeansL2(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame = {
+    val train = (if (trainPct >= 100) emb else Sampling.hashSample(emb, "vec_id", trainPct))
+      .select("vec_id", "embedding")
+    var centroids = seedCentroids(train, k).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val prev = centroids
+      centroids = stepL2(train, centroids).localCheckpoint(true)
+      prev.unpersist()
+    }
+    centroids
+  }
+
   val PcaIters = 4
 
   /** Top principal direction of the (uncentered) embedding corpus by

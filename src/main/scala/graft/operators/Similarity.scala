@@ -310,6 +310,96 @@ object Similarity {
         md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
   }
 
+  val PqM = 4 // subspaces — each Dim/PqM = 16 dims
+  val PqSubDim = Dim / PqM
+  val PqK = 16 // codewords per subspace: codes fit 4 bits → 64 floats become 4 nibbles
+
+  /** Product-quantization codebooks (Jégou et al. 2011, TPAMI 33(1)):
+    * the embedding space is split into [[PqM]] contiguous subspaces and
+    * a [[PqK]]-codeword codebook is trained INDEPENDENTLY per subspace
+    * with squared-L2 Lloyd iterations (Clustering.kmeansL2 — the same
+    * hash-seeded, hash-sampled, decimal-exact trajectory as the IVF
+    * coarse quantizer, so the DuckDB oracle replays it bit-for-bit).
+    * Codes are densified to 0..K-1 by seed order.
+    *
+    * Scale: the whole codebook is PqM·PqK rows of PqSubDim floats (64
+    * rows here) — constant in the corpus size, always broadcastable;
+    * training touches only the hash sample. A stored corpus shrinks
+    * Dim·4 bytes → PqM codes (64× at these constants), which is the
+    * difference between an in-RAM ANN index and a disk-bound one at
+    * 100 TB.
+    */
+  def pqCodebooks(emb: DataFrame): DataFrame = {
+    val perSub = (0 until PqM).map { m =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+      Clustering.kmeansL2(sub, PqK, IvfIters, IvfTrainPct)
+        .select(lit(m).as("m"), col("cluster_id"), col("cemb"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("m").orderBy("cluster_id")
+    perSub.select(col("m"), (row_number().over(w) - 1).as("code"), col("cemb"))
+  }
+
+  /** Per-(vector, subspace) nearest-codeword assignment: (vec_id, m,
+    * code, d2). The codebook join broadcasts (constant size); argmin
+    * ties break on code — both mirrored in the oracle.
+    */
+  private[graft] def pqEncodedLong(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val subs = emb.select(col("vec_id"),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sub")))
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", Vec.l2sq(col("sub"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("d2"))
+  }
+
+  /** PQ encoding of the corpus: per vector the [[PqM]] code ids (as a
+    * comma string, the array-output convention) and the reconstruction
+    * error — the sum of per-subspace quantization distances, an exact
+    * decimal sum so partitioning cannot reorder float addition.
+    */
+  def pqEncode(emb: DataFrame): DataFrame =
+    pqEncodedLong(emb, pqCodebooks(emb))
+      .groupBy("vec_id")
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code").cast("string"))).as("codes"),
+        sum(col("d2").cast("decimal(38,12)")).cast("double").as("recon_err"))
+      .orderBy("vec_id")
+
+  /** PQ top-k by asymmetric distance computation (ADC): the query keeps
+    * full precision; each candidate is its [[PqM]] codes, and the
+    * distance is the sum of precomputed (query-subvector ↔ codeword)
+    * distances. The classic PQ search shape: a per-query M×K lookup
+    * table (|Q|·PqM·PqK rows — broadcast), then the corpus streams
+    * through a broadcast join on (m, code) touching ONLY code ids,
+    * never the original vectors. Ties (identical code words → identical
+    * ADC) break on cand_id.
+    */
+  def pqAdcTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val cb = pqCodebooks(emb)
+    val cand = pqEncodedLong(emb, cb)
+      .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+    val qsubs = emb.filter(queryPred).select(col("vec_id").as("query_id"),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "qsub")))
+    val lut = qsubs.join(cb, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        Vec.l2sq(col("qsub"), col("cemb")).as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("cand_id"))
+    cand.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "adc_dist", "rank")
+  }
+
   val GraphBlockCap = 1000 // max vectors per (label, bucket) block in graph candidate generation
 
   /** Bounded near-dup pair generation for similarity-GRAPH building
@@ -468,6 +558,82 @@ object Similarity {
          |  (COALESCE(r.rnk, 1) = 1) AS keep
          |FROM asg a LEFT JOIN rnkd r ON r.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
+
+    /** CTE chain ending in `cb(m, code, cemb)` — the trained PQ
+      * codebooks: per subspace, the hash-sampled training slice,
+      * hash-seeded c0, `IvfIters` unrolled squared-L2 Lloyd rounds with
+      * decimal-exact means cast to FLOAT (the bit-identical twin of
+      * Clustering.kmeansL2 over pqCodebooks' slices), then the dense
+      * 0..K-1 code remap by seed order.
+      */
+    private def pqCodebookCtes: String = {
+      val subCtes = (0 until PqM).map { m =>
+        val off = m * PqSubDim
+        val seed =
+          s"""s${m}samp AS (SELECT vec_id, list_slice(embedding, ${off + 1}, ${off + PqSubDim}) AS embedding
+             |  FROM embeddings WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
+             |s${m}c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM s${m}samp
+             |  ORDER BY ${Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $PqK)""".stripMargin
+        val iters = (1 to IvfIters).map { i =>
+          val prev = s"s${m}c${i - 1}"
+          s"""s${m}a$i AS (SELECT vec_id, embedding, cluster_id FROM (
+             |  SELECT s.vec_id, s.embedding, c.cluster_id,
+             |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             |      ${V.O.l2sq("s.embedding", "c.cemb", PqSubDim)} ASC, c.cluster_id) AS rn
+             |  FROM s${m}samp s CROSS JOIN $prev c) WHERE rn = 1),
+             |s${m}m$i AS (SELECT cluster_id, CAST(i AS INT) AS dim, ${Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
+             |  FROM s${m}a$i, range(1, ${PqSubDim + 1}) t(i) GROUP BY cluster_id, i),
+             |s${m}c$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM s${m}m$i GROUP BY cluster_id)""".stripMargin
+        }.mkString(",\n")
+        s"$seed,\n$iters"
+      }.mkString(",\n")
+      val union = (0 until PqM)
+        .map(m => s"SELECT CAST($m AS INT) AS m, cluster_id, cemb FROM s${m}c$IvfIters")
+        .mkString(" UNION ALL ")
+      s"""$subCtes,
+         |cbraw AS ($union),
+         |cb AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY cluster_id) - 1 AS INT) AS code, cemb FROM cbraw)""".stripMargin
+    }
+
+    /** CTE pair `sub, enc` — per-(vector, subspace) slices and the
+      * nearest-codeword assignment, the twin of pqEncodedLong.
+      */
+    private def pqEncCtes: String =
+      s"""sub AS (SELECT vec_id, CAST(m AS INT) AS m,
+         |    list_slice(embedding, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS sub
+         |  FROM embeddings, range(0, $PqM) t(m)),
+         |enc AS (SELECT vec_id, m, code, d2 FROM (
+         |  SELECT s.vec_id, s.m, c.code, ${V.O.l2sq("s.sub", "c.cemb", PqSubDim)} AS d2,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |      ${V.O.l2sq("s.sub", "c.cemb", PqSubDim)} ASC, c.code) AS rn
+         |  FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+
+    /** Bit-identical twin of [[Similarity.pqEncode]]. */
+    def pqCodes: String =
+      s"""WITH $pqCodebookCtes,
+         |$pqEncCtes
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes,
+         |  CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS recon_err
+         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+    /** Bit-identical twin of [[Similarity.pqAdcTopK]]. */
+    def pqAdc(queryPredSql: String, k: Int): String =
+      s"""WITH $pqCodebookCtes,
+         |$pqEncCtes,
+         |q AS (SELECT vec_id AS query_id, CAST(m AS INT) AS m,
+         |    list_slice(embedding, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS qsub
+         |  FROM embeddings, range(0, $PqM) t(m) WHERE $queryPredSql),
+         |lut AS (SELECT q.query_id, q.m, c.code, ${V.O.l2sq("q.qsub", "c.cemb", PqSubDim)} AS d2
+         |  FROM q JOIN cb c ON q.m = c.m),
+         |prs AS (SELECT l.query_id, e.vec_id AS cand_id,
+         |    CAST(SUM(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE) AS adc_dist
+         |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code AND e.vec_id != l.query_id
+         |  GROUP BY l.query_id, e.vec_id)
+         |SELECT query_id, cand_id, adc_dist, rank FROM (
+         |  SELECT query_id, cand_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS INT) AS rank
+         |  FROM prs)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
     def ivf(queryPredSql: String, k: Int, probes: Int = IvfProbes): String = {
       s"""WITH $trainedCentroidCtes,

@@ -848,7 +848,21 @@ object PipelineQueries {
     */
   val spanCorruption: Q = (s, dir) => Corpus.spanCorruption(docs(s, dir))
 
+  /** q155: product-quantization encoding — per-subspace L2 codebooks,
+    * 4-bit codes, decimal-exact reconstruction error.
+    */
+  val pqEncoding: Q = (s, dir) => Similarity.pqEncode(emb(s, dir))
+
+  /** q156: PQ ADC top-k — the lookup-table asymmetric-distance search
+    * over the encoded corpus (codes only, never the original vectors).
+    */
+  val pqAdc: Q = (s, dir) =>
+    Similarity.pqAdcTopK(emb(s, dir), col("vec_id") < 20, k = 5)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q155_pq_codes" -> pqEncoding,
+    "q156_pq_adc" -> pqAdc,
     "q154_span_corruption" -> spanCorruption,
     "q153_dsir" -> dsirScores,
     "q151_source_divergence" -> sourceDivergence,
@@ -926,6 +940,8 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q155_pq_codes" -> Similarity.O.pqCodes,
+    "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q154_span_corruption" -> Corpus.O.spanCorruption(),
     "q153_dsir" -> TO.dsirScores("source = 'src0'"),
     "q151_source_divergence" -> TO.sourceDivergence,
