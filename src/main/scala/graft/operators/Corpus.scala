@@ -139,6 +139,74 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  val CdcWindow = 3 // rolling window (words) the boundary test hashes
+  val CdcDivisor = 8 // boundary when hash % divisor == 0 → ~8-word chunks
+
+  /** Content-defined chunking (the LBFS/FastCDC storage-dedup idea
+    * re-expressed over word shingles): a chunk boundary falls AFTER
+    * word p exactly when the [[CdcWindow]]-gram ending at p hashes to
+    * 0 mod [[CdcDivisor]] — so a chunk's span depends only on its
+    * CONTENT, and an insertion early in a document re-aligns within one
+    * expected chunk instead of shifting every downstream chunk the way
+    * fixed-stride chunking ([[chunkTokens]]) does. That re-alignment is
+    * the property that makes chunk-level dedup robust to edits.
+    *
+    * Scale design: pure narrow array expressions per row (sequence/
+    * filter/slice), zero shuffle; a trillion-document corpus chunks
+    * embarrassingly parallel. Docs shorter than the window are one
+    * chunk. Expected chunk length is the divisor (~8 words) — bounded
+    * arrays per row.
+    */
+  def cdcChunks(docs: DataFrame, divisor: Int = CdcDivisor,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Hashes
+    val n = size(col("w"))
+    val gram = (p: Column) => concat_ws(" ",
+      element_at(col("w"), p - 2), element_at(col("w"), p - 1), element_at(col("w"), p))
+    val bnd = when(n >= CdcWindow,
+      filter(sequence(lit(CdcWindow), n), p => Hashes.md5Long32(gram(p)) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col("doc_id"), graft.functions.Text.words(col(textCol)).as("w"))
+      .withColumn("bnd0", bnd)
+      // try_element_at: NULL on an empty boundary list (ANSI element_at
+      // throws) — the same null-safe fallthrough as DuckDB's bnd[-1]
+      .withColumn("ends",
+        when(try_element_at(col("bnd0"), lit(-1)) === n, col("bnd0"))
+          .otherwise(concat(col("bnd0"), array(n))))
+      .select(col("doc_id"), col("w"), col("ends"),
+        posexplode(col("ends")).as(Seq("k0", "end")))
+      .withColumn("start",
+        when(col("k0") === 0, lit(1)).otherwise(element_at(col("ends"), col("k0")) + 1))
+      .select(
+        col("doc_id"),
+        col("k0").cast("int").as("chunk_idx"),
+        col("start").cast("int").as("start_word"),
+        (col("end") - col("start") + 1).cast("int").as("n_words"),
+        md5(concat_ws(" ", slice(col("w"), col("start"), col("end") - col("start") + 1))).as("chunk_md5"))
+  }
+
+  /** Chunk-level dedup report over [[cdcChunks]]: how much of the
+    * corpus is duplicated at chunk granularity — the storage/training
+    * dedup ratio CDC exists to maximize. One hash aggregation on
+    * chunk_md5 (the only shuffle), then a single-row summary:
+    * total/distinct chunks, chunks seen in >1 place, and the words a
+    * dedup store would save by keeping one copy per distinct chunk.
+    */
+  def cdcDedupStats(docs: DataFrame, divisor: Int = CdcDivisor,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Num
+    cdcChunks(docs, divisor, textCol)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occ"), min(col("n_words")).as("n_words"))
+      .agg(
+        sum(col("n_occ")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when(col("n_occ") > 1, 1).otherwise(0)).as("dup_chunk_keys"),
+        sum((col("n_occ") - 1) * col("n_words")).as("words_saved"),
+        round(Num.davg((col("n_occ") > 1).cast("int").cast("double")), 6).as("dup_key_share"))
+  }
+
   /** First BPE-merge iteration over the corpus vocabulary: the
     * adjacent-character-pair counts a tokenizer trainer computes before
     * its first merge, weighted by corpus word frequency (BPE trains on
@@ -175,6 +243,49 @@ object Corpus {
 
   /** DuckDB oracle twins. */
   object O {
+    import graft.functions.{Hashes, Num}
+
+    /** CTE chain `base, bn, en, ch` ending in the per-chunk rows —
+      * the bit-identical twin of [[Corpus.cdcChunks]]. DuckDB
+      * range(a, b) is [a, b) = Spark sequence(a, b-1); `bnd[-1]` on an
+      * empty list is NULL, so the `= n` test is false and the doc-end
+      * boundary appends — the same null-safe fallthrough as Spark's
+      * element_at(-1) on empty.
+      */
+    private def cdcChunkCtes(divisor: Int): String = {
+      val gram = "w[p-2] || ' ' || w[p-1] || ' ' || w[p]"
+      s"""base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bn AS (SELECT doc_id, w, len(w) AS n,
+         |  CASE WHEN len(w) >= $CdcWindow THEN
+         |    list_filter(range($CdcWindow, len(w) + 1), p -> (${Hashes.O.md5Long32(gram)} % $divisor) = 0)
+         |  ELSE [] END AS bnd FROM base),
+         |en AS (SELECT doc_id, w, n,
+         |  CASE WHEN bnd[-1] = n THEN bnd ELSE list_append(bnd, n) END AS ends FROM bn),
+         |ch AS (SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
+         |    CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END AS INT) AS start_word,
+         |    CAST(ends[k] - (CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) AS INT) AS n_words,
+         |    md5(array_to_string(list_slice(w, CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END, ends[k]), ' ')) AS chunk_md5
+         |  FROM en, unnest(range(1, len(ends) + 1)) t(k))""".stripMargin
+    }
+
+    /** Mirrors cdcChunks. */
+    def cdcChunks(divisor: Int = CdcDivisor): String =
+      s"""WITH ${cdcChunkCtes(divisor)}
+         |SELECT doc_id, chunk_idx, start_word, n_words, chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+    /** Mirrors cdcDedupStats. */
+    def cdcDedupStats(divisor: Int = CdcDivisor): String =
+      s"""WITH ${cdcChunkCtes(divisor)},
+         |g AS (SELECT chunk_md5, COUNT(*) AS n_occ, MIN(n_words) AS n_words
+         |      FROM ch GROUP BY chunk_md5)
+         |SELECT CAST(SUM(n_occ) AS BIGINT) AS total_chunks,
+         |  COUNT(*) AS distinct_chunks,
+         |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunk_keys,
+         |  CAST(SUM((n_occ - 1) * n_words) AS BIGINT) AS words_saved,
+         |  round(${Num.O.avg("CAST(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END AS DOUBLE)")}, 6) AS dup_key_share
+         |FROM g""".stripMargin
+
     /** Mirrors contamination (benchPredSql over doc_id etc.). */
     def contamination(benchPredSql: String, threshold: Double = 0.05): String =
       s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -860,9 +860,22 @@ object PipelineQueries {
     Similarity.pqAdcTopK(emb(s, dir), col("vec_id") < 20, k = 5)
       .orderBy("query_id", "rank")
 
+  /** q157: content-defined chunking — rolling-shingle-hash boundaries,
+    * zero-shuffle narrow array expressions.
+    */
+  val cdcChunking: Q = (s, dir) =>
+    Corpus.cdcChunks(docs(s, dir)).orderBy("doc_id", "chunk_idx")
+
+  /** q158: chunk-level dedup report over the CDC chunks — the storage
+    * dedup ratio content-defined chunking exists to maximize.
+    */
+  val cdcDedup: Q = (s, dir) => Corpus.cdcDedupStats(docs(s, dir))
+
   val queries: Map[String, Q] = Map(
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
+    "q157_cdc_chunks" -> cdcChunking,
+    "q158_cdc_dedup" -> cdcDedup,
     "q154_span_corruption" -> spanCorruption,
     "q153_dsir" -> dsirScores,
     "q151_source_divergence" -> sourceDivergence,
@@ -942,6 +955,8 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
+    "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
+    "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
     "q154_span_corruption" -> Corpus.O.spanCorruption(),
     "q153_dsir" -> TO.dsirScores("source = 'src0'"),
     "q151_source_divergence" -> TO.sourceDivergence,

@@ -199,6 +199,53 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(got(9L)._1 == 0 && got(9L)._3 == md5hex("")) // empty target
   }
 
+  test("cdc chunks: match a plain-Scala reimplementation") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hash32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val div = graft.operators.Corpus.CdcDivisor
+    def expected(words: Seq[String]): Seq[(Int, Int, Int, String)] = {
+      val n = words.length
+      val bnd = if (n < 3) Seq.empty[Int]
+        else (3 to n).filter(p => hash32(words.slice(p - 3, p).mkString(" ")) % div == 0)
+      val ends = if (bnd.nonEmpty && bnd.last == n) bnd else bnd :+ n
+      ends.zipWithIndex.map { case (e, k) =>
+        val start = if (k == 0) 1 else ends(k - 1) + 1
+        (k, start, e - start + 1, md5hex(words.slice(start - 1, e).mkString(" ")))
+      }
+    }
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"tok${i % 17}")),
+      (2L, Seq("only", "two")),
+      (3L, (1 to 9).map(i => s"x$i")))
+    val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.Corpus.cdcChunks(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    for ((id, ws) <- docs; (k, start, len, m) <- expected(ws))
+      assert(got((id, k)) == ((start, len, m)), s"doc $id chunk $k")
+    assert(got.size == docs.map(d => expected(d._2).size).sum)
+  }
+
+  test("cdc chunks: an early insertion re-aligns, fixed-stride chunking does not") {
+    val base = (1 to 400).map(i => s"w${(i * 7) % 31}x${i % 13}")
+    val edited = Seq("INSERTED", "WORDS", "HERE") ++ base
+    val df = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val cdc = graft.operators.Corpus.cdcChunks(df).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(4)).toSeq).toMap
+    val shared = cdc(1L).toSet.intersect(cdc(2L).toSet).size
+    // all but the first (edited) chunk should re-align to identical md5s
+    assert(shared >= cdc(1L).size - 2,
+      s"cdc shared $shared of ${cdc(1L).size}")
+    val fixed = graft.operators.Corpus.chunkTokens(df).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(3)).toSeq).toMap
+    val fixedShared = fixed(1L).toSet.intersect(fixed(2L).toSet).size
+    // a 3-word shift breaks every 64-word stride-48 window
+    assert(fixedShared == 0, s"fixed-stride shared $fixedShared chunks")
+  }
+
   test("bpe merge pairs: frequency-weighted adjacent pairs over the vocab") {
     val df = Seq(
       (1L, "aab aab ba"), // vocab: aab(wf 2) -> aa, ab; ba(wf 1) -> ba
