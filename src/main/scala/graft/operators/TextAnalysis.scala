@@ -192,6 +192,74 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  val SbAlpha = 0.4 // the Stupid Backoff discount (Brants 2007 §4)
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, EMNLP —
+    * "Large Language Models in Machine Translation"): every doc is
+    * scored under an n-gram model trained on the REFERENCE subset
+    * (`refPred`), the CCNet-style quality signal. Per trigram
+    * (w1,w2,w3): the relative frequency c(w1w2w3)/c(w1w2) when the
+    * trigram is in-reference; else α·c(w2w3)/c(w2); else
+    * α²·(c(w3)+0.5)/(N+0.5·V) — the paper leaves unseen unigrams at
+    * zero, so the floor is add-0.5-smoothed (the [[dsirScores]]
+    * convention) to keep ln finite; α = [[SbAlpha]] with no
+    * normalization (the method's point: scores, not probabilities).
+    *
+    * Scale design mirrors [[bigramLmScore]]: shrinking aggregates (the
+    * scoring stream collapses to per-doc distinct trigrams before any
+    * join), count tables keyed by gram, the (N, V) scalars a 1-row
+    * broadcast. Backoff tiers are reported per doc — the tier mix is
+    * itself the signal (held-out text backs off more).
+    */
+  def stupidBackoffScores(docs: DataFrame, refPred: Column,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val words = docs.select(col("doc_id"), refPred.as("is_ref"),
+      Text.words(col(textCol)).as("w"))
+    val docTg = words.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(Text.shinglesOfWords(col("w"), 3)).as("g3"))
+      .groupBy("doc_id", "g3").agg(count(lit(1)).as("n"))
+    val ref = words.filter(col("is_ref"))
+    val c3 = ref.filter(size(col("w")) >= 3)
+      .select(explode(Text.shinglesOfWords(col("w"), 3)).as("g3"))
+      .groupBy("g3").agg(count(lit(1)).as("c3"))
+    val c2 = ref.filter(size(col("w")) >= 2)
+      .select(explode(Text.shinglesOfWords(col("w"), 2)).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2"))
+    val c1 = ref.select(explode(col("w")).as("w1c"))
+      .groupBy("w1c").agg(count(lit(1)).as("c1"))
+    val scal = c1.agg(sum(col("c1")).as("ref_n"), count(lit(1)).as("ref_v"))
+    val p = split(col("g3"), " ")
+    val scored = docTg
+      .withColumn("ctx", concat_ws(" ", p.getItem(0), p.getItem(1)))
+      .withColumn("bg23", concat_ws(" ", p.getItem(1), p.getItem(2)))
+      .withColumn("w2", p.getItem(1))
+      .withColumn("w3", p.getItem(2))
+      .join(c3, Seq("g3"), "left")
+      .join(c2.select(col("g2").as("ctx"), col("c2").as("c2ctx")), Seq("ctx"), "left")
+      .join(c2.select(col("g2").as("bg23"), col("c2").as("c2b")), Seq("bg23"), "left")
+      .join(c1.select(col("w1c").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(c1.select(col("w1c").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("tier",
+        when(col("c3").isNotNull, 0).when(col("c2b").isNotNull, 1).otherwise(2))
+      .withColumn("lp",
+        when(col("c3").isNotNull, log(col("c3").cast("double") / col("c2ctx")))
+          .when(col("c2b").isNotNull,
+            log(lit(SbAlpha) * col("c2b").cast("double") / col("c1w2")))
+          .otherwise(log(lit(SbAlpha * SbAlpha) *
+            (coalesce(col("c1w3"), lit(0L)).cast("double") + 0.5) /
+            (col("ref_n").cast("double") + lit(0.5) * col("ref_v")))))
+    scored.groupBy("doc_id")
+      .agg(
+        sum(col("n")).as("n_trigrams"),
+        sum(when(col("tier") === 0, col("n")).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("tier") === 1, col("n")).otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("tier") === 2, col("n")).otherwise(0L)).as("n_uni_backoff"),
+        (sum(col("lp").cast("decimal(38,6)") * col("n")).cast("double") / sum(col("n")))
+          .as("avg_logscore"))
+  }
+
   /** Character-level Shannon entropy per document — the degenerate-text
     * detector that catches what word-level stats miss (base64 blobs,
     * key-mash, single-char floods). p·ln(p) terms ride through a
@@ -684,6 +752,50 @@ object TextAnalysis {
          |  ${graft.functions.Num.O.avg("ln(CAST(cb.c_bg AS DOUBLE) / cw.c_w1)")} AS avg_logprob
          |FROM s JOIN cb USING (bg) JOIN cw USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirrors stupidBackoffScores: reference-count CTEs, the same
+      * five left joins over the distinct-trigram stream, ln values
+      * rounded through DECIMAL(38,6) — and α² rendered as the PRODUCT
+      * (0.4*0.4), the same double both engines compute (a 0.16 literal
+      * is a different double).
+      */
+    def stupidBackoffScores(refPredSql: String): String =
+      s"""WITH wl AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g3
+         |       FROM wl WHERE len(w) >= 3),
+         |s AS (SELECT doc_id, g3, COUNT(*) AS n FROM tg GROUP BY 1, 2),
+         |rw AS (SELECT w FROM wl WHERE $refPredSql),
+         |r3 AS (SELECT unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g3
+         |       FROM rw WHERE len(w) >= 3),
+         |cnt3 AS (SELECT g3, COUNT(*) AS c3 FROM r3 GROUP BY 1),
+         |r2 AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g2
+         |       FROM rw WHERE len(w) >= 2),
+         |cnt2 AS (SELECT g2, COUNT(*) AS c2 FROM r2 GROUP BY 1),
+         |r1 AS (SELECT unnest(w) AS w1c FROM rw),
+         |cnt1 AS (SELECT w1c, COUNT(*) AS c1 FROM r1 GROUP BY 1),
+         |sc AS (SELECT CAST(SUM(c1) AS BIGINT) AS ref_n, COUNT(*) AS ref_v FROM cnt1),
+         |parts AS (SELECT doc_id, g3, n,
+         |    string_split(g3, ' ')[1] || ' ' || string_split(g3, ' ')[2] AS ctx,
+         |    string_split(g3, ' ')[2] || ' ' || string_split(g3, ' ')[3] AS bg23,
+         |    string_split(g3, ' ')[2] AS w2, string_split(g3, ' ')[3] AS w3 FROM s),
+         |j AS (SELECT p.doc_id, p.n,
+         |    CASE WHEN t3.c3 IS NOT NULL THEN 0 WHEN b.c2 IS NOT NULL THEN 1 ELSE 2 END AS tier,
+         |    CASE WHEN t3.c3 IS NOT NULL THEN ln(CAST(t3.c3 AS DOUBLE) / cx.c2)
+         |         WHEN b.c2 IS NOT NULL THEN ln($SbAlpha * CAST(b.c2 AS DOUBLE) / u2.c1)
+         |         ELSE ln(($SbAlpha * $SbAlpha) * (COALESCE(u3.c1, 0) + 0.5) / (CAST(sc.ref_n AS DOUBLE) + 0.5 * sc.ref_v)) END AS lp
+         |  FROM parts p
+         |  LEFT JOIN cnt3 t3 USING (g3)
+         |  LEFT JOIN cnt2 cx ON cx.g2 = p.ctx
+         |  LEFT JOIN cnt2 b ON b.g2 = p.bg23
+         |  LEFT JOIN cnt1 u2 ON u2.w1c = p.w2
+         |  LEFT JOIN cnt1 u3 ON u3.w1c = p.w3
+         |  CROSS JOIN sc)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+         |  CAST(SUM(CASE WHEN tier = 0 THEN n ELSE 0 END) AS BIGINT) AS n_tri_hits,
+         |  CAST(SUM(CASE WHEN tier = 1 THEN n ELSE 0 END) AS BIGINT) AS n_bi_backoff,
+         |  CAST(SUM(CASE WHEN tier = 2 THEN n ELSE 0 END) AS BIGINT) AS n_uni_backoff,
+         |  (CAST(SUM(CAST(lp AS DECIMAL(38,6)) * n) AS DOUBLE) / SUM(n)) AS avg_logscore
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     /** Mirrors tfidfTopTerms (DuckDB `log` is base-10 — `ln` is the
       * twin of Spark's `log`). Rounded before ranking in BOTH engines.

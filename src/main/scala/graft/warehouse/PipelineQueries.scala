@@ -871,11 +871,19 @@ object PipelineQueries {
     */
   val cdcDedup: Q = (s, dir) => Corpus.cdcDedupStats(docs(s, dir))
 
+  /** q159: Stupid Backoff trigram scoring vs the non-src0 reference —
+    * src0 docs exercise the bigram/unigram backoff tiers.
+    */
+  val stupidBackoff: Q = (s, dir) =>
+    TextAnalysis.stupidBackoffScores(docs(s, dir), col("source") =!= "src0")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
     "q157_cdc_chunks" -> cdcChunking,
     "q158_cdc_dedup" -> cdcDedup,
+    "q159_stupid_backoff" -> stupidBackoff,
     "q154_span_corruption" -> spanCorruption,
     "q153_dsir" -> dsirScores,
     "q151_source_divergence" -> sourceDivergence,
@@ -957,6 +965,7 @@ object PipelineQueries {
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
+    "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),
     "q154_span_corruption" -> Corpus.O.spanCorruption(),
     "q153_dsir" -> TO.dsirScores("source = 'src0'"),
     "q151_source_divergence" -> TO.sourceDivergence,

@@ -246,6 +246,34 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(fixedShared == 0, s"fixed-stride shared $fixedShared chunks")
   }
 
+  test("stupid backoff: hand-computed tiers on a tiny reference") {
+    import graft.operators.TextAnalysis
+    // reference doc: "a b c a b d"; scored doc exercises all 3 tiers:
+    //   "a b c" in-ref               -> c3/c2ctx      = 1/2
+    //   "b c Z" unseen, "c Z" unseen, Z unseen -> uni tier on Z
+    //   "c Z b" unseen tri, "Z b" unseen bg -> uni tier on b (c1=2)
+    //   "Z b d" unseen tri, "b d" in-ref bigram -> bi tier: 0.4*(1/2)
+    val df = Seq(
+      (1L, "ref", "a b c a b d"),
+      (2L, "held", "a b c Z b d")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.stupidBackoffScores(df,
+      org.apache.spark.sql.functions.col("source") === "ref")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // ref doc: trigrams abc, bca, cab, abd — all tier 0
+    assert(got(1L)._1 == 4 && got(1L)._2 == 4 && got(1L)._3 == 0 && got(1L)._4 == 0)
+    // held doc: 4 trigrams — 1 tri hit, 1 bi backoff, 2 uni backoffs
+    assert(got(2L)._1 == 4 && got(2L)._2 == 1 && got(2L)._3 == 1 && got(2L)._4 == 2)
+    val a = TextAnalysis.SbAlpha
+    val n = 6d; val v = 4d // ref: 6 words, vocab {a,b,c,d}
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (dec6(math.log(1 / 2d)) + // "a b c": c3=1, c2(a b)=2
+      dec6(math.log(a * a * (0 + 0.5) / (n + 0.5 * v))) + // Z unseen anywhere
+      dec6(math.log(a * a * (2 + 0.5) / (n + 0.5 * v))) + // "Z b": b seen twice
+      dec6(math.log(a * 1 / 2d))) / 4 // "b d": c2=1, c1(b)=2
+    assert(math.abs(got(2L)._5 - expected) < 1e-9, s"got ${got(2L)._5} want $expected")
+  }
+
   test("bpe merge pairs: frequency-weighted adjacent pairs over the vocab") {
     val df = Seq(
       (1L, "aab aab ba"), // vocab: aab(wf 2) -> aa, ab; ba(wf 1) -> ba
