@@ -310,9 +310,9 @@ object Similarity {
         md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
   }
 
-  val PqM = 4 // subspaces — each Dim/PqM = 16 dims
+  val PqM = 16 // subspaces — each Dim/PqM = 4 dims
   val PqSubDim = Dim / PqM
-  val PqK = 16 // codewords per subspace: codes fit 4 bits → 64 floats become 4 nibbles
+  val PqK = 16 // codewords per subspace: 4-bit codes → 64 floats become 16 nibbles (8 B, 32×)
 
   /** Product-quantization codebooks (Jégou et al. 2011, TPAMI 33(1)):
     * the embedding space is split into [[PqM]] contiguous subspaces and
@@ -325,12 +325,15 @@ object Similarity {
     * replays each one bit-for-bit). Codes densify to 0..K-1 by seed
     * order.
     *
-    * Scale: the whole codebook is PqM·PqK rows of PqSubDim floats (64
+    * Scale: the whole codebook is PqM·PqK rows of PqSubDim floats (256
     * rows here) — constant in the corpus size, always broadcastable;
     * training touches only the hash sample. A stored corpus shrinks
-    * Dim·4 bytes → PqM codes (64× at these constants), which is the
-    * difference between an in-RAM ANN index and a disk-bound one at
-    * 100 TB.
+    * Dim·4 bytes → PqM 4-bit codes (256 B → 8 B, 32× at these
+    * constants), which is the difference between an in-RAM ANN index
+    * and a disk-bound one at 100 TB. M trades recall for bits: the q160
+    * audit measured recall@10 0.14 / 0.275 / 0.385 at M = 4 / 8 / 16 on
+    * the testdata embeddings (K is capped by the sf0.001 training
+    * sample; at real scale prefer K = 256-byte codes).
     */
   def pqCodebooks(emb: DataFrame): DataFrame = {
     import graft.functions.{Hashes, Num}
@@ -404,6 +407,24 @@ object Similarity {
           x => x.getField("code").cast("string"))).as("codes"),
         sum(col("d2").cast("decimal(38,12)")).cast("double").as("recon_err"))
       .orderBy("vec_id")
+
+  /** Exact squared-L2 top-k for a small broadcast query set — the
+    * [[pqAdcTopK]] audit baseline (ADC approximates THIS metric;
+    * auditing against the cosine ranking would score a different
+    * question). Same shape as [[bruteForceTopK]]: queries broadcast,
+    * candidates stream.
+    */
+  def bruteForceL2TopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2_dist"), col("cand_id"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("l2_dist", round(Vec.l2sq(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "l2_dist", "rank")
+  }
 
   /** PQ top-k by asymmetric distance computation (ADC): the query keeps
     * full precision; each candidate is its [[PqM]] codes, and the

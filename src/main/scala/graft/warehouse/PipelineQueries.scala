@@ -878,12 +878,35 @@ object PipelineQueries {
     TextAnalysis.stupidBackoffScores(docs(s, dir), col("source") =!= "src0")
       .orderBy("doc_id")
 
+  /** q160: PQ recall audit — ADC@10 against the exact squared-L2
+    * top-10 (what 4-nibble codes give up vs full-precision scan; the
+    * q143 IVF-audit shape on the PQ metric).
+    */
+  val pqRecall: Q = (s, dir) => {
+    val e = emb(s, dir)
+    // cached: the exact ranking feeds both the hit join and the
+    // denominator aggregation (the q143 pin pattern)
+    val exact = Similarity.bruteForceL2TopK(e, col("vec_id") < 20, k = 10)
+      .select("query_id", "cand_id").cache()
+    val approx = Similarity.pqAdcTopK(e, col("vec_id") < 20, k = 10)
+      .select("query_id", "cand_id")
+    val hits = exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(broadcast(hits))
+      .withColumn("recall_at_10",
+        round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
     "q157_cdc_chunks" -> cdcChunking,
     "q158_cdc_dedup" -> cdcDedup,
     "q159_stupid_backoff" -> stupidBackoff,
+    "q160_pq_recall" -> pqRecall,
     "q154_span_corruption" -> spanCorruption,
     "q153_dsir" -> dsirScores,
     "q151_source_divergence" -> sourceDivergence,
@@ -966,6 +989,21 @@ object PipelineQueries {
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
     "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),
+    "q160_pq_recall" ->
+      s"""WITH ex AS (SELECT query_id, cand_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.l2sq("q.embedding", "c.embedding")}, 6) ASC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 20)
+         |WHERE rank <= 10),
+         |ap AS (SELECT query_id, cand_id FROM (${Similarity.O.pqAdc("vec_id < 20", 10)})),
+         |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM ex JOIN ap USING (query_id, cand_id))
+         |SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) AS n_queries,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact_pairs,
+         |       h.n_hits,
+         |       round(CAST(h.n_hits AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6) AS recall_at_10
+         |FROM h""".stripMargin,
     "q154_span_corruption" -> Corpus.O.spanCorruption(),
     "q153_dsir" -> TO.dsirScores("source = 'src0'"),
     "q151_source_divergence" -> TO.sourceDivergence,
