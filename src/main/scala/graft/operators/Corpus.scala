@@ -159,31 +159,43 @@ object Corpus {
     */
   def cdcChunks(docs: DataFrame, divisor: Int = CdcDivisor,
       textCol: String = "text"): DataFrame = {
-    import graft.functions.Hashes
-    val n = size(col("w"))
-    val gram = (p: Column) => concat_ws(" ",
-      element_at(col("w"), p - 2), element_at(col("w"), p - 1), element_at(col("w"), p))
-    val bnd = when(n >= CdcWindow,
-      filter(sequence(lit(CdcWindow), n), p => Hashes.md5Long32(gram(p)) % divisor === 0))
-      .otherwise(array().cast("array<int>"))
+    import graft.functions.{Hashes, Text}
+    // POSITION-ROW shape, not per-doc arrays: an array formulation
+    // (filter(sequence(...), md5...) + posexplode) re-evaluates the
+    // md5-bearing boundary array once per OUTPUT chunk when the
+    // projection collapses into the generator — measured ~7× the
+    // hashing cost at sf0.1 — and, being fully narrow, inherits the
+    // input's file parallelism (a single-file corpus runs one-core).
+    // Exploding words to rows pays the boundary md5 exactly once per
+    // position as a plain projection, and the doc-keyed window shuffle
+    // both restores parallelism and feeds the chunk aggregation
+    // without a second exchange (doc_id partitioning satisfies the
+    // (doc_id, chunk_idx) clustering).
+    val wd = Window.partitionBy("doc_id").orderBy("q")
+    val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col("doc_id"), graft.functions.Text.words(col(textCol)).as("w"))
-      .withColumn("bnd0", bnd)
-      // try_element_at: NULL on an empty boundary list (ANSI element_at
-      // throws) — the same null-safe fallthrough as DuckDB's bnd[-1]
-      .withColumn("ends",
-        when(try_element_at(col("bnd0"), lit(-1)) === n, col("bnd0"))
-          .otherwise(concat(col("bnd0"), array(n))))
-      .select(col("doc_id"), col("w"), col("ends"),
-        posexplode(col("ends")).as(Seq("k0", "end")))
-      .withColumn("start",
-        when(col("k0") === 0, lit(1)).otherwise(element_at(col("ends"), col("k0")) + 1))
-      .select(
-        col("doc_id"),
-        col("k0").cast("int").as("chunk_idx"),
-        col("start").cast("int").as("start_word"),
-        (col("end") - col("start") + 1).cast("int").as("n_words"),
-        md5(concat_ws(" ", slice(col("w"), col("start"), col("end") - col("start") + 1))).as("chunk_md5"))
+      .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("q0", "word")))
+      .select(col("doc_id"), (col("q0") + 1).as("q"), col("word"))
+      // boundary AFTER position q: md5 of the 3-gram ending at q (the
+      // two preceding words arrive by lag; q >= 3 guards the ramp-up)
+      .withColumn("is_bnd",
+        col("q") >= CdcWindow &&
+          Hashes.md5Long32(concat_ws(" ",
+            lag(col("word"), 2).over(wd), lag(col("word"), 1).over(wd),
+            col("word"))) % divisor === 0)
+      // chunk index of word q = boundaries strictly before q
+      .withColumn("chunk_idx",
+        sum(when(lag(col("is_bnd"), 1, false).over(wd), 1).otherwise(0)).over(run)
+          .cast("int"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        min(col("q")).cast("int").as("start_word"),
+        count(lit(1)).cast("int").as("n_words"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("q"), col("word")))),
+          s => s.getField("word")))).as("chunk_md5"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+        col("n_words"), col("chunk_md5"))
   }
 
   /** Chunk-level dedup report over [[cdcChunks]]: how much of the
