@@ -40,7 +40,13 @@ object StressBench {
     // rollups) — each should track the 10× input, never the square
     "q150_bpe_merges" -> warehouse.PipelineQueries.bpeMerges,
     "q151_source_divergence" -> warehouse.PipelineQueries.sourceDivergence,
-    "q153_dsir" -> warehouse.PipelineQueries.dsirScores)
+    "q153_dsir" -> warehouse.PipelineQueries.dsirScores,
+    // round-5 additions: PQ encoding (constant codebook, linear narrow
+    // encode), CDC chunking (pure narrow array expressions), Stupid
+    // Backoff (gram-keyed shrinking joins) — all must track the input
+    "q155_pq_codes" -> warehouse.PipelineQueries.pqEncoding,
+    "q157_cdc_chunks" -> warehouse.PipelineQueries.cdcChunking,
+    "q159_stupid_backoff" -> warehouse.PipelineQueries.stupidBackoff)
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val k = explode(sequence(lit(0), lit(copies - 1))).as("k")

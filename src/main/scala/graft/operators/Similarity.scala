@@ -455,6 +455,60 @@ object Similarity {
       .select("query_id", "cand_id", "adc_dist", "rank")
   }
 
+  /** IVF-PQ (Jégou et al. 2011 §V — the canonical billion-scale ANN
+    * index, faiss's IndexIVFPQ): a coarse squared-L2 quantizer
+    * partitions the corpus into [[IvfNlist]] inverted lists, each
+    * vector stores only the PQ codes of its RESIDUAL (x − centroid) —
+    * residuals are tighter around zero than raw vectors, so the same
+    * code budget quantizes them with less error — and a query scans
+    * its `probes` nearest lists with a PER-LIST ADC lookup table built
+    * from (query − centroid).
+    *
+    * Scale: the index state per vector is cent_id + PqM nibbles; the
+    * coarse table and per-query LUTs (|Q|·probes·PqM·PqK rows) are
+    * broadcast constants; the only corpus-sized shuffle is the
+    * candidate join keyed (cent_id, m, code). Training (coarse Lloyd +
+    * joint PQ Lloyd on sampled residuals) is all hash-seeded and
+    * decimal-exact, so the DuckDB oracle replays both trajectories.
+    */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      probes: Int = IvfProbes): DataFrame = {
+    val residual = (x: Column, c: Column) =>
+      zip_with(x, c, (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+    val coarse = Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct)
+      .select(col("cluster_id").as("cent_id"), col("cemb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))
+    val ranked = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2c", Vec.l2sq(col("embedding"), col("cemb")))
+      .withColumn("crn", row_number().over(w))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id"),
+        residual(col("embedding"), col("cemb")).as("embedding"))
+      .localCheckpoint()
+    val cb = pqCodebooks(assigned.select("vec_id", "embedding"))
+    val cand = pqEncodedLong(assigned.select("vec_id", "embedding"), cb)
+      .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      .join(assigned.select(col("vec_id").as("cand_id"), col("cent_id")), Seq("cand_id"))
+    val qres = ranked.filter(queryPred && col("crn") <= probes)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        residual(col("embedding"), col("cemb")).as("qres"))
+    val qsubs = qres.select(col("query_id"), col("cent_id"),
+      posexplode(array((0 until PqM).map(m =>
+        slice(col("qres"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "qsub")))
+    val lut = qsubs.join(cb, Seq("m"))
+      .select(col("query_id"), col("cent_id"), col("m"), col("code"),
+        Vec.l2sq(col("qsub"), col("cemb")).as("d2"))
+    val wr = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("cand_id"))
+    cand.join(broadcast(lut), Seq("cent_id", "m", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double").as("adc_dist"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "adc_dist", "rank")
+  }
+
   val GraphBlockCap = 1000 // max vectors per (label, bucket) block in graph candidate generation
 
   /** Bounded near-dup pair generation for similarity-GRAPH building
@@ -621,12 +675,12 @@ object Similarity {
       * Clustering.kmeansL2 over pqCodebooks' slices), then the dense
       * 0..K-1 code remap by seed order.
       */
-    private def pqCodebookCtes: String = {
+    private def pqCodebookCtes(src: String = "embeddings"): String = {
       val subCtes = (0 until PqM).map { m =>
         val off = m * PqSubDim
         val seed =
           s"""s${m}samp AS (SELECT vec_id, list_slice(embedding, ${off + 1}, ${off + PqSubDim}) AS embedding
-             |  FROM embeddings WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
+             |  FROM $src WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
              |s${m}c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM s${m}samp
              |  ORDER BY ${Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $PqK)""".stripMargin
         val iters = (1 to IvfIters).map { i =>
@@ -653,10 +707,10 @@ object Similarity {
     /** CTE pair `sub, enc` — per-(vector, subspace) slices and the
       * nearest-codeword assignment, the twin of pqEncodedLong.
       */
-    private def pqEncCtes: String =
+    private def pqEncCtes(src: String = "embeddings"): String =
       s"""sub AS (SELECT vec_id, CAST(m AS INT) AS m,
          |    list_slice(embedding, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS sub
-         |  FROM embeddings, range(0, $PqM) t(m)),
+         |  FROM $src, range(0, $PqM) t(m)),
          |enc AS (SELECT vec_id, m, code, d2 FROM (
          |  SELECT s.vec_id, s.m, c.code, ${V.O.l2sq("s.sub", "c.cemb", PqSubDim)} AS d2,
          |    row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
@@ -665,16 +719,76 @@ object Similarity {
 
     /** Bit-identical twin of [[Similarity.pqEncode]]. */
     def pqCodes: String =
-      s"""WITH $pqCodebookCtes,
-         |$pqEncCtes
+      s"""WITH ${pqCodebookCtes()},
+         |${pqEncCtes()}
          |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes,
          |  CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS recon_err
          |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+    /** CTE chain ending in `ccent(cent_id, cemb)` — the coarse
+      * squared-L2 quantizer at full [[Dim]] (the bit-identical twin of
+      * Clustering.kmeansL2 as ivfPqTopK calls it).
+      */
+    private def coarseL2Ctes: String = {
+      val iterCtes = (1 to IvfIters).map { i =>
+        val prev = s"cc${i - 1}"
+        s"""cca$i AS (SELECT vec_id, embedding, cluster_id FROM (
+           |  SELECT s.vec_id, s.embedding, c.cluster_id,
+           |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           |      ${V.O.l2sq("s.embedding", "c.cemb", Dim)} ASC, c.cluster_id) AS rn
+           |  FROM ccsamp s CROSS JOIN $prev c) WHERE rn = 1),
+           |ccm$i AS (SELECT cluster_id, CAST(i AS INT) AS dim, ${Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
+           |  FROM cca$i, range(1, ${Dim + 1}) t(i) GROUP BY cluster_id, i),
+           |cc$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM ccm$i GROUP BY cluster_id)""".stripMargin
+      }.mkString(",\n")
+      s"""ccsamp AS (SELECT vec_id, embedding FROM embeddings WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
+         |cc0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM ccsamp
+         |        ORDER BY ${Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfNlist),
+         |$iterCtes,
+         |ccent AS (SELECT cluster_id AS cent_id, cemb FROM cc$IvfIters)""".stripMargin
+    }
+
+    /** Bit-identical twin of [[Similarity.ivfPqTopK]]: coarse-L2
+      * training, per-vector assignment + float residuals, the joint PQ
+      * trajectory replayed over the residual relation, per-(query,
+      * probed-list) LUTs, ADC within probed lists.
+      */
+    def ivfPq(queryPredSql: String, k: Int, probes: Int = IvfProbes): String = {
+      def res(x: String, c: String) =
+        s"list_transform(range(1, ${Dim + 1}), i -> CAST(CAST($x[i] AS DOUBLE) - CAST($c[i] AS DOUBLE) AS FLOAT))"
+      s"""WITH $coarseL2Ctes,
+         |rkd AS (SELECT v.vec_id, v.embedding AS orig, c.cent_id, c.cemb AS ccemb,
+         |          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |            ${V.O.l2sq("v.embedding", "c.cemb", Dim)} ASC, c.cent_id) AS crn
+         |        FROM embeddings v CROSS JOIN ccent c),
+         |asg AS (SELECT vec_id, cent_id, ${res("orig", "ccemb")} AS embedding FROM rkd WHERE crn = 1),
+         |${pqCodebookCtes("asg")},
+         |${pqEncCtes("asg")},
+         |qr AS (SELECT vec_id AS query_id, cent_id, ${res("orig", "ccemb")} AS qres
+         |       FROM rkd WHERE ($queryPredSql) AND crn <= $probes),
+         |qs AS (SELECT query_id, cent_id, CAST(m AS INT) AS m,
+         |         list_slice(qres, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS qsub
+         |       FROM qr, range(0, $PqM) t(m)),
+         |lut AS (SELECT q.query_id, q.cent_id, q.m, c.code, ${V.O.l2sq("q.qsub", "c.cemb", PqSubDim)} AS d2
+         |        FROM qs q JOIN cb c ON q.m = c.m),
+         |cnd AS (SELECT e.vec_id AS cand_id, e.m, e.code, a.cent_id
+         |        FROM enc e JOIN asg a ON a.vec_id = e.vec_id),
+         |prs AS (SELECT l.query_id, cn.cand_id,
+         |          CAST(SUM(CAST(l.d2 AS DECIMAL(38,12))) AS DOUBLE) AS adc_dist
+         |        FROM cnd cn JOIN lut l ON cn.cent_id = l.cent_id AND cn.m = l.m AND cn.code = l.code
+         |          AND cn.cand_id != l.query_id
+         |        GROUP BY l.query_id, cn.cand_id)
+         |SELECT query_id, cand_id, adc_dist, rank FROM (
+         |  SELECT query_id, cand_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS INT) AS rank
+         |  FROM prs)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
+
     /** Bit-identical twin of [[Similarity.pqAdcTopK]]. */
     def pqAdc(queryPredSql: String, k: Int): String =
-      s"""WITH $pqCodebookCtes,
-         |$pqEncCtes,
+      s"""WITH ${pqCodebookCtes()},
+         |${pqEncCtes()},
          |q AS (SELECT vec_id AS query_id, CAST(m AS INT) AS m,
          |    list_slice(embedding, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS qsub
          |  FROM embeddings, range(0, $PqM) t(m) WHERE $queryPredSql),

@@ -900,7 +900,15 @@ object PipelineQueries {
         round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
   }
 
+  /** q161: IVF-PQ — coarse L2 lists + product-quantized residuals with
+    * per-list ADC lookup tables (faiss IndexIVFPQ re-expressed).
+    */
+  val ivfPq: Q = (s, dir) =>
+    Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 20, k = 5)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q161_ivfpq" -> ivfPq,
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
     "q157_cdc_chunks" -> cdcChunking,
@@ -986,6 +994,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
+    "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
     "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),

@@ -86,6 +86,25 @@ class PqSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("ivfPqTopK: partitioning-invariant, dense monotone ranks") {
+    val k = 4
+    def run(parts: Int) =
+      Similarity.ivfPqTopK(embDf.repartition(parts), col("vec_id") < 3, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+    val a = run(1)
+    val b = run(9)
+    // hash seeding + decimal means + deterministic ties: the whole
+    // index (two trainings deep) must not depend on partitioning
+    assert(a.toSeq == b.toSeq)
+    for ((qid, rows) <- a.groupBy(_._1)) {
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"ranks for $qid")
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y }, s"monotone for $qid")
+    }
+    assert(a.nonEmpty)
+  }
+
   test("pqAdcTopK agrees with a plain-Scala ADC ranking") {
     val cb = Similarity.pqCodebooks(embDf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
