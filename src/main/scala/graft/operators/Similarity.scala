@@ -509,6 +509,58 @@ object Similarity {
       .select("query_id", "cand_id", "adc_dist", "rank")
   }
 
+  val JlDim = 16 // projected dimension — 1/sqrt(16) = 0.25 is exact in binary
+
+  /** sign(j,d) = ±1 from md5("jl:j:d") parity — the Achlioptas (2003)
+    * ±1 variant of the JL projection matrix, portable to the oracle.
+    */
+  def jlSign(j: Int, d: Int): Double =
+    if (java.lang.Long.parseLong(md5Hex(s"jl:$j:$d").take(8), 16) % 2 == 0) 1.0 else -1.0
+
+  private def jlPlane(j: Int): Column =
+    array((1 to Dim).map(d => lit(jlSign(j, d) * 0.25)): _*)
+
+  /** Johnson–Lindenstrauss random projection to [[JlDim]] dims: y_j =
+    * Σ_d x_d · s(j,d) / √JlDim with deterministic md5-derived ±1 signs
+    * — the standard cheap preprocessing that shrinks every downstream
+    * distance computation (LSH, k-means, dedup cosines) 4× while
+    * preserving pairwise distances to (1±ε). Each output dim is one
+    * [[Vec.dot]] fold against a literal ±0.25 plane (the [[bucketOf]]
+    * shape — the double-literal planes rule out the float-only
+    * DotProductD): zero shuffle, zero state, embarrassingly parallel.
+    * The 1/√16 scale is exactly 0.25 (dyadic), so both engines compute
+    * identical doubles.
+    */
+  def jlProject(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      array((0 until JlDim).map(j =>
+        Vec.dot(jlPlane(j), col("embedding"))): _*).as("proj"))
+
+  /** JL distortion audit over the query-pair set: the squared-distance
+    * ratio ||y_a − y_b||² / ||x_a − x_b||² per pair, summarized as
+    * min/mean/max and the share within the ε = 0.5 JL band. The
+    * measured twin of the lemma's guarantee, and the acceptance test
+    * before routing dedup/clustering through the projected space.
+    */
+  def jlDistortion(emb: DataFrame, pred: Column): DataFrame = {
+    import graft.functions.Num
+    val p = jlProject(emb.filter(pred))
+    val base = emb.filter(pred).join(p, "vec_id")
+    val a = base.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("proj").as("p1"))
+    val b = base.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("proj").as("p2"))
+    a.join(broadcast(b), col("v1") < col("v2"))
+      // identical originals have no defined ratio — excluded both sides
+      .filter(Vec.l2sq(col("e1"), col("e2")) > 0)
+      .select((Vec.l2sq(col("p1"), col("p2")) / Vec.l2sq(col("e1"), col("e2"))).as("ratio"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("ratio")), 6).as("min_ratio"),
+        round(Num.davg(col("ratio")), 6).as("mean_ratio"),
+        round(max(col("ratio")), 6).as("max_ratio"),
+        round(Num.davg((col("ratio") >= 0.5 && col("ratio") <= 1.5).cast("int").cast("double")), 6)
+          .as("within_band"))
+  }
+
   val GraphBlockCap = 1000 // max vectors per (label, bucket) block in graph candidate generation
 
   /** Bounded near-dup pair generation for similarity-GRAPH building
@@ -747,6 +799,36 @@ object Similarity {
          |$iterCtes,
          |ccent AS (SELECT cluster_id AS cent_id, cemb FROM cc$IvfIters)""".stripMargin
     }
+
+    /** Projection expression for output dim j (1-based): the JL fold
+      * with inline md5-parity signs — the twin of jlPlane/dotFast.
+      */
+    private def jlVal(j: String, e: String): String = {
+      val sign = s"(CASE WHEN (('0x' || substr(md5('jl:' || CAST($j - 1 AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), d -> ($sign * 0.25) * CAST($e[d] AS DOUBLE)), (x, y) -> x + y)"
+    }
+
+    /** Bit-identical twin of the q162 long-form [[Similarity.jlProject]]. */
+    def jlProjection: String =
+      s"""SELECT vec_id, CAST(j AS INT) AS dim, ${jlVal("j", "embedding")} AS val
+         |FROM embeddings, range(1, ${JlDim + 1}) t(j)
+         |ORDER BY vec_id, dim""".stripMargin
+
+    /** Bit-identical twin of [[Similarity.jlDistortion]]. */
+    def jlDistortion(predSql: String): String =
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE $predSql),
+         |p AS (SELECT vec_id, embedding,
+         |        list_transform(range(1, ${JlDim + 1}), j -> ${jlVal("j", "embedding")}) AS proj
+         |      FROM q),
+         |pr AS (SELECT ${V.O.l2sq("a.proj", "b.proj", JlDim)} / ${V.O.l2sq("a.embedding", "b.embedding", Dim)} AS ratio
+         |       FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |       WHERE ${V.O.l2sq("a.embedding", "b.embedding", Dim)} > 0)
+         |SELECT COUNT(*) AS n_pairs,
+         |  round(MIN(ratio), 6) AS min_ratio,
+         |  round(${Num.O.avg("ratio")}, 6) AS mean_ratio,
+         |  round(MAX(ratio), 6) AS max_ratio,
+         |  round(${Num.O.avg("CAST(CASE WHEN ratio >= 0.5 AND ratio <= 1.5 THEN 1 ELSE 0 END AS DOUBLE)")}, 6) AS within_band
+         |FROM pr""".stripMargin
 
     /** Bit-identical twin of [[Similarity.ivfPqTopK]]: coarse-L2
       * training, per-vector assignment + float residuals, the joint PQ

@@ -907,8 +907,25 @@ object PipelineQueries {
     Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 20, k = 5)
       .orderBy("query_id", "rank")
 
+  /** q162: JL random projection, long form — 16 codegen'd dots against
+    * literal ±0.25 planes per vector.
+    */
+  val jlProjection: Q = (s, dir) =>
+    Similarity.jlProject(emb(s, dir))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "val")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("val"))
+      .orderBy("vec_id", "dim")
+
+  /** q163: JL distortion audit — the measured (1±ε) guarantee over the
+    * query-pair set.
+    */
+  val jlDistortion: Q = (s, dir) =>
+    Similarity.jlDistortion(emb(s, dir), col("vec_id") < 20)
+
   val queries: Map[String, Q] = Map(
     "q161_ivfpq" -> ivfPq,
+    "q162_jl_projection" -> jlProjection,
+    "q163_jl_distortion" -> jlDistortion,
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
     "q157_cdc_chunks" -> cdcChunking,
@@ -995,6 +1012,8 @@ object PipelineQueries {
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),
+    "q162_jl_projection" -> Similarity.O.jlProjection,
+    "q163_jl_distortion" -> Similarity.O.jlDistortion("vec_id < 20"),
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
     "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),

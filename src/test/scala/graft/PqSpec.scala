@@ -105,6 +105,24 @@ class PqSpec extends AnyFunSuite with TestSpark {
     assert(a.nonEmpty)
   }
 
+  test("jlProject matches a plain-Scala fold; distortion centers on 1") {
+    def sign(j: Int, d: Int): Double =
+      if (java.lang.Long.parseLong(md5hex(s"jl:$j:$d").take(8), 16) % 2 == 0) 1.0 else -1.0
+    def expected(v: Array[Float]): Seq[Double] =
+      (0 until Similarity.JlDim).map { j =>
+        (1 to dim).foldLeft(0d)((acc, d) => acc + (sign(j, d) * 0.25) * v(d - 1).toDouble)
+      }
+    val got = Similarity.jlProject(embDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- corpus.take(10))
+      assert(got(id) == expected(v), s"projection for vec $id")
+    val d = Similarity.jlDistortion(embDf, col("vec_id") < 20).collect()(0)
+    assert(d.getLong(0) == 190)
+    val mean = d.getDouble(2)
+    assert(mean > 0.7 && mean < 1.3, s"mean ratio $mean") // E[ratio] = 1 under JL
+    assert(d.getDouble(4) > 0.5, "majority of pairs inside the eps=0.5 band")
+  }
+
   test("pqAdcTopK agrees with a plain-Scala ADC ranking") {
     val cb = Similarity.pqCodebooks(embDf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
