@@ -487,7 +487,131 @@ object Dedup {
   }
 
   /** DuckDB oracle SQL builders (quadratic but equivalent pair sets). */
+  val WinnowK = 3 // fingerprint gram size (words)
+  val WinnowW = 4 // winnowing window (grams)
+  val WinnowDfCap = 50 // hot-fingerprint cap in overlap candidate generation
+
+  /** Selected winnowing fingerprints — the MOSS selection (Schleimer et
+    * al. 2003, SIGMOD): per window of [[WinnowW]] consecutive
+    * [[WinnowK]]-gram hashes keep the minimum, ties to the RIGHTMOST
+    * position; dedup selections across overlapping windows. Guarantees
+    * every shared substring of ≥ W+K−1 words shares a fingerprint —
+    * the detection floor MinHash cannot promise.
+    *
+    * Shape: position rows (the CDC lesson — array-building generators
+    * re-evaluate per output row), lag-window grams (one md5 per
+    * position), a 4-way window-membership explode of SCALARS, and one
+    * (doc, window) aggregation whose min(struct(g, −i)) implements
+    * min-hash-then-rightmost deterministically on both engines.
+    */
+  private[graft] def winnowSelected(docs: DataFrame, textCol: String): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("p")
+    val grams = docs
+      .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+      .withColumn("gram", concat_ws(" ",
+        lag(col("word"), 2).over(wd), lag(col("word"), 1).over(wd), col("word")))
+      .filter(col("p") >= WinnowK)
+      .select(col("doc_id"), (col("p") - (WinnowK - 1)).as("i"),
+        Hashes.md5Long32(col("gram")).as("g"))
+    val withN = grams.withColumn("ng", max(col("i")).over(Window.partitionBy("doc_id")))
+    withN
+      .select(col("doc_id"), col("i"), col("g"), col("ng"),
+        explode(sequence(col("i"),
+          least(col("i") + (WinnowW - 1), col("ng")))).as("e"))
+      .filter(col("e") >= WinnowW)
+      .groupBy("doc_id", "e")
+      .agg(min(struct(col("g"), (-col("i")).as("ni"))).as("sel"), min(col("ng")).as("ng"))
+      .select(col("doc_id"), col("sel.g").as("g"), (-col("sel.ni")).as("i"), col("ng"))
+      .distinct()
+  }
+
+  /** Per-doc winnowing profile: gram/window/fingerprint counts and the
+    * md5 of the ordered (position, hash) fingerprint set. Docs shorter
+    * than K+W−1 words have no window and are absent (mirrored).
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    winnowSelected(docs, textCol)
+      .groupBy("doc_id")
+      .agg(
+        min(col("ng")).cast("int").as("n_grams"),
+        (min(col("ng")) - (WinnowW - 1)).cast("int").as("n_windows"),
+        count(lit(1)).as("n_fingerprints"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("i"), col("g")))),
+          s => concat_ws(":", s.getField("i").cast("string"), s.getField("g").cast("string")))))
+          .as("fp_md5"))
+
+  /** Cross-doc fingerprint-overlap pairs (the MOSS report): candidate
+    * pairs share a fingerprint hash (keyed join, [[WinnowDfCap]] drops
+    * corpus-boilerplate hashes — the stop-shingle precedent);
+    * overlap = shared / min(total_a, total_b) over the FULL (pre-cap)
+    * fingerprint sets.
+    */
+  def winnowOverlapPairs(docs: DataFrame, threshold: Double = 0.2,
+      textCol: String = "text"): DataFrame = {
+    val fps = winnowSelected(docs, textCol).select("doc_id", "g")
+    val totals = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val keep = fps.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select("g")
+    val kept = fps.join(keep, "g")
+    val shared = kept.select(col("doc_id").as("d1"), col("g"))
+      .join(kept.select(col("doc_id").as("d2"), col("g")), "g")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(totals.select(col("doc_id").as("d1"), col("n_fp").as("n1")), "d1")
+      .join(totals.select(col("doc_id").as("d2"), col("n_fp").as("n2")), "d2")
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / least(col("n1"), col("n2")), 6))
+      .filter(col("overlap") >= threshold)
+      .select("d1", "d2", "n_shared", "overlap")
+  }
+
   object O {
+
+    /** CTE chain ending in `sel(doc_id, g, i, ng)` — the bit-identical
+      * twin of [[Dedup.winnowSelected]] (gram hashes, window
+      * membership, min-struct rightmost-tie selection, distinct).
+      */
+    private def winnowSelCtes: String =
+      s"""base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, CAST(i AS INT) AS i,
+         |         ${Hashes.O.md5Long32(s"w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS g,
+         |         CAST(len(w) - ${WinnowK - 1} AS INT) AS ng
+         |       FROM base, unnest(range(1, len(w) - ${WinnowK - 2})) t(i)
+         |       WHERE len(w) >= $WinnowK),
+         |mem AS (SELECT doc_id, i, g, ng, CAST(e AS INT) AS e
+         |        FROM gr, unnest(range(i, least(i + $WinnowW, ng + 1))) s(e)
+         |        WHERE e >= $WinnowW),
+         |sel AS (SELECT DISTINCT doc_id, (m).g AS g, -((m).ni) AS i, ng FROM (
+         |        SELECT doc_id, e, MIN({'g': g, 'ni': -i}) AS m, MIN(ng) AS ng
+         |        FROM mem GROUP BY doc_id, e))""".stripMargin
+
+    /** Mirrors winnowFingerprints. */
+    def winnowFingerprints: String =
+      s"""WITH $winnowSelCtes
+         |SELECT doc_id, CAST(MIN(ng) AS INT) AS n_grams,
+         |  CAST(MIN(ng) - ${WinnowW - 1} AS INT) AS n_windows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+         |  md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(g AS VARCHAR), ',' ORDER BY i, g)) AS fp_md5
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirrors winnowOverlapPairs. */
+    def winnowOverlapPairs(threshold: Double = 0.2): String =
+      s"""WITH $winnowSelCtes,
+         |fps AS (SELECT doc_id, g FROM sel),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+         |keep AS (SELECT g FROM fps GROUP BY g HAVING COUNT(*) <= $WinnowDfCap),
+         |kept AS (SELECT fps.* FROM fps JOIN keep USING (g)),
+         |sh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |       FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT d1, d2, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / least(t1.n_fp, t2.n_fp), 6) AS overlap
+         |FROM sh JOIN tot t1 ON t1.doc_id = d1 JOIN tot t2 ON t2.doc_id = d2
+         |WHERE round(CAST(n_shared AS DOUBLE) / least(t1.n_fp, t2.n_fp), 6) >= $threshold
+         |ORDER BY d1, d2""".stripMargin
 
     /** Mirrors duplicateSpans: identical gram hashing, island merge. */
     def duplicateSpans(l: Int = SpanGramLen): String =

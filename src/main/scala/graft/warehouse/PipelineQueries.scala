@@ -922,10 +922,22 @@ object PipelineQueries {
   val jlDistortion: Q = (s, dir) =>
     Similarity.jlDistortion(emb(s, dir), col("vec_id") < 20)
 
+  /** q164: winnowing fingerprint profile (Schleimer 2003 / MOSS). */
+  val winnowing: Q = (s, dir) =>
+    Dedup.winnowFingerprints(docs(s, dir)).orderBy("doc_id")
+
+  /** q165: winnowing fingerprint-overlap pairs — the MOSS similarity
+    * report over shared selected hashes.
+    */
+  val winnowOverlap: Q = (s, dir) =>
+    Dedup.winnowOverlapPairs(docs(s, dir)).orderBy("d1", "d2")
+
   val queries: Map[String, Q] = Map(
     "q161_ivfpq" -> ivfPq,
     "q162_jl_projection" -> jlProjection,
     "q163_jl_distortion" -> jlDistortion,
+    "q164_winnowing" -> winnowing,
+    "q165_winnow_overlap" -> winnowOverlap,
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
     "q157_cdc_chunks" -> cdcChunking,
@@ -1014,6 +1026,8 @@ object PipelineQueries {
     "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),
     "q162_jl_projection" -> Similarity.O.jlProjection,
     "q163_jl_distortion" -> Similarity.O.jlDistortion("vec_id < 20"),
+    "q164_winnowing" -> Dedup.O.winnowFingerprints,
+    "q165_winnow_overlap" -> Dedup.O.winnowOverlapPairs(),
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
     "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),

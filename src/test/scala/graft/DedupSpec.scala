@@ -217,4 +217,50 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(ids.forall { case (a, b) => (a < 200) == (b < 200) }) // no cross-bucket pairs
     assert(ids.exists { case (a, b) => a > 100 && b < 200 })
   }
+
+  test("winnowing selection matches a plain-Scala MOSS reimplementation") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val (k, w) = (Dedup.WinnowK, Dedup.WinnowW)
+    def expected(words: Seq[String]): Set[(Int, Long)] = {
+      val n = words.length
+      if (n < k + w - 1) Set.empty
+      else {
+        val g = (1 to n - k + 1).map(i => i -> h32(words.slice(i - 1, i - 1 + k).mkString(" ")))
+        (w to g.length).flatMap { e =>
+          val win = g.slice(e - w, e)
+          Some(win.minBy { case (i, gh) => (gh, -i) }) // min hash, rightmost
+        }.toSet
+      }
+    }
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"a${(i * 3) % 11}")),
+      (2L, (1 to 9).map(i => s"b$i")),
+      (3L, (1 to 5).map(i => s"c$i"))) // 3 grams < w windows -> none
+    val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.winnowSelected(df, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(1)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, ws) <- docs)
+      assert(got.getOrElse(id, Set.empty) == expected(ws), s"doc $id")
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 words shares a fingerprint") {
+    val run = "one two three four five six" // = w+k-1 = 6 words
+    val df = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"zeta eta $run theta iota kappa lambda"),
+      (3L, "unrelated words entirely disjoint vocabulary here present")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowSelected(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "docs sharing the 6-word run must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    val pairs = Dedup.winnowOverlapPairs(df, threshold = 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
