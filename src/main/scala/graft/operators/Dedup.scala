@@ -550,7 +550,10 @@ object Dedup {
     */
   def winnowOverlapPairs(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame = {
-    val fps = winnowSelected(docs, textCol).select("doc_id", "g")
+    // materialized once: the selection subtree (explodes + two windows
+    // + an aggregation) feeds the totals, the DF cap, AND both join
+    // sides — recomputing it per consumer tripled the query's cost
+    val fps = winnowSelected(docs, textCol).select("doc_id", "g").localCheckpoint()
     val totals = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val keep = fps.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowDfCap).select("g")

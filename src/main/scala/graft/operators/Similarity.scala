@@ -478,21 +478,26 @@ object Similarity {
     val coarse = Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct)
       .select(col("cluster_id").as("cent_id"), col("cemb"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))
+    // ONE assignment pass materializes the top-`probes` rows with
+    // residuals already computed: crn=1 is the index side, crn<=probes
+    // the probe side — without the shared checkpoint the O(n·nlist)
+    // crossJoin+window ran once per consumer
     val ranked = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(coarse))
       .withColumn("d2c", Vec.l2sq(col("embedding"), col("cemb")))
       .withColumn("crn", row_number().over(w))
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id"),
-        residual(col("embedding"), col("cemb")).as("embedding"))
+      .filter(col("crn") <= math.max(probes, 1))
+      .select(col("vec_id"), col("cent_id"), col("crn"),
+        residual(col("embedding"), col("cemb")).as("res"))
       .localCheckpoint()
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("res").as("embedding"))
     val cb = pqCodebooks(assigned.select("vec_id", "embedding"))
     val cand = pqEncodedLong(assigned.select("vec_id", "embedding"), cb)
       .select(col("vec_id").as("cand_id"), col("m"), col("code"))
       .join(assigned.select(col("vec_id").as("cand_id"), col("cent_id")), Seq("cand_id"))
     val qres = ranked.filter(queryPred && col("crn") <= probes)
-      .select(col("vec_id").as("query_id"), col("cent_id"),
-        residual(col("embedding"), col("cemb")).as("qres"))
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("res").as("qres"))
     val qsubs = qres.select(col("query_id"), col("cent_id"),
       posexplode(array((0 until PqM).map(m =>
         slice(col("qres"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "qsub")))
