@@ -566,6 +566,40 @@ object Similarity {
           .as("within_band"))
   }
 
+  /** Rand-index agreement between full-dim and JL-projected squared-L2
+    * k-means — the acceptance test for running CLUSTERING (not just
+    * distances) in the projected space: both trainings use the same
+    * seeding/sampling/iteration discipline, and the index counts
+    * pair-level agreement ((same, same) + (split, split)) over all
+    * vector pairs, computed exactly from the contingency table's
+    * integer sums — no pair materialization. One 1-row result:
+    * (n_vectors, k_full, k_proj, rand_index).
+    */
+  def jlKmeansAgreement(emb: DataFrame): DataFrame = {
+    import graft.functions.Num
+    val full = Clustering.assignL2(emb,
+      Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct))
+      .select(col("vec_id"), col("cluster_id").as("cf"))
+    val proj = jlProject(emb).select(col("vec_id"), col("proj").as("embedding"))
+    val pc = Clustering.assignL2(proj,
+      Clustering.kmeansL2(proj, IvfNlist, IvfIters, IvfTrainPct))
+      .select(col("vec_id"), col("cluster_id").as("cp"))
+    val cells = full.join(pc, "vec_id")
+      .groupBy("cf", "cp").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // feeds the cell, row, and column sums
+    val rows = cells.groupBy("cf").agg(sum(col("nij")).as("ni"))
+      .agg(sum(col("ni") * (col("ni") - 1)).as("r2"), count(lit(1)).as("k_full"))
+    val cols = cells.groupBy("cp").agg(sum(col("nij")).as("nj"))
+      .agg(sum(col("nj") * (col("nj") - 1)).as("c2"), count(lit(1)).as("k_proj"))
+    val tot = cells.agg(sum(col("nij")).as("n"),
+      sum(col("nij") * (col("nij") - 1)).as("a2"))
+    tot.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+      .select(
+        col("n"), col("k_full"), col("k_proj"),
+        round((((col("n") * (col("n") - 1)) + lit(2) * col("a2") - col("r2") - col("c2"))
+          .cast("double") / (col("n") * (col("n") - 1))), 6).as("rand_index"))
+  }
+
   val GraphBlockCap = 1000 // max vectors per (label, bucket) block in graph candidate generation
 
   /** Bounded near-dup pair generation for similarity-GRAPH building
@@ -782,28 +816,33 @@ object Similarity {
          |  CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS recon_err
          |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-    /** CTE chain ending in `ccent(cent_id, cemb)` — the coarse
-      * squared-L2 quantizer at full [[Dim]] (the bit-identical twin of
-      * Clustering.kmeansL2 as ivfPqTopK calls it).
+    /** CTE chain ending in `${p}cent(cent_id, cemb)` — the generic
+      * squared-L2 Lloyd replay (the bit-identical twin of
+      * Clustering.kmeansL2 at `IvfNlist`/`IvfIters`/`IvfTrainPct`)
+      * over any (vec_id, embedding) relation `src` of width `dim`.
       */
-    private def coarseL2Ctes: String = {
+    private[graft] def kmeansL2Ctes(p: String, src: String, dim: Int): String = {
       val iterCtes = (1 to IvfIters).map { i =>
-        val prev = s"cc${i - 1}"
-        s"""cca$i AS (SELECT vec_id, embedding, cluster_id FROM (
+        val prev = s"${p}c${i - 1}"
+        s"""${p}a$i AS (SELECT vec_id, embedding, cluster_id FROM (
            |  SELECT s.vec_id, s.embedding, c.cluster_id,
            |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
-           |      ${V.O.l2sq("s.embedding", "c.cemb", Dim)} ASC, c.cluster_id) AS rn
-           |  FROM ccsamp s CROSS JOIN $prev c) WHERE rn = 1),
-           |ccm$i AS (SELECT cluster_id, CAST(i AS INT) AS dim, ${Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
-           |  FROM cca$i, range(1, ${Dim + 1}) t(i) GROUP BY cluster_id, i),
-           |cc$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM ccm$i GROUP BY cluster_id)""".stripMargin
+           |      ${V.O.l2sq("s.embedding", "c.cemb", dim)} ASC, c.cluster_id) AS rn
+           |  FROM ${p}samp s CROSS JOIN $prev c) WHERE rn = 1),
+           |${p}m$i AS (SELECT cluster_id, CAST(i AS INT) AS dim, ${Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
+           |  FROM ${p}a$i, range(1, ${dim + 1}) t(i) GROUP BY cluster_id, i),
+           |${p}c$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM ${p}m$i GROUP BY cluster_id)""".stripMargin
       }.mkString(",\n")
-      s"""ccsamp AS (SELECT vec_id, embedding FROM embeddings WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
-         |cc0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM ccsamp
+      s"""${p}samp AS (SELECT vec_id, embedding FROM $src WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
+         |${p}c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM ${p}samp
          |        ORDER BY ${Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfNlist),
          |$iterCtes,
-         |ccent AS (SELECT cluster_id AS cent_id, cemb FROM cc$IvfIters)""".stripMargin
+         |${p}cent AS (SELECT cluster_id AS cent_id, cemb FROM ${p}c$IvfIters)""".stripMargin
     }
+
+    // prefix "c" yields c0/c1 iteration CTEs named cc0/cc1 and the
+    // final `ccent` the ivfPq oracle consumes
+    private def coarseL2Ctes: String = kmeansL2Ctes("c", "embeddings", Dim)
 
     /** Projection expression for output dim j (1-based): the JL fold
       * with inline md5-parity signs — the twin of jlPlane/dotFast.
@@ -834,6 +873,37 @@ object Similarity {
          |  round(MAX(ratio), 6) AS max_ratio,
          |  round(${Num.O.avg("CAST(CASE WHEN ratio >= 0.5 AND ratio <= 1.5 THEN 1 ELSE 0 END AS DOUBLE)")}, 6) AS within_band
          |FROM pr""".stripMargin
+
+    /** Bit-identical twin of [[Similarity.jlKmeansAgreement]]: both
+      * kmeansL2 trajectories replayed (full-dim over embeddings,
+      * 16-dim over the projected CTE), assignments, contingency
+      * sums, exact-integer Rand index.
+      */
+    def jlKmeansAgreement: String = {
+      def assign(p: String, src: String, dim: Int) =
+        s"""${p}asg AS (SELECT vec_id, cluster_id FROM (
+           |  SELECT v.vec_id, c.cent_id AS cluster_id,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |      ${V.O.l2sq("v.embedding", "c.cemb", dim)} ASC, c.cent_id) AS rn
+           |  FROM $src v CROSS JOIN ${p}cent c) WHERE rn = 1)""".stripMargin
+      s"""WITH ${kmeansL2Ctes("f", "embeddings", Dim)},
+         |${assign("f", "embeddings", Dim)},
+         |pemb AS (SELECT vec_id,
+         |    list_transform(range(1, ${JlDim + 1}), j -> ${jlVal("j", "embedding")}) AS embedding
+         |  FROM embeddings),
+         |${kmeansL2Ctes("p", "pemb", JlDim)},
+         |${assign("p", "pemb", JlDim)},
+         |cells AS (SELECT f.cluster_id AS cf, p.cluster_id AS cp, CAST(COUNT(*) AS BIGINT) AS nij
+         |          FROM fasg f JOIN pasg p USING (vec_id) GROUP BY 1, 2),
+         |rws AS (SELECT CAST(SUM(ni * (ni - 1)) AS BIGINT) AS r2, COUNT(*) AS k_full
+         |        FROM (SELECT cf, SUM(nij) AS ni FROM cells GROUP BY cf)),
+         |cls AS (SELECT CAST(SUM(nj * (nj - 1)) AS BIGINT) AS c2, COUNT(*) AS k_proj
+         |        FROM (SELECT cp, SUM(nij) AS nj FROM cells GROUP BY cp)),
+         |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n, CAST(SUM(nij * (nij - 1)) AS BIGINT) AS a2 FROM cells)
+         |SELECT n, k_full, k_proj,
+         |  round(CAST((n * (n - 1)) + 2 * a2 - r2 - c2 AS DOUBLE) / (n * (n - 1)), 6) AS rand_index
+         |FROM tot CROSS JOIN rws CROSS JOIN cls""".stripMargin
+    }
 
     /** Bit-identical twin of [[Similarity.ivfPqTopK]]: coarse-L2
       * training, per-vector assignment + float residuals, the joint PQ

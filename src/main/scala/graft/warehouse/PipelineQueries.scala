@@ -938,6 +938,7 @@ object PipelineQueries {
     "q163_jl_distortion" -> jlDistortion,
     "q164_winnowing" -> winnowing,
     "q165_winnow_overlap" -> winnowOverlap,
+    "q166_jl_kmeans_agreement" -> ((s, dir) => Similarity.jlKmeansAgreement(emb(s, dir))),
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
     "q157_cdc_chunks" -> cdcChunking,
@@ -1028,6 +1029,7 @@ object PipelineQueries {
     "q163_jl_distortion" -> Similarity.O.jlDistortion("vec_id < 20"),
     "q164_winnowing" -> Dedup.O.winnowFingerprints,
     "q165_winnow_overlap" -> Dedup.O.winnowOverlapPairs(),
+    "q166_jl_kmeans_agreement" -> Similarity.O.jlKmeansAgreement,
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
     "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),
