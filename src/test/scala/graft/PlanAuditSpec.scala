@@ -239,4 +239,37 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(joinKeys.exists(k => k.contains("blk") && k.contains("grp")),
       joinKeys.mkString("\n"))
   }
+
+  test("PQ ADC search joins the corpus on (m, code) with a broadcast LUT") {
+    // the corpus side must stream through a hash join keyed on the code
+    // ids — an un-keyed (nested-loop) scoring pass would re-introduce
+    // the brute-force scan PQ exists to avoid
+    val keys = joinKeyLists(plan("q156_pq_adc"))
+    assert(keys.exists(k => k.startsWith("BroadcastHashJoin") &&
+      k.contains("m#") && k.contains("code#")), keys.mkString("\n"))
+  }
+
+  test("IVF-PQ candidate join carries the probed list in its keys") {
+    // cent_id in the equality keys = only probed lists are scored; its
+    // absence would score every candidate against every query LUT
+    val keys = joinKeyLists(plan("q161_ivfpq"))
+    assert(keys.exists(k => k.contains("cent_id") && k.contains("code#")),
+      keys.mkString("\n"))
+  }
+
+  test("winnowing overlap pair join is keyed on the fingerprint hash") {
+    val keys = joinKeyLists(plan("q165_winnow_overlap"))
+    assert(keys.exists(k => k.contains("g#")), keys.mkString("\n"))
+    assert(!plan("q165_winnow_overlap").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("CDC chunking shuffles the position stream exactly once") {
+    // the doc-keyed window exchange must be the ONLY hash exchange: the
+    // chunk aggregation's (doc_id, chunk_idx) clustering is satisfied
+    // by the window's doc_id partitioning (plus the final presentation
+    // range sort)
+    val p = plan("q157_cdc_chunks")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n${p.take(1200)}")
+  }
 }
