@@ -46,7 +46,12 @@ object StressBench {
     // Backoff (gram-keyed shrinking joins) — all must track the input
     "q155_pq_codes" -> warehouse.PipelineQueries.pqEncoding,
     "q157_cdc_chunks" -> warehouse.PipelineQueries.cdcChunking,
-    "q159_stupid_backoff" -> warehouse.PipelineQueries.stupidBackoff)
+    "q159_stupid_backoff" -> warehouse.PipelineQueries.stupidBackoff,
+    // winnowing: position-row selection + DF-capped fingerprint join;
+    // IVF-PQ: constant-size trainings + (cent, m, code)-keyed search
+    "q164_winnowing" -> warehouse.PipelineQueries.winnowing,
+    "q165_winnow_overlap" -> warehouse.PipelineQueries.winnowOverlap,
+    "q161_ivfpq" -> warehouse.PipelineQueries.ivfPq)
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
