@@ -84,13 +84,21 @@ object Clustering {
     * localCheckpoint so the plan does not grow (same lesson as
     * Dedup.connectedComponents).
     */
-  def kmeans(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame =
+    kmeansWith(step, emb, k, iters, trainPct)
+
+  /** The shared Lloyd scaffold (hash seeding, optional hash-sampled
+    * training subset, localCheckpoint-per-iteration) — the metric
+    * variants differ only in their step function.
+    */
+  private def kmeansWith(stepFn: (DataFrame, DataFrame) => DataFrame,
+      emb: DataFrame, k: Int, iters: Int, trainPct: Int): DataFrame = {
     val train = (if (trainPct >= 100) emb else Sampling.hashSample(emb, "vec_id", trainPct))
       .select("vec_id", "embedding")
     var centroids = seedCentroids(train, k).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val prev = centroids
-      centroids = step(train, centroids).localCheckpoint(true)
+      centroids = stepFn(train, centroids).localCheckpoint(true)
       prev.unpersist()
     }
     centroids
@@ -121,17 +129,8 @@ object Clustering {
     * sampling, and localCheckpoint discipline; only the metric differs.
     * Used per subspace by Similarity's product quantizer.
     */
-  def kmeansL2(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame = {
-    val train = (if (trainPct >= 100) emb else Sampling.hashSample(emb, "vec_id", trainPct))
-      .select("vec_id", "embedding")
-    var centroids = seedCentroids(train, k).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val prev = centroids
-      centroids = stepL2(train, centroids).localCheckpoint(true)
-      prev.unpersist()
-    }
-    centroids
-  }
+  def kmeansL2(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame =
+    kmeansWith(stepL2, emb, k, iters, trainPct)
 
   val PcaIters = 4
 

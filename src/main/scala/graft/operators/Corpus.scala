@@ -108,6 +108,9 @@ object Corpus {
     */
   def spanCorruption(docs: DataFrame, spanLen: Int = 3, stride: Int = 20,
       textCol: String = "text"): DataFrame = {
+    // the non-overlap contract below only holds when spans fit the grid
+    require(spanLen >= 1 && spanLen <= stride,
+      s"spanLen must be in [1, stride]: spans of $spanLen at stride $stride would overlap")
     import graft.functions.{Hashes, Text}
     val sentinel = (k: Column) => concat(lit("<extra_id_"), k.cast("string"), lit(">"))
     // masked input: anchor -> numbered sentinel, in-span non-anchor ->

@@ -486,7 +486,6 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_dup_grams")
   }
 
-  /** DuckDB oracle SQL builders (quadratic but equivalent pair sets). */
   val WinnowK = 3 // fingerprint gram size (words)
   val WinnowW = 4 // winnowing window (grams)
   val WinnowDfCap = 50 // hot-fingerprint cap in overlap candidate generation
@@ -545,15 +544,20 @@ object Dedup {
   /** Cross-doc fingerprint-overlap pairs (the MOSS report): candidate
     * pairs share a fingerprint hash (keyed join, [[WinnowDfCap]] drops
     * corpus-boilerplate hashes — the stop-shingle precedent);
-    * overlap = shared / min(total_a, total_b) over the FULL (pre-cap)
-    * fingerprint sets.
+    * overlap = shared DISTINCT hashes / min(distinct_a, distinct_b)
+    * over the full (pre-cap) fingerprint sets — a true overlap
+    * coefficient in [0, 1].
     */
   def winnowOverlapPairs(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame = {
-    // materialized once: the selection subtree (explodes + two windows
-    // + an aggregation) feeds the totals, the DF cap, AND both join
-    // sides — recomputing it per consumer tripled the query's cost
-    val fps = winnowSelected(docs, textCol).select("doc_id", "g").localCheckpoint()
+    // DISTINCT (doc, hash): a phrase repeated through one doc selects
+    // the same hash at many positions — the multiset join would count
+    // those positions as a cross product (overlap >> 1, one repetitive
+    // doc alone defeating the DF cap). Set semantics bound the metric
+    // and the join. Materialized once: the selection subtree feeds the
+    // totals, the DF cap, AND both join sides.
+    val fps = winnowSelected(docs, textCol).select("doc_id", "g")
+      .distinct().localCheckpoint()
     val totals = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val keep = fps.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowDfCap).select("g")
@@ -571,6 +575,7 @@ object Dedup {
       .select("d1", "d2", "n_shared", "overlap")
   }
 
+  /** DuckDB oracle SQL builders (quadratic but equivalent pair sets). */
   object O {
 
     /** CTE chain ending in `sel(doc_id, g, i, ng)` — the bit-identical
@@ -600,10 +605,10 @@ object Dedup {
          |  md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(g AS VARCHAR), ',' ORDER BY i, g)) AS fp_md5
          |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-    /** Mirrors winnowOverlapPairs. */
+    /** Mirrors winnowOverlapPairs (set semantics: DISTINCT (doc, g)). */
     def winnowOverlapPairs(threshold: Double = 0.2): String =
       s"""WITH $winnowSelCtes,
-         |fps AS (SELECT doc_id, g FROM sel),
+         |fps AS (SELECT DISTINCT doc_id, g FROM sel),
          |tot AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
          |keep AS (SELECT g FROM fps GROUP BY g HAVING COUNT(*) <= $WinnowDfCap),
          |kept AS (SELECT fps.* FROM fps JOIN keep USING (g)),

@@ -378,19 +378,23 @@ object Similarity {
   }
 
   /** Per-(vector, subspace) nearest-codeword assignment: (vec_id, m,
-    * code, d2). The codebook join broadcasts (constant size); argmin
-    * ties break on code — both mirrored in the oracle.
+    * code, d2) plus any `carry` columns passed through untouched (so a
+    * caller holding per-vector metadata — IVF-PQ's cent_id — need not
+    * re-join the corpus to get it back). The codebook join broadcasts
+    * (constant size); argmin ties break on code — both mirrored in the
+    * oracle.
     */
-  private[graft] def pqEncodedLong(emb: DataFrame, cb: DataFrame): DataFrame = {
-    val subs = emb.select(col("vec_id"),
+  private[graft] def pqEncodedLong(emb: DataFrame, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val subs = emb.select(col("vec_id") +: carry.map(col) :+
       posexplode(array((0 until PqM).map(m =>
-        slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sub")))
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sub")): _*)
     val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
     subs.join(broadcast(cb), Seq("m"))
       .withColumn("d2", Vec.l2sq(col("sub"), col("cemb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("code"), col("d2"))
+      .select(col("vec_id") +: carry.map(col) :+ col("m") :+ col("code") :+ col("d2"): _*)
   }
 
   /** PQ encoding of the corpus: per vector the [[PqM]] code ids (as a
@@ -493,9 +497,10 @@ object Similarity {
     val assigned = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("cent_id"), col("res").as("embedding"))
     val cb = pqCodebooks(assigned.select("vec_id", "embedding"))
-    val cand = pqEncodedLong(assigned.select("vec_id", "embedding"), cb)
-      .select(col("vec_id").as("cand_id"), col("m"), col("code"))
-      .join(assigned.select(col("vec_id").as("cand_id"), col("cent_id")), Seq("cand_id"))
+    // cent_id rides through the encode (no second corpus join to
+    // re-attach it) — the candidate join stays the one corpus shuffle
+    val cand = pqEncodedLong(assigned, cb, carry = Seq("cent_id"))
+      .select(col("vec_id").as("cand_id"), col("cent_id"), col("m"), col("code"))
     val qres = ranked.filter(queryPred && col("crn") <= probes)
       .select(col("vec_id").as("query_id"), col("cent_id"), col("res").as("qres"))
     val qsubs = qres.select(col("query_id"), col("cent_id"),

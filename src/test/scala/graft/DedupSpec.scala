@@ -263,4 +263,23 @@ class DedupSpec extends AnyFunSuite with TestSpark {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("winnowing overlap is a true coefficient on repetitive docs") {
+    // a phrase cycled through a doc selects the same hash at many
+    // positions: multiset counting would square those occurrences
+    // (overlap >> 1); set semantics keep the metric in [0, 1]
+    val loop = Seq.fill(50)("spam ham eggs").mkString(" ")
+    val df = Seq(
+      (1L, loop),
+      (2L, s"prefix words here $loop suffix words there"),
+      (3L, "fresh disjoint vocabulary with no repeats at all whatsoever")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.winnowOverlapPairs(df, threshold = 0.01).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ov = r.getDouble(3)
+      assert(ov > 0 && ov <= 1.0, s"overlap $ov out of [0,1] for (${r.getLong(0)},${r.getLong(1)})")
+    }
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(3) > 0.8))
+  }
 }
