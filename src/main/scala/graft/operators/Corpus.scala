@@ -222,6 +222,44 @@ object Corpus {
         round(Num.davg((col("n_occ") > 1).cast("int").cast("double")), 6).as("dup_key_share"))
   }
 
+  val PadBatchSize = 32 // documents per training batch in the report
+
+  /** Padding-waste report: tokens wasted padding each batch to its
+    * longest member, under (a) arrival order (doc_id) and (b)
+    * length-sorted order — the measured version of why sequence-length
+    * bucketing exists (sorted batching groups like lengths, so the
+    * per-batch max hugs the mean and the pad share collapses).
+    *
+    * Scale note: the two row_number orderings are global sorts at
+    * report time — acceptable for a diagnostic (one ~word-count-shaped
+    * pass per strategy); a production packer would bucket by length
+    * range instead of total-ordering the corpus.
+    *
+    * Output, one row per strategy: n_batches, data tokens, padded
+    * tokens, waste share.
+    */
+  def paddingWaste(docs: DataFrame, batchSize: Int = PadBatchSize,
+      textCol: String = "text"): DataFrame = {
+    val lens = docs.select(col("doc_id"), size(split(col(textCol), " ")).as("len"))
+    def report(strategy: String, order: Seq[Column]): DataFrame =
+      lens
+        .withColumn("batch_id",
+          ((row_number().over(Window.orderBy(order: _*)) - 1) / batchSize).cast("long"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("bsz"), sum(col("len")).as("data_tokens"),
+          (max(col("len")) * count(lit(1))).as("slot_tokens"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("data_tokens")).as("data_tokens"),
+          sum(col("slot_tokens") - col("data_tokens")).as("padded_tokens"),
+          round((sum(col("slot_tokens") - col("data_tokens")).cast("double") /
+            sum(col("slot_tokens"))), 6).as("waste_share"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("data_tokens"), col("padded_tokens"), col("waste_share"))
+    report("arrival", Seq(col("doc_id")))
+      .unionByName(report("length_sorted", Seq(col("len"), col("doc_id"))))
+  }
+
   /** First BPE-merge iteration over the corpus vocabulary: the
     * adjacent-character-pair counts a tokenizer trainer computes before
     * its first merge, weighted by corpus word frequency (BPE trains on
@@ -300,6 +338,25 @@ object Corpus {
          |  CAST(SUM((n_occ - 1) * n_words) AS BIGINT) AS words_saved,
          |  round(${Num.O.avg("CAST(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END AS DOUBLE)")}, 6) AS dup_key_share
          |FROM g""".stripMargin
+
+    /** Mirrors paddingWaste (DuckDB `//` = Spark's double-div + long
+      * cast for these positive exact-integer operands).
+      */
+    def paddingWaste(batchSize: Int = PadBatchSize): String = {
+      def rep(strategy: String, order: String) =
+        s"""SELECT '$strategy' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+           |  CAST(SUM(dt) AS BIGINT) AS data_tokens,
+           |  CAST(SUM(st - dt) AS BIGINT) AS padded_tokens,
+           |  round(CAST(SUM(st - dt) AS DOUBLE) / SUM(st), 6) AS waste_share
+           |FROM (SELECT batch_id, SUM(len) AS dt, MAX(len) * COUNT(*) AS st
+           |      FROM (SELECT ((row_number() OVER (ORDER BY $order)) - 1) // $batchSize AS batch_id, len
+           |            FROM lens)
+           |      GROUP BY batch_id)""".stripMargin
+      s"""WITH lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS len FROM documents)
+         |SELECT * FROM (${rep("arrival", "doc_id")}
+         |UNION ALL ${rep("length_sorted", "len, doc_id")})
+         |ORDER BY strategy""".stripMargin
+    }
 
     /** Mirrors contamination (benchPredSql over doc_id etc.). */
     def contamination(benchPredSql: String, threshold: Double = 0.05): String =

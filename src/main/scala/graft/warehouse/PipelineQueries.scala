@@ -939,6 +939,8 @@ object PipelineQueries {
     "q164_winnowing" -> winnowing,
     "q165_winnow_overlap" -> winnowOverlap,
     "q166_jl_kmeans_agreement" -> ((s, dir) => Similarity.jlKmeansAgreement(emb(s, dir))),
+    "q167_padding_waste" ->
+      ((s, dir) => Corpus.paddingWaste(docs(s, dir)).orderBy("strategy")),
     "q155_pq_codes" -> pqEncoding,
     "q156_pq_adc" -> pqAdc,
     "q157_cdc_chunks" -> cdcChunking,
@@ -1030,6 +1032,7 @@ object PipelineQueries {
     "q164_winnowing" -> Dedup.O.winnowFingerprints,
     "q165_winnow_overlap" -> Dedup.O.winnowOverlapPairs(),
     "q166_jl_kmeans_agreement" -> Similarity.O.jlKmeansAgreement,
+    "q167_padding_waste" -> Corpus.O.paddingWaste(),
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
     "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),
