@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * exists so the next one shows up as a number before it ships.
   *
   * The 10× corpus is 10 vocabulary-disjoint replicas (every word of
-  * copy k is prefixed `k<k>_`, ids offset by 10000·k): each replica
+  * copy k is prefixed `k<k>_`, ids offset by (max id + 1)·k): each replica
   * reproduces the original's duplicate DENSITY but shares no shingles,
   * blocks, or hashes with the others, so the ideal pair workload scales
   * exactly 10× — the clean linear reference for the ratio. (Suffixing
@@ -53,11 +53,19 @@ object StressBench {
     "q165_winnow_overlap" -> warehouse.PipelineQueries.winnowOverlap,
     "q161_ivfpq" -> warehouse.PipelineQueries.ivfPq)
 
+  /** Replica id stride derived from the ACTUAL max id (+1): a constant
+    * stride would silently merge replicas — corrupting the linearity
+    * baseline — the moment a larger source corpus exceeds it.
+    */
+  private def stride(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol))).head().getAs[Number](0).longValue() + 1L
+
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    val docStride = stride(sources.Tables(spark, srcDir, "documents"), "doc_id")
     sources.Tables(spark, srcDir, "documents").select(col("*"), k)
       .select(
-        (col("doc_id") + col("k") * 10000L).as("doc_id"),
+        (col("doc_id") + col("k") * docStride).as("doc_id"),
         array_join(transform(split(col("text"), " "),
           w => concat(lit("k"), col("k"), lit("_"), w)), " ").as("text"),
         col("lang"), col("source"))
@@ -67,9 +75,10 @@ object StressBench {
     // embeddings: label-disjoint replicas (label carries the copy id, so
     // cross-copy pairs are impossible by key) with identical vectors —
     // each replica reproduces the original's similarity structure
+    val vecStride = stride(sources.Tables(spark, srcDir, "embeddings"), "vec_id")
     sources.Tables(spark, srcDir, "embeddings").select(col("*"), k)
       .select(
-        (col("vec_id") + col("k") * 10000L).as("vec_id"),
+        (col("vec_id") + col("k") * vecStride).as("vec_id"),
         col("embedding"),
         concat(col("label").cast("string"), lit("#"), col("k")).as("label"))
       .repartition(32)
@@ -90,9 +99,10 @@ object StressBench {
   def synthesizeShifted(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int): Unit = {
     val k = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    val vecStride = stride(sources.Tables(spark, srcDir, "embeddings"), "vec_id")
     sources.Tables(spark, srcDir, "embeddings").select(col("*"), k)
       .select(
-        (col("vec_id") + col("k") * 10000L).as("vec_id"),
+        (col("vec_id") + col("k") * vecStride).as("vec_id"),
         transform(sequence(lit(0), lit(operators.Similarity.Dim - 1)),
           i => element_at(col("embedding"),
             ((i + lit(6) * col("k")) % operators.Similarity.Dim) + 1)).as("embedding"),

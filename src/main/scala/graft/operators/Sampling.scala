@@ -93,9 +93,13 @@ object Sampling {
       .select(col("source"), size(Text.words(col(textCol))).as("toks"))
       .groupBy("source").agg(sum(col("toks").cast("long")).as("tokens"))
     val tot = perSource.agg(sum(col("tokens")).as("total"))
+    // share^α via exp(α·ln(share)) — the same two libm calls DuckDB's
+    // pow decomposes to — then rounded at 12 dp before normalization so
+    // the cross-engine hash contract never rides on a last-ulp pow()
+    // divergence (share ∈ (0,1] always: a source present has tokens>0).
     val shares = perSource.crossJoin(broadcast(tot))
       .withColumn("share", col("tokens").cast("double") / col("total"))
-      .withColumn("scaled", pow(col("share"), lit(alpha)))
+      .withColumn("scaled", round(exp(lit(alpha) * log(col("share"))), 12))
     val z = shares.agg(Num.dsumHi(col("scaled")).as("z"))
     shares.crossJoin(broadcast(z))
       .select(col("source"), col("tokens"),

@@ -819,7 +819,10 @@ object TextAnalysis {
     def bm25TopK(terms: Seq[String] = Bm25QueryTerms,
         k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
       val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$i"
+        // SQL-escape the term: a quote in a query term must not break
+        // the rendered oracle (the Spark side takes terms as values).
+        val esc = t.replace("'", "''")
+        s"len(list_filter(string_split(text, ' '), x -> x = '$esc')) AS tf_$i"
       }.mkString(",\n         |    ")
       val dfCols = terms.indices.map(i =>
         s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")

@@ -152,10 +152,15 @@ object Connectors {
         cols))
     else if (url.startsWith("jdbc:mysql:"))
       // backtick quoting: MySQL treats double quotes as strings unless
-      // ANSI_QUOTES is on
+      // ANSI_QUOTES is on. CAVEAT: ON DUPLICATE KEY UPDATE fires on ANY
+      // unique constraint of the target, not just keyCols — a table with
+      // extra unique indexes diverges from the ON CONFLICT(keyCols) /
+      // portable paths; route such tables through portableOnly=true.
+      // Row-alias form (`AS new`, MySQL 8.0.19+) replaces the
+      // VALUES(col) syntax deprecated in 8.0.20.
       Some((
-        s"""INSERT INTO $table (${cols.map(c => s"`$c`").mkString(", ")}) VALUES ($placeholders)
-           | ON DUPLICATE KEY UPDATE ${valCols.map(c => s"`$c` = VALUES(`$c`)").mkString(", ")}""".stripMargin,
+        s"""INSERT INTO $table (${cols.map(c => s"`$c`").mkString(", ")}) VALUES ($placeholders) AS new
+           | ON DUPLICATE KEY UPDATE ${valCols.map(c => s"`$c` = new.`$c`").mkString(", ")}""".stripMargin,
         cols))
     else if (url.startsWith("jdbc:derby:")) {
       // Derby's MERGE source must be a base table, so the one-row
@@ -190,6 +195,12 @@ object Connectors {
       if (portableOnly) None else singleStatementMerge(df, url, table, cols, valCols, keyCols))
   }
 
+  /** Keyed MERGE upsert. Dialect fast paths (Postgres ON CONFLICT,
+    * MySQL ON DUPLICATE KEY, Derby MERGE) assume keyCols is the table's
+    * ONLY unique constraint; for MySQL targets carrying additional
+    * unique indexes pass portableOnly=true (the two-statement fallback
+    * matches on exactly keyCols).
+    */
   def upsertJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
       user: String, password: String, portableOnly: Boolean = false): Unit = {
     val m = mergeSql(df, table, keyCols, url, portableOnly)

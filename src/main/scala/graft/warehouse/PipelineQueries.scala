@@ -1059,7 +1059,7 @@ object PipelineQueries {
          |  FROM documents GROUP BY 1),
          |tot AS (SELECT SUM(tokens) AS total FROM ps),
          |sh AS (SELECT source, tokens, (CAST(tokens AS DOUBLE) / total) AS share,
-         |         pow(CAST(tokens AS DOUBLE) / total, $TempAlpha) AS scaled
+         |         round(exp($TempAlpha * ln(CAST(tokens AS DOUBLE) / total)), 12) AS scaled
          |       FROM ps CROSS JOIN tot),
          |z AS (SELECT ${graft.functions.Num.O.sumHi("scaled")} AS z FROM sh)
          |SELECT source, tokens, round(share, 6) AS share,

@@ -46,7 +46,7 @@ object StorageStats {
           Seq((if (part.isEmpty) "<root>" else part, name, st.getLen))
         else Seq.empty
       }
-    val files = walk(root, "")
+    val files = if (fs.exists(root)) walk(root, "") else Seq.empty
     spark.createDataset(files).toDF("partition", "file", "bytes")
       .groupBy("partition")
       .agg(
@@ -69,10 +69,16 @@ object StorageStats {
     val rows = tables.toSeq.sortBy(_._1).map { case (name, path) =>
       val layout = tableLayout(spark, path)
         .agg(sum("n_files"), sum("total_bytes")).head()
-      val nRows = spark.read.parquet(path).count()
-      (name, layout.getLong(0), layout.getLong(1), nRows,
-        if (nRows == 0) null else java.lang.Double.valueOf(
-          math.round(layout.getLong(1).toDouble / nRows * 100.0) / 100.0))
+      // An empty/missing table sums to NULL and has no files to read:
+      // report a zero row instead of NPE-ing on getLong / failing
+      // parquet schema inference on a file-less directory.
+      if (layout.isNullAt(0)) (name, 0L, 0L, 0L, null)
+      else {
+        val nRows = spark.read.parquet(path).count()
+        (name, layout.getLong(0), layout.getLong(1), nRows,
+          if (nRows == 0) null else java.lang.Double.valueOf(
+            math.round(layout.getLong(1).toDouble / nRows * 100.0) / 100.0))
+      }
     }
     rows.toDF("table_name", "n_files", "total_bytes", "n_rows", "bytes_per_row")
   }
