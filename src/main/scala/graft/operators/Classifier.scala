@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+
+/** In-engine trained logistic-regression domain classifier — the
+  * fastText-style linear filter CCNet/DSIR-era pipelines train to score
+  * "does this document look like the target domain?", expressed entirely
+  * as Spark aggregates (no MLlib, no driver-side data).
+  *
+  * Batch gradient descent: each iteration is ONE map-side-combined
+  * aggregation over the (cached) feature frame — four decimal-backed
+  * gradient sums — and the 4-weight model round-trips through the
+  * driver as plain literals. At 100 TB that is `iters` scans of a
+  * 4-column projection with partial aggregation; no shuffle of data
+  * rows, no collect of anything but the 1-row weight vector.
+  *
+  * Determinism (the DuckDB oracle replays the identical trajectory):
+  *  - the sigmoid is the algebraic approximation
+  *    s(z) = 0.5 + 0.5·z/(1+|z|) — only +, −, ×, ÷, abs, all IEEE
+  *    correctly-rounded, so both engines produce bit-identical
+  *    per-row terms (no libm exp dependence);
+  *  - gradient sums are DECIMAL(38,18)-backed (order/partitioning
+  *    independent);
+  *  - weights are rounded to 12 dp after every step, keeping the whole
+  *    trajectory representable in the oracle's unrolled CTE chain.
+  */
+object Classifier {
+
+  val Lr = 0.5
+  val Iters = 12
+
+  /** Per-doc capped feature vector from the verified q49 token stats,
+    * plus the binary domain label.
+    */
+  def features(docs: DataFrame, labelPred: Column): DataFrame =
+    TextAnalysis.withTextStats(docs)
+      .select(
+        col("doc_id"),
+        least(col("n_tokens") / lit(200.0), lit(1.0)).as("x1"),
+        least(col("avg_token_len") / lit(8.0), lit(1.0)).as("x2"),
+        least(col("stopword_ratio") * lit(2.0), lit(1.0)).as("x3"),
+        when(labelPred, lit(1.0)).otherwise(lit(0.0)).as("y"))
+
+  /** Hardware-friendly sigmoid: exact arithmetic on both engines. */
+  private def sigmoid(z: Column): Column =
+    lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+
+  private def z(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  /** The GD loop over a cached feature frame: `iters` aggregations, a
+    * 1-row weight vector round-tripping through the driver as literals.
+    */
+  private def fit(f: DataFrame, lr: Double, iters: Int): Array[Double] = {
+    val n = count(lit(1)).cast("double")
+    var w = Array(0.0, 0.0, 0.0, 0.0) // bias, w1, w2, w3
+    for (_ <- 1 to iters) {
+      val err = sigmoid(z(w)) - col("y")
+      val row = f.agg(
+        round(lit(w(0)) - lit(lr) * (Num.dsumHi(err) / n), 12).as("b"),
+        round(lit(w(1)) - lit(lr) * (Num.dsumHi(err * col("x1")) / n), 12).as("w1"),
+        round(lit(w(2)) - lit(lr) * (Num.dsumHi(err * col("x2")) / n), 12).as("w2"),
+        round(lit(w(3)) - lit(lr) * (Num.dsumHi(err * col("x3")) / n), 12).as("w3"))
+        .head()
+      w = Array(row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    }
+    w
+  }
+
+  /** Trains on the full frame, returns ONE row: the final weights, the
+    * class balance, the confusion counts at the z >= 0 decision
+    * boundary, and training accuracy.
+    */
+  def trainDomainClassifier(docs: DataFrame, labelPred: Column,
+      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+    val f = features(docs, labelPred).cache()
+    val w = fit(f, lr, iters)
+    val predPos = z(w) >= lit(0.0)
+    val isPos = col("y") === lit(1.0)
+    f.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(when(predPos && isPos, 1L).otherwise(0L)).as("tp"),
+        sum(when(predPos && !isPos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!predPos && !isPos, 1L).otherwise(0L)).as("tn"),
+        sum(when(!predPos && isPos, 1L).otherwise(0L)).as("fn"))
+      .withColumn("iters", lit(iters))
+      .withColumn("w_bias", lit(w(0)))
+      .withColumn("w1", lit(w(1)))
+      .withColumn("w2", lit(w(2)))
+      .withColumn("w3", lit(w(3)))
+      .withColumn("accuracy",
+        round((col("tp") + col("tn")).cast("double") / col("n_docs"), 6))
+      .select("iters", "w_bias", "w1", "w2", "w3", "n_docs", "n_pos",
+        "tp", "fp", "tn", "fn", "accuracy")
+  }
+
+  /** The filter pass itself: every document scored under the trained
+    * model — σ̂(z) in [0, 1] plus the z >= 0 keep flag. Training reuses
+    * the cached feature frame; scoring is one more narrow projection
+    * over it (at 100 TB: iters + 1 scans, zero shuffles).
+    */
+  def scoreDocuments(docs: DataFrame, labelPred: Column,
+      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+    val f = features(docs, labelPred).cache()
+    val w = fit(f, lr, iters)
+    f.select(col("doc_id"), col("y").cast("int").as("label"),
+        round(sigmoid(z(w)), 6).as("score"),
+        (z(w) >= lit(0.0)).as("predicted_positive"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: replays the full GD trajectory as `iters` unrolled
+    * CTE stages (1-row weight relations cross-joined into each
+    * aggregation), then scores the final boundary — every expression
+    * the bit-identical twin of the Spark side.
+    */
+  object O {
+    private def zSql = "(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+
+    /** The shared trajectory prefix: feature CTE + w0 + `iters`
+      * unrolled GD stages ending in relation `w$iters`.
+      */
+    private def trajectoryCtes(labelSql: String, lr: Double, iters: Int): String = {
+      val err = s"((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))) - f.y)"
+      val iterCtes = (1 to iters).map { t =>
+        s"""g$t AS (SELECT w.b, w.w1, w.w2, w.w3, CAST(COUNT(*) AS DOUBLE) AS n,
+           |  ${Num.O.sumHi(err)} AS g0,
+           |  ${Num.O.sumHi(s"$err * f.x1")} AS g1,
+           |  ${Num.O.sumHi(s"$err * f.x2")} AS g2,
+           |  ${Num.O.sumHi(s"$err * f.x3")} AS g3
+           |  FROM feats f CROSS JOIN w${t - 1} w GROUP BY 1, 2, 3, 4),
+           |w$t AS (SELECT round(b - $lr * (g0 / n), 12) AS b,
+           |  round(w1 - $lr * (g1 / n), 12) AS w1,
+           |  round(w2 - $lr * (g2 / n), 12) AS w2,
+           |  round(w3 - $lr * (g3 / n), 12) AS w3 FROM g$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT doc_id, source, ${TextAnalysis.O.textStats} FROM documents),
+         |feats AS (SELECT doc_id,
+         |  least(n_tokens / 200.0, 1.0) AS x1,
+         |  least(avg_token_len / 8.0, 1.0) AS x2,
+         |  least(stopword_ratio * 2.0, 1.0) AS x3,
+         |  CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS y FROM s),
+         |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |$iterCtes""".stripMargin
+    }
+
+    def trainDomainClassifier(labelSql: String,
+        lr: Double = Lr, iters: Int = Iters): String = {
+      s"""${trajectoryCtes(labelSql, lr, iters)},
+         |m AS (SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(f.y AS BIGINT)) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CASE WHEN $zSql >= 0.0 AND f.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN $zSql >= 0.0 AND NOT (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN NOT ($zSql >= 0.0) AND NOT (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(SUM(CASE WHEN NOT ($zSql >= 0.0) AND f.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  ANY_VALUE(w.b) AS w_bias, ANY_VALUE(w.w1) AS w1, ANY_VALUE(w.w2) AS w2, ANY_VALUE(w.w3) AS w3
+         |  FROM feats f CROSS JOIN w$iters w)
+         |SELECT CAST($iters AS INT) AS iters, w_bias, w1, w2, w3, n_docs, n_pos,
+         |  tp, fp, tn, fn,
+         |  round(CAST(tp + tn AS DOUBLE) / n_docs, 6) AS accuracy
+         |FROM m""".stripMargin
+    }
+
+    /** Mirrors scoreDocuments: identical trajectory, per-doc σ̂ score. */
+    def scoreDocuments(labelSql: String,
+        lr: Double = Lr, iters: Int = Iters): String =
+      s"""${trajectoryCtes(labelSql, lr, iters)}
+         |SELECT doc_id, CAST(f.y AS INT) AS label,
+         |  round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score,
+         |  ($zSql >= 0.0) AS predicted_positive
+         |FROM feats f CROSS JOIN w$iters w ORDER BY doc_id""".stripMargin
+  }
+}

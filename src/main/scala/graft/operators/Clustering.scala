@@ -29,12 +29,19 @@ object Clustering {
       sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
     val c = centroids.select(col("cluster_id"), col("cemb"),
       sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cluster_id"))
+    // argmax as a struct-ordered MAX aggregation, not a row_number
+    // window: same winner bit-for-bit (max cos_c, ties -> negated id
+    // picks the LOWEST cluster_id; the embedding payload is never
+    // compared because cluster_id is unique per group), but the plan is
+    // a map-side-combinable hash aggregate instead of a full sort
+    // shuffle of the n x k scored frame - the difference between one
+    // partial-agg pass and sorting 16x the corpus at 100 TB.
     n.crossJoin(broadcast(c))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster_id"), col("cos_c"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), (-col("cluster_id")).as("neg_id"), col("embedding"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        (-col("best.neg_id")).as("cluster_id"), col("best.cos_c").as("cos_c"))
   }
 
   /** Element-wise mean per group in long form: one row per (group, dim)
@@ -110,13 +117,15 @@ object Clustering {
     */
   def assignL2(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("cluster_id"), col("cemb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster_id"))
+    // argmin via struct-ordered MIN (see assign): identical winner,
+    // hash aggregate instead of a sort shuffle
     emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(c))
       .withColumn("d2", Vec.l2sq(col("embedding"), col("cemb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster_id"), col("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cluster_id"), col("embedding"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cluster_id").as("cluster_id"), col("best.d2").as("d2"))
   }
 
   /** One squared-L2 Lloyd iteration (assign, recompute decimal-exact

@@ -136,12 +136,20 @@ object Similarity {
         sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+    // corpus-side assignment is a struct-ordered MAX (same winner as the
+    // former desc-window: max cos_c, ties -> lowest cent_id via the
+    // negated id), so the O(n x nlist) frame is hash-aggregated with
+    // map-side combine, never sorted; only the QUERY rows - a bounded
+    // set - still rank their probe lists through a window
+    val assigned = toCent.groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_id"),
+        col("embedding"), col("nrm"))).as("best"))
+      .select(col("vec_id").as("cand_id"), col("best.embedding").as("ce"),
+        col("best.nrm").as("cn"), (-col("best.neg_id")).as("cent_id"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
-    val ranked = toCent.withColumn("crn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"), col("cent_id"))
-    val probeRows = ranked.filter(queryPred && col("crn") <= probes)
+    val probeRows = toCent.filter(queryPred)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= probes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id"))
     val scored = assigned.join(broadcast(probeRows), Seq("cent_id"))
@@ -179,12 +187,17 @@ object Similarity {
         sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+    // same split as ivfTopK: corpus assignment = struct-MAX hash agg,
+    // probe ranking = window over the bounded query rows only
+    val assigned = toCent.groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_id"),
+        col("embedding"), col("nrm"))).as("best"))
+      .select(col("vec_id").as("cand_id"), col("best.embedding").as("ce"),
+        col("best.nrm").as("cn"), (-col("best.neg_id")).as("cent_id"))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
-    val ranked = toCent.withColumn("crn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"), col("cent_id"))
-    val probeRows = ranked.filter(queryPred && col("crn") <= maxP)
+    val probeRows = toCent.filter(queryPred)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= maxP)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id"), col("crn"))
     val scored = assigned.join(broadcast(probeRows), Seq("cent_id"))
@@ -242,10 +255,11 @@ object Similarity {
         sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
-    toCent.withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id"), round(col("cos_c"), 6).as("cent_cos"))
+    // struct-MAX assignment (see ivfTopK): hash agg, no corpus sort
+    toCent.groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_id")).as("cent_id"),
+        round(col("best.cos_c"), 6).as("cent_cos"))
       .localCheckpoint()
   }
 
@@ -310,6 +324,108 @@ object Similarity {
         md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
   }
 
+  /** Per-dimension corpus standardization (z-score feature scaling) —
+    * the whitening-diagonal preprocessing step ANN indexes and k-means
+    * apply so no single high-variance dimension dominates the metric.
+    *
+    * Scale design: ONE posexplode pass → 64 per-dim groups with exact
+    * decimal sums (order-independent), packed into a single 1-row
+    * broadcast of (mean[], sigma[]) — the corpus then streams through a
+    * narrow zip-transform, no second shuffle. Population sigma
+    * (sqrt is IEEE-exact, so both engines agree bit-for-bit); constant
+    * dimensions (sigma = 0) map to 0 rather than NaN.
+    */
+  def standardize(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    import graft.functions.Num
+    val d = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("i"), col("xf").cast("double").as("x"))
+    val stats = d.groupBy("i").agg(
+        count(lit(1)).cast("double").as("n"),
+        Num.dsum(col("x")).as("s"),
+        Num.dsum(col("x") * col("x")).as("s2"))
+      .select(col("i"), (col("s") / col("n")).as("mu"),
+        sqrt(greatest(col("s2") - col("s") * col("s") / col("n"), lit(0d)) / col("n"))
+          .as("sigma"))
+    val packed = stats
+      .agg(array_sort(collect_list(struct(col("i"), col("mu"), col("sigma")))).as("p"))
+      .select(
+        transform(col("p"), s => s.getField("mu")).as("mus"),
+        transform(col("p"), s => s.getField("sigma")).as("sigmas"))
+    emb.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          when(element_at(col("sigmas"), i + 1) > 0d,
+            round((element_at(col("embedding"), i + 1).cast("double") -
+              element_at(col("mus"), i + 1)) / element_at(col("sigmas"), i + 1), 6))
+            .otherwise(lit(0.0))).as("z"))
+  }
+
+  val MmrLambda = 0.7 // relevance weight; (1-λ) penalizes similarity to picks
+  val MmrPool = 20 // exact-top-N candidate pool re-ranked per query
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily pick k results that are relevant to the
+    * query BUT dissimilar to what's already picked —
+    * score(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s). The re-ranker a
+    * retrieval pipeline runs on its candidate pool to avoid returning
+    * k near-copies.
+    *
+    * Scale design: the quadratic lives ONLY inside the fixed-size pool
+    * (MmrPool² pairwise sims per query, broadcast-joined); the corpus-
+    * side cost is the candidate generator itself (here exact top-N —
+    * swap in lshTopK/ivfTopK at scale, the contract is just
+    * (query_id, cand_id, qsim)). k unrolled greedy rounds = k keyed
+    * aggregations over pool-bounded frames.
+    */
+  def mmrTopK(emb: DataFrame, queryPred: Column, k: Int = 5,
+      pool: Int = MmrPool, lambda: Double = MmrLambda): DataFrame = {
+    // Exact-decimal scoring: qsim/div are 6-dp rounded, λ and 1−λ are
+    // 1-dp decimals, so λ·qsim − (1−λ)·div is EXACT at 7 dp — score
+    // ranking and output can never land on a cross-engine round-half
+    // boundary (a double-rounded score did, in testing).
+    val lamD = lit(lambda).cast("decimal(2,1)")
+    val muD = lit(1.0 - lambda).cast("decimal(2,1)")
+    val cand = bruteForceTopK(emb, queryPred, pool)
+      .select(col("query_id"), col("cand_id"), col("cosine_sim").as("qsim"))
+      .cache()
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val a = cand.select(col("query_id"), col("cand_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("e1"), col("nrm").as("n1")),
+        "cand_id")
+    val b = cand.select(col("query_id"), col("cand_id").as("other_id"))
+      .join(e.select(col("vec_id").as("other_id"), col("embedding").as("e2"), col("nrm").as("n2")),
+        "other_id")
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("cand_id") =!= col("other_id"))
+      .select(col("query_id"), col("cand_id"), col("other_id"),
+        round(Vec.dotFast(col("e1"), col("e2")) / (col("n1") * col("n2")), 6).as("csim"))
+      .cache()
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("cand_id"))
+    val first = cand
+      .withColumn("score", lamD * col("qsim").cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("score").cast("double").as("score"),
+        lit(1).as("step"))
+    (2 to k).foldLeft(first) { (selected, step) =>
+      val div = pairs
+        .join(selected.select(col("query_id"), col("cand_id").as("other_id")),
+          Seq("query_id", "other_id"))
+        .groupBy("query_id", "cand_id").agg(max(col("csim")).as("div"))
+      val pick = cand
+        .join(selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(div, Seq("query_id", "cand_id"))
+        .withColumn("score",
+          lamD * col("qsim").cast("decimal(18,6)") - muD * col("div").cast("decimal(18,6)"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("score").cast("double").as("score"),
+          lit(step).as("step"))
+      selected.unionByName(pick)
+    }.select("query_id", "step", "cand_id", "score")
+  }
+
   val PqM = 16 // subspaces — each Dim/PqM = 4 dims
   val PqSubDim = Dim / PqM
   val PqK = 16 // codewords per subspace: 4-bit codes → 64 floats become 16 nibbles (8 B, 32×)
@@ -356,12 +472,14 @@ object Similarity {
       .localCheckpoint(true)
     for (_ <- 1 to IvfIters) {
       val prev = cents
-      val wa = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cluster_id"))
+      // argmin by struct-ordered MIN (ties -> lowest cluster_id; the sub
+      // payload is never compared) - map-side-combinable hash aggregate
+      // instead of sorting the (sample x M x K) frame per round
       val assigned = subs.join(broadcast(cents), Seq("m"))
         .withColumn("d2", Vec.l2sq(col("sub"), col("cemb")))
-        .withColumn("rn", row_number().over(wa))
-        .filter(col("rn") === 1)
-        .select(col("m"), col("cluster_id"), col("sub"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cluster_id"), col("sub"))).as("best"))
+        .select(col("m"), col("best.cluster_id").as("cluster_id"), col("best.sub").as("sub"))
       cents = assigned
         .select(col("m"), col("cluster_id"), posexplode(col("sub")).as(Seq("pos", "v")))
         .groupBy(col("m"), col("cluster_id"), (col("pos") + 1).as("dim"))
@@ -389,12 +507,15 @@ object Similarity {
     val subs = emb.select(col("vec_id") +: carry.map(col) :+
       posexplode(array((0 until PqM).map(m =>
         slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sub")): _*)
-    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
+    // argmin via struct-ordered MIN (ties -> lowest code): the corpus
+    // encode pass becomes one partial-aggregated hash agg instead of a
+    // full sort shuffle of the n x M x K scored frame
     subs.join(broadcast(cb), Seq("m"))
       .withColumn("d2", Vec.l2sq(col("sub"), col("cemb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id") +: carry.map(col) :+ col("m") :+ col("code") :+ col("d2"): _*)
+      .groupBy(col("vec_id") +: carry.map(col) :+ col("m"): _*)
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id") +: carry.map(col) :+ col("m") :+ col("best.code").as("code") :+
+        col("best.d2").as("d2"): _*)
   }
 
   /** PQ encoding of the corpus: per vector the [[PqM]] code ids (as a
@@ -482,27 +603,29 @@ object Similarity {
     val coarse = Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct)
       .select(col("cluster_id").as("cent_id"), col("cemb"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))
-    // ONE assignment pass materializes the top-`probes` rows with
-    // residuals already computed: crn=1 is the index side, crn<=probes
-    // the probe side — without the shared checkpoint the O(n·nlist)
-    // crossJoin+window ran once per consumer
-    val ranked = emb.select(col("vec_id"), col("embedding"))
+    // corpus-side coarse assignment is a struct-ordered MIN hash agg
+    // (same winner as the former asc-window; the payload fields are
+    // never compared because cent_id is unique), checkpointed once for
+    // the two encode consumers; only the bounded QUERY rows rank their
+    // probe lists through a window
+    val scoredC = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(coarse))
       .withColumn("d2c", Vec.l2sq(col("embedding"), col("cemb")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= math.max(probes, 1))
-      .select(col("vec_id"), col("cent_id"), col("crn"),
-        residual(col("embedding"), col("cemb")).as("res"))
+    val assigned = scoredC.groupBy("vec_id")
+      .agg(min(struct(col("d2c"), col("cent_id"), col("embedding"), col("cemb"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        residual(col("best.embedding"), col("best.cemb")).as("embedding"))
       .localCheckpoint()
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("res").as("embedding"))
     val cb = pqCodebooks(assigned.select("vec_id", "embedding"))
     // cent_id rides through the encode (no second corpus join to
     // re-attach it) — the candidate join stays the one corpus shuffle
     val cand = pqEncodedLong(assigned, cb, carry = Seq("cent_id"))
       .select(col("vec_id").as("cand_id"), col("cent_id"), col("m"), col("code"))
-    val qres = ranked.filter(queryPred && col("crn") <= probes)
-      .select(col("vec_id").as("query_id"), col("cent_id"), col("res").as("qres"))
+    val qres = scoredC.filter(queryPred)
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= probes)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        residual(col("embedding"), col("cemb")).as("qres"))
     val qsubs = qres.select(col("query_id"), col("cent_id"),
       posexplode(array((0 until PqM).map(m =>
         slice(col("qres"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "qsub")))
@@ -858,6 +981,67 @@ object Similarity {
     }
 
     /** Bit-identical twin of the q162 long-form [[Similarity.jlProject]]. */
+    /** Mirrors standardize ∘ posexplode: same decimal per-dim sums,
+      * same population-sigma expression shape, same sigma=0 guard.
+      */
+    def standardize: String =
+      s"""WITH d AS (SELECT vec_id, CAST(i AS INT) AS i, CAST(embedding[i + 1] AS DOUBLE) AS x
+         |           FROM embeddings, range(0, $Dim) t(i)),
+         |st AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS n, ${Num.O.sum("x")} AS s,
+         |              ${Num.O.sum("x * x")} AS s2 FROM d GROUP BY i),
+         |ms AS (SELECT i, (s / n) AS mu, sqrt(greatest(s2 - s * s / n, 0.0) / n) AS sigma FROM st)
+         |SELECT d.vec_id, (d.i + 1) AS dim,
+         |  CASE WHEN ms.sigma > 0 THEN round((d.x - ms.mu) / ms.sigma, 6) ELSE 0.0 END AS z
+         |FROM d JOIN ms USING (i)
+         |ORDER BY vec_id, dim""".stripMargin
+
+    /** Mirrors mmrTopK: the bruteForceTopK pool (rounded cosine,
+      * row_number tie on cand_id), pool-internal pairwise sims, and k
+      * unrolled greedy selection rounds ranking on the UNROUNDED score
+      * with the identical interpolated λ / (1−λ) doubles.
+      */
+    def mmrTopK(predSql: String, k: Int = 5, pool: Int = MmrPool,
+        lambda: Double = MmrLambda): String = {
+      val mu = BigDecimal(1.0 - lambda).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      val lam = s"CAST($lambda AS DECIMAL(2,1))"
+      val muD = s"CAST($mu AS DECIMAL(2,1))"
+      def d6(c: String) = s"CAST($c AS DECIMAL(18,6))"
+      val cos = s"round(${V.O.dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6)"
+      val pcos = s"round(${V.O.dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6)"
+      val steps = (2 to k).map { t =>
+        val prev = s"sel${t - 1}"
+        s"""all$t AS (SELECT query_id, cand_id FROM $prev),
+           |div$t AS (SELECT p.query_id, p.cand_id, MAX(p.csim) AS div
+           |  FROM pairs p JOIN all$t s ON s.query_id = p.query_id AND s.cand_id = p.other_id
+           |  GROUP BY 1, 2),
+           |pick$t AS (SELECT c.query_id, c.cand_id, ($lam * ${d6("c.qsim")} - $muD * ${d6("d.div")}) AS score
+           |  FROM cand c JOIN div$t d ON d.query_id = c.query_id AND d.cand_id = c.cand_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM all$t s WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)),
+           |sel$t AS (SELECT * FROM $prev UNION ALL
+           |  SELECT query_id, cand_id, CAST(score AS DOUBLE) AS score, CAST($t AS INT) AS step FROM (
+           |    SELECT query_id, cand_id, score,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+           |    FROM pick$t) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |pool AS (SELECT query_id, cand_id, qsim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, $cos AS qsim,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE $predSql) WHERE rnk <= $pool),
+         |cand AS (SELECT query_id, cand_id, qsim FROM pool),
+         |pairs AS (SELECT a.query_id, a.cand_id, b.cand_id AS other_id, $pcos AS csim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |  JOIN e x ON x.vec_id = a.cand_id JOIN e y ON y.vec_id = b.cand_id),
+         |sel1 AS (SELECT query_id, cand_id, CAST(($lam * ${d6("qsim")}) AS DOUBLE) AS score, CAST(1 AS INT) AS step FROM (
+         |  SELECT query_id, cand_id, qsim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ($lam * ${d6("qsim")}) DESC, cand_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |$steps
+         |SELECT query_id, step, cand_id, score
+         |FROM sel$k ORDER BY query_id, step""".stripMargin
+    }
+
     def jlProjection: String =
       s"""SELECT vec_id, CAST(j AS INT) AS dim, ${jlVal("j", "embedding")} AS val
          |FROM embeddings, range(1, ${JlDim + 1}) t(j)

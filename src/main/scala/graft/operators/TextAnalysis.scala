@@ -549,6 +549,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher stopword list (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1): a document must contain at least [[GopherMinStopwords]]
+    * distinct members to pass the stopword rule.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopwords = 2
+
+  /** Gopher-style rule-based document filter (Rae et al. 2021, Table A1)
+    * — the canonical pretraining quality gate: word-count bounds, mean
+    * word length bounds, symbol-to-word ratio, alphabetic-word fraction,
+    * and stopword presence, each as an explicit per-document flag plus
+    * the conjunction verdict. (The paper's line-level bullet/ellipsis
+    * rules are omitted: the corpus is single-line by construction.)
+    *
+    * Every signal is codegen'd string arithmetic (length/replace/split +
+    * one character-class regex), embarrassingly parallel — one scan, no
+    * shuffle, the shape a 100 TB filter pass needs.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): DataFrame = {
+    import graft.functions.Text
+    val t = col(textCol)
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val w = Text.words(t)
+    val nWords = size(w)
+    val meanLen = (length(t) - (nWords - lit(1))) / nWords
+    val symbolRatio = (occ(padded, "#") + occ(padded, "...")) / nWords
+    val alphaFrac =
+      size(filter(w, x => length(regexp_replace(lower(x), "[^a-z]", "")) > 0)) /
+        nWords.cast("double")
+    val nStop = GopherStopwords
+      .map(sw => when(padded.contains(s" $sw "), 1).otherwise(0))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("symbol_ratio", round(symbolRatio, 6))
+      .withColumn("alpha_word_frac", round(alphaFrac, 6))
+      .withColumn("n_stopwords_present", nStop)
+      .withColumn("pass_word_count", nWords >= minWords && nWords <= maxWords)
+      .withColumn("pass_word_len", meanLen >= minWordLen && meanLen <= maxWordLen)
+      .withColumn("pass_symbol_ratio", symbolRatio < maxSymbolRatio)
+      .withColumn("pass_alpha_words", alphaFrac > minAlphaFrac)
+      .withColumn("pass_stopwords", nStop >= GopherMinStopwords)
+      .withColumn(
+        "pass_gopher",
+        col("pass_word_count") && col("pass_word_len") && col("pass_symbol_ratio") &&
+          col("pass_alpha_words") && col("pass_stopwords"))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "n_stopwords_present", "pass_word_count",
+        "pass_word_len", "pass_symbol_ratio", "pass_alpha_words",
+        "pass_stopwords", "pass_gopher")
+  }
+
   /** Pairwise Jensen–Shannon divergence between the sources' word
     * distributions — the domain-shift diagnostic a mixture designer
     * reads before weighting sources (JSD ∈ [0, ln 2]; 0 = identical
@@ -865,6 +922,40 @@ object TextAnalysis {
          |  FROM b JOIN ccs USING (bg) LEFT JOIN cts USING (bg) CROSS JOIN st
          |  GROUP BY doc_id, is_target)
          |ORDER BY doc_id""".stripMargin
+    }
+
+    /** Mirrors gopherRules: identical arithmetic shapes (double `/` on
+      * both engines), rule comparisons on the UNROUNDED values, display
+      * columns rounded to 6 dp in both.
+      */
+    def gopherRules(minWords: Int = 50, maxWords: Int = 100000,
+        minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+        maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): String = {
+      val nWords = "len(w)"
+      val meanLen = s"((length(text) - ($nWords - 1)) / $nWords)"
+      val symbolRatio = s"((${occSql(padded, "#")} + ${occSql(padded, "...")}) / $nWords)"
+      val alphaFrac =
+        s"(len(list_filter(w, x -> length(regexp_replace(lower(x), '[^a-z]', '', 'g')) > 0)) / CAST($nWords AS DOUBLE))"
+      val nStop = GopherStopwords
+        .map(sw => s"(CASE WHEN contains($padded, ' $sw ') THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, CAST($nWords AS INT) AS n_words,
+         |  round($meanLen, 6) AS mean_word_len,
+         |  round($symbolRatio, 6) AS symbol_ratio,
+         |  round($alphaFrac, 6) AS alpha_word_frac,
+         |  $nStop AS n_stopwords_present,
+         |  ($nWords >= $minWords AND $nWords <= $maxWords) AS pass_word_count,
+         |  ($meanLen >= $minWordLen AND $meanLen <= $maxWordLen) AS pass_word_len,
+         |  ($symbolRatio < $maxSymbolRatio) AS pass_symbol_ratio,
+         |  ($alphaFrac > $minAlphaFrac) AS pass_alpha_words,
+         |  ($nStop >= $GopherMinStopwords) AS pass_stopwords,
+         |  (($nWords >= $minWords AND $nWords <= $maxWords)
+         |   AND ($meanLen >= $minWordLen AND $meanLen <= $maxWordLen)
+         |   AND ($symbolRatio < $maxSymbolRatio)
+         |   AND ($alphaFrac > $minAlphaFrac)
+         |   AND ($nStop >= $GopherMinStopwords)) AS pass_gopher
+         |FROM d ORDER BY doc_id""".stripMargin
     }
 
     /** Mirrors sourceDivergence: same term shape, same decimal-backed

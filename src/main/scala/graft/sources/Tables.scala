@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Registry over the driver-generated parquet testdata
   * (/root/repo/TESTDATA.md): TPC-H-ish star schema + `events` stream table
@@ -28,14 +28,20 @@ object Tables {
   val dims: Set[String] = Set("region", "nation")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond
-    // timestamp type, so it is read as a raw long (nanosAsLong) and
-    // truncated to microseconds here — the same truncation DuckDB applies
-    // when casting TIMESTAMP_NS to TIMESTAMP, keeping both engines aligned.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    // generations and TIMESTAMP(MICROS, no tz) in others. Normalize both
+    // to a session-UTC TIMESTAMP: nanos arrive as a raw long (nanosAsLong)
+    // and truncate to micros — the same truncation DuckDB applies casting
+    // TIMESTAMP_NS to TIMESTAMP; micros-no-tz arrives as TIMESTAMP_NTZ and
+    // the cast in a UTC-pinned session preserves the wall-clock DuckDB
+    // reads, keeping both engines aligned either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 

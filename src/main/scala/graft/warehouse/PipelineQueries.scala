@@ -932,7 +932,39 @@ object PipelineQueries {
   val winnowOverlap: Q = (s, dir) =>
     Dedup.winnowOverlapPairs(docs(s, dir)).orderBy("d1", "d2")
 
+  /** q168: Gopher rule-based quality filter (Rae et al. 2021 Table A1). */
+  val gopherRules: Q = (s, dir) =>
+    TextAnalysis.gopherRules(docs(s, dir)).orderBy("doc_id")
+
+  /** q169: per-dimension corpus standardization (z-score scaling) of the
+    * embedding table, exploded to (vec_id, dim, z) rows for the
+    * hash-compare.
+    */
+  val standardizeEmb: Q = (s, dir) =>
+    Similarity.standardize(emb(s, dir))
+      .select(col("vec_id"), posexplode(col("z")).as(Seq("pos", "z")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("z"))
+      .orderBy("vec_id", "dim")
+
+  /** q170: MMR-diversified top-5 re-rank over the exact top-20 pool. */
+  val mmrRerank: Q = (s, dir) =>
+    Similarity.mmrTopK(emb(s, dir), col("vec_id") < 20)
+      .orderBy("query_id", "step")
+
+  /** q171: in-engine GD-trained logistic-regression domain classifier. */
+  val domainClassifier: Q = (s, dir) =>
+    Classifier.trainDomainClassifier(docs(s, dir), col("source") === "src0")
+
+  /** q172: the classifier's filter pass — every doc scored + keep flag. */
+  val classifierScores: Q = (s, dir) =>
+    Classifier.scoreDocuments(docs(s, dir), col("source") === "src0")
+
   val queries: Map[String, Q] = Map(
+    "q168_gopher_rules" -> gopherRules,
+    "q169_standardize" -> standardizeEmb,
+    "q170_mmr_rerank" -> mmrRerank,
+    "q171_domain_classifier" -> domainClassifier,
+    "q172_classifier_scores" -> classifierScores,
     "q161_ivfpq" -> ivfPq,
     "q162_jl_projection" -> jlProjection,
     "q163_jl_distortion" -> jlDistortion,
@@ -1024,6 +1056,11 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q168_gopher_rules" -> TO.gopherRules(),
+    "q169_standardize" -> Similarity.O.standardize,
+    "q170_mmr_rerank" -> Similarity.O.mmrTopK("q.vec_id < 20"),
+    "q171_domain_classifier" -> Classifier.O.trainDomainClassifier("source = 'src0'"),
+    "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),

@@ -1,0 +1,120 @@
+package graft
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Standardization + MMR re-rank semantics against plain-Scala
+  * reimplementations (the cross-engine bit-exactness is separately
+  * hash-checked by q169/q170's DuckDB oracles).
+  */
+class RerankSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, RoundingMode.HALF_UP).toDouble
+
+  private def dec6(v: Double): BigDecimal =
+    BigDecimal(v).setScale(6, RoundingMode.HALF_UP)
+
+  private def dot(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.foldLeft(0.0)(_ + _)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double =
+    round6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+
+  // dyadic values keep every decimal cast exact-friendly
+  private def vec(i: Int): Array[Float] =
+    Array.tabulate(4)(j => ((i % 5) * 0.125 + j * 0.0625 + (i * j % 3) * 0.25).toFloat)
+
+  test("standardize matches the plain-Scala population z-score, any partitioning") {
+    val n = 24
+    val rows = (0 until n).map(i => (i.toLong, vec(i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val xs = Array.tabulate(4)(j => rows.map(_._2(j).toDouble).toArray)
+    val expected = Array.tabulate(4) { j =>
+      val s = xs(j).map(dec6).sum.toDouble
+      val s2 = xs(j).map(x => dec6(x * x)).sum.toDouble
+      val mu = s / n
+      val sigma = math.sqrt(math.max(s2 - s * s / n, 0.0) / n)
+      (mu, sigma)
+    }
+    for (df <- Seq(emb, emb.repartition(7))) {
+      val got = Similarity.standardize(df, dim = 4).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      assert(got.size == n)
+      rows.foreach { case (id, v) =>
+        val want = Array.tabulate(4) { j =>
+          val (mu, sigma) = expected(j)
+          if (sigma > 0) round6((v(j).toDouble - mu) / sigma) else 0.0
+        }
+        assert(got(id).zip(want).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+          s"vec $id: ${got(id).toSeq} vs ${want.toSeq}")
+      }
+    }
+  }
+
+  test("mmr re-rank matches plain-Scala greedy MMR and diversifies near-dups") {
+    // vectors 0..2 are queries; 10/11 are near-identical high-relevance
+    // candidates so plain top-k would pick both, MMR must not pick them
+    // back-to-back.
+    val base = (0 until 12).map(i => (i.toLong, vec(i)))
+    val rows = base.map {
+      case (10L, _) => (10L, Array(1.0f, 1.0f, 0.5f, 0.25f))
+      case (11L, _) => (11L, Array(1.0f, 0.9999f, 0.5f, 0.25f))
+      case (0L, _) => (0L, Array(1.0f, 0.95f, 0.45f, 0.3f))
+      case other => other
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // λ=0.5 weighs diversity enough that the planted near-dup pair is
+    // provably split; q170 runs the production λ=0.7 against the oracle
+    val k = 3; val pool = 6; val lambda = 0.5
+    val mu = 1.0 - lambda
+    val byId = rows.toMap
+
+    // exact-decimal scoring, mirroring the engine: λ and 1−λ are 1-dp
+    // decimals, qsim/div are 6-dp, so the score is exact at 7 dp
+    val lamBD = BigDecimal(lambda).setScale(1, RoundingMode.HALF_UP)
+    val muBD = BigDecimal(mu).setScale(1, RoundingMode.HALF_UP)
+    def refMmr(q: Long): Seq[(Int, Long, Double)] = {
+      val cands = rows.map(_._1).filter(_ != q)
+        .map(c => c -> cos(byId(q), byId(c)))
+        .sortBy { case (c, s) => (-s, c) }.take(pool)
+      val pair = (for ((a, _) <- cands; (b, _) <- cands if a != b)
+        yield (a, b) -> cos(byId(a), byId(b))).toMap
+      var selected = Vector.empty[(Int, Long, Double)]
+      for (step <- 1 to k) {
+        val picked = selected.map(_._2).toSet
+        val scored = cands.filterNot { case (c, _) => picked(c) }.map { case (c, qs) =>
+          val score =
+            if (step == 1) lamBD * dec6(qs)
+            else lamBD * dec6(qs) - muBD * dec6(selected.map(s => pair((c, s._2))).max)
+          (c, score)
+        }
+        val (c, sc) = scored.minBy { case (c, s) => (-s, c) }
+        selected :+= ((step, c, sc.toDouble))
+      }
+      selected
+    }
+
+    val got = Similarity.mmrTopK(emb, col("vec_id") < 3, k = k, pool = pool, lambda = lambda)
+      .orderBy("query_id", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 3 * k)
+    for (q <- 0L until 3L) {
+      val want = refMmr(q)
+      val g = got.filter(_._1 == q).sortBy(_._2).map(t => (t._2, t._3, t._4))
+      assert(g.map(t => (t._1, t._2)).toSeq == want.map(t => (t._1, t._2)),
+        s"query $q picks: $g vs $want")
+      g.zip(want).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-9) }
+    }
+    // diversification: for query 0 the two near-identical top candidates
+    // (10, 11) must NOT both be selected in the first two steps
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(!(q0.take(2).toSet == Set(10L, 11L)),
+      s"MMR picked both near-dups back-to-back: ${q0.toSeq}")
+  }
+}

@@ -51,6 +51,29 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(r(3L)._1 == 1 && !r(3L)._5) // top_word_frac 1.0 > 0.2 → fail
   }
 
+  test("gopher rules: hand-computed flags per rule") {
+    val pass = ("the cat and dog " * 15).trim // 60 words, meanLen 3.0, stopwords {the, and}
+    val short = "tiny doc of words" // 4 words → word-count fail (stopword fail too: only "of")
+    val symbols = (("the cat and dog " * 13).trim + " " + ("# " * 8).trim) // 60 words, 8 '#'
+    val docs = Seq((1L, pass), (2L, short), (3L, symbols)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: every rule passes; mean_word_len exactly (239-59)/60 = 3.0
+    assert(r(1L).getAs[Int]("n_words") == 60)
+    assert(r(1L).getAs[Double]("mean_word_len") == 3.0)
+    assert(r(1L).getAs[Int]("n_stopwords_present") == 2)
+    assert(r(1L).getAs[Boolean]("pass_gopher"))
+    // doc 2: too short, and only one stopword present
+    assert(!r(2L).getAs[Boolean]("pass_word_count"))
+    assert(!r(2L).getAs[Boolean]("pass_stopwords"))
+    assert(!r(2L).getAs[Boolean]("pass_gopher"))
+    // doc 3: 8 '#' in 60 words → ratio 8/60 > 0.1 fails; alpha 52/60 > 0.8 passes
+    assert(math.abs(r(3L).getAs[Double]("symbol_ratio") - 0.133333) < 1e-6)
+    assert(!r(3L).getAs[Boolean]("pass_symbol_ratio"))
+    assert(r(3L).getAs[Boolean]("pass_alpha_words"))
+    assert(!r(3L).getAs[Boolean]("pass_gopher"))
+  }
+
   test("multimodal decode stub agrees with the expression path") {
     val docs = Seq((1L, "hello world", "s1"), (2L, "abcdefgh", "s2"))
       .toDF("doc_id", "text", "source")
