@@ -403,11 +403,17 @@ object Similarity {
         round(Vec.dotFast(col("e1"), col("e2")) / (col("n1") * col("n2")), 6).as("csim"))
       .cache()
     val w = Window.partitionBy("query_id").orderBy(desc("score"), col("cand_id"))
+    // each greedy round references `selected` TWICE (exclusion anti-join
+    // + diversity join), so without truncation the lazy plan doubles per
+    // step (2^k subtree copies — measured 42 s for k=5 at sf0.1); the
+    // per-step localCheckpoint pins the tiny (queries x step) frame and
+    // keeps every round O(pool)
     val first = cand
       .withColumn("score", lamD * col("qsim").cast("decimal(18,6)"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("query_id"), col("cand_id"), col("score").cast("double").as("score"),
         lit(1).as("step"))
+      .localCheckpoint(true)
     (2 to k).foldLeft(first) { (selected, step) =>
       val div = pairs
         .join(selected.select(col("query_id"), col("cand_id").as("other_id")),
@@ -422,7 +428,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id"), col("score").cast("double").as("score"),
           lit(step).as("step"))
-      selected.unionByName(pick)
+      selected.unionByName(pick).localCheckpoint(true)
     }.select("query_id", "step", "cand_id", "score")
   }
 

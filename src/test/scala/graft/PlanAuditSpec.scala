@@ -165,6 +165,32 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("nearest-centroid assignment aggregates, never sorts the scored corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Clustering, Similarity}
+    import graft.sources.Tables
+    // the n x k assignment must plan as a (partial-combined) aggregate:
+    // a Window/Sort over the scored frame is the shape that dies first
+    // at 100 TB (sorting 16x the corpus per Lloyd round)
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = Clustering.seedCentroids(emb, Similarity.IvfNlist)
+    for ((label, df) <- Seq(
+        "assign" -> Clustering.assign(emb, cents),
+        "assignL2" -> Clustering.assignL2(
+          emb, cents.select(col("cluster_id"), col("cemb"))))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$label plans a Window:\n${p.take(600)}")
+      assert(p.contains("Aggregate"), s"$label lost its aggregate:\n${p.take(600)}")
+    }
+    // the ANN queries that embed this assignment keep Sort out of their
+    // corpus branch too (the only Sorts left are the bounded final
+    // ORDER BY / per-query top-k rankings)
+    val ivf = SparkEntry.queries("q65_ann_ivf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ivf.contains("ObjectHashAggregate") || ivf.contains("SortAggregate") ||
+      ivf.contains("HashAggregate"), ivf.take(600))
+  }
+
   test("CMS sketch aggregates with map-side partials (ObjectHashAggregate)") {
     val p = plan("q113_cms_heavy_hitters")
     assert(p.contains("ObjectHashAggregate"), p.take(1000))
