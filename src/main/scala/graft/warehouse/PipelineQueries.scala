@@ -959,7 +959,76 @@ object PipelineQueries {
   val classifierScores: Q = (s, dir) =>
     Classifier.scoreDocuments(docs(s, dir), col("source") === "src0")
 
+  /** q173: cross-source exact-duplicate overlap matrix — for every
+    * source pair, how many distinct content hashes they share and the
+    * hash-set Jaccard. The inter-source redundancy read a mixture
+    * designer needs BEFORE weighting sources (q151's JSD measures
+    * distribution shift; this measures literal copy overlap). Pairs
+    * with zero overlap are kept via the tiny totals cross join.
+    *
+    * Scale: one distinct on (source, hash), a hash-keyed self-join
+    * (each hash carries <= n_sources rows — never hot), and an
+    * n_sources² broadcast base. No doc-pair space anywhere.
+    */
+  val crossSourceDups: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("source"), md5(col("text")).as("h")).distinct()
+    val t = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = d.select(col("source").as("src_a"), col("h"))
+      .join(d.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("c"))
+    broadcast(t.select(col("source").as("src_a"), col("n").as("n_a")))
+      .join(broadcast(t.select(col("source").as("src_b"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("c"), lit(0L)).as("n_shared_hashes"),
+        round(coalesce(col("c"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("c"), lit(0L))), 6).as("hash_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q174: sequence-length distribution per source — the exact
+    * p50/p90/p99/max token counts that size packing buffers and length
+    * buckets (q167 measures the waste; this is the distribution that
+    * causes it). One keyed aggregation over the q49-verified stats.
+    */
+  val lengthDistribution: Q = (s, dir) =>
+    TextAnalysis.withTextStats(docs(s, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90_tokens"),
+        round(percentile(col("n_tokens"), lit(0.99)), 6).as("p99_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("source")
+
+  /** q175: PII-scrub audit — per source, documents carrying redacted
+    * emails after q70's cleaning pass, total redactions, and the
+    * character volume the full normalization removed. The privacy
+    * report a curation pipeline publishes next to its dataset card.
+    */
+  val scrubAudit: Q = (s, dir) => scrubAuditOf(docs(s, dir))
+
+  private[graft] def scrubAuditOf(d: DataFrame): DataFrame =
+    TextAnalysis.withCleanText(d)
+      .select(col("source"), col("n_chars"), col("clean_len"),
+        ((length(col("clean_text")) -
+          length(replace(col("clean_text"), lit("<email>"), lit("")))) / lit(7))
+          .cast("long").as("n_emails"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(col("n_emails")).as("total_emails"),
+        sum((col("n_chars") - col("clean_len")).cast("long")).as("chars_removed"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "q173_cross_source_dups" -> crossSourceDups,
+    "q174_length_distribution" -> lengthDistribution,
+    "q175_scrub_audit" -> scrubAudit,
     "q168_gopher_rules" -> gopherRules,
     "q169_standardize" -> standardizeEmb,
     "q170_mmr_rerank" -> mmrRerank,
@@ -1056,6 +1125,35 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q173_cross_source_dups" ->
+      """WITH d AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+        |t AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+        |      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+        |SELECT ta.source AS src_a, tb.source AS src_b, ta.n AS n_a, tb.n AS n_b,
+        |  COALESCE(p.c, 0) AS n_shared_hashes,
+        |  round(CAST(COALESCE(p.c, 0) AS DOUBLE) / (ta.n + tb.n - COALESCE(p.c, 0)), 6) AS hash_jaccard
+        |FROM t ta JOIN t tb ON ta.source < tb.source
+        |LEFT JOIN p ON p.src_a = ta.source AND p.src_b = tb.source
+        |ORDER BY 1, 2""".stripMargin,
+    "q174_length_distribution" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+         |  round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens,
+         |  max(n_tokens) AS max_tokens
+         |FROM (SELECT source, ${TO.textStats} FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q175_scrub_audit" ->
+      s"""WITH c AS (SELECT source, n_chars, ${TO.cleanText} AS clean_text FROM documents),
+         |e AS (SELECT source, n_chars, length(clean_text) AS clean_len,
+         |        CAST((length(clean_text) - length(replace(clean_text, '<email>', ''))) / 7 AS BIGINT) AS n_emails
+         |      FROM c)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+         |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+         |  CAST(SUM(CAST(n_chars - clean_len AS BIGINT)) AS BIGINT) AS chars_removed
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
     "q168_gopher_rules" -> TO.gopherRules(),
     "q169_standardize" -> Similarity.O.standardize,
     "q170_mmr_rerank" -> Similarity.O.mmrTopK("q.vec_id < 20"),

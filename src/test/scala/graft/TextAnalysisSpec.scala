@@ -74,6 +74,18 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(!r(3L).getAs[Boolean]("pass_gopher"))
   }
 
+  test("scrub audit counts redacted emails and removed characters") {
+    val docs = Seq(
+      (1L, "mail a@b.com and c@d.org please", "s1", 31L),
+      (2L, "no mail here!!", "s1", 14L)).toDF("doc_id", "text", "source", "n_chars")
+    val r = graft.warehouse.PipelineQueries.scrubAuditOf(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("docs_with_email") == 1L)
+    assert(row.getAs[Long]("total_emails") == 2L)
+    assert(row.getAs[Long]("n_docs") == 2L)
+  }
+
   test("multimodal decode stub agrees with the expression path") {
     val docs = Seq((1L, "hello world", "s1"), (2L, "abcdefgh", "s2"))
       .toDF("doc_id", "text", "source")
