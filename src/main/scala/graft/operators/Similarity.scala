@@ -432,6 +432,49 @@ object Similarity {
     }.select("query_id", "step", "cand_id", "score")
   }
 
+  val KCenterK = 8 // coreset size — constant in the corpus size
+
+  /** k-center coreset selection by farthest-point sampling (Gonzalez
+    * 1985; Sener & Savarese 2018 use it for training-data selection):
+    * greedily pick the point farthest (squared L2) from everything
+    * picked so far. The k picks cover the corpus within 2× the optimal
+    * k-center radius — the diversity-first complement to [[mmrTopK]]
+    * (which re-ranks a relevance pool; this selects corpus-wide).
+    *
+    * Scale design: each of the k rounds is ONE aggregation over the
+    * corpus — min-distance to the ≤k selected vectors is computed
+    * against LITERAL arrays (k·dim constants in the plan, no join at
+    * all), and the argmax is the struct-ordered MAX of design rule 7.
+    * Only the single winning (id, vector) row ever reaches the driver.
+    * Deterministic: hash-seeded start, IEEE-exact distance folds,
+    * ties on lowest vec_id — the DuckDB oracle replays every round.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int = KCenterK): DataFrame = {
+    import graft.functions.Hashes
+    val spark = emb.sparkSession
+    val seed = emb
+      .orderBy(Hashes.md5Long32(col("vec_id").cast("string")), col("vec_id"))
+      .limit(1).select(col("vec_id"), col("embedding")).head()
+    var picked = Vector[(Long, Seq[Float], Option[Double])](
+      (seed.getLong(0), seed.getSeq[Float](1), None))
+    for (_ <- 2 to k) {
+      val dists = picked.map { case (_, v, _) =>
+        Vec.l2sq(col("embedding"), lit(v.toArray)) }
+      val mind = dists.reduce((a, b) => least(a, b))
+      val row = emb
+        .filter(!col("vec_id").isin(picked.map(_._1): _*))
+        .select(col("vec_id"), col("embedding"), mind.as("mind"))
+        .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"), col("embedding"))).as("b"))
+        .select(col("b.mind"), (-col("b.nid")).as("vec_id"), col("b.embedding"))
+        .head()
+      picked :+= ((row.getLong(1), row.getSeq[Float](2), Some(row.getDouble(0))))
+    }
+    import spark.implicits._
+    picked.zipWithIndex.map { case ((id, _, d), i) =>
+      (i + 1, id, d.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("step", "vec_id", "dist_to_selected")
+  }
+
   val PqM = 16 // subspaces — each Dim/PqM = 4 dims
   val PqSubDim = Dim / PqM
   val PqK = 16 // codewords per subspace: 4-bit codes → 64 floats become 16 nibbles (8 B, 32×)
@@ -987,6 +1030,33 @@ object Similarity {
     }
 
     /** Bit-identical twin of the q162 long-form [[Similarity.jlProject]]. */
+    /** Mirrors kCenterCoreset: hash-seeded start, k−1 unrolled
+      * farthest-point rounds (MIN over the selected set ≡ the Spark
+      * side's least() over the same literals; argmax = ORDER BY mind
+      * DESC, vec_id LIMIT 1 ≡ the struct-MAX).
+      */
+    def kCenterCoreset(k: Int = KCenterK): String = {
+      val seedKey = Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")
+      val rounds = (2 to k).map { t =>
+        val prev = s"p${t - 1}"
+        s"""m$t AS (SELECT v.vec_id, ANY_VALUE(v.embedding) AS embedding,
+           |  MIN(${V.O.l2sq("v.embedding", "s.embedding")}) AS mind
+           |  FROM e v CROSS JOIN $prev s
+           |  WHERE v.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY v.vec_id),
+           |w$t AS (SELECT vec_id, embedding, mind FROM m$t ORDER BY mind DESC, vec_id LIMIT 1),
+           |p$t AS (SELECT vec_id, embedding FROM $prev UNION ALL SELECT vec_id, embedding FROM w$t),
+           |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL
+           |  SELECT CAST($t AS INT), vec_id, round(mind, 6) FROM w$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |s1 AS (SELECT vec_id, embedding FROM e ORDER BY $seedKey, vec_id LIMIT 1),
+         |p1 AS (SELECT vec_id, embedding FROM s1),
+         |sel1 AS (SELECT CAST(1 AS INT) AS step, vec_id, CAST(NULL AS DOUBLE) AS dist_to_selected FROM s1),
+         |$rounds
+         |SELECT step, vec_id, dist_to_selected FROM sel$k ORDER BY step""".stripMargin
+    }
+
     /** Mirrors standardize ∘ posexplode: same decimal per-dim sums,
       * same population-sigma expression shape, same sigma=0 guard.
       */

@@ -1025,7 +1025,14 @@ object PipelineQueries {
         sum((col("n_chars") - col("clean_len")).cast("long")).as("chars_removed"))
       .orderBy("source")
 
+  /** q176: k-center coreset by farthest-point sampling (diversity-first
+    * corpus-wide data selection; the selection-time distance is the
+    * covering radius trajectory).
+    */
+  val kCenterCoreset: Q = (s, dir) => Similarity.kCenterCoreset(emb(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "q176_kcenter_coreset" -> kCenterCoreset,
     "q173_cross_source_dups" -> crossSourceDups,
     "q174_length_distribution" -> lengthDistribution,
     "q175_scrub_audit" -> scrubAudit,
@@ -1125,6 +1132,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q176_kcenter_coreset" -> Similarity.O.kCenterCoreset(),
     "q173_cross_source_dups" ->
       """WITH d AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
         |t AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),

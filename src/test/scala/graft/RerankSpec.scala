@@ -117,4 +117,30 @@ class RerankSpec extends AnyFunSuite with TestSpark {
     assert(!(q0.take(2).toSet == Set(10L, 11L)),
       s"MMR picked both near-dups back-to-back: ${q0.toSeq}")
   }
+
+  test("k-center coreset walks farthest-first and is partitioning-invariant") {
+    // a tight cluster at the origin plus two far points: whatever the
+    // hash-seeded start, the two far points must be picked by step 3,
+    // and each round's dist_to_selected is non-increasing... (farthest
+    // remaining distance shrinks as coverage grows)
+    val rows = (0 until 20).map { i =>
+      val v =
+        if (i == 17) Array(100f, 0f, 0f, 0f)
+        else if (i == 18) Array(-100f, 0f, 0f, 0f)
+        else Array.tabulate(4)(j => (i * 0.01f + j * 0.005f))
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val a = Similarity.kCenterCoreset(emb, k = 4).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val b = Similarity.kCenterCoreset(emb.repartition(7), k = 4).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(a.toSeq == b.toSeq, "coreset must not depend on partitioning")
+    assert(a.length == 4 && a.head._3.isEmpty)
+    val picked3 = a.take(3).map(_._2).toSet
+    assert(Set(17L, 18L).subsetOf(picked3), s"far points not covered first: ${a.toSeq}")
+    val dists = a.drop(1).map(_._3.get)
+    assert(dists.zip(dists.drop(1)).forall { case (x, y) => y <= x },
+      s"covering radius must shrink: ${dists.toSeq}")
+  }
 }
