@@ -1031,7 +1031,41 @@ object PipelineQueries {
     */
   val kCenterCoreset: Q = (s, dir) => Similarity.kCenterCoreset(emb(s, dir))
 
+  /** q177: the end-to-end curation pipeline as ONE query — exact dedup
+    * ∧ Gopher quality ∧ trained-classifier domain targeting, rolled up
+    * into a per-source funnel with the surviving token budget. Every
+    * stage is an independently hash-verified subtree (q40/q168/q172);
+    * the composition adds only doc_id-keyed joins and exact counts, so
+    * the whole pipeline stays oracle-checkable end-to-end — this is the
+    * query a user of the engine actually ships.
+    */
+  val curationPipeline: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val kept = Dedup.exact(d).select(col("kept_doc_id").as("doc_id"), lit(true).as("u"))
+    val gopher = TextAnalysis.gopherRules(d).select(col("doc_id"), col("pass_gopher"))
+    val scored = Classifier.scoreDocuments(d, col("source") === "src0")
+      .select(col("doc_id"), col("predicted_positive"))
+    TextAnalysis.withTextStats(d)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(gopher, "doc_id")
+      .join(scored, "doc_id")
+      .withColumn("is_unique", coalesce(col("u"), lit(false)))
+      .withColumn("selected",
+        col("is_unique") && col("pass_gopher") && col("predicted_positive"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_unique"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("is_unique") && col("pass_gopher"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("n_tokens").cast("long")).otherwise(0L))
+          .as("tokens_selected"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
     "q173_cross_source_dups" -> crossSourceDups,
     "q174_length_distribution" -> lengthDistribution,
@@ -1132,6 +1166,22 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q177_curation_pipeline" ->
+      s"""WITH st AS (SELECT doc_id, source, ${TO.textStats} FROM documents),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |g AS (SELECT doc_id, pass_gopher FROM (${TO.gopherRules()})),
+         |c AS (SELECT doc_id, predicted_positive FROM (${Classifier.O.scoreDocuments("source = 'src0'")})),
+         |j AS (SELECT st.source, st.n_tokens,
+         |        (k.doc_id IS NOT NULL) AS is_unique, g.pass_gopher, c.predicted_positive,
+         |        ((k.doc_id IS NOT NULL) AND g.pass_gopher AND c.predicted_positive) AS selected
+         |      FROM st LEFT JOIN k ON k.doc_id = st.doc_id
+         |      JOIN g ON g.doc_id = st.doc_id JOIN c ON c.doc_id = st.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN is_unique THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(SUM(CASE WHEN is_unique AND pass_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(SUM(CASE WHEN selected THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_selected
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q176_kcenter_coreset" -> Similarity.O.kCenterCoreset(),
     "q173_cross_source_dups" ->
       """WITH d AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
