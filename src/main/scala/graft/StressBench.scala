@@ -51,7 +51,16 @@ object StressBench {
     // IVF-PQ: constant-size trainings + (cent, m, code)-keyed search
     "q164_winnowing" -> warehouse.PipelineQueries.winnowing,
     "q165_winnow_overlap" -> warehouse.PipelineQueries.winnowOverlap,
-    "q161_ivfpq" -> warehouse.PipelineQueries.ivfPq)
+    "q161_ivfpq" -> warehouse.PipelineQueries.ivfPq,
+    // round-6 additions: rule filter + GD classifier (pure scans), the
+    // cross-source hash matrix (hash-keyed join), MMR (pool-bounded
+    // pair space), k-center (k one-pass corpus aggregations) — each
+    // must track the 10× input, never the square
+    "q168_gopher_rules" -> warehouse.PipelineQueries.gopherRules,
+    "q171_domain_classifier" -> warehouse.PipelineQueries.domainClassifier,
+    "q173_cross_source_dups" -> warehouse.PipelineQueries.crossSourceDups,
+    "q170_mmr_rerank" -> warehouse.PipelineQueries.mmrRerank,
+    "q176_kcenter_coreset" -> warehouse.PipelineQueries.kCenterCoreset)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity
