@@ -113,6 +113,28 @@ object Classifier {
       .orderBy("doc_id")
   }
 
+  /** The online-scoring half of the offline-train / online-score split:
+    * apply ALREADY-TRAINED weights as plan literals. Stateless and
+    * narrow, so it runs unchanged on a streaming frame (see
+    * streaming.StreamCuration) — no label column required.
+    */
+  def withScore(docs: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == 4, s"expected (bias, w1, w2, w3), got ${w.length} weights")
+    TextAnalysis.withTextStats(docs)
+      .withColumn("x1", least(col("n_tokens") / lit(200.0), lit(1.0)))
+      .withColumn("x2", least(col("avg_token_len") / lit(8.0), lit(1.0)))
+      .withColumn("x3", least(col("stopword_ratio") * lit(2.0), lit(1.0)))
+      .withColumn("domain_score", round(sigmoid(z(w)), 6))
+      .withColumn("keep_domain", z(w) >= lit(0.0))
+  }
+
+  /** Collects the trained 4-weight model for literal re-use (e.g. by a
+    * streaming scorer): (bias, w1, w2, w3).
+    */
+  def trainedWeights(docs: DataFrame, labelPred: Column,
+      lr: Double = Lr, iters: Int = Iters): Array[Double] =
+    fit(features(docs, labelPred).cache(), lr, iters)
+
   /** DuckDB oracle: replays the full GD trajectory as `iters` unrolled
     * CTE stages (1-row weight relations cross-joined into each
     * aggregation), then scores the final boundary — every expression

@@ -571,7 +571,8 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame, textCol: String = "text",
       minWords: Int = 50, maxWords: Int = 100000,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8): DataFrame = {
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      carry: Seq[String] = Nil): DataFrame = {
     import graft.functions.Text
     val t = col(textCol)
     val padded = concat(lit(" "), lower(t), lit(" "))
@@ -600,10 +601,10 @@ object TextAnalysis {
         "pass_gopher",
         col("pass_word_count") && col("pass_word_len") && col("pass_symbol_ratio") &&
           col("pass_alpha_words") && col("pass_stopwords"))
-      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
-        "alpha_word_frac", "n_stopwords_present", "pass_word_count",
-        "pass_word_len", "pass_symbol_ratio", "pass_alpha_words",
-        "pass_stopwords", "pass_gopher")
+      .select((Seq("doc_id") ++ carry ++ Seq("n_words", "mean_word_len",
+        "symbol_ratio", "alpha_word_frac", "n_stopwords_present",
+        "pass_word_count", "pass_word_len", "pass_symbol_ratio",
+        "pass_alpha_words", "pass_stopwords", "pass_gopher")).map(col): _*)
   }
 
   /** Pairwise Jensen–Shannon divergence between the sources' word
