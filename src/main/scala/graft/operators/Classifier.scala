@@ -70,14 +70,23 @@ object Classifier {
     w
   }
 
-  /** Trains on the full frame, returns ONE row: the final weights, the
-    * class balance, the confusion counts at the z >= 0 decision
-    * boundary, and training accuracy.
+  /** The deterministic hash-sampled training subset (the IVF quantizer
+    * discipline): at corpus scale the GD loop touches only ~trainPct%
+    * of rows while evaluation still covers everything.
+    */
+  private def trainSet(f: DataFrame, trainPct: Int): DataFrame =
+    if (trainPct >= 100) f
+    else f.filter(Sampling.hashBucket(col("doc_id")).cast("int") < trainPct)
+
+  /** Trains (on the full frame, or a hash sample when trainPct < 100),
+    * returns ONE row: the final weights, the class balance, the
+    * confusion counts at the z >= 0 decision boundary over the FULL
+    * frame, and accuracy.
     */
   def trainDomainClassifier(docs: DataFrame, labelPred: Column,
-      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+      lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): DataFrame = {
     val f = features(docs, labelPred).cache()
-    val w = fit(f, lr, iters)
+    val w = fit(trainSet(f, trainPct), lr, iters)
     val predPos = z(w) >= lit(0.0)
     val isPos = col("y") === lit(1.0)
     f.agg(
@@ -104,9 +113,9 @@ object Classifier {
     * over it (at 100 TB: iters + 1 scans, zero shuffles).
     */
   def scoreDocuments(docs: DataFrame, labelPred: Column,
-      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+      lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): DataFrame = {
     val f = features(docs, labelPred).cache()
-    val w = fit(f, lr, iters)
+    val w = fit(trainSet(f, trainPct), lr, iters)
     f.select(col("doc_id"), col("y").cast("int").as("label"),
         round(sigmoid(z(w)), 6).as("score"),
         (z(w) >= lit(0.0)).as("predicted_positive"))
@@ -132,8 +141,8 @@ object Classifier {
     * streaming scorer): (bias, w1, w2, w3).
     */
   def trainedWeights(docs: DataFrame, labelPred: Column,
-      lr: Double = Lr, iters: Int = Iters): Array[Double] =
-    fit(features(docs, labelPred).cache(), lr, iters)
+      lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): Array[Double] =
+    fit(trainSet(features(docs, labelPred).cache(), trainPct), lr, iters)
 
   /** DuckDB oracle: replays the full GD trajectory as `iters` unrolled
     * CTE stages (1-row weight relations cross-joined into each
@@ -146,15 +155,19 @@ object Classifier {
     /** The shared trajectory prefix: feature CTE + w0 + `iters`
       * unrolled GD stages ending in relation `w$iters`.
       */
-    private def trajectoryCtes(labelSql: String, lr: Double, iters: Int): String = {
+    private def trajectoryCtes(labelSql: String, lr: Double, iters: Int,
+        trainPct: Int = 100): String = {
       val err = s"((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))) - f.y)"
+      val trainWhere =
+        if (trainPct >= 100) ""
+        else s" WHERE ${Sampling.O.hashBucket("doc_id")} < $trainPct"
       val iterCtes = (1 to iters).map { t =>
         s"""g$t AS (SELECT w.b, w.w1, w.w2, w.w3, CAST(COUNT(*) AS DOUBLE) AS n,
            |  ${Num.O.sumHi(err)} AS g0,
            |  ${Num.O.sumHi(s"$err * f.x1")} AS g1,
            |  ${Num.O.sumHi(s"$err * f.x2")} AS g2,
            |  ${Num.O.sumHi(s"$err * f.x3")} AS g3
-           |  FROM feats f CROSS JOIN w${t - 1} w GROUP BY 1, 2, 3, 4),
+           |  FROM train f CROSS JOIN w${t - 1} w GROUP BY 1, 2, 3, 4),
            |w$t AS (SELECT round(b - $lr * (g0 / n), 12) AS b,
            |  round(w1 - $lr * (g1 / n), 12) AS w1,
            |  round(w2 - $lr * (g2 / n), 12) AS w2,
@@ -166,13 +179,14 @@ object Classifier {
          |  least(avg_token_len / 8.0, 1.0) AS x2,
          |  least(stopword_ratio * 2.0, 1.0) AS x3,
          |  CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS y FROM s),
+         |train AS (SELECT * FROM feats$trainWhere),
          |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
          |$iterCtes""".stripMargin
     }
 
     def trainDomainClassifier(labelSql: String,
-        lr: Double = Lr, iters: Int = Iters): String = {
-      s"""${trajectoryCtes(labelSql, lr, iters)},
+        lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): String = {
+      s"""${trajectoryCtes(labelSql, lr, iters, trainPct)},
          |m AS (SELECT COUNT(*) AS n_docs,
          |  CAST(SUM(CAST(f.y AS BIGINT)) AS BIGINT) AS n_pos,
          |  CAST(SUM(CASE WHEN $zSql >= 0.0 AND f.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,

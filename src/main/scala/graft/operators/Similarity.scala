@@ -457,17 +457,21 @@ object Similarity {
       .limit(1).select(col("vec_id"), col("embedding")).head()
     var picked = Vector[(Long, Seq[Float], Option[Double])](
       (seed.getLong(0), seed.getSeq[Float](1), None))
-    for (_ <- 2 to k) {
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val dists = picked.map { case (_, v, _) =>
         Vec.l2sq(col("embedding"), lit(v.toArray)) }
       val mind = dists.reduce((a, b) => least(a, b))
+      // max(struct) over an EMPTY remainder (corpus smaller than k)
+      // yields a null struct, not a row error — stop with what we have
       val row = emb
         .filter(!col("vec_id").isin(picked.map(_._1): _*))
         .select(col("vec_id"), col("embedding"), mind.as("mind"))
         .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"), col("embedding"))).as("b"))
         .select(col("b.mind"), (-col("b.nid")).as("vec_id"), col("b.embedding"))
         .head()
-      picked :+= ((row.getLong(1), row.getSeq[Float](2), Some(row.getDouble(0))))
+      if (row.isNullAt(0)) exhausted = true
+      else picked :+= ((row.getLong(1), row.getSeq[Float](2), Some(row.getDouble(0))))
     }
     import spark.implicits._
     picked.zipWithIndex.map { case ((id, _, d), i) =>

@@ -1064,7 +1064,17 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q178: the classifier trained on a 25% hash sample (the IVF
+    * quantizer discipline — at corpus scale GD touches the sample,
+    * evaluation covers everything); the sampled trajectory is replayed
+    * by the oracle just like the full one.
+    */
+  val classifierSampled: Q = (s, dir) =>
+    Classifier.trainDomainClassifier(docs(s, dir), col("source") === "src0",
+      trainPct = 25)
+
   val queries: Map[String, Q] = Map(
+    "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
     "q173_cross_source_dups" -> crossSourceDups,
@@ -1166,6 +1176,8 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q178_classifier_sampled" ->
+      Classifier.O.trainDomainClassifier("source = 'src0'", trainPct = 25),
     "q177_curation_pipeline" ->
       s"""WITH st AS (SELECT doc_id, source, ${TO.textStats} FROM documents),
          |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

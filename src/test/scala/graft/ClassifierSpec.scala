@@ -45,6 +45,19 @@ class ClassifierSpec extends AnyFunSuite with TestSpark {
     assert(a == b)
   }
 
+  test("hash-sampled training still separates and stays partitioning-invariant") {
+    val a = Classifier.trainDomainClassifier(corpus, col("source") === "src0", trainPct = 50).head
+    val b = Classifier.trainDomainClassifier(
+      corpus.repartition(5), col("source") === "src0", trainPct = 50).head
+    assert(a == b)
+    // evaluation still covers ALL docs even though GD saw only the sample
+    assert(a.getAs[Long]("n_docs") == 60)
+    assert(a.getAs[Double]("accuracy") > 0.9)
+    // the sampled trajectory differs from the full one (it really did subsample)
+    val full = Classifier.trainDomainClassifier(corpus, col("source") === "src0").head
+    assert(a.getAs[Double]("w1") != full.getAs[Double]("w1"))
+  }
+
   test("training separates a separable corpus and reports coherent counts") {
     val r = Classifier.trainDomainClassifier(corpus, col("source") === "src0").head
     val (nDocs, nPos) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"))

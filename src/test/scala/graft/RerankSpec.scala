@@ -142,5 +142,8 @@ class RerankSpec extends AnyFunSuite with TestSpark {
     val dists = a.drop(1).map(_._3.get)
     assert(dists.zip(dists.drop(1)).forall { case (x, y) => y <= x },
       s"covering radius must shrink: ${dists.toSeq}")
+    // corpus smaller than k: stops with the whole corpus, no error
+    val tiny = rows.take(3).toDF("vec_id", "embedding")
+    assert(Similarity.kCenterCoreset(tiny, k = 8).count() == 3)
   }
 }
