@@ -294,9 +294,132 @@ object Corpus {
       .orderBy("rank")
   }
 
+  val SubwordVocab = 24 // multi-gram vocabulary entries (chars are implicit fallback)
+  val SubwordRounds = 8 // unrolled greedy steps; must cover max word length
+
+  /** Subword tokenization of the corpus: train a character n-gram
+    * vocabulary (top-[[SubwordVocab]] 2/3/4-grams of the word
+    * dictionary, frequency-weighted) and encode every document by
+    * greedy longest-match (WordPiece-inference semantics with
+    * char-fallback, Wu et al. 2016 §4.1). Returns per doc the
+    * whitespace word count, the subword count, the fertility ratio,
+    * and an md5 over the full ordered token stream — the encoded-corpus
+    * artifact a tokenizer stage ships.
+    *
+    * Scale design: the classic dictionary trick — the greedy loop runs
+    * over DISTINCT words (vocabulary-sized, shuffled once), never the
+    * token stream; each of the [[SubwordRounds]] unrolled steps is
+    * three broadcast gram-lookups + a narrow projection, and the corpus
+    * is touched once at the end by a broadcast word→encoding join.
+    * Deterministic: exact integer frequencies, (count DESC, gram ASC)
+    * vocabulary ties, fixed longest-match order — the DuckDB oracle
+    * replays training AND encoding.
+    */
+  def subwordTokenize(docs: DataFrame, vocabSize: Int = SubwordVocab,
+      rounds: Int = SubwordRounds, textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val wf = docs
+      .select(explode(Text.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    val maxLen = wf.agg(max(length(col("w")))).head().getInt(0)
+    require(maxLen <= rounds,
+      s"greedy unroll covers $rounds chars but the longest word has $maxLen — raise rounds")
+    val grams = (2 to 4).map { n =>
+      wf.filter(length(col("w")) >= n)
+        .select(col("f"),
+          explode(transform(sequence(lit(1), length(col("w")) - (n - 1)),
+            i => col("w").substr(i, lit(n)))).as("g"))
+    }.reduce(_ unionByName _)
+    val vocab = grams.groupBy("g").agg(sum(col("f")).as("gw"))
+      .orderBy(desc("gw"), col("g")).limit(vocabSize)
+      .select(col("g"), length(col("g")).as("gl"))
+      .localCheckpoint(true)
+    def vb(n: Int) = broadcast(
+      vocab.filter(col("gl") === n).select(col("g").as(s"g$n")))
+    var st = wf.select(col("w"), lit(1).as("pos"), lit(0).as("n_toks"), lit("").as("toks"))
+    for (_ <- 1 to rounds) {
+      val done = col("pos") > length(col("w"))
+      st = st
+        .join(vb(4), col("g4") === expr("substr(w, pos, 4)"), "left")
+        .join(vb(3), col("g3") === expr("substr(w, pos, 3)"), "left")
+        .join(vb(2), col("g2") === expr("substr(w, pos, 2)"), "left")
+        .withColumn("tok", coalesce(col("g4"), col("g3"), col("g2"), expr("substr(w, pos, 1)")))
+        .withColumn("len",
+          when(col("g4").isNotNull, 4).when(col("g3").isNotNull, 3)
+            .when(col("g2").isNotNull, 2).otherwise(1))
+        .select(col("w"),
+          when(done, col("pos")).otherwise(col("pos") + col("len")).as("pos"),
+          when(done, col("n_toks")).otherwise(col("n_toks") + 1).as("n_toks"),
+          when(done, col("toks")).otherwise(concat(col("toks"), lit(" "), col("tok"))).as("toks"))
+        .localCheckpoint(true)
+    }
+    val enc = st.select(col("w"), col("n_toks"), ltrim(col("toks")).as("toks"))
+    docs
+      .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("pos0", "word")))
+      .join(broadcast(enc), col("word") === col("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_toks").cast("long")).as("n_subwords"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos0"), col("toks")))),
+          x => x.getField("toks")))).as("tokens_md5"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+      .select("doc_id", "n_words", "n_subwords", "fertility", "tokens_md5")
+  }
+
   /** DuckDB oracle twins. */
   object O {
     import graft.functions.{Hashes, Num}
+
+    /** Mirrors subwordTokenize: identical vocabulary training
+      * (frequency-weighted grams, count-DESC/gram-ASC ties) and the
+      * same unrolled greedy longest-match rounds over the word
+      * dictionary (length-tagged vocab joins, char fallback).
+      */
+    def subwordTokenize(vocabSize: Int = SubwordVocab,
+        rounds: Int = SubwordRounds): String = {
+      val gramSel = (2 to 4).map { n =>
+        s"""SELECT substr(w, i, $n) AS g, f FROM (
+           |  SELECT w, f, CAST(unnest(range(1, length(w) - ${n - 2})) AS INT) AS i
+           |  FROM wf WHERE length(w) >= $n)""".stripMargin
+      }.mkString(" UNION ALL ")
+      val stRounds = (1 to rounds).map { t =>
+        s"""st$t AS (
+           |  SELECT w,
+           |    CASE WHEN pos > length(w) THEN pos ELSE pos + len END AS pos,
+           |    CASE WHEN pos > length(w) THEN n_toks ELSE n_toks + 1 END AS n_toks,
+           |    CASE WHEN pos > length(w) THEN toks ELSE toks || ' ' || tok END AS toks
+           |  FROM (
+           |    SELECT s.w, s.pos, s.n_toks, s.toks,
+           |      COALESCE(v4.g, v3.g, v2.g, substr(s.w, s.pos, 1)) AS tok,
+           |      CASE WHEN v4.g IS NOT NULL THEN 4 WHEN v3.g IS NOT NULL THEN 3
+           |           WHEN v2.g IS NOT NULL THEN 2 ELSE 1 END AS len
+           |    FROM st${t - 1} s
+           |    LEFT JOIN vocab v4 ON v4.gl = 4 AND v4.g = substr(s.w, s.pos, 4)
+           |    LEFT JOIN vocab v3 ON v3.gl = 3 AND v3.g = substr(s.w, s.pos, 3)
+           |    LEFT JOIN vocab v2 ON v2.gl = 2 AND v2.g = substr(s.w, s.pos, 2)))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wf AS (SELECT w, COUNT(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |grams AS ($gramSel),
+         |vocab AS (SELECT g, CAST(length(g) AS INT) AS gl FROM (
+         |  SELECT g, SUM(f) AS gw FROM grams GROUP BY g ORDER BY gw DESC, g LIMIT $vocabSize)),
+         |st0 AS (SELECT w, CAST(1 AS INT) AS pos, CAST(0 AS INT) AS n_toks, '' AS toks FROM wf),
+         |$stRounds,
+         |enc AS (SELECT w, n_toks, ltrim(toks) AS toks FROM st$rounds),
+         |d0 AS (SELECT doc_id, wl, CAST(unnest(range(1, len(wl) + 1)) AS INT) AS pos
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)),
+         |d AS (SELECT doc_id, pos, wl[pos] AS word FROM d0)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(CAST(e.n_toks AS BIGINT)) AS BIGINT) AS n_subwords,
+         |  round(CAST(SUM(CAST(e.n_toks AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS fertility,
+         |  md5(string_agg(e.toks, ' ' ORDER BY pos)) AS tokens_md5
+         |FROM d JOIN enc e ON e.w = d.word
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
 
     /** CTE chain `base, bn, en, ch` ending in the per-chunk rows —
       * the bit-identical twin of [[Corpus.cdcChunks]]. DuckDB

@@ -1073,7 +1073,14 @@ object PipelineQueries {
     Classifier.trainDomainClassifier(docs(s, dir), col("source") === "src0",
       trainPct = 25)
 
+  /** q179: subword tokenization — train the gram vocabulary, greedy
+    * longest-match encode the word dictionary, roll up per doc.
+    */
+  val subwordTokens: Q = (s, dir) =>
+    Corpus.subwordTokenize(docs(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q179_subword_tokens" -> subwordTokens,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
@@ -1176,6 +1183,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q179_subword_tokens" -> Corpus.O.subwordTokenize(),
     "q178_classifier_sampled" ->
       Classifier.O.trainDomainClassifier("source = 'src0'", trainPct = 25),
     "q177_curation_pipeline" ->

@@ -325,4 +325,31 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     val o = graft.operators.Corpus.bpeMergePairs(overlap).collect()
     assert(o.length == 1 && o(0).getString(0) == "aa" && o(0).getLong(1) == 2L)
   }
+
+  test("subword tokenization: hand-computed greedy longest-match") {
+    import graft.operators.Corpus
+    // vocab top-3 by (weight desc, gram asc): ab(6), cd(4), aba(2)
+    val docs = Seq(
+      (1L, "abab abab cdcd", "s1"),
+      (2L, "abcd ab cd", "s1")).toDF("doc_id", "text", "source")
+    val r = Corpus.subwordTokenize(docs, vocabSize = 3, rounds = 8)
+      .orderBy("doc_id").collect()
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: abab -> aba b; cdcd -> cd cd
+    assert(r(0).getAs[Long]("n_words") == 3)
+    assert(r(0).getAs[Long]("n_subwords") == 6)
+    assert(r(0).getAs[Double]("fertility") == 2.0)
+    assert(r(0).getAs[String]("tokens_md5") == md5("aba b aba b cd cd"))
+    // doc 2: abcd -> ab cd; ab; cd
+    assert(r(1).getAs[Long]("n_subwords") == 4)
+    assert(r(1).getAs[Double]("fertility") == 1.333333)
+    assert(r(1).getAs[String]("tokens_md5") == md5("ab cd ab cd"))
+    // a word longer than the unroll must fail loudly, not truncate
+    val long = Seq((1L, "abcdefghijklm", "s1")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      Corpus.subwordTokenize(long, vocabSize = 3, rounds = 8)
+    }
+  }
 }
