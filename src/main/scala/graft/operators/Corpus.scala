@@ -315,7 +315,12 @@ object Corpus {
     * vocabulary ties, fixed longest-match order — the DuckDB oracle
     * replays training AND encoding.
     */
-  def subwordTokenize(docs: DataFrame, vocabSize: Int = SubwordVocab,
+  /** The dictionary-level half of [[subwordTokenize]]: per DISTINCT
+    * word its greedy segmentation — (w, n_toks, toks). Exposed so the
+    * lossless-segmentation property (tokens re-concatenate to the
+    * word) is directly testable.
+    */
+  def subwordEncodings(docs: DataFrame, vocabSize: Int = SubwordVocab,
       rounds: Int = SubwordRounds, textCol: String = "text"): DataFrame = {
     import graft.functions.Text
     val wf = docs
@@ -354,7 +359,13 @@ object Corpus {
           when(done, col("toks")).otherwise(concat(col("toks"), lit(" "), col("tok"))).as("toks"))
         .localCheckpoint(true)
     }
-    val enc = st.select(col("w"), col("n_toks"), ltrim(col("toks")).as("toks"))
+    st.select(col("w"), col("n_toks"), ltrim(col("toks")).as("toks"))
+  }
+
+  def subwordTokenize(docs: DataFrame, vocabSize: Int = SubwordVocab,
+      rounds: Int = SubwordRounds, textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val enc = subwordEncodings(docs, vocabSize, rounds, textCol)
     docs
       .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("pos0", "word")))
       .join(broadcast(enc), col("word") === col("w"))

@@ -1079,7 +1079,53 @@ object PipelineQueries {
   val subwordTokens: Q = (s, dir) =>
     Corpus.subwordTokenize(docs(s, dir)).orderBy("doc_id")
 
+  /** q180: per-source quantile calibration of the quality score — each
+    * document's percent rank WITHIN its source (unique ordering via the
+    * doc_id tie-break, so ranks are engine-exact) plus the
+    * top-half-per-source flag. Thresholding the rank instead of the raw
+    * score selects the same FRACTION from every source, immune to
+    * distribution shift between sources — the fair-mixing calibration
+    * step (cf. CCNet's per-language perplexity buckets).
+    */
+  val qualityCalibration: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    TextAnalysis.withTextStats(docs(s, dir))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("q_rank", round(percent_rank().over(w), 6))
+      .withColumn("selected_fair", percent_rank().over(w) >= 0.5)
+      // quality_score ships UNROUNDED (the q49 convention): the raw
+      // double is bit-equal across engines, while rounding it put one
+      // row exactly on a 6-dp half boundary in testing
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("q_rank"), col("selected_fair"))
+      .orderBy("doc_id")
+  }
+
+  /** q181: distinct-n diversity (Li et al. 2016): per source and n-gram
+    * order, the unique/total gram ratio — the repetitiveness complement
+    * to q140's within-doc coverage, here across the whole source.
+    */
+  val distinctNgrams: Q = (s, dir) => {
+    import graft.functions.Text
+    val d = docs(s, dir)
+    (1 to 3).map { n =>
+      d.select(col("source"), explode(Text.shingles(col("text"), n)).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_ngrams"),
+          count_distinct(col("g")).as("distinct_ngrams"))
+        .withColumn("n", lit(n))
+    }.reduce(_ unionByName _)
+      .select(col("source"), col("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("distinct_ratio"))
+      .orderBy("source", "n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_quality_calibration" -> qualityCalibration,
+    "q181_distinct_ngrams" -> distinctNgrams,
     "q179_subword_tokens" -> subwordTokens,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
@@ -1183,6 +1229,25 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q180_quality_calibration" ->
+      s"""WITH s AS (SELECT doc_id, source, ${TO.textStats} FROM documents)
+         |SELECT doc_id, source, quality_score,
+         |  round(percent_rank() OVER w, 6) AS q_rank,
+         |  (percent_rank() OVER w >= 0.5) AS selected_fair
+         |FROM s WINDOW w AS (PARTITION BY source ORDER BY quality_score, doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q181_distinct_ngrams" -> {
+      val arms = (1 to 3).map { n =>
+        s"""SELECT source, $n AS n, unnest(${graft.functions.Text.O.shingles("text", n)}) AS g
+           |FROM w WHERE len(w) >= $n""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |g AS ($arms)
+         |SELECT source, CAST(n AS INT) AS n, COUNT(*) AS total_ngrams,
+         |  COUNT(DISTINCT g) AS distinct_ngrams,
+         |  round(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+         |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
+    },
     "q179_subword_tokens" -> Corpus.O.subwordTokenize(),
     "q178_classifier_sampled" ->
       Classifier.O.trainDomainClassifier("source = 'src0'", trainPct = 25),

@@ -352,4 +352,21 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
       Corpus.subwordTokenize(long, vocabSize = 3, rounds = 8)
     }
   }
+
+  test("subword segmentation is lossless on a seeded random corpus") {
+    import graft.operators.Corpus
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 40).map(_ =>
+      (1 to (1 + rnd.nextInt(8))).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+    val docs = words.grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" "), "s1") }.toSeq
+      .toDF("doc_id", "text", "source")
+    val enc = Corpus.subwordEncodings(docs, vocabSize = 6, rounds = 9).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (w, n, toks) = (r.getString(0), r.getInt(1), r.getString(2))
+      assert(toks.replace(" ", "") == w, s"segmentation of '$w' lost bytes: '$toks'")
+      assert(toks.split(" ").count(_.nonEmpty) == n, s"token count mismatch for '$w'")
+    }
+  }
 }
