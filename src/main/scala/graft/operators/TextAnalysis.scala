@@ -651,6 +651,45 @@ object TextAnalysis {
     */
   val HalfLn2: Double = 0.5 * math.log(2.0)
 
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β estimated by
+    * least squares on (ln cum_tokens, ln cum_vocab) over the doc-ordered
+    * ingestion curve — the sizing law for vocabulary tables, hash
+    * spaces, and tokenizer budgets as the corpus grows (β ≈ 0.4-0.6
+    * for natural text; the synthetic corpus saturates early).
+    *
+    * Scale: first occurrences are one (word → min doc_id) aggregation;
+    * the running-sum window carries ONE 2-long row per document (doc
+    * count, not token count). At extreme doc counts, pre-bucket docs
+    * before the window; the fit is over the same curve.
+    */
+  def heapsFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Num, Text}
+    val words = docs.select(col("doc_id"), explode(Text.words(col(textCol))).as("w"))
+    val firstOcc = words.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_words"))
+    val toks = words.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val w = Window.orderBy("doc_id")
+    val curve = toks.join(firstOcc, Seq("doc_id"), "left")
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("new_words"), lit(0L))).over(w))
+      .select(log(col("cum_tokens").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"))
+    val g = curve.agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.dsum(col("x")).as("sx"), Num.dsum(col("y")).as("sy"),
+      Num.dsum(col("x") * col("x")).as("sxx"),
+      Num.dsum(col("x") * col("y")).as("sxy"),
+      Num.dsum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxx, sxy, syy) =
+      (col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+    g.select(
+      col("n").cast("long").as("n_docs"),
+      round(Num.fitSlope(n, sx, sy, sxx, sxy), 6).as("heaps_beta"),
+      round(Num.fitIntercept(n, sx, sy, sxx, sxy), 6).as("ln_k"),
+      round(Num.fitCorr(n, sx, sy, sxx, sxy, syy), 6).as("corr"))
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -668,6 +707,8 @@ object TextAnalysis {
 
   /** DuckDB fragments mirroring the Spark expressions above. */
   object O {
+    import graft.functions.Num
+
     private val padded = "(' ' || lower(text) || ' ')"
 
     /** Mirrors withCleanText (DuckDB regexp_replace needs the 'g' flag —
@@ -979,6 +1020,29 @@ object TextAnalysis {
          |  round(0.5 * ct + $HalfLn2 * ((1.0 - ma) + (1.0 - mb)), 6) AS jsd
          |FROM g ORDER BY src_a, src_b""".stripMargin
     }
+
+    /** Mirrors heapsFit: same first-occurrence/cumulative construction,
+      * default running window frame (unique doc_id ordering), decimal
+      * sums, shared fit fragments.
+      */
+    def heapsFit: String =
+      s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |fo AS (SELECT min(doc_id) AS doc_id FROM wd GROUP BY w),
+         |nw AS (SELECT doc_id, COUNT(*) AS new_words FROM fo GROUP BY doc_id),
+         |tk AS (SELECT doc_id, COUNT(*) AS n_toks FROM wd GROUP BY doc_id),
+         |curve AS (SELECT ln(CAST(SUM(n_toks) OVER win AS DOUBLE)) AS x,
+         |                 ln(CAST(SUM(COALESCE(new_words, 0)) OVER win AS DOUBLE)) AS y
+         |          FROM tk LEFT JOIN nw USING (doc_id)
+         |          WINDOW win AS (ORDER BY doc_id)),
+         |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  ${Num.O.sum("x")} AS sx, ${Num.O.sum("y")} AS sy,
+         |  ${Num.O.sum("x * x")} AS sxx, ${Num.O.sum("x * y")} AS sxy,
+         |  ${Num.O.sum("y * y")} AS syy FROM curve)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  round(${Num.O.fitSlope()}, 6) AS heaps_beta,
+         |  round(${Num.O.fitIntercept()}, 6) AS ln_k,
+         |  round(${Num.O.fitCorr()}, 6) AS corr
+         |FROM g""".stripMargin
 
     /** Mirrors repetitionStats (thresholds must match the Spark call). */
     def repetitionStats(

@@ -1123,7 +1123,11 @@ object PipelineQueries {
       .orderBy("source", "n")
   }
 
+  /** q182: Heaps'-law vocabulary-growth fit over the ingestion curve. */
+  val heapsGrowth: Q = (s, dir) => TextAnalysis.heapsFit(docs(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "q182_heaps_fit" -> heapsGrowth,
     "q180_quality_calibration" -> qualityCalibration,
     "q181_distinct_ngrams" -> distinctNgrams,
     "q179_subword_tokens" -> subwordTokens,
@@ -1229,6 +1233,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q182_heaps_fit" -> TO.heapsFit,
     "q180_quality_calibration" ->
       s"""WITH s AS (SELECT doc_id, source, ${TO.textStats} FROM documents)
          |SELECT doc_id, source, quality_score,
