@@ -1126,7 +1126,35 @@ object PipelineQueries {
   /** q182: Heaps'-law vocabulary-growth fit over the ingestion curve. */
   val heapsGrowth: Q = (s, dir) => TextAnalysis.heapsFit(docs(s, dir))
 
+  /** q183: embedding-table QA — the one-row health report an ANN index
+    * build runs first: vector count, how many are unit-norm /
+    * near-zero / NaN-free, the norm range, and the dimension check
+    * (degenerate vectors poison cosine metrics silently; the testdata
+    * table IS unit-normalized to float precision, which this report
+    * states rather than assumes). One narrow pass, flag comparisons on
+    * exact doubles (no rounded z-scores — the norm variance of a
+    * unit-norm table sits below decimal resolution by construction).
+    */
+  val embeddingQa: Q = (s, dir) => {
+    import graft.functions.Vec
+    emb(s, dir)
+      .select(
+        sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"),
+        size(col("embedding")).as("dim"),
+        size(filter(col("embedding"), x => isnan(x))).as("n_nan"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(abs(col("nrm") - 1.0) < 0.00001, 1L).otherwise(0L)).as("n_unit_norm"),
+        sum(when(col("nrm") < 0.01, 1L).otherwise(0L)).as("n_near_zero"),
+        sum(when(col("n_nan") > 0, 1L).otherwise(0L)).as("n_with_nan"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        min(col("dim")).as("min_dim"),
+        max(col("dim")).as("max_dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_embedding_qa" -> embeddingQa,
     "q182_heaps_fit" -> heapsGrowth,
     "q180_quality_calibration" -> qualityCalibration,
     "q181_distinct_ngrams" -> distinctNgrams,
@@ -1233,6 +1261,18 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q183_embedding_qa" ->
+      s"""WITH n AS (SELECT sqrt(${graft.functions.Vec.O.dot("embedding", "embedding")}) AS nrm,
+         |             CAST(len(embedding) AS INT) AS dim,
+         |             CAST(len(list_filter(embedding, x -> isnan(x))) AS INT) AS n_nan
+         |           FROM embeddings)
+         |SELECT COUNT(*) AS n_vectors,
+         |  CAST(SUM(CASE WHEN abs(nrm - 1.0) < 0.00001 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit_norm,
+         |  CAST(SUM(CASE WHEN nrm < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero,
+         |  CAST(SUM(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+         |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+         |  min(dim) AS min_dim, max(dim) AS max_dim
+         |FROM n""".stripMargin,
     "q182_heaps_fit" -> TO.heapsFit,
     "q180_quality_calibration" ->
       s"""WITH s AS (SELECT doc_id, source, ${TO.textStats} FROM documents)
