@@ -46,16 +46,23 @@ object PipelineQueries {
     Similarity.nearDupPairs(emb(s, dir), threshold = 0.40).orderBy("label", "v1", "v2")
 
   /** Cluster resolution over the embedding near-dup graph — the same
-    * connected-components operator composed with a different pair
-    * source (v1/v2 renamed to the d1/d2 contract). Pair generation is
-    * the q45 near-dup contract (label blocks, caller-owned sizes); the
-    * corpus-scale GRAPH builders (q101/q132/q134) use the bounded
-    * label∧bucket generator instead.
+    * connected-components operator composed with the BOUNDED
+    * (label ∧ sign-bucket) pair generator (v1/v2 renamed to the d1/d2
+    * contract). Like the other corpus-scale graph builders
+    * (q101/q132/q134), candidate blocks are capped at
+    * [[Similarity.GraphBlockCap]], so one hot label can never send the
+    * pair space quadratic; near-identical vectors agree on every
+    * hyperplane sign, so duplicate-level edges — the cluster signal —
+    * land in the same bucket by construction. (q45 keeps the uncapped
+    * within-label contract for curated blocks whose sizes the caller
+    * owns.) Threshold 0.15 is the GRAPH-family operating point shared
+    * with q101/q132: cluster resolution runs over the same edge set
+    * PageRank and the triangle census read.
     */
   val embedClusters: Q = (s, dir) =>
     Dedup
       .connectedComponents(
-        Similarity.nearDupPairs(emb(s, dir), threshold = 0.40)
+        Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
           .select(col("v1").as("d1"), col("v2").as("d2")))
       .orderBy("doc_id")
 
@@ -299,15 +306,39 @@ object PipelineQueries {
   /** q110: Zipf-law fit over corpus word frequencies. */
   val zipf: Q = (s, dir) => TextAnalysis.zipfFit(docs(s, dir))
 
+  /** Audit-sampling contract for the recall/calibration queries
+    * (q111/q143/q144/q160): an accuracy audit inherently needs an EXACT
+    * reference — all-pairs within label blocks, or a brute-force
+    * ranking per query point — which is affordable only over a
+    * deterministic hash-sample of the vectors. [[RecallAuditPct]]
+    * samples the pair-recall audit's vectors (pairs of sampled points
+    * are an unbiased sample of the pair population);
+    * [[AnnAuditPct]] samples the top-k audits' QUERY points (each
+    * sampled query is still ranked against the FULL corpus — the side
+    * under audit is never sampled). Both knobs are part of the query
+    * contract, mirrored in the oracles; at production scale they are
+    * what keeps the exact branch linear in the sample, not the corpus.
+    */
+  val RecallAuditPct = 50
+  val AnnAuditPct = 4
+  private def annAuditPred = Sampling.hashBucket(col("vec_id")) < AnnAuditPct
+  private val annAuditPredSql = s"${Sampling.O.hashBucket("vec_id")} < $AnnAuditPct"
+
   /** q111: ANN candidate-generation RECALL — the share of exact
     * near-dup pairs the sign-LSH bucketing reproduces, plus the
     * candidate volume it pays for them. The evaluation a pipeline runs
     * before trusting approximate dedup at scale; one row out, so the
-    * scalar cross-joins are single-row broadcasts.
+    * scalar cross-joins are single-row broadcasts. The exact branch
+    * runs over the [[RecallAuditPct]] hash-sample; the bucket table and
+    * candidate-volume cost metric stay full-corpus (they price the
+    * PRODUCTION index, not the audit). Threshold 0.15 is the
+    * graph-family operating point (q53/q101/q132) — the pair
+    * population the LSH candidate generation actually serves.
     */
   val lshRecall: Q = (s, dir) => {
     val e = emb(s, dir)
-    val exact = Similarity.nearDupPairs(e, threshold = 0.40).select("v1", "v2")
+    val sampled = e.filter(Sampling.hashBucket(col("vec_id")) < RecallAuditPct)
+    val exact = Similarity.nearDupPairs(sampled, threshold = 0.15).select("v1", "v2")
     val b = e.select(col("vec_id"), Similarity.bucketOf(col("embedding")).as("bucket"))
     // candidate VOLUME needs no pair materialization: Σ C(size,2) over
     // buckets (s·(s−1) is even, so the integer division is exact)
@@ -686,15 +717,18 @@ object PipelineQueries {
     * recall): of the true top-10 neighbors per query, how many does the
     * 4-probe IVF search return? One keyed semi join between two
     * independently-verified rankings (q46 exact, q65 IVF), one row out.
+    * Query points are the [[AnnAuditPct]] hash-sample (the exact branch
+    * is |Q|·|corpus| — sampling Q is what bounds it at scale); each
+    * sampled query still ranks against the full corpus.
     */
   val ivfRecall: Q = (s, dir) => {
     val e = emb(s, dir)
     // cached: the exact ranking feeds both the hit join and the
     // denominator aggregation — without the pin the corpus-scan
     // brute-force scoring runs twice
-    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 20, k = 10)
+    val exact = Similarity.bruteForceTopK(e, annAuditPred, k = 10)
       .select("query_id", "cand_id").cache()
-    val approx = Similarity.ivfTopK(e, col("vec_id") < 20, k = 10)
+    val approx = Similarity.ivfTopK(e, annAuditPred, k = 10)
       .select("query_id", "cand_id")
     val hits = exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
@@ -718,12 +752,12 @@ object PipelineQueries {
     // the exact ranking is tiny after top-k (|queries|·k rows) but costs
     // a corpus scan to build — cache it rather than paying that scan
     // once per probe budget plus once for the denominator
-    val exact = Similarity.bruteForceTopK(e, col("vec_id") < 20, k = 10)
+    val exact = Similarity.bruteForceTopK(e, annAuditPred, k = 10)
       .select("query_id", "cand_id").cache()
     // ONE trained quantizer + ONE corpus assignment feeds every budget
     // (Similarity.ivfSweep) — the per-budget rows are bit-identical to
     // independent ivfTopK calls, so the per-probe oracles are unchanged
-    val sweep = Similarity.ivfSweep(e, col("vec_id") < 20, k = 10, IvfSweepProbes)
+    val sweep = Similarity.ivfSweep(e, annAuditPred, k = 10, IvfSweepProbes)
     val perP = IvfSweepProbes.map { p =>
       val hits = exact.join(
         sweep.filter(col("nprobe") === p).select("query_id", "cand_id"),
@@ -880,15 +914,16 @@ object PipelineQueries {
 
   /** q160: PQ recall audit — ADC@10 against the exact squared-L2
     * top-10 (what 4-nibble codes give up vs full-precision scan; the
-    * q143 IVF-audit shape on the PQ metric).
+    * q143 IVF-audit shape on the PQ metric). Query points are the
+    * [[AnnAuditPct]] hash-sample (see the audit-sampling contract).
     */
   val pqRecall: Q = (s, dir) => {
     val e = emb(s, dir)
     // cached: the exact ranking feeds both the hit join and the
     // denominator aggregation (the q143 pin pattern)
-    val exact = Similarity.bruteForceL2TopK(e, col("vec_id") < 20, k = 10)
+    val exact = Similarity.bruteForceL2TopK(e, annAuditPred, k = 10)
       .select("query_id", "cand_id").cache()
-    val approx = Similarity.pqAdcTopK(e, col("vec_id") < 20, k = 10)
+    val approx = Similarity.pqAdcTopK(e, annAuditPred, k = 10)
       .select("query_id", "cand_id")
     val hits = exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
@@ -1365,9 +1400,9 @@ object PipelineQueries {
          |    CAST(row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY round(${V.O.l2sq("q.embedding", "c.embedding")}, 6) ASC, c.vec_id) AS INT) AS rank
          |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-         |  WHERE q.vec_id < 20)
+         |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
          |WHERE rank <= 10),
-         |ap AS (SELECT query_id, cand_id FROM (${Similarity.O.pqAdc("vec_id < 20", 10)})),
+         |ap AS (SELECT query_id, cand_id FROM (${Similarity.O.pqAdc(annAuditPredSql, 10)})),
          |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM ex JOIN ap USING (query_id, cand_id))
          |SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) AS n_queries,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact_pairs,
@@ -1459,9 +1494,9 @@ object PipelineQueries {
          |      CAST(row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
          |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-         |    WHERE q.vec_id < 20)
+         |    WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
          |  WHERE rank <= 10)),
-         |iv AS (SELECT query_id, cand_id FROM (${Similarity.O.ivf("vec_id < 20", 10)})),
+         |iv AS (SELECT query_id, cand_id FROM (${Similarity.O.ivf(annAuditPredSql, 10)})),
          |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM ex JOIN iv USING (query_id, cand_id))
          |SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) AS n_queries,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact_pairs,
@@ -1475,12 +1510,12 @@ object PipelineQueries {
            |    CAST(row_number() OVER (PARTITION BY q.vec_id
            |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
            |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-           |  WHERE q.vec_id < 20)
+           |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
            |WHERE rank <= 10""".stripMargin
       val perP = IvfSweepProbes.map { p =>
         s"""SELECT $p AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
            |FROM ex JOIN (SELECT query_id, cand_id
-           |              FROM (${Similarity.O.ivf("vec_id < 20", 10, probes = p)})) iv$p
+           |              FROM (${Similarity.O.ivf(annAuditPredSql, 10, probes = p)})) iv$p
            |USING (query_id, cand_id)""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH ex AS ($exactSub),
@@ -1499,11 +1534,8 @@ object PipelineQueries {
     "q42_ngram_jaccard" -> Dedup.O.ngramJaccardPairs,
     "q52_dedup_clusters" -> Dedup.O.clusters,
     "q53_embed_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2
-         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40),
-         |sym AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+      s"""WITH RECURSIVE ${Similarity.O.bucketedPairsCte(0.15)},
+         |sym AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION SELECT v2, v1 FROM pairs),
          |reach(src, dst) AS (
          |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
          |  UNION
@@ -1590,7 +1622,9 @@ object PipelineQueries {
       s"""WITH ex AS (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2
          |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40),
+         |  WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.15
+         |    AND ${Sampling.O.hashBucket("a.vec_id")} < $RecallAuditPct
+         |    AND ${Sampling.O.hashBucket("b.vec_id")} < $RecallAuditPct),
          |bk AS (SELECT vec_id, ${Similarity.O.bucket("embedding")} AS bucket FROM embeddings),
          |nc AS (SELECT CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS n_candidates
          |       FROM (SELECT COUNT(*) AS s FROM bk GROUP BY bucket)),

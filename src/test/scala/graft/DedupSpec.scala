@@ -116,6 +116,25 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(r.toSeq == Seq(("cold", 5001L, 5002L, 1.0)))
   }
 
+  test("q53 route: component solve over the BOUNDED generator under a hot label") {
+    // The q53 graph builder must never see an uncapped pair source:
+    // 1500 identical hot-label vectors land in ONE (label, bucket)
+    // block > GraphBlockCap, which the bounded generator drops in
+    // bounded time (the uncapped q45 contract would feed ~1.1M edges
+    // into the component solve). The cold exact-duplicate pair still
+    // clusters, proving the drop prunes the hot block, not the signal.
+    val base = Array.tabulate(64)(i => (1.0f + i * 0.01f))
+    val hot = (1 to 1500).map(i => (i.toLong, base, "hot"))
+    val cold = Seq((5001L, base, "cold"), (5002L, base, "cold"))
+    val e = (hot ++ cold).toDF("vec_id", "embedding", "label")
+    val cc = Dedup.connectedComponents(
+        Similarity.bucketedNearDupPairs(e, threshold = 0.40)
+          .select(col("v1").as("d1"), col("v2").as("d2")))
+      .select("doc_id", "cluster_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc == Set((5001L, 5001L), (5002L, 5001L)))
+  }
+
   test("hard negatives exclude same-label positives and rank by similarity") {
     val rng = new scala.util.Random(53)
     val base = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
