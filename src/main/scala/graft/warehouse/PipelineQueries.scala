@@ -1140,17 +1140,24 @@ object PipelineQueries {
   /** q181: distinct-n diversity (Li et al. 2016): per source and n-gram
     * order, the unique/total gram ratio — the repetitiveness complement
     * to q140's within-doc coverage, here across the whole source.
+    *
+    * Single-pass shape: the text is split ONCE, each order's shingle
+    * array is tagged with n inline, and all three explode together —
+    * one corpus scan and one (source, n)-keyed aggregation instead of
+    * three scans unioned (the per-(source, n) rows are value-identical
+    * to the per-n form, so the oracle is unchanged).
     */
   val distinctNgrams: Q = (s, dir) => {
     import graft.functions.Text
-    val d = docs(s, dir)
-    (1 to 3).map { n =>
-      d.select(col("source"), explode(Text.shingles(col("text"), n)).as("g"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("total_ngrams"),
-          count_distinct(col("g")).as("distinct_ngrams"))
-        .withColumn("n", lit(n))
-    }.reduce(_ unionByName _)
+    docs(s, dir)
+      .select(col("source"), Text.words(col("text")).as("w"))
+      .select(col("source"),
+        explode(flatten(array((1 to 3).map(n =>
+          transform(Text.shinglesOfWords(col("w"), n),
+            g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+      .groupBy(col("source"), col("t.n").as("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        count_distinct(col("t.g")).as("distinct_ngrams"))
       .select(col("source"), col("n"),
         col("total_ngrams"), col("distinct_ngrams"),
         round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
