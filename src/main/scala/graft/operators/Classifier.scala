@@ -65,6 +65,10 @@ object Classifier {
         round(lit(w(2)) - lit(lr) * (Num.dsumHi(err * col("x2")) / n), 12).as("w2"),
         round(lit(w(3)) - lit(lr) * (Num.dsumHi(err * col("x3")) / n), 12).as("w3"))
         .head()
+      // an empty training frame (count 0) nulls every gradient — fail
+      // with the real cause instead of a getDouble NPE downstream
+      require(!row.isNullAt(0),
+        "empty training set: the trainPct hash sample selected no rows")
       w = Array(row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
     }
     w
@@ -138,11 +142,19 @@ object Classifier {
   }
 
   /** Collects the trained 4-weight model for literal re-use (e.g. by a
-    * streaming scorer): (bias, w1, w2, w3).
+    * streaming scorer): (bias, w1, w2, w3). Unlike the scoring entry
+    * points, nothing downstream reads the feature frame once fit
+    * returns, so the training cache is dropped here rather than pinned.
+    * (trainDomainClassifier/scoreDocuments keep theirs: the returned
+    * lazy frame still reads it, so lifecycle belongs to the caller —
+    * the shared-subtree convention; Verify clears per query.)
     */
   def trainedWeights(docs: DataFrame, labelPred: Column,
-      lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): Array[Double] =
-    fit(trainSet(features(docs, labelPred).cache(), trainPct), lr, iters)
+      lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): Array[Double] = {
+    val f = features(docs, labelPred).cache()
+    try fit(trainSet(f, trainPct), lr, iters)
+    finally f.unpersist()
+  }
 
   /** DuckDB oracle: replays the full GD trajectory as `iters` unrolled
     * CTE stages (1-row weight relations cross-joined into each
@@ -201,10 +213,13 @@ object Classifier {
          |FROM m""".stripMargin
     }
 
-    /** Mirrors scoreDocuments: identical trajectory, per-doc σ̂ score. */
+    /** Mirrors scoreDocuments: identical trajectory, per-doc σ̂ score.
+      * Accepts trainPct so a hash-sampled training run stays
+      * oracle-checkable (API symmetry with the Spark side).
+      */
     def scoreDocuments(labelSql: String,
-        lr: Double = Lr, iters: Int = Iters): String =
-      s"""${trajectoryCtes(labelSql, lr, iters)}
+        lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): String =
+      s"""${trajectoryCtes(labelSql, lr, iters, trainPct)}
          |SELECT doc_id, CAST(f.y AS INT) AS label,
          |  round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score,
          |  ($zSql >= 0.0) AS predicted_positive

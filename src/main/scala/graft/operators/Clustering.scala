@@ -31,10 +31,14 @@ object Clustering {
     // argmax as a struct-ordered MAX aggregation, not a row_number
     // window: same winner bit-for-bit (max cos_c, ties -> negated id
     // picks the LOWEST cluster_id; the embedding payload is never
-    // compared because cluster_id is unique per group), but the plan is
-    // a map-side-combinable hash aggregate instead of a full sort
-    // shuffle of the n x k scored frame - the difference between one
-    // partial-agg pass and sorting 16x the corpus at 100 TB.
+    // compared because cluster_id is unique per group). The array
+    // payload keeps Max off HashAggregate (immutable buffer type -> the
+    // planner picks SortAggregate, a per-partition sort on vec_id), but
+    // the agg is still PARTIAL + final: each partition collapses to one
+    // row per key before the exchange, vs a Window's full shuffle-and-
+    // sort of the n x k scored frame - the shuffle-volume win is what
+    // matters at 100 TB (PlanAuditSpec asserts the actual node and the
+    // absence of Window).
     n.crossJoin(broadcast(c))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
       .groupBy("vec_id")
@@ -117,7 +121,8 @@ object Clustering {
   def assignL2(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("cluster_id"), col("cemb"))
     // argmin via struct-ordered MIN (see assign): identical winner,
-    // hash aggregate instead of a sort shuffle
+    // partial-aggregated (SortAggregate - the array payload bars
+    // HashAggregate) instead of a full-frame window shuffle
     emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(c))
       .withColumn("d2", Vec.l2sq(col("embedding"), col("cemb")))

@@ -327,7 +327,9 @@ object Corpus {
       .select(explode(Text.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .localCheckpoint(true)
-    val maxLen = wf.agg(max(length(col("w")))).head().getInt(0)
+    // coalesce: max over an EMPTY vocabulary is null — an empty corpus
+    // should produce an empty encoding table, not a getInt NPE
+    val maxLen = wf.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)
     require(maxLen <= rounds,
       s"greedy unroll covers $rounds chars but the longest word has $maxLen — raise rounds")
     val grams = (2 to 4).map { n =>

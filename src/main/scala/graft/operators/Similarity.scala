@@ -138,9 +138,10 @@ object Similarity {
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
     // corpus-side assignment is a struct-ordered MAX (same winner as the
     // former desc-window: max cos_c, ties -> lowest cent_id via the
-    // negated id), so the O(n x nlist) frame is hash-aggregated with
-    // map-side combine, never sorted; only the QUERY rows - a bounded
-    // set - still rank their probe lists through a window
+    // negated id), so the O(n x nlist) frame partial-aggregates (the
+    // array payload makes it a SortAggregate, still partial + final)
+    // instead of riding a full window shuffle; only the QUERY rows - a
+    // bounded set - still rank their probe lists through a window
     val assigned = toCent.groupBy("vec_id")
       .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_id"),
         col("embedding"), col("nrm"))).as("best"))
@@ -187,8 +188,8 @@ object Similarity {
         sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
-    // same split as ivfTopK: corpus assignment = struct-MAX hash agg,
-    // probe ranking = window over the bounded query rows only
+    // same split as ivfTopK: corpus assignment = struct-MAX partial
+    // aggregation, probe ranking = window over the bounded query rows
     val assigned = toCent.groupBy("vec_id")
       .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_id"),
         col("embedding"), col("nrm"))).as("best"))
@@ -274,6 +275,10 @@ object Similarity {
       sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
     val b = n.join(assigned.select("vec_id", "cent_id"), "vec_id")
       .withColumn("bucket", bucketOf(col("embedding")))
+      // cached: the bucketed assignment feeds the block-size gate AND
+      // both sides of the pair join — three evaluations of the corpus
+      // join plus 16 hyperplane dots per row without the pin
+      .cache()
     val ok = b.groupBy("cent_id", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= GraphBlockCap).select("cent_id", "bucket")
     val k = b.join(ok, Seq("cent_id", "bucket"))
@@ -464,19 +469,23 @@ object Similarity {
       val mind = dists.reduce((a, b) => least(a, b))
       // max(struct) over an EMPTY remainder (corpus smaller than k)
       // yields a null struct, not a row error — stop with what we have
+      // the struct-MAX selects on the UNROUNDED distance (like the
+      // oracle's ORDER BY mind DESC); only the REPORTED value is
+      // rounded, in-plan with the same round() both engines run
+      // everywhere else (driver-side BigDecimal would be a third
+      // rounding path)
       val row = emb
         .filter(!col("vec_id").isin(picked.map(_._1): _*))
         .select(col("vec_id"), col("embedding"), mind.as("mind"))
         .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"), col("embedding"))).as("b"))
-        .select(col("b.mind"), (-col("b.nid")).as("vec_id"), col("b.embedding"))
+        .select(round(col("b.mind"), 6).as("mind"), (-col("b.nid")).as("vec_id"), col("b.embedding"))
         .head()
       if (row.isNullAt(0)) exhausted = true
       else picked :+= ((row.getLong(1), row.getSeq[Float](2), Some(row.getDouble(0))))
     }
     import spark.implicits._
-    picked.zipWithIndex.map { case ((id, _, d), i) =>
-      (i + 1, id, d.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-    }.toDF("step", "vec_id", "dist_to_selected")
+    picked.zipWithIndex.map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("step", "vec_id", "dist_to_selected")
   }
 
   val PqM = 16 // subspaces — each Dim/PqM = 4 dims
@@ -526,8 +535,9 @@ object Similarity {
     for (_ <- 1 to IvfIters) {
       val prev = cents
       // argmin by struct-ordered MIN (ties -> lowest cluster_id; the sub
-      // payload is never compared) - map-side-combinable hash aggregate
-      // instead of sorting the (sample x M x K) frame per round
+      // payload is never compared) - partial-aggregated (SortAggregate,
+      // the array payload bars HashAggregate) instead of a full window
+      // shuffle of the (sample x M x K) frame per round
       val assigned = subs.join(broadcast(cents), Seq("m"))
         .withColumn("d2", Vec.l2sq(col("sub"), col("cemb")))
         .groupBy("vec_id", "m")
@@ -656,11 +666,11 @@ object Similarity {
     val coarse = Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct)
       .select(col("cluster_id").as("cent_id"), col("cemb"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))
-    // corpus-side coarse assignment is a struct-ordered MIN hash agg
-    // (same winner as the former asc-window; the payload fields are
-    // never compared because cent_id is unique), checkpointed once for
-    // the two encode consumers; only the bounded QUERY rows rank their
-    // probe lists through a window
+    // corpus-side coarse assignment is a struct-ordered MIN partial
+    // aggregation (same winner as the former asc-window; the payload
+    // fields are never compared because cent_id is unique),
+    // checkpointed once for the two encode consumers; only the bounded
+    // QUERY rows rank their probe lists through a window
     val scoredC = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(coarse))
       .withColumn("d2c", Vec.l2sq(col("embedding"), col("cemb")))

@@ -177,6 +177,10 @@ object TextAnalysis {
     val docBg = docs
       .select(col("doc_id"), explode(Text.shingles(col(textCol), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      // cached: the distinct-bigram table feeds the corpus count rollup
+      // AND the scoring join — without the pin the corpus explode runs
+      // twice (and three more times through every qualityGate composition)
+      .cache()
     val bgCounts = docBg.groupBy("bg").agg(sum(col("n")).as("c_bg"))
     val w1Counts = bgCounts
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
@@ -214,8 +218,14 @@ object TextAnalysis {
   def stupidBackoffScores(docs: DataFrame, refPred: Column,
       textCol: String = "text"): DataFrame = {
     import graft.functions.Text
+    // cached: the tokenized frame feeds FOUR aggregation subtrees (the
+    // doc trigram stream + the reference c3/c2/c1 count tables) — one
+    // split per row into columnar memory instead of four parquet scans
+    // re-splitting the corpus (lifecycle is the caller's, per the
+    // shared-subtree convention; Verify clears per query)
     val words = docs.select(col("doc_id"), refPred.as("is_ref"),
       Text.words(col(textCol)).as("w"))
+      .cache()
     val docTg = words.filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(Text.shinglesOfWords(col("w"), 3)).as("g3"))
       .groupBy("doc_id", "g3").agg(count(lit(1)).as("n"))
