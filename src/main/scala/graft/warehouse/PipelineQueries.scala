@@ -1195,7 +1195,25 @@ object PipelineQueries {
         max(col("dim")).as("max_dim"))
   }
 
+  /** q184: the streaming curation gate's arithmetic, hash-checked as a
+    * batch frame. StreamCurationSpec proves stream ≡ batch verdicts;
+    * this query proves the batch half against the DuckDB oracle, so the
+    * gate a live feed runs — Gopher flags, the trained classifier
+    * boundary, the combined verdict — is oracle-verified end to end
+    * (the q138/q139 stream-twin pattern applied to the round-6
+    * operator). Weights are trained OFFLINE (the q171 trajectory,
+    * collected once through the driver) and applied as plan literals,
+    * exactly as the stream does: train-offline / score-online, with
+    * the online half a stateless narrow projection.
+    */
+  val streamGateTwin: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val w = Classifier.trainedWeights(d, col("source") === "src0")
+    graft.streaming.StreamCuration.curate(d, w).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q184_stream_gate" -> streamGateTwin,
     "q183_embedding_qa" -> embeddingQa,
     "q182_heaps_fit" -> heapsGrowth,
     "q180_quality_calibration" -> qualityCalibration,
@@ -1303,6 +1321,16 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q184_stream_gate" ->
+      s"""WITH g AS (SELECT doc_id, n_words, pass_gopher FROM (${TO.gopherRules()})),
+         |sc AS (SELECT doc_id, score AS domain_score, predicted_positive AS keep_domain
+         |       FROM (${Classifier.O.scoreDocuments("source = 'src0'")})),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT src.doc_id, src.source, g.n_words, g.pass_gopher,
+         |  sc.domain_score, sc.keep_domain,
+         |  (g.pass_gopher AND sc.keep_domain) AS selected
+         |FROM src JOIN g USING (doc_id) JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q183_embedding_qa" ->
       s"""WITH n AS (SELECT sqrt(${graft.functions.Vec.O.dot("embedding", "embedding")}) AS nrm,
          |             CAST(len(embedding) AS INT) AS dim,
