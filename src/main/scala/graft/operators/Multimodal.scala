@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
@@ -13,8 +13,56 @@ import org.apache.spark.sql.functions._
   * mapPartitions boundary where a codec library would be initialized
   * once per partition (the Scala analog of mapInPandas batch decoding),
   * and downstream relational ops over the extracted features.
+  *
+  * The payload-level surface (magic-number modality sniffing, prefix
+  * byte-histogram entropy, binary exact dedup, resize planning, frame
+  * sampling) operates on the BYTES, never a decoded object: every step
+  * is a codegen'd binary expression, so the whole family runs at scan
+  * speed with no codec in the loop — the triage pass a 100 TB mixed
+  * crawl runs before deciding what is worth decoding. [[ModalityTags]]
+  * uses 4-byte ASCII stand-ins (testdata payloads are printable ASCII,
+  * which keeps the DuckDB oracle byte-exact); a production table swaps
+  * in the real magic constants (\x89PNG, \xFF\xD8\xFF, RIFF, ftyp) —
+  * the detection plumbing is identical.
   */
 object Multimodal {
+
+  /** (modality, 4-byte magic tag). Order is the detection order. */
+  val ModalityTags: Seq[(String, String)] = Seq(
+    "image/png" -> "PNG0",
+    "image/jpeg" -> "JPG0",
+    "audio/wav" -> "WAV0",
+    "video/mp4" -> "MP40")
+
+  /** Deterministic modality assignment for the synthetic corpus: stable
+    * md5 bucket of the doc id over the four tagged modalities plus an
+    * UNTAGGED fifth (exercises the detection fallback). The oracle
+    * replays the same rule.
+    */
+  def modalityIndex(docId: Column): Column =
+    graft.functions.Hashes.md5Long32(docId.cast("string")) % (ModalityTags.size + 1)
+
+  /** Binary payload with the assigned modality's magic tag prepended
+    * (index == size → no tag: a bare text payload).
+    */
+  def withMagicPayload(docs: DataFrame): DataFrame = {
+    val idx = modalityIndex(col("doc_id"))
+    val tag = ModalityTags.zipWithIndex.foldLeft(lit("")) { case (els, ((_, t), i)) =>
+      when(idx === i, lit(t)).otherwise(els)
+    }
+    docs.withColumn("payload", concat(tag, col("text")).cast("binary"))
+  }
+
+  /** Magic-number sniffing over the payload bytes: match the 4-byte
+    * prefix against [[ModalityTags]], fall back to text/plain. Pure
+    * codegen'd binary substring + CASE — no decode, no UDF.
+    */
+  def detectModality(payload: Column): Column = {
+    val prefix = substring(payload, 1, 4).cast("string")
+    ModalityTags.foldLeft(lit("text/plain")) { case (els, (m, t)) =>
+      when(prefix === lit(t), lit(m)).otherwise(els)
+    }
+  }
 
   case class MediaRow(doc_id: Long, source: String, payload: Array[Byte])
   case class MediaFeatures(
@@ -98,5 +146,36 @@ object Multimodal {
     features
       .withColumn("out_width", floor(col("width") * scale).cast("int"))
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** DuckDB oracle fragments — ASCII payloads make string arithmetic ≡
+    * byte arithmetic, so the oracle replays the binary plumbing on
+    * VARCHARs.
+    */
+  object O {
+    import graft.functions.Hashes
+
+    /** CTE pair `p(doc_id, payload)`, `m(doc_id, modality, payload)`:
+      * the bit-identical twin of withMagicPayload ∘ detectModality.
+      */
+    def payloadCtes: String = {
+      val idx = s"(${Hashes.O.md5Long32("CAST(doc_id AS VARCHAR)")} % ${ModalityTags.size + 1})"
+      val tag = ModalityTags.zipWithIndex
+        .map { case ((_, t), i) => s"WHEN $idx = $i THEN '$t'" }
+        .mkString("CASE ", " ", " ELSE '' END")
+      val det = ModalityTags
+        .map { case (m, t) => s"WHEN substring(payload, 1, 4) = '$t' THEN '$m'" }
+        .mkString("CASE ", " ", " ELSE 'text/plain' END")
+      s"""p AS (SELECT doc_id, ($tag || text) AS payload FROM documents),
+         |m AS (SELECT doc_id, ($det) AS modality, payload FROM p)""".stripMargin
+    }
+
+    /** The decodeStub checksum as a sequential DuckDB fold (plain
+      * BIGINT accumulator — safe from the struct-lambda leak).
+      */
+    def checksum(text: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, length($text) + 1), i -> CAST(ord($text[i]) AS BIGINT))),
+         |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
   }
 }

@@ -1212,7 +1212,86 @@ object PipelineQueries {
     graft.streaming.StreamCuration.curate(d, w).orderBy("doc_id")
   }
 
+  /** q185: per-modality payload triage — modality DETECTED from the
+    * payload bytes (magic-number sniffing, not trusted metadata), then
+    * the size / exact-dup census per modality: the first report a mixed
+    * 100 TB crawl runs before deciding what to decode. One narrow
+    * binary projection + one keyed aggregate; dedup is md5-of-bytes
+    * (count_distinct, no pair space).
+    */
+  val modalityStats: Q = (s, dir) =>
+    Multimodal.withMagicPayload(docs(s, dir))
+      .withColumn("modality", Multimodal.detectModality(col("payload")))
+      .groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("payload")).cast("long")).as("total_bytes"),
+        count_distinct(md5(col("payload"))).as("n_distinct_payloads"),
+        round(Num.davg(octet_length(col("payload"))), 6).as("avg_bytes"))
+      .select(col("modality"), col("n_docs"), col("total_bytes"),
+        col("n_distinct_payloads"),
+        (col("n_docs") - col("n_distinct_payloads")).as("n_dup_docs"),
+        col("avg_bytes"))
+      .orderBy("modality")
+
+  /** q186: prefix byte-histogram entropy per modality — the
+    * compressed-vs-structured sniff (encoded media reads near-uniform,
+    * text far below) run on the first [[PrefixBytes]] payload bytes
+    * only, so cost is O(docs), independent of payload size. Per-doc
+    * entropy follows the q98 decimal discipline; the modality rollup is
+    * a decimal-backed mean.
+    */
+  val PrefixBytes = 64
+  val byteEntropy: Q = (s, dir) => {
+    val perDoc = Multimodal.withMagicPayload(docs(s, dir))
+      .withColumn("modality", Multimodal.detectModality(col("payload")))
+      .filter(octet_length(col("payload")) > 0)
+      .withColumn("plen", least(octet_length(col("payload")), lit(PrefixBytes)))
+      .select(col("doc_id"), col("modality"), col("plen"), col("payload"),
+        explode(sequence(lit(1), col("plen"))).as("i"))
+      .select(col("doc_id"), col("modality"), col("plen"),
+        col("payload").substr(col("i"), lit(1)).cast("string").as("b"))
+      .groupBy("doc_id", "modality", "plen", "b").agg(count(lit(1)).as("c"))
+      .withColumn("term", (col("c") / col("plen")) * log(col("c") / col("plen")))
+      .groupBy("doc_id", "modality")
+      .agg((-sum(col("term").cast("decimal(38,6)"))).cast("double").as("entropy"))
+    perDoc.groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(Num.davg(col("entropy")), 6).as("avg_prefix_entropy"),
+        round(min(col("entropy")), 6).as("min_prefix_entropy"),
+        round(max(col("entropy")), 6).as("max_prefix_entropy"))
+      .orderBy("modality")
+  }
+
+  /** q187: the mapPartitions codec boundary itself, oracle-checked —
+    * decodeStub's per-partition feature extraction (sizes, fake
+    * dimensions, the sequential byte-fold checksum) hash-compared
+    * against a DuckDB replay of the same fold. Proves the typed
+    * Dataset boundary (where a real codec batch-decodes) preserves
+    * every row and byte, not just the spec'd sample.
+    */
+  val decodeFeatures: Q = (s, dir) =>
+    Multimodal.decodeStub(Multimodal.toMediaRows(docs(s, dir)))
+      .toDF()
+      .select("doc_id", "n_bytes", "width", "height", "n_frames", "checksum")
+      .orderBy("doc_id")
+
+  /** q188: resize planning over extracted dimensions — longest-edge cap
+    * with aspect preserved, floor semantics (what a resampler reports).
+    * Pure integer/double expressions; the pixel work would live at the
+    * q187 codec boundary.
+    */
+  val resizePlan: Q = (s, dir) =>
+    Multimodal.resizeMeta(Multimodal.withMediaMeta(docs(s, dir)))
+      .select("doc_id", "width", "height", "out_width", "out_height")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q185_modality_stats" -> modalityStats,
+    "q186_byte_entropy" -> byteEntropy,
+    "q187_decode_features" -> decodeFeatures,
+    "q188_resize_plan" -> resizePlan,
     "q184_stream_gate" -> streamGateTwin,
     "q183_embedding_qa" -> embeddingQa,
     "q182_heaps_fit" -> heapsGrowth,
@@ -1321,6 +1400,47 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q185_modality_stats" ->
+      s"""WITH ${Multimodal.O.payloadCtes}
+         |SELECT modality, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(payload)) AS BIGINT) AS total_bytes,
+         |  COUNT(DISTINCT md5(payload)) AS n_distinct_payloads,
+         |  COUNT(*) - COUNT(DISTINCT md5(payload)) AS n_dup_docs,
+         |  round(${Num.O.avg("length(payload)")}, 6) AS avg_bytes
+         |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
+    "q186_byte_entropy" ->
+      s"""WITH ${Multimodal.O.payloadCtes},
+         |ch AS (SELECT doc_id, modality, least(length(payload), $PrefixBytes) AS plen,
+         |         unnest(list_transform(range(1, least(length(payload), $PrefixBytes) + 1),
+         |           i -> payload[i])) AS b
+         |       FROM m WHERE length(payload) > 0),
+         |c AS (SELECT doc_id, modality, plen, b, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3, 4),
+         |e AS (SELECT doc_id, modality,
+         |        CAST(-SUM(CAST(((c / plen) * ln(c / plen)) AS DECIMAL(38,6))) AS DOUBLE) AS entropy
+         |      FROM c GROUP BY 1, 2)
+         |SELECT modality, COUNT(*) AS n_docs,
+         |  round(${Num.O.avg("entropy")}, 6) AS avg_prefix_entropy,
+         |  round(min(entropy), 6) AS min_prefix_entropy,
+         |  round(max(entropy), 6) AS max_prefix_entropy
+         |FROM e GROUP BY modality ORDER BY modality""".stripMargin,
+    "q187_decode_features" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(64 + (length(text) * 7) % 192 AS INT) AS width,
+         |  CAST(64 + (length(text) * 13) % 128 AS INT) AS height,
+         |  CAST(1 + length(text) % 8 AS INT) AS n_frames,
+         |  CAST(${Multimodal.O.checksum("text")} AS BIGINT) AS checksum
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q188_resize_plan" -> {
+      val scale = "(CASE WHEN greatest(width, height) > 96 THEN 96.0 / greatest(width, height) ELSE 1.0 END)"
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(64 + (length(text) * 7) % 192 AS INT) AS width,
+         |    CAST(64 + (length(text) * 13) % 128 AS INT) AS height
+         |  FROM documents)
+         |SELECT doc_id, width, height,
+         |  CAST(floor(width * $scale) AS INT) AS out_width,
+         |  CAST(floor(height * $scale) AS INT) AS out_height
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "q184_stream_gate" ->
       s"""WITH g AS (SELECT doc_id, n_words, pass_gopher FROM (${TO.gopherRules()})),
          |sc AS (SELECT doc_id, score AS domain_score, predicted_positive AS keep_domain

@@ -100,6 +100,24 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(cs(1L) != cs(2L)) // payload-dependent
   }
 
+  test("magic-number sniffing recovers every assigned modality; untagged falls back") {
+    import org.apache.spark.sql.functions.col
+    val d = (0L to 40L).map(i => (i, s"payload text $i")).toDF("doc_id", "text")
+    val r = Multimodal.withMagicPayload(d)
+      .withColumn("detected", Multimodal.detectModality(col("payload")))
+      .withColumn("idx", Multimodal.modalityIndex(col("doc_id")))
+      .collect()
+    r.foreach { row =>
+      val idx = row.getAs[Long]("idx").toInt
+      val expected =
+        if (idx == Multimodal.ModalityTags.size) "text/plain"
+        else Multimodal.ModalityTags(idx)._1
+      assert(row.getAs[String]("detected") == expected, s"doc ${row.getAs[Long]("doc_id")}")
+    }
+    // the 41-doc hash range exercises all four tags AND the untagged path
+    assert(r.map(_.getAs[Long]("idx")).distinct.length == 5)
+  }
+
   test("rep-n duplicate n-gram char fraction: hand-computed coverage") {
     val d = Seq(
       (1L, "a b a b c"), // "a b" repeats at pos 1 and 3 → covers words 1-4 (4 of 5 chars)
