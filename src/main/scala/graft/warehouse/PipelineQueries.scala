@@ -1287,7 +1287,14 @@ object PipelineQueries {
       .select("doc_id", "width", "height", "out_width", "out_height")
       .orderBy("doc_id")
 
+  /** q189: severity-weighted dictionary blocklist (word + phrase tiers,
+    * broadcast dictionary joins — the bad-term/PII/toxicity gate).
+    */
+  val blocklist: Q = (s, dir) =>
+    TextAnalysis.blocklistFilter(docs(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q189_blocklist" -> blocklist,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -1400,6 +1407,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q189_blocklist" -> TO.blocklistFilter(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

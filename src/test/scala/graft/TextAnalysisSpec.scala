@@ -100,6 +100,21 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(cs(1L) != cs(2L)) // payload-dependent
   }
 
+  test("blocklist filter: additive word+phrase tiers, hand-computed verdicts") {
+    val d = Seq(
+      (1L, "slow scan over a big table today"), // slow(1)+big(1) + slow scan(2)+big table(2) = 6 over 7 words
+      (2L, "clean text with nothing blocked here"), // no hits
+      (3L, "slow slow slow slow") // 4 hits of sev 1 = 4 over 4 words -> 100 per 100 -> fail
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistFilter(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_hits"), x.getAs[Long]("sev_sum"),
+          x.getAs[Double]("block_score"), x.getAs[Boolean]("pass_blocklist")))).toMap
+    assert(r(1L) == ((4L, 6L, BigDecimal(600.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, false)))
+    assert(r(2L) == ((0L, 0L, 0.0, true)))
+    assert(r(3L) == ((4L, 4L, 100.0, false)))
+  }
+
   test("magic-number sniffing recovers every assigned modality; untagged falls back") {
     import org.apache.spark.sql.functions.col
     val d = (0L to 40L).map(i => (i, s"payload text $i")).toDF("doc_id", "text")
