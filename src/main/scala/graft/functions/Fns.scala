@@ -193,6 +193,24 @@ object Sketch {
     }: _*)
   }
 
+  /** CMS inner-product join-size estimate (Cormode & Muthukrishnan
+    * 2005, J. Algorithms 55(1) §4.2): |A ⋈ B| on a key = Σ_k fA(k)·fB(k),
+    * estimated from the two counter arrays alone as
+    * min_r Σ_b A[r][b]·B[r][b]. One-sided like the point estimate
+    * (colliding keys only ADD mass), so est >= exact always — the
+    * planner reads it BEFORE shuffling either side: two 8 KB sketches
+    * stand in for the join, at any corpus size.
+    */
+  def cmsJoinSize(a: Column, b: Column): Column = {
+    import graft.functions.expressions.CmsSketch.{Depth, Width}
+    least((0 until Depth).map { r =>
+      aggregate(
+        zip_with(slice(a, r * Width + 1, Width), slice(b, r * Width + 1, Width),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
   object O {
     import graft.functions.expressions.CmsSketch.{Depth, Width}
 

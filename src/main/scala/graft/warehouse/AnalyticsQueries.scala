@@ -216,6 +216,37 @@ object AnalyticsQueries {
       .agg(graft.functions.Sketch.hllMd5(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** q190: sketch-based join-cardinality estimation — the planner read
+    * BEFORE committing to a shuffle: |A ⋈ B| on a key is Σ_k fA(k)·fB(k),
+    * estimated from two 8 KB CMS counter arrays as the min-over-rows
+    * inner product (Sketch.cmsJoinSize; always >= exact). The exact
+    * reference is computed WITHOUT materializing the join (two keyed
+    * count tables joined, Σ fA·fB — the join's size, never its rows).
+    * Two arms: the enrichment join (events ⋈ customer) and the
+    * self-join (Σ c², the skew-blowup diagnostic q116 prices by key).
+    */
+  val joinSizeSketch: Q = (s, dir) => {
+    import graft.functions.Sketch
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id").cast("string").as("k")).filter(col("k").isNotNull)
+    val cu = Tables(s, dir, "customer").select(col("c_custkey").cast("string").as("k"))
+    def arm(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val skA = a.agg(Sketch.cmsMd5(col("k")).as("ca"), count(lit(1)).as("n_left"))
+      val skB = b.agg(Sketch.cmsMd5(col("k")).as("cb"), count(lit(1)).as("n_right"))
+      val exact = a.groupBy("k").agg(count(lit(1)).as("fa"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("fb")), "k")
+        .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_rows"))
+      skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
+        .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+          col("exact_rows"), Sketch.cmsJoinSize(col("ca"), col("cb")).as("cms_est"))
+    }
+    arm("events_x_customer", ev, cu)
+      .unionByName(arm("events_self", ev, ev))
+      .withColumn("overcount_ratio",
+        round(col("cms_est").cast("double") / col("exact_rows"), 6))
+      .orderBy("join_name")
+  }
+
   /** q73: the Z-order layout key, oracle-verified bit-for-bit. */
   val zorderKey: Q = (s, dir) =>
     Tables(s, dir, "events")
@@ -475,6 +506,7 @@ object AnalyticsQueries {
     "q62_hourly_approx" -> hourlyApprox,
     "q63_approx_distinct" -> approxDistinct,
     "q71_hll_sketch" -> hllDistinct,
+    "q190_join_size_sketch" -> joinSizeSketch,
     "q73_zorder_key" -> zorderKey,
     "q74_trailing_distinct" -> trailingDistinct,
     "q75_cohort_retention" -> cohortRetention,
@@ -648,6 +680,40 @@ object AnalyticsQueries {
     "q71_hll_sketch" ->
       (graft.functions.expressions.HllSketch.oracleSql("events", "user_id", "event_type") +
         "\nORDER BY event_type"),
+    "q190_join_size_sketch" -> {
+      import graft.functions.{Sketch => SK}
+      import graft.functions.expressions.CmsSketch.Depth
+      s"""WITH evk AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL),
+         |cuk AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+         |ba AS (${SK.O.cmsBuckets("SELECT k FROM evk", "k")}),
+         |bb AS (${SK.O.cmsBuckets("SELECT k FROM cuk", "k")}),
+         |rs AS (SELECT unnest(range(0, $Depth)) AS r),
+         |ip1 AS (SELECT r, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+         |        FROM ba a JOIN bb b USING (r, bucket) GROUP BY r),
+         |est1 AS (SELECT MIN(ip) AS cms_est FROM (SELECT ip FROM ip1
+         |         UNION ALL SELECT CAST(0 AS BIGINT) FROM rs WHERE r NOT IN (SELECT r FROM ip1))),
+         |ex1 AS (SELECT CAST(COALESCE(SUM(fa * fb), 0) AS BIGINT) AS exact_rows
+         |        FROM (SELECT k, COUNT(*) AS fa FROM evk GROUP BY 1) ea
+         |        JOIN (SELECT k, COUNT(*) AS fb FROM cuk GROUP BY 1) eb USING (k)),
+         |ip2 AS (SELECT r, CAST(SUM(a.c * b.c) AS BIGINT) AS ip
+         |        FROM ba a JOIN ba b USING (r, bucket) GROUP BY r),
+         |est2 AS (SELECT MIN(ip) AS cms_est FROM (SELECT ip FROM ip2
+         |         UNION ALL SELECT CAST(0 AS BIGINT) FROM rs WHERE r NOT IN (SELECT r FROM ip2))),
+         |ex2 AS (SELECT CAST(COALESCE(SUM(fa * fb), 0) AS BIGINT) AS exact_rows
+         |        FROM (SELECT k, COUNT(*) AS fa FROM evk GROUP BY 1) ea
+         |        JOIN (SELECT k, COUNT(*) AS fb FROM evk GROUP BY 1) eb USING (k)),
+         |na AS (SELECT COUNT(*) AS n FROM evk), nb AS (SELECT COUNT(*) AS n FROM cuk)
+         |SELECT * FROM (
+         |  SELECT 'events_x_customer' AS join_name, na.n AS n_left, nb.n AS n_right,
+         |    ex1.exact_rows, est1.cms_est,
+         |    round(CAST(est1.cms_est AS DOUBLE) / ex1.exact_rows, 6) AS overcount_ratio
+         |  FROM na, nb, ex1, est1
+         |  UNION ALL
+         |  SELECT 'events_self', na.n, na.n, ex2.exact_rows, est2.cms_est,
+         |    round(CAST(est2.cms_est AS DOUBLE) / ex2.exact_rows, 6)
+         |  FROM na, ex2, est2)
+         |ORDER BY join_name""".stripMargin
+    },
     "q73_zorder_key" ->
       s"""WITH ${graft.functions.expressions.ZOrder2.oracleCtes(
              "SELECT event_id, user_id AS xa, (event_id % 1024) AS xb FROM events")}
