@@ -1293,7 +1293,55 @@ object PipelineQueries {
   val blocklist: Q = (s, dir) =>
     TextAnalysis.blocklistFilter(docs(s, dir)).orderBy("doc_id")
 
+  /** q191: deletion-propagation impact — the right-to-be-forgotten
+    * pass: given a deterministic deletion set (hash buckets >=
+    * [[DeleteBucketFrom]], ~3% of docs), the blast radius through the
+    * derived artifacts a pipeline would have to patch: near-dup
+    * clusters touched / needing canonical re-election / removed
+    * outright (the q105 decision list), and index terms whose posting
+    * lists shrink vs disappear (the q115 vocabulary). Everything is
+    * keyed aggregation over existing subtrees — the report costs one
+    * cluster pass + one distinct (doc, term) pass, no joins against
+    * the deletion list (membership is a pure hash predicate, the same
+    * property that makes the set stable across runs and engines).
+    */
+  val DeleteBucketFrom = 97
+  val deletionImpact: Q = (s, dir) => {
+    import graft.functions.Text
+    val d = docs(s, dir)
+    def deleted = Sampling.hashBucket(col("doc_id")) >= DeleteBucketFrom
+    val flagged = Dedup.canonicalKeep(d).withColumn("deleted", deleted)
+    val cstats = flagged.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("sz"),
+        count(when(col("deleted"), 1)).as("n_del"),
+        count(when(col("deleted") && col("keep"), 1)).as("kept_del"))
+      .agg(
+        count(when(col("n_del") > 0, 1)).as("n_clusters_touched"),
+        count(when(col("kept_del") > 0 && col("n_del") < col("sz"), 1))
+          .as("n_clusters_reelected"),
+        count(when(col("n_del") === col("sz"), 1)).as("n_clusters_removed"))
+    val tstats = d
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("term")).distinct()
+      .withColumn("deleted", deleted)
+      .groupBy("term")
+      .agg(count(when(col("deleted"), 1)).as("din"),
+        count(when(!col("deleted"), 1)).as("dout"))
+      .agg(
+        count(when(col("din") > 0 && col("dout") > 0, 1)).as("n_terms_touched"),
+        count(when(col("din") > 0 && col("dout") === 0, 1)).as("n_terms_removed"))
+    d.select(col("doc_id"), size(Text.words(col("text"))).as("toks"))
+      .withColumn("deleted", deleted)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("deleted"), 1)).as("n_deleted"),
+        sum(when(col("deleted"), col("toks")).otherwise(0).cast("long")).as("tokens_deleted"))
+      .crossJoin(broadcast(cstats))
+      .crossJoin(broadcast(tstats))
+      .withColumn("pct_deleted", round(col("n_deleted") * 100.0 / col("n_docs"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q191_deletion_impact" -> deletionImpact,
     "q189_blocklist" -> blocklist,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
@@ -1407,6 +1455,32 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q191_deletion_impact" ->
+      s"""WITH ds AS (SELECT doc_id,
+         |             (${Sampling.O.hashBucket("doc_id")} >= $DeleteBucketFrom) AS deleted
+         |           FROM documents),
+         |ck AS (SELECT doc_id, cluster_rep, keep FROM (${Dedup.O.canonicalKeep})),
+         |fl AS (SELECT ck.cluster_rep, ck.keep, d2.deleted FROM ck JOIN ds d2 USING (doc_id)),
+         |cl AS (SELECT cluster_rep, COUNT(*) AS sz, count_if(deleted) AS n_del,
+         |         count_if(deleted AND keep) AS kept_del FROM fl GROUP BY 1),
+         |cs AS (SELECT CAST(count_if(n_del > 0) AS BIGINT) AS n_clusters_touched,
+         |         CAST(count_if(kept_del > 0 AND n_del < sz) AS BIGINT) AS n_clusters_reelected,
+         |         CAST(count_if(n_del = sz) AS BIGINT) AS n_clusters_removed FROM cl),
+         |tm AS (SELECT term, count_if(deleted) AS din, count_if(NOT deleted) AS dout
+         |       FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+         |             FROM documents) p
+         |       JOIN ds USING (doc_id) GROUP BY term),
+         |ts AS (SELECT CAST(count_if(din > 0 AND dout > 0) AS BIGINT) AS n_terms_touched,
+         |         CAST(count_if(din > 0 AND dout = 0) AS BIGINT) AS n_terms_removed FROM tm),
+         |b AS (SELECT COUNT(*) AS n_docs, CAST(count_if(deleted) AS BIGINT) AS n_deleted,
+         |        CAST(SUM(CASE WHEN deleted THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+         |          AS tokens_deleted
+         |      FROM documents JOIN ds USING (doc_id))
+         |SELECT b.n_docs, b.n_deleted, b.tokens_deleted,
+         |  cs.n_clusters_touched, cs.n_clusters_reelected, cs.n_clusters_removed,
+         |  ts.n_terms_touched, ts.n_terms_removed,
+         |  round(b.n_deleted * 100.0 / b.n_docs, 6) AS pct_deleted
+         |FROM b, cs, ts""".stripMargin,
     "q189_blocklist" -> TO.blocklistFilter(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
