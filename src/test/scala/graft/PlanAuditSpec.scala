@@ -203,6 +203,32 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("partial_cms_md5"), p.take(1000))
   }
 
+  test("blocklist dictionaries broadcast; modality census joins nothing") {
+    // both dictionary tiers must ride broadcast joins (a shuffled dict
+    // join would shuffle the exploded token stream against a
+    // constant-size table); the corpus-keyed verdict join is the only
+    // non-broadcast join allowed
+    val p = plan("q189_blocklist")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2, p.take(1000))
+    // the modality census is one scan + one keyed aggregate — any Join
+    // node means the detection stopped being a pure projection
+    val m = plan("q185_modality_stats")
+    assert(!m.contains("Join"), m.take(1000))
+  }
+
+  test("join-size sketch estimates without materializing either join") {
+    // the CMS arrays partial-aggregate (TypedImperativeAggregate ->
+    // ObjectHashAggregate); the only joins are 1-row scalar cross
+    // products (BroadcastNestedLoopJoin Cross over aggregates — the
+    // adjudicated scalar pattern) and the keyed COUNT-table join of the
+    // exact reference. A raw-row join would show as a join whose child
+    // is a FileScan, which the keyed-aggregate shape precludes: every
+    // scan feeds an aggregate before any join.
+    val p = plan("q190_join_size_sketch")
+    assert(p.contains("ObjectHashAggregate"), p.take(1000))
+    assert(p.contains("partial_cms_md5"), p.take(1000))
+  }
+
   test("salted join carries the salt in the join keys (hot key split across reducers)") {
     val p = plan("q118_salted_join")
     assert(p.contains("__salt"), p.take(1500))
