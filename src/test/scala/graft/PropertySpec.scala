@@ -154,6 +154,28 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("CMS join-size estimate >= exact join size on random sides, any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Sketch
+    for (round <- 1 to 3) {
+      val left = List.fill(1500)(s"k${rng.nextInt(200)}")
+      val right = List.fill(800)(s"k${rng.nextInt(350)}") // partial key overlap
+      val a = left.toDF("k").repartition(1 + rng.nextInt(8))
+      val b = right.toDF("k").repartition(1 + rng.nextInt(8))
+      val est = a.agg(Sketch.cmsMd5(col("k")).as("ca"))
+        .crossJoin(b.agg(Sketch.cmsMd5(col("k")).as("cb")))
+        .select(Sketch.cmsJoinSize(col("ca"), col("cb")).as("e"))
+        .head().getLong(0)
+      val fa = left.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fb = right.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = fa.map { case (k, c) => c * fb.getOrElse(k, 0L) }.sum
+      assert(est >= exact, s"round $round: est $est < exact $exact")
+      // and the estimate is the join size's order of magnitude, not the
+      // cross product's (the sketch prices the join, it doesn't give up)
+      assert(est < left.size.toLong * right.size, s"round $round: est $est degenerate")
+    }
+  }
+
   test("histogram quantile is within one bin width of the rank-t order statistic") {
     // The GUARANTEED bound: the estimate lives in the bin that contains
     // the value at target rank t = ceil(p*n), so |est - v_t| <= width.
