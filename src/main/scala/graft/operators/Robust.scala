@@ -19,6 +19,46 @@ import graft.functions.Num
   */
 object Robust {
 
+  /** Per-key Theil–Sen slope (Theil 1950 / Sen 1968): the exact median
+    * of pairwise slopes over each key's most recent `k` points — the
+    * robust trend estimate outliers cannot drag (breakdown point ~29%,
+    * where the q106 OLS line breaks at one bad reading).
+    *
+    * Scale design — bounded by contract: the recency window keeps k
+    * points per key, so the pair space is C(k,2) per key at ANY history
+    * length, and every shuffle (recency ranking, pair join, median
+    * ranking) is keyed by the entity. The median is the LOWER exact
+    * order statistic, selected deterministically (slope, then the pair
+    * indices as tie-break); slopes are rounded at 6 dp BEFORE ranking
+    * so both engines rank identical values. Same-timestamp pairs carry
+    * no slope and are excluded (the standard Theil–Sen tie rule).
+    */
+  def theilSenSlope(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, idCol: String, k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy(keyCol).orderBy(col(timeCol).desc, col(idCol).desc)
+    val recent = df
+      .select(col(keyCol), col(timeCol), col(valueCol), col(idCol))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") <= k)
+      .select(col(keyCol), col("rn"),
+        unix_timestamp(col(timeCol)).as("tsec"), col(valueCol).cast("double").as("v"))
+    val a = recent.select(col(keyCol), col("rn").as("rna"), col("tsec").as("ta"), col("v").as("va"))
+    val b = recent.select(col(keyCol), col("rn").as("rnb"), col("tsec").as("tb"), col("v").as("vb"))
+    val pairs = a.join(b, Seq(keyCol))
+      .filter(col("rna") < col("rnb") && col("ta") =!= col("tb"))
+      .withColumn("slope", round((col("va") - col("vb")) / (col("ta") - col("tb")), 6))
+    val wMed = Window.partitionBy(keyCol).orderBy(col("slope"), col("rna"), col("rnb"))
+    val nPoints = recent.groupBy(keyCol).agg(max(col("rn")).as("n_points"))
+    pairs
+      .withColumn("mrn", row_number().over(wMed))
+      .withColumn("npairs", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .filter(col("mrn") === expr("(npairs + 1) div 2"))
+      .join(broadcast(nPoints), keyCol)
+      .select(col(keyCol), col("n_points"), col("npairs").as("n_pairs"),
+        col("slope").as("ts_slope"))
+  }
+
   /** Per-group winsorized mean: clip values into the group's
     * [pLo, pHi] percentile band, then decimal-exact average.
     */

@@ -247,6 +247,16 @@ object AnalyticsQueries {
       .orderBy("join_name")
   }
 
+  /** q193: per-device Theil–Sen trend slope over the 32 most recent
+    * readings — the robust complement to q106's OLS regression (the
+    * median of pairwise slopes shrugs off the outliers the z-score
+    * family hunts). Pair space is C(32,2) per device by contract.
+    */
+  val theilSen: Q = (s, dir) =>
+    graft.operators.Robust
+      .theilSenSlope(readings(s, dir), "device_id", "time", "value", "event_id")
+      .orderBy("device_id")
+
   /** q73: the Z-order layout key, oracle-verified bit-for-bit. */
   val zorderKey: Q = (s, dir) =>
     Tables(s, dir, "events")
@@ -507,6 +517,7 @@ object AnalyticsQueries {
     "q63_approx_distinct" -> approxDistinct,
     "q71_hll_sketch" -> hllDistinct,
     "q190_join_size_sketch" -> joinSizeSketch,
+    "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
     "q74_trailing_distinct" -> trailingDistinct,
     "q75_cohort_retention" -> cohortRetention,
@@ -680,6 +691,27 @@ object AnalyticsQueries {
     "q71_hll_sketch" ->
       (graft.functions.expressions.HllSketch.oracleSql("events", "user_id", "event_type") +
         "\nORDER BY event_type"),
+    "q193_theil_sen" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |r AS (SELECT device_id, value,
+         |        CAST(floor(epoch(time)) AS BIGINT) AS tsec,
+         |        CAST(row_number() OVER (PARTITION BY device_id
+         |          ORDER BY time DESC, event_id DESC) AS INT) AS rn
+         |      FROM readings),
+         |kk AS (SELECT * FROM r WHERE rn <= 32),
+         |np AS (SELECT device_id, CAST(MAX(rn) AS INT) AS n_points FROM kk GROUP BY 1),
+         |p AS (SELECT a.device_id, a.rn AS rna, b.rn AS rnb,
+         |        round((a.value - b.value) / (a.tsec - b.tsec), 6) AS slope
+         |      FROM kk a JOIN kk b
+         |        ON a.device_id = b.device_id AND a.rn < b.rn AND a.tsec != b.tsec),
+         |m AS (SELECT device_id, slope,
+         |        row_number() OVER (PARTITION BY device_id ORDER BY slope, rna, rnb) AS mrn,
+         |        COUNT(*) OVER (PARTITION BY device_id) AS npairs
+         |      FROM p)
+         |SELECT m.device_id, np.n_points, CAST(m.npairs AS BIGINT) AS n_pairs,
+         |  m.slope AS ts_slope
+         |FROM m JOIN np USING (device_id) WHERE mrn = (npairs + 1) // 2
+         |ORDER BY device_id""".stripMargin,
     "q190_join_size_sketch" -> {
       import graft.functions.{Sketch => SK}
       import graft.functions.expressions.CmsSketch.Depth

@@ -1340,7 +1340,28 @@ object PipelineQueries {
       .withColumn("pct_deleted", round(col("n_deleted") * 100.0 / col("n_docs"), 6))
   }
 
+  /** q192: ANN hubness audit (Radovanović et al. 2010, JMLR 11) — the
+    * k-occurrence distribution over the IVF result lists for the
+    * sampled query set: in high dimensions a few hub points appear in
+    * a disproportionate share of top-k lists, silently flattening
+    * retrieval diversity. One keyed count over the (already bounded)
+    * result table + one scalar rollup; reuses the q65 pipeline and the
+    * q143 audit sample, so the audit costs the search it audits.
+    */
+  val annHubness: Q = (s, dir) => {
+    val occ = Similarity.ivfTopK(emb(s, dir), annAuditPred, k = 10)
+      .groupBy("cand_id").agg(count(lit(1)).as("n_occ"))
+    occ.agg(
+      count(lit(1)).as("n_distinct_candidates"),
+      sum(col("n_occ")).as("n_result_rows"),
+      max(col("n_occ")).as("max_occ"),
+      round(Num.davg(col("n_occ")), 6).as("avg_occ"),
+      count(when(col("n_occ") >= 5, 1)).as("n_hubs_5"),
+      count(when(col("n_occ") === 1, 1)).as("n_singletons"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_ann_hubness" -> annHubness,
     "q191_deletion_impact" -> deletionImpact,
     "q189_blocklist" -> blocklist,
     "q185_modality_stats" -> modalityStats,
@@ -1455,6 +1476,16 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q192_ann_hubness" ->
+      s"""WITH occ AS (SELECT cand_id, COUNT(*) AS n_occ
+         |  FROM (${Similarity.O.ivf(annAuditPredSql, 10)}) GROUP BY cand_id)
+         |SELECT COUNT(*) AS n_distinct_candidates,
+         |  CAST(SUM(n_occ) AS BIGINT) AS n_result_rows,
+         |  MAX(n_occ) AS max_occ,
+         |  round(${Num.O.avg("n_occ")}, 6) AS avg_occ,
+         |  CAST(count_if(n_occ >= 5) AS BIGINT) AS n_hubs_5,
+         |  CAST(count_if(n_occ = 1) AS BIGINT) AS n_singletons
+         |FROM occ""".stripMargin,
     "q191_deletion_impact" ->
       s"""WITH ds AS (SELECT doc_id,
          |             (${Sampling.O.hashBucket("doc_id")} >= $DeleteBucketFrom) AS deleted

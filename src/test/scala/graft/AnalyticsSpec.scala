@@ -83,6 +83,23 @@ class AnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(r(2L) == ((64, 80))) // already within bounds — untouched
   }
 
+  test("theil-sen slope resists the outlier that drags OLS") {
+    // steady 0.1/s trend with one wild final reading: 6 of 10 pairwise
+    // slopes are 0.1, so the median IS 0.1 — the outlier only perturbs
+    // its own 4 pairs (OLS over the same points fits ~1.9/s)
+    val df = Seq(
+      (7L, ts(0), 1L, 0.0), (7L, ts(10), 2L, 1.0), (7L, ts(20), 3L, 2.0),
+      (7L, ts(30), 4L, 3.0), (7L, ts(40), 5L, 100.0)
+    ).toDF("device_id", "time", "event_id", "value")
+    val r = graft.operators.Robust
+      .theilSenSlope(df, "device_id", "time", "value", "event_id")
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Int]("n_points") == 5)
+    assert(r.head.getAs[Long]("n_pairs") == 10L)
+    assert(r.head.getAs[Double]("ts_slope") == 0.1)
+  }
+
   test("time-weighted average weights values by their holding interval") {
     // value 10 held 100s, value 50 held 900s, last reading unweighted:
     // twavg = (10*100 + 50*900) / 1000 = 46
