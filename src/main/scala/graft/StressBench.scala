@@ -60,7 +60,15 @@ object StressBench {
     "q171_domain_classifier" -> warehouse.PipelineQueries.domainClassifier,
     "q173_cross_source_dups" -> warehouse.PipelineQueries.crossSourceDups,
     "q170_mmr_rerank" -> warehouse.PipelineQueries.mmrRerank,
-    "q176_kcenter_coreset" -> warehouse.PipelineQueries.kCenterCoreset)
+    "q176_kcenter_coreset" -> warehouse.PipelineQueries.kCenterCoreset,
+    // round-7 additions: broadcast-dictionary blocklist, payload byte
+    // entropy (bounded prefix explode), deletion impact (CC + distinct
+    // (doc, term) pass), modality census (join-free scan) — each must
+    // track the 10× input, never the square
+    "q185_modality_stats" -> warehouse.PipelineQueries.modalityStats,
+    "q186_byte_entropy" -> warehouse.PipelineQueries.byteEntropy,
+    "q189_blocklist" -> warehouse.PipelineQueries.blocklist,
+    "q191_deletion_impact" -> warehouse.PipelineQueries.deletionImpact)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity
