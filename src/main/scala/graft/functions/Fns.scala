@@ -283,6 +283,16 @@ object Text {
 
   def words(c: Column): Column = split(c, " ")
 
+  /** Jaro–Winkler similarity (codegen'd custom expression; algorithm
+    * parity with DuckDB's jaro_winkler_similarity — see
+    * graft.functions.expressions.JaroWinkler).
+    */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.expressions.JaroWinkler(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** Word n-gram shingles (default 3), matching DuckDB's
     * list_transform(range(1, len(w)-(n-2)), ...) construction.
     */

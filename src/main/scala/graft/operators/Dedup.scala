@@ -268,6 +268,21 @@ object Dedup {
     * docs, so pair fan-out per block is bounded at all scales.
     */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 60, maxDist: Int = 25): DataFrame = {
+    val k = editBlocks(docs, prefixLen)
+    k.as("a")
+      .join(k.as("b"), col("a.blk") === col("b.blk") && col("a.grp") === col("b.grp")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
+  /** The capped (first-two-words ∧ length-bucket) blocking shared by
+    * the character-level fuzzy family — see [[editDistancePairs]] for
+    * the contract.
+    */
+  private def editBlocks(docs: DataFrame, prefixLen: Int): DataFrame = {
     val t = docs.select(
       col("doc_id"),
       substring(col("text"), 1, prefixLen).as("pfx"),
@@ -278,14 +293,27 @@ object Dedup {
       .withColumn("grp", when(col("df0") <= EditBlockCap, lit(-1L)).otherwise(col("lb")))
     val keep = refined.groupBy("blk", "grp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= EditBlockCap)
-    val k = refined.join(keep.select("blk", "grp"), Seq("blk", "grp"))
+    refined.join(keep.select("blk", "grp"), Seq("blk", "grp"))
+  }
+
+  /** Jaro–Winkler near-dup pairs over the same capped blocks as
+    * [[editDistancePairs]] — the record-linkage metric beside the edit
+    * counter: positional agreement + common-prefix bonus, so
+    * transposed/typo'd openers score high where Levenshtein charges
+    * per edit. Similarity is rounded at 6 dp BEFORE the threshold so
+    * both engines gate identical values.
+    */
+  val JwMinSim = 0.88
+  def jaroWinklerPairs(docs: DataFrame, prefixLen: Int = 60,
+      minSim: Double = JwMinSim): DataFrame = {
+    val k = editBlocks(docs, prefixLen)
     k.as("a")
       .join(k.as("b"), col("a.blk") === col("b.blk") && col("a.grp") === col("b.grp")
         && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        round(Text.jaroWinkler(col("a.pfx"), col("b.pfx")), 6).as("jw_sim"))
+      .filter(col("jw_sim") >= minSim)
   }
 
   /** Connected components over a near-dup pair graph: min-label
@@ -678,6 +706,28 @@ object Dedup {
          |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist
          |FROM k a JOIN k b ON a.blk = b.blk AND a.grp = b.grp AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.pfx, b.pfx) <= $maxDist
+         |ORDER BY d1, d2""".stripMargin
+
+    /** Mirrors jaroWinklerPairs: DuckDB's native jaro_winkler_similarity
+      * IS the algorithm twin of the custom expression (fuzz-verified at
+      * 6 dp), over the identical capped blocks.
+      */
+    def jaroWinklerPairs(prefixLen: Int = 60, minSim: Double = JwMinSim): String =
+      s"""WITH t AS (SELECT doc_id, substring(text, 1, $prefixLen) AS pfx,
+         |             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+         |             length(text) // $EditLenBucket AS lb
+         |           FROM documents),
+         |d0 AS (SELECT blk, COUNT(*) AS df0 FROM t GROUP BY blk),
+         |r AS (SELECT t.doc_id, t.pfx, t.blk,
+         |        CASE WHEN d0.df0 <= $EditBlockCap THEN -1 ELSE t.lb END AS grp
+         |      FROM t JOIN d0 USING (blk)),
+         |keep AS (SELECT blk, grp FROM r GROUP BY blk, grp HAVING COUNT(*) <= $EditBlockCap),
+         |k AS (SELECT r.* FROM r JOIN keep USING (blk, grp))
+         |SELECT d1, d2, jw_sim FROM (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    round(jaro_winkler_similarity(a.pfx, b.pfx), 6) AS jw_sim
+         |  FROM k a JOIN k b ON a.blk = b.blk AND a.grp = b.grp AND a.doc_id < b.doc_id)
+         |WHERE jw_sim >= $minSim
          |ORDER BY d1, d2""".stripMargin
 
     private def minhashHs: String = (0 until MinhashK)

@@ -1360,7 +1360,15 @@ object PipelineQueries {
       count(when(col("n_occ") === 1, 1)).as("n_singletons"))
   }
 
+  /** q194: Jaro–Winkler fuzzy pairs — the record-linkage metric run
+    * over the q94 capped blocks via the codegen'd custom expression
+    * (DuckDB's native jaro_winkler_similarity is the oracle twin).
+    */
+  val jaroWinklerPairs: Q = (s, dir) =>
+    Dedup.jaroWinklerPairs(docs(s, dir)).orderBy("d1", "d2")
+
   val queries: Map[String, Q] = Map(
+    "q194_jaro_winkler" -> jaroWinklerPairs,
     "q192_ann_hubness" -> annHubness,
     "q191_deletion_impact" -> deletionImpact,
     "q189_blocklist" -> blocklist,
@@ -1476,6 +1484,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q194_jaro_winkler" -> Dedup.O.jaroWinklerPairs(),
     "q192_ann_hubness" ->
       s"""WITH occ AS (SELECT cand_id, COUNT(*) AS n_occ
          |  FROM (${Similarity.O.ivf(annAuditPredSql, 10)}) GROUP BY cand_id)

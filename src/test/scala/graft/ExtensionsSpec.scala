@@ -42,6 +42,18 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(viaSql(0L) == Seq(99L, 96L)) // 99.0 then 96.0
   }
 
+  test("jaro_winkler is callable from SQL and matches the published values") {
+    Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"), ("duane", "dwayne"),
+      ("abc", "xyz"), ("", ""), ("same", "same")
+    ).toDF("a", "b").createOrReplaceTempView("jw_in")
+    val r = spark.sql("SELECT round(jaro_winkler(a, b), 6) AS s FROM jw_in").collect()
+      .map(_.getDouble(0)).toSeq
+    // Winkler 1990's worked examples + the conventions that matter:
+    // either-empty (incl. empty-empty) scores 0, identity scores 1
+    assert(r == Seq(0.961111, 0.813333, 0.84, 0.0, 0.0, 1.0), r.toString)
+  }
+
   test("optimizer rule rewrites the zip_with/aggregate fold to dot_product_d") {
     val df = Seq(
       (Array(1f, 2f), Array(3f, 4f)),
