@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CmsSketch, DotProductD, HllSketch, JaroWinkler, TopKByScore, ZOrder2}
+import graft.functions.expressions.{CmsSketch, DamerauLevenshtein, DotProductD, HllSketch, JaroWinkler, TopKByScore, ZOrder2}
 
 /** Catalyst extension point: registers graft's custom expressions with
   * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
@@ -67,6 +67,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "cms_md5 takes exactly 1 argument")
         CmsSketch.forInput(children.head)
+      }),
+    (
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getCanonicalName, null, "damerau_levenshtein"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "damerau_levenshtein takes exactly 2 arguments")
+        DamerauLevenshtein(children.head, children(1))
       }),
     (
       FunctionIdentifier("jaro_winkler"),

@@ -293,6 +293,15 @@ object Text {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** FULL Damerau–Levenshtein distance (codegen'd custom expression;
+    * the variant DuckDB's damerau_levenshtein implements).
+    */
+  def damerauLevenshtein(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.expressions.DamerauLevenshtein(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** Word n-gram shingles (default 3), matching DuckDB's
     * list_transform(range(1, len(w)-(n-2)), ...) construction.
     */

@@ -316,6 +316,25 @@ object Dedup {
       .filter(col("jw_sim") >= minSim)
   }
 
+  /** Damerau–Levenshtein pairs over the capped blocks, priced AGAINST
+    * plain Levenshtein: `transposition_savings` is the per-pair edit
+    * count the swap-aware metric recovers (a pure-typo duplicate with
+    * transposed characters halves its distance). Same blocking and
+    * threshold contract as [[editDistancePairs]].
+    */
+  def damerauPairs(docs: DataFrame, prefixLen: Int = 60, maxDist: Int = 25): DataFrame = {
+    val k = editBlocks(docs, prefixLen)
+    k.as("a")
+      .join(k.as("b"), col("a.blk") === col("b.blk") && col("a.grp") === col("b.grp")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"),
+        Text.damerauLevenshtein(col("a.pfx"), col("b.pfx")).as("dl_dist"))
+      .filter(col("dl_dist") <= maxDist)
+      .withColumn("transposition_savings", col("edit_dist") - col("dl_dist"))
+  }
+
   /** Connected components over a near-dup pair graph: min-label
     * propagation accelerated with pointer jumping (each round a node
     * takes the min of its own label, its neighbors' labels, AND its
@@ -728,6 +747,29 @@ object Dedup {
          |    round(jaro_winkler_similarity(a.pfx, b.pfx), 6) AS jw_sim
          |  FROM k a JOIN k b ON a.blk = b.blk AND a.grp = b.grp AND a.doc_id < b.doc_id)
          |WHERE jw_sim >= $minSim
+         |ORDER BY d1, d2""".stripMargin
+
+    /** Mirrors damerauPairs (DuckDB's damerau_levenshtein is the FULL
+      * Lowrance–Wagner variant — the custom expression's twin).
+      */
+    def damerauPairs(prefixLen: Int = 60, maxDist: Int = 25): String =
+      s"""WITH t AS (SELECT doc_id, substring(text, 1, $prefixLen) AS pfx,
+         |             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+         |             length(text) // $EditLenBucket AS lb
+         |           FROM documents),
+         |d0 AS (SELECT blk, COUNT(*) AS df0 FROM t GROUP BY blk),
+         |r AS (SELECT t.doc_id, t.pfx, t.blk,
+         |        CASE WHEN d0.df0 <= $EditBlockCap THEN -1 ELSE t.lb END AS grp
+         |      FROM t JOIN d0 USING (blk)),
+         |keep AS (SELECT blk, grp FROM r GROUP BY blk, grp HAVING COUNT(*) <= $EditBlockCap),
+         |k AS (SELECT r.* FROM r JOIN keep USING (blk, grp))
+         |SELECT d1, d2, edit_dist, dl_dist, edit_dist - dl_dist AS transposition_savings
+         |FROM (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist,
+         |    CAST(damerau_levenshtein(a.pfx, b.pfx) AS INT) AS dl_dist
+         |  FROM k a JOIN k b ON a.blk = b.blk AND a.grp = b.grp AND a.doc_id < b.doc_id)
+         |WHERE dl_dist <= $maxDist
          |ORDER BY d1, d2""".stripMargin
 
     private def minhashHs: String = (0 until MinhashK)

@@ -1367,7 +1367,16 @@ object PipelineQueries {
   val jaroWinklerPairs: Q = (s, dir) =>
     Dedup.jaroWinklerPairs(docs(s, dir)).orderBy("d1", "d2")
 
+  /** q195: swap-aware fuzzy pairs — FULL Damerau–Levenshtein beside
+    * plain Levenshtein over the q94 blocks, with the per-pair
+    * transposition savings (the custom expression's oracle twin is
+    * DuckDB's native damerau_levenshtein).
+    */
+  val damerauPairs: Q = (s, dir) =>
+    Dedup.damerauPairs(docs(s, dir)).orderBy("d1", "d2")
+
   val queries: Map[String, Q] = Map(
+    "q195_damerau" -> damerauPairs,
     "q194_jaro_winkler" -> jaroWinklerPairs,
     "q192_ann_hubness" -> annHubness,
     "q191_deletion_impact" -> deletionImpact,
@@ -1484,6 +1493,7 @@ object PipelineQueries {
   import TextAnalysis.{O => TO}
 
   val oracle: Map[String, String] = Map(
+    "q195_damerau" -> Dedup.O.damerauPairs(),
     "q194_jaro_winkler" -> Dedup.O.jaroWinklerPairs(),
     "q192_ann_hubness" ->
       s"""WITH occ AS (SELECT cand_id, COUNT(*) AS n_occ

@@ -54,6 +54,16 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(r == Seq(0.961111, 0.813333, 0.84, 0.0, 0.0, 1.0), r.toString)
   }
 
+  test("damerau_levenshtein is the FULL variant, callable from SQL") {
+    Seq(
+      ("ca", "abc"), // FULL-DL distinguisher: 2 (OSA would say 3)
+      ("ab", "ba"), ("kitten", "sitting"), ("", "abc"), ("same", "same")
+    ).toDF("a", "b").createOrReplaceTempView("dl_in")
+    val r = spark.sql("SELECT damerau_levenshtein(a, b) AS d FROM dl_in").collect()
+      .map(_.getInt(0)).toSeq
+    assert(r == Seq(2, 1, 3, 3, 0), r.toString)
+  }
+
   test("optimizer rule rewrites the zip_with/aggregate fold to dot_product_d") {
     val df = Seq(
       (Array(1f, 2f), Array(3f, 4f)),
