@@ -134,6 +134,13 @@ object StressBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // Dev-loop subset: SPARK_GRAFT_STRESS_ONLY=q159_stupid_backoff,...
+  // restricts the timed family (q147 is included only when named or
+  // when no subset is given).
+  private val Only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -149,7 +156,8 @@ object StressBench {
     val synthDir = "target/stress_x10"
     synthesize(spark, sfDir, synthDir, copies = 10)
     val semSynthDir = "target/stress_x10_sem"
-    synthesizeShifted(spark, sfDir, semSynthDir, copies = 10)
+    if (Only.forall(_("q147_semdedup")))
+      synthesizeShifted(spark, sfDir, semSynthDir, copies = 10)
 
     def runOne(name: String, q: (SparkSession, String) => DataFrame,
         dir: String): Double = {
@@ -160,9 +168,12 @@ object StressBench {
     }
     // label-blind: runs against the dimension-shifted 10× corpus
     val semQ = warehouse.PipelineQueries.semDedupDecisions
+    val fam = Only.map(s => Family.filter(f => s(f._1))).getOrElse(Family)
+    val withSem = Only.forall(_("q147_semdedup"))
     def run(dir: String, semDir: String): Map[String, Double] =
-      (Family.map { case (name, q) => name -> runOne(name, q, dir) } :+
-        ("q147_semdedup" -> runOne("q147_semdedup", semQ, semDir))).toMap
+      (fam.map { case (name, q) => name -> runOne(name, q, dir) } ++
+        (if (withSem) Seq("q147_semdedup" -> runOne("q147_semdedup", semQ, semDir))
+         else Nil)).toMap
 
     run(sfDir, sfDir) // warm JIT/codegen so the timed passes compare like-for-like
     val base = run(sfDir, sfDir)
