@@ -239,25 +239,37 @@ object TextAnalysis {
     val c1 = ref.select(explode(col("w")).as("w1c"))
       .groupBy("w1c").agg(count(lit(1)).as("c1"))
     val scal = c1.agg(sum(col("c1")).as("ref_n"), count(lit(1)).as("ref_v"))
+    // Tier score tables, assembled on the REFERENCE side: a ref trigram's
+    // context bigram and a ref bigram's head unigram exist by construction
+    // (shingles of the same word arrays), so the c3⋈c2 / c2⋈c1 inner
+    // joins lose nothing and each tier's log-score collapses to ONE
+    // column keyed by the gram the doc stream already carries. The doc
+    // trigram stream — the only corpus-scale frame here — then shuffles
+    // on 3 keys (g3, bg23, w3) instead of 5; the extra joins moved onto
+    // the distinct-gram count tables, orders of magnitude smaller.
+    val triScore = c3
+      .withColumn("ctx", concat_ws(" ",
+        split(col("g3"), " ").getItem(0), split(col("g3"), " ").getItem(1)))
+      .join(c2.select(col("g2").as("ctx"), col("c2").as("c2ctx")), "ctx")
+      .select(col("g3"), log(col("c3").cast("double") / col("c2ctx")).as("lp0"))
+    val biScore = c2
+      .withColumn("w1b", split(col("g2"), " ").getItem(0))
+      .join(c1.select(col("w1c").as("w1b"), col("c1").as("c1w2")), "w1b")
+      .select(col("g2").as("bg23"),
+        log(lit(SbAlpha) * col("c2").cast("double") / col("c1w2")).as("lp1"))
     val p = split(col("g3"), " ")
     val scored = docTg
-      .withColumn("ctx", concat_ws(" ", p.getItem(0), p.getItem(1)))
       .withColumn("bg23", concat_ws(" ", p.getItem(1), p.getItem(2)))
-      .withColumn("w2", p.getItem(1))
       .withColumn("w3", p.getItem(2))
-      .join(c3, Seq("g3"), "left")
-      .join(c2.select(col("g2").as("ctx"), col("c2").as("c2ctx")), Seq("ctx"), "left")
-      .join(c2.select(col("g2").as("bg23"), col("c2").as("c2b")), Seq("bg23"), "left")
-      .join(c1.select(col("w1c").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(triScore, Seq("g3"), "left")
+      .join(biScore, Seq("bg23"), "left")
       .join(c1.select(col("w1c").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
       .crossJoin(broadcast(scal))
       .withColumn("tier",
-        when(col("c3").isNotNull, 0).when(col("c2b").isNotNull, 1).otherwise(2))
+        when(col("lp0").isNotNull, 0).when(col("lp1").isNotNull, 1).otherwise(2))
       .withColumn("lp",
-        when(col("c3").isNotNull, log(col("c3").cast("double") / col("c2ctx")))
-          .when(col("c2b").isNotNull,
-            log(lit(SbAlpha) * col("c2b").cast("double") / col("c1w2")))
-          .otherwise(log(lit(SbAlpha * SbAlpha) *
+        coalesce(col("lp0"), col("lp1"),
+          log(lit(SbAlpha * SbAlpha) *
             (coalesce(col("c1w3"), lit(0L)).cast("double") + 0.5) /
             (col("ref_n").cast("double") + lit(0.5) * col("ref_v")))))
     scored.groupBy("doc_id")
