@@ -229,7 +229,38 @@ object Sketch {
 
     def bucketOf(keyExpr: String, r: String): String =
       s"(${Hashes.O.md5Long60(keyExpr)} >> (8 * $r)) & ${Width - 1}"
+
+    /** DuckDB twin of [[kmvEstimate]] over (n_kept, kth-hash) columns —
+      * the identical CASE + IEEE multiply/divide.
+      */
+    def kmvEstimate(nKept: String, hk: String, k: Int): String =
+      s"""CASE WHEN $nKept < $k THEN CAST($nKept AS DOUBLE)
+         |     ELSE CAST(${k - 1} AS DOUBLE) * pow(2.0, 60.0) / CAST($hk AS DOUBLE) END""".stripMargin
   }
+
+  /** Deterministic KMV / bottom-k distinct sketch (see
+    * graft.functions.expressions.KmvSketch): array<bigint> of the ≤k
+    * smallest distinct 60-bit md5 hashes — a uniform hash-sample of the
+    * distinct set, so sketches compose under union/intersection (the
+    * set algebra HLL registers cannot do). Mergeable; each map task
+    * ships ≤k longs per group.
+    */
+  def kmvMd5(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      graft.functions.expressions.KmvSketch.forInput(GraftBridge.expression(c), k)
+        .toAggregateExpression())
+  }
+
+  /** Distinct-count estimate from a [[kmvMd5]] array: exhaustive below
+    * k (the sketch IS the distinct set); else the classic k-th-minimum
+    * estimator D̂ = (k-1) / F(h_k), F(h) = h / 2^60 (Bar-Yossef 2002).
+    * One IEEE multiply + divide, mirrored verbatim in [[O.kmvEstimate]].
+    */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast(DoubleType))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60.0)) /
+        element_at(sk, k).cast(DoubleType))
 }
 
 object Vec {

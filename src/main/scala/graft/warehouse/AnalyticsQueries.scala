@@ -216,6 +216,74 @@ object AnalyticsQueries {
       .agg(graft.functions.Sketch.hllMd5(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Shared k for the KMV sketch family (q196/q197): small enough that
+    * a sketch is 2 KB, large enough that the q197 Jaccard estimator's
+    * standard error (~1/√k ≈ 6%) is useful.
+    */
+  private val KmvK = 256
+
+  /** Per-source KMV sketches of the distinct word-BIGRAM sets — the
+    * shared input of q196/q197. One corpus scan; each map task ships
+    * ≤k longs per source into the shuffle (no distinct-(source, gram)
+    * pre-shuffle ever happens — that is the sketch's point at 100 TB).
+    */
+  private def bigramSketches(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Sketch, Text}
+    Tables(s, dir, "documents")
+      .select(col("source"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(Text.shinglesOfWords(col("w"), 2)).as("g2"))
+      .groupBy("source")
+      .agg(Sketch.kmvMd5(col("g2"), KmvK).as("sk"))
+  }
+
+  /** q196: KMV bottom-k distinct estimate per source — the theta-sketch
+    * companion to q71's HLL, kept because its sample-based form is what
+    * q197's set-operation estimates compose from. The estimate itself
+    * hash-matches the DuckDB replay (exact integer bottom-k + one IEEE
+    * multiply/divide).
+    */
+  val kmvDistinct: Q = (s, dir) =>
+    bigramSketches(s, dir)
+      .select(
+        col("source"),
+        size(col("sk")).cast("long").as("n_kept"),
+        element_at(col("sk"), size(col("sk"))).as("max_kept_hash"),
+        graft.functions.Sketch.kmvEstimate(col("sk"), KmvK).as("est_distinct"))
+      .orderBy("source")
+
+  /** q197: cross-source set-operation estimates from the KMV sketches
+    * ALONE — for each source pair, the k smallest of A ∪ B (computable
+    * from the two bottom-k arrays: any union hash below both cutoffs is
+    * in one of them), the share of that uniform union sample present in
+    * BOTH sketches (Jaccard estimate), and intersection ≈ Ĵ · |A∪B|̂
+    * (Beyer et al. 2007, SIGMOD). This is the distinct-set overlap
+    * matrix q173 computes exactly — here at any corpus scale from
+    * S sketches of 2 KB each, the corpora never co-shuffled. The pair
+    * frame is S² sketch rows, driver-free and broadcast-joined.
+    */
+  val kmvOverlap: Q = (s, dir) => {
+    val sk = bigramSketches(s, dir)
+    val pairs = sk.select(col("source").as("s1"), col("sk").as("ska"))
+      .join(broadcast(sk.select(col("source").as("s2"), col("sk").as("skb"))),
+        col("s1") < col("s2"))
+    val k = KmvK
+    pairs
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("n_u", size(col("u")).cast("long"))
+      .withColumn("n_inter",
+        size(array_intersect(array_intersect(col("u"), col("ska")), col("skb"))).cast("long"))
+      .withColumn("jaccard_est",
+        col("n_inter").cast("double") / col("n_u").cast("double"))
+      .withColumn("union_est",
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60.0)) /
+            element_at(col("u"), k).cast("double")))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .select("s1", "s2", "n_u", "n_inter", "jaccard_est", "union_est", "inter_est")
+      .orderBy("s1", "s2")
+  }
+
   /** q190: sketch-based join-cardinality estimation — the planner read
     * BEFORE committing to a shuffle: |A ⋈ B| on a key is Σ_k fA(k)·fB(k),
     * estimated from two 8 KB CMS counter arrays as the min-over-rows
@@ -516,6 +584,8 @@ object AnalyticsQueries {
     "q62_hourly_approx" -> hourlyApprox,
     "q63_approx_distinct" -> approxDistinct,
     "q71_hll_sketch" -> hllDistinct,
+    "q196_kmv_distinct" -> kmvDistinct,
+    "q197_kmv_overlap" -> kmvOverlap,
     "q190_join_size_sketch" -> joinSizeSketch,
     "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
@@ -526,6 +596,14 @@ object AnalyticsQueries {
     "q78_scd2_intervals" -> scd2Intervals)
 
   import Num.{O => N}
+
+  /** Oracle twin of [[bigramSketches]]: (g = source, h) rows of each
+    * source's bottom-k distinct bigram hashes, shared by q196/q197.
+    */
+  private def kmvCtes: String =
+    s"""w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |gr AS (SELECT source, unnest(${graft.functions.Text.O.shingles("w", 2)}) AS g2 FROM w),
+       |sk AS (${graft.functions.expressions.KmvSketch.oracleRowsCte("gr", "g2", "source", KmvK)})""".stripMargin
 
   private def pivotCol(dt: String): String =
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
@@ -691,6 +769,36 @@ object AnalyticsQueries {
     "q71_hll_sketch" ->
       (graft.functions.expressions.HllSketch.oracleSql("events", "user_id", "event_type") +
         "\nORDER BY event_type"),
+    "q196_kmv_distinct" ->
+      s"""WITH $kmvCtes,
+         |agg AS (SELECT g AS source, COUNT(*) AS n_kept, MAX(h) AS hk FROM sk GROUP BY 1)
+         |SELECT source, n_kept, hk AS max_kept_hash,
+         |  ${graft.functions.Sketch.O.kmvEstimate("n_kept", "hk", KmvK)} AS est_distinct
+         |FROM agg ORDER BY source""".stripMargin,
+    "q197_kmv_overlap" ->
+      s"""WITH $kmvCtes,
+         |pr AS (SELECT DISTINCT a.g AS s1, b.g AS s2 FROM sk a JOIN sk b ON a.g < b.g),
+         |uh AS (SELECT DISTINCT p.s1, p.s2, x.h FROM pr p
+         |       JOIN sk x ON x.g = p.s1 OR x.g = p.s2),
+         |uk AS (SELECT s1, s2, h FROM (
+         |         SELECT s1, s2, h, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+         |         FROM uh) WHERE rn <= $KmvK),
+         |fl AS (SELECT uk.s1, uk.s2, uk.h,
+         |         MAX(CASE WHEN x.g = uk.s1 THEN 1 ELSE 0 END) AS ina,
+         |         MAX(CASE WHEN x.g = uk.s2 THEN 1 ELSE 0 END) AS inb
+         |       FROM uk JOIN sk x ON x.h = uk.h AND (x.g = uk.s1 OR x.g = uk.s2)
+         |       GROUP BY 1, 2, 3),
+         |st AS (SELECT s1, s2, COUNT(*) AS n_u, MAX(h) AS h_u,
+         |         COUNT(*) FILTER (WHERE ina = 1 AND inb = 1) AS n_inter
+         |       FROM fl GROUP BY 1, 2)
+         |SELECT s1, s2, n_u, n_inter,
+         |  CAST(n_inter AS DOUBLE) / CAST(n_u AS DOUBLE) AS jaccard_est,
+         |  CASE WHEN n_u < $KmvK THEN CAST(n_u AS DOUBLE)
+         |       ELSE CAST(${KmvK - 1} AS DOUBLE) * pow(2.0, 60.0) / CAST(h_u AS DOUBLE) END AS union_est,
+         |  (CAST(n_inter AS DOUBLE) / CAST(n_u AS DOUBLE)) *
+         |    (CASE WHEN n_u < $KmvK THEN CAST(n_u AS DOUBLE)
+         |          ELSE CAST(${KmvK - 1} AS DOUBLE) * pow(2.0, 60.0) / CAST(h_u AS DOUBLE) END) AS inter_est
+         |FROM st ORDER BY s1, s2""".stripMargin,
     "q193_theil_sen" ->
       s"""${cte.stripSuffix("\n").stripSuffix(")")}),
          |r AS (SELECT device_id, value,
