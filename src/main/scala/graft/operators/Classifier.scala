@@ -141,6 +141,52 @@ object Classifier {
       .withColumn("keep_domain", z(w) >= lit(0.0))
   }
 
+  /** Exact ROC-AUC of a scored frame ([[scoreDocuments]] output shape:
+    * `label` 0/1, `score`), computed as the Mann–Whitney U statistic
+    * with the standard average-rank tie treatment:
+    * AUC = [Σ_g p_g·(#neg below g) + ½·Σ_g p_g·q_g] / (P·N) over
+    * score-tie groups g.
+    *
+    * Scale design — the rank is NEVER a global window (the
+    * one-partition sort trap): scores collapse to tie groups first
+    * (keyed aggregation), each group lands in a VALUE bucket
+    * ⌊score·B⌋ (ties can't straddle buckets), cross-bucket cumulative
+    * negatives come from a B-row broadcast, and the within-bucket
+    * cumulative is a window PARTITIONED by bucket. All counts stay
+    * exact integers (decimal-backed pair sums — P·N overflows a long
+    * at ~10^10 docs) until one final divide, mirrored in [[O.auc]].
+    */
+  val AucBuckets = 1024
+
+  def auc(scored: DataFrame, buckets: Int = AucBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy("score").agg(
+      sum(col("label").cast("long")).as("p"),
+      sum(lit(1L) - col("label").cast("long")).as("q"))
+      .withColumn("bucket", floor(col("score") * buckets).cast("long"))
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketBelow = g.groupBy("bucket").agg(sum(col("q")).as("bq"))
+      // B rows total: the unpartitioned window is a deliberate
+      // constant-size single partition, not a data-scale sort
+      .withColumn("qb_bucket", coalesce(sum(col("bq")).over(wb), lit(0L)))
+      .select("bucket", "qb_bucket")
+    val ww = Window.partitionBy("bucket").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = g.join(broadcast(bucketBelow), "bucket")
+      .withColumn("qb", col("qb_bucket") + coalesce(sum(col("q")).over(ww), lit(0L)))
+    rows.agg(
+      sum(col("p")).as("n_pos"),
+      sum(col("q")).as("n_neg"),
+      count(lit(1)).as("n_score_groups"),
+      sum((col("p") * col("qb")).cast("decimal(38,0)")).as("uw"),
+      sum((col("p") * col("q")).cast("decimal(38,0)")).as("ties"))
+      .select(
+        col("n_pos"), col("n_neg"), col("n_score_groups"),
+        round((col("uw") * 2 + col("ties")).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+  }
+
   /** Collects the trained 4-weight model for literal re-use (e.g. by a
     * streaming scorer): (bias, w1, w2, w3). Unlike the scoring entry
     * points, nothing downstream reads the feature frame once fit
@@ -224,5 +270,30 @@ object Classifier {
          |  round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score,
          |  ($zSql >= 0.0) AS predicted_positive
          |FROM feats f CROSS JOIN w$iters w ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[Classifier.auc]]: identical trajectory + scoring, then
+      * the Mann–Whitney statistic over score-tie groups. The oracle may
+      * use the plain global cumulative (its data fits one node); the
+      * Spark side's bucketed two-level cumulative computes the same
+      * exact integers, so the final rounded divide matches.
+      */
+    def auc(labelSql: String,
+        lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): String =
+      s"""WITH sc AS (SELECT * FROM (${scoreDocuments(labelSql, lr, iters, trainPct)})),
+         |g AS (SELECT score,
+         |        CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |        CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS q
+         |      FROM sc GROUP BY 1),
+         |c AS (SELECT p, q,
+         |        COALESCE(SUM(q) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb
+         |      FROM g),
+         |a AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+         |        COUNT(*) AS n_score_groups,
+         |        SUM(p * qb) AS uw, SUM(p * q) AS ties FROM c)
+         |SELECT n_pos, n_neg, n_score_groups,
+         |  round(CAST(uw * 2 + ties AS DOUBLE) /
+         |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+         |FROM a""".stripMargin
   }
 }

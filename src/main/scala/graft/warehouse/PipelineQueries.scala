@@ -994,6 +994,13 @@ object PipelineQueries {
   val classifierScores: Q = (s, dir) =>
     Classifier.scoreDocuments(docs(s, dir), col("source") === "src0")
 
+  /** q198: exact ROC-AUC of the q172 scorer — the threshold-free model
+    * quality read (Mann–Whitney with average-rank ties), ranked by a
+    * bucketed two-level cumulative instead of a global window sort.
+    */
+  val classifierAuc: Q = (s, dir) =>
+    Classifier.auc(Classifier.scoreDocuments(docs(s, dir), col("source") === "src0"))
+
   /** q173: cross-source exact-duplicate overlap matrix — for every
     * source pair, how many distinct content hashes they share and the
     * hash-set Jaccard. The inter-source redundancy read a mixture
@@ -1402,6 +1409,7 @@ object PipelineQueries {
     "q170_mmr_rerank" -> mmrRerank,
     "q171_domain_classifier" -> domainClassifier,
     "q172_classifier_scores" -> classifierScores,
+    "q198_classifier_auc" -> classifierAuc,
     "q161_ivfpq" -> ivfPq,
     "q162_jl_projection" -> jlProjection,
     "q163_jl_distortion" -> jlDistortion,
@@ -1669,6 +1677,7 @@ object PipelineQueries {
     "q170_mmr_rerank" -> Similarity.O.mmrTopK("q.vec_id < 20"),
     "q171_domain_classifier" -> Classifier.O.trainDomainClassifier("source = 'src0'"),
     "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
+    "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),

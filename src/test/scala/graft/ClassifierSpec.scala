@@ -72,4 +72,30 @@ class ClassifierSpec extends AnyFunSuite with TestSpark {
     // the long/stopword-rich class gets the positive weights
     assert(r.getAs[Double]("w1") > 0 && r.getAs[Double]("w3") > 0)
   }
+
+  test("exact AUC matches the brute-force pair statistic, ties included") {
+    import spark.implicits._
+    // hand-built scored frame with tie groups straddling values
+    val scored = Seq(
+      (1L, 1, 0.90), (2L, 1, 0.80), (3L, 1, 0.80), (4L, 1, 0.30),
+      (5L, 0, 0.80), (6L, 0, 0.50), (7L, 0, 0.30), (8L, 0, 0.10), (9L, 0, 0.10)
+    ).toDF("doc_id", "label", "score")
+    val r = Classifier.auc(scored).head
+    // brute force: P(s_pos > s_neg) + 0.5 P(=) over all 4*5 pairs
+    val rows = Seq((1, 0.90), (1, 0.80), (1, 0.80), (1, 0.30),
+      (0, 0.80), (0, 0.50), (0, 0.30), (0, 0.10), (0, 0.10))
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    val wins = (for (p <- pos; n <- neg) yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = math.rint(wins / (pos.size * neg.size) * 1e6) / 1e6
+    assert(r.getAs[Long]("n_pos") == 4 && r.getAs[Long]("n_neg") == 5)
+    assert(r.getAs[Long]("n_score_groups") == 5)
+    assert(r.getAs[Double]("auc") == expected, s"auc ${r.getAs[Double]("auc")} != $expected")
+    // partition-order-proof (the two-level cumulative is exact integers)
+    assert(Classifier.auc(scored.repartition(7)).head == r)
+    // a perfect separator scores 1.0 regardless of bucket boundaries
+    val perfect = (1 to 40).map(i => (i.toLong, if (i <= 20) 1 else 0,
+      if (i <= 20) 0.5 + i / 100.0 else i / 100.0)).toSeq.toDF("doc_id", "label", "score")
+    assert(Classifier.auc(perfect).head.getAs[Double]("auc") == 1.0)
+  }
 }
