@@ -364,6 +364,188 @@ object Corpus {
     st.select(col("w"), col("n_toks"), ltrim(col("toks")).as("toks"))
   }
 
+  val UnigramVocab = 32 // multi-gram candidate pieces (chars are implicit)
+  val UnigramRounds = 8 // DP positions; must cover max word length
+
+  /** Piece scores from a (g, cnt) table: vcost = -ln(cnt / total), the
+    * unigram negative log-likelihood. One 1-row broadcast for the
+    * total; the ln is the same IEEE op both engines run.
+    */
+  private def scoredVocab(v: DataFrame): DataFrame = {
+    val tot = v.agg(sum(col("cnt")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .select(col("g"),
+        (-log(col("cnt").cast("double") / col("tot").cast("double"))).as("vcost"))
+  }
+
+  /** Viterbi segmentation of every DISTINCT word under `vocab` piece
+    * costs (g, vcost): the minimum-total-cost split into pieces of
+    * length 1–4, ties preferring the LONGER final piece. Same unrolled
+    * shape as [[subwordEncodings]] — each of the `rounds` position
+    * steps is four broadcast piece lookups + a narrow projection, with
+    * the DP state (per-prefix best cost / token string / piece count)
+    * carried as bounded array columns. Input (w, f); output
+    * (w, f, n_toks, toks, cost).
+    */
+  private def viterbiEncode(wf: DataFrame, vocab: DataFrame, rounds: Int): DataFrame = {
+    val vl = (1 to 4).map(l =>
+      broadcast(vocab.select(col("g").as(s"g$l"), col("vcost").as(s"vc$l"))))
+    var st = wf.select(col("w"), col("f"),
+      array(lit(0.0)).as("costs"), array(lit("")).as("toks"), array(lit(0)).as("ntoks"))
+    for (t <- 1 to rounds) {
+      val inWord = length(col("w")) >= t
+      var s2 = st
+      for (l <- 1 to 4)
+        s2 = s2.join(vl(l - 1),
+          col(s"g$l") === (if (t >= l) when(inWord, expr(s"substr(w, ${t - l + 1}, $l)"))
+                           else lit(null).cast("string")),
+          "left")
+      for (l <- 1 to 4)
+        s2 = s2.withColumn(s"c$l",
+          if (t >= l) when(inWord, element_at(col("costs"), t - l + 1) + col(s"vc$l"))
+          else lit(null).cast("double"))
+      st = s2
+        .withColumn("m", least(col("c1"), col("c2"), col("c3"), col("c4")))
+        .withColumn("lstar",
+          when(col("c4") === col("m"), 4).when(col("c3") === col("m"), 3)
+            .when(col("c2") === col("m"), 2).otherwise(1))
+        .withColumn("piece",
+          when(col("c4") === col("m"), col("g4")).when(col("c3") === col("m"), col("g3"))
+            .when(col("c2") === col("m"), col("g2")).otherwise(col("g1")))
+        .select(col("w"), col("f"),
+          when(col("m").isNull, col("costs"))
+            .otherwise(array_append(col("costs"), col("m"))).as("costs"),
+          when(col("m").isNull, col("toks"))
+            .otherwise(array_append(col("toks"),
+              concat(element_at(col("toks"), lit(t + 1) - col("lstar")),
+                lit(" "), col("piece")))).as("toks"),
+          when(col("m").isNull, col("ntoks"))
+            .otherwise(array_append(col("ntoks"),
+              element_at(col("ntoks"), lit(t + 1) - col("lstar")) + 1)).as("ntoks"))
+        .localCheckpoint(true)
+    }
+    st.select(col("w"), col("f"),
+      element_at(col("ntoks"), length(col("w")) + 1).as("n_toks"),
+      ltrim(element_at(col("toks"), length(col("w")) + 1)).as("toks"),
+      element_at(col("costs"), length(col("w")) + 1).as("cost"))
+  }
+
+  /** Candidate piece table (g, cnt): every single character plus the
+    * top-`vocabSize` 2/3/4-grams of the word dictionary, both
+    * frequency-weighted; (cnt DESC, g ASC) ties, orderBy+limit
+    * (TakeOrderedAndProject) for the top-k.
+    */
+  private def unigramPieces(wf: DataFrame, vocabSize: Int): DataFrame = {
+    val chars = wf.filter(length(col("w")) >= 1)
+      .select(col("f"),
+        explode(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("g"))
+      .groupBy("g").agg(sum(col("f")).as("cnt"))
+    val multi = (2 to 4).map { n =>
+      wf.filter(length(col("w")) >= n)
+        .select(col("f"),
+          explode(transform(sequence(lit(1), length(col("w")) - (n - 1)),
+            i => col("w").substr(i, lit(n)))).as("g"))
+    }.reduce(_ unionByName _)
+      .groupBy("g").agg(sum(col("f")).as("cnt"))
+      .orderBy(desc("cnt"), col("g")).limit(vocabSize)
+    chars.unionByName(multi)
+  }
+
+  /** Unigram-LM subword tokenizer (Kudo 2018, ACL — "Subword
+    * Regularization"), as one hard-EM round: score candidate pieces by
+    * weighted substring frequency, Viterbi-segment the dictionary
+    * (OPTIMAL splits, where [[subwordEncodings]] is greedy), re-count
+    * pieces from the segmentations actually chosen, prune unused
+    * multi-char pieces, re-score add-1-smoothed, and re-segment under
+    * the trained model. Everything runs over the DISTINCT-word
+    * dictionary (vocabulary-sized, never the token stream) and the EM
+    * statistics are exact integers, so the DuckDB oracle replays
+    * training and both segmentation passes bit-for-bit.
+    *
+    * Returns the dictionary encodings (w, f, n_toks, toks, cost) under
+    * the trained model, plus the trained vocab via
+    * [[unigramVocabReport]].
+    */
+  def unigramEncodings(docs: DataFrame, vocabSize: Int = UnigramVocab,
+      rounds: Int = UnigramRounds, textCol: String = "text"): DataFrame = {
+    val wf = wordFreq(docs, rounds, textCol)
+    viterbiEncode(wf,
+      scoredVocab(trainedUnigramVocab(wf, vocabSize, rounds).select(col("g"), col("cnt"))),
+      rounds)
+  }
+
+  private def wordFreq(docs: DataFrame, rounds: Int, textCol: String): DataFrame = {
+    import graft.functions.Text
+    val wf = docs
+      .select(explode(Text.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    val maxLen = wf.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)
+    require(maxLen <= rounds,
+      s"Viterbi unroll covers $rounds chars but the longest word has $maxLen — raise rounds")
+    wf
+  }
+
+  /** The trained piece table (g, cnt = used + 1, used): candidate
+    * scores → Viterbi pass 1 → piece usage counts → prune multi-char
+    * pieces Viterbi never chose → add-1 smoothing (chars always stay:
+    * every word must remain segmentable).
+    */
+  private def trainedUnigramVocab(wf: DataFrame, vocabSize: Int,
+      rounds: Int): DataFrame = {
+    val v0 = unigramPieces(wf, vocabSize).localCheckpoint(true)
+    val enc1 = viterbiEncode(wf, scoredVocab(v0), rounds)
+    val used = enc1
+      .select(col("f"), explode(split(col("toks"), " ")).as("g"))
+      .filter(col("g") =!= "")
+      .groupBy("g").agg(sum(col("f")).as("used"))
+    v0.join(used, Seq("g"), "left")
+      .withColumn("used", coalesce(col("used"), lit(0L)))
+      .filter(length(col("g")) === 1 || col("used") > 0)
+      .select(col("g"), (col("used") + 1).as("cnt"), col("used"))
+      .localCheckpoint(true)
+  }
+
+  /** The trained unigram vocabulary artifact: piece, length, usage
+    * count from the EM pass, and the trained -ln p score.
+    */
+  def unigramVocabReport(docs: DataFrame, vocabSize: Int = UnigramVocab,
+      rounds: Int = UnigramRounds, textCol: String = "text"): DataFrame = {
+    val v1 = trainedUnigramVocab(wordFreq(docs, rounds, textCol), vocabSize, rounds)
+    v1.join(scoredVocab(v1.select("g", "cnt")), "g")
+      .select(col("g"), length(col("g")).as("piece_len"), col("used"),
+        round(col("vcost"), 6).as("score"))
+      .orderBy(desc("used"), col("g"))
+  }
+
+  /** Per-doc rollup of the trained unigram segmentation — the q179
+    * shape (words / subwords / fertility / ordered-stream md5) plus the
+    * model's average per-token cost (decimal-backed sum, one rounded
+    * divide). Corpus touched once by a broadcast word→encoding join.
+    */
+  def unigramTokenize(docs: DataFrame, vocabSize: Int = UnigramVocab,
+      rounds: Int = UnigramRounds, textCol: String = "text"): DataFrame = {
+    import graft.functions.{Num, Text}
+    val enc = unigramEncodings(docs, vocabSize, rounds, textCol)
+    docs
+      .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("pos0", "word")))
+      .join(broadcast(enc), col("word") === col("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_toks").cast("long")).as("n_subwords"),
+        Num.dsum(col("cost")).as("total_cost"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos0"), col("toks")))),
+          x => x.getField("toks")))).as("tokens_md5"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+      .withColumn("avg_cost",
+        round(col("total_cost") / col("n_subwords"), 6))
+      .select("doc_id", "n_words", "n_subwords", "fertility", "avg_cost", "tokens_md5")
+  }
+
   def subwordTokenize(docs: DataFrame, vocabSize: Int = SubwordVocab,
       rounds: Int = SubwordRounds, textCol: String = "text"): DataFrame = {
     import graft.functions.Text
@@ -386,6 +568,114 @@ object Corpus {
   /** DuckDB oracle twins. */
   object O {
     import graft.functions.{Hashes, Num}
+
+    /** DP round CTEs replaying [[Corpus.viterbiEncode]]'s unrolled
+      * Viterbi over vocab relation `voc`, from `${p}st0` to
+      * `${p}st$rounds` — the identical candidate costs (NULL-skipping
+      * least), longer-piece tie-break, and list-state appends.
+      */
+    private def viterbiCtes(p: String, voc: String, rounds: Int): String =
+      (1 to rounds).map { t =>
+        val joins = (1 to 4).filter(_ <= t).map(l =>
+          s"LEFT JOIN $voc v$l ON v$l.g = (CASE WHEN length(s.w) >= $t THEN substr(s.w, ${t - l + 1}, $l) END)")
+          .mkString("\n        ")
+        val gcols = (1 to 4).map(l =>
+          if (l <= t) s"v$l.g AS g$l" else s"CAST(NULL AS VARCHAR) AS g$l").mkString(", ")
+        val ccols = (1 to 4).map(l =>
+          if (l <= t)
+            s"CASE WHEN length(s.w) >= $t THEN s.costs[${t - l + 1}] + v$l.vcost END AS c$l"
+          else s"CAST(NULL AS DOUBLE) AS c$l").mkString(",\n          ")
+        s"""${p}st$t AS (
+           |  SELECT w, f,
+           |    CASE WHEN m IS NULL THEN costs ELSE list_append(costs, m) END AS costs,
+           |    CASE WHEN m IS NULL THEN toks
+           |         ELSE list_append(toks, toks[${t + 1} - lstar] || ' ' || piece) END AS toks,
+           |    CASE WHEN m IS NULL THEN ntoks
+           |         ELSE list_append(ntoks, ntoks[${t + 1} - lstar] + 1) END AS ntoks
+           |  FROM (
+           |    SELECT *,
+           |      CASE WHEN c4 = m THEN 4 WHEN c3 = m THEN 3 WHEN c2 = m THEN 2 ELSE 1 END AS lstar,
+           |      CASE WHEN c4 = m THEN g4 WHEN c3 = m THEN g3 WHEN c2 = m THEN g2 ELSE g1 END AS piece
+           |    FROM (
+           |      SELECT *, least(c1, c2, c3, c4) AS m FROM (
+           |        SELECT s.w, s.f, s.costs, s.toks, s.ntoks, $gcols,
+           |          $ccols
+           |        FROM ${p}st${t - 1} s
+           |        $joins))))""".stripMargin
+      }.mkString(",\n")
+
+    /** The shared training + double-segmentation chain of the unigram
+      * tokenizer (candidate scores → Viterbi `a` → usage counts →
+      * pruned add-1 vocab → Viterbi `b`), ending in relations `v1`,
+      * `voc1` (trained vocab) and `benc` (trained encodings).
+      */
+    private def unigramCtes(vocabSize: Int, rounds: Int): String = {
+      val gramSel = (2 to 4).map { n =>
+        s"""SELECT substr(w, i, $n) AS g, f FROM (
+           |  SELECT w, f, CAST(unnest(range(1, length(w) - ${n - 2})) AS INT) AS i
+           |  FROM wf WHERE length(w) >= $n)""".stripMargin
+      }.mkString(" UNION ALL ")
+      def enc(p: String) =
+        s"""SELECT w, f, ntoks[length(w) + 1] AS n_toks,
+           |  ltrim(toks[length(w) + 1]) AS toks, costs[length(w) + 1] AS cost
+           |  FROM ${p}st$rounds""".stripMargin
+      s"""wf AS MATERIALIZED (SELECT w, COUNT(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |ch AS (SELECT g, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(w, i, 1) AS g, f FROM (
+         |      SELECT w, f, CAST(unnest(range(1, length(w) + 1)) AS INT) AS i
+         |      FROM wf WHERE length(w) >= 1)) GROUP BY g),
+         |mg AS (SELECT g, cnt FROM (
+         |    SELECT g, CAST(SUM(f) AS BIGINT) AS cnt FROM ($gramSel) GROUP BY g
+         |    ORDER BY cnt DESC, g LIMIT $vocabSize)),
+         |v0 AS MATERIALIZED (SELECT * FROM ch UNION ALL SELECT * FROM mg),
+         |t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM v0),
+         |voc0 AS MATERIALIZED (SELECT g, -ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS vcost
+         |         FROM v0 CROSS JOIN t0),
+         |ast0 AS (SELECT w, f, [CAST(0.0 AS DOUBLE)] AS costs, [''] AS toks, [0] AS ntoks FROM wf),
+         |${viterbiCtes("a", "voc0", rounds)},
+         |aenc AS (${enc("a")}),
+         |used AS (SELECT g, CAST(SUM(f) AS BIGINT) AS used FROM (
+         |    SELECT f, unnest(string_split(toks, ' ')) AS g FROM aenc)
+         |  WHERE g != '' GROUP BY g),
+         |v1 AS MATERIALIZED (SELECT v0.g, CAST(COALESCE(u.used, 0) + 1 AS BIGINT) AS cnt,
+         |         CAST(COALESCE(u.used, 0) AS BIGINT) AS used
+         |       FROM v0 LEFT JOIN used u USING (g)
+         |       WHERE length(v0.g) = 1 OR COALESCE(u.used, 0) > 0),
+         |t1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM v1),
+         |voc1 AS MATERIALIZED (SELECT g, -ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS vcost
+         |         FROM v1 CROSS JOIN t1),
+         |bst0 AS (SELECT w, f, [CAST(0.0 AS DOUBLE)] AS costs, [''] AS toks, [0] AS ntoks FROM wf),
+         |${viterbiCtes("b", "voc1", rounds)},
+         |benc AS (${enc("b")})""".stripMargin
+    }
+
+    /** Mirrors [[Corpus.unigramTokenize]]: trained-model segmentation
+      * rolled up per doc, decimal-backed cost sum, one rounded divide.
+      */
+    def unigramTokenize(vocabSize: Int = UnigramVocab,
+        rounds: Int = UnigramRounds): String =
+      s"""WITH ${unigramCtes(vocabSize, rounds)},
+         |d0 AS (SELECT doc_id, wl, CAST(unnest(range(1, len(wl) + 1)) AS INT) AS pos
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)),
+         |d AS (SELECT doc_id, pos, wl[pos] AS word FROM d0)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(CAST(e.n_toks AS BIGINT)) AS BIGINT) AS n_subwords,
+         |  round(CAST(SUM(CAST(e.n_toks AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS fertility,
+         |  round(${Num.O.sum("e.cost")} / CAST(SUM(CAST(e.n_toks AS BIGINT)) AS BIGINT), 6) AS avg_cost,
+         |  md5(string_agg(e.toks, ' ' ORDER BY pos)) AS tokens_md5
+         |FROM d JOIN benc e ON e.w = d.word
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[Corpus.unigramVocabReport]]: the trained piece table
+      * with usage counts and rounded -ln p scores.
+      */
+    def unigramVocab(vocabSize: Int = UnigramVocab,
+        rounds: Int = UnigramRounds): String =
+      s"""WITH ${unigramCtes(vocabSize, rounds)}
+         |SELECT g, CAST(length(g) AS INT) AS piece_len, used, round(vcost, 6) AS score
+         |FROM v1 JOIN voc1 USING (g)
+         |ORDER BY used DESC, g""".stripMargin
 
     /** Mirrors subwordTokenize: identical vocabulary training
       * (frequency-weighted grams, count-DESC/gram-ASC ties) and the

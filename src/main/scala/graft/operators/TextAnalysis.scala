@@ -948,11 +948,13 @@ object TextAnalysis {
          |FROM s JOIN cb USING (bg) JOIN cw USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-    /** Mirrors stupidBackoffScores: reference-count CTEs, the same
-      * five left joins over the distinct-trigram stream, ln values
-      * rounded through DECIMAL(38,6) — and α² rendered as the PRODUCT
-      * (0.4*0.4), the same double both engines compute (a 0.16 literal
-      * is a different double).
+    /** Mirrors stupidBackoffScores: reference-count CTEs and per-tier
+      * ln scores rounded through DECIMAL(38,6). The oracle keeps the
+      * flat five-left-join form; the engine's fused three-join form
+      * (tier tables pre-joined on the reference side) computes the
+      * IDENTICAL per-tier log expressions, so values still hash-match.
+      * α² is rendered as the PRODUCT (0.4*0.4), the same double both
+      * engines compute (a 0.16 literal is a different double).
       */
     def stupidBackoffScores(refPredSql: String): String =
       s"""WITH wl AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

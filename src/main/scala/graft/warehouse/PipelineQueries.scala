@@ -1121,6 +1121,20 @@ object PipelineQueries {
   val subwordTokens: Q = (s, dir) =>
     Corpus.subwordTokenize(docs(s, dir)).orderBy("doc_id")
 
+  /** q199: unigram-LM tokenization — OPTIMAL (Viterbi) segmentation
+    * under a hard-EM-trained piece model; q179's greedy counterpart
+    * completing the tokenizer family (BPE q150, WordPiece q179,
+    * unigram q199).
+    */
+  val unigramTokens: Q = (s, dir) =>
+    Corpus.unigramTokenize(docs(s, dir)).orderBy("doc_id")
+
+  /** q200: the trained unigram vocabulary artifact (piece, EM usage,
+    * -ln p score) a tokenizer stage ships alongside the encoded corpus.
+    */
+  val unigramVocab: Q = (s, dir) =>
+    Corpus.unigramVocabReport(docs(s, dir))
+
   /** q180: per-source quantile calibration of the quality score — each
     * document's percent rank WITHIN its source (unique ordering via the
     * doc_id tie-break, so ranks are engine-exact) plus the
@@ -1398,6 +1412,8 @@ object PipelineQueries {
     "q180_quality_calibration" -> qualityCalibration,
     "q181_distinct_ngrams" -> distinctNgrams,
     "q179_subword_tokens" -> subwordTokens,
+    "q199_unigram_tokens" -> unigramTokens,
+    "q200_unigram_vocab" -> unigramVocab,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
@@ -1624,6 +1640,8 @@ object PipelineQueries {
          |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
     },
     "q179_subword_tokens" -> Corpus.O.subwordTokenize(),
+    "q199_unigram_tokens" -> Corpus.O.unigramTokenize(),
+    "q200_unigram_vocab" -> Corpus.O.unigramVocab(),
     "q178_classifier_sampled" ->
       Classifier.O.trainDomainClassifier("source = 'src0'", trainPct = 25),
     "q177_curation_pipeline" ->
