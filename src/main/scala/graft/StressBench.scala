@@ -68,7 +68,14 @@ object StressBench {
     "q185_modality_stats" -> warehouse.PipelineQueries.modalityStats,
     "q186_byte_entropy" -> warehouse.PipelineQueries.byteEntropy,
     "q189_blocklist" -> warehouse.PipelineQueries.blocklist,
-    "q191_deletion_impact" -> warehouse.PipelineQueries.deletionImpact)
+    "q191_deletion_impact" -> warehouse.PipelineQueries.deletionImpact,
+    // round-7 continuation: KMV sketches (bounded per-task state, the
+    // shuffle ships <=k hashes per source) and the bucketed exact AUC
+    // (tie-group aggregation + partitioned cumulative) — both must
+    // track the 10x input. (q199 unigram is dictionary-bounded but the
+    // synthetic word prefix exceeds its DP unroll, like q179.)
+    "q196_kmv_distinct" -> warehouse.AnalyticsQueries.kmvDistinct,
+    "q198_classifier_auc" -> warehouse.PipelineQueries.classifierAuc)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity

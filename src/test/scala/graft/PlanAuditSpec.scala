@@ -203,6 +203,30 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("partial_cms_md5"), p.take(1000))
   }
 
+  test("kmv sketches partial-aggregate; the overlap matrix joins sketches, not corpora") {
+    // map-side partial: each task ships <=k hashes per source into the
+    // shuffle — the whole point of the sketch at 100 TB
+    val p = plan("q196_kmv_distinct")
+    assert(p.contains("partial_kmv_md5"), p.take(1000))
+    assert(p.contains("ObjectHashAggregate"), p.take(1000))
+    // the pair frame is S sketch rows self-joined under s1 < s2 — a
+    // broadcast NLJ over aggregates; the corpora themselves never meet
+    val o = plan("q197_kmv_overlap")
+    assert(o.contains("partial_kmv_md5"), o.take(1000))
+    assert(o.contains("BroadcastNestedLoopJoin"), o.take(1000))
+    assert(!o.contains("SortMergeJoin"), o.take(1000))
+  }
+
+  test("auc ranks through a bucket-partitioned window, never a global score sort") {
+    val p = plan("q198_classifier_auc")
+    // the data-scale cumulative is PARTITIONED by bucket
+    assert("""\], \[bucket#\d+L\], \[score#""".r.findFirstIn(p).isDefined, p.take(1500))
+    // no window sorts the full score stream in one partition
+    assert(!p.contains("], [], [score#"), "global score window found:\n" + p.take(1500))
+    // tie groups collapse with map-side partials before any window
+    assert(p.contains("partial_sum"), p.take(1000))
+  }
+
   test("blocklist dictionaries broadcast; modality census joins nothing") {
     // both dictionary tiers must ride broadcast joins (a shuffled dict
     // join would shuffle the exploded token stream against a
