@@ -202,6 +202,73 @@ object Robust {
     }
   }
 
+  /** Tie-aware average ranks of `valueCol` within each `keyCol` group,
+    * distributed (the q198 bucketed two-level cumulative, generalized
+    * to arbitrary value ranges): tie groups collapse first (keyed
+    * aggregation with map-side partials), each group lands in a
+    * min/max-normalized VALUE bucket (equal values cannot straddle a
+    * bucket), cross-bucket counts cumulate over the per-key B-row
+    * bucket table, and the within-bucket cumulative is a
+    * (key, bucket)-partitioned window — a group's rank statistics
+    * never sort in one partition. Returns one row per (key, value):
+    * (keyCol, v, cnt, r) with r the average rank (a half-integer,
+    * exact in doubles).
+    */
+  private[operators] def tieRanks(df: DataFrame, keyCol: String, valueCol: String,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(keyCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val mm = df.groupBy(keyCol)
+      .agg(min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
+    val b = g.join(broadcast(mm), keyCol)
+      .withColumn("bucket",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * buckets),
+            lit((buckets - 1).toLong))))
+    val wb = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bt = b.groupBy(col(keyCol), col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("below_bucket", coalesce(sum(col("bcnt")).over(wb), lit(0L)))
+      .select(col(keyCol), col("bucket"), col("below_bucket"))
+    val ww = Window.partitionBy(col(keyCol), col("bucket")).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(bt), Seq(keyCol, "bucket"))
+      .withColumn("below", col("below_bucket") + coalesce(sum(col("cnt")).over(ww), lit(0L)))
+      .select(col(keyCol), col("v"), col("cnt"),
+        (col("below").cast("double") + (col("cnt") + 1) / lit(2.0)).as("r"))
+  }
+
+  /** Exact Spearman rank correlation between two per-row signals,
+    * per key group — the signal-agreement audit (do two quality
+    * signals order the corpus the same way?). Spearman = Pearson on
+    * tie-averaged ranks: both rank tables come from [[tieRanks]]
+    * (distributed, never a global sort), ranks join back by value, and
+    * the correlation finishes through the exact decimal-backed sum +
+    * [[Num.fitCorr]] shape shared with q106 — mirrored 1:1 in the
+    * oracle. Output: (keyCol, n, rho).
+    */
+  def spearman(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val rx = tieRanks(df.select(col(keyCol), col(xCol)), keyCol, xCol, buckets)
+      .select(col(keyCol), col("v").as(xCol), col("r").as("rx"))
+    val ry = tieRanks(df.select(col(keyCol), col(yCol)), keyCol, yCol, buckets)
+      .select(col(keyCol), col("v").as(yCol), col("r").as("ry"))
+    val ranked = df.select(col(keyCol), col(xCol), col(yCol))
+      .join(rx, Seq(keyCol, xCol))
+      .join(ry, Seq(keyCol, yCol))
+    val g = ranked.groupBy(keyCol).agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.dsum(col("rx")).as("sx"), Num.dsum(col("ry")).as("sy"),
+      Num.dsum(col("rx") * col("rx")).as("sxx"),
+      Num.dsum(col("ry") * col("ry")).as("syy"),
+      Num.dsum(col("rx") * col("ry")).as("sxy"))
+    g.select(col(keyCol), col("n").cast("long").as("n"),
+      round(Num.fitCorr(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        col("syy")), 6).as("rho"))
+  }
+
   /** Per-group MAD outlier stats: median, median-absolute-deviation,
     * and the count of values beyond `k` MADs.
     */

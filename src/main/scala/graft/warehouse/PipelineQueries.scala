@@ -1135,6 +1135,22 @@ object PipelineQueries {
   val unigramVocab: Q = (s, dir) =>
     Corpus.unigramVocabReport(docs(s, dir))
 
+  /** q201: signal-agreement audit — exact per-source Spearman rank
+    * correlation between two independent quality signals (the q49
+    * heuristic quality score and the q98 character entropy). Signals
+    * that order the corpus identically are redundant; signals that
+    * disagree flag where one of them is lying. Ranks come from the
+    * distributed tie-aware machinery (never a global sort).
+    */
+  val signalAgreement: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val sig = TextAnalysis.withTextStats(d)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .join(TextAnalysis.charEntropy(d).select(col("doc_id"), col("entropy")), "doc_id")
+    graft.operators.Robust.spearman(sig, "source", "quality_score", "entropy")
+      .orderBy("source")
+  }
+
   /** q180: per-source quantile calibration of the quality score — each
     * document's percent rank WITHIN its source (unique ordering via the
     * doc_id tie-break, so ranks are engine-exact) plus the
@@ -1414,6 +1430,7 @@ object PipelineQueries {
     "q179_subword_tokens" -> subwordTokens,
     "q199_unigram_tokens" -> unigramTokens,
     "q200_unigram_vocab" -> unigramVocab,
+    "q201_signal_agreement" -> signalAgreement,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
@@ -1642,6 +1659,31 @@ object PipelineQueries {
     "q179_subword_tokens" -> Corpus.O.subwordTokenize(),
     "q199_unigram_tokens" -> Corpus.O.unigramTokenize(),
     "q200_unigram_vocab" -> Corpus.O.unigramVocab(),
+    "q201_signal_agreement" -> {
+      def ranks(p: String, sigCol: String) =
+        s"""g$p AS (SELECT source, $sigCol AS v, COUNT(*) AS cnt FROM sig GROUP BY 1, 2),
+           |c$p AS (SELECT source, v, cnt,
+           |          COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           |        FROM g$p),
+           |r$p AS (SELECT source, v, CAST(below AS DOUBLE) + (cnt + 1) / 2.0 AS r FROM c$p)""".stripMargin
+      s"""WITH qs AS (SELECT doc_id, source, ${TO.textStats} FROM documents),
+         |ce AS (${TO.charEntropy}),
+         |sig AS (SELECT qs.doc_id, qs.source, qs.quality_score, ce.entropy
+         |        FROM qs JOIN ce USING (doc_id)),
+         |${ranks("x", "quality_score")},
+         |${ranks("y", "entropy")},
+         |rk AS (SELECT s.source, rx.r AS rxr, ry.r AS ryr FROM sig s
+         |       JOIN rx ON rx.source = s.source AND rx.v = s.quality_score
+         |       JOIN ry ON ry.source = s.source AND ry.v = s.entropy),
+         |a AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         |        ${Num.O.sum("rxr")} AS sx, ${Num.O.sum("ryr")} AS sy,
+         |        ${Num.O.sum("rxr * rxr")} AS sxx, ${Num.O.sum("ryr * ryr")} AS syy,
+         |        ${Num.O.sum("rxr * ryr")} AS sxy
+         |      FROM rk GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n, round(${Num.O.fitCorr()}, 6) AS rho
+         |FROM a ORDER BY source""".stripMargin
+    },
     "q178_classifier_sampled" ->
       Classifier.O.trainDomainClassifier("source = 'src0'", trainPct = 25),
     "q177_curation_pipeline" ->

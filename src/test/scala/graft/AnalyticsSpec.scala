@@ -100,6 +100,36 @@ class AnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(r.head.getAs[Double]("ts_slope") == 0.1)
   }
 
+  test("spearman matches the brute-force rank correlation, ties included") {
+    // group A: y = x² on positive x → perfectly monotone, rho = 1
+    val a = (1 to 20).map(i => ("A", i.toDouble, (i * i).toDouble))
+    // group B: hand-built with ties in BOTH signals
+    val b = Seq(
+      ("B", 1.0, 5.0), ("B", 1.0, 3.0), ("B", 2.0, 3.0), ("B", 2.0, 8.0),
+      ("B", 3.0, 1.0), ("B", 4.0, 8.0), ("B", 5.0, 2.0), ("B", 5.0, 2.0))
+    val df = (a ++ b).toDF("k", "x", "y")
+    val r = graft.operators.Robust.spearman(df, "k", "x", "y")
+      .collect().map(row => row.getString(0) -> row.getAs[Double]("rho")).toMap
+    assert(r("A") == 1.0)
+    // brute force for B: average ranks, then Pearson on the ranks
+    def ranks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      vs.map(v => (sorted.count(_ < v) + 1 + sorted.count(_ <= v)) / 2.0)
+    }
+    val (xs, ys) = (b.map(_._2), b.map(_._3))
+    val (rx, ry) = (ranks(xs), ranks(ys))
+    val n = rx.size.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val (sxx, syy, sxy) =
+      (rx.map(v => v * v).sum, ry.map(v => v * v).sum, rx.zip(ry).map { case (p, q) => p * q }.sum)
+    val expected = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r("B") - math.rint(expected * 1e6) / 1e6) < 1e-9, s"B rho ${r("B")} vs $expected")
+    // partition-order-proof (exact integer cumulatives + decimal sums)
+    val again = graft.operators.Robust.spearman(df.repartition(7), "k", "x", "y")
+      .collect().map(row => row.getString(0) -> row.getAs[Double]("rho")).toMap
+    assert(again == r)
+  }
+
   test("time-weighted average weights values by their holding interval") {
     // value 10 held 100s, value 50 held 900s, last reading unweighted:
     // twavg = (10*100 + 50*900) / 1000 = 46

@@ -227,6 +227,15 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("partial_sum"), p.take(1000))
   }
 
+  test("spearman ranks are fully partitioned — no unpartitioned window at all") {
+    // both rank cumulatives are keyed (key for the bucket table,
+    // (key, bucket) for the within-bucket pass): q201's plan must not
+    // contain a single empty partition spec
+    val p = plan("q201_signal_agreement")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("], [], ["), "unpartitioned window found:\n" + p.take(1500))
+  }
+
   test("blocklist dictionaries broadcast; modality census joins nothing") {
     // both dictionary tiers must ride broadcast joins (a shuffled dict
     // join would shuffle the exploded token stream against a
