@@ -187,6 +187,42 @@ object Classifier {
           .as("auc"))
   }
 
+  /** [[auc]] per key group (the model-quality breakdown: does the
+    * classifier separate equally well across languages / time slices /
+    * strata?). Same bucketed two-level cumulative, every window now
+    * additionally partitioned by the key; degenerate groups (a single
+    * class) carry no pair statistic and are dropped — mirrored by the
+    * oracle's HAVING.
+    */
+  def aucBy(scored: DataFrame, keyCol: String, buckets: Int = AucBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy(col(keyCol), col("score")).agg(
+      sum(col("label").cast("long")).as("p"),
+      sum(lit(1L) - col("label").cast("long")).as("q"))
+      .withColumn("bucket", floor(col("score") * buckets).cast("long"))
+    val wb = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketBelow = g.groupBy(col(keyCol), col("bucket")).agg(sum(col("q")).as("bq"))
+      .withColumn("qb_bucket", coalesce(sum(col("bq")).over(wb), lit(0L)))
+      .select(col(keyCol), col("bucket"), col("qb_bucket"))
+    val ww = Window.partitionBy(col(keyCol), col("bucket")).orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = g.join(broadcast(bucketBelow), Seq(keyCol, "bucket"))
+      .withColumn("qb", col("qb_bucket") + coalesce(sum(col("q")).over(ww), lit(0L)))
+    rows.groupBy(keyCol).agg(
+      sum(col("p")).as("n_pos"),
+      sum(col("q")).as("n_neg"),
+      count(lit(1)).as("n_score_groups"),
+      sum((col("p") * col("qb")).cast("decimal(38,0)")).as("uw"),
+      sum((col("p") * col("q")).cast("decimal(38,0)")).as("ties"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(
+        col(keyCol), col("n_pos"), col("n_neg"), col("n_score_groups"),
+        round((col("uw") * 2 + col("ties")).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+  }
+
   /** Collects the trained 4-weight model for literal re-use (e.g. by a
     * streaming scorer): (bias, w1, w2, w3). Unlike the scoring entry
     * points, nothing downstream reads the feature frame once fit
@@ -295,5 +331,31 @@ object Classifier {
          |  round(CAST(uw * 2 + ties AS DOUBLE) /
          |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
          |FROM a""".stripMargin
+
+    /** Mirrors [[Classifier.aucBy]] with the key fetched from the
+      * documents row (`keyCol`); degenerate single-class groups drop
+      * via HAVING, matching the Spark-side filter.
+      */
+    def aucBy(labelSql: String, keyCol: String,
+        lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): String =
+      s"""WITH sc0 AS (SELECT * FROM (${scoreDocuments(labelSql, lr, iters, trainPct)})),
+         |sc AS (SELECT d.$keyCol AS k, sc0.label, sc0.score
+         |       FROM sc0 JOIN documents d USING (doc_id)),
+         |g AS (SELECT k, score,
+         |        CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |        CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS q
+         |      FROM sc GROUP BY 1, 2),
+         |c AS (SELECT k, p, q,
+         |        COALESCE(SUM(q) OVER (PARTITION BY k ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb
+         |      FROM g),
+         |a AS (SELECT k, CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+         |        COUNT(*) AS n_score_groups,
+         |        SUM(p * qb) AS uw, SUM(p * q) AS ties
+         |      FROM c GROUP BY 1 HAVING SUM(p) > 0 AND SUM(q) > 0)
+         |SELECT k AS $keyCol, n_pos, n_neg, n_score_groups,
+         |  round(CAST(uw * 2 + ties AS DOUBLE) /
+         |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+         |FROM a ORDER BY $keyCol""".stripMargin
   }
 }

@@ -236,8 +236,39 @@ object Robust {
       .rowsBetween(Window.unboundedPreceding, -1)
     b.join(broadcast(bt), Seq(keyCol, "bucket"))
       .withColumn("below", col("below_bucket") + coalesce(sum(col("cnt")).over(ww), lit(0L)))
-      .select(col(keyCol), col("v"), col("cnt"),
+      .select(col(keyCol), col("v"), col("cnt"), col("below"),
         (col("below").cast("double") + (col("cnt") + 1) / lit(2.0)).as("r"))
+  }
+
+  /** Exact interpolated percentiles (PERCENTILE_CONT semantics) per
+    * key WITHOUT collecting a group's values into one task — Spark's
+    * builtin `percentile` aggregate buffers EVERY value of a group in
+    * one buffer, the hidden memory cliff of exact quantiles at 100 TB.
+    * Here a value tie-group carries its exact rank interval
+    * [below+1, below+cnt] from [[tieRanks]]; for h = (n-1)·p the two
+    * covering order statistics select by interval membership (keyed
+    * joins against a broadcast target table), and the interpolation is
+    * one mirrored float expression. Output: one row per (key, pctl).
+    */
+  def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double], buckets: Int = 1024): DataFrame = {
+    val ranked = tieRanks(df.select(col(keyCol), col(valueCol)), keyCol, valueCol, buckets)
+    val nTab = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val targets = ps.map(p => nTab.withColumn("pctl", lit(p))).reduce(_ unionByName _)
+      .withColumn("h", (col("n") - 1).cast("double") * col("pctl"))
+      .withColumn("k1", floor(col("h")).cast("long") + 1)
+      .withColumn("k2", least(col("k1") + 1, col("n")))
+    val joined = ranked.join(broadcast(targets), Seq(keyCol))
+    val v1 = joined
+      .filter(col("below") < col("k1") && col("k1") <= col("below") + col("cnt"))
+      .select(col(keyCol), col("pctl"), col("n"), col("h"), col("v").as("v1"))
+    val v2 = joined
+      .filter(col("below") < col("k2") && col("k2") <= col("below") + col("cnt"))
+      .select(col(keyCol), col("pctl"), col("v").as("v2"))
+    v1.join(v2, Seq(keyCol, "pctl"))
+      .select(col(keyCol), col("pctl"), col("n"),
+        round(col("v1") + (col("h") - floor(col("h"))) * (col("v2") - col("v1")), 6)
+          .as("value"))
   }
 
   /** Exact Spearman rank correlation between two per-row signals,

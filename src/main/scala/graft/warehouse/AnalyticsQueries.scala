@@ -461,6 +461,17 @@ object AnalyticsQueries {
     graft.operators.Robust.madOutliers(readings(s, dir), "device_type", "value")
       .orderBy("device_type")
 
+  /** q203: exact interpolated p50/p95 per device type via distributed
+    * order statistics (rank-interval selection over value tie-groups) —
+    * the scale-safe exact-quantile path: Spark's builtin `percentile`
+    * buffers every value of a group in one aggregation buffer; this one
+    * never materializes a group anywhere.
+    */
+  val exactQuantiles: Q = (s, dir) =>
+    graft.operators.Robust.exactPercentiles(
+      readings(s, dir), "device_type", "value", Seq(0.5, 0.95))
+      .orderBy("device_type", "pctl")
+
   /** q93: top-5 readings per device type via the custom mergeable
     * TopKByScore aggregate — map-side partial top-k instead of a full
     * window sort (each task ships ≤k pairs per group into the shuffle).
@@ -568,6 +579,7 @@ object AnalyticsQueries {
     "q90_cdc_snapshot" -> cdcSnapshot,
     "q91_winsorized" -> winsorized,
     "q92_mad_outliers" -> madOutliers,
+    "q203_exact_quantiles" -> exactQuantiles,
     "q81_dim_time" -> dimTimeCalendar,
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -769,6 +781,26 @@ object AnalyticsQueries {
     "q71_hll_sketch" ->
       (graft.functions.expressions.HllSketch.oracleSql("events", "user_id", "event_type") +
         "\nORDER BY event_type"),
+    "q203_exact_quantiles" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |g AS (SELECT device_type AS k, value AS v, COUNT(*) AS cnt FROM readings GROUP BY 1, 2),
+         |c AS (SELECT k, v, cnt,
+         |        COALESCE(SUM(cnt) OVER (PARTITION BY k ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |      FROM g),
+         |nn AS (SELECT device_type AS k, COUNT(*) AS n FROM readings GROUP BY 1),
+         |t AS (SELECT k, n, pctl, CAST(n - 1 AS DOUBLE) * pctl AS h
+         |      FROM nn CROSS JOIN (SELECT unnest([0.5, 0.95]) AS pctl)),
+         |t2 AS (SELECT k, n, pctl, h, CAST(floor(h) AS BIGINT) + 1 AS k1,
+         |         least(CAST(floor(h) AS BIGINT) + 2, n) AS k2 FROM t),
+         |v1 AS (SELECT t2.k, t2.pctl, t2.n, t2.h, c.v AS v1 FROM t2
+         |       JOIN c ON c.k = t2.k AND c.below < t2.k1 AND t2.k1 <= c.below + c.cnt),
+         |v2 AS (SELECT t2.k, t2.pctl, c.v AS v2 FROM t2
+         |       JOIN c ON c.k = t2.k AND c.below < t2.k2 AND t2.k2 <= c.below + c.cnt)
+         |SELECT v1.k AS device_type, v1.pctl AS pctl, v1.n,
+         |  round(v1.v1 + (v1.h - floor(v1.h)) * (v2.v2 - v1.v1), 6) AS value
+         |FROM v1 JOIN v2 ON v1.k = v2.k AND v1.pctl = v2.pctl
+         |ORDER BY device_type, v1.pctl""".stripMargin,
     "q196_kmv_distinct" ->
       s"""WITH $kmvCtes,
          |agg AS (SELECT g AS source, COUNT(*) AS n_kept, MAX(h) AS hk FROM sk GROUP BY 1)

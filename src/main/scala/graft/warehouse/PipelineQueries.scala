@@ -1135,6 +1135,19 @@ object PipelineQueries {
   val unigramVocab: Q = (s, dir) =>
     Corpus.unigramVocabReport(docs(s, dir))
 
+  /** q202: per-language AUC breakdown of the domain classifier — the
+    * fairness/robustness read on a single model (a global AUC can hide
+    * a stratum where the separator fails). Languages span both classes
+    * so every group carries pair statistics; degenerate single-class
+    * groups would drop (mirrored HAVING).
+    */
+  val aucByLang: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val scored = Classifier.scoreDocuments(d, col("source") === "src0")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    Classifier.aucBy(scored, "lang").orderBy("lang")
+  }
+
   /** q201: signal-agreement audit — exact per-source Spearman rank
     * correlation between two independent quality signals (the q49
     * heuristic quality score and the q98 character entropy). Signals
@@ -1431,6 +1444,7 @@ object PipelineQueries {
     "q199_unigram_tokens" -> unigramTokens,
     "q200_unigram_vocab" -> unigramVocab,
     "q201_signal_agreement" -> signalAgreement,
+    "q202_auc_by_lang" -> aucByLang,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
@@ -1738,6 +1752,7 @@ object PipelineQueries {
     "q171_domain_classifier" -> Classifier.O.trainDomainClassifier("source = 'src0'"),
     "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
+    "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),

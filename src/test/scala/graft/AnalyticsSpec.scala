@@ -130,6 +130,33 @@ class AnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(again == r)
   }
 
+  test("distributed exact percentiles match the builtin percentile aggregate") {
+    // ties + interpolation + a group whose h is integral
+    val df = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
+      ("B", 5.0), ("B", 7.0), ("B", 7.0), ("B", 9.0)
+    ).toDF("k", "v")
+    val ps = Seq(0.5, 0.95, 0.25)
+    val r = graft.operators.Robust.exactPercentiles(df, "k", "v", ps)
+      .collect().map(x => (x.getString(0), x.getDouble(1)) -> x.getAs[Double]("value")).toMap
+    val expected = df.groupBy("k")
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.95)).as("p95"),
+        percentile(col("v"), lit(0.25)).as("p25"))
+      .collect().flatMap(x => Seq(
+        (x.getString(0), 0.5) -> x.getDouble(1),
+        (x.getString(0), 0.95) -> x.getDouble(2),
+        (x.getString(0), 0.25) -> x.getDouble(3))).toMap
+    assert(r.keySet == expected.keySet)
+    r.foreach { case (kp, v) =>
+      assert(math.abs(v - math.rint(expected(kp) * 1e6) / 1e6) < 1e-9, s"$kp: $v vs ${expected(kp)}")
+    }
+    // partition-order-proof
+    val again = graft.operators.Robust.exactPercentiles(df.repartition(7), "k", "v", ps)
+      .collect().map(x => (x.getString(0), x.getDouble(1)) -> x.getAs[Double]("value")).toMap
+    assert(again == r)
+  }
+
   test("time-weighted average weights values by their holding interval") {
     // value 10 held 100s, value 50 held 900s, last reading unweighted:
     // twavg = (10*100 + 50*900) / 1000 = 46

@@ -98,4 +98,24 @@ class ClassifierSpec extends AnyFunSuite with TestSpark {
       if (i <= 20) 0.5 + i / 100.0 else i / 100.0)).toSeq.toDF("doc_id", "label", "score")
     assert(Classifier.auc(perfect).head.getAs[Double]("auc") == 1.0)
   }
+
+  test("keyed AUC groups independently and drops single-class strata") {
+    import spark.implicits._
+    val scored = Seq(
+      // stratum "g": same rows as the global test → same AUC
+      ("g", 1, 0.90), ("g", 1, 0.80), ("g", 1, 0.30),
+      ("g", 0, 0.80), ("g", 0, 0.50), ("g", 0, 0.10),
+      // stratum "perfect": separable → 1.0
+      ("p", 1, 0.9), ("p", 1, 0.8), ("p", 0, 0.2), ("p", 0, 0.1),
+      // stratum "onlypos": single class → must drop
+      ("o", 1, 0.7), ("o", 1, 0.6)
+    ).toDF("k", "label", "score")
+    val r = Classifier.aucBy(scored, "k")
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("auc")).toMap
+    assert(r.keySet == Set("g", "p"))
+    assert(r("p") == 1.0)
+    // the "g" stratum's AUC equals the unkeyed computation on its rows
+    val solo = Classifier.auc(scored.filter($"k" === "g").drop("k")).head.getAs[Double]("auc")
+    assert(r("g") == solo)
+  }
 }
