@@ -123,4 +123,41 @@ object Sampling {
          |     WHEN ${hashBucket(key)} < ${trainPct + valPct} THEN 'val'
          |     ELSE 'test' END""".stripMargin
   }
+
+  /** Greedy quality-ranked selection under a per-source token budget —
+    * the "fill the budget with the best documents" curation step: rank
+    * each source's docs by (quality DESC, doc_id), take the prefix
+    * whose cumulative token count fits `budgetFrac` of the source's
+    * tokens, and report the funnel (selected counts/tokens and the
+    * quality cutoff — the price of the budget).
+    *
+    * Scale design: the ranking is a per-SOURCE window (a trillion-token
+    * corpus selects in parallel across sources), budgets are a
+    * broadcast per-source table, and every statistic is an exact
+    * integer until the one rounded cutoff column. Ordering is total
+    * (doc_id tie-break) so the selected set is engine-exact.
+    */
+  def budgetSelection(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = TextAnalysis.withTextStats(docs)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("toks"), col("quality_score"))
+    val budgets = stats.groupBy("source").agg(sum(col("toks")).as("total_toks"))
+      .withColumn("budget",
+        floor(col("total_toks").cast("double") * budgetFrac).cast("long"))
+      .select("source", "budget")
+    val w = Window.partitionBy("source")
+      .orderBy(desc("quality_score"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    stats.join(broadcast(budgets), "source")
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("selected", col("cum") <= col("budget"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        max(col("budget")).as("budget"),
+        sum(when(col("selected"), col("toks")).otherwise(0L)).as("tokens_selected"),
+        min(when(col("selected"), round(col("quality_score"), 6))).as("quality_cutoff"))
+  }
 }

@@ -1135,6 +1135,13 @@ object PipelineQueries {
   val unigramVocab: Q = (s, dir) =>
     Corpus.unigramVocabReport(docs(s, dir))
 
+  /** q204: greedy budget selection — per source, the best documents by
+    * quality until half the source's tokens are spent; reports the
+    * funnel and the quality cutoff the budget buys.
+    */
+  val budgetSelection: Q = (s, dir) =>
+    Sampling.budgetSelection(docs(s, dir), budgetFrac = 0.5).orderBy("source")
+
   /** q202: per-language AUC breakdown of the domain classifier — the
     * fairness/robustness read on a single model (a global AUC can hide
     * a stratum where the separator fails). Languages span both classes
@@ -1445,6 +1452,7 @@ object PipelineQueries {
     "q200_unigram_vocab" -> unigramVocab,
     "q201_signal_agreement" -> signalAgreement,
     "q202_auc_by_lang" -> aucByLang,
+    "q204_budget_selection" -> budgetSelection,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
@@ -1753,6 +1761,23 @@ object PipelineQueries {
     "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
+    "q204_budget_selection" ->
+      s"""WITH s AS (SELECT doc_id, source, ${TO.textStats} FROM documents),
+         |st AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS toks, quality_score FROM s),
+         |b AS (SELECT source,
+         |        CAST(floor(CAST(CAST(SUM(toks) AS BIGINT) AS DOUBLE) * 0.5) AS BIGINT) AS budget
+         |      FROM st GROUP BY 1),
+         |c AS (SELECT st.source, st.toks, st.quality_score, b.budget,
+         |        SUM(st.toks) OVER (PARTITION BY st.source
+         |          ORDER BY st.quality_score DESC, st.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM st JOIN b USING (source))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  MAX(budget) AS budget,
+         |  CAST(SUM(CASE WHEN cum <= budget THEN toks ELSE 0 END) AS BIGINT) AS tokens_selected,
+         |  min(CASE WHEN cum <= budget THEN round(quality_score, 6) END) AS quality_cutoff
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),
