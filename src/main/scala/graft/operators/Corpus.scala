@@ -422,7 +422,10 @@ object Corpus {
           when(col("m").isNull, col("ntoks"))
             .otherwise(array_append(col("ntoks"),
               element_at(col("ntoks"), lit(t + 1) - col("lstar")) + 1)).as("ntoks"))
-        .localCheckpoint(true)
+      // checkpoint every second round: each eager materialization costs a
+      // job over the dictionary, and a 2-round (8-join) plan segment is
+      // still well inside codegen limits — halves the DP's job count
+      if (t % 2 == 0 || t == rounds) st = st.localCheckpoint(true)
     }
     st.select(col("w"), col("f"),
       element_at(col("ntoks"), length(col("w")) + 1).as("n_toks"),
