@@ -290,4 +290,63 @@ class PropertySpec extends AnyFunSuite with TestSpark {
       assert(solo.nonEmpty)
     }
   }
+
+  test("KMV sketch == exact bottom-k under any duplication/partitioning; estimate bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Hashes, Sketch}
+    for (round <- 1 to 4) {
+      val card = 200 + rng.nextInt(3000)
+      val rows = List.fill(6000)(s"r$round-v${rng.nextInt(card)}")
+      val k = 128
+      val df = rows.toDF("t").repartition(1 + rng.nextInt(9))
+      val sk = df.agg(Sketch.kmvMd5(col("t"), k).as("sk")).head.getSeq[Long](0)
+      val exact = rows.distinct.toDF("t")
+        .select(Hashes.md5Long60(col("t")).as("h"))
+        .orderBy("h").limit(k).as[Long].collect().toSeq
+      assert(sk == exact, s"round $round: sketch != exact bottom-$k")
+      val est = df.agg(Sketch.kmvMd5(col("t"), k).as("sk"))
+        .select(Sketch.kmvEstimate(col("sk"), k)).head.getDouble(0)
+      val distinct = rows.distinct.size
+      // k=128 → se ~ 1/sqrt(126) ≈ 8.9%; allow 5 sigma for the property loop
+      assert(math.abs(est - distinct) / distinct < 0.45, s"round $round: est $est vs $distinct")
+    }
+  }
+
+  test("distributed AUC == brute-force pair statistic on random scored frames") {
+    import org.apache.spark.sql.functions._
+    for (round <- 1 to 4) {
+      val rows = List.tabulate(300) { i =>
+        (i.toLong, rng.nextInt(2), math.rint(rng.nextDouble() * 20) / 20.0) // heavy ties
+      }
+      val df = rows.toDF("doc_id", "label", "score").repartition(1 + rng.nextInt(7))
+      val r = graft.operators.Classifier.auc(df).head
+      val pos = rows.filter(_._2 == 1).map(_._3)
+      val neg = rows.filter(_._2 == 0).map(_._3)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val expected = math.rint(wins / (pos.size.toLong * neg.size) * 1e6) / 1e6
+      assert(r.getAs[Double]("auc") == expected, s"round $round")
+    }
+  }
+
+  test("distributed exact percentiles == builtin percentile on random frames") {
+    import org.apache.spark.sql.functions._
+    for (round <- 1 to 4) {
+      val rows = List.tabulate(400) { i =>
+        (s"k${i % 3}", math.rint(rng.nextDouble() * 100) / 4.0) // value ties
+      }
+      val df = rows.toDF("k", "v").repartition(1 + rng.nextInt(7))
+      val ps = Seq(0.1, 0.5, 0.9)
+      val got = graft.operators.Robust.exactPercentiles(df, "k", "v", ps)
+        .collect().map(x => (x.getString(0), x.getDouble(1)) -> x.getAs[Double]("value")).toMap
+      val exp = df.groupBy("k")
+        .agg(percentile(col("v"), lit(0.1)), percentile(col("v"), lit(0.5)),
+          percentile(col("v"), lit(0.9)))
+        .collect().flatMap(x => ps.zipWithIndex.map { case (p, i) =>
+          (x.getString(0), p) -> math.rint(x.getDouble(i + 1) * 1e6) / 1e6 }).toMap
+      assert(got.keySet == exp.keySet)
+      got.foreach { case (kp, v) =>
+        assert(math.abs(v - exp(kp)) < 1e-9, s"round $round $kp: $v vs ${exp(kp)}") }
+    }
+  }
 }
