@@ -284,6 +284,53 @@ object AnalyticsQueries {
       .orderBy("s1", "s2")
   }
 
+  /** q205: incremental distinct growth from MERGED sketches — the
+    * ingestion-time vocabulary curve at sketch cost. Docs split into 10
+    * ingestion batches (doc_id deciles); each batch keeps only its 2 KB
+    * KMV sketch, and batch b's cumulative distinct-bigram estimate is
+    * computed from the UNION of sketches 1..b (the k smallest of a
+    * union are always inside the per-part bottom-k sets — the
+    * mergeability contract, here exercised ACROSS batches the way an
+    * incremental pipeline would: no re-scan of history, ever). The
+    * exact cumulative count rides along as the audit column; both it
+    * and the estimate hash-match the oracle.
+    */
+  val kmvGrowth: Q = (s, dir) => {
+    import graft.functions.{Sketch, Text}
+    val k = KmvK
+    val d = Tables(s, dir, "documents")
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val grams = d.crossJoin(broadcast(mx))
+      .select(
+        floor(col("doc_id") * 10 / (col("mx") + 1)).cast("int").as("batch"),
+        explode(Text.shinglesOfWords(Text.words(col("text")), 2)).as("g2"))
+    val perBatch = grams.groupBy("batch").agg(Sketch.kmvMd5(col("g2"), k).as("sk"))
+    val batches = perBatch.select(col("batch"))
+    // cumulative union of the ≤10 sketch rows: tiny by construction
+    val cumHashes = perBatch.select(col("batch").as("b2"), col("sk"))
+      .join(broadcast(batches), col("b2") <= col("batch"))
+      .select(col("batch"), explode(col("sk")).as("h")).distinct()
+    val wB = Window.partitionBy("batch").orderBy("h")
+    // exact cumulative distinct: each gram counts once, at its FIRST batch
+    val firstBatch = grams.distinct().groupBy("g2").agg(min(col("batch")).as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("nw"))
+    val exact = firstBatch.select(col("fb"), col("nw"))
+      .join(broadcast(batches), col("fb") <= col("batch"))
+      .groupBy("batch").agg(sum(col("nw")).as("exact_cum_distinct"))
+    cumHashes.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= k)
+      .groupBy("batch").agg(count(lit(1)).cast("long").as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("est_cum_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60.0)) /
+            col("hk").cast("double")))
+      .join(exact, "batch")
+      .withColumn("est_ratio",
+        round(col("est_cum_distinct") / col("exact_cum_distinct").cast("double"), 6))
+      .select("batch", "n_kept", "est_cum_distinct", "exact_cum_distinct", "est_ratio")
+      .orderBy("batch")
+  }
+
   /** q190: sketch-based join-cardinality estimation — the planner read
     * BEFORE committing to a shuffle: |A ⋈ B| on a key is Σ_k fA(k)·fB(k),
     * estimated from two 8 KB CMS counter arrays as the min-over-rows
@@ -598,6 +645,7 @@ object AnalyticsQueries {
     "q71_hll_sketch" -> hllDistinct,
     "q196_kmv_distinct" -> kmvDistinct,
     "q197_kmv_overlap" -> kmvOverlap,
+    "q205_kmv_growth" -> kmvGrowth,
     "q190_join_size_sketch" -> joinSizeSketch,
     "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
@@ -831,6 +879,30 @@ object AnalyticsQueries {
          |    (CASE WHEN n_u < $KmvK THEN CAST(n_u AS DOUBLE)
          |          ELSE CAST(${KmvK - 1} AS DOUBLE) * pow(2.0, 60.0) / CAST(h_u AS DOUBLE) END) AS inter_est
          |FROM st ORDER BY s1, s2""".stripMargin,
+    "q205_kmv_growth" -> {
+      val estExpr = graft.functions.Sketch.O.kmvEstimate("ag.n_kept", "ag.hk", KmvK)
+      s"""WITH mxv AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |w AS (SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS INT) AS batch,
+         |        string_split(text, ' ') AS w
+         |      FROM documents CROSS JOIN mxv),
+         |gr AS (SELECT batch, unnest(${graft.functions.Text.O.shingles("w", 2)}) AS g2 FROM w),
+         |sk AS (${graft.functions.expressions.KmvSketch.oracleRowsCte("gr", "g2", "batch", KmvK)}),
+         |bs AS (SELECT DISTINCT g AS batch FROM sk),
+         |cu AS (SELECT DISTINCT b.batch, s.h FROM sk s JOIN bs b ON s.g <= b.batch),
+         |rk AS (SELECT batch, h FROM (
+         |         SELECT batch, h, row_number() OVER (PARTITION BY batch ORDER BY h) AS rn
+         |         FROM cu) WHERE rn <= $KmvK),
+         |ag AS (SELECT batch, COUNT(*) AS n_kept, MAX(h) AS hk FROM rk GROUP BY 1),
+         |fbt AS (SELECT g2, MIN(batch) AS fb FROM (SELECT DISTINCT batch, g2 FROM gr) GROUP BY 1),
+         |fc AS (SELECT fb, COUNT(*) AS nw FROM fbt GROUP BY 1),
+         |ex AS (SELECT b.batch, CAST(SUM(fc.nw) AS BIGINT) AS exact_cum_distinct
+         |       FROM fc JOIN bs b ON fc.fb <= b.batch GROUP BY 1)
+         |SELECT ag.batch, ag.n_kept,
+         |  $estExpr AS est_cum_distinct,
+         |  ex.exact_cum_distinct,
+         |  round(($estExpr) / CAST(ex.exact_cum_distinct AS DOUBLE), 6) AS est_ratio
+         |FROM ag JOIN ex USING (batch) ORDER BY batch""".stripMargin
+    },
     "q193_theil_sen" ->
       s"""${cte.stripSuffix("\n").stripSuffix(")")}),
          |r AS (SELECT device_id, value,
