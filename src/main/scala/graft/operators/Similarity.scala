@@ -65,6 +65,27 @@ object Similarity {
       .select("query_id", "cand_id", "cosine_sim", "rank")
   }
 
+  /** [[bruteForceTopK]] over only the FIRST `d` dimensions — the
+    * Matryoshka-truncation probe (Kusupati et al. 2022, NeurIPS):
+    * cosine is recomputed on the slice (truncated vectors are no
+    * longer unit-norm), same rounding and (sim DESC, cand_id) ranking.
+    */
+  def truncatedTopK(emb: DataFrame, queryPred: Column, k: Int, d: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), slice(col("embedding"), 1, d).as("qe"))
+      .withColumn("qn", sqrt(Vec.dotFast(col("qe"), col("qe"))))
+    val c = emb
+      .select(col("vec_id").as("cand_id"), slice(col("embedding"), 1, d).as("ce"))
+      .withColumn("cn", sqrt(Vec.dotFast(col("ce"), col("ce"))))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine_sim", "rank")
+  }
+
   /** LSH-bucketed cosine top-k: candidates share the query's bucket. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", bucketOf(col("embedding")))

@@ -740,6 +740,35 @@ object PipelineQueries {
         round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
   }
 
+  /** q206: Matryoshka truncation audit (Kusupati 2022) — recall@10 of
+    * brute-force cosine top-k using only the first d ∈ {8, 16, 32}
+    * dimensions against the full-64 reference, over the
+    * [[AnnAuditPct]] query sample. The dimension/recall curve is the
+    * read that prices shipping truncated embeddings (4× smaller index)
+    * before re-embedding anything.
+    */
+  val MatryoshkaDims = Seq(8, 16, 32)
+  val matryoshkaRecall: Q = (s, dir) => {
+    val e = emb(s, dir)
+    // cached: the full-dim exact ranking is the reference for every d
+    val exact = Similarity.bruteForceTopK(e, annAuditPred, k = 10)
+      .select("query_id", "cand_id").cache()
+    val denom = exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact_pairs"))
+    MatryoshkaDims.map { d =>
+      val hits = exact.join(
+        Similarity.truncatedTopK(e, annAuditPred, k = 10, d).select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      denom.crossJoin(broadcast(hits)).withColumn("dim", lit(d))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_at_10",
+        round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
+      .select("dim", "n_queries", "n_exact_pairs", "n_hits", "recall_at_10")
+      .orderBy("dim")
+  }
+
   /** q144: IVF probe-budget sweep — recall@10 at nprobe ∈ {1, 2, 4, 8}
     * of the 16 coarse lists: the latency/recall tuning curve an ANN
     * deployment reads before picking its operating point (each probe
@@ -1453,6 +1482,7 @@ object PipelineQueries {
     "q201_signal_agreement" -> signalAgreement,
     "q202_auc_by_lang" -> aucByLang,
     "q204_budget_selection" -> budgetSelection,
+    "q206_matryoshka_recall" -> matryoshkaRecall,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
     "q176_kcenter_coreset" -> kCenterCoreset,
@@ -1778,6 +1808,35 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN cum <= budget THEN toks ELSE 0 END) AS BIGINT) AS tokens_selected,
          |  min(CASE WHEN cum <= budget THEN round(quality_score, 6) END) AS quality_cutoff
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q206_matryoshka_recall" -> {
+      def topk(dim: Int) =
+        s"""SELECT query_id, cand_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding", dim)}, 6) DESC, c.vec_id) AS INT) AS rank
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
+           |WHERE rank <= 10""".stripMargin
+      val trunc = MatryoshkaDims
+        .map(d => s"t$d AS (${topk(d)})").mkString(",\n")
+      val arms = MatryoshkaDims.map { d =>
+        s"""SELECT CAST($d AS INT) AS dim, dn.n_queries, dn.n_exact_pairs, h$d.n_hits,
+           |  round(CAST(h$d.n_hits AS DOUBLE) / dn.n_exact_pairs, 6) AS recall_at_10
+           |FROM dn, h$d""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val hits = MatryoshkaDims.map { d =>
+        s"""h$d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM ex JOIN t$d USING (query_id, cand_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ex AS MATERIALIZED (${topk(graft.operators.Similarity.Dim)}),
+         |$trunc,
+         |dn AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |         CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM ex),
+         |$hits
+         |SELECT * FROM (
+         |$arms
+         |) ORDER BY dim""".stripMargin
+    },
     "q155_pq_codes" -> Similarity.O.pqCodes,
     "q156_pq_adc" -> Similarity.O.pqAdc("vec_id < 20", k = 5),
     "q161_ivfpq" -> Similarity.O.ivfPq("vec_id < 20", k = 5),

@@ -98,6 +98,23 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     val topk = Similarity.bruteForceTopK(e, col("vec_id") === 0L, k = 2)
       .orderBy("rank").select("cand_id").collect().map(_.getLong(0)).toSeq
     assert(topk == Seq(1L, 2L)) // most similar first, orthogonal second
+    // truncation at the full width is the identity
+    val full = Similarity.truncatedTopK(e, col("vec_id") === 0L, k = 2, d = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ref = Similarity.bruteForceTopK(e, col("vec_id") === 0L, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(full == ref)
+    // truncating drops tail signal: cand 2 wins in the 2-d prefix (its
+    // tail disagreement is invisible), cand 1 wins full-width
+    val e2 = Seq(
+      (0L, Array(1f, 0.1f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 0.1f, 5f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.bruteForceTopK(e2, col("vec_id") === 0L, k = 1)
+      .head.getLong(1) == 1L)
+    assert(Similarity.truncatedTopK(e2, col("vec_id") === 0L, k = 1, d = 2)
+      .head.getLong(1) == 2L)
   }
 
   test("bucketed near-dup pairs: hot label is capped, cold pairs survive") {
