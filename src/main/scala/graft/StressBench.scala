@@ -75,7 +75,15 @@ object StressBench {
     // track the 10x input. (q199 unigram is dictionary-bounded but the
     // synthetic word prefix exceeds its DP unroll, like q179.)
     "q196_kmv_distinct" -> warehouse.AnalyticsQueries.kmvDistinct,
-    "q198_classifier_auc" -> warehouse.PipelineQueries.classifierAuc)
+    "q198_classifier_auc" -> warehouse.PipelineQueries.classifierAuc,
+    // budget selection (per-source window + broadcast budgets) and the
+    // sketch growth curve (batch sketches + first-batch distinct) are
+    // both keyed-linear by construction; the sampled-exact ANN audits
+    // (q143/q160/q206) stay OUT — their exact branch is quadratic in
+    // the (sampled) query x corpus product BY DESIGN (the documented
+    // audit contract fixes the sample, not the ratio)
+    "q204_budget_selection" -> warehouse.PipelineQueries.budgetSelection,
+    "q205_kmv_growth" -> warehouse.AnalyticsQueries.kmvGrowth)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity
