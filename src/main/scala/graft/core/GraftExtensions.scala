@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CmsSketch, DamerauLevenshtein, DotProductD, HllSketch, JaroWinkler, TopKByScore, ZOrder2}
+import graft.functions.expressions.{CmsSketch, DamerauLevenshtein, DotProductD, HllSketch, JaroWinkler, KmvSketch, TopKByScore, ZOrder2}
 
 /** Catalyst extension point: registers graft's custom expressions with
   * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
@@ -60,6 +60,17 @@ object GraftExtensions {
           case other => other.eval(null).asInstanceOf[Number].intValue()
         }
         TopKByScore(children.head, children(1), k)
+      }),
+    (
+      FunctionIdentifier("kmv_md5"),
+      new ExpressionInfo(classOf[KmvSketch].getCanonicalName, null, "kmv_md5"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmv_md5 takes (value, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval(null).asInstanceOf[Number].intValue()
+        }
+        KmvSketch.forInput(children.head, k)
       }),
     (
       FunctionIdentifier("cms_md5"),

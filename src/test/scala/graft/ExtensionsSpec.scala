@@ -21,6 +21,14 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(sqlEst == colEst)
   }
 
+  test("kmv_md5 is callable from SQL and matches the Column API") {
+    (1 to 900).map(i => s"k${i % 300}").toDF("t").createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql("SELECT kmv_md5(t, 64) AS s FROM kmv_in").head.getSeq[Long](0)
+    val viaCol = spark.table("kmv_in")
+      .agg(graft.functions.Sketch.kmvMd5($"t", 64)).head.getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.size == 64)
+  }
+
   test("cms_md5 is callable from SQL and matches the Column API") {
     (1 to 500).map(i => s"w${i % 61}").toDF("w").createOrReplaceTempView("cms_in")
     val viaSql = spark.sql("SELECT cms_md5(w) AS c FROM cms_in").head.getSeq[Long](0)
