@@ -769,6 +769,49 @@ object PipelineQueries {
       .orderBy("dim")
   }
 
+  /** DCG weights 1/log2(i+1) for ranks 1..10 and their sum (the ideal
+    * DCG with 10 binary-relevant items) — computed ONCE here and
+    * embedded as identical literals in both engines (shortest-repr
+    * doubles round-trip), so the rank-weighted sums stay cross-engine
+    * exact through the decimal-backed aggregation.
+    */
+  private val DcgW: Seq[Double] = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val Idcg: Double = DcgW.sum
+
+  /** q207: rank-sensitive retrieval quality of the IVF index vs the
+    * exact ranking — MRR@10 (where does the true nearest neighbor land
+    * in the approximate list?) and mean nDCG@10 with binary relevance
+    * (= exact-top-10 membership). Complements q143's recall, which is
+    * blind to WHERE in the list the hits sit. AnnAuditPct query
+    * sample; all joins are (query, cand)-keyed over top-k-sized frames.
+    */
+  val annRankingQuality: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val exact = Similarity.bruteForceTopK(e, annAuditPred, k = 10)
+      .select("query_id", "cand_id", "rank").cache()
+    val approx = Similarity.ivfTopK(e, annAuditPred, k = 10)
+      .select(col("query_id"), col("cand_id"), col("rank").as("arank"))
+    val weight = (1 to 10).foldRight(lit(0.0): org.apache.spark.sql.Column)((i, acc) =>
+      when(col("arank") === i, lit(DcgW(i - 1))).otherwise(acc))
+    val dcg = approx
+      .join(exact.select(col("query_id"), col("cand_id")).withColumn("rel", lit(1)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(Num.dsum(when(col("rel") === 1, weight).otherwise(lit(0.0))).as("dcg"))
+    val rr = exact.filter(col("rank") === 1).select("query_id", "cand_id")
+      .join(approx, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("arank"), lit(0.0)).as("rr"))
+    exact.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(rr, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(Num.dsum(coalesce(col("rr"), lit(0.0))) / count(lit(1)), 6).as("mrr"),
+        round(Num.dsum(coalesce(col("dcg"), lit(0.0)) / lit(Idcg)) / count(lit(1)), 6)
+          .as("mean_ndcg"))
+  }
+
   /** q144: IVF probe-budget sweep — recall@10 at nprobe ∈ {1, 2, 4, 8}
     * of the 16 coarse lists: the latency/recall tuning curve an ANN
     * deployment reads before picking its operating point (each probe
@@ -1524,6 +1567,7 @@ object PipelineQueries {
     "q142_dataset_card" -> datasetCard,
     "q143_ivf_recall" -> ivfRecall,
     "q144_ivf_probe_sweep" -> ivfProbeSweep,
+    "q207_ann_ranking_quality" -> annRankingQuality,
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
     "q42_ngram_jaccard" -> ngramJaccard,
@@ -1958,6 +2002,36 @@ object PipelineQueries {
          |       h.n_hits,
          |       round(CAST(h.n_hits AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6) AS recall_at_10
          |FROM h""".stripMargin,
+    "q207_ann_ranking_quality" -> {
+      val wCase = (1 to 10).map(i =>
+        s"WHEN $i THEN CAST(${DcgW(i - 1)} AS DOUBLE)").mkString(" ")
+      s"""WITH ex AS MATERIALIZED (SELECT query_id, cand_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
+         |  WHERE rank <= 10),
+         |iv AS MATERIALIZED (SELECT query_id, cand_id, rank AS arank
+         |  FROM (${Similarity.O.ivf(annAuditPredSql, 10)})),
+         |fl AS (SELECT iv.query_id, iv.arank,
+         |         CASE WHEN ex2.cand_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |       FROM iv LEFT JOIN (SELECT query_id, cand_id FROM ex) ex2
+         |         ON ex2.query_id = iv.query_id AND ex2.cand_id = iv.cand_id),
+         |dq AS (SELECT query_id,
+         |         ${Num.O.sum(s"CASE WHEN rel = 1 THEN (CASE arank $wCase END) ELSE CAST(0 AS DOUBLE) END")} AS dcg
+         |       FROM fl GROUP BY 1),
+         |r1 AS (SELECT query_id, cand_id FROM ex WHERE rank = 1),
+         |rr AS (SELECT r1.query_id,
+         |         COALESCE(CAST(1 AS DOUBLE) / iv.arank, CAST(0 AS DOUBLE)) AS rr
+         |       FROM r1 LEFT JOIN iv
+         |         ON iv.query_id = r1.query_id AND iv.cand_id = r1.cand_id),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT COUNT(*) AS n_queries,
+         |  round(${Num.O.sum("COALESCE(rr.rr, CAST(0 AS DOUBLE))")} / COUNT(*), 6) AS mrr,
+         |  round(${Num.O.sum(s"COALESCE(dq.dcg, CAST(0 AS DOUBLE)) / CAST($Idcg AS DOUBLE)")} / COUNT(*), 6) AS mean_ndcg
+         |FROM qs LEFT JOIN dq USING (query_id) LEFT JOIN rr USING (query_id)""".stripMargin
+    },
     "q144_ivf_probe_sweep" -> {
       val exactSub =
         s"""SELECT query_id, cand_id FROM (
