@@ -51,4 +51,47 @@ object RangeJoin {
           .otherwise(col("a.sec") - col("b.sec")).as("dt_seconds"))
       .distinct()
   }
+
+  /** Interval-overlap SELF-join per key — the interval×interval member
+    * of the range-join family (the shape behind temporal concurrency /
+    * resource-conflict queries): pairs (id1 < id2) whose [s, e)
+    * second-intervals intersect, via time-GRID decomposition. Each
+    * interval lands on the `gridSec` buckets it touches, candidates
+    * join on (key, bucket) — never an unbounded per-key self-join —
+    * and a bucket's candidate volume is (concurrent intervals)², the
+    * overlap join's inherent output size. The final distinct collapses
+    * pairs that co-touch several buckets; overlap uses the standard
+    * end-exclusive s1 < e2 AND s2 < e1 test, so touching intervals do
+    * not pair. Inputs are NUMERIC seconds columns (callers convert
+    * timestamps; open ends must be capped first — NULL ends never
+    * match).
+    */
+  def intervalOverlapSelf(
+      df: DataFrame,
+      keyCol: String,
+      startSecCol: String,
+      endSecCol: String,
+      idCol: String,
+      gridSec: Long): DataFrame = {
+    val span = df.select(
+      col(keyCol).as("k"),
+      col(startSecCol).cast("long").as("s"),
+      col(endSecCol).cast("long").as("e"),
+      col(idCol).as("id"))
+      .filter(col("s") < col("e")) // empty intervals can overlap nothing
+      .withColumn("bkt",
+        explode(sequence(floor(col("s") / gridSec), floor((col("e") - 1) / gridSec))))
+    span.as("a")
+      .join(span.as("b"),
+        col("a.k") === col("b.k") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .select(
+        col("a.k").as(keyCol),
+        col("a.id").as("id1"),
+        col("b.id").as("id2"),
+        (least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s")))
+          .as("overlap_seconds"))
+      .distinct()
+  }
 }

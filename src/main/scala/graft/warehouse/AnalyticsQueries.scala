@@ -467,6 +467,37 @@ object AnalyticsQueries {
       .orderBy("device_id", "effective_from")
   }
 
+  /** q208: temporal band-concurrency via the interval-overlap join —
+    * which devices occupied the SAME value band at OVERLAPPING times
+    * (the q78 SCD2 intervals turned into a conflict/concurrency read).
+    * Open current intervals cap at max(time)+1 via a 1-row broadcast;
+    * the pair search decomposes onto a 1-hour grid keyed (band,
+    * bucket) — never an unbounded per-band self-join.
+    */
+  val bandOverlap: Q = (s, dir) => {
+    val r = readings(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("device_id").orderBy("time", "event_id")
+    val banded = r
+      .withColumn("band", floor(col("value") / 100).cast("long"))
+      .withColumn("prev_band", lag("band", 1).over(w))
+    val changes = banded
+      .filter(col("prev_band").isNull || col("band") =!= col("prev_band"))
+      .withColumn("eff_to", lead("time", 1).over(w))
+    val cap = r.agg((max(unix_timestamp(col("time"))) + 1).as("cap"))
+    val iv = changes.crossJoin(broadcast(cap))
+      .select(col("band"), col("event_id").as("iv_id"),
+        unix_timestamp(col("time")).as("s"),
+        coalesce(unix_timestamp(col("eff_to")), col("cap")).as("e"))
+    RangeJoin.intervalOverlapSelf(iv, "band", "s", "e", "iv_id", gridSec = 3600)
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("overlap_seconds")).as("total_overlap_seconds"),
+        max(col("overlap_seconds")).as("max_overlap_seconds"))
+      .orderBy("band")
+  }
+
   /** q81: the dim_time calendar dimension end-to-end — generated from
     * the events span, all 11 attribute columns, left-joined to hourly
     * event counts (empty hours survive with 0). Completes the
@@ -653,7 +684,8 @@ object AnalyticsQueries {
     "q75_cohort_retention" -> cohortRetention,
     "q76_funnel" -> funnel,
     "q77_histogram" -> histogram,
-    "q78_scd2_intervals" -> scd2Intervals)
+    "q78_scd2_intervals" -> scd2Intervals,
+    "q208_band_overlap" -> bandOverlap)
 
   import Num.{O => N}
 
@@ -829,6 +861,29 @@ object AnalyticsQueries {
     "q71_hll_sketch" ->
       (graft.functions.expressions.HllSketch.oracleSql("events", "user_id", "event_type") +
         "\nORDER BY event_type"),
+    "q208_band_overlap" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |banded AS (SELECT device_id, event_id, time,
+         |             CAST(floor(value / 100) AS BIGINT) AS band,
+         |             lag(CAST(floor(value / 100) AS BIGINT)) OVER w AS prev_band
+         |           FROM readings
+         |           WINDOW w AS (PARTITION BY device_id ORDER BY time, event_id)),
+         |chg AS (SELECT * FROM banded WHERE prev_band IS NULL OR band != prev_band),
+         |iv0 AS (SELECT band, event_id AS iv_id,
+         |          CAST(floor(epoch(time)) AS BIGINT) AS s,
+         |          lead(CAST(floor(epoch(time)) AS BIGINT)) OVER (
+         |            PARTITION BY device_id ORDER BY time, event_id) AS e0
+         |        FROM chg),
+         |cap AS (SELECT CAST(floor(epoch(MAX(time))) AS BIGINT) + 1 AS cap FROM readings),
+         |iv AS (SELECT band, iv_id, s, COALESCE(e0, cap) AS e FROM iv0 CROSS JOIN cap),
+         |p AS (SELECT a.band, a.iv_id AS id1, b.iv_id AS id2,
+         |        least(a.e, b.e) - greatest(a.s, b.s) AS overlap_seconds
+         |      FROM iv a JOIN iv b ON a.band = b.band AND a.iv_id < b.iv_id
+         |        AND a.s < b.e AND b.s < a.e)
+         |SELECT band, COUNT(*) AS n_pairs,
+         |  CAST(SUM(overlap_seconds) AS BIGINT) AS total_overlap_seconds,
+         |  MAX(overlap_seconds) AS max_overlap_seconds
+         |FROM p GROUP BY band ORDER BY band""".stripMargin,
     "q203_exact_quantiles" ->
       s"""${cte.stripSuffix("\n").stripSuffix(")")}),
          |g AS (SELECT device_type AS k, value AS v, COUNT(*) AS cnt FROM readings GROUP BY 1, 2),

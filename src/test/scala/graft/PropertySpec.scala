@@ -291,6 +291,27 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("interval-overlap join matches brute force on random interval sets") {
+    import graft.operators.RangeJoin
+    for (round <- 1 to 4) {
+      val rows = List.tabulate(40) { i =>
+        val s = rng.nextInt(500).toLong
+        (1L + rng.nextInt(3), s, s + 1 + rng.nextInt(200), i.toLong)
+      }
+      val df = rows.toDF("k", "s", "e", "id")
+      val got = RangeJoin.intervalOverlapSelf(df, "k", "s", "e", "id", gridSec = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val exp = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._4 < b._4 && a._2 < b._3 && b._2 < a._3
+      } yield (a._1, a._4, b._4, math.min(a._3, b._3) - math.max(a._2, b._2))).toSet
+      assert(got == exp, s"round $round")
+    }
+    // end-exclusive: touching intervals never pair
+    val touch = Seq((1L, 0L, 10L, 1L), (1L, 10L, 20L, 2L)).toDF("k", "s", "e", "id")
+    assert(RangeJoin.intervalOverlapSelf(touch, "k", "s", "e", "id", 60).count() == 0)
+  }
+
   test("KMV sketch == exact bottom-k under any duplication/partitioning; estimate bounded") {
     import org.apache.spark.sql.functions._
     import graft.functions.{Hashes, Sketch}
