@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num
@@ -200,6 +200,41 @@ object Robust {
          |      FROM m WHERE cum >= ceil($p * CAST(n AS DOUBLE)))
          |WHERE rn = 1""".stripMargin
     }
+
+    /** DuckDB twin of [[logBinCounts]] + the cumulative, as CTE text
+      * yielding lm(g, lbin, c, cum, n) — the same pure-integer bit math
+      * (bucket via length(bin(x)), variable shifts), so parity is exact
+      * by construction.
+      */
+    def logCte(table: String, groupCol: String, valueCol: String): String = {
+      val m = LogSubBits
+      val sc = LogSubCount
+      s"""SELECT g, lbin, c,
+         |  SUM(c) OVER (PARTITION BY g ORDER BY lbin ROWS UNBOUNDED PRECEDING) AS cum,
+         |  SUM(c) OVER (PARTITION BY g) AS n
+         |FROM (SELECT g, lbin, COUNT(*) AS c FROM (
+         |  SELECT $groupCol AS g,
+         |    CASE WHEN v < $sc THEN v
+         |         ELSE ((length(bin(v)) - 1) - $m) * $sc + (v >> CAST((length(bin(v)) - 1) - $m AS INT))
+         |    END AS lbin
+         |  FROM (SELECT $groupCol, CAST($valueCol AS BIGINT) AS v FROM $table
+         |        WHERE $valueCol IS NOT NULL AND $valueCol >= 1))
+         |GROUP BY g, lbin)""".stripMargin
+    }
+
+    /** DuckDB twin of the [[logEstimateFromBins]] selection for one p,
+      * over relation lm: (g, est) with est the integer bucket midpoint.
+      */
+    def logEstSelect(p: Double): String = {
+      val m = LogSubBits
+      val sc = LogSubCount
+      s"""SELECT g, CASE WHEN sel < ${2 * sc} THEN sel
+         |  ELSE (((sel - ((sel >> $m) - 1) * $sc) << CAST((sel >> $m) - 1 AS INT))
+         |      + (((sel - ((sel >> $m) - 1) * $sc) + 1) << CAST((sel >> $m) - 1 AS INT)) - 1) >> 1
+         |END AS est
+         |FROM (SELECT g, min(lbin) AS sel FROM lm
+         |      WHERE cum >= ceil($p * CAST(n AS DOUBLE)) GROUP BY g)""".stripMargin
+    }
   }
 
   /** Tie-aware average ranks of `valueCol` within each `keyCol` group,
@@ -271,6 +306,24 @@ object Robust {
           .as("value"))
   }
 
+  /** Exact per-group ORDER STATISTIC at rank ceil(p·n) — the discrete
+    * quantile the log sketch's error contract is stated against —
+    * distributed via [[tieRanks]] rank intervals (a value tie-group
+    * covers ranks [below+1, below+cnt]; the target rank selects by
+    * interval membership). No per-group value buffering anywhere.
+    * Output: one row per (key, pctl): (keyCol, pctl, v).
+    */
+  def exactOrderStats(df: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double], buckets: Int = 1024): DataFrame = {
+    val ranked = tieRanks(df.select(col(keyCol), col(valueCol)), keyCol, valueCol, buckets)
+    val nTab = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val targets = ps.map(p => nTab.withColumn("pctl", lit(p))).reduce(_ unionByName _)
+      .withColumn("k", ceil(col("pctl") * col("n").cast("double")).cast("long"))
+    ranked.join(broadcast(targets), Seq(keyCol))
+      .filter(col("below") < col("k") && col("k") <= col("below") + col("cnt"))
+      .select(col(keyCol), col("pctl"), col("v"))
+  }
+
   /** Exact Spearman rank correlation between two per-row signals,
     * per key group — the signal-agreement audit (do two quality
     * signals order the corpus the same way?). Spearman = Pearson on
@@ -298,6 +351,117 @@ object Robust {
     g.select(col(keyCol), col("n").cast("long").as("n"),
       round(Num.fitCorr(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
         col("syy")), 6).as("rho"))
+  }
+
+  // ------------------------------------------------------- log2-linear quantile sketch
+
+  /** Sub-bucket resolution of the log2-linear quantile sketch: each
+    * power-of-two octave splits into 2^LogSubBits equal-width linear
+    * sub-buckets (the HdrHistogram bucket layout — Tene,
+    * github.com/HdrHistogram, public), so a bucket's width is always
+    * ≤ value · 2^-LogSubBits and the midpoint estimate is within
+    * **2^-(LogSubBits+1) ≈ 0.79 % RELATIVE error** of the target order
+    * statistic — at ANY positive-long magnitude. This is the property
+    * the fixed-domain [[histBinCounts]] sketch cannot offer: that one
+    * needs [HistLo, HistHi) chosen in advance and clamps outside it,
+    * while this one covers 1 .. 2^62 with ≤ (62-6)·64+128 ≈ 3.7k
+    * counters and needs NO domain knowledge. Both sketches share the
+    * scale contract: per-group counters only (map-side partial
+    * aggregation, mergeable across partitions / micro-batches /
+    * ingestion days by plain count addition).
+    *
+    * Determinism: the bucket index and the midpoint estimate are PURE
+    * INTEGER bit math (floor(log2 x) via the binary-string length of
+    * the builtin `bin`, shifts for the rest — no transcendental calls,
+    * no doubles anywhere), so a DuckDB replay is exact by construction,
+    * not within-an-ulp.
+    *
+    * Domain: values must be in [1, 2^62) — NULLs and values < 1 are
+    * dropped (rank information only exists for positive counts/sizes:
+    * lengths, token counts, byte sizes, latencies-in-µs).
+    */
+  val LogSubBits = 6
+  private val LogSubCount = 1L << LogSubBits
+
+  private def shiftRightVar(x: Column, s: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
+    GraftBridge.column(ShiftRightUnsigned(
+      GraftBridge.expression(x), GraftBridge.expression(s.cast("int"))))
+  }
+
+  private def shiftLeftVar(x: Column, s: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    GraftBridge.column(ShiftLeft(
+      GraftBridge.expression(x), GraftBridge.expression(s.cast("int"))))
+  }
+
+  /** Bucket index of a positive long: identity below 2^LogSubBits
+    * (small values are EXACT), else (e-m)·2^m + (x >> (e-m)) with
+    * e = floor(log2 x) — monotone in x, so bucket order is value order
+    * and cumulative counts give ranks.
+    */
+  def logBin(x: Column): Column = {
+    val xl = x.cast("long")
+    val e = (length(bin(xl)) - lit(1)).cast("long")
+    when(xl < LogSubCount, xl)
+      .otherwise((e - LogSubBits) * LogSubCount + shiftRightVar(xl, e - LogSubBits))
+  }
+
+  /** Integer midpoint of bucket `idx` — the quantile estimate. Buckets
+    * below 2·2^m are single-valued (estimate = the value itself); above,
+    * the bucket spans [sub<<shift, (sub+1)<<shift) and the midpoint is
+    * one >>1 away.
+    */
+  def logBinMid(idx: Column): Column = {
+    val block = shiftright(idx, LogSubBits)
+    val shiftAmt = block - 1
+    val sub = idx - shiftAmt * LogSubCount
+    val lower = shiftLeftVar(sub, shiftAmt)
+    val upper = shiftLeftVar(sub + 1, shiftAmt) - 1
+    when(idx < 2 * LogSubCount, idx).otherwise(shiftright(lower + upper, 1))
+  }
+
+  /** Sketch-building half (the [[histBinCounts]] shape on log2-linear
+    * buckets): per-group bucket counters as one keyed aggregation —
+    * streaming-compatible (update/complete-mode groupBy, no windows).
+    */
+  def logBinCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(col(groupCol), logBin(col(valueCol)).as("lbin"))
+      .groupBy(col(groupCol), col("lbin")).agg(count(lit(1)).as("c"))
+
+  /** Per-group quantile ESTIMATES from the log2-linear sketch: target
+    * rank ceil(p·n) (the [[estimateFromBins]] convention), first bucket
+    * whose cumulative count reaches it, integer midpoint out. The
+    * cumulative runs over the ≤3.7k-row-per-group bucket table, never
+    * the data.
+    */
+  def logQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    logEstimateFromBins(logBinCounts(df, groupCol, valueCol), groupCol, ps)
+
+  /** Estimate half, callable on a persisted / stream-accumulated
+    * (group, lbin, c) counter table.
+    */
+  def logEstimateFromBins(binned: DataFrame, groupCol: String,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pName(p: Double) = s"p${math.round(p * 100)}"
+    val wCum = Window.partitionBy(groupCol).orderBy("lbin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = binned
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(groupCol)))
+    val sels = ps.map { p =>
+      val t = ceil(lit(p) * col("n").cast("double"))
+      min(when(col("cum") >= t, col("lbin"))).as(s"sel_${pName(p)}")
+    }
+    val g = cums.groupBy(groupCol).agg(max(col("n")).as("n"), sels: _*)
+    ps.foldLeft(g) { (acc, p) =>
+      acc.withColumn(s"est_${pName(p)}", logBinMid(col(s"sel_${pName(p)}")))
+    }.drop(ps.map(p => s"sel_${pName(p)}"): _*)
   }
 
   /** Per-group MAD outlier stats: median, median-absolute-deviation,

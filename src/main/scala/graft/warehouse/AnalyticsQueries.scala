@@ -136,6 +136,40 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** q209: log2-linear quantile sketch calibration — the RELATIVE-error
+    * quantile sketch (HdrHistogram bucket layout: 64 linear sub-buckets
+    * per octave, mergeable counters, pure integer bit math) priced
+    * against the exact order statistic at the same rank. Where q122's
+    * equi-width sketch needs its [0,600) domain fixed in advance, this
+    * one covers any positive-long magnitude with ≤3.7k counters and a
+    * ≤0.79 % relative-error contract — the doc-length/token-count/
+    * byte-size sketch for a 100 TB corpus whose scale is NOT known up
+    * front. The exact branch is the audit (rank-interval selection, no
+    * per-group buffering — q203's machinery), and rel_err_* certifies
+    * the bound on real data.
+    */
+  val logQuantiles: Q = (s, dir) => {
+    import graft.operators.Robust
+    val ps = Seq(0.5, 0.9, 0.99)
+    val docs = Tables(s, dir, "documents").select(col("source"), col("n_chars"))
+      .filter(col("n_chars").isNotNull && col("n_chars") >= 1)
+    val est = Robust.logQuantile(docs, "source", "n_chars", ps)
+    val exact = Robust.exactOrderStats(docs, "source", "n_chars", ps)
+      .groupBy("source").agg(
+        max(when(col("pctl") === 0.5, col("v"))).cast("long").as("exact_p50"),
+        max(when(col("pctl") === 0.9, col("v"))).cast("long").as("exact_p90"),
+        max(when(col("pctl") === 0.99, col("v"))).cast("long").as("exact_p99"))
+    def relErr(p: Int) = round(
+      abs(col(s"est_p$p") - col(s"exact_p$p")).cast("double") /
+        col(s"exact_p$p").cast("double"), 6).as(s"rel_err_p$p")
+    est.join(exact, "source")
+      .select(col("source"), col("n"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("exact_p50"), col("exact_p90"), col("exact_p99"),
+        relErr(50), relErr(90), relErr(99))
+      .orderBy("source")
+  }
+
   /** q127: event-time regression diagnostics — per user, how often the
     * event time moves BACKWARD relative to arrival order (event_id) and
     * the largest backward jump. The late-data health read that sizes a
@@ -658,6 +692,7 @@ object AnalyticsQueries {
     "q91_winsorized" -> winsorized,
     "q92_mad_outliers" -> madOutliers,
     "q203_exact_quantiles" -> exactQuantiles,
+    "q209_log_quantiles" -> logQuantiles,
     "q81_dim_time" -> dimTimeCalendar,
     "q54_pivot" -> pivot,
     "q55_cube" -> cube,
@@ -1098,6 +1133,35 @@ object AnalyticsQueries {
          |SELECT event_type, COUNT(*) AS n_bins_used,
          |  round(CAST(SUM(CAST((p1 - p2) * ln(p1 / p2) AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q209_log_quantiles" -> {
+      import graft.operators.{Robust => R}
+      def x(p: String, tag: String) =
+        s"""x$tag AS (SELECT c.g, c.v FROM c JOIN cn USING (g)
+           |  WHERE below < ceil($p * CAST(n2 AS DOUBLE))
+           |    AND ceil($p * CAST(n2 AS DOUBLE)) <= below + cnt)""".stripMargin
+      def re(tag: String) =
+        s"round(CAST(abs(est_p$tag - x$tag.v) AS DOUBLE) / CAST(x$tag.v AS DOUBLE), 6) AS rel_err_p$tag"
+      s"""WITH lm AS (${R.O.logCte("documents", "source", "n_chars")}),
+         |e50 AS (SELECT g, est AS est_p50 FROM (${R.O.logEstSelect(0.5)})),
+         |e90 AS (SELECT g, est AS est_p90 FROM (${R.O.logEstSelect(0.9)})),
+         |e99 AS (SELECT g, est AS est_p99 FROM (${R.O.logEstSelect(0.99)})),
+         |nn AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n FROM lm GROUP BY g),
+         |d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+         |      WHERE n_chars IS NOT NULL AND n_chars >= 1),
+         |gg AS (SELECT g, v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+         |c AS (SELECT g, v, cnt, COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM gg),
+         |cn AS (SELECT g, COUNT(*) AS n2 FROM d GROUP BY 1),
+         |${x("0.5", "50")},
+         |${x("0.9", "90")},
+         |${x("0.99", "99")}
+         |SELECT nn.g AS source, n, est_p50, est_p90, est_p99,
+         |  x50.v AS exact_p50, x90.v AS exact_p90, x99.v AS exact_p99,
+         |  ${re("50")}, ${re("90")}, ${re("99")}
+         |FROM nn JOIN e50 USING (g) JOIN e90 USING (g) JOIN e99 USING (g)
+         |  JOIN x50 ON x50.g = nn.g JOIN x90 ON x90.g = nn.g JOIN x99 ON x99.g = nn.g
+         |ORDER BY source""".stripMargin
+    },
     "q122_hist_quantile" -> {
       import graft.operators.{Robust => R}
       s"""WITH m AS (${R.O.histCte("events", "event_type", "value")}),

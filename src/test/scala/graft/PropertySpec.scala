@@ -370,4 +370,37 @@ class PropertySpec extends AnyFunSuite with TestSpark {
         assert(math.abs(v - exp(kp)) < 1e-9, s"round $round $kp: $v vs ${exp(kp)}") }
     }
   }
+
+  test("log quantile sketch: relative-error bound holds at every magnitude, any partitioning") {
+    import org.apache.spark.sql.functions._
+    val bound = 1.0 / (1L << (graft.operators.Robust.LogSubBits + 1)) + 1e-12
+    for (round <- 1 to 4) {
+      // magnitudes spanning 1 .. ~1e12 — the domain the fixed-range sketch cannot cover
+      val rows = List.tabulate(300) { i =>
+        val mag = math.pow(10, rng.nextInt(12)).toLong
+        (s"k${i % 3}", 1L + (math.abs(rng.nextLong()) % math.max(1L, mag * 9)))
+      }
+      val df = rows.toDF("k", "v").repartition(1 + rng.nextInt(7))
+      val ps = Seq(0.5, 0.9, 0.99)
+      val est = graft.operators.Robust.logQuantile(df, "k", "v", ps)
+        .collect().map(x => x.getString(0) ->
+          (x.getAs[Long]("est_p50"), x.getAs[Long]("est_p90"), x.getAs[Long]("est_p99"))).toMap
+      // exact order statistic at rank ceil(p*n), per group, brute force
+      val byK = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+      byK.foreach { case (k, sorted) =>
+        val (e50, e90, e99) = est(k)
+        ps.zip(Seq(e50, e90, e99)).foreach { case (p, e) =>
+          val target = sorted(math.ceil(p * sorted.size).toInt - 1)
+          val rel = math.abs(e - target).toDouble / target
+          assert(rel <= bound, s"round $round $k p$p: est $e vs $target (rel $rel)")
+        }
+      }
+      // partition invariance: sketch output is identical under any layout
+      val a = graft.operators.Robust.logQuantile(df.repartition(1), "k", "v", ps)
+        .orderBy("k").collect().toSeq
+      val b = graft.operators.Robust.logQuantile(df.repartition(8), "k", "v", ps)
+        .orderBy("k").collect().toSeq
+      assert(a == b, s"round $round: partitioning changed the sketch output")
+    }
+  }
 }
