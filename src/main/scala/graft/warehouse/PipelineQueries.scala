@@ -1043,6 +1043,21 @@ object PipelineQueries {
   val gopherRules: Q = (s, dir) =>
     TextAnalysis.gopherRules(docs(s, dir)).orderBy("doc_id")
 
+  /** q210: Pareto-skyline selection — every document that is
+    * best-quality for its length class (not dominated in BOTH n_chars
+    * and quality_score). The frontier a curation budget-picker walks
+    * without committing to one quality/length trade-off weight.
+    * Corpus-scale work is one scan + the logBin staircase prune; the
+    * exact dominance test runs on the pruned survivors only (see
+    * [[graft.operators.Skyline]]).
+    */
+  val paretoSkyline: Q = (s, dir) =>
+    Skyline.skyline2(
+      TextAnalysis.withTextStats(docs(s, dir))
+        .select("doc_id", "n_chars", "quality_score"),
+      "doc_id", "n_chars", "quality_score")
+      .orderBy("doc_id")
+
   /** q169: per-dimension corpus standardization (z-score scaling) of the
     * embedding table, exploded to (vec_id, dim, z) rows for the
     * hash-compare.
@@ -1533,6 +1548,7 @@ object PipelineQueries {
     "q174_length_distribution" -> lengthDistribution,
     "q175_scrub_audit" -> scrubAudit,
     "q168_gopher_rules" -> gopherRules,
+    "q210_pareto_skyline" -> paretoSkyline,
     "q169_standardize" -> standardizeEmb,
     "q170_mmr_rerank" -> mmrRerank,
     "q171_domain_classifier" -> domainClassifier,
@@ -2360,6 +2376,16 @@ object PipelineQueries {
       s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
          |FROM (SELECT lang, ${TO.langScores} FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    "q210_pareto_skyline" ->
+      s"""WITH s AS MATERIALIZED (
+         |  SELECT doc_id, n_chars, quality_score
+         |  FROM (SELECT doc_id, n_chars, ${TO.textStats} FROM documents)
+         |  WHERE n_chars IS NOT NULL AND n_chars >= 1 AND quality_score IS NOT NULL)
+         |SELECT doc_id, n_chars, quality_score FROM s
+         |WHERE NOT EXISTS (SELECT 1 FROM s o
+         |  WHERE o.n_chars >= s.n_chars AND o.quality_score >= s.quality_score
+         |    AND (o.n_chars > s.n_chars OR o.quality_score > s.quality_score))
+         |ORDER BY doc_id""".stripMargin,
     "q49_text_quality" ->
       s"""SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
          |  bpe_token_estimate, quality_score

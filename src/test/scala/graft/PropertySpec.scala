@@ -403,4 +403,23 @@ class PropertySpec extends AnyFunSuite with TestSpark {
       assert(a == b, s"round $round: partitioning changed the sketch output")
     }
   }
+
+  test("skyline matches the brute-force dominance filter on random point sets") {
+    for (round <- 1 to 5) {
+      // mix of correlated, anti-correlated (worst case: all on frontier),
+      // and duplicated points across wide x magnitudes
+      val pts = List.tabulate(120) { i =>
+        val x = 1L + (math.abs(rng.nextLong()) % (if (i % 2 == 0) 1000L else 1000000L))
+        val y = if (round % 2 == 0) -x + rng.nextInt(50) else rng.nextInt(1000) - 500
+        (i.toLong, x, y.toDouble)
+      } ++ List((900L, 77L, 3.0), (901L, 77L, 3.0)) // exact duplicates: both kept
+      val df = pts.toDF("id", "x", "y").repartition(1 + rng.nextInt(6))
+      val got = graft.operators.Skyline.skyline2(df, "id", "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      val exp = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, ox, oy) => ox >= x && oy >= y && (ox > x || oy > y) }
+      }.map(_._1).toSet
+      assert(got == exp, s"round $round: got ${got.size} vs expected ${exp.size}")
+    }
+  }
 }
