@@ -759,6 +759,52 @@ object TextAnalysis {
       round(Num.fitCorr(n, sx, sy, sxx, sxy, syy), 6).as("corr"))
   }
 
+  /** Characteristic vocabulary per source — Dunning's log-likelihood
+    * keyness (Dunning 1993, Computational Linguistics — "Accurate
+    * Methods for the Statistics of Surprise and Coincidence"): for each
+    * (source, word), G² of the observed in-source count vs the rest of
+    * the corpus under the pooled rate; top-k OVERREPRESENTED words per
+    * source (observed rate strictly above the rest's). The corpus-drift
+    * family's missing member: JSD/PSI (q151/q128) say HOW FAR two
+    * sources diverge, keyness says WHICH WORDS carry the divergence.
+    *
+    * Scale: token counting is one keyed aggregation (map-side
+    * partials); the global min-count cap (the JaccardDocFreqCap
+    * discipline) bounds the scored table to sources × capped-vocab
+    * before any window runs, and the totals join the capped table as
+    * one broadcast + one 1-row cross join.
+    */
+  def keyness(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val tok = docs.select(col("source"),
+      explode(Text.words(lower(col(textCol)))).as("word"))
+    val counts = tok.groupBy("source", "word").agg(count(lit(1)).as("a"))
+    val wordTot = counts.groupBy("word").agg(sum(col("a")).as("wtot"))
+      .filter(col("wtot") >= minCount)
+    val srcTot = counts.groupBy("source").agg(sum(col("a")).as("n1"))
+    val nTot = srcTot.agg(sum(col("n1")).as("nn"))
+    val sc = counts.join(wordTot, "word")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(nTot))
+      .withColumn("b", col("wtot") - col("a"))
+      .withColumn("n2", col("nn") - col("n1"))
+    val aD = col("a").cast("double")
+    val bD = col("b").cast("double")
+    val e1 = col("n1").cast("double") * col("wtot").cast("double") / col("nn").cast("double")
+    val e2 = col("n2").cast("double") * col("wtot").cast("double") / col("nn").cast("double")
+    val scored = sc
+      .filter(aD / col("n1").cast("double") > bD / col("n2").cast("double"))
+      .withColumn("g2", round(
+        lit(2.0) * (aD * log(aD / e1) +
+          when(col("b") > 0, bD * log(bD / e2)).otherwise(lit(0.0))), 6))
+    val w = Window.partitionBy("source").orderBy(col("g2").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("word"), col("a"), col("g2"))
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint) plus a content hash of the raw text.
     */
@@ -1171,5 +1217,35 @@ object TextAnalysis {
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)), " +
         s"(a, b) -> (a * 31 + b) % $RollingFpMod)"
+
+    /** Mirrors [[TextAnalysis.keyness]] — same cast/operation order in
+      * every float expression, same (g2 DESC, word) rank tie-break.
+      */
+    def keyness(minCount: Long = 5, topK: Int = 10): String = {
+      val e1 = "(CAST(n1 AS DOUBLE) * CAST(wtot AS DOUBLE) / CAST(nn AS DOUBLE))"
+      val e2 = "(CAST(n2 AS DOUBLE) * CAST(wtot AS DOUBLE) / CAST(nn AS DOUBLE))"
+      s"""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+         |            FROM documents),
+         |c AS (SELECT source, word, COUNT(*) AS a FROM tok GROUP BY 1, 2),
+         |wt AS (SELECT word, CAST(SUM(a) AS BIGINT) AS wtot FROM c
+         |       GROUP BY 1 HAVING SUM(a) >= $minCount),
+         |st AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n1 FROM c GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM st),
+         |sc AS (SELECT c.source, c.word, c.a, wt.wtot - c.a AS b, st.n1,
+         |         nt.nn - st.n1 AS n2, wt.wtot, nt.nn
+         |       FROM c JOIN wt USING (word) JOIN st USING (source) CROSS JOIN nt),
+         |g AS (SELECT source, word, a,
+         |        round(2.0 * (CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / $e1)
+         |          + CASE WHEN b > 0
+         |                 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / $e2)
+         |                 ELSE 0.0 END), 6) AS g2
+         |      FROM sc
+         |      WHERE CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE) > CAST(b AS DOUBLE) / CAST(n2 AS DOUBLE)),
+         |r AS (SELECT source, word, a, g2,
+         |        row_number() OVER (PARTITION BY source ORDER BY g2 DESC, word) AS rank
+         |      FROM g)
+         |SELECT source, CAST(rank AS INT) AS rank, word, a, g2
+         |FROM r WHERE rank <= $topK ORDER BY source, rank""".stripMargin
+    }
   }
 }

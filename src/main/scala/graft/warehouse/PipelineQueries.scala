@@ -1043,6 +1043,12 @@ object PipelineQueries {
   val gopherRules: Q = (s, dir) =>
     TextAnalysis.gopherRules(docs(s, dir)).orderBy("doc_id")
 
+  /** q211: Dunning-G² keyness — the top characteristic words per source
+    * (which words carry the divergence JSD/PSI only measure).
+    */
+  val keyness: Q = (s, dir) =>
+    TextAnalysis.keyness(docs(s, dir)).orderBy("source", "rank")
+
   /** q210: Pareto-skyline selection — every document that is
     * best-quality for its length class (not dominated in BOTH n_chars
     * and quality_score). The frontier a curation budget-picker walks
@@ -1549,6 +1555,7 @@ object PipelineQueries {
     "q175_scrub_audit" -> scrubAudit,
     "q168_gopher_rules" -> gopherRules,
     "q210_pareto_skyline" -> paretoSkyline,
+    "q211_keyness" -> keyness,
     "q169_standardize" -> standardizeEmb,
     "q170_mmr_rerank" -> mmrRerank,
     "q171_domain_classifier" -> domainClassifier,
@@ -2376,6 +2383,7 @@ object PipelineQueries {
       s"""SELECT lang, ${TO.predictedLang} AS predicted_lang, COUNT(*) AS n_docs
          |FROM (SELECT lang, ${TO.langScores} FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+    "q211_keyness" -> TO.keyness(),
     "q210_pareto_skyline" ->
       s"""WITH s AS MATERIALIZED (
          |  SELECT doc_id, n_chars, quality_score
