@@ -52,6 +52,27 @@ class ApproxAggSpec extends AnyFunSuite with TestSpark {
     } finally q.stop()
   }
 
+  test("log quantile sketch accumulates across streaming micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Robust
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Robust.logBinCounts(mem.toDF().toDF("g", "v"), "g", "v")
+      .writeStream.format("memory").queryName("logq_stream").outputMode("complete").start()
+    try {
+      // magnitudes 1 .. ~1e9 across two batches
+      val batch1 = (1 to 400).map(i => ("g", 1L + (i.toLong * i * i) % 1000000000L))
+      val batch2 = (1 to 300).map(i => ("g", 1L + (i.toLong * 7919) % 100000L))
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = Robust.logEstimateFromBins(spark.table("logq_stream"), "g",
+        Seq(0.5, 0.9, 0.99)).head().toSeq
+      val batch = Robust.logQuantile((batch1 ++ batch2).toDF("g", "v"), "g", "v")
+        .head().toSeq
+      assert(streamed == batch) // stream-accumulated sketch == one-shot batch
+    } finally q.stop()
+  }
+
   test("histogram quantile ignores NULL values like exact percentile does") {
     import org.apache.spark.sql.functions._
     import graft.operators.Robust

@@ -363,4 +363,30 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n${p.take(1200)}")
   }
+
+  test("log quantile sketch prunes to two columns (never reads text)") {
+    // earlier plan() calls register other queries' pinned frames for
+    // cache lookup; a structurally-matching InMemoryRelation would hide
+    // this query's own scan (Verify clears per query — mirror that)
+    spark.catalog.clearCache()
+    val p = plan("q209_log_quantiles")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("text")), readSchemas.mkString("\n"))
+    assert(p.contains("HashAggregate"), p.take(800)) // counter table, map-side partials
+  }
+
+  test("skyline prunes via a broadcast staircase; exact test only on survivors") {
+    val p = plan("q210_pareto_skyline")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))     // stair join on xb
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200)) // survivor anti-join
+    assert(!p.contains("SortMergeJoin"), p.take(1600)) // nothing corpus-scale shuffles to sort
+  }
+
+  test("keyness broadcasts its totals; the rank window runs on the capped vocab only") {
+    val p = plan("q211_keyness")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))       // per-source totals
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200)) // 1-row corpus total
+    assert(p.contains("Window"), p.take(1200))
+  }
 }
