@@ -109,7 +109,111 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Domain-mixture reweighting by excess loss — the DoReMi shape (Xie
+    * et al. 2023, NeurIPS — "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining") with the linearized multiplicative-
+    * weights update w ← w·(1 + η·excess) (the (1+εm) Hedge variant,
+    * Arora/Hazan/Kale 2012 survey) in place of exp(η·excess):
+    * underperforming domains (per-source mean quality below the corpus
+    * mean — the excess-loss proxy) are upweighted multiplicatively,
+    * renormalized, and smoothed toward uniform by δ each round, starting
+    * from the token-share base mixture.
+    *
+    * Scale/determinism contract (the q171 classifier discipline): the
+    * per-source stats frame is ONE aggregation over the corpus
+    * (map-side partials, decimal-backed quality sums), cached at K
+    * rows; each of the `iters` rounds is two tiny jobs on that K-row
+    * frame with only the K-entry weight vector round-tripping through
+    * the driver as literals; every float step is engine-computed,
+    * rounded at 12 dp, and the normalizer is a LEFT FOLD over the
+    * source-sorted weight list — order-pinned, so a DuckDB replay of
+    * the whole trajectory is bit-exact.
+    */
+  def doremiWeights(docs: DataFrame, eta: Double = 0.5, delta: Double = 0.1,
+      iters: Int = 10): DataFrame = {
+    import graft.functions.Num
+    val scored = TextAnalysis.withTextStats(docs)
+      .select(col("source"), col("n_tokens"), col("quality_score"))
+    val corpus = scored.agg(
+      (Num.dsumHi(col("quality_score")) / count(lit(1)).cast("double")).as("cavg"))
+    val ttot = scored.agg(sum(col("n_tokens").cast("long")).as("ttot"))
+    val stats = scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"),
+        (Num.dsumHi(col("quality_score")) / count(lit(1)).cast("double")).as("avgq"))
+      .crossJoin(broadcast(corpus)).crossJoin(broadcast(ttot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(greatest(lit(0.0), col("cavg") - col("avgq")), 12).as("excess"),
+        round(col("tokens").cast("double") / col("ttot").cast("double"), 12).as("w0"))
+      .cache()
+    def wCase(w: Map[String, Double]): Column =
+      w.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) { case (els, (s, v)) =>
+        when(col("source") === s, lit(v)).otherwise(els)
+      }
+    var w: Map[String, Double] = stats.select("source", "w0").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (_ <- 1 to iters) {
+      val wp = stats.select(col("source"),
+        round(wCase(w) * (lit(1.0) + lit(eta) * col("excess")), 12).as("wp"))
+      val norm = wp.agg(
+        aggregate(array_sort(collect_list(struct(col("source"), col("wp")))),
+          lit(0.0), (a, x) => a + x.getField("wp")).as("nrm"),
+        count(lit(1)).cast("double").as("kk"))
+      w = wp.crossJoin(broadcast(norm))
+        .select(col("source"),
+          round((lit(1.0) - lit(delta)) * (col("wp") / col("nrm")) +
+            lit(delta) / col("kk"), 12).as("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    stats.select(col("source"), col("n_docs"), col("tokens"),
+        round(col("w0"), 6).as("base_share"),
+        round(col("excess"), 6).as("excess"),
+        round(wCase(w), 6).as("weight"),
+        round(wCase(w) / col("w0"), 6).as("boost"))
+      .orderBy("source")
+  }
+
   object O {
+    /** Unrolled-CTE replay of [[doremiWeights]] — one (wp, norm, w)
+      * CTE triple per round, same fold-sum, same 12-dp trajectory.
+      */
+    def doremiWeights(eta: Double = 0.5, delta: Double = 0.1,
+        iters: Int = 10): String = {
+      import TextAnalysis.{O => TO}
+      val head =
+        s"""WITH s AS MATERIALIZED (SELECT source, ${TO.textStats} FROM documents),
+           |agg AS MATERIALIZED (SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS tokens,
+           |    CAST(SUM(CAST(quality_score AS DECIMAL(38,18))) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE) AS avgq
+           |  FROM s GROUP BY 1),
+           |c0 AS (SELECT CAST(SUM(CAST(quality_score AS DECIMAL(38,18))) AS DOUBLE)
+           |         / CAST(COUNT(*) AS DOUBLE) AS cavg FROM s),
+           |tt AS (SELECT CAST(SUM(tokens) AS BIGINT) AS ttot FROM agg),
+           |it0 AS (SELECT source, n_docs, tokens,
+           |    round(greatest(0.0, cavg - avgq), 12) AS excess,
+           |    round(CAST(tokens AS DOUBLE) / CAST(ttot AS DOUBLE), 12) AS w0,
+           |    round(CAST(tokens AS DOUBLE) / CAST(ttot AS DOUBLE), 12) AS w
+           |  FROM agg CROSS JOIN c0 CROSS JOIN tt)""".stripMargin
+      val its = (1 to iters).map { i =>
+        s"""p$i AS (SELECT source, n_docs, tokens, excess, w0,
+           |    round(w * (1.0 + $eta * excess), 12) AS wp FROM it${i - 1}),
+           |n$i AS (SELECT list_reduce(list_prepend(0.0, list(wp ORDER BY source)),
+           |      (a, b) -> a + b) AS nrm,
+           |    CAST(COUNT(*) AS DOUBLE) AS kk FROM p$i),
+           |it$i AS (SELECT source, n_docs, tokens, excess, w0,
+           |    round((1.0 - $delta) * (wp / nrm) + $delta / kk, 12) AS w
+           |  FROM p$i CROSS JOIN n$i)""".stripMargin
+      }
+      val tail =
+        s"""SELECT source, n_docs, tokens, round(w0, 6) AS base_share,
+           |  round(excess, 6) AS excess, round(w, 6) AS weight,
+           |  round(w / w0, 6) AS boost
+           |FROM it$iters ORDER BY source""".stripMargin
+      (Seq(head) ++ its).mkString(",\n") + "\n" + tail
+    }
+
     def hashBucket(key: String): String =
       s"(${Hashes.O.md5Long32(s"CAST($key AS VARCHAR)")} % $Buckets)"
     def esKey(key: String, weight: String): String =

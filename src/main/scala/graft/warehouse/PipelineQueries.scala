@@ -1235,6 +1235,14 @@ object PipelineQueries {
   val budgetSelection: Q = (s, dir) =>
     Sampling.budgetSelection(docs(s, dir), budgetFrac = 0.5).orderBy("source")
 
+  /** q212: DoReMi-style domain-mixture reweighting — multiplicative-
+    * weights upweighting of below-corpus-quality sources over the
+    * token-share base mixture, δ-smoothed; the learned sampling weights
+    * q152's fixed temperature exponent cannot express.
+    */
+  val doremiMixture: Q = (s, dir) =>
+    Sampling.doremiWeights(docs(s, dir))
+
   /** q202: per-language AUC breakdown of the domain classifier — the
     * fairness/robustness read on a single model (a global AUC can hide
     * a stratum where the separator fails). Languages span both classes
@@ -1546,6 +1554,7 @@ object PipelineQueries {
     "q201_signal_agreement" -> signalAgreement,
     "q202_auc_by_lang" -> aucByLang,
     "q204_budget_selection" -> budgetSelection,
+    "q212_doremi_mixture" -> doremiMixture,
     "q206_matryoshka_recall" -> matryoshkaRecall,
     "q178_classifier_sampled" -> classifierSampled,
     "q177_curation_pipeline" -> curationPipeline,
@@ -1858,6 +1867,7 @@ object PipelineQueries {
     "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
+    "q212_doremi_mixture" -> Sampling.O.doremiWeights(),
     "q204_budget_selection" ->
       s"""WITH s AS (SELECT doc_id, source, ${TO.textStats} FROM documents),
          |st AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS toks, quality_score FROM s),

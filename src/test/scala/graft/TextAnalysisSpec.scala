@@ -216,6 +216,28 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(smallW - math.pow(2.0 / 74, 0.7) / z) < 1e-6)
   }
 
+  test("doremi mixture: below-average sources upweight, weights stay a distribution") {
+    // "low" source: terse low-quality docs; "high": long fluent ones
+    val rows =
+      (1 to 6).map(i => (i.toLong, "x y", "low")) ++
+        (7 to 12).map(i =>
+          (i.toLong, "the quick brown fox jumps over a lazy dog of the meadow " * 4, "high"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val r = graft.operators.Sampling.doremiWeights(df).collect()
+      .map(x => x.getString(0) ->
+        ((x.getDouble(3), x.getDouble(4), x.getDouble(5), x.getDouble(6)))).toMap
+    val (lowBase, lowExcess, lowW, lowBoost) = r("low")
+    val (_, highExcess, highW, _) = r("high")
+    assert(lowExcess > 0.0 && highExcess == 0.0) // only the deficit side carries excess
+    assert(lowBoost > 1.0, s"low source must upweight, got $lowBoost")
+    assert(lowW > lowBase)
+    assert(math.abs(lowW + highW - 1.0) < 1e-5) // still a distribution
+    // partition invariance: the trajectory is layout-proof
+    val a = graft.operators.Sampling.doremiWeights(df.repartition(7)).collect().toSeq
+    val b = graft.operators.Sampling.doremiWeights(df.repartition(1)).collect().toSeq
+    assert(a == b)
+  }
+
   test("dsir: target-domain docs outscore off-domain docs") {
     val df = Seq(
       (1L, "alpha beta alpha beta alpha beta", "tgt"),
