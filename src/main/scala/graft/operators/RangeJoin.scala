@@ -81,17 +81,89 @@ object RangeJoin {
       .filter(col("s") < col("e")) // empty intervals can overlap nothing
       .withColumn("bkt",
         explode(sequence(floor(col("s") / gridSec), floor((col("e") - 1) / gridSec))))
+    // Each overlapping pair co-touches every bucket its intersection
+    // spans; emitting it from exactly ONE — the bucket owning the later
+    // start (both intervals provably touch it) — replaces the
+    // pairs×shared-buckets dedup shuffle a distinct() would need with a
+    // free join-side predicate. On long-dwell data (intervals ≫ grid)
+    // that dedup input is 10-20× the pair set — the difference between
+    // output-bound and pathological.
     span.as("a")
       .join(span.as("b"),
         col("a.k") === col("b.k") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id") &&
-          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+          col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
+          col("a.bkt") === floor(greatest(col("a.s"), col("b.s")) / gridSec))
       .select(
         col("a.k").as(keyCol),
         col("a.id").as("id1"),
         col("b.id").as("id2"),
         (least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s")))
           .as("overlap_seconds"))
-      .distinct()
+  }
+
+  /** Aggregate concurrency profile per key WITHOUT materializing pairs —
+    * the sweep-line twin of [[intervalOverlapSelf]] for the aggregate
+    * reads (pair count, total pairwise-overlap seconds, peak
+    * concurrency). The pair join's output is inherently (concurrent
+    * intervals)²; on dense-concurrency data that is the whole cost, and
+    * no listing algorithm beats it. This sweep is linear in
+    * interval×bucket rows instead: intervals CLAMP to the grid buckets
+    * they touch, each (key, bucket) sweeps its local events in time
+    * order (a window bounded by the bucket's event count — never a
+    * per-key sort), and
+    *  - a TRUE start (not a clamped bucket re-entry) counts C−1 new
+    *    pairs — each overlapping pair exactly once, at the later
+    *    interval's start;
+    *  - every inter-event segment integrates C·(C−1)/2 seconds of
+    *    pairwise overlap (the integral splits exactly at bucket edges,
+    *    so clamped summation is lossless);
+    *  - peak concurrency is max C (every live interval is clamped into
+    *    every bucket it spans, so local C IS global C).
+    * End-exclusive semantics: at equal t, ends sort before starts
+    * (touching intervals neither pair nor overlap), and clamped
+    * re-entries sort before true starts (a carry-in is already active
+    * when a pair's later member starts at the bucket edge).
+    */
+  def intervalConcurrency(
+      df: DataFrame,
+      keyCol: String,
+      startSecCol: String,
+      endSecCol: String,
+      idCol: String,
+      gridSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = df.select(
+      col(keyCol).as("k"),
+      col(startSecCol).cast("long").as("s"),
+      col(endSecCol).cast("long").as("e"),
+      col(idCol).as("id"))
+      .filter(col("s") < col("e"))
+      .withColumn("bkt",
+        explode(sequence(floor(col("s") / gridSec), floor((col("e") - 1) / gridSec))))
+    val clamped = span.select(
+      col("k"), col("bkt"), col("id"),
+      greatest(col("s"), col("bkt") * gridSec).as("cs"),
+      least(col("e"), (col("bkt") + 1) * gridSec).as("ce"),
+      (col("s") >= col("bkt") * gridSec).as("true_start"))
+    val ev = clamped
+      .select(col("k"), col("bkt"), col("id"), col("cs").as("t"),
+        lit(1L).as("d"), when(col("true_start"), 1L).otherwise(0L).as("ts"))
+      .unionByName(clamped
+        .select(col("k"), col("bkt"), col("id"), col("ce").as("t"),
+          lit(-1L).as("d"), lit(0L).as("ts")))
+    val w = Window.partitionBy("k", "bkt")
+      .orderBy(col("t"), col("d"), col("ts"), col("id"))
+    val swept = ev
+      .withColumn("cc", sum(col("d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seg", coalesce(lead(col("t"), 1).over(w), col("t")) - col("t"))
+    swept.groupBy(col("k").as(keyCol))
+      .agg(
+        sum(when(col("d") === 1 && col("ts") === 1, col("cc") - 1).otherwise(0L))
+          .as("n_pairs"),
+        sum(shiftright(col("cc") * (col("cc") - 1), 1) * col("seg"))
+          .as("total_overlap_seconds"),
+        max(col("cc")).as("peak_concurrency"))
   }
 }

@@ -201,26 +201,38 @@ object Robust {
          |WHERE rn = 1""".stripMargin
     }
 
-    /** DuckDB twin of [[logBinCounts]] + the cumulative, as CTE text
-      * yielding lm(g, lbin, c, cum, n) — the same pure-integer bit math
-      * (bucket via length(bin(x)), variable shifts), so parity is exact
-      * by construction.
+    /** DuckDB twin of [[logBinCounts]]: (g, lbin, c) counter rows —
+      * the same pure-integer bit math (bucket via length(bin(x)),
+      * variable shifts), so parity is exact by construction.
       */
-    def logCte(table: String, groupCol: String, valueCol: String): String = {
+    def logBinsCte(table: String, groupCol: String, valueCol: String): String = {
       val m = LogSubBits
       val sc = LogSubCount
-      s"""SELECT g, lbin, c,
-         |  SUM(c) OVER (PARTITION BY g ORDER BY lbin ROWS UNBOUNDED PRECEDING) AS cum,
-         |  SUM(c) OVER (PARTITION BY g) AS n
-         |FROM (SELECT g, lbin, COUNT(*) AS c FROM (
+      s"""SELECT g, lbin, COUNT(*) AS c FROM (
          |  SELECT $groupCol AS g,
          |    CASE WHEN v < $sc THEN v
          |         ELSE ((length(bin(v)) - 1) - $m) * $sc + (v >> CAST((length(bin(v)) - 1) - $m AS INT))
          |    END AS lbin
          |  FROM (SELECT $groupCol, CAST($valueCol AS BIGINT) AS v FROM $table
          |        WHERE $valueCol IS NOT NULL AND $valueCol >= 1))
-         |GROUP BY g, lbin)""".stripMargin
+         |GROUP BY g, lbin""".stripMargin
     }
+
+    /** Cumulative/total wrapper over a (g, lbin, c) counter relation —
+      * also the MERGE replay: summed counter tables from any number of
+      * sketches feed straight in.
+      */
+    def logCumCte(binsRel: String): String =
+      s"""SELECT g, lbin, c,
+         |  SUM(c) OVER (PARTITION BY g ORDER BY lbin ROWS UNBOUNDED PRECEDING) AS cum,
+         |  SUM(c) OVER (PARTITION BY g) AS n
+         |FROM $binsRel""".stripMargin
+
+    /** DuckDB twin of [[logBinCounts]] + the cumulative, as CTE text
+      * yielding lm(g, lbin, c, cum, n).
+      */
+    def logCte(table: String, groupCol: String, valueCol: String): String =
+      logCumCte(s"(${logBinsCte(table, groupCol, valueCol)})")
 
     /** DuckDB twin of the [[logEstimateFromBins]] selection for one p,
       * over relation lm: (g, est) with est the integer bucket midpoint.

@@ -365,6 +365,45 @@ object AnalyticsQueries {
       .orderBy("batch")
   }
 
+  /** q213: incremental quantile growth from MERGED log-sketches — the
+    * q205 ingestion-batch read applied to the quantile family: after
+    * each of 10 batches, cumulative p50/p99 of doc length recomputed
+    * from the SUM of the prior batches' ≤3.7k-counter sketches alone
+    * (count addition IS sketch merge) — no history re-scan, ever. The
+    * exact cumulative order statistics ride along as the audit (the
+    * rel_err columns certify the 0.79 % contract after every merge).
+    */
+  val logQuantileGrowth: Q = (s, dir) => {
+    import graft.operators.Robust
+    val d = Tables(s, dir, "documents")
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val vals = d.crossJoin(broadcast(mx))
+      .select(floor(col("doc_id") * 10 / (col("mx") + 1)).cast("int").as("batch"),
+        col("n_chars"))
+      .filter(col("n_chars").isNotNull && col("n_chars") >= 1)
+    val perBatch = Robust.logBinCounts(vals, "batch", "n_chars")
+    val batches = perBatch.select(col("batch")).distinct()
+    val merged = perBatch.select(col("batch").as("b2"), col("lbin"), col("c"))
+      .join(broadcast(batches), col("b2") <= col("batch"))
+      .groupBy("batch", "lbin").agg(sum(col("c")).as("c"))
+    val est = Robust.logEstimateFromBins(merged, "batch", Seq(0.5, 0.99))
+    val exact = Robust.exactOrderStats(
+        vals.select(col("batch").as("b2"), col("n_chars"))
+          .join(broadcast(batches), col("b2") <= col("batch"))
+          .select(col("batch"), col("n_chars")),
+        "batch", "n_chars", Seq(0.5, 0.99))
+      .groupBy("batch").agg(
+        max(when(col("pctl") === 0.5, col("v"))).cast("long").as("exact_p50"),
+        max(when(col("pctl") === 0.99, col("v"))).cast("long").as("exact_p99"))
+    def relErr(p: Int) = round(
+      abs(col(s"est_p$p") - col(s"exact_p$p")).cast("double") /
+        col(s"exact_p$p").cast("double"), 6).as(s"rel_err_p$p")
+    est.join(exact, "batch")
+      .select(col("batch"), col("n"), col("est_p50"), col("est_p99"),
+        col("exact_p50"), col("exact_p99"), relErr(50), relErr(99))
+      .orderBy("batch")
+  }
+
   /** q190: sketch-based join-cardinality estimation — the planner read
     * BEFORE committing to a shuffle: |A ⋈ B| on a key is Σ_k fA(k)·fB(k),
     * estimated from two 8 KB CMS counter arrays as the min-over-rows
@@ -501,14 +540,12 @@ object AnalyticsQueries {
       .orderBy("device_id", "effective_from")
   }
 
-  /** q208: temporal band-concurrency via the interval-overlap join —
-    * which devices occupied the SAME value band at OVERLAPPING times
-    * (the q78 SCD2 intervals turned into a conflict/concurrency read).
-    * Open current intervals cap at max(time)+1 via a 1-row broadcast;
-    * the pair search decomposes onto a 1-hour grid keyed (band,
-    * bucket) — never an unbounded per-band self-join.
+  /** Shared by q208/q214: the q78-shaped band-occupancy intervals —
+    * (band, iv_id, s, e) seconds intervals from each device's
+    * band-change history, open current intervals capped at max(time)+1
+    * via a 1-row broadcast.
     */
-  val bandOverlap: Q = (s, dir) => {
+  private def bandIntervals(s: SparkSession, dir: String): DataFrame = {
     val r = readings(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("device_id").orderBy("time", "event_id")
@@ -519,18 +556,45 @@ object AnalyticsQueries {
       .filter(col("prev_band").isNull || col("band") =!= col("prev_band"))
       .withColumn("eff_to", lead("time", 1).over(w))
     val cap = r.agg((max(unix_timestamp(col("time"))) + 1).as("cap"))
-    val iv = changes.crossJoin(broadcast(cap))
+    changes.crossJoin(broadcast(cap))
       .select(col("band"), col("event_id").as("iv_id"),
         unix_timestamp(col("time")).as("s"),
         coalesce(unix_timestamp(col("eff_to")), col("cap")).as("e"))
-    RangeJoin.intervalOverlapSelf(iv, "band", "s", "e", "iv_id", gridSec = 3600)
+  }
+
+  /** q208: temporal band-concurrency via the interval-overlap join —
+    * which devices occupied the SAME value band at OVERLAPPING times
+    * (the q78 SCD2 intervals turned into a conflict/concurrency read).
+    * The pair search decomposes onto a 1-day grid keyed (band, bucket)
+    * — never an unbounded per-band self-join — sized to the ~17 h
+    * median dwell so an interval touches ~2 buckets (a fine grid on
+    * long-dwell data multiplies candidates without splitting work);
+    * each pair is emitted once by its later-start bucket, so there is
+    * no pairs×buckets dedup. The pair LISTING is output-bound by
+    * nature; q214 computes the aggregate concurrency reads without
+    * materializing pairs at all.
+    */
+  val bandOverlap: Q = (s, dir) =>
+    RangeJoin.intervalOverlapSelf(
+        bandIntervals(s, dir), "band", "s", "e", "iv_id", gridSec = 86400)
       .groupBy("band")
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(col("overlap_seconds")).as("total_overlap_seconds"),
         max(col("overlap_seconds")).as("max_overlap_seconds"))
       .orderBy("band")
-  }
+
+  /** q214: the same band-concurrency question answered WITHOUT pairs —
+    * sweep-line aggregate profile (pair count, total pairwise-overlap
+    * seconds, peak concurrency) per band, linear in interval×bucket
+    * rows where q208's listing is quadratic in concurrency. The oracle
+    * cross-checks the sweep's pair statistics against the literal pair
+    * join — the proof the two reads agree.
+    */
+  val bandConcurrency: Q = (s, dir) =>
+    RangeJoin.intervalConcurrency(
+        bandIntervals(s, dir), "band", "s", "e", "iv_id", gridSec = 86400)
+      .orderBy("band")
 
   /** q81: the dim_time calendar dimension end-to-end — generated from
     * the events span, all 11 attribute columns, left-joined to hourly
@@ -712,6 +776,7 @@ object AnalyticsQueries {
     "q196_kmv_distinct" -> kmvDistinct,
     "q197_kmv_overlap" -> kmvOverlap,
     "q205_kmv_growth" -> kmvGrowth,
+    "q213_quantile_growth" -> logQuantileGrowth,
     "q190_join_size_sketch" -> joinSizeSketch,
     "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
@@ -720,7 +785,8 @@ object AnalyticsQueries {
     "q76_funnel" -> funnel,
     "q77_histogram" -> histogram,
     "q78_scd2_intervals" -> scd2Intervals,
-    "q208_band_overlap" -> bandOverlap)
+    "q208_band_overlap" -> bandOverlap,
+    "q214_band_concurrency" -> bandConcurrency)
 
   import Num.{O => N}
 
@@ -919,6 +985,35 @@ object AnalyticsQueries {
          |  CAST(SUM(overlap_seconds) AS BIGINT) AS total_overlap_seconds,
          |  MAX(overlap_seconds) AS max_overlap_seconds
          |FROM p GROUP BY band ORDER BY band""".stripMargin,
+    "q214_band_concurrency" ->
+      s"""${cte.stripSuffix("\n").stripSuffix(")")}),
+         |banded AS (SELECT device_id, event_id, time,
+         |             CAST(floor(value / 100) AS BIGINT) AS band,
+         |             lag(CAST(floor(value / 100) AS BIGINT)) OVER w AS prev_band
+         |           FROM readings
+         |           WINDOW w AS (PARTITION BY device_id ORDER BY time, event_id)),
+         |chg AS (SELECT * FROM banded WHERE prev_band IS NULL OR band != prev_band),
+         |iv0 AS (SELECT band, event_id AS iv_id,
+         |          CAST(floor(epoch(time)) AS BIGINT) AS s,
+         |          lead(CAST(floor(epoch(time)) AS BIGINT)) OVER (
+         |            PARTITION BY device_id ORDER BY time, event_id) AS e0
+         |        FROM chg),
+         |cap AS (SELECT CAST(floor(epoch(MAX(time))) AS BIGINT) + 1 AS cap FROM readings),
+         |iv AS MATERIALIZED (SELECT band, iv_id, s, COALESCE(e0, cap) AS e FROM iv0 CROSS JOIN cap),
+         |p AS (SELECT a.band, least(a.e, b.e) - greatest(a.s, b.s) AS ov
+         |      FROM iv a JOIN iv b ON a.band = b.band AND a.iv_id < b.iv_id
+         |        AND a.s < b.e AND b.s < a.e),
+         |pa AS (SELECT band, COUNT(*) AS n_pairs,
+         |         CAST(SUM(ov) AS BIGINT) AS total_overlap_seconds FROM p GROUP BY 1),
+         |ev AS (SELECT band, s AS t, 1 AS d FROM iv
+         |       UNION ALL SELECT band, e, -1 FROM iv),
+         |csw AS (SELECT band, SUM(d) OVER (PARTITION BY band ORDER BY t, d
+         |          ROWS UNBOUNDED PRECEDING) AS cc FROM ev),
+         |pk AS (SELECT band, CAST(MAX(cc) AS BIGINT) AS peak_concurrency FROM csw GROUP BY 1)
+         |SELECT pk.band, COALESCE(pa.n_pairs, 0) AS n_pairs,
+         |  COALESCE(pa.total_overlap_seconds, 0) AS total_overlap_seconds,
+         |  pk.peak_concurrency
+         |FROM pk LEFT JOIN pa USING (band) ORDER BY pk.band""".stripMargin,
     "q203_exact_quantiles" ->
       s"""${cte.stripSuffix("\n").stripSuffix(")")}),
          |g AS (SELECT device_type AS k, value AS v, COUNT(*) AS cnt FROM readings GROUP BY 1, 2),
@@ -992,6 +1087,41 @@ object AnalyticsQueries {
          |  ex.exact_cum_distinct,
          |  round(($estExpr) / CAST(ex.exact_cum_distinct AS DOUBLE), 6) AS est_ratio
          |FROM ag JOIN ex USING (batch) ORDER BY batch""".stripMargin
+    },
+    "q213_quantile_growth" -> {
+      import graft.operators.{Robust => R}
+      def x(p: String, tag: String) =
+        s"""x$tag AS (SELECT c.g, c.v FROM c JOIN cn USING (g)
+           |  WHERE below < ceil($p * CAST(n2 AS DOUBLE))
+           |    AND ceil($p * CAST(n2 AS DOUBLE)) <= below + cnt)""".stripMargin
+      def re(tag: String) =
+        s"round(CAST(abs(est_p$tag - x$tag.v) AS DOUBLE) / CAST(x$tag.v AS DOUBLE), 6) AS rel_err_p$tag"
+      s"""WITH mxv AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |d AS (SELECT CAST(floor(doc_id * 10 / (mx + 1)) AS INT) AS batch, n_chars
+         |      FROM documents CROSS JOIN mxv),
+         |bc AS (${R.O.logBinsCte("d", "batch", "n_chars")}),
+         |bl AS (SELECT DISTINCT g AS batch FROM bc),
+         |mg AS (SELECT bl.batch AS g, bc.lbin, CAST(SUM(bc.c) AS BIGINT) AS c
+         |       FROM bc JOIN bl ON bc.g <= bl.batch GROUP BY 1, 2),
+         |lm AS (${R.O.logCumCte("mg")}),
+         |e50 AS (SELECT g, est AS est_p50 FROM (${R.O.logEstSelect(0.5)})),
+         |e99 AS (SELECT g, est AS est_p99 FROM (${R.O.logEstSelect(0.99)})),
+         |nn AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n FROM lm GROUP BY g),
+         |cv AS (SELECT bl.batch AS g, CAST(d.n_chars AS BIGINT) AS v
+         |       FROM d JOIN bl ON d.batch <= bl.batch
+         |       WHERE d.n_chars IS NOT NULL AND d.n_chars >= 1),
+         |gg AS (SELECT g, v, COUNT(*) AS cnt FROM cv GROUP BY 1, 2),
+         |c AS (SELECT g, v, cnt, COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM gg),
+         |cn AS (SELECT g, COUNT(*) AS n2 FROM cv GROUP BY 1),
+         |${x("0.5", "50")},
+         |${x("0.99", "99")}
+         |SELECT nn.g AS batch, n, est_p50, est_p99,
+         |  x50.v AS exact_p50, x99.v AS exact_p99,
+         |  ${re("50")}, ${re("99")}
+         |FROM nn JOIN e50 USING (g) JOIN e99 USING (g)
+         |  JOIN x50 ON x50.g = nn.g JOIN x99 ON x99.g = nn.g
+         |ORDER BY batch""".stripMargin
     },
     "q193_theil_sen" ->
       s"""${cte.stripSuffix("\n").stripSuffix(")")}),

@@ -299,17 +299,44 @@ class PropertySpec extends AnyFunSuite with TestSpark {
         (1L + rng.nextInt(3), s, s + 1 + rng.nextInt(200), i.toLong)
       }
       val df = rows.toDF("k", "s", "e", "id")
-      val got = RangeJoin.intervalOverlapSelf(df, "k", "s", "e", "id", gridSec = 60)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val gotRows = RangeJoin.intervalOverlapSelf(df, "k", "s", "e", "id", gridSec = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val got = gotRows.toSet
       val exp = (for {
         a <- rows; b <- rows
         if a._1 == b._1 && a._4 < b._4 && a._2 < b._3 && b._2 < a._3
       } yield (a._1, a._4, b._4, math.min(a._3, b._3) - math.max(a._2, b._2))).toSet
       assert(got == exp, s"round $round")
+      // the later-start bucket-ownership rule emits each pair EXACTLY once
+      assert(gotRows.size == got.size, s"round $round: duplicate pair emissions")
     }
     // end-exclusive: touching intervals never pair
     val touch = Seq((1L, 0L, 10L, 1L), (1L, 10L, 20L, 2L)).toDF("k", "s", "e", "id")
     assert(RangeJoin.intervalOverlapSelf(touch, "k", "s", "e", "id", 60).count() == 0)
+  }
+
+  test("sweep-line concurrency matches brute-force pair statistics on random intervals") {
+    import graft.operators.RangeJoin
+    for (round <- 1 to 4) {
+      val rows = List.tabulate(50) { i =>
+        val s = rng.nextInt(500).toLong
+        (1L + rng.nextInt(3), s, s + 1 + rng.nextInt(200), i.toLong)
+      }
+      val df = rows.toDF("k", "s", "e", "id").repartition(1 + rng.nextInt(5))
+      val got = RangeJoin.intervalConcurrency(df, "k", "s", "e", "id", gridSec = 60)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      rows.groupBy(_._1).foreach { case (k, ivs) =>
+        val pairs = for {
+          a <- ivs; b <- ivs
+          if a._4 < b._4 && a._2 < b._3 && b._2 < a._3
+        } yield math.min(a._3, b._3) - math.max(a._2, b._2)
+        val peak = (0L until 800L).map(t => ivs.count(iv => iv._2 <= t && t < iv._3)).max
+        val (gp, gov, gpk) = got(k)
+        assert(gp == pairs.size, s"round $round k=$k pairs: $gp vs ${pairs.size}")
+        assert(gov == pairs.sum, s"round $round k=$k overlap: $gov vs ${pairs.sum}")
+        assert(gpk == peak, s"round $round k=$k peak: $gpk vs $peak")
+      }
+    }
   }
 
   test("KMV sketch == exact bottom-k under any duplication/partitioning; estimate bounded") {
