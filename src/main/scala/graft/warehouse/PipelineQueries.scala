@@ -629,6 +629,55 @@ object PipelineQueries {
           / (col("n_both") + col("n_text_only") + col("n_emb_only")), 6))
   }
 
+  /** q216: hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/
+    * Buettcher 2009, SIGIR): for each query document, the exact-cosine
+    * semantic ranking and the distinct-word-Jaccard lexical ranking
+    * fuse by Σ 1/(60+rank) — the score-free rank combiner behind every
+    * hybrid (BM25 + dense) search stack; a doc missed by one modality
+    * but top-ranked by the other still surfaces.
+    *
+    * Scale: the query set is a fixed small id prefix (broadcast on both
+    * branches — at corpus scale it would be the AnnAuditPct sample);
+    * lexical intersection is a keyed word join against the broadcast
+    * query words, semantic is the q46 brute-force contract; the fusion
+    * itself is a full-outer join of two ≤k-row-per-query rank lists.
+    */
+  val rrfFusion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val k = 20
+    val sem = Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 5, k = k)
+      .select(col("query_id"), col("cand_id"), col("rank").as("sem_rank"))
+    val wsets = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(Text.words(col("text")))).as("w"))
+    val nw = wsets.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    val qw = wsets.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("w"))
+    val inter = wsets.join(broadcast(qw), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("ic"))
+    val jac = inter
+      .join(broadcast(nw.withColumnRenamed("doc_id", "query_id")
+        .withColumnRenamed("nw", "nwq")), "query_id")
+      .join(nw, "doc_id")
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        round(col("ic").cast("double") / (col("nwq") + col("nw") - col("ic")), 6).as("j"))
+    val wLex = Window.partitionBy("query_id").orderBy(col("j").desc, col("cand_id"))
+    val lex = jac.withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("lex_rank"))
+    val fused = sem.join(lex, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)), 6))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("cand_id"))
+    fused.withColumn("fused_rank", row_number().over(wF))
+      .filter(col("fused_rank") <= 10)
+      .select(col("query_id"), col("fused_rank"), col("cand_id"),
+        col("rrf_score"), col("sem_rank"), col("lex_rank"))
+      .orderBy("query_id", "fused_rank")
+  }
+
   /** q136: dedup threshold sensitivity — the near-dup pair count per
     * Jaccard decile. The tuning read before moving the dedup threshold:
     * a fat decile just above the cut means the rate is threshold-
@@ -1048,6 +1097,43 @@ object PipelineQueries {
     */
   val keyness: Q = (s, dir) =>
     TextAnalysis.keyness(docs(s, dir)).orderBy("source", "rank")
+
+  /** q215: mutual information between the lang and source columns — the
+    * corpus-composition audit quantifying how much the language mix
+    * varies by source (0 nats = independent; high NMI = language is
+    * largely determined by source, the stratification a sampler must
+    * respect). One contingency aggregation + two marginal tables, all
+    * broadcast-sized; ln terms decimal-summed (the q128 PSI
+    * discipline), NMI from the raw sums before rounding.
+    */
+  val langSourceMi: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("lang"), col("source"))
+    val joint = d.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    val nRow = d.agg(count(lit(1)).as("n"))
+    val ml = d.groupBy("lang").agg(count(lit(1)).as("cl"))
+    val ms = d.groupBy("source").agg(count(lit(1)).as("cs"))
+    val miRow = joint.join(broadcast(ml), "lang").join(broadcast(ms), "source")
+      .crossJoin(broadcast(nRow))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("pl", col("cl").cast("double") / col("n"))
+      .withColumn("ps", col("cs").cast("double") / col("n"))
+      .withColumn("term", col("p") * log(col("p") / (col("pl") * col("ps"))))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("term").cast("decimal(38,12)")).cast("double").as("mi_raw"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(nRow))
+        .withColumn("p", col(cnt).cast("double") / col("n"))
+        .agg(sum((-col("p") * log(col("p"))).cast("decimal(38,12)"))
+          .cast("double").as(out))
+    miRow.crossJoin(broadcast(entropy(ml, "cl", "hl_raw")))
+      .crossJoin(broadcast(entropy(ms, "cs", "hs_raw")))
+      .crossJoin(broadcast(nRow))
+      .select(col("n").as("n_docs"), col("n_cells"),
+        round(col("mi_raw"), 6).as("mi"),
+        round(col("hl_raw"), 6).as("h_lang"),
+        round(col("hs_raw"), 6).as("h_source"),
+        round(col("mi_raw") / sqrt(col("hl_raw") * col("hs_raw")), 6).as("nmi"))
+  }
 
   /** q210: Pareto-skyline selection — every document that is
     * best-quality for its length class (not dominated in BOTH n_chars
@@ -1565,6 +1651,8 @@ object PipelineQueries {
     "q168_gopher_rules" -> gopherRules,
     "q210_pareto_skyline" -> paretoSkyline,
     "q211_keyness" -> keyness,
+    "q215_lang_source_mi" -> langSourceMi,
+    "q216_rrf_fusion" -> rrfFusion,
     "q169_standardize" -> standardizeEmb,
     "q170_mmr_rerank" -> mmrRerank,
     "q171_domain_classifier" -> domainClassifier,
@@ -2394,6 +2482,57 @@ object PipelineQueries {
          |FROM (SELECT lang, ${TO.langScores} FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
     "q211_keyness" -> TO.keyness(),
+    "q216_rrf_fusion" ->
+      s"""WITH sem AS (SELECT query_id, cand_id, rank AS sem_rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 5) WHERE rank <= 20),
+         |w AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |     FROM documents),
+         |nw AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY 1),
+         |inter AS (SELECT qw.doc_id AS query_id, cw.doc_id AS cand_id, COUNT(*) AS ic
+         |          FROM w qw JOIN w cw ON qw.w = cw.w
+         |          WHERE qw.doc_id < 5 AND cw.doc_id != qw.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT query_id, cand_id,
+         |          round(CAST(ic AS DOUBLE) / (nq.nw + nc.nw - ic), 6) AS j
+         |        FROM inter JOIN nw nq ON nq.doc_id = query_id
+         |          JOIN nw nc ON nc.doc_id = cand_id),
+         |lex AS (SELECT query_id, cand_id, lex_rank FROM (
+         |  SELECT query_id, cand_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY j DESC, cand_id) AS INT) AS lex_rank FROM jac) WHERE lex_rank <= 20),
+         |f AS (SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+         |        COALESCE(s.cand_id, l.cand_id) AS cand_id,
+         |        s.sem_rank, l.lex_rank,
+         |        round(COALESCE(1.0 / (60 + s.sem_rank), 0.0)
+         |            + COALESCE(1.0 / (60 + l.lex_rank), 0.0), 6) AS rrf_score
+         |      FROM sem s FULL JOIN lex l
+         |        ON s.query_id = l.query_id AND s.cand_id = l.cand_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_score DESC, cand_id) AS INT) AS fused_rank FROM f)
+         |SELECT query_id, fused_rank, cand_id, rrf_score, sem_rank, lex_rank
+         |FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin,
+    "q215_lang_source_mi" ->
+      """WITH d AS (SELECT lang, source FROM documents),
+        |j AS (SELECT lang, source, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |ml AS (SELECT lang, COUNT(*) AS cl FROM d GROUP BY 1),
+        |ms AS (SELECT source, COUNT(*) AS cs FROM d GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |t AS (SELECT CAST(c AS DOUBLE) / n AS p, CAST(cl AS DOUBLE) / n AS pl,
+        |        CAST(cs AS DOUBLE) / n AS ps
+        |      FROM j JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN nn),
+        |mi AS (SELECT COUNT(*) AS n_cells,
+        |         CAST(SUM(CAST(p * ln(p / (pl * ps)) AS DECIMAL(38,12))) AS DOUBLE) AS mi_raw
+        |       FROM t),
+        |hl AS (SELECT CAST(SUM(CAST(-(CAST(cl AS DOUBLE) / n) * ln(CAST(cl AS DOUBLE) / n)
+        |         AS DECIMAL(38,12))) AS DOUBLE) AS hl_raw FROM ml CROSS JOIN nn),
+        |hs AS (SELECT CAST(SUM(CAST(-(CAST(cs AS DOUBLE) / n) * ln(CAST(cs AS DOUBLE) / n)
+        |         AS DECIMAL(38,12))) AS DOUBLE) AS hs_raw FROM ms CROSS JOIN nn)
+        |SELECT n AS n_docs, n_cells, round(mi_raw, 6) AS mi,
+        |  round(hl_raw, 6) AS h_lang, round(hs_raw, 6) AS h_source,
+        |  round(mi_raw / sqrt(hl_raw * hs_raw), 6) AS nmi
+        |FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN nn""".stripMargin,
     "q210_pareto_skyline" ->
       s"""WITH s AS MATERIALIZED (
          |  SELECT doc_id, n_chars, quality_score
