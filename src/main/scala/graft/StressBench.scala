@@ -83,7 +83,18 @@ object StressBench {
     // the (sampled) query x corpus product BY DESIGN (the documented
     // audit contract fixes the sample, not the ratio)
     "q204_budget_selection" -> warehouse.PipelineQueries.budgetSelection,
-    "q205_kmv_growth" -> warehouse.AnalyticsQueries.kmvGrowth)
+    "q205_kmv_growth" -> warehouse.AnalyticsQueries.kmvGrowth,
+    // third-session additions: the log-quantile sketch family (narrow
+    // scan + bounded counter tables), the skyline (staircase prune must
+    // keep the survivor set output-sized), keyness (capped-vocab keyed
+    // joins — the vocab itself grows 10× by replica prefixing, the
+    // legitimate linear reference), and the DoReMi trajectory (iters ×
+    // K-row jobs over one cached per-source aggregate)
+    "q209_log_quantiles" -> warehouse.AnalyticsQueries.logQuantiles,
+    "q210_pareto_skyline" -> warehouse.PipelineQueries.paretoSkyline,
+    "q211_keyness" -> warehouse.PipelineQueries.keyness,
+    "q212_doremi_mixture" -> warehouse.PipelineQueries.doremiMixture,
+    "q213_quantile_growth" -> warehouse.AnalyticsQueries.logQuantileGrowth)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity
