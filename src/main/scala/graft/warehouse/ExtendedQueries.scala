@@ -235,8 +235,26 @@ object ExtendedQueries {
         round(col("sum_value"), 6).as("sum_value"))
       .orderBy("user_id", "start_ms")
 
+  /** q217: per-key two-sided CUSUM change detection — the batch twin of
+    * the streaming mapGroupsWithState monitor (StreamCusum), run
+    * through the REAL fold code so the change-point arithmetic (warmup
+    * reference mean, slack-debited one-sided sums, restart-after-signal
+    * alarms) is DuckDB-hash-checked, not just spec-checked.
+    */
+  val cusumShifts: Q = (s, dir) =>
+    graft.streaming.StreamCusum.detectBatchDs(asSensorEvents(s, dir)).toDF()
+      .select(
+        col("device_id").cast("long").as("user_id"),
+        col("n_events"),
+        round(col("mu0"), 6).as("mu0"),
+        round(col("sp"), 6).as("cusum_pos"),
+        round(col("sn"), 6).as("cusum_neg"),
+        col("n_alarms"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q138_ewma_drift" -> ewmaDrift,
+    "q217_cusum_shifts" -> cusumShifts,
     "q139_session_fold" -> sessionFold,
     "q15_asof_join" -> asof,
     "q16_sessions" -> sessions,
@@ -272,6 +290,35 @@ object ExtendedQueries {
         |last AS (SELECT user_id, MAX(rn) AS rn FROM f GROUP BY user_id)
         |SELECT f.user_id, f.n AS n_events, round(f.e, 6) AS ewma, f.d AS n_drift
         |FROM f JOIN last USING (user_id, rn) ORDER BY user_id""".stripMargin,
+    "q217_cusum_shifts" -> {
+      val sp = "greatest(CAST(0 AS DOUBLE), f.sp + (x.value - f.su / 5.0 - 50.0))"
+      val sn = "greatest(CAST(0 AS DOUBLE), f.sn + (f.su / 5.0 - x.value - 50.0))"
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT user_id, value,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS BIGINT) AS rn
+         |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         |f(user_id, rn, n, su, sp, sn, a) AS (
+         |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DOUBLE),
+         |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS BIGINT)
+         |  FROM (SELECT DISTINCT user_id FROM e0)
+         |  UNION ALL
+         |  SELECT f.user_id, x.rn, f.n + 1,
+         |    CASE WHEN f.n < 5 THEN f.su + x.value ELSE f.su END,
+         |    CASE WHEN f.n < 5 THEN CAST(0 AS DOUBLE)
+         |         WHEN $sp > 300.0 THEN CAST(0 AS DOUBLE) ELSE $sp END,
+         |    CASE WHEN f.n < 5 THEN CAST(0 AS DOUBLE)
+         |         WHEN $sn > 300.0 THEN CAST(0 AS DOUBLE) ELSE $sn END,
+         |    f.a + CASE WHEN f.n >= 5 AND $sp > 300.0 THEN 1 ELSE 0 END
+         |        + CASE WHEN f.n >= 5 AND $sn > 300.0 THEN 1 ELSE 0 END
+         |  FROM f JOIN e0 x ON x.user_id = f.user_id AND x.rn = f.rn + 1),
+         |last AS (SELECT user_id, MAX(rn) AS rn FROM f GROUP BY user_id)
+         |SELECT f.user_id, f.n AS n_events,
+         |  round(CASE WHEN f.n >= 5 THEN f.su / 5.0
+         |             WHEN f.n > 0 THEN f.su / f.n ELSE 0.0 END, 6) AS mu0,
+         |  round(f.sp, 6) AS cusum_pos, round(f.sn, 6) AS cusum_neg,
+         |  f.a AS n_alarms
+         |FROM f JOIN last USING (user_id, rn) ORDER BY user_id""".stripMargin
+    },
     "q139_session_fold" ->
       s"""WITH w AS (SELECT user_id, ts, value,
          |         CASE WHEN lag(ts) OVER win IS NULL
