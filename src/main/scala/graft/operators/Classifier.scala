@@ -141,6 +141,55 @@ object Classifier {
       .withColumn("keep_domain", z(w) >= lit(0.0))
   }
 
+  /** Split-conformal calibration of the domain classifier (Vovk et al.
+    * 2005, "Algorithmic Learning in a Random World"; Papadopoulos 2002
+    * inductive variant): train on the first 60 hash-buckets, take the
+    * ⌈(1−ε)(n+1)⌉-th smallest NEGATIVE score on the calibration
+    * buckets [60, 80) as the alarm threshold, and report empirical
+    * FPR/recall on the held-out buckets [80, 100). Exchangeability
+    * gives the distribution-free guarantee P(negative scores above
+    * threshold) ≤ ε — a calibrated "how often does the domain filter
+    * wrongly keep an off-domain doc" knob, with no model assumptions.
+    *
+    * Scale design: scoring is the [[scoreDocuments]] path (iters + 1
+    * corpus scans); the calibration quantile runs over the DISTINCT
+    * rounded scores (≤10⁶ rows by construction — scores are 6-dp in
+    * [0,1] — so the single-group cumulative window is bounded, never
+    * data-sized); eval metrics are one aggregation with the threshold
+    * broadcast.
+    */
+  def conformalGate(docs: DataFrame, labelPred: Column, eps: Double = 0.1,
+      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoreDocuments(docs, labelPred, lr, iters, trainPct = 60)
+      .withColumn("b", Sampling.hashBucket(col("doc_id")).cast("int"))
+    val cal = scored.filter(col("b") >= 60 && col("b") < 80 && col("label") === 0)
+    val nRow = cal.agg(count(lit(1)).as("n_cal_neg"))
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thrRow = cal.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(nRow))
+      .filter(col("cum") >= ceil(lit(1.0 - eps) * (col("n_cal_neg") + 1).cast("double")))
+      .agg(min(col("score")).as("threshold"))
+    scored.filter(col("b") >= 80)
+      .crossJoin(broadcast(thrRow)).crossJoin(broadcast(nRow))
+      .agg(
+        max(lit(eps)).as("epsilon"),
+        max(col("n_cal_neg")).as("n_cal_neg"),
+        max(col("threshold")).as("threshold"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_eval_pos"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("n_eval_neg"),
+        sum(when(col("label") === 1 && col("score") > col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("score") > col("threshold"), 1L)
+          .otherwise(0L)).as("fp"))
+      .withColumn("recall",
+        round(col("tp").cast("double") / col("n_eval_pos").cast("double"), 6))
+      .withColumn("empirical_fpr",
+        round(col("fp").cast("double") / col("n_eval_neg").cast("double"), 6))
+  }
+
   /** Exact ROC-AUC of a scored frame ([[scoreDocuments]] output shape:
     * `label` 0/1, `score`), computed as the Mann–Whitney U statistic
     * with the standard average-rank tie treatment:
@@ -306,6 +355,37 @@ object Classifier {
          |  round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score,
          |  ($zSql >= 0.0) AS predicted_positive
          |FROM feats f CROSS JOIN w$iters w ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[Classifier.conformalGate]]: identical trajectory +
+      * scoring (trainPct 60), same bucket split, same order-statistic
+      * threshold and eval counters.
+      */
+    def conformalGate(labelSql: String, eps: Double = 0.1,
+        lr: Double = Lr, iters: Int = Iters): String =
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT doc_id, label, score
+         |  FROM (${scoreDocuments(labelSql, lr, iters, trainPct = 60)})),
+         |sb AS MATERIALIZED (SELECT doc_id, label, score,
+         |        ${Sampling.O.hashBucket("doc_id")} AS b FROM sc),
+         |cal AS (SELECT score FROM sb WHERE b >= 60 AND b < 80 AND label = 0),
+         |nc AS (SELECT COUNT(*) AS n_cal_neg FROM cal),
+         |cum AS (SELECT score, SUM(COUNT(*)) OVER (ORDER BY score
+         |          ROWS UNBOUNDED PRECEDING) AS cum FROM cal GROUP BY score),
+         |thr AS (SELECT MIN(score) AS threshold FROM cum CROSS JOIN nc
+         |        WHERE cum >= ceil(${1.0 - eps} * CAST(n_cal_neg + 1 AS DOUBLE))),
+         |ev AS (SELECT label, score FROM sb WHERE b >= 80),
+         |m AS (SELECT
+         |  CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_pos,
+         |  CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_neg,
+         |  CAST(SUM(CASE WHEN label = 1 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN label = 0 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  ANY_VALUE(threshold) AS threshold
+         |  FROM ev CROSS JOIN thr)
+         |SELECT CAST($eps AS DOUBLE) AS epsilon, nc.n_cal_neg, m.threshold,
+         |  m.n_eval_pos, m.n_eval_neg, m.tp, m.fp,
+         |  round(CAST(tp AS DOUBLE) / CAST(n_eval_pos AS DOUBLE), 6) AS recall,
+         |  round(CAST(fp AS DOUBLE) / CAST(n_eval_neg AS DOUBLE), 6) AS empirical_fpr
+         |FROM m CROSS JOIN nc""".stripMargin
 
     /** Mirrors [[Classifier.auc]]: identical trajectory + scoring, then
       * the Mann–Whitney statistic over score-tie groups. The oracle may

@@ -235,16 +235,17 @@ object Robust {
       logCumCte(s"(${logBinsCte(table, groupCol, valueCol)})")
 
     /** DuckDB twin of the [[logEstimateFromBins]] selection for one p,
-      * over relation lm: (g, est) with est the integer bucket midpoint.
+      * over relation `rel` (default lm): (g, est) with est the integer
+      * bucket midpoint.
       */
-    def logEstSelect(p: Double): String = {
+    def logEstSelect(p: Double, rel: String = "lm"): String = {
       val m = LogSubBits
       val sc = LogSubCount
       s"""SELECT g, CASE WHEN sel < ${2 * sc} THEN sel
          |  ELSE (((sel - ((sel >> $m) - 1) * $sc) << CAST((sel >> $m) - 1 AS INT))
          |      + (((sel - ((sel >> $m) - 1) * $sc) + 1) << CAST((sel >> $m) - 1 AS INT)) - 1) >> 1
          |END AS est
-         |FROM (SELECT g, min(lbin) AS sel FROM lm
+         |FROM (SELECT g, min(lbin) AS sel FROM $rel
          |      WHERE cum >= ceil($p * CAST(n AS DOUBLE)) GROUP BY g)""".stripMargin
     }
   }
@@ -474,6 +475,28 @@ object Robust {
     ps.foldLeft(g) { (acc, p) =>
       acc.withColumn(s"est_${pName(p)}", logBinMid(col(s"sel_${pName(p)}")))
     }.drop(ps.map(p => s"sel_${pName(p)}"): _*)
+  }
+
+  /** Robust scale (MAD) from the log sketch — the bounded-memory path
+    * around [[madOutliers]], whose builtin `percentile` buffers every
+    * group value in one task. Two counter-table passes: the sketch
+    * median m̂ per group, then a sketch over |x − m̂| + 1 (the +1 shift
+    * keeps zero deviations inside the sketch's positive domain;
+    * monotone, so deviation RANKS are exact and only the estimate
+    * carries the relative-error contract, now on dev+1). Input values
+    * must be positive longs (callers pre-scale doubles to integer
+    * units and filter >= 1, mirrored in the oracle).
+    * Output: (group, n, med_est, mad_est).
+    */
+  def sketchMad(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = logQuantile(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("est_p50").as("med_est"))
+    val dev = df.join(broadcast(med), groupCol)
+      .select(col(groupCol), (abs(col(valueCol) - col("med_est")) + 1).as("dev1"))
+    logQuantile(dev, groupCol, "dev1", Seq(0.5))
+      .select(col(groupCol), col("n"), (col("est_p50") - 1).as("mad_est"))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol), col("n"), col("med_est"), col("mad_est"))
   }
 
   /** Per-group MAD outlier stats: median, median-absolute-deviation,

@@ -404,6 +404,32 @@ object AnalyticsQueries {
       .orderBy("batch")
   }
 
+  /** q218: sketch-MAD — robust scale per device type from two
+    * log-sketch passes (median, then deviations-from-median), where
+    * the exact MAD (q?) buffers whole groups through the builtin
+    * `percentile`. Values pre-scale to milli-units (positive longs);
+    * the exact MAD rides along as the audit with a div-by-zero guard
+    * for degenerate all-at-median groups.
+    */
+  val sketchMad: Q = (s, dir) => {
+    import graft.operators.Robust
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("v"))
+      .filter(col("v") >= 1)
+    val est = Robust.sketchMad(e, "event_type", "v")
+    val med = est.select(col("event_type"), col("med_est"))
+    val dev = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), (abs(col("v") - col("med_est")) + 1).as("dev1"))
+    val exact = Robust.exactOrderStats(dev, "event_type", "dev1", Seq(0.5))
+      .select(col("event_type"), (col("v") - 1).as("exact_mad"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n"), col("med_est"), col("mad_est"),
+        col("exact_mad"),
+        round(abs(col("mad_est") - col("exact_mad")).cast("double") /
+          greatest(col("exact_mad").cast("double"), lit(1.0)), 6).as("rel_err"))
+      .orderBy("event_type")
+  }
+
   /** q190: sketch-based join-cardinality estimation — the planner read
     * BEFORE committing to a shuffle: |A ⋈ B| on a key is Σ_k fA(k)·fB(k),
     * estimated from two 8 KB CMS counter arrays as the min-over-rows
@@ -777,6 +803,7 @@ object AnalyticsQueries {
     "q197_kmv_overlap" -> kmvOverlap,
     "q205_kmv_growth" -> kmvGrowth,
     "q213_quantile_growth" -> logQuantileGrowth,
+    "q218_sketch_mad" -> sketchMad,
     "q190_join_size_sketch" -> joinSizeSketch,
     "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
@@ -1087,6 +1114,32 @@ object AnalyticsQueries {
          |  ex.exact_cum_distinct,
          |  round(($estExpr) / CAST(ex.exact_cum_distinct AS DOUBLE), 6) AS est_ratio
          |FROM ag JOIN ex USING (batch) ORDER BY batch""".stripMargin
+    },
+    "q218_sketch_mad" -> {
+      import graft.operators.{Robust => R}
+      s"""WITH e AS MATERIALIZED (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS v
+         |  FROM events WHERE CAST(floor(value * 1000) AS BIGINT) >= 1),
+         |lm1 AS (${R.O.logCte("e", "g", "v")}),
+         |med AS (SELECT g, est AS med_est FROM (${R.O.logEstSelect(0.5, "lm1")})),
+         |d AS MATERIALIZED (SELECT e.g, abs(e.v - med.med_est) + 1 AS dev1
+         |     FROM e JOIN med USING (g)),
+         |lm2 AS (${R.O.logCte("d", "g", "dev1")}),
+         |mad AS (SELECT g, est - 1 AS mad_est FROM (${R.O.logEstSelect(0.5, "lm2")})),
+         |nn AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n FROM lm2 GROUP BY g),
+         |gg AS (SELECT g, dev1 AS v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+         |c AS (SELECT g, v, cnt, COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM gg),
+         |cn AS (SELECT g, COUNT(*) AS n2 FROM d GROUP BY 1),
+         |x50 AS (SELECT c.g, c.v FROM c JOIN cn USING (g)
+         |  WHERE below < ceil(0.5 * CAST(n2 AS DOUBLE))
+         |    AND ceil(0.5 * CAST(n2 AS DOUBLE)) <= below + cnt)
+         |SELECT nn.g AS event_type, n, med.med_est, mad.mad_est,
+         |  x50.v - 1 AS exact_mad,
+         |  round(CAST(abs(mad.mad_est - (x50.v - 1)) AS DOUBLE)
+         |    / greatest(CAST(x50.v - 1 AS DOUBLE), 1.0), 6) AS rel_err
+         |FROM nn JOIN med ON med.g = nn.g JOIN mad ON mad.g = nn.g
+         |  JOIN x50 ON x50.g = nn.g
+         |ORDER BY event_type""".stripMargin
     },
     "q213_quantile_growth" -> {
       import graft.operators.{Robust => R}

@@ -1173,6 +1173,15 @@ object PipelineQueries {
   val classifierScores: Q = (s, dir) =>
     Classifier.scoreDocuments(docs(s, dir), col("source") === "src0")
 
+  /** q219: split-conformal calibration of the domain classifier —
+    * train/calibrate/eval on disjoint hash-bucket splits; the
+    * calibration order statistic gives the distribution-free
+    * P(false keep) ≤ ε threshold, and the eval split reports the
+    * empirical FPR/recall at it.
+    */
+  val conformalGate: Q = (s, dir) =>
+    Classifier.conformalGate(docs(s, dir), col("source") === "src0")
+
   /** q198: exact ROC-AUC of the q172 scorer — the threshold-free model
     * quality read (Mann–Whitney with average-rank ties), ranked by a
     * bucketed two-level cumulative instead of a global window sort.
@@ -1658,6 +1667,7 @@ object PipelineQueries {
     "q171_domain_classifier" -> domainClassifier,
     "q172_classifier_scores" -> classifierScores,
     "q198_classifier_auc" -> classifierAuc,
+    "q219_conformal_gate" -> conformalGate,
     "q161_ivfpq" -> ivfPq,
     "q162_jl_projection" -> jlProjection,
     "q163_jl_distortion" -> jlDistortion,
@@ -1953,6 +1963,7 @@ object PipelineQueries {
     "q170_mmr_rerank" -> Similarity.O.mmrTopK("q.vec_id < 20"),
     "q171_domain_classifier" -> Classifier.O.trainDomainClassifier("source = 'src0'"),
     "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
+    "q219_conformal_gate" -> Classifier.O.conformalGate("source = 'src0'"),
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
     "q212_doremi_mixture" -> Sampling.O.doremiWeights(),
