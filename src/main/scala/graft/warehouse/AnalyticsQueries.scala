@@ -404,6 +404,19 @@ object AnalyticsQueries {
       .orderBy("batch")
   }
 
+  /** q220: conditional quantiles — linear quantile regression (pinball
+    * subgradient GD) of value on hour-of-day, τ ∈ {0.5, 0.9}. OLS
+    * (q106) gives the conditional mean; the quantile sketches give
+    * marginal quantiles; this is "p90 of value AS A FUNCTION of hour"
+    * — the heteroscedasticity read. Pure comparison arithmetic (no
+    * libm), trajectory replayed exactly by the unrolled-CTE oracle.
+    */
+  val quantileRegression: Q = (s, dir) => {
+    val r = readings(s, dir)
+      .select(((hour(col("time")) + 1) / lit(24.0)).as("x"), col("value").as("y"))
+    graft.operators.QuantileReg.fitQuantiles(r, "x", "y").orderBy("tau")
+  }
+
   /** q218: sketch-MAD — robust scale per device type from two
     * log-sketch passes (median, then deviations-from-median), where
     * the exact MAD (q?) buffers whole groups through the builtin
@@ -804,6 +817,7 @@ object AnalyticsQueries {
     "q205_kmv_growth" -> kmvGrowth,
     "q213_quantile_growth" -> logQuantileGrowth,
     "q218_sketch_mad" -> sketchMad,
+    "q220_quantile_regression" -> quantileRegression,
     "q190_join_size_sketch" -> joinSizeSketch,
     "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
@@ -1115,6 +1129,9 @@ object AnalyticsQueries {
          |  round(($estExpr) / CAST(ex.exact_cum_distinct AS DOUBLE), 6) AS est_ratio
          |FROM ag JOIN ex USING (batch) ORDER BY batch""".stripMargin
     },
+    "q220_quantile_regression" ->
+      graft.operators.QuantileReg.O.fitQuantiles(
+        "SELECT (hour(ts) + 1) / CAST(24.0 AS DOUBLE) AS x, value AS y FROM events"),
     "q218_sketch_mad" -> {
       import graft.operators.{Robust => R}
       s"""WITH e AS MATERIALIZED (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS v
