@@ -1098,6 +1098,38 @@ object PipelineQueries {
   val keyness: Q = (s, dir) =>
     TextAnalysis.keyness(docs(s, dir)).orderBy("source", "rank")
 
+  /** q221: Benford first-digit audit (Benford 1938; the Nigrini 1996
+    * forensic test): per source, the first-significant-digit
+    * distribution of doc lengths vs the Benford expectation
+    * p(d) = log10(1 + 1/d), scored by χ². Natural size-ish data tends
+    * toward Benford; a flat or spiked digit histogram flags synthetic
+    * or truncated feeds. The expected masses ship as identical
+    * shortest-repr double LITERALS in both engines (the q207 DCG
+    * convention), so no log10 runs at query time; the digit itself is
+    * exact string arithmetic.
+    */
+  val benfordAudit: Q = (s, dir) => {
+    val p = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val expCol = (1 to 9).map(d => when(col("digit") === d, lit(p(d - 1))))
+      .reduce((a, b) => coalesce(a, b))
+    val digits = docs(s, dir)
+      .filter(col("n_chars").isNotNull && col("n_chars") >= 1)
+      .select(col("source"),
+        substring(col("n_chars").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("source", "digit").agg(count(lit(1)).as("obs"))
+    val tot = digits.groupBy("source").agg(sum(col("obs")).as("n"))
+    digits.join(broadcast(tot), "source")
+      .withColumn("expected", col("n").cast("double") * expCol)
+      .withColumn("term",
+        (col("obs").cast("double") - col("expected")) *
+          (col("obs").cast("double") - col("expected")) / col("expected"))
+      .groupBy("source")
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).as("n_digits_seen"),
+        round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6).as("chi2"))
+      .orderBy("source")
+  }
+
   /** q215: mutual information between the lang and source columns — the
     * corpus-composition audit quantifying how much the language mix
     * varies by source (0 nats = independent; high NMI = language is
@@ -1661,6 +1693,7 @@ object PipelineQueries {
     "q210_pareto_skyline" -> paretoSkyline,
     "q211_keyness" -> keyness,
     "q215_lang_source_mi" -> langSourceMi,
+    "q221_benford_audit" -> benfordAudit,
     "q216_rrf_fusion" -> rrfFusion,
     "q169_standardize" -> standardizeEmb,
     "q170_mmr_rerank" -> mmrRerank,
@@ -2493,6 +2526,21 @@ object PipelineQueries {
          |FROM (SELECT lang, ${TO.langScores} FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
     "q211_keyness" -> TO.keyness(),
+    "q221_benford_audit" -> {
+      val bp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val expCase = (1 to 9).map(d => s"WHEN digit = $d THEN ${bp(d - 1)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH d AS (SELECT source, CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 1),
+         |g AS (SELECT source, digit, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS n FROM g GROUP BY 1),
+         |x AS (SELECT g.source, g.obs, t.n, CAST(t.n AS DOUBLE) * (${expCase}) AS expected
+         |      FROM g JOIN t USING (source))
+         |SELECT source, MAX(n) AS n, COUNT(*) AS n_digits_seen,
+         |  round(CAST(SUM(CAST((CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+         |    / expected AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+         |FROM x GROUP BY source ORDER BY source""".stripMargin
+    },
     "q216_rrf_fusion" ->
       s"""WITH sem AS (SELECT query_id, cand_id, rank AS sem_rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
