@@ -731,8 +731,11 @@ object Dedup {
       * IS the algorithm twin of the custom expression (fuzz-verified at
       * 6 dp), over the identical capped blocks.
       */
-    def jaroWinklerPairs(prefixLen: Int = 60, minSim: Double = JwMinSim): String =
-      s"""WITH t AS (SELECT doc_id, substring(text, 1, $prefixLen) AS pfx,
+    /** Shared CTE list ending in jwp(d1, d2, jw_sim) — the q194 pair
+      * generator, reusable by composition oracles (q222).
+      */
+    def jwPairsCtes(prefixLen: Int = 60, minSim: Double = JwMinSim): String =
+      s"""t AS (SELECT doc_id, substring(text, 1, $prefixLen) AS pfx,
          |             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
          |             length(text) // $EditLenBucket AS lb
          |           FROM documents),
@@ -741,13 +744,16 @@ object Dedup {
          |        CASE WHEN d0.df0 <= $EditBlockCap THEN -1 ELSE t.lb END AS grp
          |      FROM t JOIN d0 USING (blk)),
          |keep AS (SELECT blk, grp FROM r GROUP BY blk, grp HAVING COUNT(*) <= $EditBlockCap),
-         |k AS (SELECT r.* FROM r JOIN keep USING (blk, grp))
-         |SELECT d1, d2, jw_sim FROM (
+         |k AS (SELECT r.* FROM r JOIN keep USING (blk, grp)),
+         |jwp AS (SELECT d1, d2, jw_sim FROM (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2,
          |    round(jaro_winkler_similarity(a.pfx, b.pfx), 6) AS jw_sim
          |  FROM k a JOIN k b ON a.blk = b.blk AND a.grp = b.grp AND a.doc_id < b.doc_id)
-         |WHERE jw_sim >= $minSim
-         |ORDER BY d1, d2""".stripMargin
+         |WHERE jw_sim >= $minSim)""".stripMargin
+
+    def jaroWinklerPairs(prefixLen: Int = 60, minSim: Double = JwMinSim): String =
+      s"""WITH ${jwPairsCtes(prefixLen, minSim)}
+         |SELECT d1, d2, jw_sim FROM jwp ORDER BY d1, d2""".stripMargin
 
     /** Mirrors damerauPairs (DuckDB's damerau_levenshtein is the FULL
       * Lowrance–Wagner variant — the custom expression's twin).

@@ -183,6 +183,26 @@ object PipelineQueries {
   val fuzzyPairs: Q = (s, dir) =>
     Dedup.editDistancePairs(docs(s, dir)).orderBy("d1", "d2")
 
+  /** q222: entity resolution end-to-end — the record-linkage
+    * composition: blocked Jaro–Winkler match pairs (q194's generator)
+    * → connected components → a COMPLETE canonical entity table (every
+    * document assigned; docs with no match are their own entity). The
+    * merge/purge read a dedup pipeline actually ships — q52 resolves
+    * the near-dup graph, this one also carries the singleton majority
+    * so the output is a total doc_id → entity mapping.
+    */
+  val entityResolution: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.jaroWinklerPairs(d).select("d1", "d2"))
+    d.select("doc_id").join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("entity_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("entity_size"),
+        (coalesce(col("cluster_rep"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** q95: benchmark decontamination — shared 3-grams vs an eval set. */
   val contamination: Q = (s, dir) =>
     Corpus.contamination(docs(s, dir), col("doc_id") < 10).orderBy("doc_id")
@@ -1663,6 +1683,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "q195_damerau" -> damerauPairs,
     "q194_jaro_winkler" -> jaroWinklerPairs,
+    "q222_entity_resolution" -> entityResolution,
     "q192_ann_hubness" -> annHubness,
     "q191_deletion_impact" -> deletionImpact,
     "q189_blocklist" -> blocklist,
@@ -1795,6 +1816,22 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q195_damerau" -> Dedup.O.damerauPairs(),
     "q194_jaro_winkler" -> Dedup.O.jaroWinklerPairs(),
+    "q222_entity_resolution" ->
+      s"""WITH RECURSIVE ${Dedup.O.jwPairsCtes()},
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM jwp UNION SELECT d2, d1 FROM jwp),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t0
+         |  UNION
+         |  SELECT r2.src, s2.dst FROM reach r2 JOIN sym s2 ON r2.dst = s2.src),
+         |ent AS (SELECT src AS doc_id, MIN(dst) AS entity_rep,
+         |          COUNT(DISTINCT dst) AS entity_size
+         |        FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  COALESCE(e.entity_rep, d.doc_id) AS entity_rep,
+         |  CAST(COALESCE(e.entity_size, 1) AS BIGINT) AS entity_size,
+         |  (COALESCE(e.entity_rep, d.doc_id) = d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN ent e USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q192_ann_hubness" ->
       s"""WITH occ AS (SELECT cand_id, COUNT(*) AS n_occ
          |  FROM (${Similarity.O.ivf(annAuditPredSql, 10)}) GROUP BY cand_id)
