@@ -59,6 +59,9 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
     spark
   }
 }

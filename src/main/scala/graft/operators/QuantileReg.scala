@@ -32,20 +32,28 @@ object QuantileReg {
     lit(tau) - when(col("y") < lit(th._1) + lit(th._2) * col("x"), lit(1.0))
       .otherwise(lit(0.0))
 
-  /** Fits one τ on a cached (x, y) frame; returns the final (θ0, θ1). */
-  private def fit(f: DataFrame, tau: Double, lr: Double, iters: Int): (Double, Double) = {
+  /** Fits ALL τs simultaneously on a cached (x, y) frame — the
+    * trajectories are independent, so one aggregation per iteration
+    * carries every τ's subgradient sums (2·|taus| decimal sums per
+    * scan instead of |taus| separate scan loops). Returns the final
+    * (θ0, θ1) per τ, order-aligned with `taus`.
+    */
+  private def fit(f: DataFrame, taus: Seq[Double], lr: Double,
+      iters: Int): Seq[(Double, Double)] = {
     val n = count(lit(1)).cast("double")
-    var th = (0.0, 0.0)
+    var ths: Seq[(Double, Double)] = taus.map(_ => (0.0, 0.0))
     for (_ <- 1 to iters) {
-      val t = term(tau, th)
-      val row = f.agg(
-        round(lit(th._1) + lit(lr) * (Num.dsumHi(t) / n), 12).as("t0"),
-        round(lit(th._2) + lit(lr) * (Num.dsumHi(t * col("x")) / n), 12).as("t1"))
-        .head()
+      val aggs = taus.zip(ths).zipWithIndex.flatMap { case ((tau, th), i) =>
+        val t = term(tau, th)
+        Seq(
+          round(lit(th._1) + lit(lr) * (Num.dsumHi(t) / n), 12).as(s"t0_$i"),
+          round(lit(th._2) + lit(lr) * (Num.dsumHi(t * col("x")) / n), 12).as(s"t1_$i"))
+      }
+      val row = f.agg(aggs.head, aggs.tail: _*).head()
       require(!row.isNullAt(0), "empty frame: quantile regression needs rows")
-      th = (row.getDouble(0), row.getDouble(1))
+      ths = taus.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
     }
-    th
+    ths
   }
 
   /** Fits each τ and reports the model + its mean pinball loss (the
@@ -57,8 +65,8 @@ object QuantileReg {
       lr: Double = Lr, iters: Int = Iters): DataFrame = {
     val f = df.select(col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y")).cache()
-    val fitted = taus.map { tau =>
-      val th = fit(f, tau, lr, iters)
+    val ths = fit(f, taus, lr, iters)
+    val fitted = taus.zip(ths).map { case (tau, th) =>
       val u = col("y") - (lit(th._1) + lit(th._2) * col("x"))
       val rho = u * (lit(tau) - when(u < 0, lit(1.0)).otherwise(lit(0.0)))
       f.agg(

@@ -404,6 +404,27 @@ object AnalyticsQueries {
       .orderBy("batch")
   }
 
+  /** q223: declarative band join — error/purchase coincidence within
+    * 60 s, written as the NAIVE keyless theta join
+    * `abs(e.t − p.t) <= 60`. The BandJoinRewrite optimizer rule
+    * (plans/BandJoinRewrite.scala) grid-buckets it automatically, so
+    * the user-level query stays declarative while the physical plan is
+    * the equi join the hand-written RangeJoin operator builds —
+    * PlanAuditSpec locks the shape (no BroadcastNestedLoopJoin).
+    */
+  val bandAutoJoin: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), unix_timestamp(col("ts")).as("et"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), unix_timestamp(col("ts")).as("pt"))
+    err.join(pur, abs(col("et") - col("pt")) <= 60)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(Num.davg(abs(col("et") - col("pt"))), 6).as("avg_abs_dt"),
+        min(col("et") - col("pt")).as("min_dt"),
+        max(col("et") - col("pt")).as("max_dt"))
+  }
+
   /** q220: conditional quantiles — linear quantile regression (pinball
     * subgradient GD) of value on hour-of-day, τ ∈ {0.5, 0.9}. OLS
     * (q106) gives the conditional mean; the quantile sketches give
@@ -818,6 +839,7 @@ object AnalyticsQueries {
     "q213_quantile_growth" -> logQuantileGrowth,
     "q218_sketch_mad" -> sketchMad,
     "q220_quantile_regression" -> quantileRegression,
+    "q223_band_auto_join" -> bandAutoJoin,
     "q190_join_size_sketch" -> joinSizeSketch,
     "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
@@ -1129,6 +1151,16 @@ object AnalyticsQueries {
          |  round(($estExpr) / CAST(ex.exact_cum_distinct AS DOUBLE), 6) AS est_ratio
          |FROM ag JOIN ex USING (batch) ORDER BY batch""".stripMargin
     },
+    "q223_band_auto_join" ->
+      """WITH er AS (SELECT event_id AS eid, CAST(floor(epoch(ts)) AS BIGINT) AS et
+        |  FROM events WHERE event_type = 'error'),
+        |pu AS (SELECT event_id AS pid, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT et, pt FROM er JOIN pu ON abs(et - pt) <= 60)
+        |SELECT COUNT(*) AS n_pairs,
+        |  round(CAST(SUM(CAST(abs(et - pt) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(abs(et - pt)), 6) AS avg_abs_dt,
+        |  CAST(MIN(et - pt) AS BIGINT) AS min_dt, CAST(MAX(et - pt) AS BIGINT) AS max_dt
+        |FROM p""".stripMargin,
     "q220_quantile_regression" ->
       graft.operators.QuantileReg.O.fitQuantiles(
         "SELECT (hour(ts) + 1) / CAST(24.0 AS DOUBLE) AS x, value AS y FROM events"),

@@ -92,6 +92,37 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(dd.head.getDouble(0) == 11.0)
   }
 
+  test("band join rewrite: |a-b| <= w joins bucket to an equi join, results identical") {
+    val rng = new scala.util.Random(13)
+    val lRows = List.tabulate(300)(i => (i.toLong, rng.nextInt(5000).toLong))
+    val rRows = List.tabulate(300)(i => (1000L + i, rng.nextInt(5000).toLong))
+    val l = lRows.toDF("lid", "lt").repartition(3)
+    val r = rRows.toDF("rid", "rt").repartition(3)
+    val q = l.join(r, org.apache.spark.sql.functions.abs($"lt" - $"rt") <= 60)
+      .select("lid", "rid")
+    // the rewrite fires: equi join machinery, no nested-loop scan of the pair space
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("__graft_band"), p.take(1500))
+    val got = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exp = (for {
+      a <- lRows; b <- rRows if math.abs(a._2 - b._2) <= 60
+    } yield (a._1, b._1)).toSet
+    assert(got == exp, s"got ${got.size} vs expected ${exp.size}")
+
+    // a join that already has an equi key is left alone (no bucket column)
+    val l2 = lRows.toDF("lid", "lt").withColumn("k", $"lid" % 3).repartition(3)
+    val r2 = rRows.toDF("rid", "rt").withColumn("k", $"rid" % 3).repartition(3)
+    val q2 = l2.join(r2, l2("k") === r2("k") &&
+      org.apache.spark.sql.functions.abs(l2("lt") - r2("rt")) <= 60)
+    assert(!q2.queryExecution.executedPlan.toString.contains("__graft_band"))
+    // and NULL band values match nothing, same as the raw predicate
+    val ln = (lRows.map { case (i, t) => (i, Some(t)) } :+ ((999L, Option.empty[Long])))
+      .toDF("lid", "lt").repartition(2)
+    val qn = ln.join(r, org.apache.spark.sql.functions.abs($"lt" - $"rt") <= 60)
+    assert(qn.filter($"lid" === 999L).count() == 0)
+  }
+
   test("registerAll is idempotent on an existing session") {
     graft.core.GraftExtensions.registerAll(spark)
     graft.core.GraftExtensions.registerAll(spark)

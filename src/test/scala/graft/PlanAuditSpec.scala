@@ -383,6 +383,13 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(!p.contains("SortMergeJoin"), p.take(1600)) // nothing corpus-scale shuffles to sort
   }
 
+  test("declarative band join plans as the bucketed equi join, not a nested loop") {
+    val p = plan("q223_band_auto_join")
+    assert(p.contains("__graft_band"), p.take(1500)) // the rewrite fired
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("keyness broadcasts its totals; the rank window runs on the capped vocab only") {
     val p = plan("q211_keyness")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))       // per-source totals
