@@ -881,6 +881,42 @@ object PipelineQueries {
           .as("mean_ndcg"))
   }
 
+  /** q224: Rank-Biased Overlap (Webber/Moffat/Zobel 2010, TOIS) of the
+    * IVF ranking vs the exact ranking — the top-weighted LIST-similarity
+    * read: where recall@10 (q143) treats the prefix as a set and
+    * MRR/nDCG (q207) need a relevance anchor, RBO compares the two
+    * RANKINGS directly with geometric top-weighting (p = 0.9). An item
+    * first common to both prefixes at depth m = max(rank, arank)
+    * contributes exactly S_m = Σ_{d=m..10} (1−p)p^(d−1)/d, so the
+    * truncated RBO is one (query, cand) join + a CASE-coefficient sum —
+    * the S_m table is 10 Scala-computed constants shipped as identical
+    * literals to both engines (the q207 DCG convention).
+    */
+  val RboP = 0.9
+  val RboSuffix: Seq[Double] = {
+    val w = (1 to 10).map(d => (1.0 - RboP) * math.pow(RboP, d - 1) / d)
+    (1 to 10).map(m => w.drop(m - 1).sum)
+  }
+  val rboQuality: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val exact = Similarity.bruteForceTopK(e, annAuditPred, k = 10)
+      .select("query_id", "cand_id", "rank").cache()
+    val approx = Similarity.ivfTopK(e, annAuditPred, k = 10)
+      .select(col("query_id"), col("cand_id"), col("rank").as("arank"))
+    val m = greatest(col("rank"), col("arank"))
+    val coeff = (1 to 10).foldRight(lit(0.0): org.apache.spark.sql.Column)((i, acc) =>
+      when(m === i, lit(RboSuffix(i - 1))).otherwise(acc))
+    val per = exact.join(approx, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(Num.dsumHi(coeff).as("rbo"))
+    exact.select("query_id").distinct()
+      .join(per, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(Num.dsumHi(coalesce(col("rbo"), lit(0.0))) / count(lit(1)), 6)
+          .as("mean_rbo"),
+        round(min(coalesce(col("rbo"), lit(0.0))), 6).as("min_rbo"))
+  }
+
   /** q144: IVF probe-budget sweep — recall@10 at nprobe ∈ {1, 2, 4, 8}
     * of the 16 coarse lists: the latency/recall tuning curve an ANN
     * deployment reads before picking its operating point (each probe
@@ -1752,6 +1788,7 @@ object PipelineQueries {
     "q143_ivf_recall" -> ivfRecall,
     "q144_ivf_probe_sweep" -> ivfProbeSweep,
     "q207_ann_ranking_quality" -> annRankingQuality,
+    "q224_rbo" -> rboQuality,
     "q40_dedup_exact" -> dedupExact,
     "q41_fingerprint" -> fingerprint,
     "q42_ngram_jaccard" -> ngramJaccard,
@@ -2204,6 +2241,28 @@ object PipelineQueries {
          |       h.n_hits,
          |       round(CAST(h.n_hits AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6) AS recall_at_10
          |FROM h""".stripMargin,
+    "q224_rbo" -> {
+      val sCase = (1 to 10).map(i =>
+        s"WHEN $i THEN CAST(${RboSuffix(i - 1)} AS DOUBLE)").mkString(" ")
+      s"""WITH ex AS MATERIALIZED (SELECT query_id, cand_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
+         |  WHERE rank <= 10),
+         |iv AS MATERIALIZED (SELECT query_id, cand_id, rank AS arank
+         |  FROM (${Similarity.O.ivf(annAuditPredSql, 10)})),
+         |cm AS (SELECT ex.query_id, greatest(ex.rank, iv.arank) AS m
+         |       FROM ex JOIN iv ON iv.query_id = ex.query_id AND iv.cand_id = ex.cand_id),
+         |pq AS (SELECT query_id, ${Num.O.sumHi("(CASE m " + sCase + " END)")} AS rbo
+         |       FROM cm GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT COUNT(*) AS n_queries,
+         |  round(${Num.O.sumHi("COALESCE(pq.rbo, CAST(0 AS DOUBLE))")} / COUNT(*), 6) AS mean_rbo,
+         |  round(MIN(COALESCE(pq.rbo, CAST(0 AS DOUBLE))), 6) AS min_rbo
+         |FROM qs LEFT JOIN pq USING (query_id)""".stripMargin
+    },
     "q207_ann_ranking_quality" -> {
       val wCase = (1 to 10).map(i =>
         s"WHEN $i THEN CAST(${DcgW(i - 1)} AS DOUBLE)").mkString(" ")
