@@ -1186,6 +1186,36 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q225: equi-depth length bands from the sketch — per-source
+    * p25/p50/p75 doc-length boundaries (log-sketch, broadcast) bin
+    * every doc into its quartile band; per (source, band): count, mean
+    * quality, and the band's length range. Sketch-driven equi-depth
+    * binning — uniform-count bands regardless of distribution shape,
+    * with corpus-side work one scan + one keyed aggregation.
+    */
+  val equiDepthProfile: Q = (s, dir) => {
+    import graft.operators.Robust
+    val d = TextAnalysis.withTextStats(docs(s, dir))
+      .select(col("source"), col("n_chars"), col("quality_score"))
+      .filter(col("n_chars").isNotNull && col("n_chars") >= 1)
+    val qs = Robust.logQuantile(d, "source", "n_chars", Seq(0.25, 0.5, 0.75))
+      .select(col("source"), col("est_p25"), col("est_p50"), col("est_p75"))
+    d.join(broadcast(qs), "source")
+      .withColumn("band",
+        when(col("n_chars") <= col("est_p25"), 1)
+          .when(col("n_chars") <= col("est_p50"), 2)
+          .when(col("n_chars") <= col("est_p75"), 3)
+          .otherwise(4))
+      .groupBy("source", "band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(Num.dsumHi(col("quality_score")) / count(lit(1)).cast("double"), 6)
+          .as("avg_quality"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "band")
+  }
+
   /** q215: mutual information between the lang and source columns — the
     * corpus-composition audit quantifying how much the language mix
     * varies by source (0 nats = independent; high NMI = language is
@@ -1750,6 +1780,7 @@ object PipelineQueries {
     "q210_pareto_skyline" -> paretoSkyline,
     "q211_keyness" -> keyness,
     "q215_lang_source_mi" -> langSourceMi,
+    "q225_equi_depth_profile" -> equiDepthProfile,
     "q221_benford_audit" -> benfordAudit,
     "q216_rrf_fusion" -> rrfFusion,
     "q169_standardize" -> standardizeEmb,
@@ -2622,6 +2653,29 @@ object PipelineQueries {
          |FROM (SELECT lang, ${TO.langScores} FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
     "q211_keyness" -> TO.keyness(),
+    "q225_equi_depth_profile" -> {
+      import graft.operators.{Robust => R}
+      s"""WITH s AS MATERIALIZED (SELECT source, n_chars, quality_score
+         |  FROM (SELECT source, n_chars, ${TO.textStats} FROM documents)
+         |  WHERE n_chars IS NOT NULL AND n_chars >= 1),
+         |lm AS (${R.O.logCte("s", "source", "n_chars")}),
+         |e25 AS (SELECT g, est AS est_p25 FROM (${R.O.logEstSelect(0.25)})),
+         |e50 AS (SELECT g, est AS est_p50 FROM (${R.O.logEstSelect(0.5)})),
+         |e75 AS (SELECT g, est AS est_p75 FROM (${R.O.logEstSelect(0.75)})),
+         |b AS (SELECT s.source, s.n_chars, s.quality_score,
+         |        CASE WHEN s.n_chars <= est_p25 THEN 1
+         |             WHEN s.n_chars <= est_p50 THEN 2
+         |             WHEN s.n_chars <= est_p75 THEN 3
+         |             ELSE 4 END AS band
+         |      FROM s JOIN e25 ON e25.g = s.source
+         |        JOIN e50 ON e50.g = s.source
+         |        JOIN e75 ON e75.g = s.source)
+         |SELECT source, CAST(band AS INT) AS band, COUNT(*) AS n_docs,
+         |  round(CAST(SUM(CAST(quality_score AS DECIMAL(38,18))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_quality,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         |FROM b GROUP BY 1, 2 ORDER BY source, band""".stripMargin
+    },
     "q221_benford_audit" -> {
       val bp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
       val expCase = (1 to 9).map(d => s"WHEN digit = $d THEN ${bp(d - 1)}")
