@@ -438,6 +438,57 @@ object AnalyticsQueries {
     graft.operators.QuantileReg.fitQuantiles(r, "x", "y").orderBy("tau")
   }
 
+  /** q227: split-conformal PREDICTION INTERVALS around the hour→value
+    * linear model — the q219 distribution-free guarantee applied to
+    * regression (Papadopoulos 2002): OLS on the train hash-buckets
+    * (exact decimal sums, the q106 machinery, coefficients 12-dp
+    * engine-rounded), the ⌈(1−α)(n+1)⌉-th smallest calibration
+    * |residual| as the interval halfwidth (coverage ≥ 1−α under
+    * exchangeability), empirical coverage on the held-out split.
+    * Residuals round at 6 dp so the calibration quantile runs over a
+    * bounded distinct-value table (the q219 discipline).
+    */
+  val conformalInterval: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val e = Tables(s, dir, "events")
+      .select(((hour(col("ts")) + 1) / lit(24.0)).as("x"), col("value").as("y"),
+        Sampling.hashBucket(col("event_id")).cast("int").as("b"))
+    val train = e.filter(col("b") < 60)
+    val wRow = train
+      .agg(count(lit(1)).cast("double").as("n"),
+        Num.dsum(col("x")).as("sx"), Num.dsum(col("y")).as("sy"),
+        Num.dsum(col("x") * col("x")).as("sxx"),
+        Num.dsum(col("x") * col("y")).as("sxy"))
+      .select(
+        round(Num.fitSlope(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")), 12).as("m"),
+        round(Num.fitIntercept(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")), 12).as("c"))
+      .head()
+    val (m, c) = (wRow.getDouble(0), wRow.getDouble(1))
+    val resid = e.withColumn("r", round(abs(col("y") - (lit(c) + lit(m) * col("x"))), 6))
+    val cal = resid.filter(col("b") >= 60 && col("b") < 80)
+    val nRow = cal.agg(count(lit(1)).as("n_cal"))
+    val wCum = Window.orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = cal.groupBy("r").agg(count(lit(1)).as("cc"))
+      .withColumn("cum", sum(col("cc")).over(wCum))
+      .crossJoin(broadcast(nRow))
+      .filter(col("cum") >= ceil(lit(0.9) * (col("n_cal") + 1).cast("double")))
+      .agg(min(col("r")).as("halfwidth"))
+    resid.filter(col("b") >= 80)
+      .crossJoin(broadcast(thr)).crossJoin(broadcast(nRow))
+      .agg(
+        max(lit(0.1)).as("alpha"),
+        max(round(lit(m), 6)).as("slope"),
+        max(round(lit(c), 6)).as("intercept"),
+        max(col("n_cal")).as("n_cal"),
+        max(col("halfwidth")).as("halfwidth"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("r") <= col("halfwidth"), 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_eval").cast("double"), 6))
+  }
+
   /** q218: sketch-MAD — robust scale per device type from two
     * log-sketch passes (median, then deviations-from-median), where
     * the exact MAD (q?) buffers whole groups through the builtin
@@ -840,6 +891,7 @@ object AnalyticsQueries {
     "q218_sketch_mad" -> sketchMad,
     "q220_quantile_regression" -> quantileRegression,
     "q223_band_auto_join" -> bandAutoJoin,
+    "q227_conformal_interval" -> conformalInterval,
     "q190_join_size_sketch" -> joinSizeSketch,
     "q193_theil_sen" -> theilSen,
     "q73_zorder_key" -> zorderKey,
@@ -1151,6 +1203,28 @@ object AnalyticsQueries {
          |  round(($estExpr) / CAST(ex.exact_cum_distinct AS DOUBLE), 6) AS est_ratio
          |FROM ag JOIN ex USING (batch) ORDER BY batch""".stripMargin
     },
+    "q227_conformal_interval" ->
+      s"""WITH e AS MATERIALIZED (SELECT (hour(ts) + 1) / CAST(24.0 AS DOUBLE) AS x,
+         |  value AS y, ${graft.operators.Sampling.O.hashBucket("event_id")} AS b FROM events),
+         |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${N.sum("x")} AS sx, ${N.sum("y")} AS sy,
+         |        ${N.sum("x * x")} AS sxx, ${N.sum("x * y")} AS sxy
+         |      FROM e WHERE b < 60),
+         |w AS (SELECT round(${N.fitSlope()}, 12) AS m, round(${N.fitIntercept()}, 12) AS c FROM g),
+         |res AS MATERIALIZED (SELECT b, round(abs(y - (c + m * x)), 6) AS r FROM e CROSS JOIN w),
+         |cal AS (SELECT r FROM res WHERE b >= 60 AND b < 80),
+         |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+         |cum AS (SELECT r, SUM(COUNT(*)) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM cal GROUP BY r),
+         |qv AS (SELECT MIN(r) AS halfwidth FROM cum CROSS JOIN nc
+         |       WHERE cum >= ceil(0.9 * CAST(n_cal + 1 AS DOUBLE))),
+         |m2 AS (SELECT COUNT(*) AS n_eval,
+         |         CAST(SUM(CASE WHEN r <= halfwidth THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |         ANY_VALUE(halfwidth) AS halfwidth
+         |       FROM (SELECT r FROM res WHERE b >= 80) ev CROSS JOIN qv)
+         |SELECT CAST(0.1 AS DOUBLE) AS alpha, round(w.m, 6) AS slope, round(w.c, 6) AS intercept,
+         |  nc.n_cal, m2.halfwidth, m2.n_eval, m2.n_covered,
+         |  round(CAST(n_covered AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS coverage
+         |FROM w CROSS JOIN nc CROSS JOIN m2""".stripMargin,
     "q223_band_auto_join" ->
       """WITH er AS (SELECT event_id AS eid, CAST(floor(epoch(ts)) AS BIGINT) AS et
         |  FROM events WHERE event_type = 'error'),

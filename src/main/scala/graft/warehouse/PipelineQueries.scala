@@ -1154,6 +1154,38 @@ object PipelineQueries {
   val keyness: Q = (s, dir) =>
     TextAnalysis.keyness(docs(s, dir)).orderBy("source", "rank")
 
+  /** q226: Hill tail-index estimator (Hill 1975, Annals of Statistics)
+    * of the doc-length distribution per source — the heavy-tail audit
+    * completing Zipf (q110) and Heaps (q182): α̂ = 1 / mean(ln(x_i/x_k))
+    * over the top-k order statistics (small α̂ = heavy tail = a few
+    * enormous documents dominate the token budget). The top-k comes
+    * from the mergeable TopKByScore aggregate — map-side heaps ship
+    * ≤k rows per group into the shuffle, never a per-source sort — and
+    * the ln terms are decimal-summed. Sources with fewer than k docs
+    * drop (the estimator is undefined there), mirrored by the oracle's
+    * rank-k inner join.
+    */
+  val HillK = 16
+  val tailIndex: Q = (s, dir) => {
+    val d = docs(s, dir).filter(col("n_chars").isNotNull && col("n_chars") >= 1)
+    val top = d.groupBy("source")
+      .agg(graft.functions.Sketch.topKByScore(
+        col("n_chars").cast("double"), col("doc_id"), HillK).as("top"))
+      .filter(size(col("top")) === HillK)
+      .withColumn("xk", element_at(col("top"), HillK).getField("score"))
+    val terms = top
+      .select(col("source"), col("xk"), posexplode(col("top")).as(Seq("pos", "t")))
+      .filter(col("pos") < HillK - 1)
+      .withColumn("term", log(col("t").getField("score") / col("xk")))
+    terms.groupBy("source")
+      .agg(max(col("xk")).as("xkd"),
+        (Num.dsumHi(col("term")) / lit((HillK - 1).toDouble)).as("raw"))
+      .select(col("source"), col("xkd").cast("long").as("x_k"),
+        round(col("raw"), 6).as("inv_alpha"),
+        when(col("raw") > 0, round(lit(1.0) / col("raw"), 6)).as("hill_alpha"))
+      .orderBy("source")
+  }
+
   /** q221: Benford first-digit audit (Benford 1938; the Nigrini 1996
     * forensic test): per source, the first-significant-digit
     * distribution of doc lengths vs the Benford expectation
@@ -1782,6 +1814,7 @@ object PipelineQueries {
     "q215_lang_source_mi" -> langSourceMi,
     "q225_equi_depth_profile" -> equiDepthProfile,
     "q221_benford_audit" -> benfordAudit,
+    "q226_tail_index" -> tailIndex,
     "q216_rrf_fusion" -> rrfFusion,
     "q169_standardize" -> standardizeEmb,
     "q170_mmr_rerank" -> mmrRerank,
@@ -2653,6 +2686,21 @@ object PipelineQueries {
          |FROM (SELECT lang, ${TO.langScores} FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
     "q211_keyness" -> TO.keyness(),
+    "q226_tail_index" ->
+      s"""WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS x, doc_id FROM documents
+         |  WHERE n_chars IS NOT NULL AND n_chars >= 1),
+         |r AS (SELECT source, x,
+         |        row_number() OVER (PARTITION BY source ORDER BY x DESC, doc_id ASC) AS rn
+         |      FROM d),
+         |k AS (SELECT source, x AS xk FROM r WHERE rn = ${HillK}),
+         |t AS (SELECT r.source, ln(r.x / k.xk) AS term
+         |      FROM r JOIN k USING (source) WHERE r.rn < ${HillK}),
+         |a AS (SELECT source,
+         |        CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) / ${(HillK - 1).toDouble} AS raw
+         |      FROM t GROUP BY 1)
+         |SELECT a.source, CAST(k.xk AS BIGINT) AS x_k, round(raw, 6) AS inv_alpha,
+         |  CASE WHEN raw > 0 THEN round(1.0 / raw, 6) END AS hill_alpha
+         |FROM a JOIN k USING (source) ORDER BY a.source""".stripMargin,
     "q225_equi_depth_profile" -> {
       import graft.operators.{Robust => R}
       s"""WITH s AS MATERIALIZED (SELECT source, n_chars, quality_score
