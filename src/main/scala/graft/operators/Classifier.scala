@@ -141,6 +141,39 @@ object Classifier {
       .withColumn("keep_domain", z(w) >= lit(0.0))
   }
 
+  /** k-fold cross-validation of the domain classifier: disjoint
+    * hash-bucket folds, each fold's model trained on the other k−1
+    * (the full GD trajectory) and scored on its own — the
+    * model-selection read that prices variance across resamples, not
+    * just one split. One cached feature frame; k trajectories of
+    * `iters` aggregations each; per fold the eval confusion at the
+    * z >= 0 boundary. The oracle replays all k trajectories in one
+    * WITH clause (fold-prefixed CTE names).
+    */
+  def crossValidate(docs: DataFrame, labelPred: Column, folds: Int = 5,
+      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+    require(folds > 1 && 100 % folds == 0, "folds must divide the 100 hash buckets")
+    val span = 100 / folds
+    val f = features(docs, labelPred)
+      .withColumn("bkt", Sampling.hashBucket(col("doc_id")).cast("int")).cache()
+    val rows = (0 until folds).map { k =>
+      val isEval = col("bkt") >= k * span && col("bkt") < (k + 1) * span
+      val w = fit(f.filter(!isEval), lr, iters)
+      val predPos = z(w) >= lit(0.0)
+      val isPos = col("y") === lit(1.0)
+      f.filter(isEval).agg(
+          max(lit(k)).as("fold"),
+          count(lit(1)).as("n_eval"),
+          sum(when(predPos && isPos, 1L).otherwise(0L)).as("tp"),
+          sum(when(predPos && !isPos, 1L).otherwise(0L)).as("fp"),
+          sum(when(!predPos && !isPos, 1L).otherwise(0L)).as("tn"),
+          sum(when(!predPos && isPos, 1L).otherwise(0L)).as("fn"))
+        .withColumn("accuracy",
+          round((col("tp") + col("tn")).cast("double") / col("n_eval"), 6))
+    }
+    rows.reduce(_ unionByName _).orderBy("fold")
+  }
+
   /** Split-conformal calibration of the domain classifier (Vovk et al.
     * 2005, "Algorithmic Learning in a Random World"; Papadopoulos 2002
     * inductive variant): train on the first 60 hash-buckets, take the
@@ -295,36 +328,49 @@ object Classifier {
   object O {
     private def zSql = "(w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
 
+    /** One GD trajectory as CTE text: train$p + w${p}0 + `iters`
+      * unrolled stages ending in relation `w$p$iters`; `p` prefixes
+      * every fold-local name so several trajectories (cross-validation)
+      * can share one WITH clause over the same `feats`.
+      */
+    private[Classifier] def trajectoryStages(lr: Double, iters: Int,
+        trainWhere: String, p: String = ""): String = {
+      val err = s"((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))) - f.y)"
+      val iterCtes = (1 to iters).map { t =>
+        s"""g$p$t AS (SELECT w.b, w.w1, w.w2, w.w3, CAST(COUNT(*) AS DOUBLE) AS n,
+           |  ${Num.O.sumHi(err)} AS g0,
+           |  ${Num.O.sumHi(s"$err * f.x1")} AS g1,
+           |  ${Num.O.sumHi(s"$err * f.x2")} AS g2,
+           |  ${Num.O.sumHi(s"$err * f.x3")} AS g3
+           |  FROM train$p f CROSS JOIN w$p${t - 1} w GROUP BY 1, 2, 3, 4),
+           |w$p$t AS (SELECT round(b - $lr * (g0 / n), 12) AS b,
+           |  round(w1 - $lr * (g1 / n), 12) AS w1,
+           |  round(w2 - $lr * (g2 / n), 12) AS w2,
+           |  round(w3 - $lr * (g3 / n), 12) AS w3 FROM g$p$t)""".stripMargin
+      }.mkString(",\n")
+      s"""train$p AS (SELECT * FROM feats$trainWhere),
+         |w${p}0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |$iterCtes""".stripMargin
+    }
+
+    private[Classifier] def featsCte(labelSql: String): String =
+      s"""s AS (SELECT doc_id, source, ${TextAnalysis.O.textStats} FROM documents),
+         |feats AS (SELECT doc_id,
+         |  least(n_tokens / 200.0, 1.0) AS x1,
+         |  least(avg_token_len / 8.0, 1.0) AS x2,
+         |  least(stopword_ratio * 2.0, 1.0) AS x3,
+         |  CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS y FROM s)""".stripMargin
+
     /** The shared trajectory prefix: feature CTE + w0 + `iters`
       * unrolled GD stages ending in relation `w$iters`.
       */
     private def trajectoryCtes(labelSql: String, lr: Double, iters: Int,
         trainPct: Int = 100): String = {
-      val err = s"((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))) - f.y)"
       val trainWhere =
         if (trainPct >= 100) ""
         else s" WHERE ${Sampling.O.hashBucket("doc_id")} < $trainPct"
-      val iterCtes = (1 to iters).map { t =>
-        s"""g$t AS (SELECT w.b, w.w1, w.w2, w.w3, CAST(COUNT(*) AS DOUBLE) AS n,
-           |  ${Num.O.sumHi(err)} AS g0,
-           |  ${Num.O.sumHi(s"$err * f.x1")} AS g1,
-           |  ${Num.O.sumHi(s"$err * f.x2")} AS g2,
-           |  ${Num.O.sumHi(s"$err * f.x3")} AS g3
-           |  FROM train f CROSS JOIN w${t - 1} w GROUP BY 1, 2, 3, 4),
-           |w$t AS (SELECT round(b - $lr * (g0 / n), 12) AS b,
-           |  round(w1 - $lr * (g1 / n), 12) AS w1,
-           |  round(w2 - $lr * (g2 / n), 12) AS w2,
-           |  round(w3 - $lr * (g3 / n), 12) AS w3 FROM g$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH s AS (SELECT doc_id, source, ${TextAnalysis.O.textStats} FROM documents),
-         |feats AS (SELECT doc_id,
-         |  least(n_tokens / 200.0, 1.0) AS x1,
-         |  least(avg_token_len / 8.0, 1.0) AS x2,
-         |  least(stopword_ratio * 2.0, 1.0) AS x3,
-         |  CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS y FROM s),
-         |train AS (SELECT * FROM feats$trainWhere),
-         |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-         |$iterCtes""".stripMargin
+      s"""WITH ${featsCte(labelSql)},
+         |${trajectoryStages(lr, iters, trainWhere)}""".stripMargin
     }
 
     def trainDomainClassifier(labelSql: String,
@@ -355,6 +401,37 @@ object Classifier {
          |  round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score,
          |  ($zSql >= 0.0) AS predicted_positive
          |FROM feats f CROSS JOIN w$iters w ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[Classifier.crossValidate]]: k fold-prefixed
+      * trajectories sharing one feats CTE, per-fold eval confusion.
+      */
+    def crossValidate(labelSql: String, folds: Int = 5,
+        lr: Double = Lr, iters: Int = Iters): String = {
+      val span = 100 / folds
+      val bkt = Sampling.O.hashBucket("doc_id")
+      val stages = (0 until folds).map { k =>
+        val where =
+          s" WHERE NOT ($bkt >= ${k * span} AND $bkt < ${(k + 1) * span})"
+        trajectoryStages(lr, iters, where, p = s"f${k}_")
+      }
+      val rows = (0 until folds).map { k =>
+        val p = s"f${k}_"
+        s"""SELECT fold, n_eval, tp, fp, tn, fn,
+           |  round(CAST(tp + tn AS DOUBLE) / n_eval, 6) AS accuracy
+           |FROM (SELECT $k AS fold, COUNT(*) AS n_eval,
+           |  CAST(SUM(CASE WHEN $zSql >= 0.0 AND f.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(SUM(CASE WHEN $zSql >= 0.0 AND NOT (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(SUM(CASE WHEN NOT ($zSql >= 0.0) AND NOT (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |  CAST(SUM(CASE WHEN NOT ($zSql >= 0.0) AND f.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM (SELECT * FROM feats
+           |        WHERE $bkt >= ${k * span} AND $bkt < ${(k + 1) * span}) f
+           |  CROSS JOIN w$p$iters w)""".stripMargin
+      }
+      s"""WITH ${featsCte(labelSql)},
+         |${stages.mkString(",\n")}
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY fold""".stripMargin
+    }
 
     /** Mirrors [[Classifier.conformalGate]]: identical trajectory +
       * scoring (trainPct 60), same bucket split, same order-statistic

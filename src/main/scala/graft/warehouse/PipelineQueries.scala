@@ -1323,6 +1323,14 @@ object PipelineQueries {
   val classifierScores: Q = (s, dir) =>
     Classifier.scoreDocuments(docs(s, dir), col("source") === "src0")
 
+  /** q228: 5-fold cross-validation of the domain classifier — each
+    * fold trained on the other four hash-bucket spans, scored on its
+    * own; the variance-across-resamples read one split (q171) can't
+    * give.
+    */
+  val classifierCv: Q = (s, dir) =>
+    Classifier.crossValidate(docs(s, dir), col("source") === "src0")
+
   /** q219: split-conformal calibration of the domain classifier —
     * train/calibrate/eval on disjoint hash-bucket splits; the
     * calibration order statistic gives the distribution-free
@@ -1822,6 +1830,7 @@ object PipelineQueries {
     "q172_classifier_scores" -> classifierScores,
     "q198_classifier_auc" -> classifierAuc,
     "q219_conformal_gate" -> conformalGate,
+    "q228_classifier_cv" -> classifierCv,
     "q161_ivfpq" -> ivfPq,
     "q162_jl_projection" -> jlProjection,
     "q163_jl_distortion" -> jlDistortion,
@@ -2135,6 +2144,7 @@ object PipelineQueries {
     "q171_domain_classifier" -> Classifier.O.trainDomainClassifier("source = 'src0'"),
     "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
     "q219_conformal_gate" -> Classifier.O.conformalGate("source = 'src0'"),
+    "q228_classifier_cv" -> Classifier.O.crossValidate("source = 'src0'"),
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
     "q212_doremi_mixture" -> Sampling.O.doremiWeights(),
