@@ -174,6 +174,37 @@ object Classifier {
     rows.reduce(_ unionByName _).orderBy("fold")
   }
 
+  /** Learning curve: the classifier retrained at increasing training
+    * fractions (hash-bucket prefixes — each training set CONTAINS the
+    * smaller ones, the honest curve) and scored on one fixed held-out
+    * split (buckets [80, 100)). Flat accuracy past a fraction = more
+    * data won't help this model; still-rising = collect more. Same
+    * engine discipline as [[crossValidate]].
+    */
+  def learningCurve(docs: DataFrame, labelPred: Column,
+      trainPcts: Seq[Int] = Seq(10, 20, 40, 80),
+      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+    require(trainPcts.forall(p => p > 0 && p <= 80), "train fractions must fit below the eval split")
+    val f = features(docs, labelPred)
+      .withColumn("bkt", Sampling.hashBucket(col("doc_id")).cast("int")).cache()
+    val eval = f.filter(col("bkt") >= 80)
+    val rows = trainPcts.map { pct =>
+      val w = fit(f.filter(col("bkt") < pct), lr, iters)
+      val predPos = z(w) >= lit(0.0)
+      val isPos = col("y") === lit(1.0)
+      eval.agg(
+          max(lit(pct)).as("train_pct"),
+          count(lit(1)).as("n_eval"),
+          sum(when(predPos && isPos, 1L).otherwise(0L)).as("tp"),
+          sum(when(predPos && !isPos, 1L).otherwise(0L)).as("fp"),
+          sum(when(!predPos && !isPos, 1L).otherwise(0L)).as("tn"),
+          sum(when(!predPos && isPos, 1L).otherwise(0L)).as("fn"))
+        .withColumn("accuracy",
+          round((col("tp") + col("tn")).cast("double") / col("n_eval"), 6))
+    }
+    rows.reduce(_ unionByName _).orderBy("train_pct")
+  }
+
   /** Split-conformal calibration of the domain classifier (Vovk et al.
     * 2005, "Algorithmic Learning in a Random World"; Papadopoulos 2002
     * inductive variant): train on the first 60 hash-buckets, take the
@@ -431,6 +462,33 @@ object Classifier {
          |${stages.mkString(",\n")}
          |${rows.mkString("\nUNION ALL\n")}
          |ORDER BY fold""".stripMargin
+    }
+
+    /** Mirrors [[Classifier.learningCurve]]: one prefixed trajectory
+      * per training fraction, one shared eval split.
+      */
+    def learningCurve(labelSql: String, trainPcts: Seq[Int] = Seq(10, 20, 40, 80),
+        lr: Double = Lr, iters: Int = Iters): String = {
+      val bkt = Sampling.O.hashBucket("doc_id")
+      val stages = trainPcts.map { pct =>
+        trajectoryStages(lr, iters, s" WHERE $bkt < $pct", p = s"p${pct}_")
+      }
+      val rows = trainPcts.map { pct =>
+        val p = s"p${pct}_"
+        s"""SELECT train_pct, n_eval, tp, fp, tn, fn,
+           |  round(CAST(tp + tn AS DOUBLE) / n_eval, 6) AS accuracy
+           |FROM (SELECT $pct AS train_pct, COUNT(*) AS n_eval,
+           |  CAST(SUM(CASE WHEN $zSql >= 0.0 AND f.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(SUM(CASE WHEN $zSql >= 0.0 AND NOT (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(SUM(CASE WHEN NOT ($zSql >= 0.0) AND NOT (f.y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |  CAST(SUM(CASE WHEN NOT ($zSql >= 0.0) AND f.y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM (SELECT * FROM feats WHERE $bkt >= 80) f
+           |  CROSS JOIN w$p$iters w)""".stripMargin
+      }
+      s"""WITH ${featsCte(labelSql)},
+         |${stages.mkString(",\n")}
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY train_pct""".stripMargin
     }
 
     /** Mirrors [[Classifier.conformalGate]]: identical trajectory +

@@ -1331,6 +1331,13 @@ object PipelineQueries {
   val classifierCv: Q = (s, dir) =>
     Classifier.crossValidate(docs(s, dir), col("source") === "src0")
 
+  /** q229: learning curve — the classifier retrained at nested
+    * training fractions, scored on one fixed held-out split; the
+    * "do we need more data?" read.
+    */
+  val learningCurve: Q = (s, dir) =>
+    Classifier.learningCurve(docs(s, dir), col("source") === "src0")
+
   /** q219: split-conformal calibration of the domain classifier —
     * train/calibrate/eval on disjoint hash-bucket splits; the
     * calibration order statistic gives the distribution-free
@@ -1831,6 +1838,7 @@ object PipelineQueries {
     "q198_classifier_auc" -> classifierAuc,
     "q219_conformal_gate" -> conformalGate,
     "q228_classifier_cv" -> classifierCv,
+    "q229_learning_curve" -> learningCurve,
     "q161_ivfpq" -> ivfPq,
     "q162_jl_projection" -> jlProjection,
     "q163_jl_distortion" -> jlDistortion,
@@ -2145,6 +2153,7 @@ object PipelineQueries {
     "q172_classifier_scores" -> Classifier.O.scoreDocuments("source = 'src0'"),
     "q219_conformal_gate" -> Classifier.O.conformalGate("source = 'src0'"),
     "q228_classifier_cv" -> Classifier.O.crossValidate("source = 'src0'"),
+    "q229_learning_curve" -> Classifier.O.learningCurve("source = 'src0'"),
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
     "q212_doremi_mixture" -> Sampling.O.doremiWeights(),
