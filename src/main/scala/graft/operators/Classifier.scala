@@ -74,6 +74,36 @@ object Classifier {
     w
   }
 
+  /** Several GD models with DIFFERENT training predicates (folds,
+    * nested fractions) fit simultaneously over ONE cached frame:
+    * each iteration is a single aggregation carrying every model's
+    * conditional gradient sums — `when(pred, term).otherwise(0)` adds
+    * exact decimal zeros, so each trajectory is BIT-IDENTICAL to a
+    * filtered solo [[fit]] while `iters` scans replace models×iters.
+    */
+  private def fitMany(f: DataFrame, preds: Seq[Column], lr: Double,
+      iters: Int): Seq[Array[Double]] = {
+    var ws: Seq[Array[Double]] = preds.map(_ => Array(0.0, 0.0, 0.0, 0.0))
+    for (_ <- 1 to iters) {
+      val aggs = preds.zip(ws).zipWithIndex.flatMap { case ((pred, w), i) =>
+        val err = sigmoid(z(w)) - col("y")
+        val n = sum(when(pred, 1L).otherwise(0L)).cast("double")
+        def g(t: Column) = Num.dsumHi(when(pred, t).otherwise(lit(0.0)))
+        Seq(
+          round(lit(w(0)) - lit(lr) * (g(err) / n), 12).as(s"b_$i"),
+          round(lit(w(1)) - lit(lr) * (g(err * col("x1")) / n), 12).as(s"w1_$i"),
+          round(lit(w(2)) - lit(lr) * (g(err * col("x2")) / n), 12).as(s"w2_$i"),
+          round(lit(w(3)) - lit(lr) * (g(err * col("x3")) / n), 12).as(s"w3_$i"))
+      }
+      val row = f.agg(aggs.head, aggs.tail: _*).head()
+      require(!row.isNullAt(0), "empty training set in multi-model fit")
+      ws = preds.indices.map(i => Array(
+        row.getDouble(4 * i), row.getDouble(4 * i + 1),
+        row.getDouble(4 * i + 2), row.getDouble(4 * i + 3)))
+    }
+    ws
+  }
+
   /** The deterministic hash-sampled training subset (the IVF quantizer
     * discipline): at corpus scale the GD loop touches only ~trainPct%
     * of rows while evaluation still covers everything.
@@ -156,12 +186,13 @@ object Classifier {
     val span = 100 / folds
     val f = features(docs, labelPred)
       .withColumn("bkt", Sampling.hashBucket(col("doc_id")).cast("int")).cache()
+    def evalPred(k: Int) = col("bkt") >= k * span && col("bkt") < (k + 1) * span
+    val ws = fitMany(f, (0 until folds).map(k => !evalPred(k)), lr, iters)
     val rows = (0 until folds).map { k =>
-      val isEval = col("bkt") >= k * span && col("bkt") < (k + 1) * span
-      val w = fit(f.filter(!isEval), lr, iters)
+      val w = ws(k)
       val predPos = z(w) >= lit(0.0)
       val isPos = col("y") === lit(1.0)
-      f.filter(isEval).agg(
+      f.filter(evalPred(k)).agg(
           max(lit(k)).as("fold"),
           count(lit(1)).as("n_eval"),
           sum(when(predPos && isPos, 1L).otherwise(0L)).as("tp"),
@@ -188,8 +219,8 @@ object Classifier {
     val f = features(docs, labelPred)
       .withColumn("bkt", Sampling.hashBucket(col("doc_id")).cast("int")).cache()
     val eval = f.filter(col("bkt") >= 80)
-    val rows = trainPcts.map { pct =>
-      val w = fit(f.filter(col("bkt") < pct), lr, iters)
+    val ws = fitMany(f, trainPcts.map(pct => col("bkt") < pct), lr, iters)
+    val rows = trainPcts.zip(ws).map { case (pct, w) =>
       val predPos = z(w) >= lit(0.0)
       val isPos = col("y") === lit(1.0)
       eval.agg(
