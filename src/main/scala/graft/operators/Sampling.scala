@@ -109,6 +109,32 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Neyman-optimal stratified allocation (Neyman 1934, JRSS): for a
+    * fixed total sample budget, the variance-minimizing per-stratum
+    * allocation is n_h ∝ N_h·S_h — strata that are BIG or internALLY
+    * VARIABLE get more samples; a huge uniform stratum needs few. The
+    * "how to spend a labeling/inspection budget" plan the flat
+    * hashSample and the share-based temperature mixture cannot give.
+    * One aggregation (counts + exact-sum stddevs via Num.dstddev), a
+    * 1-row broadcast normalizer; allocations floor-rounded with the
+    * remainder reported so budgets stay exact integers.
+    */
+  def neymanAllocation(docs: DataFrame, strataCol: String, valueCol: String,
+      budget: Long = 100L): DataFrame = {
+    import graft.functions.Num
+    val st = docs.groupBy(strataCol).agg(
+      count(lit(1)).as("n_rows"),
+      Num.dstddev(col(valueCol)).as("s"))
+      .withColumn("weight", col("n_rows").cast("double") * coalesce(col("s"), lit(0.0)))
+    val tot = st.agg(sum(col("weight").cast("decimal(38,6)")).cast("double").as("z"))
+    st.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_rows"),
+        round(coalesce(col("s"), lit(0.0)), 6).as("stddev"),
+        round(col("weight") / col("z"), 6).as("share"),
+        floor(lit(budget.toDouble) * (col("weight") / col("z"))).cast("long").as("n_alloc"))
+      .orderBy(strataCol)
+  }
+
   /** Domain-mixture reweighting by excess loss — the DoReMi shape (Xie
     * et al. 2023, NeurIPS — "DoReMi: Optimizing Data Mixtures Speeds Up
     * Language Model Pretraining") with the linearized multiplicative-

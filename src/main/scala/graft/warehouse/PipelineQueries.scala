@@ -1323,6 +1323,17 @@ object PipelineQueries {
   val classifierScores: Q = (s, dir) =>
     Classifier.scoreDocuments(docs(s, dir), col("source") === "src0")
 
+  /** q230: Neyman-optimal stratified sampling plan — per source, the
+    * variance-minimizing share of a 100-sample inspection budget
+    * (n_h ∝ N_h·S_h over the quality-score signal): big or internally
+    * variable sources get inspected more, uniform ones barely at all.
+    */
+  val neymanPlan: Q = (s, dir) =>
+    Sampling.neymanAllocation(
+      TextAnalysis.withTextStats(docs(s, dir))
+        .select(col("source"), col("quality_score")),
+      "source", "quality_score")
+
   /** q228: 5-fold cross-validation of the domain classifier — each
     * fold trained on the other four hash-bucket spans, scored on its
     * own; the variance-across-resamples read one split (q171) can't
@@ -1839,6 +1850,7 @@ object PipelineQueries {
     "q219_conformal_gate" -> conformalGate,
     "q228_classifier_cv" -> classifierCv,
     "q229_learning_curve" -> learningCurve,
+    "q230_neyman_plan" -> neymanPlan,
     "q161_ivfpq" -> ivfPq,
     "q162_jl_projection" -> jlProjection,
     "q163_jl_distortion" -> jlDistortion,
@@ -2154,6 +2166,17 @@ object PipelineQueries {
     "q219_conformal_gate" -> Classifier.O.conformalGate("source = 'src0'"),
     "q228_classifier_cv" -> Classifier.O.crossValidate("source = 'src0'"),
     "q229_learning_curve" -> Classifier.O.learningCurve("source = 'src0'"),
+    "q230_neyman_plan" ->
+      s"""WITH s AS (SELECT source, ${TO.textStats} FROM documents),
+         |st AS (SELECT source, COUNT(*) AS n_rows,
+         |         ${Num.O.stddev("quality_score")} AS sd FROM s GROUP BY 1),
+         |w AS (SELECT source, n_rows, sd,
+         |        CAST(n_rows AS DOUBLE) * COALESCE(sd, 0.0) AS weight FROM st),
+         |z AS (SELECT CAST(SUM(CAST(weight AS DECIMAL(38,6))) AS DOUBLE) AS z FROM w)
+         |SELECT source, n_rows, round(COALESCE(sd, 0.0), 6) AS stddev,
+         |  round(weight / z, 6) AS share,
+         |  CAST(floor(100.0 * (weight / z)) AS BIGINT) AS n_alloc
+         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
     "q212_doremi_mixture" -> Sampling.O.doremiWeights(),
