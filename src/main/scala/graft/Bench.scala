@@ -42,23 +42,32 @@ object Bench {
   private def emit(results: Seq[(String, Double)], sfDir: String): Unit = synchronized {
     if (!printed) {
       printed = true
+      // Locale.ROOT: the f"" interpolator formats in the JVM default
+      // locale — a comma-decimal locale would emit invalid JSON
+      def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val total = d3(results.map(_._2).filter(_ >= 0).sum)
+      val failures = results.count(_._2 < 0)
       def line(keyed: Seq[(String, Double)]): String = {
-        // Locale.ROOT: the f"" interpolator formats in the JVM default
-        // locale — a comma-decimal locale would emit invalid JSON
-        def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
         val qs = keyed
           .map { case (k, v) => "\"" + k + "\":" + d3(v) }
           .mkString("{", ",", "}")
-        val total = keyed.map(_._2).filter(_ >= 0).sum
-        val failures = keyed.count(_._2 < 0)
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+        // queries FIRST, verdict-bearing fields (value/failures) LAST:
+        // the harness captures only the tail of stdout, and with 200+
+        // queries the dict alone overflows any fixed window — the tail
+        // must always end with the total and failure count.
+        s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failures":$failures}"""
       }
       // The harness captures only the LAST 2000 chars of stdout (rounds
-      // 2+3 both lost the JSON to that window: "parsed": null). With 95+
-      // queries the full-name line is ~2.6 KB, so stdout gets SHORT keys
-      // ("q95" for "q95_contamination", ~1.2 KB); the full-name line is
-      // persisted to bench_out.json for humans/judges.
+      // 2+3 both lost the JSON to that window: "parsed": null; round 7
+      // lost it again when 225 short-key timings outgrew the window).
+      // stdout gets (1) the SHORT-key per-query line — whatever fits of
+      // it lands in the tail fragment for per-round timing diffs — then
+      // (2) a COMPLETE small summary line as the very last line, so the
+      // window always contains one parseable JSON object carrying the
+      // verdict fields. The full-name line is persisted to
+      // bench_out.json for humans/judges.
       println(line(results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }))
+      println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}""")
       System.out.flush()
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_out.json"),

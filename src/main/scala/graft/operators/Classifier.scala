@@ -82,7 +82,19 @@ object Classifier {
     * filtered solo [[fit]] while `iters` scans replace models×iters.
     */
   private def fitMany(f: DataFrame, preds: Seq[Column], lr: Double,
-      iters: Int): Seq[Array[Double]] = {
+      iters: Int, names: Seq[String] = Nil): Seq[Array[Double]] = {
+    // one predicate selecting ZERO rows of a non-empty frame would make
+    // that model's gradients 0/0 = NaN and its weights silently NaN
+    // (while the oracle's GROUP BY over the empty train CTE emits no
+    // rows at all — a silent divergence); fail naming the culprit
+    val nRow = f.agg(
+      sum(when(preds.head, 1L).otherwise(0L)),
+      preds.tail.map(p => sum(when(p, 1L).otherwise(0L))): _*).head()
+    preds.indices.foreach { i =>
+      require(!nRow.isNullAt(i) && nRow.getLong(i) > 0,
+        s"empty training set for model ${if (names.isDefinedAt(i)) names(i) else i.toString}: " +
+          "its predicate selects no rows")
+    }
     var ws: Seq[Array[Double]] = preds.map(_ => Array(0.0, 0.0, 0.0, 0.0))
     for (_ <- 1 to iters) {
       val aggs = preds.zip(ws).zipWithIndex.flatMap { case ((pred, w), i) =>
@@ -187,20 +199,25 @@ object Classifier {
     val f = features(docs, labelPred)
       .withColumn("bkt", Sampling.hashBucket(col("doc_id")).cast("int")).cache()
     def evalPred(k: Int) = col("bkt") >= k * span && col("bkt") < (k + 1) * span
-    val ws = fitMany(f, (0 until folds).map(k => !evalPred(k)), lr, iters)
+    val ws = fitMany(f, (0 until folds).map(k => !evalPred(k)), lr, iters,
+      (0 until folds).map(k => s"fold $k"))
     val rows = (0 until folds).map { k =>
       val w = ws(k)
       val predPos = z(w) >= lit(0.0)
       val isPos = col("y") === lit(1.0)
+      // the fold constant attaches OUTSIDE the aggregation: max(lit(k))
+      // over an empty eval split returns NULL where the oracle's
+      // `SELECT $k AS fold` returns the constant
       f.filter(evalPred(k)).agg(
-          max(lit(k)).as("fold"),
           count(lit(1)).as("n_eval"),
           sum(when(predPos && isPos, 1L).otherwise(0L)).as("tp"),
           sum(when(predPos && !isPos, 1L).otherwise(0L)).as("fp"),
           sum(when(!predPos && !isPos, 1L).otherwise(0L)).as("tn"),
           sum(when(!predPos && isPos, 1L).otherwise(0L)).as("fn"))
+        .withColumn("fold", lit(k))
         .withColumn("accuracy",
           round((col("tp") + col("tn")).cast("double") / col("n_eval"), 6))
+        .select("fold", "n_eval", "tp", "fp", "tn", "fn", "accuracy")
     }
     rows.reduce(_ unionByName _).orderBy("fold")
   }
@@ -219,19 +236,22 @@ object Classifier {
     val f = features(docs, labelPred)
       .withColumn("bkt", Sampling.hashBucket(col("doc_id")).cast("int")).cache()
     val eval = f.filter(col("bkt") >= 80)
-    val ws = fitMany(f, trainPcts.map(pct => col("bkt") < pct), lr, iters)
+    val ws = fitMany(f, trainPcts.map(pct => col("bkt") < pct), lr, iters,
+      trainPcts.map(pct => s"train fraction $pct%"))
     val rows = trainPcts.zip(ws).map { case (pct, w) =>
       val predPos = z(w) >= lit(0.0)
       val isPos = col("y") === lit(1.0)
+      // constant attached outside the aggregation (see crossValidate)
       eval.agg(
-          max(lit(pct)).as("train_pct"),
           count(lit(1)).as("n_eval"),
           sum(when(predPos && isPos, 1L).otherwise(0L)).as("tp"),
           sum(when(predPos && !isPos, 1L).otherwise(0L)).as("fp"),
           sum(when(!predPos && !isPos, 1L).otherwise(0L)).as("tn"),
           sum(when(!predPos && isPos, 1L).otherwise(0L)).as("fn"))
+        .withColumn("train_pct", lit(pct))
         .withColumn("accuracy",
           round((col("tp") + col("tn")).cast("double") / col("n_eval"), 6))
+        .select("train_pct", "n_eval", "tp", "fp", "tn", "fn", "accuracy")
     }
     rows.reduce(_ unionByName _).orderBy("train_pct")
   }

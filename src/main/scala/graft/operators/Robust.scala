@@ -29,9 +29,16 @@ object Robust {
     * length, and every shuffle (recency ranking, pair join, median
     * ranking) is keyed by the entity. The median is the LOWER exact
     * order statistic, selected deterministically (slope, then the pair
-    * indices as tie-break); slopes are rounded at 6 dp BEFORE ranking
-    * so both engines rank identical values. Same-timestamp pairs carry
-    * no slope and are excluded (the standard Theil–Sen tie rule).
+    * indices as tie-break). Slopes never exist as raw double quotients:
+    * each value becomes exact integer MICRO-UNITS (a 6-dp decimal cast,
+    * far from any representation boundary for fixed-point-ish inputs),
+    * and the slope is the pure integer division Δvu div Δt — truncation
+    * toward zero, which Spark's `div` and DuckDB's `//` both implement —
+    * so ranking and the emitted value are bit-identical across engines
+    * (the q106/q212 decimal discipline; a round(double, 6) here sat on
+    * representation/half boundaries where BigDecimal HALF_UP and a
+    * given DuckDB build can disagree). Same-timestamp pairs carry no
+    * slope and are excluded (the standard Theil–Sen tie rule).
     */
   def theilSenSlope(df: DataFrame, keyCol: String, timeCol: String,
       valueCol: String, idCol: String, k: Int = 32): DataFrame = {
@@ -42,13 +49,15 @@ object Robust {
       .withColumn("rn", row_number().over(wDesc))
       .filter(col("rn") <= k)
       .select(col(keyCol), col("rn"),
-        unix_timestamp(col(timeCol)).as("tsec"), col(valueCol).cast("double").as("v"))
-    val a = recent.select(col(keyCol), col("rn").as("rna"), col("tsec").as("ta"), col("v").as("va"))
-    val b = recent.select(col(keyCol), col("rn").as("rnb"), col("tsec").as("tb"), col("v").as("vb"))
+        unix_timestamp(col(timeCol)).as("tsec"),
+        (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6)) * lit(1000000))
+          .cast("long").as("vu"))
+    val a = recent.select(col(keyCol), col("rn").as("rna"), col("tsec").as("ta"), col("vu").as("vau"))
+    val b = recent.select(col(keyCol), col("rn").as("rnb"), col("tsec").as("tb"), col("vu").as("vbu"))
     val pairs = a.join(b, Seq(keyCol))
       .filter(col("rna") < col("rnb") && col("ta") =!= col("tb"))
-      .withColumn("slope", round((col("va") - col("vb")) / (col("ta") - col("tb")), 6))
-    val wMed = Window.partitionBy(keyCol).orderBy(col("slope"), col("rna"), col("rnb"))
+      .withColumn("slope_u", expr("(vau - vbu) div (ta - tb)"))
+    val wMed = Window.partitionBy(keyCol).orderBy(col("slope_u"), col("rna"), col("rnb"))
     val nPoints = recent.groupBy(keyCol).agg(max(col("rn")).as("n_points"))
     pairs
       .withColumn("mrn", row_number().over(wMed))
@@ -56,7 +65,7 @@ object Robust {
       .filter(col("mrn") === expr("(npairs + 1) div 2"))
       .join(broadcast(nPoints), keyCol)
       .select(col(keyCol), col("n_points"), col("npairs").as("n_pairs"),
-        col("slope").as("ts_slope"))
+        (col("slope_u").cast("double") / lit(1000000.0)).as("ts_slope"))
   }
 
   /** Per-group winsorized mean: clip values into the group's

@@ -117,21 +117,37 @@ object Sampling {
     * hashSample and the share-based temperature mixture cannot give.
     * One aggregation (counts + exact-sum stddevs via Num.dstddev), a
     * 1-row broadcast normalizer; allocations floor-rounded with the
-    * remainder reported so budgets stay exact integers.
+    * remainder reported (`remainder` = budget − Σ n_alloc, replicated
+    * per row via an unpartitioned window over the K-strata frame) so
+    * budgets stay exact integers. Degenerate corpus guard: if EVERY
+    * stratum has zero (or undefined) spread, n_h ∝ N_h·S_h is 0/0 —
+    * the allocation falls back to proportional-to-size (n_h ∝ N_h,
+    * the classical allocation Neyman reduces to under equal variances),
+    * flagged by `proportional_fallback`.
     */
   def neymanAllocation(docs: DataFrame, strataCol: String, valueCol: String,
       budget: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.Num
     val st = docs.groupBy(strataCol).agg(
       count(lit(1)).as("n_rows"),
       Num.dstddev(col(valueCol)).as("s"))
       .withColumn("weight", col("n_rows").cast("double") * coalesce(col("s"), lit(0.0)))
-    val tot = st.agg(sum(col("weight").cast("decimal(38,6)")).cast("double").as("z"))
+    val tot = st.agg(
+      sum(col("weight").cast("decimal(38,6)")).cast("double").as("z"),
+      sum(col("n_rows")).cast("double").as("ntot"))
+    val fallback = col("z") <= 0.0
+    val wEff = when(fallback, col("n_rows").cast("double")).otherwise(col("weight"))
+    val zEff = when(fallback, col("ntot")).otherwise(col("z"))
     st.crossJoin(broadcast(tot))
       .select(col(strataCol), col("n_rows"),
         round(coalesce(col("s"), lit(0.0)), 6).as("stddev"),
-        round(col("weight") / col("z"), 6).as("share"),
-        floor(lit(budget.toDouble) * (col("weight") / col("z"))).cast("long").as("n_alloc"))
+        round(wEff / zEff, 6).as("share"),
+        floor(lit(budget.toDouble) * (wEff / zEff)).cast("long").as("n_alloc"),
+        fallback.as("proportional_fallback"))
+      .withColumn("remainder",
+        lit(budget) - sum(col("n_alloc")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .orderBy(strataCol)
   }
 

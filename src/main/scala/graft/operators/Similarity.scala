@@ -47,6 +47,32 @@ object Similarity {
       .map(h => when(Vec.dot(planeLit(h), emb) >= 0, shiftleft(lit(1L), h)).otherwise(0L))
       .reduce(_ + _)
 
+  /** Rank a scored (query_id, cand_id, <scoreCol>) frame down to the
+    * per-query top-k via the mergeable
+    * [[graft.functions.expressions.TopKByScore]] aggregate instead of a
+    * row_number window: map-side partial heaps ship ≤k candidates per
+    * (task, query) into the shuffle, so the exact audit branches —
+    * |Q|·n scored rows once the recall audits sample real query sets —
+    * stay one partial aggregation at ANY corpus size, where the window
+    * idiom shuffles and SORTS the whole scored frame. Order contract is
+    * identical to the window it replaces ((score best-first, cand_id
+    * ASC); the aggregate's comparator replicates Spark's double
+    * ordering bit-for-bit), so results — and the DuckDB window oracles
+    * — are unchanged. `ascending` callers (distance metrics) must be
+    * NaN-free: the negation trick maps NaN to NaN, which would rank
+    * first instead of last (l2sq over real vectors never yields NaN).
+    */
+  private def topKRanked(scored: DataFrame, scoreCol: String, k: Int,
+      ascending: Boolean): DataFrame = {
+    val s = if (ascending) -col(scoreCol) else col(scoreCol)
+    scored.groupBy("query_id")
+      .agg(graft.functions.Sketch.topKByScore(s, col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("cand_id"),
+        (if (ascending) -col("t.score") else col("t.score")).as(scoreCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact cosine top-k for a small query set (broadcast). Norms are
     * precomputed per vector (one fold instead of three per pair; the
     * dot/(n1*n2) arithmetic is bit-identical to inline cosine).
@@ -58,10 +84,7 @@ object Similarity {
       col("embedding").as("ce"), sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("cn"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKRanked(scored, "cosine_sim", k, ascending = false)
       .select("query_id", "cand_id", "cosine_sim", "rank")
   }
 
@@ -79,10 +102,7 @@ object Similarity {
       .withColumn("cn", sqrt(Vec.dotFast(col("ce"), col("ce"))))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKRanked(scored, "cosine_sim", k, ascending = false)
       .select("query_id", "cand_id", "cosine_sim", "rank")
   }
 
@@ -627,11 +647,9 @@ object Similarity {
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy("query_id").orderBy(col("l2_dist"), col("cand_id"))
-    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("l2_dist", round(Vec.l2sq(col("qe"), col("ce")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKRanked(scored, "l2_dist", k, ascending = true)
       .select("query_id", "cand_id", "l2_dist", "rank")
   }
 
@@ -654,13 +672,11 @@ object Similarity {
     val lut = qsubs.join(cb, Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         Vec.l2sq(col("qsub"), col("cemb")).as("d2"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("cand_id"))
-    cand.join(broadcast(lut), Seq("m", "code"))
+    val scored = cand.join(broadcast(lut), Seq("m", "code"))
       .filter(col("cand_id") =!= col("query_id"))
       .groupBy("query_id", "cand_id")
       .agg(sum(col("d2").cast("decimal(38,12)")).cast("double").as("adc_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKRanked(scored, "adc_dist", k, ascending = true)
       .select("query_id", "cand_id", "adc_dist", "rank")
   }
 
@@ -823,7 +839,7 @@ object Similarity {
     *
     * Why not [[nearDupPairs]]: that operator is all-pairs WITHIN a
     * label, which is the right contract for a small curated block
-    * (q45) but quadratic in a hot label when a whole corpus routes
+    * but quadratic in a hot label when a whole corpus routes
     * through it to build the similarity graph. Adding the LSH bucket
     * to the key splits every label ~[[LshPlanes]]²-ways, and the cap
     * guarantees no block goes quadratic regardless of the corpus.
@@ -857,9 +873,11 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs within a blocking key (label):
-    * cosine above threshold. The block join keeps the pair space keyed.
-    * Contract: the caller owns the block sizes (q45's curated labels);
-    * for corpus-scale graph building use [[bucketedNearDupPairs]].
+    * cosine above threshold, ALL pairs within the label. Library API
+    * for curated blocks whose sizes the caller owns and has verified
+    * small — quadratic in a block, so it is deliberately OFF the query
+    * surface (every `queries()` entry, q45 included, routes through
+    * the capped [[bucketedNearDupPairs]]).
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val n = emb.withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))

@@ -35,6 +35,16 @@ import org.apache.spark.sql.types._
   * sides, a positive foldable width. NULL band values produce NULL
   * buckets, which match nothing — exactly the rows the original NULL
   * predicate dropped.
+  *
+  * Bucket arithmetic is LOSSLESS by construction: integral band sides
+  * with an integral width bucket through pure integer floor-division
+  * ((e − pmod(e, w)) div w — exact at every long magnitude), because a
+  * double round-trip is lossy above 2^53 and could place two in-band
+  * longs more than one bucket apart, silently dropping pairs the
+  * original nested-loop plan would return. Only float/double sides (and
+  * small integrals under a fractional width — values ≤ 2^31 are exact
+  * in doubles) take the floor(t/w) double path; a LongType side with a
+  * fractional width is NOT rewritten (no lossless bucket exists).
   */
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -76,6 +86,21 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  private def integralSides(lt: Expression, rt: Expression): Boolean =
+    Seq(lt, rt).forall(_.dataType match {
+      case ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+
+  private def integralWidth(w: Double): Boolean =
+    w == math.floor(w) && w >= 1 && w <= Long.MaxValue.toDouble
+
+  /** A LongType band side under a fractional width has no lossless
+    * bucket (doubles are exact only to 2^53) — leave the join alone.
+    */
+  private def lossyLongBucket(lt: Expression, rt: Expression, w: Double): Boolean =
+    Seq(lt, rt).exists(_.dataType == LongType) && !integralWidth(w)
+
   private def isEqui(p: Expression, l: LogicalPlan, r: LogicalPlan): Boolean = p match {
     case EqualTo(a, b) =>
       (sideOf(a, l, r), sideOf(b, l, r)) match {
@@ -95,10 +120,17 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       if (conjuncts.exists(isEqui(_, left, right))) j
       else conjuncts.iterator.map(asBand(_, left, right)).collectFirst { case Some(b) => b } match {
-        case Some((lt, rt, w)) =>
+        case Some((lt, rt, w)) if !lossyLongBucket(lt, rt, w) =>
           val wLit = Literal(w, DoubleType)
+          val intPath = integralSides(lt, rt) && integralWidth(w)
           def bucket(e: Expression): Expression =
-            Cast(Floor(Divide(Cast(e, DoubleType), wLit)), LongType)
+            if (intPath) {
+              // exact integer floor-division (pmod keeps negatives
+              // correct: pmod(-7,2)=1 → (-7-1) div 2 = -4 = floor(-3.5))
+              val wL = Literal(w.toLong, LongType)
+              val el = Cast(e, LongType)
+              IntegralDivide(Subtract(el, Pmod(el, wL)), wL)
+            } else Cast(Floor(Divide(Cast(e, DoubleType), wLit)), LongType)
           val rb = Alias(bucket(rt), "__graft_band_rb")()
           val rightP = Project(right.output :+ rb, right)
           val lb = bucket(lt)
@@ -109,7 +141,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val bucketed =
             Join(leftG, rightP, Inner, Some(And(EqualTo(genOut, rb.toAttribute), cond)), hint)
           Project(j.output, bucketed)
-        case None => j
+        case _ => j // no band conjunct, or a long side no bucket can hold
       }
   }
 }

@@ -13,7 +13,9 @@ import graft.sources.Tables
   * time-weighted mean), banded range join, and oracle coverage for the
   * skew-salted aggregation (its contract IS bit-equality with the plain
   * aggregate). Approx-sketch queries (percentile_approx, HLL distinct)
-  * run rows-only — no cross-engine oracle can hash-match a sketch.
+  * emit deterministic columns plus TRUE-literal bounds verdicts (q62/q63)
+  * — the estimate itself is engine-internal, but its accuracy contract
+  * is hash-checkable.
   */
 object AnalyticsQueries {
 
@@ -226,18 +228,57 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
-  /** q62 (rows-only): sketch-based hourly aggregate for the 100 TB path. */
+  /** q62: sketch-based hourly aggregate — the 100 TB path where exact
+    * per-group percentiles cannot buffer every value. Driver-checkable
+    * since round 8: deterministic columns are emitted exactly (the q27
+    * shapes) and each approximate estimate is emitted as a BOUNDS
+    * VERDICT — a boolean asserting the estimate falls inside a generous
+    * exact-quantile envelope — whose oracle value is literal TRUE, so a
+    * hash mismatch means a genuine accuracy violation, never engine
+    * divergence on sketch internals. Envelope: approx p50 inside exact
+    * [p25, p75]; approx p95 inside [p90, max]. Buckets under 50 rows
+    * pass unconditionally (order-stat adjacency is wider than the
+    * envelope at tiny n — and percentile_approx is exact there anyway,
+    * the GK sketch only compresses past its accuracy budget).
+    */
   val hourlyApprox: Q = (s, dir) =>
-    WarehouseAggregates.hourlyAggApprox(readings(s, dir)).orderBy("bucket", "device_type")
+    readings(s, dir)
+      .groupBy(date_trunc("hour", col("time")).as("bucket"), col("device_type"))
+      .agg(
+        count(lit(1)).as("reading_count"),
+        round(graft.functions.Num.davg(col("value")), 6).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("ap95"),
+        percentile(col("value"), lit(0.25)).as("xp25"),
+        percentile(col("value"), lit(0.75)).as("xp75"),
+        percentile(col("value"), lit(0.90)).as("xp90"))
+      .select(col("bucket").cast("timestamp_ntz").as("bucket"), col("device_type"),
+        col("reading_count"), col("avg_value"), col("min_value"), col("max_value"),
+        (col("reading_count") < 50 ||
+          (col("ap50") >= col("xp25") && col("ap50") <= col("xp75"))).as("median_approx_ok"),
+        (col("reading_count") < 50 ||
+          (col("ap95") >= col("xp90") && col("ap95") <= col("max_value"))).as("p95_approx_ok"))
+      .orderBy("bucket", "device_type")
 
-  /** q63 (rows-only): HLL approx distinct devices next to the exact count. */
+  /** q63: HLL approx distinct devices under the same TRUE-literal bounds
+    * contract as q62: the estimate itself is engine-internal (Spark's
+    * HyperLogLog++ vs anything DuckDB could run), so the emitted column
+    * is the VERDICT that it lands within 3× the default 5% rsd of the
+    * exact count — deterministic for a fixed dataset because HLL is
+    * hash-based and merge-order-free.
+    */
   val approxDistinct: Q = (s, dir) =>
     readings(s, dir)
       .groupBy("device_type")
       .agg(
-        approx_count_distinct(col("device_id")).as("approx_devices"),
+        approx_count_distinct(col("device_id")).as("ad"),
         count_distinct(col("device_id")).as("exact_devices"),
         count(lit(1)).as("n"))
+      .select(col("device_type"), col("exact_devices"), col("n"),
+        (abs(col("ad") - col("exact_devices")).cast("double")
+          / col("exact_devices") <= 0.15).as("approx_within_15pct"))
       .orderBy("device_type")
 
   /** q71: the engine's own deterministic HLL sketch — grouped distinct
@@ -1023,6 +1064,21 @@ object AnalyticsQueries {
       s"""${cte}SELECT CAST(hour(time) AS INT) AS hour_of_day, device_type,
          |  ${N.avg("value")} AS avg_value
          |FROM readings GROUP BY 1, 2 ORDER BY hour_of_day, device_type""".stripMargin,
+    // TRUE-literal bounds contract (see hourlyApprox/approxDistinct
+    // scaladoc): the oracle asserts the accuracy verdict, the engine
+    // computes it — a red hash here IS an accuracy violation.
+    "q62_hourly_approx" ->
+      s"""${cte}SELECT date_trunc('hour', time) AS bucket, device_type,
+         |  COUNT(*) AS reading_count,
+         |  round(${N.avg("value")}, 6) AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  TRUE AS median_approx_ok, TRUE AS p95_approx_ok
+         |FROM readings GROUP BY 1, 2 ORDER BY bucket, device_type""".stripMargin,
+    "q63_approx_distinct" ->
+      s"""${cte}SELECT device_type,
+         |  COUNT(DISTINCT device_id) AS exact_devices, COUNT(*) AS n,
+         |  TRUE AS approx_within_15pct
+         |FROM readings GROUP BY 1 ORDER BY device_type""".stripMargin,
     "q55_cube" ->
       s"""${cte.stripSuffix("\n").stripSuffix(")")}),
          |r AS (SELECT device_type, CAST(hour(time) AS INT) AS hour_of_day, value FROM readings)
@@ -1301,7 +1357,8 @@ object AnalyticsQueries {
     },
     "q193_theil_sen" ->
       s"""${cte.stripSuffix("\n").stripSuffix(")")}),
-         |r AS (SELECT device_id, value,
+         |r AS (SELECT device_id,
+         |        CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vu,
          |        CAST(floor(epoch(time)) AS BIGINT) AS tsec,
          |        CAST(row_number() OVER (PARTITION BY device_id
          |          ORDER BY time DESC, event_id DESC) AS INT) AS rn
@@ -1309,15 +1366,15 @@ object AnalyticsQueries {
          |kk AS (SELECT * FROM r WHERE rn <= 32),
          |np AS (SELECT device_id, CAST(MAX(rn) AS INT) AS n_points FROM kk GROUP BY 1),
          |p AS (SELECT a.device_id, a.rn AS rna, b.rn AS rnb,
-         |        round((a.value - b.value) / (a.tsec - b.tsec), 6) AS slope
+         |        (a.vu - b.vu) // (a.tsec - b.tsec) AS slope_u
          |      FROM kk a JOIN kk b
          |        ON a.device_id = b.device_id AND a.rn < b.rn AND a.tsec != b.tsec),
-         |m AS (SELECT device_id, slope,
-         |        row_number() OVER (PARTITION BY device_id ORDER BY slope, rna, rnb) AS mrn,
+         |m AS (SELECT device_id, slope_u,
+         |        row_number() OVER (PARTITION BY device_id ORDER BY slope_u, rna, rnb) AS mrn,
          |        COUNT(*) OVER (PARTITION BY device_id) AS npairs
          |      FROM p)
          |SELECT m.device_id, np.n_points, CAST(m.npairs AS BIGINT) AS n_pairs,
-         |  m.slope AS ts_slope
+         |  CAST(m.slope_u AS DOUBLE) / 1000000.0 AS ts_slope
          |FROM m JOIN np USING (device_id) WHERE mrn = (npairs + 1) // 2
          |ORDER BY device_id""".stripMargin,
     "q190_join_size_sketch" -> {

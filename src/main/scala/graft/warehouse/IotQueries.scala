@@ -24,6 +24,64 @@ object IotQueries {
     if (extra.isEmpty) SensorAdapter.oracleCte
     else SensorAdapter.oracleCte.stripSuffix("\n").stripSuffix(")") + "),\n" + extra + "\n"
 
+  /** The full enriched-fact lineage (BatchPipeline.transform without
+    * the sink): time features → rolling range frames → lag features →
+    * z-score anomalies → combined flag — shared by the two composed
+    * reference queries below.
+    */
+  private def enriched(s: SparkSession, dir: String): DataFrame = {
+    val rolled = RollingStats.withLagFeatures(
+      RollingStats.withRollingStats(TimeFeatures.withTimeFeatures(readings(s, dir))),
+      orderCols = Seq("time", "event_id"))
+    AnomalyDetection.withZScore(rolled)
+      .withColumn("is_anomaly_combined", col("is_anomaly") || col("is_anomaly_zscore"))
+  }
+
+  /** q231: reference Q9, "recent anomalies with context"
+    * (analytical_queries.sql:129-143) composed END-TO-END over the
+    * enriched lineage — the top-50 most recent combined-flag anomalies
+    * of the last 24 h (injectable clock = max(time), the q29
+    * convention) with their 1 h rolling average and deviation.
+    * Ordering totalizes the reference's ORDER BY time DESC with
+    * event_id DESC; the reference's `unit` column has no counterpart
+    * in the events-backed adapter and is omitted.
+    */
+  val anomalyContext: Q = (s, dir) => {
+    val nowT = readings(s, dir).agg(max(col("time")).as("now_ts"))
+    enriched(s, dir).crossJoin(broadcast(nowT))
+      .filter(col("is_anomaly_combined") &&
+        col("time") > col("now_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("time").cast("timestamp_ntz").as("time"),
+        col("device_id"), col("device_type"), col("value"),
+        col("rolling_avg_1h"),
+        (col("value") - col("rolling_avg_1h")).as("deviation_from_avg"),
+        col("quality_score"), col("event_id"))
+      .orderBy(col("time").desc, col("event_id").desc)
+      .limit(50)
+  }
+
+  /** q232: reference Q17, "ML feature export"
+    * (analytical_queries.sql:275-296) — the feature-engineered
+    * projection over the enriched fact, valid records of the last 30
+    * days with a non-null 1 h average, every W1-W6 feature plus the
+    * time-feature block and the combined anomaly flag as the label.
+    */
+  val mlFeatureExport: Q = (s, dir) => {
+    val nowT = readings(s, dir).agg(max(col("time")).as("now_ts"))
+    QualityChecks.withValidity(enriched(s, dir))
+      .crossJoin(broadcast(nowT))
+      .filter(col("time") > col("now_ts") - expr("INTERVAL 30 DAYS") &&
+        col("is_valid_record") && col("rolling_avg_1h").isNotNull)
+      .select(col("time").cast("timestamp_ntz").as("time"),
+        col("device_id"), col("device_type"), col("value"),
+        col("rolling_avg_5min"), col("rolling_avg_1h"),
+        col("value_lag_1"), col("value_lag_2"), col("value_change"),
+        col("hour_of_day"), col("day_of_week"), col("is_weekend"),
+        col("is_business_hours"), col("is_anomaly_combined").as("label"),
+        col("event_id"))
+      .orderBy("device_id", "time", "event_id")
+  }
+
   val timeFeatures: Q = (s, dir) =>
     TimeFeatures
       .withTimeFeatures(readings(s, dir))
@@ -123,12 +181,22 @@ object IotQueries {
     "q32_weekend_compare" -> weekendCompare,
     "q33_business_hours_diff" -> businessHoursDiff,
     "q34_minute_window" -> minuteWindow,
-    "q35_device_stats" -> deviceStatsQ)
+    "q35_device_stats" -> deviceStatsQ,
+    "q231_anomaly_context" -> anomalyContext,
+    "q232_ml_feature_export" -> mlFeatureExport)
 
   import Num.{O => N}
   import TimeF.{O => T}
 
   private val anomCnt = "CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)"
+
+  /** The q25 z-score anomaly flag over window `wz` — reused by the
+    * composed q231/q232 enriched-lineage replays.
+    */
+  private def zscoreAnomSql: String =
+    s"""coalesce(abs(CASE WHEN ${N.stddev("value", " OVER wz")} > 0
+       |      THEN (value - ${N.sum("value", " OVER wz")} / CAST(COUNT(value) OVER wz AS DOUBLE))
+       |           / (${N.stddev("value", " OVER wz")}) END) > 3.0, false)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q20_time_features" -> (cte() +
@@ -262,6 +330,44 @@ object IotQueries {
          |  round(${N.avg("quality_score")}, 6) AS avg_quality_score
          |FROM readings, params
          |WHERE device_id = target_device AND time BETWEEN now_ts - INTERVAL 7 DAY AND now_ts
-         |GROUP BY device_id ORDER BY device_id""".stripMargin)
+         |GROUP BY device_id ORDER BY device_id""".stripMargin),
+    "q231_anomaly_context" -> (cte(
+      "now_cte AS (SELECT max(time) AS now_ts FROM readings)") +
+      s"""SELECT time, device_id, device_type, value, rolling_avg_1h,
+         |  value - rolling_avg_1h AS deviation_from_avg, quality_score, event_id
+         |FROM (
+         |  SELECT time, device_id, device_type, value, quality_score, event_id, now_ts,
+         |    round(${N.avg("value", " OVER w1h")}, 6) AS rolling_avg_1h,
+         |    (is_anomaly OR $zscoreAnomSql) AS is_anomaly_combined
+         |  FROM (SELECT *, CAST(floor(epoch(time)) AS BIGINT) AS ts_seconds FROM readings), now_cte
+         |  WINDOW
+         |    w1h AS (PARTITION BY device_id ORDER BY ts_seconds RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+         |    wz AS (PARTITION BY device_id, device_type))
+         |WHERE is_anomaly_combined AND time > now_ts - INTERVAL 24 HOUR
+         |ORDER BY time DESC, event_id DESC LIMIT 50""".stripMargin),
+    "q232_ml_feature_export" -> (cte(
+      "now_cte AS (SELECT max(time) AS now_ts FROM readings)") +
+      s"""SELECT time, device_id, device_type, value, rolling_avg_5min, rolling_avg_1h,
+         |  value_lag_1, value_lag_2, value_change, hour_of_day, day_of_week,
+         |  is_weekend, is_business_hours, label, event_id
+         |FROM (
+         |  SELECT time, device_id, device_type, value, event_id, now_ts,
+         |    round(${N.avg("value", " OVER w5m")}, 6) AS rolling_avg_5min,
+         |    round(${N.avg("value", " OVER w1h")}, 6) AS rolling_avg_1h,
+         |    lag(value, 1) OVER wl AS value_lag_1,
+         |    lag(value, 2) OVER wl AS value_lag_2,
+         |    value - lag(value, 1) OVER wl AS value_change,
+         |    ${T.hourOf("time")} AS hour_of_day, ${T.dow("time")} AS day_of_week,
+         |    ${T.isWeekend("time")} AS is_weekend, ${T.isBusinessHours("time")} AS is_business_hours,
+         |    (is_anomaly OR $zscoreAnomSql) AS label,
+         |    (NOT (value IS NULL) AND NOT (quality_score IS NULL OR quality_score < 0 OR quality_score > 100)) AS is_valid_record
+         |  FROM (SELECT *, CAST(floor(epoch(time)) AS BIGINT) AS ts_seconds FROM readings), now_cte
+         |  WINDOW
+         |    w5m AS (PARTITION BY device_id ORDER BY ts_seconds RANGE BETWEEN 300 PRECEDING AND CURRENT ROW),
+         |    w1h AS (PARTITION BY device_id ORDER BY ts_seconds RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+         |    wl AS (PARTITION BY device_id ORDER BY time, event_id),
+         |    wz AS (PARTITION BY device_id, device_type))
+         |WHERE time > now_ts - INTERVAL 30 DAY AND is_valid_record AND rolling_avg_1h IS NOT NULL
+         |ORDER BY device_id, time, event_id""".stripMargin)
   )
 }

