@@ -57,19 +57,44 @@ object Clustering {
       .groupBy(col(groupCol), (col("pos") + 1).as("dim"))
       .agg(count(lit(1)).as("n_vecs"), Num.davg(col("v").cast("double")).as("avg_val"))
 
-  /** Long-form centroids reassembled into float vectors (cluster_id,
-    * cemb) for the next assignment round.
+  /** Testdata embedding dimension — the default width for the fused
+    * mean update; callers clustering other widths (the JL-projected
+    * corpus) pass theirs explicitly.
     */
-  private def reassemble(long: DataFrame, groupCol: String): DataFrame =
-    long
-      .groupBy(col(groupCol).as("cluster_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("avg_val")))),
-        x => x.getField("avg_val").cast("float")).as("cemb"))
+  val EmbDim = 64
+
+  /** FUSED mean update: the per-cluster centroid recompute as ONE keyed
+    * aggregation carrying `dim` per-dimension decimal sums + the count,
+    * instead of posexplode → (cluster, dim) aggregation → reassemble
+    * collect_list (two shuffles and a sort per Lloyd round). Values are
+    * bit-identical to centroidsLong+reassemble: same float→double→
+    * DECIMAL(38,6) cast chain per element, same double division by the
+    * group count, same final float cast — so trained trajectories (and
+    * their DuckDB oracle replays) are unchanged; only the plan shape
+    * is (half the shuffles per round, fixed-width HashAggregate
+    * buffers instead of array collect).
+    */
+  private def meanVectors(assigned: DataFrame, dim: Int): DataFrame = {
+    // `dim` is an UPPER BOUND on the vector width: positions past the
+    // actual width aggregate NULL sums and are trimmed by the final
+    // slice to the group's true width (vectors narrower than dim — the
+    // unit-test frames — centroid correctly; wider ones must pass
+    // their real dim)
+    val sums = (1 to dim).map(i =>
+      sum(try_element_at(col("embedding"), lit(i)).cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as(s"s_$i"))
+    assigned.groupBy(col("cluster_id"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")
+        :+ max(size(col("embedding"))).as("d")): _*)
+      .select(col("cluster_id"),
+        slice(array((1 to dim).map(i =>
+          (col(s"s_$i").cast("double") / col("n").cast("double")).cast("float")): _*),
+          lit(1), col("d")).as("cemb"))
+  }
 
   /** One Lloyd iteration: assign to nearest centroid, recompute means. */
-  def step(emb: DataFrame, centroids: DataFrame): DataFrame =
-    reassemble(centroidsLong(assign(emb, centroids), "cluster_id"), "cluster_id")
+  def step(emb: DataFrame, centroids: DataFrame, dim: Int = EmbDim): DataFrame =
+    meanVectors(assign(emb, centroids), dim)
 
   /** Deterministic FIXED-SIZE seeding: the k members with the smallest
     * portable key hash (md5-derived, ties by vec_id) — a hash-random
@@ -94,8 +119,9 @@ object Clustering {
     * localCheckpoint so the plan does not grow (same lesson as
     * Dedup.connectedComponents).
     */
-  def kmeans(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame =
-    kmeansWith(step, emb, k, iters, trainPct)
+  def kmeans(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100,
+      dim: Int = EmbDim): DataFrame =
+    kmeansWith(step(_, _, dim), emb, k, iters, trainPct)
 
   /** The shared Lloyd scaffold (hash seeding, optional hash-sampled
     * training subset, localCheckpoint-per-iteration) — the metric
@@ -135,15 +161,16 @@ object Clustering {
   /** One squared-L2 Lloyd iteration (assign, recompute decimal-exact
     * means) — same update as [[step]], different metric.
     */
-  def stepL2(emb: DataFrame, centroids: DataFrame): DataFrame =
-    reassemble(centroidsLong(assignL2(emb, centroids), "cluster_id"), "cluster_id")
+  def stepL2(emb: DataFrame, centroids: DataFrame, dim: Int = EmbDim): DataFrame =
+    meanVectors(assignL2(emb, centroids), dim)
 
   /** [[kmeans]] under squared-L2 assignment — identical seeding,
     * sampling, and localCheckpoint discipline; only the metric differs.
     * Used per subspace by Similarity's product quantizer.
     */
-  def kmeansL2(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100): DataFrame =
-    kmeansWith(stepL2, emb, k, iters, trainPct)
+  def kmeansL2(emb: DataFrame, k: Int = 16, iters: Int = 5, trainPct: Int = 100,
+      dim: Int = EmbDim): DataFrame =
+    kmeansWith(stepL2(_, _, dim), emb, k, iters, trainPct)
 
   val PcaIters = 4
 

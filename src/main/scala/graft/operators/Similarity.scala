@@ -584,14 +584,20 @@ object Similarity {
         .groupBy("vec_id", "m")
         .agg(min(struct(col("d2"), col("cluster_id"), col("sub"))).as("best"))
         .select(col("m"), col("best.cluster_id").as("cluster_id"), col("best.sub").as("sub"))
+      // fused mean update (the Clustering.meanVectors shape at
+      // PqSubDim width): one keyed aggregation with per-dimension
+      // decimal sums — bit-identical values to the former
+      // posexplode → (m,cluster,dim) agg → collect_list reassembly,
+      // at half the shuffles per Lloyd round
+      val sums = (1 to PqSubDim).map(i =>
+        sum(element_at(col("sub"), i).cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as(s"s_$i"))
       cents = assigned
-        .select(col("m"), col("cluster_id"), posexplode(col("sub")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("cluster_id"), (col("pos") + 1).as("dim"))
-        .agg(Num.davg(col("v").cast("double")).as("avg_val"))
-        .groupBy("m", "cluster_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("avg_val")))),
-          x => x.getField("avg_val").cast("float")).as("cemb"))
+        .groupBy(col("m"), col("cluster_id"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .select(col("m"), col("cluster_id"),
+          array((1 to PqSubDim).map(i =>
+            (col(s"s_$i").cast("double") / col("n").cast("double")).cast("float")): _*).as("cemb"))
         .localCheckpoint(true)
       prev.unpersist()
     }
@@ -656,26 +662,76 @@ object Similarity {
   /** PQ top-k by asymmetric distance computation (ADC): the query keeps
     * full precision; each candidate is its [[PqM]] codes, and the
     * distance is the sum of precomputed (query-subvector ↔ codeword)
-    * distances. The classic PQ search shape: a per-query M×K lookup
-    * table (|Q|·PqM·PqK rows — broadcast), then the corpus streams
-    * through a broadcast join on (m, code) touching ONLY code ids,
-    * never the original vectors. Ties (identical code words → identical
-    * ADC) break on cand_id.
+    * distances. The classic PQ search shape, PACKED (round 8): each
+    * candidate carries its codes as ONE m-ordered array row and each
+    * query its full M×K lookup table as ONE flat array (index
+    * m·PqK+code), so scoring is a |corpus|×|Q| broadcast join with a
+    * 16-lookup in-row fold — the former long-form join on (m, code)
+    * pushed |corpus|·PqM·|Q| rows through the shuffle, PqM× more. The
+    * 16 lookups sum through a BALANCED tree of exact decimal adds
+    * (terms cast DECIMAL(25,12), the 12-dp scale of the former
+    * sum(cast) aggregate; tree depth 4 grows precision only to 29, so
+    * no add ever hits the 38-digit cap where Spark would shave scale —
+    * and decimal addition is associative-exact, so the tree equals any
+    * aggregation order) — ADC values, ties (break on cand_id), and the
+    * oracle are unchanged.
     */
+  /** The packed-ADC scoring expression over `codes` (m-ordered code
+    * array) and `lut` (flat m·PqK+code lookup array): 16 in-row lookups
+    * summed through a balanced tree of exact decimal adds — see
+    * [[pqAdcTopK]]'s scaladoc for the precision argument.
+    */
+  private def adcDist: Column = {
+    def balancedSum(xs: Seq[Column]): Column =
+      if (xs.size == 1) xs.head
+      else balancedSum(xs.grouped(2).map(g =>
+        if (g.size == 2) g(0) + g(1) else g(0)).toSeq)
+    balancedSum((0 until PqM).map(m =>
+      element_at(col("lut"),
+        (lit(m * PqK) + element_at(col("codes"), m + 1) + 1).cast("int"))
+        .cast("decimal(25,12)"))).cast("double")
+  }
+
+  /** Packs long-form (…, m, code) rows into one m-ordered `codes` array
+    * per group — the candidate side of packed ADC.
+    */
+  private def packCodes(long: DataFrame, keys: Seq[String]): DataFrame =
+    long.groupBy(keys.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Packs long-form (…, m, code, d2) LUT rows into one flat
+    * (m·PqK+code)-indexed `lut` array per group — the query side. The
+    * array is padded to the FULL PqM·PqK domain (a Lloyd run on a tiny
+    * training set can leave a subspace with fewer than PqK live
+    * codewords, which would make a sorted-concatenation layout ragged);
+    * the pad positions are NULL and are never referenced, because
+    * candidate codes come from the same codebook. The map lookup runs
+    * once per GROUP at pack time, not per scored pair.
+    */
+  private def packLut(long: DataFrame, keys: Seq[String]): DataFrame =
+    long.groupBy(keys.map(col): _*)
+      .agg(map_from_entries(collect_list(
+        struct((col("m") * PqK + col("code")).as("k"), col("d2")))).as("lm"))
+      .select(keys.map(col) :+
+        transform(sequence(lit(0), lit(PqM * PqK - 1)),
+          i => element_at(col("lm"), i)).as("lut"): _*)
+
   def pqAdcTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val cb = pqCodebooks(emb)
-    val cand = pqEncodedLong(emb, cb)
-      .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+    val cand = packCodes(
+      pqEncodedLong(emb, cb).withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
     val qsubs = emb.filter(queryPred).select(col("vec_id").as("query_id"),
       posexplode(array((0 until PqM).map(m =>
         slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "qsub")))
-    val lut = qsubs.join(cb, Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
-        Vec.l2sq(col("qsub"), col("cemb")).as("d2"))
-    val scored = cand.join(broadcast(lut), Seq("m", "code"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .groupBy("query_id", "cand_id")
-      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double").as("adc_dist"))
+    val lut = packLut(
+      qsubs.join(cb, Seq("m"))
+        .select(col("query_id"), col("m"), col("code"),
+          Vec.l2sq(col("qsub"), col("cemb")).as("d2")),
+      Seq("query_id"))
+    val scored = cand.join(broadcast(lut), col("cand_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDist)
+      .select("query_id", "cand_id", "adc_dist")
     topKRanked(scored, "adc_dist", k, ascending = true)
       .select("query_id", "cand_id", "adc_dist", "rank")
   }
@@ -729,16 +785,22 @@ object Similarity {
     val qsubs = qres.select(col("query_id"), col("cent_id"),
       posexplode(array((0 until PqM).map(m =>
         slice(col("qres"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "qsub")))
-    val lut = qsubs.join(cb, Seq("m"))
-      .select(col("query_id"), col("cent_id"), col("m"), col("code"),
-        Vec.l2sq(col("qsub"), col("cemb")).as("d2"))
-    val wr = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("cand_id"))
-    cand.join(broadcast(lut), Seq("cent_id", "m", "code"))
+    // packed ADC (the pqAdcTopK shape, per probed list): candidates
+    // carry (cent_id, codes); each (query, probed list) carries one
+    // flat LUT — the candidate join streams |list-matched pairs| rows
+    // with an in-row 16-lookup fold, PqM× fewer shuffle rows than the
+    // former long-form (cent_id, m, code) join
+    val candP = packCodes(cand, Seq("cand_id", "cent_id"))
+    val lutP = packLut(
+      qsubs.join(cb, Seq("m"))
+        .select(col("query_id"), col("cent_id"), col("m"), col("code"),
+          Vec.l2sq(col("qsub"), col("cemb")).as("d2")),
+      Seq("query_id", "cent_id"))
+    val scored = candP.join(broadcast(lutP), Seq("cent_id"))
       .filter(col("cand_id") =!= col("query_id"))
-      .groupBy("query_id", "cand_id")
-      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double").as("adc_dist"))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
+      .withColumn("adc_dist", adcDist)
+      .select("query_id", "cand_id", "adc_dist")
+    topKRanked(scored, "adc_dist", k, ascending = true)
       .select("query_id", "cand_id", "adc_dist", "rank")
   }
 
@@ -810,7 +872,7 @@ object Similarity {
       .select(col("vec_id"), col("cluster_id").as("cf"))
     val proj = jlProject(emb).select(col("vec_id"), col("proj").as("embedding"))
     val pc = Clustering.assignL2(proj,
-      Clustering.kmeansL2(proj, IvfNlist, IvfIters, IvfTrainPct))
+      Clustering.kmeansL2(proj, IvfNlist, IvfIters, IvfTrainPct, dim = JlDim))
       .select(col("vec_id"), col("cluster_id").as("cp"))
     val cells = full.join(pc, "vec_id")
       .groupBy("cf", "cp").agg(count(lit(1)).as("nij"))

@@ -320,7 +320,10 @@ object PipelineQueries {
     * every corpus doc, canonical member per near-dup cluster.
     */
   val canonicalKeep: Q = (s, dir) =>
-    Dedup.canonicalKeep(docs(s, dir)).orderBy("doc_id")
+    // cached: canonicalKeep reads the corpus three times (shingle
+    // explode, n_chars ranking, full-doc-id left join) — the q133
+    // corpus-pin pattern
+    Dedup.canonicalKeep(docs(s, dir).cache()).orderBy("doc_id")
 
   /** q109: per-dimension embedding diagnostics (mean/std/min/max) —
     * the drift/collapse check run before indexing an embedding corpus.
@@ -1761,7 +1764,9 @@ object PipelineQueries {
   val DeleteBucketFrom = 97
   val deletionImpact: Q = (s, dir) => {
     import graft.functions.Text
-    val d = docs(s, dir)
+    // cached: FOUR corpus-scanning subtrees (cluster branch, term
+    // branch, token branch + canonicalKeep's own re-reads)
+    val d = docs(s, dir).cache()
     def deleted = Sampling.hashBucket(col("doc_id")) >= DeleteBucketFrom
     val flagged = Dedup.canonicalKeep(d).withColumn("deleted", deleted)
     val cstats = flagged.groupBy("cluster_rep")
@@ -1773,8 +1778,11 @@ object PipelineQueries {
         count(when(col("kept_del") > 0 && col("n_del") < col("sz"), 1))
           .as("n_clusters_reelected"),
         count(when(col("n_del") === col("sz"), 1)).as("n_clusters_removed"))
+    // per-doc term dedup runs MAP-SIDE (array_distinct pre-explode, the
+    // shingle-family discipline) — same (doc, term) set as the former
+    // corpus-wide .distinct(), minus its full shuffle
     val tstats = d
-      .select(col("doc_id"), explode(Text.words(col("text"))).as("term")).distinct()
+      .select(col("doc_id"), explode(array_distinct(Text.words(col("text")))).as("term"))
       .withColumn("deleted", deleted)
       .groupBy("term")
       .agg(count(when(col("deleted"), 1)).as("din"),

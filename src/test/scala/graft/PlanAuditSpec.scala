@@ -331,20 +331,27 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
       joinKeys.mkString("\n"))
   }
 
-  test("PQ ADC search joins the corpus on (m, code) with a broadcast LUT") {
-    // the corpus side must stream through a hash join keyed on the code
-    // ids — an un-keyed (nested-loop) scoring pass would re-introduce
-    // the brute-force scan PQ exists to avoid
-    val keys = joinKeyLists(plan("q156_pq_adc"))
-    assert(keys.exists(k => k.startsWith("BroadcastHashJoin") &&
-      k.contains("m#") && k.contains("code#")), keys.mkString("\n"))
+  test("PQ ADC scores packed code arrays against a broadcast LUT, ranked by partial top-k") {
+    // round-8 packed contract: candidates carry one m-ordered codes
+    // array, the per-query LUT broadcasts, scoring is an in-row fold
+    // (|corpus|·|Q| pair rows — PqM× fewer than the former long-form
+    // (m, code) join), and ranking is the mergeable TopKByScore
+    // aggregate, never a window sort of the scored frame
+    val p = plan("q156_pq_adc")
+    // topk_by_score present = the scored frame partial-aggregates; the
+    // only window left in the plan is the codebook's K-row code
+    // numbering, never the |corpus|·|Q| scored frame
+    assert(p.contains("topk_by_score"), p.take(1500))
+    // the pair join's broadcast side is the packed LUT (array column),
+    // not a PqM-exploded long table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
   test("IVF-PQ candidate join carries the probed list in its keys") {
     // cent_id in the equality keys = only probed lists are scored; its
     // absence would score every candidate against every query LUT
     val keys = joinKeyLists(plan("q161_ivfpq"))
-    assert(keys.exists(k => k.contains("cent_id") && k.contains("code#")),
+    assert(keys.exists(k => k.startsWith("BroadcastHashJoin") && k.contains("cent_id")),
       keys.mkString("\n"))
   }
 
