@@ -94,7 +94,14 @@ object StressBench {
     "q210_pareto_skyline" -> warehouse.PipelineQueries.paretoSkyline,
     "q211_keyness" -> warehouse.PipelineQueries.keyness,
     "q212_doremi_mixture" -> warehouse.PipelineQueries.doremiMixture,
-    "q213_quantile_growth" -> warehouse.AnalyticsQueries.logQuantileGrowth)
+    "q213_quantile_growth" -> warehouse.AnalyticsQueries.logQuantileGrowth,
+    // round-8 additions: packed ADC at a FIXED 20-query set (codes +
+    // flat LUT arrays; candidate side must track the 10× corpus — the
+    // audit-sampled q160 stays out, its |Q| grows with the corpus by
+    // contract) and the epoch-allocation composition (canonical keep +
+    // one keyed aggregation + K-row arithmetic)
+    "q156_pq_adc" -> warehouse.PipelineQueries.pqAdc,
+    "q233_epoch_allocation" -> warehouse.PipelineQueries.epochAllocationQ)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashes, Num, Vec}
@@ -225,6 +225,46 @@ object Clustering {
         (col("pos") + 1).as("dim"),
         round(col("loading"), 6).as("loading"),
         round(col("nrm"), 6).as("eigenvalue"))
+  }
+
+  /** Incremental index maintenance — the operational ANN pattern at
+    * 100 TB: the coarse quantizer trains ONCE on the historical corpus
+    * and is then FROZEN; newly-ingested vectors are only ASSIGNED to
+    * the existing lists (one broadcast join — never a retrain, which
+    * would invalidate every stored code). The audit output prices when
+    * a retrain becomes due: per centroid, the historical vs new-batch
+    * assignment counts and the share drift — a new-data distribution
+    * that no longer matches the trained lists shows up as mass moving
+    * between rows (hot lists degrade probe recall long before anything
+    * errors).
+    *
+    * Scale/determinism: training = [[kmeansL2]] on the old split
+    * (hash-bucket predicate — the stable membership primitive);
+    * assignment = the struct-MIN partial aggregation; counts = one
+    * keyed aggregation. Every centroid emits a row (empty lists
+    * count 0), so drifts sum to ~0 by construction.
+    */
+  def incrementalAssignment(emb: DataFrame, newPred: Column, k: Int = 16,
+      iters: Int = 2, trainPct: Int = 25): DataFrame = {
+    val cents = kmeansL2(emb.filter(!newPred), k, iters, trainPct)
+    val asg = assignL2(emb.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("cluster_id"))
+      .join(emb.select(col("vec_id"), newPred.as("is_new")), "vec_id")
+    val counts = asg.groupBy(col("cluster_id").as("cent_id")).agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(
+      sum(col("n_old")).as("told"), sum(col("n_new")).as("tnew"))
+    cents.select(col("cluster_id").as("cent_id"))
+      .join(counts, Seq("cent_id"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_old"), col("n_new"),
+        round(col("n_old").cast("double") / col("told").cast("double"), 6).as("old_share"),
+        round(col("n_new").cast("double") / col("tnew").cast("double"), 6).as("new_share"),
+        round(col("n_new").cast("double") / col("tnew").cast("double")
+          - col("n_old").cast("double") / col("told").cast("double"), 6).as("share_drift"))
+      .orderBy("cent_id")
   }
 
   /** DuckDB oracle builders. */

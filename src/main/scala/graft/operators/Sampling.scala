@@ -151,6 +151,73 @@ object Sampling {
       .orderBy(strataCol)
   }
 
+  /** Decay constant R* of repeated-token value, from the public fit in
+    * Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+    * Models", NeurIPS): tokens repeated R times past the first epoch
+    * are worth U·R*·(1 − e^{−R/R*}) extra effective tokens — the 15th
+    * repeat is nearly free of value.
+    */
+  val RepeatDecay = 15.4
+
+  /** Data-constrained epoch allocation: given a token budget of
+    * `budgetMult` true epochs over the DEDUPED corpus, prices two
+    * per-source allocation plans through the effective-data law above —
+    * NAIVE (∝ raw token share: what a pipeline trains without dedup
+    * awareness, silently burning budget on implicit repeats of
+    * duplicate-heavy sources) vs DEDUP-AWARE (∝ unique token share:
+    * uniform true epochs). The per-source effective-token delta is the
+    * planning read: how much training value dedup-aware budgeting buys
+    * before anyone trains anything.
+    *
+    * Scale/determinism: one corpus aggregation joined against the
+    * canonical-keep decision list (the q105 operator — unique mass =
+    * tokens of kept docs); everything downstream is K-row arithmetic.
+    * The one libm call (exp) is rounded at 12 dp before composing (the
+    * q152 temperature-mixture discipline), so a DuckDB replay is
+    * bit-exact. A source whose every doc lost its cluster election
+    * (uniq = 0) prices at zero effective tokens rather than dividing
+    * by zero.
+    */
+  def epochAllocation(docs: DataFrame, budgetMult: Double = 4.0): DataFrame = {
+    val toks = TextAnalysis.withTextStats(docs)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val kept = Dedup.canonicalKeep(docs).select(col("doc_id"), col("keep"))
+    val st = toks.join(kept, "doc_id")
+      .groupBy("source")
+      .agg(
+        sum(col("n_tokens").cast("long")).as("raw_tokens"),
+        sum(when(col("keep"), col("n_tokens").cast("long")).otherwise(0L)).as("uniq_tokens"))
+    val tot = st.agg(
+      sum(col("raw_tokens")).as("traw"), sum(col("uniq_tokens")).as("tuniq"))
+    def eff(alloc: Column): Column = {
+      val uu = col("uniq_tokens").cast("double")
+      val decayed = round(exp(-(alloc / uu - 1.0) / RepeatDecay), 12)
+      when(col("uniq_tokens") === 0L, lit(0.0))
+        .when(alloc <= uu, alloc)
+        .otherwise(uu + uu * RepeatDecay * (lit(1.0) - decayed))
+    }
+    st.crossJoin(broadcast(tot))
+      .withColumn("budget", lit(budgetMult) * col("tuniq").cast("double"))
+      .withColumn("naive_alloc",
+        col("budget") * col("raw_tokens").cast("double") / col("traw").cast("double"))
+      .withColumn("dedup_alloc",
+        col("budget") * col("uniq_tokens").cast("double") / col("tuniq").cast("double"))
+      .withColumn("en", eff(col("naive_alloc")))
+      .withColumn("ed", eff(col("dedup_alloc")))
+      .select(col("source"), col("raw_tokens"), col("uniq_tokens"),
+        round(col("raw_tokens").cast("double")
+          / greatest(col("uniq_tokens"), lit(1L)).cast("double"), 6).as("dup_ratio"),
+        round(col("naive_alloc"), 6).as("naive_alloc"),
+        when(col("uniq_tokens") > 0,
+          round(col("naive_alloc") / col("uniq_tokens").cast("double") - 1.0, 6))
+          .as("naive_repeats"),
+        round(col("en"), 6).as("naive_eff_tokens"),
+        round(col("dedup_alloc"), 6).as("dedup_alloc"),
+        round(col("ed"), 6).as("dedup_eff_tokens"),
+        round(col("ed") - col("en"), 6).as("eff_gain"))
+      .orderBy("source")
+  }
+
   /** Domain-mixture reweighting by excess loss — the DoReMi shape (Xie
     * et al. 2023, NeurIPS — "DoReMi: Optimizing Data Mixtures Speeds Up
     * Language Model Pretraining") with the linearized multiplicative-

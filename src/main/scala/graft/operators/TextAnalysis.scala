@@ -390,6 +390,37 @@ object TextAnalysis {
           coalesce(col("avg_logprob") >= minLogprob, lit(false)) &&
           coalesce(col("entropy") >= minEntropy, lit(false)))
 
+  /** K-anonymity audit over quasi-identifiers (Sweeney 2002, IJUFKS —
+    * public): a released corpus row is re-identifiable when its
+    * QUASI-IDENTIFIER combination — attributes harmless alone,
+    * discriminating together — is shared by fewer than k rows. QI here
+    * = (lang, source, 50-char length band); per source the audit
+    * reports how many equivalence classes fall below k and how many
+    * documents sit in them — the release-risk read a privacy pass runs
+    * BEFORE shipping a corpus, complementing the content-level PII
+    * scrub (q175) with a structure-level guarantee check.
+    *
+    * Scale: two keyed aggregations (QI class sizes → per-source
+    * rollup), both map-side-combined; the length band is integer
+    * `div` (trunc — DuckDB `//` identical), so everything is exact
+    * integers plus one rounded percentage.
+    */
+  def kAnonymity(docs: DataFrame, k: Int = 5): DataFrame = {
+    val cls = docs
+      .select(col("source"), col("lang"), expr("n_chars div 50").as("len_band"))
+      .groupBy("source", "lang", "len_band")
+      .agg(count(lit(1)).as("csz"))
+    cls.groupBy("source").agg(
+        sum(col("csz")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("csz") < k, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("csz") < k, col("csz")).otherwise(0L)).as("n_docs_at_risk"),
+        min(col("csz")).as("min_class_size"))
+      .withColumn("risk_pct",
+        round(col("n_docs_at_risk").cast("double") * 100.0 / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
   /** Severity-weighted dictionary blocklist — the bad-term/PII-term/
     * toxicity filter every curation pipeline runs, expressed as
     * BROADCAST DICTIONARY JOINS rather than per-row regex alternation:

@@ -648,6 +648,31 @@ object PipelineQueries {
         round(lit(100.0) * col("tokens_final") / col("tokens_in"), 6))
   }
 
+  /** q233: data-constrained epoch allocation — the Muennighoff
+    * effective-data law priced over this corpus's actual dedup profile:
+    * per source, the effective-token yield of a naive (raw-share)
+    * training budget vs a dedup-aware (unique-share) one. See
+    * [[Sampling.epochAllocation]].
+    */
+  val epochAllocationQ: Q = (s, dir) =>
+    Sampling.epochAllocation(docs(s, dir).cache())
+
+  /** q234: k-anonymity release-risk audit — per source, the
+    * quasi-identifier equivalence classes below k=5 and the documents
+    * inside them. See [[TextAnalysis.kAnonymity]].
+    */
+  val kAnonymityQ: Q = (s, dir) =>
+    TextAnalysis.kAnonymity(docs(s, dir))
+
+  /** q235: incremental ANN index maintenance — coarse quantizer frozen
+    * on the historical 80% hash split, the new 20% only ASSIGNED; per
+    * centroid the historical-vs-new share drift that prices when a
+    * retrain becomes due. See [[Clustering.incrementalAssignment]].
+    */
+  val indexMaintenance: Q = (s, dir) =>
+    graft.operators.Clustering.incrementalAssignment(
+      emb(s, dir), Sampling.hashBucket(col("vec_id")) >= 80)
+
   /** q134: cross-modal dedup agreement — how often the text near-dup
     * pairs (n-gram Jaccard) and the embedding near-dup pairs (blocked
     * cosine) claim the SAME pairs. The calibration read before trusting
@@ -1968,6 +1993,9 @@ object PipelineQueries {
     "q131_incremental_dedup" -> incrementalDedup,
     "q132_triangles" -> triangleStats,
     "q133_dedup_funnel" -> dedupFunnel,
+    "q233_epoch_allocation" -> epochAllocationQ,
+    "q234_k_anonymity" -> kAnonymityQ,
+    "q235_index_maintenance" -> indexMaintenance,
     "q134_crossmodal_agreement" -> crossModalAgreement,
     "q136_threshold_sweep" -> thresholdSweep,
     "q137_minhash_calibration" -> minhashCalibration)
@@ -2198,6 +2226,74 @@ object PipelineQueries {
     "q219_conformal_gate" -> Classifier.O.conformalGate("source = 'src0'"),
     "q228_classifier_cv" -> Classifier.O.crossValidate("source = 'src0'"),
     "q229_learning_curve" -> Classifier.O.learningCurve("source = 'src0'"),
+    "q234_k_anonymity" ->
+      s"""WITH cls AS (SELECT source, lang, n_chars // 50 AS len_band, COUNT(*) AS csz
+         |  FROM documents GROUP BY 1, 2, 3)
+         |SELECT source, CAST(SUM(csz) AS BIGINT) AS n_docs, COUNT(*) AS n_classes,
+         |  CAST(SUM(CASE WHEN csz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+         |  CAST(SUM(CASE WHEN csz < 5 THEN csz ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+         |  CAST(MIN(csz) AS BIGINT) AS min_class_size,
+         |  round(CAST(SUM(CASE WHEN csz < 5 THEN csz ELSE 0 END) AS DOUBLE) * 100.0
+         |    / CAST(SUM(csz) AS DOUBLE), 6) AS risk_pct
+         |FROM cls GROUP BY source ORDER BY source""".stripMargin,
+    "q235_index_maintenance" -> {
+      val oldSrc = s"(SELECT vec_id, embedding FROM embeddings WHERE ${Sampling.O.hashBucket("vec_id")} < 80)"
+      s"""WITH ${Similarity.O.kmeansL2Ctes("i", oldSrc, Similarity.Dim)},
+         |ee AS (SELECT vec_id, embedding, (${Sampling.O.hashBucket("vec_id")} >= 80) AS is_new
+         |       FROM embeddings),
+         |asg AS (SELECT vec_id, cent_id, is_new FROM (
+         |  SELECT e.vec_id, c.cent_id, e.is_new,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${V.O.l2sq("e.embedding", "c.cemb", Similarity.Dim)} ASC, c.cent_id) AS rn
+         |  FROM ee e CROSS JOIN icent c) WHERE rn = 1),
+         |cnt AS (SELECT cent_id,
+         |    CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |  FROM asg GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS told,
+         |               CAST(SUM(n_new) AS BIGINT) AS tnew FROM cnt)
+         |SELECT ic.cent_id, CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+         |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         |  round(CAST(COALESCE(n_old, 0) AS DOUBLE) / CAST(told AS DOUBLE), 6) AS old_share,
+         |  round(CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(tnew AS DOUBLE), 6) AS new_share,
+         |  round(CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(tnew AS DOUBLE)
+         |    - CAST(COALESCE(n_old, 0) AS DOUBLE) / CAST(told AS DOUBLE), 6) AS share_drift
+         |FROM (SELECT cent_id FROM icent) ic LEFT JOIN cnt USING (cent_id) CROSS JOIN tot
+         |ORDER BY ic.cent_id""".stripMargin
+    },
+    "q233_epoch_allocation" -> {
+      val mult = "4.0"
+      val rstar = graft.operators.Sampling.RepeatDecay.toString
+      def eff(a: String) =
+        s"""CASE WHEN uniq_tokens = 0 THEN 0.0
+           |     WHEN $a <= CAST(uniq_tokens AS DOUBLE) THEN $a
+           |     ELSE CAST(uniq_tokens AS DOUBLE) + CAST(uniq_tokens AS DOUBLE) * $rstar
+           |       * (1.0 - round(exp(-(($a / CAST(uniq_tokens AS DOUBLE)) - 1.0) / $rstar), 12))
+           |END""".stripMargin
+      s"""WITH sdoc AS (SELECT doc_id, source, ${TO.textStats} FROM documents),
+         |k AS (SELECT doc_id, keep FROM (${Dedup.O.canonicalKeep})),
+         |st AS (SELECT source,
+         |    CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS raw_tokens,
+         |    CAST(SUM(CASE WHEN keep THEN CAST(n_tokens AS BIGINT) ELSE 0 END) AS BIGINT) AS uniq_tokens
+         |  FROM sdoc JOIN k USING (doc_id) GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(raw_tokens) AS BIGINT) AS traw,
+         |              CAST(SUM(uniq_tokens) AS BIGINT) AS tuniq FROM st),
+         |x AS (SELECT source, raw_tokens, uniq_tokens,
+         |    ($mult * CAST(tuniq AS DOUBLE)) * CAST(raw_tokens AS DOUBLE) / CAST(traw AS DOUBLE) AS naive_alloc,
+         |    ($mult * CAST(tuniq AS DOUBLE)) * CAST(uniq_tokens AS DOUBLE) / CAST(tuniq AS DOUBLE) AS dedup_alloc
+         |  FROM st CROSS JOIN tt),
+         |e AS (SELECT *, ${eff("naive_alloc")} AS en, ${eff("dedup_alloc")} AS ed FROM x)
+         |SELECT source, raw_tokens, uniq_tokens,
+         |  round(CAST(raw_tokens AS DOUBLE) / CAST(greatest(uniq_tokens, 1) AS DOUBLE), 6) AS dup_ratio,
+         |  round(naive_alloc, 6) AS naive_alloc,
+         |  CASE WHEN uniq_tokens > 0
+         |       THEN round(naive_alloc / CAST(uniq_tokens AS DOUBLE) - 1.0, 6) END AS naive_repeats,
+         |  round(en, 6) AS naive_eff_tokens,
+         |  round(dedup_alloc, 6) AS dedup_alloc,
+         |  round(ed, 6) AS dedup_eff_tokens,
+         |  round(ed - en, 6) AS eff_gain
+         |FROM e ORDER BY source""".stripMargin
+    },
     "q230_neyman_plan" ->
       s"""WITH s AS (SELECT source, ${TO.textStats} FROM documents),
          |st AS (SELECT source, COUNT(*) AS n_rows,

@@ -130,6 +130,68 @@ class AnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(again == r)
   }
 
+  test("epoch allocation prices naive vs dedup-aware budgets by the effective-data law") {
+    // src a: near-dup pair (8-word canonical kept, 6-word twin dropped)
+    // → raw 14, unique 8; src b: one distinct 6-word doc → raw = unique
+    val long = "alpha beta gamma delta epsilon zeta eta theta"
+    val short = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "a", short, short.length.toLong),
+      (2L, "a", long, long.length.toLong),
+      (3L, "b", "completely different words entirely here now", 45L)
+    ).toDF("doc_id", "source", "text", "n_chars")
+    val r = graft.operators.Sampling.epochAllocation(docs, budgetMult = 4.0)
+      .collect().map(x => x.getString(0) -> x).toMap
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def eff(alloc: Double, u: Long): Double =
+      if (u == 0L) 0.0
+      else if (alloc <= u) alloc
+      else u + u * 15.4 * (1.0 - r12(math.exp(-(alloc / u - 1.0) / 15.4)))
+    val (rawA, uA, rawB, uB) = (14L, 8L, 6L, 6L)
+    val (traw, tuniq) = (rawA + rawB, uA + uB)
+    val budget = 4.0 * tuniq
+    val naiveA = budget * rawA / traw
+    val dedupA = budget * uA / tuniq
+    assert(r("a").getAs[Long]("raw_tokens") == rawA)
+    assert(r("a").getAs[Long]("uniq_tokens") == uA)
+    assert(r("a").getAs[Double]("naive_alloc") == r6(naiveA))
+    assert(r("a").getAs[Double]("naive_repeats") == r6(naiveA / uA - 1.0))
+    assert(r("a").getAs[Double]("naive_eff_tokens") == r6(eff(naiveA, uA)))
+    assert(r("a").getAs[Double]("dedup_eff_tokens") == r6(eff(dedupA, uA)))
+    assert(r("a").getAs[Double]("eff_gain") == r6(eff(dedupA, uA) - eff(naiveA, uA)))
+    // the duplicate-heavy source GAINS effective tokens under the
+    // dedup-aware plan... (its naive budget over-repeats its uniques)
+    assert(r("a").getAs[Double]("eff_gain") < 0.0 ||
+      r("a").getAs[Double]("naive_repeats") > r("b").getAs[Double]("naive_repeats"))
+    // ...and source b's plans are consistent too
+    val naiveB = budget * rawB / traw
+    val dedupB = budget * uB / tuniq
+    assert(r("b").getAs[Double]("dup_ratio") == 1.0)
+    assert(r("b").getAs[Double]("naive_eff_tokens") == r6(eff(naiveB, uB)))
+    assert(r("b").getAs[Double]("eff_gain") == r6(eff(dedupB, uB) - eff(naiveB, uB)))
+  }
+
+  test("k-anonymity audit counts the small QI classes and their documents") {
+    // source s1: class (en, band 1) has 3 docs (< k=5 → at risk),
+    // class (fr, band 2) has 5 (safe); source s2: one singleton class
+    val rows =
+      (1 to 3).map(i => (i.toLong, "s1", "en", 60L)) ++
+      (4 to 8).map(i => (i.toLong, "s1", "fr", 110L)) ++
+      Seq((9L, "s2", "en", 200L))
+    val docs = rows.toDF("doc_id", "source", "lang", "n_chars")
+    val r = graft.operators.TextAnalysis.kAnonymity(docs, k = 5)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s1").getAs[Long]("n_docs") == 8L)
+    assert(r("s1").getAs[Long]("n_classes") == 2L)
+    assert(r("s1").getAs[Long]("n_small_classes") == 1L)
+    assert(r("s1").getAs[Long]("n_docs_at_risk") == 3L)
+    assert(r("s1").getAs[Long]("min_class_size") == 3L)
+    assert(r("s1").getAs[Double]("risk_pct") == 37.5)
+    assert(r("s2").getAs[Long]("n_docs_at_risk") == 1L)
+    assert(r("s2").getAs[Double]("risk_pct") == 100.0)
+  }
+
   test("budget selection takes the exact greedy quality prefix per source") {
     // src A: quality order is d3 (0.9, 40 toks), d1 (0.8, 50), d2 (0.5, 30);
     // budget = floor(120 * 0.5) = 60 → d3 selected (40), d1 would hit 90 → stop
