@@ -49,4 +49,36 @@ object StreamAggregates {
         col("avg_value"), col("min_value"), col("max_value"), col("stddev_value"),
         col("anomaly_count"), col("avg_quality_score"), col("avg_latency_seconds"))
   }
+
+  /** Streaming per-window LEADERBOARD: the top-k readings by value per
+    * (window, device_type), through the mergeable TopKByScore
+    * aggregate — per open window-group the state store holds exactly
+    * the k-entry heap buffer (merged across micro-batches by the same
+    * heap merge the batch shuffle uses), never the events: a windowed
+    * rank that needs NO sort and NO per-event retention, which a
+    * row_number window simply cannot express on a stream. Late
+    * in-watermark events re-emit their window with the heap updated —
+    * the T8 upsert contract. The same function runs on batch frames
+    * (watermark ignored), which is how the spec proves stream ≡ batch.
+    * Output: one row per (window, device_type) with `top` =
+    * array<struct<score, id>> in (value DESC, id ASC) order.
+    */
+  def windowedTopK(
+      events: DataFrame,
+      idCol: String,
+      k: Int = 3,
+      windowLength: String = "1 minute",
+      watermark: Option[String] = Some(DefaultWatermark)): DataFrame = {
+    val src = watermark match {
+      case Some(w) if events.isStreaming => events.withWatermark("time", w)
+      case _ => events
+    }
+    src
+      .groupBy(window(col("time"), windowLength), col("device_type"))
+      .agg(graft.functions.Sketch.topKByScore(col("value"), col(idCol), k).as("top"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("device_type"), col("top"))
+  }
 }

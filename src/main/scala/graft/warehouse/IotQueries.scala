@@ -82,6 +82,23 @@ object IotQueries {
       .orderBy("device_id", "time", "event_id")
   }
 
+  /** q236: per-minute top-3 value leaderboard per device type — the
+    * BATCH twin of [[graft.streaming.StreamAggregates.windowedTopK]]
+    * (same function, same aggregate): a windowed rank whose state is a
+    * k-entry heap per open window, never the events — the shape that
+    * runs unchanged on a stream where a row_number window cannot.
+    * StreamTopKSpec proves stream ≡ batch (late-event re-election
+    * included); this query hash-checks the rank arithmetic itself.
+    */
+  val windowedTopKQ: Q = (s, dir) =>
+    graft.streaming.StreamAggregates.windowedTopK(readings(s, dir), "event_id", k = 3)
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("device_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("window_start"), col("device_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.score").as("value"), col("t.id").as("event_id"))
+      .orderBy("window_start", "device_type", "rank")
+
   val timeFeatures: Q = (s, dir) =>
     TimeFeatures
       .withTimeFeatures(readings(s, dir))
@@ -183,7 +200,8 @@ object IotQueries {
     "q34_minute_window" -> minuteWindow,
     "q35_device_stats" -> deviceStatsQ,
     "q231_anomaly_context" -> anomalyContext,
-    "q232_ml_feature_export" -> mlFeatureExport)
+    "q232_ml_feature_export" -> mlFeatureExport,
+    "q236_windowed_topk" -> windowedTopKQ)
 
   import Num.{O => N}
   import TimeF.{O => T}
@@ -345,6 +363,14 @@ object IotQueries {
          |    wz AS (PARTITION BY device_id, device_type))
          |WHERE is_anomaly_combined AND time > now_ts - INTERVAL 24 HOUR
          |ORDER BY time DESC, event_id DESC LIMIT 50""".stripMargin),
+    "q236_windowed_topk" -> (cte() +
+      """SELECT window_start, device_type, rank, value, event_id FROM (
+        |  SELECT date_trunc('minute', time) AS window_start, device_type, value, event_id,
+        |    CAST(row_number() OVER (PARTITION BY date_trunc('minute', time), device_type
+        |      ORDER BY value DESC, event_id) AS INT) AS rank
+        |  FROM readings WHERE value IS NOT NULL)
+        |WHERE rank <= 3
+        |ORDER BY window_start, device_type, rank""".stripMargin),
     "q232_ml_feature_export" -> (cte(
       "now_cte AS (SELECT max(time) AS now_ts FROM readings)") +
       s"""SELECT time, device_id, device_type, value, rolling_avg_5min, rolling_avg_1h,
