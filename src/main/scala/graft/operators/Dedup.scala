@@ -209,8 +209,18 @@ object Dedup {
     * shuffle, linear state); the final verdict is a left join back to
     * the corpus on doc_id.
     */
-  def canonicalKeep(docs: DataFrame): DataFrame = {
-    val clusters = connectedComponents(ngramJaccardPairs(docs))
+  def canonicalKeep(docs: DataFrame): DataFrame =
+    canonicalKeepFrom(docs, connectedComponents(ngramJaccardPairs(docs)))
+
+  /** [[canonicalKeep]] over an already-solved cluster map (the
+    * [[connectedComponents]] output frame) — the artifact-reuse path:
+    * a pipeline that stores the cluster map once per corpus snapshot
+    * (see graft.warehouse.Materialized) derives the decision list from
+    * the stored table without re-running pair generation + the
+    * component solve.
+    */
+  def canonicalKeepFrom(docs: DataFrame, solved: DataFrame): DataFrame = {
+    val clusters = solved
       .select("doc_id", "cluster_rep", "cluster_size")
     val w = Window.partitionBy("cluster_rep").orderBy(desc("n_chars"), col("doc_id"))
     val ranked = clusters.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))

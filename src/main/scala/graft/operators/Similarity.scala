@@ -169,10 +169,14 @@ object Similarity {
     * so the DuckDB oracle replays the identical training trajectory.
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      probes: Int = IvfProbes): DataFrame = {
+      probes: Int = IvfProbes, trained: Option[DataFrame] = None): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"),
       sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
-    val centroids = Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct)
+    // `trained`: a stored quantizer (the Clustering.kmeans output frame)
+    // — the index-artifact reuse path (see warehouse.Materialized);
+    // None trains the same trajectory inline.
+    val centroids = trained
+      .getOrElse(Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct))
       .select(col("cluster_id").as("cent_id"), col("cemb"),
         sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
@@ -219,12 +223,13 @@ object Similarity {
     * Returns the union of per-budget top-k rankings tagged `nprobe`.
     */
   def ivfSweep(emb: DataFrame, queryPred: Column, k: Int,
-      probesList: Seq[Int]): DataFrame = {
+      probesList: Seq[Int], trained: Option[DataFrame] = None): DataFrame = {
     require(probesList.nonEmpty, "ivfSweep needs at least one probe budget")
     val maxP = probesList.max
     val n = emb.select(col("vec_id"), col("embedding"),
       sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
-    val centroids = Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct)
+    val centroids = trained
+      .getOrElse(Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct))
       .select(col("cluster_id").as("cent_id"), col("cemb"),
         sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
@@ -289,10 +294,12 @@ object Similarity {
     * the final verdict join — recomputing it would replay the
     * O(n·nlist) window per consumer.
     */
-  private[graft] def semDedupAssigned(emb: DataFrame): DataFrame = {
+  private[graft] def semDedupAssigned(emb: DataFrame,
+      trained: Option[DataFrame] = None): DataFrame = {
     val n = emb.select(col("vec_id"), col("embedding"),
       sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
-    val centroids = Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct)
+    val centroids = trained
+      .getOrElse(Clustering.kmeans(emb, IvfNlist, IvfIters, IvfTrainPct))
       .select(col("cluster_id").as("cent_id"), col("cemb"),
         sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
     val toCent = n.crossJoin(broadcast(centroids))
@@ -333,8 +340,9 @@ object Similarity {
       .select("d1", "d2")
   }
 
-  def semDedup(emb: DataFrame, threshold: Double = SemDedupThreshold): DataFrame = {
-    val assigned = semDedupAssigned(emb)
+  def semDedup(emb: DataFrame, threshold: Double = SemDedupThreshold,
+      trained: Option[DataFrame] = None): DataFrame = {
+    val assigned = semDedupAssigned(emb, trained)
     val pairs = semDedupPairs(emb, assigned, threshold)
     val groups = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_rep").as("group_rep"),
@@ -633,8 +641,8 @@ object Similarity {
     * error — the sum of per-subspace quantization distances, an exact
     * decimal sum so partitioning cannot reorder float addition.
     */
-  def pqEncode(emb: DataFrame): DataFrame =
-    pqEncodedLong(emb, pqCodebooks(emb))
+  def pqEncode(emb: DataFrame, codebooks: Option[DataFrame] = None): DataFrame =
+    pqEncodedLong(emb, codebooks.getOrElse(pqCodebooks(emb)))
       .groupBy("vec_id")
       .agg(
         concat_ws(",", transform(
@@ -717,8 +725,9 @@ object Similarity {
         transform(sequence(lit(0), lit(PqM * PqK - 1)),
           i => element_at(col("lm"), i)).as("lut"): _*)
 
-  def pqAdcTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val cb = pqCodebooks(emb)
+  def pqAdcTopK(emb: DataFrame, queryPred: Column, k: Int,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqCodebooks(emb))
     val cand = packCodes(
       pqEncodedLong(emb, cb).withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
     val qsubs = emb.filter(queryPred).select(col("vec_id").as("query_id"),
@@ -753,10 +762,14 @@ object Similarity {
     * decimal-exact, so the DuckDB oracle replays both trajectories.
     */
   def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
-      probes: Int = IvfProbes): DataFrame = {
+      probes: Int = IvfProbes, trained: Option[DataFrame] = None): DataFrame = {
     val residual = (x: Column, c: Column) =>
       zip_with(x, c, (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
-    val coarse = Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct)
+    // only the coarse quantizer is a reusable artifact here — the PQ
+    // codebooks below train on RESIDUALS (x − centroid), a different
+    // corpus from the raw-vector codebooks other callers store
+    val coarse = trained
+      .getOrElse(Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct))
       .select(col("cluster_id").as("cent_id"), col("cemb"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2c"), col("cent_id"))
     // corpus-side coarse assignment is a struct-ordered MIN partial
@@ -865,10 +878,11 @@ object Similarity {
     * integer sums — no pair materialization. One 1-row result:
     * (n_vectors, k_full, k_proj, rand_index).
     */
-  def jlKmeansAgreement(emb: DataFrame): DataFrame = {
+  def jlKmeansAgreement(emb: DataFrame,
+      trainedFull: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Num
     val full = Clustering.assignL2(emb,
-      Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct))
+      trainedFull.getOrElse(Clustering.kmeansL2(emb, IvfNlist, IvfIters, IvfTrainPct)))
       .select(col("vec_id"), col("cluster_id").as("cf"))
     val proj = jlProject(emb).select(col("vec_id"), col("proj").as("embedding"))
     val pc = Clustering.assignL2(proj,
