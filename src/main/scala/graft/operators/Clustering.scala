@@ -78,8 +78,10 @@ object Clustering {
     // `dim` is an UPPER BOUND on the vector width: positions past the
     // actual width aggregate NULL sums and are trimmed by the final
     // slice to the group's true width (vectors narrower than dim — the
-    // unit-test frames — centroid correctly; wider ones must pass
-    // their real dim)
+    // unit-test frames — centroid correctly). Wider vectors would
+    // silently truncate to dim-wide centroids, so they FAIL the job
+    // instead (raise_error below): a caller clustering >dim-wide
+    // embeddings must pass the real dim.
     val sums = (1 to dim).map(i =>
       sum(try_element_at(col("embedding"), lit(i)).cast("double")
         .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as(s"s_$i"))
@@ -87,9 +89,13 @@ object Clustering {
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")
         :+ max(size(col("embedding"))).as("d")): _*)
       .select(col("cluster_id"),
-        slice(array((1 to dim).map(i =>
-          (col(s"s_$i").cast("double") / col("n").cast("double")).cast("float")): _*),
-          lit(1), col("d")).as("cemb"))
+        when(col("d") <= lit(dim),
+          slice(array((1 to dim).map(i =>
+            (col(s"s_$i").cast("double") / col("n").cast("double")).cast("float")): _*),
+            lit(1), col("d")))
+          .otherwise(raise_error(concat(
+            lit(s"meanVectors: embedding width "), col("d").cast("string"),
+            lit(s" exceeds dim=$dim — pass the real dim")))).as("cemb"))
   }
 
   /** One Lloyd iteration: assign to nearest centroid, recompute means. */
@@ -244,6 +250,14 @@ object Clustering {
     * keyed aggregation. Every centroid emits a row (empty lists
     * count 0), so drifts sum to ~0 by construction.
     */
+  /** n/t as a double, 0.0 when t = 0 (identical to the unguarded
+    * division whenever t > 0, so oracle hashes are unchanged).
+    */
+  private def rawShare(n: Column, t: Column): Column =
+    when(t > 0, n.cast("double") / t.cast("double")).otherwise(lit(0.0))
+
+  private def shareOf(n: Column, t: Column): Column = round(rawShare(n, t), 6)
+
   def incrementalAssignment(emb: DataFrame, newPred: Column, k: Int = 16,
       iters: Int = 2, trainPct: Int = 25): DataFrame = {
     val cents = kmeansL2(emb.filter(!newPred), k, iters, trainPct)
@@ -259,11 +273,15 @@ object Clustering {
       .join(counts, Seq("cent_id"), "left")
       .na.fill(0L, Seq("n_old", "n_new"))
       .crossJoin(broadcast(tot))
+      // degenerate-split guard: an empty old or new split makes the
+      // share 0.0 on BOTH engines (unguarded, Spark's x/0 → NULL while
+      // DuckDB's IEEE division → inf — the oracle would diverge exactly
+      // on the all-new / all-old corpus an ops audit is likely to hit)
       .select(col("cent_id"), col("n_old"), col("n_new"),
-        round(col("n_old").cast("double") / col("told").cast("double"), 6).as("old_share"),
-        round(col("n_new").cast("double") / col("tnew").cast("double"), 6).as("new_share"),
-        round(col("n_new").cast("double") / col("tnew").cast("double")
-          - col("n_old").cast("double") / col("told").cast("double"), 6).as("share_drift"))
+        shareOf(col("n_old"), col("told")).as("old_share"),
+        shareOf(col("n_new"), col("tnew")).as("new_share"),
+        round(rawShare(col("n_new"), col("tnew"))
+          - rawShare(col("n_old"), col("told")), 6).as("share_drift"))
       .orderBy("cent_id")
   }
 

@@ -148,12 +148,134 @@ object Multimodal {
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
   }
 
+  // ---- perceptual near-dup fingerprint (dHash + banded Hamming LSH) ----
+
+  val DHashGram = 4        // n-gram width feeding the intensity histogram
+  val DHashBins = 72       // 8 rows × 9 cols — dHash's canonical grid
+  val DHashMinChars = 72   // shorter payloads carry too little signal
+  val DHashMaxHamming = 3  // pair threshold (bits of 64)
+  val DHashBands = 8       // 8 bands × 8 bits: some band matches EXACTLY for any pair within Hamming 7
+  val DHashBlockCap = 1000 // max docs per (band, value) block — GraphBlockCap discipline
+
+  /** The deterministic decode stand-in for the dHash grid: a 72-bin
+    * md5-hashed [[DHashGram]]-gram intensity histogram of the payload
+    * bytes. A real image pipeline feeds dHash the 8×9 average-pooled
+    * grayscale from the codec (the [[decodeStub]] mapPartitions
+    * boundary); this container has no codecs, and a POSITIONAL pooling
+    * of ASCII stand-in bytes is noise under the length-changing edits
+    * the synthetic near-dups carry (measured: positional pooling puts
+    * true near-dups at Hamming ≥ 12, indistinguishable from
+    * background). The histogram "image" has the property the decoded
+    * grayscale has for real re-encoded media — near-identical payloads
+    * → near-identical 72-vector (true pairs land at Hamming 0–1,
+    * background ≥ ~5 on this corpus) — so every downstream stage
+    * (gradient-bit extraction, banding, blocked Hamming join) is
+    * exercised exactly as production would run it.
+    */
+  def dhashPixels(text: Column): Column = {
+    import graft.functions.Hashes
+    val grams = transform(
+      sequence(lit(1), length(text) - (DHashGram - 1)),
+      i => (Hashes.md5Long32(text.substr(i, lit(DHashGram))) % DHashBins).cast("int"))
+    transform(sequence(lit(0), lit(DHashBins - 1)),
+      k => size(filter(grams, x => x === k)).cast("long"))
+  }
+
+  /** The dHash bit extraction (Krawetz's difference hash): bit (r,c) of
+    * the 64-bit fingerprint is set iff pixel[r][c+1] > pixel[r][c] over
+    * the 8-row × 9-column grid — 8 horizontal gradients per row. Pure
+    * codegen'd element_at comparisons; bit 63 lands on the sign bit
+    * (the hash is a BIT PATTERN: two's-complement value is irrelevant,
+    * xor/bit_count below treat it as such).
+    */
+  private def dhashBits(pix: Column): Column =
+    (0 until 64).map { b =>
+      val r = b / 8
+      val c = b % 8
+      when(element_at(pix, r * 9 + c + 2) > element_at(pix, r * 9 + c + 1),
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** doc_id → 64-bit perceptual fingerprint, for payloads long enough
+    * to pool. The pixel array materializes in its own projection so the
+    * 128 element_at reads share one histogram computation.
+    */
+  def withDhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= DHashMinChars)
+      .withColumn("__pix", dhashPixels(col(textCol)))
+      .withColumn("dhash", dhashBits(col("__pix")))
+      .drop("__pix")
+
+  /** Perceptual near-dup pairs via multi-index Hamming LSH (the
+    * image-dedup shape of the MinHash-band trick): each fingerprint
+    * splits into [[DHashBands]] 8-bit bands; by pigeonhole, any pair
+    * within Hamming 7 ≥ [[DHashMaxHamming]] matches at least one band
+    * EXACTLY, so candidates come from equi-joins on (band, value) —
+    * never an all-pairs scan. Blocks larger than [[DHashBlockCap]] are
+    * dropped (a degenerate band value — e.g. a constant-intensity
+    * region shared by everything — must not quadratically explode one
+    * reducer; same discipline as [[Similarity.GraphBlockCap]]).
+    * Verified pairs carry the exact 64-bit Hamming distance.
+    */
+  def dhashNearDupPairs(docs: DataFrame, maxHamming: Int = DHashMaxHamming,
+      textCol: String = "text"): DataFrame = {
+    val h = withDhash(docs, textCol).select(col("doc_id"), col("dhash"))
+    val bands = h.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until DHashBands).map(b =>
+        shiftright(col("dhash"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
+    val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= DHashBlockCap).select("band", "bv")
+    val cand = bands.join(ok, Seq("band", "bv"))
+    cand.as("a").join(cand.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct()
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
   /** DuckDB oracle fragments — ASCII payloads make string arithmetic ≡
     * byte arithmetic, so the oracle replays the binary plumbing on
     * VARCHARs.
     */
   object O {
     import graft.functions.Hashes
+
+    /** Bit-identical twin of [[dhashNearDupPairs]] over `documents`.
+      * Bit 63 is emitted as the Long.MinValue literal (DuckDB raises on
+      * 1<<63); summing distinct powers of two never overflows — the
+      * total IS the 64-bit pattern.
+      */
+    def dhashPairs(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String = {
+      val terms = (0 until 64).map { b =>
+        val r = b / 8
+        val c = b % 8
+        val t = if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
+        s"CASE WHEN pix[${r * 9 + c + 2}] > pix[${r * 9 + c + 1}] THEN $t ELSE 0::BIGINT END"
+      }.mkString(" + ")
+      val gram = Hashes.O.md5Long32(s"substring(text, CAST(i AS INT), $DHashGram)")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= $DHashMinChars),
+         |px AS MATERIALIZED (SELECT doc_id, list_transform(range(0, $DHashBins), k ->
+         |    CAST(len(list_filter(gs, x -> x = k)) AS BIGINT)) AS pix
+         |  FROM (SELECT doc_id, list_transform(range(1, length(text) - ${DHashGram - 2}),
+         |    i -> $gram % $DHashBins) AS gs FROM d)),
+         |hh AS MATERIALIZED (SELECT doc_id, ($terms) AS dhash FROM px),
+         |bnd AS MATERIALIZED (SELECT doc_id, dhash, b AS band, (dhash >> (8 * b)) & 255 AS bv
+         |  FROM hh CROSS JOIN (SELECT unnest(range(0, $DHashBands)) AS b)),
+         |ok AS (SELECT band, bv FROM bnd GROUP BY band, bv HAVING COUNT(*) <= $cap),
+         |cand AS MATERIALIZED (SELECT bnd.doc_id, bnd.dhash, bnd.band, bnd.bv
+         |  FROM bnd JOIN ok USING (band, bv)),
+         |pr AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.dhash AS h1, b.dhash AS h2
+         |  FROM cand a JOIN cand b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |FROM pr WHERE CAST(bit_count(xor(h1, h2)) AS INT) <= $maxHamming
+         |ORDER BY d1, d2""".stripMargin
+    }
 
     /** CTE pair `p(doc_id, payload)`, `m(doc_id, modality, payload)`:
       * the bit-identical twin of withMagicPayload ∘ detectModality.

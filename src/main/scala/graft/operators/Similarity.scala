@@ -58,14 +58,24 @@ object Similarity {
     * identical to the window it replaces ((score best-first, cand_id
     * ASC); the aggregate's comparator replicates Spark's double
     * ordering bit-for-bit), so results — and the DuckDB window oracles
-    * — are unchanged. `ascending` callers (distance metrics) must be
-    * NaN-free: the negation trick maps NaN to NaN, which would rank
-    * first instead of last (l2sq over real vectors never yields NaN).
+    * — are unchanged.
+    *
+    * Degenerate-score contract (explicit, enforced by the pre-filter
+    * below): NULL and NaN scores are EXCLUDED from ranking — a query
+    * with fewer than k rankable candidates returns fewer rows. NULL
+    * arises from Spark's x/0 → NULL (a zero-norm embedding under
+    * cosine); NaN could arise from a future distance metric, and would
+    * otherwise rank FIRST on the ascending path (the negation trick
+    * maps NaN to NaN, which Spark's double ordering places greatest —
+    * l2sq over real vectors never yields one, but the helper must not
+    * depend on every future caller knowing that).
     */
   private def topKRanked(scored: DataFrame, scoreCol: String, k: Int,
       ascending: Boolean): DataFrame = {
     val s = if (ascending) -col(scoreCol) else col(scoreCol)
-    scored.groupBy("query_id")
+    scored
+      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      .groupBy("query_id")
       .agg(graft.functions.Sketch.topKByScore(s, col("cand_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("cand_id"),

@@ -257,8 +257,17 @@ object TextAnalysis {
       .join(c1.select(col("w1c").as("w1b"), col("c1").as("c1w2")), "w1b")
       .select(col("g2").as("bg23"),
         log(lit(SbAlpha) * col("c2").cast("double") / col("c1w2")).as("lp1"))
+    // Each DISTINCT trigram is scored ONCE, globally, then joined back
+    // to the per-doc stream on its single key. Scoring per (doc,
+    // trigram) row shuffled the corpus-scale doc stream THREE times
+    // (g3/bg23/w3) and redundantly re-scored every shared trigram per
+    // document; the global distinct-trigram table is the frame that
+    // grows sublinearly with the corpus (shared text repeats grams), so
+    // the tier joins stay gram-table-sized at any scale and the doc
+    // stream shuffles once. Values are identical per g3 — oracle hashes
+    // unchanged.
     val p = split(col("g3"), " ")
-    val scored = docTg
+    val g3Score = docTg.select("g3").distinct()
       .withColumn("bg23", concat_ws(" ", p.getItem(1), p.getItem(2)))
       .withColumn("w3", p.getItem(2))
       .join(triScore, Seq("g3"), "left")
@@ -272,6 +281,9 @@ object TextAnalysis {
           log(lit(SbAlpha * SbAlpha) *
             (coalesce(col("c1w3"), lit(0L)).cast("double") + 0.5) /
             (col("ref_n").cast("double") + lit(0.5) * col("ref_v")))))
+      .select("g3", "tier", "lp")
+    // inner join loses nothing: g3Score's keys ARE docTg's distinct g3
+    val scored = docTg.join(g3Score, "g3")
     scored.groupBy("doc_id")
       .agg(
         sum(col("n")).as("n_trigrams"),

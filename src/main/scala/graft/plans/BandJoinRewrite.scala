@@ -125,11 +125,20 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val intPath = integralSides(lt, rt) && integralWidth(w)
           def bucket(e: Expression): Expression =
             if (intPath) {
-              // exact integer floor-division (pmod keeps negatives
-              // correct: pmod(-7,2)=1 → (-7-1) div 2 = -4 = floor(-3.5))
+              // exact integer floor-division at EVERY long magnitude:
+              // trunc-divide, then correct negative remainders
+              // ((-7) div 2 = -3, rem -1 → -4 = floor(-3.5)). The
+              // earlier e − pmod(e, w) form wrapped below Long.MinValue
+              // for values within w of it (non-ANSI Subtract overflows
+              // silently → wrong bucket → dropped in-band pairs); here
+              // a correction only fires when |q| ≤ |e|/w < |Long.Min|,
+              // so q − 1 can never overflow (w = 1 ⇒ rem = 0 ⇒ no
+              // correction).
               val wL = Literal(w.toLong, LongType)
               val el = Cast(e, LongType)
-              IntegralDivide(Subtract(el, Pmod(el, wL)), wL)
+              val q = IntegralDivide(el, wL)
+              If(LessThan(Remainder(el, wL), Literal(0L)),
+                Subtract(q, Literal(1L)), q)
             } else Cast(Floor(Divide(Cast(e, DoubleType), wLit)), LongType)
           val rb = Alias(bucket(rt), "__graft_band_rb")()
           val rightP = Project(right.output :+ rb, right)

@@ -33,18 +33,104 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialized {
 
+  /** One artifact slot. The build runs at most once (synchronized on
+    * the cell, not the registry — concurrent first callers of the SAME
+    * key share one build without serializing unrelated builds), and
+    * eviction can see whether a frame was ever materialized without
+    * triggering the build.
+    */
+  private final class Cell(build: () => DataFrame) {
+    @volatile private var built: Option[DataFrame] = None
+    def frame: DataFrame = built.getOrElse(synchronized {
+      built.getOrElse {
+        val f = build().persist(StorageLevel.MEMORY_AND_DISK)
+        f.count()
+        built = Some(f)
+        f
+      }
+    })
+    def builtFrame: Option[DataFrame] = built
+  }
+
   private val reg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Cell]
+  // Sessions whose SparkContext already carries our end-of-application
+  // eviction listener (entries would otherwise pin persisted frames —
+  // and their sessions — for the life of the JVM).
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def hookEviction(s: SparkSession): Unit =
+    if (hooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict(s)
+      })
+    }
+
+  /** Drops every artifact keyed to `s`, unpersisting best-effort (the
+    * blocks are already gone once the context stopped; the point is
+    * releasing the strong references).
+    */
+  def evict(s: SparkSession): Unit = {
+    hooked.remove(s)
+    reg.keysIterator.filter(_._1 eq s).toList.foreach { k =>
+      reg.remove(k).flatMap(_.builtFrame)
+        .foreach(f => try f.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
+  }
 
   /** The artifact for `key` over the corpus at `dir`, building and
     * persisting it on first use. The eager count() plays the role of
     * the production write: consumers read a SOLVED artifact, never a
-    * lazy plan that would re-derive it per action.
+    * lazy plan that would re-derive it per action. putIfAbsent + the
+    * per-cell lock make the build once-only even under concurrent
+    * first access; the application-end listener evicts the session's
+    * entries so a long-lived multi-session process cannot leak them.
     */
-  def of(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    reg.getOrElseUpdate((s, dir, key), {
-      val f = build.persist(StorageLevel.MEMORY_AND_DISK)
-      f.count()
-      f
-    })
+  def of(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    hookEviction(s)
+    val k = (s, dir, key)
+    val cell = reg.get(k).getOrElse {
+      val c = new Cell(() => build)
+      reg.putIfAbsent(k, c).getOrElse(c)
+    }
+    cell.frame
+  }
+
+  // JVM-lifetime root for DISK artifacts: fresh per process, so an
+  // artifact is reused across queries and bench passes within a run but
+  // can never go stale against a newer builder in a later run.
+  private lazy val diskRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-artifacts-")
+
+  /** The artifact persisted THROUGH THE FILESYSTEM — the production
+    * index-maintenance "reuse" branch, actually exercised: built and
+    * parquet-written once per (corpus, key) in this process, then every
+    * consumer — later queries, later bench passes — READS the stored
+    * table (a real parquet scan, not a cached plan). Builders are
+    * deterministic, so the disk reader is bit-identical to a
+    * re-deriver: MaterializedDiskSpec asserts it directly, and the
+    * consumer query's DuckDB oracle re-derives from scratch, so the
+    * round-trip sits under the hash gate every round.
+    *
+    * The write is atomic: build into a tmp directory, rename into
+    * place. A concurrent loser's rename fails on the existing target;
+    * it abandons its tmp (bounded: one orphan per race, under the
+    * process temp root) and reads the winner's table.
+    */
+  def onDisk(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val corpus = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = diskRoot.resolve(s"$corpus-$key")
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) synchronized {
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+        val tmp = diskRoot.resolve(s"$corpus-$key.tmp-${System.nanoTime()}")
+        build.write.mode("overwrite").parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, path)
+        catch { case _: java.nio.file.FileSystemException => () } // lost the race
+      }
+    }
+    s.read.parquet(path.toString)
+  }
 }

@@ -1816,6 +1816,35 @@ object PipelineQueries {
       .select("doc_id", "width", "height", "out_width", "out_height")
       .orderBy("doc_id")
 
+  /** q237: perceptual near-dup over the media payloads — 64-bit dHash
+    * fingerprints from the deterministic decoded-byte features, banded
+    * Hamming LSH candidate generation (block-capped, never all-pairs),
+    * exact 64-bit verification. See [[Multimodal.dhashNearDupPairs]].
+    */
+  val dhashNearDup: Q = (s, dir) =>
+    Multimodal.dhashNearDupPairs(docs(s, dir))
+
+  /** q238: the persisted-index consumer — the trained L2 coarse
+    * quantizer parquet-WRITTEN once and READ BACK from disk
+    * ([[Materialized.onDisk]]: the q235 maintenance plan's "reuse"
+    * branch, actually exercised), then the full corpus assigned against
+    * the disk artifact: per-centroid inverted-list sizes, empty lists
+    * included. The oracle re-derives the quantizer from scratch, so the
+    * hash gate IS the artifact-reader ≡ re-deriver proof.
+    */
+  val persistedIndex: Q = (s, dir) => {
+    val cents = Materialized.onDisk(s, dir, "kmeans_l2")(mKmeansL2(s, dir))
+    val asg = Clustering.assignL2(
+      emb(s, dir).select(col("vec_id"), col("embedding")), cents)
+    cents.select(col("cluster_id").as("cent_id"))
+      .join(
+        asg.groupBy(col("cluster_id").as("cent_id")).agg(count(lit(1)).as("n_vecs")),
+        Seq("cent_id"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+      .select(col("cent_id"), col("n_vecs"))
+      .orderBy("cent_id")
+  }
+
   /** q189: severity-weighted dictionary blocklist (word + phrase tiers,
     * broadcast dictionary joins — the bad-term/PII/toxicity gate).
     */
@@ -1920,6 +1949,8 @@ object PipelineQueries {
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
     "q188_resize_plan" -> resizePlan,
+    "q237_dhash_neardup" -> dhashNearDup,
+    "q238_persisted_index" -> persistedIndex,
     "q184_stream_gate" -> streamGateTwin,
     "q183_embedding_qa" -> embeddingQa,
     "q182_heaps_fit" -> heapsGrowth,
@@ -2149,6 +2180,20 @@ object PipelineQueries {
          |  CAST(floor(height * $scale) AS INT) AS out_height
          |FROM d ORDER BY doc_id""".stripMargin
     },
+    "q237_dhash_neardup" -> Multimodal.O.dhashPairs(),
+    "q238_persisted_index" -> {
+      val embSrc = "(SELECT vec_id, embedding FROM embeddings)"
+      s"""WITH ${Similarity.O.kmeansL2Ctes("i", embSrc, Similarity.Dim)},
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${V.O.l2sq("e.embedding", "c.cemb", Similarity.Dim)} ASC, c.cent_id) AS rn
+         |  FROM embeddings e CROSS JOIN icent c) WHERE rn = 1),
+         |cnt AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY 1)
+         |SELECT ic.cent_id, CAST(COALESCE(n_vecs, 0) AS BIGINT) AS n_vecs
+         |FROM (SELECT cent_id FROM icent) ic LEFT JOIN cnt USING (cent_id)
+         |ORDER BY ic.cent_id""".stripMargin
+    },
     "q184_stream_gate" ->
       s"""WITH g AS (SELECT doc_id, n_words, pass_gopher FROM (${TO.gopherRules()})),
          |sc AS (SELECT doc_id, score AS domain_score, predicted_positive AS keep_domain
@@ -2303,10 +2348,14 @@ object PipelineQueries {
          |               CAST(SUM(n_new) AS BIGINT) AS tnew FROM cnt)
          |SELECT ic.cent_id, CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
          |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
-         |  round(CAST(COALESCE(n_old, 0) AS DOUBLE) / CAST(told AS DOUBLE), 6) AS old_share,
-         |  round(CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(tnew AS DOUBLE), 6) AS new_share,
-         |  round(CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(tnew AS DOUBLE)
-         |    - CAST(COALESCE(n_old, 0) AS DOUBLE) / CAST(told AS DOUBLE), 6) AS share_drift
+         |  round(CASE WHEN told > 0
+         |    THEN CAST(COALESCE(n_old, 0) AS DOUBLE) / CAST(told AS DOUBLE) ELSE 0.0 END, 6) AS old_share,
+         |  round(CASE WHEN tnew > 0
+         |    THEN CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(tnew AS DOUBLE) ELSE 0.0 END, 6) AS new_share,
+         |  round(CASE WHEN tnew > 0
+         |      THEN CAST(COALESCE(n_new, 0) AS DOUBLE) / CAST(tnew AS DOUBLE) ELSE 0.0 END
+         |    - CASE WHEN told > 0
+         |      THEN CAST(COALESCE(n_old, 0) AS DOUBLE) / CAST(told AS DOUBLE) ELSE 0.0 END, 6) AS share_drift
          |FROM (SELECT cent_id FROM icent) ic LEFT JOIN cnt USING (cent_id) CROSS JOIN tot
          |ORDER BY ic.cent_id""".stripMargin
     },

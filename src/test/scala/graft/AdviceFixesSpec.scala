@@ -164,6 +164,77 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
     assert(r == Map("a" -> 3L))
   }
 
+  // ---- round-9 advisor findings ----
+
+  private def messageChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+
+  test("topKRanked excludes NaN distances instead of ranking them first") {
+    import graft.operators.Similarity
+    val nan = Float.NaN
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 1f)),
+      (1L, Array(0f, 0f, 1f, 1f)),
+      (2L, Array(0f, 1f, 1f, 1f)),
+      (3L, Array(1f, 1f, 1f, 1f)),
+      (4L, Array(nan, 1f, 1f, 1f)) // NaN l2 distance → excluded, never rank 1
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceL2TopK(emb, $"vec_id" === 0L, k = 10)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // 4 excluded, order intact
+    assert(r.forall(x => !x.getDouble(2).isNaN))
+  }
+
+  test("topKRanked excludes NULL scores explicitly") {
+    import graft.operators.Similarity
+    // mismatched width → dotFast NULL → cosine NULL (the ANSI-safe NULL
+    // source; a zero norm would raise DIVIDE_BY_ZERO before ranking)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 1f, 0f, 0f)),
+      (2L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(emb, $"vec_id" === 0L, k = 10).collect()
+    assert(r.map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  test("kmeans fails loudly on embeddings wider than dim instead of truncating") {
+    import graft.operators.Clustering
+    val wide = Seq.tabulate(6)(i => (i.toLong, Array.fill(Clustering.EmbDim + 1)((i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Clustering.kmeans(wide, k = 2, iters = 1).collect()
+    }
+    assert(messageChain(e).contains("exceeds dim=64"), messageChain(e).take(500))
+  }
+
+  test("incrementalAssignment emits 0.0 shares, not NULL/inf, on an empty split") {
+    import graft.operators.Clustering
+    val emb = Seq.tabulate(8)(i =>
+      (i.toLong, Array(i.toFloat, (i * 2).toFloat, 1f, 0f))).toDF("vec_id", "embedding")
+    val r = Clustering.incrementalAssignment(
+      emb, lit(false), k = 2, iters = 1, trainPct = 100).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(!x.isNullAt(4) && x.getDouble(4) == 0.0) // new_share
+      assert(!x.isNullAt(5) && x.getDouble(5) == -x.getDouble(3)) // drift = -old_share
+    }
+  }
+
+  test("Materialized builds once per key and rebuilds after evict") {
+    import graft.warehouse.Materialized
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def artifact() = Materialized.of(spark, "advice-r9-dir", "advice-r9-key") {
+      builds.incrementAndGet()
+      Seq((1L, "a")).toDF("k", "v")
+    }
+    assert(artifact().count() == 1 && artifact().count() == 1)
+    assert(builds.get() == 1)
+    Materialized.evict(spark)
+    assert(artifact().count() == 1)
+    assert(builds.get() == 2)
+  }
+
   test("eventPaths md5 comes from the first PathCap events only") {
     import graft.warehouse.ExtendedQueries
     // 60 events for one user: the path must hash the first 50 by

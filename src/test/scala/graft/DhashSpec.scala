@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Perceptual near-dup fingerprint (dHash + banded Hamming LSH). */
+class DhashSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+
+  test("near-identical payloads pair at small Hamming; unrelated ones do not") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")), // one in-place word edit
+      (3L, (1 to 30).map(i => s"tok${i * 17 % 11}").mkString(" ") + " completely different payload content")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.dhashNearDupPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 <= 6)
+  }
+
+  test("identical payloads hash identically (Hamming 0)") {
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val p = Multimodal.dhashNearDupPairs(docs).collect()
+    assert(p.length == 1 && p.head.getInt(2) == 0)
+  }
+
+  test("payloads shorter than the pooling grid are excluded") {
+    val docs = Seq((1L, "too short"), (2L, base)).toDF("doc_id", "text")
+    assert(Multimodal.withDhash(docs).select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("banding covers every pair within the Hamming threshold (pigeonhole)") {
+    // craft two hashes differing in exactly 7 bits, all inside two bands:
+    // bands 2..7 are identical, so the (band, value) join MUST surface
+    // the pair — the recall guarantee the 8×8-bit split provides
+    val h1 = 0L
+    val h2 = java.lang.Long.parseLong("1111" + "000" + "1110", 2) // 7 bits in bands 0-1
+    assert(java.lang.Long.bitCount(h1 ^ h2) == 7)
+    val shared = (2 until 8).map(b => (h1 >> (8 * b)) & 255L) ==
+      (2 until 8).map(b => (h2 >> (8 * b)) & 255L)
+    assert(shared)
+  }
+}

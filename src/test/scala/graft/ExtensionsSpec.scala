@@ -143,6 +143,27 @@ class ExtensionsSpec extends AnyFunSuite with TestSpark {
     assert(exp.nonEmpty && got == exp, s"got $got vs expected $exp")
   }
 
+  test("band join rewrite buckets correctly within w of Long.MinValue") {
+    // the old e − pmod(e, w) bucket wrapped below Long.MinValue for
+    // values within w of it, silently dropping in-band pairs; the
+    // trunc-divide + negative-remainder correction cannot overflow
+    val mn = Long.MinValue
+    val lRows = List((1L, mn), (2L, mn + 2L), (3L, mn + 100L))
+    val rRows = List((10L, mn + 2L), (11L, mn + 5L), (12L, mn + 200L))
+    val l = lRows.toDF("lid", "lt").repartition(2)
+    val r = rRows.toDF("rid", "rt").repartition(2)
+    val q = l.join(r, org.apache.spark.sql.functions.abs($"lt" - $"rt") <= 3)
+      .select("lid", "rid")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_band"), p.take(1500))
+    val got = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exp = (for {
+      a <- lRows; b <- rRows if math.abs(a._2 - b._2) <= 3
+    } yield (a._1, b._1)).toSet
+    assert(exp == Set((1L, 10L), (2L, 10L), (2L, 11L)) && got == exp,
+      s"got $got vs expected $exp")
+  }
+
   test("registerAll is idempotent on an existing session") {
     graft.core.GraftExtensions.registerAll(spark)
     graft.core.GraftExtensions.registerAll(spark)
