@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through VERBATIM: the default
+// LoggedOutput strategy prefixes every child stdout line with
+// "[info] ", which breaks the harness's tail-line JSON parse of the
+// Bench/Verify summary (BENCH parsed=null rounds 1-9).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // The bench/verify mains print one machine-parsed JSON line as their
 // LAST stdout line; sbt's "[success] Total time: ..." epilogue would
 // otherwise land after it and break the harness's tail-window parse.

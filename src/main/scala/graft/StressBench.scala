@@ -101,7 +101,15 @@ object StressBench {
     // contract) and the epoch-allocation composition (canonical keep +
     // one keyed aggregation + K-row arithmetic)
     "q156_pq_adc" -> warehouse.PipelineQueries.pqAdc,
-    "q233_epoch_allocation" -> warehouse.PipelineQueries.epochAllocationQ)
+    "q233_epoch_allocation" -> warehouse.PipelineQueries.epochAllocationQ,
+    // round-10 addition: the dhash perceptual near-dup pipeline —
+    // position-row fingerprinting (md5 once per gram, codegen'd) +
+    // banded block-capped Hamming join. Word-prefixed replicas shift
+    // every gram hash, so replica fingerprints are band-disjoint and
+    // the pair workload scales with the input — corpus-linear or bust
+    // (the round-9 O(bins×L) per-row blowup is the regression class
+    // this row exists to catch).
+    "q237_dhash_neardup" -> warehouse.PipelineQueries.dhashNearDup)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity

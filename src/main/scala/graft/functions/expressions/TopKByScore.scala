@@ -74,10 +74,19 @@ case class TopKByScore(
     buf
   }
 
+  // NULL and NaN scores are excluded HERE, inside the aggregate,
+  // rather than by a Filter above it: a pre-filter on the score column
+  // gets predicate-pushed through the scoring projection, so the score
+  // expression (an interpreted HOF distance, a 16-term decimal ADC
+  // tree) is evaluated TWICE per scored pair — once in the pushed
+  // filter, once for the aggregate. Skipping degenerate scores in
+  // update() costs one branch and keeps the ranking semantics: a group
+  // with fewer than k rankable candidates returns fewer rows, and NaN
+  // (which the comparator would rank greatest) never enters a buffer.
   override def update(buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val s = left.eval(input)
     val i = right.eval(input)
-    if (s != null && i != null) {
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
       buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
       if (buf.length > 4 * k) compact(buf)
     }

@@ -179,13 +179,15 @@ object Corpus {
     docs
       .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("q0", "word")))
       .select(col("doc_id"), (col("q0") + 1).as("q"), col("word"))
-      // boundary AFTER position q: md5 of the 3-gram ending at q (the
-      // two preceding words arrive by lag; q >= 3 guards the ramp-up)
+      // boundary AFTER position q: md5 of the CdcWindow-gram ending at
+      // q (the preceding words arrive by lag — derived from CdcWindow
+      // so the batch and streaming formulations cannot silently
+      // diverge; q >= CdcWindow guards the ramp-up)
       .withColumn("is_bnd",
         col("q") >= CdcWindow &&
           Hashes.md5Long32(concat_ws(" ",
-            lag(col("word"), 2).over(wd), lag(col("word"), 1).over(wd),
-            col("word"))) % divisor === 0)
+            ((CdcWindow - 1) to 1 by -1).map(o => lag(col("word"), o).over(wd)) :+
+              col("word"): _*)) % divisor === 0)
       // chunk index of word q = boundaries strictly before q
       .withColumn("chunk_idx",
         sum(when(lag(col("is_bnd"), 1, false).over(wd), 1).otherwise(0)).over(run)

@@ -170,16 +170,9 @@ object Multimodal {
     * → near-identical 72-vector (true pairs land at Hamming 0–1,
     * background ≥ ~5 on this corpus) — so every downstream stage
     * (gradient-bit extraction, banding, blocked Hamming join) is
-    * exercised exactly as production would run it.
+    * exercised exactly as production would run it. The histogram itself
+    * is computed row-wise inside [[withDhash]].
     */
-  def dhashPixels(text: Column): Column = {
-    import graft.functions.Hashes
-    val grams = transform(
-      sequence(lit(1), length(text) - (DHashGram - 1)),
-      i => (Hashes.md5Long32(text.substr(i, lit(DHashGram))) % DHashBins).cast("int"))
-    transform(sequence(lit(0), lit(DHashBins - 1)),
-      k => size(filter(grams, x => x === k)).cast("long"))
-  }
 
   /** The dHash bit extraction (Krawetz's difference hash): bit (r,c) of
     * the 64-bit fingerprint is set iff pixel[r][c+1] > pixel[r][c] over
@@ -196,16 +189,40 @@ object Multimodal {
         shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** doc_id → 64-bit perceptual fingerprint, for payloads long enough
-    * to pool. The pixel array materializes in its own projection so the
-    * 128 element_at reads share one histogram computation.
+  /** (doc_id, dhash) — the 64-bit perceptual fingerprint per payload
+    * long enough to pool.
+    *
+    * POSITION-ROW shape, the same choice [[Corpus.cdcChunks]] documents:
+    * an array formulation (`transform(sequence, md5)` + 72 per-bin
+    * `filter` lambdas) runs entirely in interpreted higher-order
+    * functions — O(bins × L) lambda invocations per row on the hot
+    * path, the round-9 q237 bench timeout. Exploding gram positions to
+    * rows pays each md5 exactly ONCE inside a whole-stage-codegen'd
+    * projection; the histogram is a map-side-combined count (≤
+    * [[DHashBins]] rows per doc reach the shuffle), and the per-doc
+    * pixel array assembles from a 72-entry map — ~200 cheap lookups
+    * per doc instead of ~20k interpreted closure calls. Fully linear
+    * in corpus size, inherits file parallelism.
     */
-  def withDhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+  def withDhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.Hashes
+    val bins = docs
       .filter(length(col(textCol)) >= DHashMinChars)
-      .withColumn("__pix", dhashPixels(col(textCol)))
+      .select(col("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - (DHashGram - 1))).as("__i"))
+      .select(col("doc_id"),
+        (Hashes.md5Long32(col("__t").substr(col("__i"), lit(DHashGram)))
+          % DHashBins).cast("int").as("__bin"))
+    bins
+      .groupBy("doc_id", "__bin").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("__bin"), col("__c")))).as("__m"))
+      .withColumn("__pix",
+        transform(sequence(lit(0), lit(DHashBins - 1)),
+          k => coalesce(element_at(col("__m"), k), lit(0L))))
       .withColumn("dhash", dhashBits(col("__pix")))
-      .drop("__pix")
+      .select(col("doc_id"), col("dhash"))
+  }
 
   /** Perceptual near-dup pairs via multi-index Hamming LSH (the
     * image-dedup shape of the MinHash-band trick): each fingerprint
@@ -218,12 +235,26 @@ object Multimodal {
     * reducer; same discipline as [[Similarity.GraphBlockCap]]).
     * Verified pairs carry the exact 64-bit Hamming distance.
     */
-  def dhashNearDupPairs(docs: DataFrame, maxHamming: Int = DHashMaxHamming,
-      textCol: String = "text"): DataFrame = {
-    val h = withDhash(docs, textCol).select(col("doc_id"), col("dhash"))
-    val bands = h.select(col("doc_id"), col("dhash"),
+  /** doc_id, dhash → one row per (band, 8-bit band value) — the
+    * multi-index expansion both the batch pair generator and the
+    * incremental index matcher band on.
+    */
+  private def bandExplode(h: DataFrame): DataFrame =
+    h.select(col("doc_id"), col("dhash"),
       posexplode(array((0 until DHashBands).map(b =>
         shiftright(col("dhash"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
+
+  def dhashNearDupPairs(docs: DataFrame, maxHamming: Int = DHashMaxHamming,
+      textCol: String = "text"): DataFrame =
+    dhashPairsFromHashes(withDhash(docs, textCol), maxHamming)
+
+  /** Pair generation over an already-computed (and ideally PERSISTED —
+    * the fingerprint subtree appears four times in this DAG: block
+    * census, both self-join sides via the candidate frame) fingerprint
+    * table.
+    */
+  def dhashPairsFromHashes(h: DataFrame, maxHamming: Int = DHashMaxHamming): DataFrame = {
+    val bands = bandExplode(h)
     val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= DHashBlockCap).select("band", "bv")
     val cand = bands.join(ok, Seq("band", "bv"))
@@ -239,6 +270,50 @@ object Multimodal {
       .orderBy("d1", "d2")
   }
 
+  /** Incremental perceptual dedup — the media twin of the q131
+    * incremental-ingest shape: NEW fingerprints matched against a
+    * PERSISTED index of existing fingerprints (built once, read back
+    * from disk via [[graft.warehouse.Materialized.onDisk]] at the call
+    * site). Candidate generation is the same banded equi-join as
+    * [[dhashNearDupPairs]] — never new × index all-pairs — with the
+    * block cap applied to the INDEX side (a degenerate band value in
+    * the index must not explode every arriving batch). Output is one
+    * row per new fingerprint: match count against the index, the best
+    * (min-Hamming, min-id) index doc, and its distance — NULLs and 0
+    * for novel docs.
+    *
+    * Scale shape: the index is banded once per batch (at 100 TB the
+    * banded index is itself the persisted artifact); each new doc
+    * touches only its [[DHashBands]] blocks, so an ingest batch costs
+    * O(batch × bands) lookups however large the corpus index grows.
+    */
+  def dhashIndexMatches(newH: DataFrame, index: DataFrame,
+      maxHamming: Int = DHashMaxHamming): DataFrame = {
+    val idx = bandExplode(index)
+    val ok = idx.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= DHashBlockCap).select("band", "bv")
+    val cand = bandExplode(newH)
+      .join(idx.join(ok, Seq("band", "bv"))
+          .select(col("band"), col("bv"),
+            col("doc_id").as("idx_id"), col("dhash").as("idx_hash")),
+        Seq("band", "bv"))
+      .select(col("doc_id"), col("dhash"), col("idx_id"), col("idx_hash"))
+      .distinct()
+      .select(col("doc_id"), col("idx_id"),
+        bit_count(col("dhash").bitwiseXOR(col("idx_hash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    newH.select(col("doc_id"))
+      .join(
+        cand.groupBy("doc_id").agg(
+          count(lit(1)).as("n_matches"),
+          min(col("hamming")).as("min_hamming"),
+          min(struct(col("hamming"), col("idx_id"))).getField("idx_id").as("best_match")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .select(col("doc_id"), col("n_matches"), col("min_hamming"), col("best_match"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle fragments — ASCII payloads make string arithmetic ≡
     * byte arithmetic, so the oracle replays the binary plumbing on
     * VARCHARs.
@@ -251,7 +326,11 @@ object Multimodal {
       * 1<<63); summing distinct powers of two never overflows — the
       * total IS the 64-bit pattern.
       */
-    def dhashPairs(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String = {
+    /** CTE chain `d → px → hh(doc_id, dhash)` — the fingerprint table
+      * both the pair oracle and the incremental oracle derive from
+      * scratch.
+      */
+    private def dhashCtes: String = {
       val terms = (0 until 64).map { b =>
         val r = b / 8
         val c = b % 8
@@ -259,12 +338,16 @@ object Multimodal {
         s"CASE WHEN pix[${r * 9 + c + 2}] > pix[${r * 9 + c + 1}] THEN $t ELSE 0::BIGINT END"
       }.mkString(" + ")
       val gram = Hashes.O.md5Long32(s"substring(text, CAST(i AS INT), $DHashGram)")
-      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= $DHashMinChars),
+      s"""d AS (SELECT doc_id, text FROM documents WHERE length(text) >= $DHashMinChars),
          |px AS MATERIALIZED (SELECT doc_id, list_transform(range(0, $DHashBins), k ->
          |    CAST(len(list_filter(gs, x -> x = k)) AS BIGINT)) AS pix
          |  FROM (SELECT doc_id, list_transform(range(1, length(text) - ${DHashGram - 2}),
          |    i -> $gram % $DHashBins) AS gs FROM d)),
-         |hh AS MATERIALIZED (SELECT doc_id, ($terms) AS dhash FROM px),
+         |hh AS MATERIALIZED (SELECT doc_id, ($terms) AS dhash FROM px)""".stripMargin
+    }
+
+    def dhashPairs(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String = {
+      s"""WITH $dhashCtes,
          |bnd AS MATERIALIZED (SELECT doc_id, dhash, b AS band, (dhash >> (8 * b)) & 255 AS bv
          |  FROM hh CROSS JOIN (SELECT unnest(range(0, $DHashBands)) AS b)),
          |ok AS (SELECT band, bv FROM bnd GROUP BY band, bv HAVING COUNT(*) <= $cap),
@@ -276,6 +359,36 @@ object Multimodal {
          |FROM pr WHERE CAST(bit_count(xor(h1, h2)) AS INT) <= $maxHamming
          |ORDER BY d1, d2""".stripMargin
     }
+
+    /** Bit-identical twin of [[Multimodal.dhashIndexMatches]] with the
+      * index/new split at `doc_id < split` — re-derives the whole
+      * fingerprint table from scratch, so the hash gate proves the
+      * Spark side's disk-persisted index equals a re-derivation.
+      */
+    def dhashIncremental(split: Long, maxHamming: Int = DHashMaxHamming,
+        cap: Int = DHashBlockCap): String =
+      s"""WITH $dhashCtes,
+         |idx AS (SELECT doc_id, dhash FROM hh WHERE doc_id < $split),
+         |nw AS (SELECT doc_id, dhash FROM hh WHERE doc_id >= $split),
+         |ib AS MATERIALIZED (SELECT doc_id, dhash, b AS band, (dhash >> (8 * b)) & 255 AS bv
+         |  FROM idx CROSS JOIN (SELECT unnest(range(0, $DHashBands)) AS b)),
+         |ok AS (SELECT band, bv FROM ib GROUP BY band, bv HAVING COUNT(*) <= $cap),
+         |nb AS (SELECT doc_id, dhash, b AS band, (dhash >> (8 * b)) & 255 AS bv
+         |  FROM nw CROSS JOIN (SELECT unnest(range(0, $DHashBands)) AS b)),
+         |cand AS (SELECT DISTINCT nb.doc_id AS doc_id, i.doc_id AS idx_id,
+         |    nb.dhash AS h1, i.dhash AS h2
+         |  FROM nb JOIN (SELECT ib.* FROM ib JOIN ok USING (band, bv)) i
+         |    ON nb.band = i.band AND nb.bv = i.bv),
+         |v AS (SELECT doc_id, idx_id, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |  FROM cand WHERE CAST(bit_count(xor(h1, h2)) AS INT) <= $maxHamming),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |    MIN(hamming) AS min_hamming,
+         |    (ARRAY_AGG(idx_id ORDER BY hamming, idx_id))[1] AS best_match
+         |  FROM v GROUP BY doc_id)
+         |SELECT nw.doc_id, CAST(COALESCE(agg.n_matches, 0) AS BIGINT) AS n_matches,
+         |  agg.min_hamming, agg.best_match
+         |FROM nw LEFT JOIN agg USING (doc_id)
+         |ORDER BY nw.doc_id""".stripMargin
 
     /** CTE pair `p(doc_id, payload)`, `m(doc_id, modality, payload)`:
       * the bit-identical twin of withMagicPayload ∘ detectModality.

@@ -60,21 +60,23 @@ object Similarity {
     * ordering bit-for-bit), so results — and the DuckDB window oracles
     * — are unchanged.
     *
-    * Degenerate-score contract (explicit, enforced by the pre-filter
-    * below): NULL and NaN scores are EXCLUDED from ranking — a query
-    * with fewer than k rankable candidates returns fewer rows. NULL
-    * arises from Spark's x/0 → NULL (a zero-norm embedding under
-    * cosine); NaN could arise from a future distance metric, and would
-    * otherwise rank FIRST on the ascending path (the negation trick
-    * maps NaN to NaN, which Spark's double ordering places greatest —
-    * l2sq over real vectors never yields one, but the helper must not
-    * depend on every future caller knowing that).
+    * Degenerate-score contract: NULL and NaN scores are EXCLUDED from
+    * ranking — a query with fewer than k rankable candidates returns
+    * fewer rows. NULL arises from Spark's x/0 → NULL (a zero-norm
+    * embedding under cosine); NaN could arise from a future distance
+    * metric, and would otherwise rank FIRST on the ascending path (the
+    * negation trick maps NaN to NaN, which Spark's double ordering
+    * places greatest). The exclusion lives INSIDE TopKByScore.update,
+    * not in a Filter here: a filter on the score column gets
+    * predicate-pushed through the scoring projection and re-evaluates
+    * the score expression — an interpreted HOF distance or the
+    * 16-term decimal ADC tree — once per pair for the filter and again
+    * for the aggregate (~2.5× on q160, the round-9 regression).
     */
   private def topKRanked(scored: DataFrame, scoreCol: String, k: Int,
       ascending: Boolean): DataFrame = {
     val s = if (ascending) -col(scoreCol) else col(scoreCol)
     scored
-      .where(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
       .groupBy("query_id")
       .agg(graft.functions.Sketch.topKByScore(s, col("cand_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))

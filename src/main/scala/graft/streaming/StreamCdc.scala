@@ -39,11 +39,13 @@ object StreamCdc {
     val w = col("w")
     // boundary AFTER position q (1-based): the CdcWindow-gram ending at
     // q hashes to 0 mod divisor (q >= CdcWindow guards the ramp-up; the
-    // when() guards sequence()'s descending form on short docs)
+    // when() guards sequence()'s descending form on short docs). The
+    // gram is DERIVED from CdcWindow, same as the batch lag chain, so
+    // the two formulations cannot silently diverge.
     val bounds = when(size(w) >= Corpus.CdcWindow,
       filter(sequence(lit(Corpus.CdcWindow), size(w)), q =>
         Hashes.md5Long32(concat_ws(" ",
-          element_at(w, q - 2), element_at(w, q - 1), element_at(w, q)))
+          ((Corpus.CdcWindow - 1) to 0 by -1).map(o => element_at(w, q - o)): _*))
           % divisor === 0))
       .otherwise(array().cast("array<int>"))
     // chunk k starts at word 1 (k = 0) or one past the k-th boundary; a

@@ -74,11 +74,19 @@ object Materialized {
     */
   def evict(s: SparkSession): Unit = {
     hooked.remove(s)
-    reg.keysIterator.filter(_._1 eq s).toList.foreach { k =>
-      reg.remove(k).flatMap(_.builtFrame)
-        .foreach(f => try f.unpersist(blocking = false) catch { case _: Throwable => () })
-    }
+    reg.keysIterator.filter(_._1 eq s).toList.foreach(dropCell)
   }
+
+  /** Drops ONE artifact — for tests that must force a rebuild of their
+    * own key without wiping every cached artifact a later suite in the
+    * same JVM would otherwise silently rebuild.
+    */
+  def evict(s: SparkSession, dir: String, key: String): Unit =
+    dropCell((s, dir, key))
+
+  private def dropCell(k: (SparkSession, String, String)): Unit =
+    reg.remove(k).flatMap(_.builtFrame)
+      .foreach(f => try f.unpersist(blocking = false) catch { case _: Throwable => () })
 
   /** The artifact for `key` over the corpus at `dir`, building and
     * persisting it on first use. The eager count() plays the role of
@@ -115,20 +123,30 @@ object Materialized {
     * round-trip sits under the hash gate every round.
     *
     * The write is atomic: build into a tmp directory, rename into
-    * place. A concurrent loser's rename fails on the existing target;
-    * it abandons its tmp (bounded: one orphan per race, under the
-    * process temp root) and reads the winner's table.
+    * place. The rebuild check keys on the TARGET DIRECTORY existing —
+    * the rename only ever publishes a complete table, so presence is
+    * completeness (and the check survives sessions that disable
+    * _SUCCESS markers). A concurrent loser's rename fails on the
+    * existing target with FileAlreadyExistsException; it deletes its
+    * tmp copy (no orphan growth in a long-lived process) and reads the
+    * winner's table. Any OTHER filesystem failure — permissions, disk
+    * full — propagates instead of resurfacing later as a confusing
+    * missing-path read error.
     */
   def onDisk(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    import java.nio.file.{Files, FileAlreadyExistsException}
     val corpus = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val path = diskRoot.resolve(s"$corpus-$key")
-    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) synchronized {
-      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+    if (!Files.exists(path)) synchronized {
+      if (!Files.exists(path)) {
         val tmp = diskRoot.resolve(s"$corpus-$key.tmp-${System.nanoTime()}")
         build.write.mode("overwrite").parquet(tmp.toString)
-        try java.nio.file.Files.move(tmp, path)
-        catch { case _: java.nio.file.FileSystemException => () } // lost the race
+        try Files.move(tmp, path)
+        catch {
+          case _: FileAlreadyExistsException => // lost the race; winner is complete
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        }
       }
     }
     s.read.parquet(path.toString)

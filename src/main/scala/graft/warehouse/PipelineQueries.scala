@@ -1821,8 +1821,32 @@ object PipelineQueries {
     * Hamming LSH candidate generation (block-capped, never all-pairs),
     * exact 64-bit verification. See [[Multimodal.dhashNearDupPairs]].
     */
+  /** Corpus fingerprint table (doc_id, dhash) — persisted once per
+    * corpus: the pair generator's DAG reads the fingerprint subtree
+    * four times (block census + both self-join sides), and q239 splits
+    * it into index/new halves.
+    */
+  private def mDhashFp(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "dhash_fp")(Multimodal.withDhash(docs(s, dir)))
+
   val dhashNearDup: Q = (s, dir) =>
-    Multimodal.dhashNearDupPairs(docs(s, dir))
+    Multimodal.dhashPairsFromHashes(mDhashFp(s, dir))
+
+  /** q239: incremental dhash index maintenance — the corpus
+    * fingerprint table for the EXISTING docs (doc_id <
+    * [[IncrementalSplit]]) parquet-persisted once via
+    * [[Materialized.onDisk]] (the media twin of the q238 persisted
+    * quantizer), then only the NEW batch is fingerprinted and matched
+    * against the disk artifact through the banded Hamming join. The
+    * oracle re-derives every fingerprint from scratch, so the hash
+    * gate proves index-reader ≡ re-deriver for the media index too.
+    */
+  val dhashIncremental: Q = (s, dir) => {
+    val index = Materialized.onDisk(s, dir, "dhash_index")(
+      mDhashFp(s, dir).filter(col("doc_id") < IncrementalSplit))
+    val newH = mDhashFp(s, dir).filter(col("doc_id") >= IncrementalSplit)
+    Multimodal.dhashIndexMatches(newH, index)
+  }
 
   /** q238: the persisted-index consumer — the trained L2 coarse
     * quantizer parquet-WRITTEN once and READ BACK from disk
@@ -1951,6 +1975,7 @@ object PipelineQueries {
     "q188_resize_plan" -> resizePlan,
     "q237_dhash_neardup" -> dhashNearDup,
     "q238_persisted_index" -> persistedIndex,
+    "q239_dhash_incremental" -> dhashIncremental,
     "q184_stream_gate" -> streamGateTwin,
     "q183_embedding_qa" -> embeddingQa,
     "q182_heaps_fit" -> heapsGrowth,
@@ -2181,6 +2206,7 @@ object PipelineQueries {
          |FROM d ORDER BY doc_id""".stripMargin
     },
     "q237_dhash_neardup" -> Multimodal.O.dhashPairs(),
+    "q239_dhash_incremental" -> Multimodal.O.dhashIncremental(IncrementalSplit),
     "q238_persisted_index" -> {
       val embSrc = "(SELECT vec_id, embedding FROM embeddings)"
       s"""WITH ${Similarity.O.kmeansL2Ctes("i", embSrc, Similarity.Dim)},

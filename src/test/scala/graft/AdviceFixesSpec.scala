@@ -230,7 +230,10 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
     }
     assert(artifact().count() == 1 && artifact().count() == 1)
     assert(builds.get() == 1)
-    Materialized.evict(spark)
+    // keyed evict: dropping ONLY this test's artifact leaves the shared
+    // session's other cached artifacts (quantizers, rankings) in place
+    // for suites running later in the same JVM
+    Materialized.evict(spark, "advice-r9-dir", "advice-r9-key")
     assert(artifact().count() == 1)
     assert(builds.get() == 2)
   }

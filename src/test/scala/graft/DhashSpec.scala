@@ -35,6 +35,30 @@ class DhashSpec extends AnyFunSuite with TestSpark {
     assert(Multimodal.withDhash(docs).select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("fingerprint computation is corpus-linear: 5k docs x ~300 chars in bounded time") {
+    // The round-9 regression shape: the md5 gram array inlined into
+    // each of the 72 histogram-bin lambdas re-hashed every gram once
+    // per bin, interpreted — >150 s on exactly this workload. The
+    // fixed single-materialization plan runs it in a few seconds; the
+    // generous bound only exists to catch an O(bins x L) re-evaluation
+    // riding a green small-frame oracle again.
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 48).map(j =>
+        element_at(lit(words), (pmod(col("id") * 31 + j * 7, lit(words.length)) + 1).cast("int"))): _*)
+        .as("text"))
+    val t0 = System.nanoTime()
+    // aggregate over dhash itself: a bare count() lets Catalyst prune
+    // the whole fingerprint projection and times nothing
+    val r = Multimodal.withDhash(docs)
+      .agg(count(lit(1)).as("n"),
+        sum(col("dhash").bitwiseAND(lit(255L))).as("chk")).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.getLong(0) == 5000L)
+    assert(sec < 60.0, f"withDhash took $sec%.1f s on 5k docs - per-row blowup?")
+  }
+
   test("banding covers every pair within the Hamming threshold (pigeonhole)") {
     // craft two hashes differing in exactly 7 bits, all inside two bands:
     // bands 2..7 are identical, so the (band, value) join MUST surface

@@ -36,19 +36,25 @@ class TopKAggSpec extends AnyFunSuite with TestSpark {
     assert(r(2L) == Seq(1L)) // under-full group returns what exists
   }
 
-  test("NaN scores keep the window-idiom order (NaN greatest) and a total sort") {
+  test("NaN and NULL scores are excluded inside the aggregate (degenerate-score contract)") {
+    // The exclusion lives in TopKByScore.update, not in a Filter above
+    // the aggregate: a pushed pre-filter on the score column would
+    // re-evaluate the scoring expression once for the filter and again
+    // for the aggregate (the round-9 q160 2.5x regression). A NaN would
+    // otherwise rank FIRST (Spark's double ordering places NaN
+    // greatest); instead it never enters a buffer, and a group with
+    // fewer than k rankable candidates returns fewer rows.
     val df = Seq(
-      (1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, Double.NaN, 12L), (1L, 7.0, 13L))
+      (1L, Double.NaN, 10L), (1L, 5.0, 11L), (1L, Double.NaN, 12L), (1L, 7.0, 13L),
+      (2L, Double.NaN, 20L))
       .toDF("g", "score", "id")
     val viaAgg = df.groupBy("g")
       .agg(Sketch.topKByScore($"score", $"id", 3).as("top"))
-      .select(posexplode($"top")).select($"col.id").collect().map(_.getLong(0)).toSeq
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-      .orderBy(desc("score"), asc("id"))
-    val viaWindow = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
-      .orderBy("rn").select("id").collect().map(_.getLong(0)).toSeq
-    assert(viaAgg == viaWindow) // NaN ranks above real values, ids break ties
-    assert(viaAgg == Seq(10L, 12L, 13L))
+      .select($"g", posexplode($"top"))
+      .select($"g", $"col.id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(viaAgg(1L) == Seq(13L, 11L)) // NaN rows 10/12 excluded; 7.0 > 5.0
+    assert(!viaAgg.contains(2L) || viaAgg(2L).isEmpty) // all-NaN group ranks nothing
   }
 
   test("topk state merges across streaming micro-batches == one-shot batch") {
