@@ -261,6 +261,41 @@ object Sketch {
     when(size(sk) < k, size(sk).cast(DoubleType))
       .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60.0)) /
         element_at(sk, k).cast(DoubleType))
+
+  /** Deterministic Bloom filter (see
+    * graft.functions.expressions.BloomSketch): array<bigint> of 64
+    * bit-words, built over the md5 of each key's string rendering,
+    * mergeable by bit-OR. Broadcast one row of this and probe with
+    * [[bloomMaybeContains]] to drop most of a big join side map-side
+    * before the semi-join shuffle — false positives possible (and
+    * hash-checkable), false negatives impossible.
+    */
+  def bloomMd5(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(
+      graft.functions.expressions.BloomSketch.forInput(GraftBridge.expression(c))
+        .toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomMd5]] word array: true iff all
+    * K probe bits of `key` are set. Pure codegen'd shift/mask
+    * arithmetic over the same 60-bit md5 the builder used — the bit
+    * pattern (and so every probe verdict) is engine-exact against the
+    * DuckDB position-set replay.
+    */
+  def bloomMaybeContains(bloom: Column, key: Column): Column = {
+    import graft.functions.expressions.BloomSketch.{K, M}
+    val h = Hashes.md5Long60(key.cast(StringType))
+    (0 until K).map { i =>
+      val pos = shiftright(h, 12 * i).bitwiseAND(lit((M - 1).toLong))
+      // variable-distance shift: the Scala-API shiftright only takes a
+      // literal Int distance, the SQL function takes an expression
+      call_function("shiftright",
+        element_at(bloom, (shiftright(pos, 6) + 1).cast(IntegerType)),
+        pos.bitwiseAND(lit(63L)).cast(IntegerType))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
 }
 
 object Vec {

@@ -863,6 +863,53 @@ object TextAnalysis {
 
   val RollingFpMod: Long = 1099511627776L // 2^40 — keeps acc*31 + h32 < 2^63
 
+  /** Fixed 2-word queries for [[phraseSearch]] — mid-frequency corpus
+    * bigrams, so every phrase has hits at both test SFs and the posting
+    * join produces non-trivial fan-in.
+    */
+  val PhraseQueries: Seq[String] =
+    Seq("hash join", "table scan", "sort merge", "batch stream", "window agg")
+
+  /** Exact phrase search over a POSITIONAL posting join — the retrieval
+    * access path an inverted index (q115) exists for, run as a
+    * relational plan: explode (doc, pos, word) postings, keep ONLY the
+    * query terms' postings (at 100 TB the persisted index makes this a
+    * posting-list read instead of a corpus scan — here the filter after
+    * the explode plays that role: everything downstream is sized by
+    * |postings(query terms)|, not the corpus), then match word1's
+    * postings against word2's at pos+1 — an equi-join on
+    * (doc_id, pos+1), never a LIKE '%…%' scan and never a cross
+    * product. Output per phrase: matching-doc count and total
+    * occurrence count.
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String] = PhraseQueries,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrases.map { p =>
+      val ws = p.split(" ")
+      require(ws.length == 2, s"phraseSearch handles 2-word phrases, got '$p'")
+      (p, ws(0), ws(1))
+    }.toDF("phrase", "w1", "w2")
+    val terms = phrases.flatMap(_.split(" ")).distinct
+    val posts = docs
+      .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word").isin(terms: _*))
+    val second = posts
+      .select(col("doc_id").as("d2"), col("pos").as("p2"), col("word").as("word2"))
+    posts
+      .join(broadcast(ph), col("word") === col("w1"))
+      .join(second,
+        col("d2") === col("doc_id") && col("p2") === col("pos") + 1 &&
+          col("word2") === col("w2"))
+      .groupBy("phrase")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+      .orderBy("phrase")
+  }
+
   /** DuckDB fragments mirroring the Spark expressions above. */
   object O {
     import graft.functions.Num
@@ -945,6 +992,31 @@ object TextAnalysis {
          |LEFT JOIN ($bigramLmScore) l USING (doc_id)
          |LEFT JOIN ($charEntropy) e USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin
+
+    /** Mirrors phraseSearch: VALUES phrase dictionary, positional
+      * postings restricted to the query terms, the same pos+1 join.
+      * Postings are MATERIALIZED — referenced from both join sides.
+      */
+    def phraseSearch(phrases: Seq[String] = PhraseQueries): String = {
+      val vals = phrases.map { p =>
+        val ws = p.split(" ")
+        s"('$p', '${ws(0)}', '${ws(1)}')"
+      }.mkString(", ")
+      val terms = phrases.flatMap(_.split(" ")).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH ph(phrase, w1, w2) AS (VALUES $vals),
+         |b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, CAST(t.i AS INT) AS pos, w[CAST(t.i AS INT)] AS word
+         |    FROM b, unnest(range(1, len(w) + 1)) t(i))
+         |  WHERE word IN ($terms))
+         |SELECT ph.phrase, CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_hits
+         |FROM ph JOIN p a ON a.word = ph.w1
+         |JOIN p b2 ON b2.doc_id = a.doc_id AND b2.pos = a.pos + 1 AND b2.word = ph.w2
+         |GROUP BY ph.phrase ORDER BY ph.phrase""".stripMargin
+    }
 
     /** Mirrors blocklistFilter: VALUES dictionaries, the same two-tier
       * hit union, rounded-then-compared verdict.

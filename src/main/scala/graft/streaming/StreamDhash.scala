@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Multimodal
+
+/** Streaming twin of the q239 incremental perceptual-dedup shape: an
+  * arriving document stream is fingerprinted and matched against a
+  * STATIC persisted fingerprint index, per micro-batch.
+  *
+  * The fingerprint computation ([[Multimodal.withDhash]]) is a
+  * position-row aggregation per document, so it cannot run as a plain
+  * stateless projection on a stream — but it needs no CROSS-batch
+  * state either (a doc's fingerprint depends only on that doc). That
+  * makes foreachBatch the right tool, not flatMapGroupsWithState:
+  * inside the hook each micro-batch is an ordinary bounded DataFrame,
+  * the full batch operator pipeline (explode → histogram → banded
+  * block-capped join against the index) runs on it unchanged, and the
+  * stream≡batch parity is structural — both paths execute the SAME
+  * operator code. State stays bounded by construction: nothing
+  * persists between batches except the (static, disk-backed) index.
+  *
+  * At 100 TB the index side is the [[graft.warehouse.Materialized]]
+  * disk artifact: banded once, block-capped on the INDEX side, so an
+  * ingest batch costs O(batch × bands) lookups however large the
+  * corpus index grows — see [[Multimodal.dhashIndexMatches]].
+  */
+object StreamDhash {
+
+  /** Append each micro-batch's match rows (doc_id, n_matches,
+    * min_hamming, best_match — see [[Multimodal.dhashIndexMatches]])
+    * to `outDir` as parquet. Append-only is correct here: a doc's
+    * verdict against a static index never changes, and checkpointed
+    * micro-batch replay after a crash rewrites whole batches, the same
+    * at-least-once contract the JDBC/parquet upsert sinks document.
+    */
+  def matchAgainstIndex(docs: DataFrame, index: DataFrame, outDir: String,
+      checkpointDir: String,
+      maxHamming: Int = Multimodal.DHashMaxHamming): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Multimodal.dhashIndexMatches(Multimodal.withDhash(batch), index, maxHamming)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+}

@@ -898,7 +898,59 @@ object AnalyticsQueries {
       .orderBy("device_type", "month")
   }
 
+  /** Build side for the q240 bloom pre-filter: the high-value order
+    * stripe — selective enough (~1/3 of customers at both SFs) that the
+    * probe side has real non-members, so the false-positive census
+    * measures something.
+    */
+  private val BloomPriceFloor = 480000.0
+
+  /** q240: Bloom-filter semi-join pre-filter census. The 100 TB plan
+    * shape: the SMALL side's keys (customers with an order above
+    * [[BloomPriceFloor]]) fold into ONE mergeable 4096-bit filter
+    * (graft.functions.expressions.BloomSketch — each map task ships 64
+    * longs, never the key set), the single-row filter is BROADCAST, and
+    * the big probe side evaluates membership as pure codegen'd
+    * shift/mask arithmetic — dropping most rows map-side before the
+    * shuffle a plain semi-join would pay on the full table. Spark's own
+    * InjectRuntimeFilter plays this trick internally; rebuilding it on
+    * the portable md5 hash makes the bit pattern — and therefore the
+    * census below, including the zero-false-negative guarantee —
+    * hash-checkable against a DuckDB replay. Output per nation:
+    * customers, bloom positives, exact members, false positives, and
+    * false negatives (identically 0 — the Bloom contract itself, under
+    * the hash gate).
+    */
+  val bloomSemiJoin: Q = (s, dir) => {
+    import graft.functions.Sketch
+    val hot = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > BloomPriceFloor)
+      .select(col("o_custkey"))
+    val bloom = hot.agg(Sketch.bloomMd5(col("o_custkey")).as("bf"))
+    val probed = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .crossJoin(broadcast(bloom))
+      .withColumn("maybe", Sketch.bloomMaybeContains(col("bf"), col("c_custkey")))
+    // exact membership, computed only to AUDIT the filter (the census
+    // is the point of the query; production keeps just `maybe`)
+    val actual = hot.distinct().withColumn("is_member", lit(true))
+    probed
+      .join(actual, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("actual", coalesce(col("is_member"), lit(false)))
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("customers"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("bloom_pos"),
+        sum(when(col("actual"), 1L).otherwise(0L)).as("members"),
+        sum(when(col("maybe") && !col("actual"), 1L).otherwise(0L)).as("false_pos"),
+        sum(when(col("actual") && !col("maybe"), 1L).otherwise(0L)).as("false_neg"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q240_bloom_filter" -> bloomSemiJoin,
     "q112_reaggregation" -> reaggregation,
     "q106_regr_stats" -> regrStats,
     "q107_ntile_bins" -> ntileBins,
@@ -958,6 +1010,31 @@ object AnalyticsQueries {
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
 
   val oracle: Map[String, String] = Map(
+    // replays the exact bloom bit pattern as a DISTINCT position set
+    // (generated beside the sketch: BloomSketch.oraclePosCte) and each
+    // probe as K position lookups — bool_and over the probe rows is the
+    // all-bits-set test the Spark side computes by shift/mask
+    "q240_bloom_filter" -> {
+      import graft.functions.expressions.BloomSketch
+      val h = graft.functions.Hashes.O.md5Long60("CAST(c_custkey AS VARCHAR)")
+      s"""WITH hot AS (SELECT o_custkey FROM orders WHERE o_totalprice > $BloomPriceFloor),
+         |bits AS MATERIALIZED (${BloomSketch.oraclePosCte("SELECT * FROM hot", "o_custkey")}),
+         |cp AS (SELECT c_custkey, c_nationkey,
+         |         ($h >> (12 * kk.i)) & ${BloomSketch.M - 1} AS pos
+         |       FROM customer CROSS JOIN (SELECT unnest(range(0, ${BloomSketch.K})) AS i) kk),
+         |mb AS (SELECT c_custkey, c_nationkey,
+         |         bool_and(b.pos IS NOT NULL) AS maybe
+         |       FROM cp LEFT JOIN bits b USING (pos) GROUP BY 1, 2),
+         |ac AS (SELECT DISTINCT o_custkey FROM hot)
+         |SELECT n_name, COUNT(*) AS customers,
+         |  CAST(COUNT(*) FILTER (WHERE maybe) AS BIGINT) AS bloom_pos,
+         |  CAST(COUNT(*) FILTER (WHERE ac.o_custkey IS NOT NULL) AS BIGINT) AS members,
+         |  CAST(COUNT(*) FILTER (WHERE maybe AND ac.o_custkey IS NULL) AS BIGINT) AS false_pos,
+         |  CAST(COUNT(*) FILTER (WHERE ac.o_custkey IS NOT NULL AND NOT maybe) AS BIGINT) AS false_neg
+         |FROM mb LEFT JOIN ac ON mb.c_custkey = ac.o_custkey
+         |JOIN nation ON n_nationkey = c_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
     // deliberately aggregates the RAW stream in one step — equality with
     // the Spark side's daily→monthly two-step IS the re-aggregation proof
     "q112_reaggregation" ->

@@ -1875,6 +1875,13 @@ object PipelineQueries {
   val blocklist: Q = (s, dir) =>
     TextAnalysis.blocklistFilter(docs(s, dir)).orderBy("doc_id")
 
+  /** q241: exact phrase search via a positional posting join — the
+    * inverted-index retrieval access path (companion to q115's index
+    * BUILD), sized by the query terms' postings, never the corpus.
+    */
+  val phraseSearch: Q = (s, dir) =>
+    TextAnalysis.phraseSearch(docs(s, dir))
+
   /** q191: deletion-propagation impact — the right-to-be-forgotten
     * pass: given a deterministic deletion set (hash buckets >=
     * [[DeleteBucketFrom]], ~3% of docs), the blast radius through the
@@ -1969,6 +1976,7 @@ object PipelineQueries {
     "q192_ann_hubness" -> annHubness,
     "q191_deletion_impact" -> deletionImpact,
     "q189_blocklist" -> blocklist,
+    "q241_phrase_search" -> phraseSearch,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2164,6 +2172,7 @@ object PipelineQueries {
          |  round(b.n_deleted * 100.0 / b.n_docs, 6) AS pct_deleted
          |FROM b, cs, ts""".stripMargin,
     "q189_blocklist" -> TO.blocklistFilter(),
+    "q241_phrase_search" -> TO.phraseSearch(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,
