@@ -109,7 +109,17 @@ object StressBench {
     // the pair workload scales with the input — corpus-linear or bust
     // (the round-9 O(bins×L) per-row blowup is the regression class
     // this row exists to catch).
-    "q237_dhash_neardup" -> warehouse.PipelineQueries.dhashNearDup)
+    "q237_dhash_neardup" -> warehouse.PipelineQueries.dhashNearDup,
+    // q52's production operator is ADAPTIVE: below 2M edges it solves
+    // on the driver (microseconds), above it runs the distributed
+    // pointer-jumping loop — so the plain q52 ratio jumps two regimes
+    // (base local, x10 distributed) and measures the cliff, not the
+    // loop. This row pins BOTH sides to the distributed path
+    // (threshold 0) so the loop's own data-linearity stays under test.
+    "q52_cc_distributed" -> ((s: SparkSession, dir: String) =>
+      operators.Dedup.connectedComponents(
+        operators.Dedup.ngramJaccardPairs(sources.Tables(s, dir, "documents").cache()),
+        localEdgeThreshold = 0L).orderBy("doc_id")))
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity

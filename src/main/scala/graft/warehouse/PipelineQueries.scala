@@ -1117,6 +1117,42 @@ object PipelineQueries {
     */
   val bm25Search: Q = (s, dir) => TextAnalysis.bm25TopK(docs(s, dir))
 
+  /** Per-cluster draw depth for [[clusterSample]]. */
+  private val SamplePerCluster = 20
+
+  /** q243: cluster-balanced deterministic sampling — the semantic
+    * stratification a curation pass runs so a dominant cluster cannot
+    * crowd the training mix (the k-means analogue of q152's per-source
+    * temperature sampling): assign every embedding to the trained L2
+    * quantizer's nearest centroid, then draw the [[SamplePerCluster]]
+    * smallest md5-of-id hashes per cluster — a uniform-without-
+    * replacement draw that any engine replays exactly.
+    *
+    * Scale design: assignment is the broadcast-centroid argmin (one
+    * corpus scan, no shuffle beyond the partial agg); the per-cluster
+    * draw goes through the mergeable TopKByScore aggregate — map-side
+    * heaps ship ≤k ids per (task, cluster), never a per-cluster sort
+    * of the corpus. The 32-bit hash is exact in the aggregate's double
+    * score (< 2^53), so ordering cannot drift.
+    */
+  val clusterSample: Q = (s, dir) => {
+    import graft.functions.{Hashes, Sketch}
+    val asg = Clustering.assignL2(emb(s, dir), mKmeansL2(s, dir))
+      .select(col("vec_id"), col("cluster_id"))
+      .withColumn("h", Hashes.md5Long32(col("vec_id").cast("string")))
+    asg
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        Sketch.topKByScore(-col("h").cast("double"), col("vec_id"),
+          SamplePerCluster).as("top"))
+      .select(col("cluster_id"), col("cluster_size"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("cluster_id"), col("cluster_size"),
+        (col("pos") + 1).cast("int").as("sample_rank"), col("t.id").as("vec_id"))
+      .orderBy("cluster_id", "sample_rank")
+  }
+
   /** q150: first BPE-merge iteration — adjacent character-pair counts
     * over the word-frequency dictionary (tokenizer-training step 1).
     */
@@ -1977,6 +2013,7 @@ object PipelineQueries {
     "q191_deletion_impact" -> deletionImpact,
     "q189_blocklist" -> blocklist,
     "q241_phrase_search" -> phraseSearch,
+    "q243_cluster_sample" -> clusterSample,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2216,6 +2253,24 @@ object PipelineQueries {
     },
     "q237_dhash_neardup" -> Multimodal.O.dhashPairs(),
     "q239_dhash_incremental" -> Multimodal.O.dhashIncremental(IncrementalSplit),
+    "q243_cluster_sample" -> {
+      val embSrc = "(SELECT vec_id, embedding FROM embeddings)"
+      val h = graft.functions.Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")
+      s"""WITH ${Similarity.O.kmeansL2Ctes("s", embSrc, Similarity.Dim)},
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${V.O.l2sq("e.embedding", "c.cemb", Similarity.Dim)} ASC, c.cent_id) AS rn
+         |  FROM embeddings e CROSS JOIN scent c) WHERE rn = 1),
+         |sz AS (SELECT cent_id, COUNT(*) AS cluster_size FROM asg GROUP BY 1),
+         |rk AS (SELECT cent_id, vec_id,
+         |         row_number() OVER (PARTITION BY cent_id ORDER BY $h, vec_id) AS rn
+         |       FROM asg)
+         |SELECT rk.cent_id AS cluster_id, sz.cluster_size,
+         |  CAST(rk.rn AS INT) AS sample_rank, rk.vec_id
+         |FROM rk JOIN sz USING (cent_id) WHERE rn <= $SamplePerCluster
+         |ORDER BY cluster_id, sample_rank""".stripMargin
+    },
     "q238_persisted_index" -> {
       val embSrc = "(SELECT vec_id, embedding FROM embeddings)"
       s"""WITH ${Similarity.O.kmeansL2Ctes("i", embSrc, Similarity.Dim)},
