@@ -403,4 +403,38 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200)) // 1-row corpus total
     assert(p.contains("Window"), p.take(1200))
   }
+
+  test("bloom pre-filter broadcasts the single-row filter; the probe side never shuffles for it") {
+    val p = plan("q240_bloom_filter")
+    // the 1-row bloom joins by broadcast (NLJ on a single row); the
+    // membership probe is pure projection arithmetic over the array —
+    // no Generate, no extra Exchange between the customer scan and the
+    // probe expression
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("bloom_md5"), p.take(1200)) // the mergeable aggregate, not collect
+    assert(!p.contains("Generate"), p.take(1200)) // probe = shift/mask, never an explode
+  }
+
+  test("phrase search explodes postings once per side and joins keyed, never scans LIKE") {
+    val p = plan("q241_phrase_search")
+    // the phrase dictionary broadcasts; the position match is an
+    // equi-join (doc_id, pos+1) — hash or sort-merge, never a nested loop
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("cluster sample assigns via broadcast centroids and draws via the partial top-k heap") {
+    val p = plan("q243_cluster_sample")
+    assert(p.contains("topk_by_score"), p.take(1500)) // mergeable heap, no per-cluster sort window
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500)) // centroid side broadcast
+  }
+
+  test("incremental dhash match blocks on (band, value) equi keys with the cap applied to the index") {
+    val p = plan("q239_dhash_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500)) // candidate generation is the banded equi-join, never all-pairs
+  }
 }
