@@ -203,6 +203,39 @@ object Corpus {
         col("n_words"), col("chunk_md5"))
   }
 
+  /** Per-DOCUMENT boilerplate census over [[cdcChunks]] — the doc-level
+    * twin of [[cdcDedupStats]]'s corpus summary, and the curation
+    * signal it cannot give: a chunk is SHARED when its md5 appears in
+    * ≥2 distinct documents (navigation shells, license blocks, scraped
+    * templates), and a document whose words are mostly shared chunks is
+    * boilerplate to drop or down-weight, whatever its other quality
+    * scores say.
+    *
+    * Scale shape: the chunk stream is corpus-linear; shared-chunk
+    * detection is ONE (chunk_md5 → distinct docs) aggregation; the
+    * verdict joins back keyed on chunk_md5 — no pair space, no doc
+    * self-join at any corpus size.
+    */
+  def boilerplateCensus(docs: DataFrame, divisor: Int = CdcDivisor,
+      textCol: String = "text"): DataFrame = {
+    val ch = cdcChunks(docs, divisor, textCol)
+    val shared = ch.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_md5"), lit(true).as("is_shared"))
+    ch.join(shared, Seq("chunk_md5"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(col("n_words").cast("long")).as("n_words"),
+        sum(when(col("is_shared"), col("n_words").cast("long")).otherwise(0L))
+          .as("shared_words"))
+      .withColumn("boilerplate_ratio",
+        round(col("shared_words").cast("double") / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-level dedup report over [[cdcChunks]]: how much of the
     * corpus is duplicated at chunk granularity — the storage/training
     * dedup ratio CDC exists to maximize. One hash aggregation on
@@ -757,6 +790,23 @@ object Corpus {
       s"""WITH ${cdcChunkCtes(divisor)}
          |SELECT doc_id, chunk_idx, start_word, n_words, chunk_md5
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+    /** Mirrors boilerplateCensus: same shared-key derivation, same
+      * left-join verdict, ratio rounded identically.
+      */
+    def boilerplateCensus(divisor: Int = CdcDivisor): String =
+      s"""WITH ${cdcChunkCtes(divisor)},
+         |sh AS (SELECT chunk_md5 FROM (
+         |         SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+         |       WHERE nd >= 2)
+         |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN sh.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+         |  CAST(SUM(ch.n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(CASE WHEN sh.chunk_md5 IS NOT NULL THEN ch.n_words ELSE 0 END) AS BIGINT) AS shared_words,
+         |  round(CAST(SUM(CASE WHEN sh.chunk_md5 IS NOT NULL THEN ch.n_words ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(ch.n_words) AS DOUBLE), 6) AS boilerplate_ratio
+         |FROM ch LEFT JOIN sh ON ch.chunk_md5 = sh.chunk_md5
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
     /** Mirrors cdcDedupStats. */
     def cdcDedupStats(divisor: Int = CdcDivisor): String =

@@ -1208,6 +1208,13 @@ object PipelineQueries {
     */
   val cdcDedup: Q = (s, dir) => Corpus.cdcDedupStats(docs(s, dir))
 
+  /** q244: per-document boilerplate census — the share of each doc's
+    * words living in chunks that ≥2 documents share (template/license
+    * shells); the doc-level drop/down-weight signal q158's corpus
+    * summary cannot give.
+    */
+  val boilerplate: Q = (s, dir) => Corpus.boilerplateCensus(docs(s, dir))
+
   /** q159: Stupid Backoff trigram scoring vs the non-src0 reference —
     * src0 docs exercise the bigram/unigram backoff tiers.
     */
@@ -2014,6 +2021,7 @@ object PipelineQueries {
     "q189_blocklist" -> blocklist,
     "q241_phrase_search" -> phraseSearch,
     "q243_cluster_sample" -> clusterSample,
+    "q244_boilerplate" -> boilerplate,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2560,6 +2568,7 @@ object PipelineQueries {
     "q167_padding_waste" -> Corpus.O.paddingWaste(),
     "q157_cdc_chunks" -> Corpus.O.cdcChunks(),
     "q158_cdc_dedup" -> Corpus.O.cdcDedupStats(),
+    "q244_boilerplate" -> Corpus.O.boilerplateCensus(),
     "q159_stupid_backoff" -> TO.stupidBackoffScores("NOT (source = 'src0')"),
     "q160_pq_recall" ->
       s"""WITH ex AS (SELECT query_id, cand_id FROM (
