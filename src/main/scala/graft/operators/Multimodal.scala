@@ -346,19 +346,42 @@ object Multimodal {
          |hh AS MATERIALIZED (SELECT doc_id, ($terms) AS dhash FROM px)""".stripMargin
     }
 
-    def dhashPairs(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String = {
-      s"""WITH $dhashCtes,
+    /** CTE chain `bnd → ok → cand → pr` ending in the verified pair set
+      * `vp(d1, d2, hamming)` — shared by the pair listing and the
+      * cluster-resolution oracle so the two cannot drift.
+      */
+    private def dhashPairCtes(maxHamming: Int, cap: Int): String =
+      s"""$dhashCtes,
          |bnd AS MATERIALIZED (SELECT doc_id, dhash, b AS band, (dhash >> (8 * b)) & 255 AS bv
          |  FROM hh CROSS JOIN (SELECT unnest(range(0, $DHashBands)) AS b)),
          |ok AS (SELECT band, bv FROM bnd GROUP BY band, bv HAVING COUNT(*) <= $cap),
          |cand AS MATERIALIZED (SELECT bnd.doc_id, bnd.dhash, bnd.band, bnd.bv
          |  FROM bnd JOIN ok USING (band, bv)),
          |pr AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.dhash AS h1, b.dhash AS h2
-         |  FROM cand a JOIN cand b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
-         |FROM pr WHERE CAST(bit_count(xor(h1, h2)) AS INT) <= $maxHamming
-         |ORDER BY d1, d2""".stripMargin
-    }
+         |  FROM cand a JOIN cand b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |vp AS (SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |  FROM pr WHERE CAST(bit_count(xor(h1, h2)) AS INT) <= $maxHamming)""".stripMargin
+
+    def dhashPairs(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String =
+      s"""WITH ${dhashPairCtes(maxHamming, cap)}
+         |SELECT d1, d2, hamming FROM vp ORDER BY d1, d2""".stripMargin
+
+    /** Cluster resolution over the verified dhash pair graph:
+      * reachability closure (recursive CTE) → per-node component min
+      * label and size — the Dedup.O.clusters pattern over the media
+      * pair set, semantically identical to the Spark min-label
+      * propagation in [[graft.operators.Dedup.connectedComponents]].
+      */
+    def dhashClusters(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String =
+      s"""WITH RECURSIVE ${dhashPairCtes(maxHamming, cap)},
+         |sym AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2, d1 FROM vp),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS doc_id, min(dst) AS cluster_rep, COUNT(DISTINCT dst) AS cluster_size,
+         |  (src = min(dst)) AS is_kept
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
     /** Bit-identical twin of [[Multimodal.dhashIndexMatches]] with the
       * index/new split at `doc_id < split` — re-derives the whole

@@ -1875,6 +1875,19 @@ object PipelineQueries {
   val dhashNearDup: Q = (s, dir) =>
     Multimodal.dhashPairsFromHashes(mDhashFp(s, dir))
 
+  /** q245: perceptual dup CLUSTERS — the media twin of q52: the
+    * verified dhash pair graph resolved to connected components
+    * (min-label clusters + sizes + canonical keeper). Candidate
+    * generation stays banded and block-capped; the component solve is
+    * the same adaptive operator (driver union-find under 2M edges,
+    * distributed pointer-jumping above — STRESS_r10 pins the loop's
+    * linearity).
+    */
+  val dhashClusters: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Multimodal.dhashPairsFromHashes(mDhashFp(s, dir)).select("d1", "d2"))
+      .orderBy("doc_id")
+
   /** q239: incremental dhash index maintenance — the corpus
     * fingerprint table for the EXISTING docs (doc_id <
     * [[IncrementalSplit]]) parquet-persisted once via
@@ -2022,6 +2035,7 @@ object PipelineQueries {
     "q241_phrase_search" -> phraseSearch,
     "q243_cluster_sample" -> clusterSample,
     "q244_boilerplate" -> boilerplate,
+    "q245_dhash_clusters" -> dhashClusters,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2261,6 +2275,7 @@ object PipelineQueries {
     },
     "q237_dhash_neardup" -> Multimodal.O.dhashPairs(),
     "q239_dhash_incremental" -> Multimodal.O.dhashIncremental(IncrementalSplit),
+    "q245_dhash_clusters" -> Multimodal.O.dhashClusters(),
     "q243_cluster_sample" -> {
       val embSrc = "(SELECT vec_id, embedding FROM embeddings)"
       val h = graft.functions.Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")
