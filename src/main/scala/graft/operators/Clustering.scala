@@ -233,6 +233,55 @@ object Clustering {
         round(col("nrm"), 6).as("eigenvalue"))
   }
 
+  /** Embedding isotropy audit (Mu & Viswanath 2018, ICLR — "All-but-
+    * the-top": embedding sets concentrate energy in a common direction
+    * and a few dominant components, and downstream cosine similarity
+    * degrades with that anisotropy). One row of diagnostics for the
+    * corpus second-moment structure:
+    *   - `trace` — total energy Σ‖x‖² (= trace of XᵀX),
+    *   - `lambda_max` — the [[topPrincipalComponent]] power-iteration
+    *     Rayleigh estimate of the dominant eigenvalue,
+    *   - `top_pc_share` — λ_max / trace (1/d is perfectly isotropic;
+    *     →1 means one direction carries everything),
+    *   - `mean_energy` — n·‖μ‖² (the energy the common mean direction
+    *     explains; All-but-the-top removes exactly this),
+    *   - `mean_dir_share` — mean_energy / trace.
+    *
+    * Scale shape: ONE posexplode + per-dimension decimal sums (the
+    * q109 dim-stats shuffle shape) + the PCA trajectory's
+    * corpus-touching rounds — no d×d matrix ever materializes, no
+    * driver state beyond d-row aggregates. Determinism: every
+    * cross-partition sum rides decimal(38,12); the only doubles are
+    * per-row products and final IEEE divides, identical in the oracle.
+    */
+  def isotropyAudit(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    val lambda = topPrincipalComponent(emb, iters)
+      .agg(max(col("eigenvalue")).as("lambda_max")) // constant per row
+    // keyed per-dim sums: sx (for the mean direction), sxx (for trace)
+    val ds = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(
+        sum(col("x").cast("decimal(38,12)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"),
+        count(lit(1)).as("n"))
+    val one = ds
+      .select(col("sxx"),
+        ((col("sx").cast("double") * col("sx").cast("double")) / col("n"))
+          .as("m2term"))
+      .agg(
+        sum(col("sxx")).cast("double").as("trace"),
+        sum(col("m2term").cast("decimal(38,12)")).cast("double").as("mean_energy"))
+    one.crossJoin(broadcast(lambda))
+      .select(
+        round(col("trace"), 6).as("trace"),
+        col("lambda_max"),
+        round(col("lambda_max") / col("trace"), 6).as("top_pc_share"),
+        round(col("mean_energy"), 6).as("mean_energy"),
+        round(col("mean_energy") / col("trace"), 6).as("mean_dir_share"))
+  }
+
   /** Incremental index maintenance — the operational ANN pattern at
     * 100 TB: the coarse quantizer trains ONCE on the historical corpus
     * and is then FROZEN; newly-ingested vectors are only ASSIGNED to
@@ -298,10 +347,14 @@ object Clustering {
       * truncate/pad the replayed trajectory if the generator's width
       * ever moved.
       */
-    def topPrincipalComponent(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
+    /** The unrolled power-iteration CTE chain (v0 … v$iters/n$iters) —
+      * shared by the loading listing and the isotropy audit so the
+      * trajectories cannot drift.
+      */
+    private def pcaCtes(iters: Int, dim: Int): String = {
       val d1 = dim + 1
       val sb = new StringBuilder(
-        s"WITH v0 AS (SELECT list_transform(range(1, $d1), i -> 0.125) AS v)")
+        s"v0 AS (SELECT list_transform(range(1, $d1), i -> 0.125) AS v)")
       for (k <- 1 to iters) {
         val p = k - 1
         sb.append(s""",
@@ -318,11 +371,37 @@ object Clustering {
           |  FROM (SELECT list(ud ORDER BY dim) AS u FROM u$k)),
           |v$k AS (SELECT list_transform(u, x -> x / nrm) AS v FROM n$k)""".stripMargin)
       }
-      sb.append(s"""
-        |SELECT CAST(i AS INT) AS dim, round(v[i], 6) AS loading, round(nrm, 6) AS eigenvalue
-        |FROM v$iters CROSS JOIN n$iters CROSS JOIN (SELECT unnest(range(1, $d1)) AS i)
-        |ORDER BY dim""".stripMargin)
       sb.toString
+    }
+
+    def topPrincipalComponent(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
+      val d1 = dim + 1
+      s"""WITH ${pcaCtes(iters, dim)}
+         |SELECT CAST(i AS INT) AS dim, round(v[i], 6) AS loading, round(nrm, 6) AS eigenvalue
+         |FROM v$iters CROSS JOIN n$iters CROSS JOIN (SELECT unnest(range(1, $d1)) AS i)
+         |ORDER BY dim""".stripMargin
+    }
+
+    /** Mirrors isotropyAudit: same decimal per-dim sums, same staging
+      * (λ rounded BEFORE the share divide, trace/mean_energy rounded
+      * only for display), same PCA trajectory via [[pcaCtes]].
+      */
+    def isotropyAudit(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
+      val d1 = dim + 1
+      s"""WITH ${pcaCtes(iters, dim)},
+         |ds AS (SELECT i AS dim,
+         |    SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS sx,
+         |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS sxx,
+         |    COUNT(*) AS n
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i),
+         |one AS (SELECT CAST(SUM(sxx) AS DOUBLE) AS trace,
+         |    CAST(SUM(CAST((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n AS DECIMAL(38,12))) AS DOUBLE) AS mean_energy
+         |  FROM ds)
+         |SELECT round(trace, 6) AS trace, round(nrm, 6) AS lambda_max,
+         |  round(round(nrm, 6) / trace, 6) AS top_pc_share,
+         |  round(mean_energy, 6) AS mean_energy,
+         |  round(mean_energy / trace, 6) AS mean_dir_share
+         |FROM one CROSS JOIN n$iters""".stripMargin
     }
   }
 }

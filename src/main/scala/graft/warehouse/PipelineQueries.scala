@@ -618,6 +618,14 @@ object PipelineQueries {
   val topPc: Q = (s, dir) =>
     Clustering.topPrincipalComponent(emb(s, dir)).orderBy("dim")
 
+  /** q246: embedding isotropy audit (All-but-the-top diagnostics) —
+    * how much corpus energy the dominant direction and the common mean
+    * carry; the health check run before trusting cosine retrieval on a
+    * new embedding source.
+    */
+  val isotropy: Q = (s, dir) =>
+    Clustering.isotropyAudit(emb(s, dir))
+
   /** q130: n-gram novelty — per document, the share of its distinct
     * 3-grams never seen in any EARLIER document (doc_id order): the
     * incremental-crawl value signal (a doc that is 90% old grams adds
@@ -2036,6 +2044,7 @@ object PipelineQueries {
     "q243_cluster_sample" -> clusterSample,
     "q244_boilerplate" -> boilerplate,
     "q245_dhash_clusters" -> dhashClusters,
+    "q246_isotropy" -> isotropy,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2886,6 +2895,7 @@ object PipelineQueries {
          |        / (SELECT COUNT(*) FROM j), 6) AS recall""".stripMargin,
     "q114_dup_spans" -> Dedup.O.duplicateSpans(),
     "q129_top_pc" -> Clustering.O.topPrincipalComponent(),
+    "q246_isotropy" -> Clustering.O.isotropyAudit(),
     "q130_novelty" ->
       """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, g FROM (
