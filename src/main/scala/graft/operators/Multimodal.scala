@@ -253,7 +253,11 @@ object Multimodal {
     * census, both self-join sides via the candidate frame) fingerprint
     * table.
     */
-  def dhashPairsFromHashes(h: DataFrame, maxHamming: Int = DHashMaxHamming): DataFrame = {
+  /** The DISTINCT banded candidate pairs with their exact Hamming
+    * distance, BEFORE the threshold filter — shared by the pair
+    * generator and the operating-point histogram.
+    */
+  private def dhashCandidates(h: DataFrame): DataFrame = {
     val bands = bandExplode(h)
     val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= DHashBlockCap).select("band", "bv")
@@ -266,9 +270,31 @@ object Multimodal {
       .distinct()
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
+  }
+
+  def dhashPairsFromHashes(h: DataFrame, maxHamming: Int = DHashMaxHamming): DataFrame =
+    dhashCandidates(h)
       .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
-  }
+
+  /** Banded-LSH operating-point audit — the media twin of the minhash
+    * threshold-sensitivity read (q136): the exact-Hamming histogram of
+    * every DISTINCT candidate pair the 8×8-bit multi-index surfaces,
+    * flagged by whether it survives the [[DHashMaxHamming]] verify. A
+    * healthy corpus shows a gap — mass at 0–1 (true near-dups) and at
+    * ≥ ~2·threshold (band-collision background) with little in between;
+    * mass piling just above the threshold means the cut is sensitive
+    * there and the verify spend (candidates ÷ verified) prices the
+    * band/cap configuration. Costs one extra aggregation over the
+    * candidate frame the pair generator already builds.
+    */
+  def dhashCandidateHistogram(h: DataFrame,
+      maxHamming: Int = DHashMaxHamming): DataFrame =
+    dhashCandidates(h)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_threshold", col("hamming") <= maxHamming)
+      .orderBy("hamming")
 
   /** Incremental perceptual dedup — the media twin of the q131
     * incremental-ingest shape: NEW fingerprints matched against a
@@ -365,6 +391,17 @@ object Multimodal {
     def dhashPairs(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String =
       s"""WITH ${dhashPairCtes(maxHamming, cap)}
          |SELECT d1, d2, hamming FROM vp ORDER BY d1, d2""".stripMargin
+
+    /** Mirrors dhashCandidateHistogram: the same pre-verify candidate
+      * set `pr`, grouped by exact Hamming distance.
+      */
+    def dhashCandidateHistogram(maxHamming: Int = DHashMaxHamming,
+        cap: Int = DHashBlockCap): String =
+      s"""WITH ${dhashPairCtes(maxHamming, cap)}
+         |SELECT hamming, n_pairs, (hamming <= $maxHamming) AS within_threshold
+         |FROM (SELECT CAST(bit_count(xor(h1, h2)) AS INT) AS hamming, COUNT(*) AS n_pairs
+         |      FROM pr GROUP BY 1)
+         |ORDER BY hamming""".stripMargin
 
     /** Cluster resolution over the verified dhash pair graph:
       * reachability closure (recursive CTE) → per-node component min

@@ -1896,6 +1896,14 @@ object PipelineQueries {
       Multimodal.dhashPairsFromHashes(mDhashFp(s, dir)).select("d1", "d2"))
       .orderBy("doc_id")
 
+  /** q247: banded-LSH operating-point audit for the dhash family — the
+    * exact-Hamming histogram of every distinct candidate pair the
+    * multi-index surfaces, flagged by the verify threshold (the media
+    * twin of q136's minhash threshold-sensitivity read).
+    */
+  val dhashHistogram: Q = (s, dir) =>
+    Multimodal.dhashCandidateHistogram(mDhashFp(s, dir))
+
   /** q239: incremental dhash index maintenance — the corpus
     * fingerprint table for the EXISTING docs (doc_id <
     * [[IncrementalSplit]]) parquet-persisted once via
@@ -2045,6 +2053,7 @@ object PipelineQueries {
     "q244_boilerplate" -> boilerplate,
     "q245_dhash_clusters" -> dhashClusters,
     "q246_isotropy" -> isotropy,
+    "q247_dhash_histogram" -> dhashHistogram,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2285,6 +2294,7 @@ object PipelineQueries {
     "q237_dhash_neardup" -> Multimodal.O.dhashPairs(),
     "q239_dhash_incremental" -> Multimodal.O.dhashIncremental(IncrementalSplit),
     "q245_dhash_clusters" -> Multimodal.O.dhashClusters(),
+    "q247_dhash_histogram" -> Multimodal.O.dhashCandidateHistogram(),
     "q243_cluster_sample" -> {
       val embSrc = "(SELECT vec_id, embedding FROM embeddings)"
       val h = graft.functions.Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")
