@@ -110,6 +110,11 @@ object StressBench {
     // (the round-9 O(bins×L) per-row blowup is the regression class
     // this row exists to catch).
     "q237_dhash_neardup" -> warehouse.PipelineQueries.dhashNearDup,
+    // round-10 addition: per-doc boilerplate census — CDC chunk stream
+    // + one chunk-fingerprint aggregation + a keyed join back. Replica
+    // word-prefixes shift every chunk hash, so replicas share no
+    // chunks and the shared-chunk workload scales with the input.
+    "q244_boilerplate" -> warehouse.PipelineQueries.boilerplate,
     // q52's production operator is ADAPTIVE: below 2M edges it solves
     // on the driver (microseconds), above it runs the distributed
     // pointer-jumping loop — so the plain q52 ratio jumps two regimes
