@@ -893,9 +893,28 @@ object TextAnalysis {
     * occurrence count.
     */
   def phraseSearch(docs: DataFrame, phrases: Seq[String] = PhraseQueries,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    phraseSearchPostings(positionalPostings(docs, textCol), phrases)
+
+  /** The positional posting table (doc_id, pos, word) — built inline by
+    * [[phraseSearch]], or ONCE per corpus and parquet-persisted via
+    * `Materialized.onDisk` for the indexed variant (q248): at 100 TB
+    * the postings table IS the inverted-index artifact, and every
+    * retrieval reads it instead of re-exploding the corpus.
+    */
+  def positionalPostings(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import graft.functions.Text
-    val spark = docs.sparkSession
+    docs.select(col("doc_id"),
+      posexplode(Text.words(col(textCol))).as(Seq("pos", "word")))
+  }
+
+  /** Phrase matching over an already-built posting table — the
+    * query-term filter cuts it to |postings(terms)| before any join
+    * (on the persisted artifact this is a pushed-down scan filter).
+    */
+  def phraseSearchPostings(postings: DataFrame,
+      phrases: Seq[String] = PhraseQueries): DataFrame = {
+    val spark = postings.sparkSession
     import spark.implicits._
     val ph = phrases.map { p =>
       val ws = p.split(" ")
@@ -903,9 +922,7 @@ object TextAnalysis {
       (p, ws(0), ws(1))
     }.toDF("phrase", "w1", "w2")
     val terms = phrases.flatMap(_.split(" ")).distinct
-    val posts = docs
-      .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("pos", "word")))
-      .filter(col("word").isin(terms: _*))
+    val posts = postings.filter(col("word").isin(terms: _*))
     val second = posts
       .select(col("doc_id").as("d2"), col("pos").as("p2"), col("word").as("word2"))
     posts

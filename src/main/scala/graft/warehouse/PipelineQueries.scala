@@ -1954,6 +1954,21 @@ object PipelineQueries {
   val phraseSearch: Q = (s, dir) =>
     TextAnalysis.phraseSearch(docs(s, dir))
 
+  /** q248: the same phrase queries over a DISK-PERSISTED positional
+    * posting index — the retrieval member of the persisted-artifact
+    * family (q238 quantizer, q239 dhash index): the corpus is exploded
+    * ONCE into the parquet postings artifact, every later query reads
+    * it back (query-term filter pushed to the artifact scan, the
+    * corpus never re-tokenized). The oracle re-derives postings from
+    * scratch, so the hash gate proves index-reader ≡ re-deriver for
+    * the text-retrieval index too.
+    */
+  val phraseSearchIndexed: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    TextAnalysis.phraseSearchPostings(posts)
+  }
+
   /** q191: deletion-propagation impact — the right-to-be-forgotten
     * pass: given a deterministic deletion set (hash buckets >=
     * [[DeleteBucketFrom]], ~3% of docs), the blast radius through the
@@ -2054,6 +2069,7 @@ object PipelineQueries {
     "q245_dhash_clusters" -> dhashClusters,
     "q246_isotropy" -> isotropy,
     "q247_dhash_histogram" -> dhashHistogram,
+    "q248_phrase_indexed" -> phraseSearchIndexed,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2250,6 +2266,10 @@ object PipelineQueries {
          |FROM b, cs, ts""".stripMargin,
     "q189_blocklist" -> TO.blocklistFilter(),
     "q241_phrase_search" -> TO.phraseSearch(),
+    // q248 reads the persisted posting artifact; the oracle re-derives
+    // from scratch — identical SQL to q241 is exactly the point: the
+    // hash gate proves artifact-reader ≡ re-deriver
+    "q248_phrase_indexed" -> TO.phraseSearch(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,
