@@ -110,6 +110,10 @@ object StressBench {
     // (the round-9 O(bins×L) per-row blowup is the regression class
     // this row exists to catch).
     "q237_dhash_neardup" -> warehouse.PipelineQueries.dhashNearDup,
+    // round-11 addition: the same fingerprint pipeline over the BINARY
+    // magic-tagged payload (q254) — byte windows instead of chars, the
+    // same banded block-capped join; must track the input like q237
+    "q254_dhash_binary" -> warehouse.PipelineQueries.dhashBinary,
     // round-10 addition: per-doc boilerplate census — CDC chunk stream
     // + one chunk-fingerprint aggregation + a keyed join back. Replica
     // word-prefixes shift every chunk hash, so replicas share no

@@ -158,6 +158,13 @@ object Sketch {
   /** Bounded top-k-per-group aggregate (score DESC, id ASC) — the
     * map-side-combinable replacement for the `row_number <= k` window
     * idiom (graft.functions.expressions.TopKByScore).
+    *
+    * NULL and NaN scores are excluded inside the aggregate (see
+    * TopKByScore.update) — this applies to EVERY caller (windowed
+    * top-k, Hill estimator, event top-5, ANN searches), not just
+    * expensive-score paths: a group whose candidates are all NULL/NaN
+    * returns an empty array, where a raw row_number window would rank
+    * NaN greatest.
     */
   def topKByScore(score: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.classic.GraftBridge

@@ -57,9 +57,12 @@ case class TopKByScore(
 
   // (score DESC, id ASC): a is strictly better than b. Score comparison
   // replicates Spark SQL's DoubleType ordering exactly (`x == y` first,
-  // so -0.0 ties 0.0, then Double.compare, so NaN is greatest and the
-  // order stays TOTAL): the sortWith comparator contract holds on NaN
-  // inputs and the result always matches the row_number-window idiom.
+  // so -0.0 ties 0.0, then Double.compare): the sortWith comparator
+  // contract holds and the order stays TOTAL. NaN/NULL scores never
+  // reach this comparator — update() excludes them before ranking —
+  // so on NaN inputs the aggregate DIVERGES from a raw row_number
+  // window (which would rank NaN greatest); on NaN-free input the two
+  // idioms match exactly.
   @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
     val c = if (a._1 == b._1) 0 else java.lang.Double.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)

@@ -282,6 +282,49 @@ object Clustering {
         round(col("mean_energy") / col("trace"), 6).as("mean_dir_share"))
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018,
+    * ICLR): subtract the corpus mean, then project out the dominant
+    * principal component of the CENTERED corpus — the two energy
+    * concentrations the [[isotropyAudit]] measures are exactly what
+    * this removes, so auditing the output shows `mean_dir_share` → ~0
+    * and `top_pc_share` dropping to the second eigenvalue's share.
+    *
+    * Scale shape: the mean is ONE d-row keyed aggregation folded into a
+    * 1-row broadcast array; the direction is the [[topPrincipalComponent]]
+    * power trajectory over the centered frame (corpus-touching rounds,
+    * d-row driver-free state); the transform itself is a per-row
+    * zip_with — no d×d matrix, no collect. Determinism: cross-partition
+    * sums ride decimal(38,12) (mean + trajectory), per-row arithmetic
+    * is order-fixed IEEE, identical in the oracle.
+    */
+  def allButTheTop(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    val mu = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("mu"))
+    val centered = emb.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("mu"),
+          (x, m) => x.cast("double") - m).as("embedding"))
+    val v = topPrincipalComponent(centered, iters)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("loading")))),
+        x => x.getField("loading")).as("v"))
+    centered.crossJoin(broadcast(v))
+      .select(col("vec_id"), col("embedding"), col("v"),
+        aggregate(
+          zip_with(col("embedding"), col("v"), (x, vi) => x * vi),
+          lit(0d), (acc, x) => acc + x).as("t"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("v"),
+          (x, vi) => x - col("t") * vi).as("embedding"))
+  }
+
   /** Incremental index maintenance — the operational ANN pattern at
     * 100 TB: the coarse quantizer trains ONCE on the historical corpus
     * and is then FROZEN; newly-ingested vectors are only ASSIGNED to
@@ -349,27 +392,32 @@ object Clustering {
       */
     /** The unrolled power-iteration CTE chain (v0 … v$iters/n$iters) —
       * shared by the loading listing and the isotropy audit so the
-      * trajectories cannot drift.
+      * trajectories cannot drift. `src` is the (vec_id, embedding)
+      * table the iteration reads; `pfx` namespaces the CTE names so
+      * two trajectories (the q253 before/after audits) can coexist in
+      * one WITH chain. Defaults reproduce the historical SQL byte for
+      * byte.
       */
-    private def pcaCtes(iters: Int, dim: Int): String = {
+    private def pcaCtes(iters: Int, dim: Int,
+        src: String = "embeddings", pfx: String = ""): String = {
       val d1 = dim + 1
       val sb = new StringBuilder(
-        s"v0 AS (SELECT list_transform(range(1, $d1), i -> 0.125) AS v)")
+        s"v${pfx}0 AS (SELECT list_transform(range(1, $d1), i -> 0.125) AS v)")
       for (k <- 1 to iters) {
         val p = k - 1
         sb.append(s""",
-          |t$k AS (SELECT e.embedding,
+          |t$pfx$k AS (SELECT e.embedding,
           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
           |    list_transform(range(1, $d1), i -> CAST(e.embedding[i] AS DOUBLE) * w.v[i])),
           |    (a, b) -> a + b) AS t
-          |  FROM embeddings e CROSS JOIN v$p w),
-          |u$k AS (SELECT i AS dim,
+          |  FROM $src e CROSS JOIN v$pfx$p w),
+          |u$pfx$k AS (SELECT i AS dim,
           |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * t AS DECIMAL(38,12))) AS DOUBLE) AS ud
-          |  FROM t$k CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i),
-          |n$k AS (SELECT u, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |  FROM t$pfx$k CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i),
+          |n$pfx$k AS (SELECT u, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
           |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nrm
-          |  FROM (SELECT list(ud ORDER BY dim) AS u FROM u$k)),
-          |v$k AS (SELECT list_transform(u, x -> x / nrm) AS v FROM n$k)""".stripMargin)
+          |  FROM (SELECT list(ud ORDER BY dim) AS u FROM u$pfx$k)),
+          |v$pfx$k AS (SELECT list_transform(u, x -> x / nrm) AS v FROM n$pfx$k)""".stripMargin)
       }
       sb.toString
     }
@@ -402,6 +450,57 @@ object Clustering {
          |  round(mean_energy, 6) AS mean_energy,
          |  round(mean_energy / trace, 6) AS mean_dir_share
          |FROM one CROSS JOIN n$iters""".stripMargin
+    }
+
+    /** Mirrors [[Clustering.allButTheTop]] + before/after
+      * [[Clustering.isotropyAudit]]: the same mean (decimal per-dim
+      * sums), the same centered power trajectory (prefix `a`), the same
+      * ROUNDED loadings feeding the projection (the q129 display
+      * rounding — shared by both engines, so the transform input is
+      * engine-exact), then a second full audit trajectory (prefix `b`)
+      * over the transformed corpus.
+      */
+    def allButTheTopAudit(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
+      val d1 = dim + 1
+      def sums(src: String, ds: String, one: String) =
+        s"""$ds AS (SELECT i AS dim,
+           |    SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS sx,
+           |    SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS sxx,
+           |    COUNT(*) AS n
+           |  FROM $src CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i),
+           |$one AS (SELECT CAST(SUM(sxx) AS DOUBLE) AS trace,
+           |    CAST(SUM(CAST((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n AS DECIMAL(38,12))) AS DOUBLE) AS mean_energy
+           |  FROM $ds)""".stripMargin
+      def audit(stage: String, one: String, n: String) =
+        s"""SELECT '$stage' AS stage, round(trace, 6) AS trace, round(nrm, 6) AS lambda_max,
+           |  round(round(nrm, 6) / trace, 6) AS top_pc_share,
+           |  round(mean_energy, 6) AS mean_energy,
+           |  round(mean_energy / trace, 6) AS mean_dir_share
+           |FROM $one CROSS JOIN $n""".stripMargin
+      s"""WITH ${pcaCtes(iters, dim)},
+         |${sums("embeddings", "ds", "one")},
+         |mu AS (SELECT list(m ORDER BY dim) AS mu FROM (
+         |  SELECT i AS dim,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i)),
+         |c AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(1, $d1), i -> CAST(e.embedding[i] AS DOUBLE) - w.mu[i]) AS embedding
+         |  FROM embeddings e CROSS JOIN mu w),
+         |${pcaCtes(iters, dim, "c", "a")},
+         |vr AS (SELECT list_transform(v, x -> round(x, 6)) AS v FROM va$iters),
+         |ab AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(1, $d1), i -> embedding[i] - t * v[i]) AS embedding
+         |  FROM (SELECT e.vec_id, e.embedding, w.v,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list_transform(range(1, $d1), i -> e.embedding[i] * w.v[i])),
+         |            (a, b) -> a + b) AS t
+         |        FROM c e CROSS JOIN vr w)),
+         |${pcaCtes(iters, dim, "ab", "b")},
+         |${sums("ab", "dsb", "oneb")}
+         |${audit("after", "oneb", s"nb$iters")}
+         |UNION ALL
+         |${audit("before", "one", s"n$iters")}
+         |ORDER BY stage""".stripMargin
     }
   }
 }

@@ -203,6 +203,15 @@ object Multimodal {
     * pixel array assembles from a 72-entry map — ~200 cheap lookups
     * per doc instead of ~20k interpreted closure calls. Fully linear
     * in corpus size, inherits file parallelism.
+    *
+    * `textCol` may be a BINARY column (q254 fingerprints the media
+    * payload bytes directly): length/substring/md5 are all
+    * BinaryType-native codegen'd expressions, so the grid is computed
+    * over raw byte windows with no decode and no string round-trip —
+    * the fingerprint of a binary payload equals the fingerprint of the
+    * equivalent text by md5-of-bytes construction (DhashSpec asserts
+    * it), which is also what keeps the varchar oracle byte-exact on
+    * the ASCII testdata.
     */
   def withDhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import graft.functions.Hashes
@@ -354,9 +363,14 @@ object Multimodal {
       */
     /** CTE chain `d → px → hh(doc_id, dhash)` — the fingerprint table
       * both the pair oracle and the incremental oracle derive from
-      * scratch.
+      * scratch. `srcSql` is the (doc_id, text) source the fingerprint
+      * reads — the default is the raw corpus; the binary family passes
+      * the magic-tagged payload (ASCII in the testdata, so the varchar
+      * replay is byte-exact against the Spark BinaryType path).
       */
-    private def dhashCtes: String = {
+    private val DocSrc = "SELECT doc_id, text FROM documents"
+
+    private def dhashCtes(srcSql: String = DocSrc): String = {
       val terms = (0 until 64).map { b =>
         val r = b / 8
         val c = b % 8
@@ -364,7 +378,7 @@ object Multimodal {
         s"CASE WHEN pix[${r * 9 + c + 2}] > pix[${r * 9 + c + 1}] THEN $t ELSE 0::BIGINT END"
       }.mkString(" + ")
       val gram = Hashes.O.md5Long32(s"substring(text, CAST(i AS INT), $DHashGram)")
-      s"""d AS (SELECT doc_id, text FROM documents WHERE length(text) >= $DHashMinChars),
+      s"""d AS (SELECT doc_id, text FROM ($srcSql) WHERE length(text) >= $DHashMinChars),
          |px AS MATERIALIZED (SELECT doc_id, list_transform(range(0, $DHashBins), k ->
          |    CAST(len(list_filter(gs, x -> x = k)) AS BIGINT)) AS pix
          |  FROM (SELECT doc_id, list_transform(range(1, length(text) - ${DHashGram - 2}),
@@ -376,8 +390,9 @@ object Multimodal {
       * `vp(d1, d2, hamming)` — shared by the pair listing and the
       * cluster-resolution oracle so the two cannot drift.
       */
-    private def dhashPairCtes(maxHamming: Int, cap: Int): String =
-      s"""$dhashCtes,
+    private def dhashPairCtes(maxHamming: Int, cap: Int,
+        srcSql: String = DocSrc): String =
+      s"""${dhashCtes(srcSql)},
          |bnd AS MATERIALIZED (SELECT doc_id, dhash, b AS band, (dhash >> (8 * b)) & 255 AS bv
          |  FROM hh CROSS JOIN (SELECT unnest(range(0, $DHashBands)) AS b)),
          |ok AS (SELECT band, bv FROM bnd GROUP BY band, bv HAVING COUNT(*) <= $cap),
@@ -390,6 +405,16 @@ object Multimodal {
 
     def dhashPairs(maxHamming: Int = DHashMaxHamming, cap: Int = DHashBlockCap): String =
       s"""WITH ${dhashPairCtes(maxHamming, cap)}
+         |SELECT d1, d2, hamming FROM vp ORDER BY d1, d2""".stripMargin
+
+    /** Mirrors the BINARY-payload pair family (q254): the same
+      * fingerprint + banded-LSH chain over the magic-tagged payload
+      * bytes ([[payloadCtes]]' `p`) instead of the raw text.
+      */
+    def dhashPairsBinary(maxHamming: Int = DHashMaxHamming,
+        cap: Int = DHashBlockCap): String =
+      s"""WITH $payloadCtes,
+         |${dhashPairCtes(maxHamming, cap, "SELECT doc_id, payload AS text FROM p")}
          |SELECT d1, d2, hamming FROM vp ORDER BY d1, d2""".stripMargin
 
     /** Mirrors dhashCandidateHistogram: the same pre-verify candidate
@@ -427,7 +452,7 @@ object Multimodal {
       */
     def dhashIncremental(split: Long, maxHamming: Int = DHashMaxHamming,
         cap: Int = DHashBlockCap): String =
-      s"""WITH $dhashCtes,
+      s"""WITH ${dhashCtes()},
          |idx AS (SELECT doc_id, dhash FROM hh WHERE doc_id < $split),
          |nw AS (SELECT doc_id, dhash FROM hh WHERE doc_id >= $split),
          |ib AS MATERIALIZED (SELECT doc_id, dhash, b AS band, (dhash >> (8 * b)) & 255 AS bv

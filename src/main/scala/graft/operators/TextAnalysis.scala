@@ -591,7 +591,6 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, terms: Seq[String] = Bm25QueryTerms,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
     val w = Text.words(col(textCol))
     val base = docs.select(
@@ -599,6 +598,39 @@ object TextAnalysis {
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(w, x => x === lit(t))).as(s"tf_$i")
         }: _*)
+    bm25Rank(base, terms, k1, b, topK)
+  }
+
+  /** BM25 over the PERSISTED positional-posting artifact instead of the
+    * corpus: per-doc length and every per-term tf come from ONE keyed
+    * aggregation of the postings table (dl = postings per doc, tf_i =
+    * postings with word = termᵢ — `split` yields one posting per token
+    * including empty ones, so dl ≡ the corpus formulation's token
+    * count and the corpus statistics agree exactly). The corpus is
+    * never re-tokenized: at 100 TB the retrieval stack reads the index
+    * artifact, not the documents. Scoring, corpus stats, and top-k are
+    * the same expression tail as [[bm25TopK]] ([[bm25Rank]]), so the
+    * two formulations are bit-identical and share one oracle — the
+    * hash gate proves index-reader ≡ re-deriver for ranked retrieval.
+    */
+  def bm25FromPostings(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val aggs = count(lit(1)).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("word") === lit(t), 1L).otherwise(0L)).as(s"tf_$i")
+      }
+    bm25Rank(postings.groupBy("doc_id").agg(aggs.head, aggs.tail: _*),
+      terms, k1, b, topK)
+  }
+
+  /** Shared BM25 tail: corpus stats as one 1-row broadcast, per-term
+    * contributions as a fixed left-associated expression tree, top-k
+    * via orderBy+limit. `base` carries (doc_id, dl, tf_0..tf_{n-1}) —
+    * integer-typed columns of either width (the arithmetic casts).
+    */
+  private def bm25Rank(base: DataFrame, terms: Seq[String],
+      k1: Double, b: Double, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val statAggs =
       count(lit(1)).as("n_docs") +: sum(col("dl").cast("long")).as("sum_dl") +:
         terms.indices.map(i =>
@@ -886,11 +918,11 @@ object TextAnalysis {
     * query terms' postings (at 100 TB the persisted index makes this a
     * posting-list read instead of a corpus scan — here the filter after
     * the explode plays that role: everything downstream is sized by
-    * |postings(query terms)|, not the corpus), then match word1's
-    * postings against word2's at pos+1 — an equi-join on
-    * (doc_id, pos+1), never a LIKE '%…%' scan and never a cross
-    * product. Output per phrase: matching-doc count and total
-    * occurrence count.
+    * |postings(query terms)|, not the corpus), then resolve matches by
+    * anchor aggregation (see [[phraseSearchPostings]]) — one keyed
+    * aggregation for ANY phrase length, never a LIKE '%…%' scan and
+    * never a cross product. Output per phrase: matching-doc count and
+    * total occurrence count.
     */
   def phraseSearch(docs: DataFrame, phrases: Seq[String] = PhraseQueries,
       textCol: String = "text"): DataFrame =
@@ -908,28 +940,50 @@ object TextAnalysis {
       posexplode(Text.words(col(textCol))).as(Seq("pos", "word")))
   }
 
-  /** Phrase matching over an already-built posting table — the
-    * query-term filter cuts it to |postings(terms)| before any join
-    * (on the persisted artifact this is a pushed-down scan filter).
+  /** Longer query phrases (3-5 words, incl. a repeated-word phrase —
+    * the case a naive pairwise match gets wrong) for the n-word
+    * retrieval surface. Mined as frequent corpus n-grams so both test
+    * scales return hits.
+    */
+  val PhraseQueriesNgram: Seq[String] = Seq(
+    "big order scan", "group slow spark", "slow hash batch", "stream table hash",
+    "small big order scan", "filter value small value",
+    "big line value value filter", "small sort slow value slow")
+
+  /** Phrase matching over an already-built posting table, for phrases
+    * of ANY length n ≥ 2 — the query-term filter cuts the postings to
+    * |postings(terms)| before anything else (on the persisted artifact
+    * this is a pushed-down scan filter).
+    *
+    * Algorithm (anchor aggregation, not an n-way join chain): each
+    * query-term posting (doc, pos, word=wᵢ) votes for the phrase
+    * occurrence that would START at `anchor = pos - i`. A phrase of n
+    * words occurs at (doc, anchor) iff ALL n votes arrive — and since
+    * a doc has exactly one word per position, each term index can vote
+    * at most once per (doc, anchor), so `count(*) == n` is the exact
+    * match test (correct even for phrases with repeated words: the
+    * same posting votes separately for each index it could fill, at
+    * different anchors). One broadcast join + one keyed aggregation,
+    * whatever n is — no join chain growing with phrase length, no
+    * NLJ, no LIKE scan; the shuffle is sized by the query terms'
+    * postings, never the corpus.
     */
   def phraseSearchPostings(postings: DataFrame,
       phrases: Seq[String] = PhraseQueries): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val ph = phrases.map { p =>
+    val terms = phrases.flatMap { p =>
       val ws = p.split(" ")
-      require(ws.length == 2, s"phraseSearch handles 2-word phrases, got '$p'")
-      (p, ws(0), ws(1))
-    }.toDF("phrase", "w1", "w2")
-    val terms = phrases.flatMap(_.split(" ")).distinct
-    val posts = postings.filter(col("word").isin(terms: _*))
-    val second = posts
-      .select(col("doc_id").as("d2"), col("pos").as("p2"), col("word").as("word2"))
-    posts
-      .join(broadcast(ph), col("word") === col("w1"))
-      .join(second,
-        col("d2") === col("doc_id") && col("p2") === col("pos") + 1 &&
-          col("word2") === col("w2"))
+      require(ws.length >= 2, s"phraseSearch needs multi-word phrases, got '$p'")
+      ws.zipWithIndex.map { case (w, i) => (p, i, w, ws.length) }
+    }.toDF("phrase", "idx", "term_word", "n_words")
+    val vocab = phrases.flatMap(_.split(" ")).distinct
+    val posts = postings.filter(col("word").isin(vocab: _*))
+    posts.join(broadcast(terms), col("word") === col("term_word"))
+      .groupBy(col("phrase"), col("n_words"), col("doc_id"),
+        (col("pos") - col("idx")).as("anchor"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === col("n_words"))
       .groupBy("phrase")
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -1043,6 +1097,35 @@ object TextAnalysis {
          |FROM ph JOIN p a ON a.word = ph.w1
          |JOIN p b2 ON b2.doc_id = a.doc_id AND b2.pos = a.pos + 1 AND b2.word = ph.w2
          |GROUP BY ph.phrase ORDER BY ph.phrase""".stripMargin
+    }
+
+    /** Mirrors the n-word [[TextAnalysis.phraseSearchPostings]]: the
+      * same anchor-aggregation algorithm (each query-term posting votes
+      * for the start position `pos - idx`; a phrase matches where all
+      * n votes arrive) over re-derived postings — for the indexed query
+      * the identical-result property IS the index-reader ≡ re-deriver
+      * proof.
+      */
+    def phraseSearchN(phrases: Seq[String] = PhraseQueriesNgram): String = {
+      val vals = phrases.flatMap { p =>
+        val ws = p.split(" ")
+        ws.zipWithIndex.map { case (w, i) => s"('$p', $i, '$w', ${ws.length})" }
+      }.mkString(", ")
+      val terms = phrases.flatMap(_.split(" ")).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH ph(phrase, idx, word, n_words) AS (VALUES $vals),
+         |b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, CAST(t.i AS INT) AS pos, w[CAST(t.i AS INT)] AS word
+         |    FROM b, unnest(range(1, len(w) + 1)) t(i))
+         |  WHERE word IN ($terms)),
+         |m AS (SELECT ph.phrase, ph.n_words, p.doc_id, p.pos - ph.idx AS anchor,
+         |        COUNT(*) AS n_terms
+         |      FROM p JOIN ph USING (word) GROUP BY 1, 2, 3, 4),
+         |h AS (SELECT phrase, doc_id FROM m WHERE n_terms = n_words)
+         |SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, COUNT(*) AS n_hits
+         |FROM h GROUP BY phrase ORDER BY phrase""".stripMargin
     }
 
     /** Mirrors blocklistFilter: VALUES dictionaries, the same two-tier

@@ -28,12 +28,16 @@ import graft.operators.Multimodal
   */
 object StreamDhash {
 
-  /** Append each micro-batch's match rows (doc_id, n_matches,
+  /** Write each micro-batch's match rows (doc_id, n_matches,
     * min_hamming, best_match — see [[Multimodal.dhashIndexMatches]])
-    * to `outDir` as parquet. Append-only is correct here: a doc's
-    * verdict against a static index never changes, and checkpointed
-    * micro-batch replay after a crash rewrites whole batches, the same
-    * at-least-once contract the JDBC/parquet upsert sinks document.
+    * under `outDir/batch_id=<batchId>` as parquet. A doc's verdict
+    * against a static index never changes, so per-batch output is
+    * stable — and keying the directory on batchId makes crash replay
+    * IDEMPOTENT (exactly-once output, not just at-least-once): a batch
+    * re-delivered after a failure between the sink write and the
+    * checkpoint commit OVERWRITES its own directory instead of
+    * appending duplicate rows. Readers scan `outDir` and get batch_id
+    * as a trailing partition column.
     */
   def matchAgainstIndex(docs: DataFrame, index: DataFrame, outDir: String,
       checkpointDir: String,
@@ -44,7 +48,7 @@ object StreamDhash {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Multimodal.dhashIndexMatches(Multimodal.withDhash(batch), index, maxHamming)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
       }
 }

@@ -949,7 +949,69 @@ object AnalyticsQueries {
       .orderBy("n_name")
   }
 
+  /** Build cohort for the q249/q250 pair: a deterministic supplier
+    * stripe (key mod 10 — scale-proportional at every SF, ~10% of
+    * suppliers), selective enough that the bloom pass has ~90% true
+    * negatives to drop on the probe side.
+    */
+  private def supplierCohort(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier")
+      .filter(col("s_suppkey") % 10 === 3)
+      .select(col("s_suppkey"))
+
+  /** Shared tail of q249/q250: exact left-semi join of lineitem against
+    * the cohort, SHUFFLE-pinned (`SHUFFLE_HASH` hint) to model the
+    * 100 TB regime where the key set exceeds the broadcast threshold —
+    * at test scale Catalyst would broadcast 100 keys and neither
+    * variant would shuffle at all. Revenue rollup per return flag.
+    */
+  private def cohortSemiRevenue(li: DataFrame, supp: DataFrame): DataFrame =
+    li.join(supp.hint("SHUFFLE_HASH"), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("l_returnflag")
+
+  /** q249: the PLAIN shuffled semi join — the baseline the q250 bloom
+    * variant must match bit-for-bit (same oracle SQL) and beat on
+    * shuffle volume. The full fact table pays the Exchange.
+    */
+  val semiShufflePlain: Q = (s, dir) =>
+    cohortSemiRevenue(Tables(s, dir, "lineitem"), supplierCohort(s, dir))
+
+  /** q250: the q240 Bloom filter wired into the join it exists for —
+    * not a census this time: the cohort's keys fold into ONE mergeable
+    * 4096-bit filter (64 longs per map task), the 1-row filter
+    * broadcasts, and the probe side evaluates the codegen'd shift/mask
+    * membership test UNDER its Exchange — ~90% of lineitem dies
+    * map-side before the shuffle the plain variant pays in full. The
+    * trailing exact semi join removes bloom false positives, so the
+    * result is IDENTICAL to q249 for any filter sizing (zero false
+    * negatives is the Bloom contract, and the shared oracle SQL is the
+    * proof). This is the engine-side analogue of the reference's
+    * push-the-predicate-down extract lane (spark_extract.py:193-205).
+    */
+  val semiShuffleBloom: Q = (s, dir) => {
+    import graft.functions.Sketch
+    import org.apache.spark.sql.classic.GraftBridge
+    val supp = supplierCohort(s, dir)
+    // scalar subquery, not a crossJoin: a join-shaped bloom feed lets
+    // the optimizer reorder the exact semi join BELOW it (probing
+    // after the shuffle — the opposite of the point); as a scalar the
+    // probe is a plain Filter on the scan, computed once and shipped
+    // with the task binary
+    val bloom = GraftBridge.scalarSubquery(
+      supp.agg(Sketch.bloomMd5(col("s_suppkey")).as("bf")))
+    val probed = Tables(s, dir, "lineitem")
+      .filter(Sketch.bloomMaybeContains(bloom, col("l_suppkey")))
+    cohortSemiRevenue(probed, supp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q249_semi_plain" -> semiShufflePlain,
+    "q250_semi_bloom" -> semiShuffleBloom,
     "q240_bloom_filter" -> bloomSemiJoin,
     "q112_reaggregation" -> reaggregation,
     "q106_regr_stats" -> regrStats,
@@ -1009,7 +1071,21 @@ object AnalyticsQueries {
   private def pivotCol(dt: String): String =
     s"(${N.sum(s"CASE WHEN device_type = '$dt' THEN value END")} / COUNT(CASE WHEN device_type = '$dt' THEN value END)) AS $dt"
 
+  /** Shared by q249/q250: the PLAIN semi join — the bloom variant's
+    * contract is bit-equality with it (zero false negatives).
+    */
+  private def cohortSemiOracle: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  ${N.sum("l_quantity")} AS sum_qty,
+       |  ${N.sum("(l_extendedprice * (1.0 - l_discount))")} AS revenue
+       |FROM lineitem
+       |WHERE EXISTS (SELECT 1 FROM supplier
+       |              WHERE s_suppkey % 10 = 3 AND s_suppkey = l_suppkey)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q249_semi_plain" -> cohortSemiOracle,
+    "q250_semi_bloom" -> cohortSemiOracle,
     // replays the exact bloom bit pattern as a DISTINCT position set
     // (generated beside the sketch: BloomSketch.oraclePosCte) and each
     // probe as K position lookups — bool_and over the probe rows is the

@@ -626,6 +626,23 @@ object PipelineQueries {
   val isotropy: Q = (s, dir) =>
     Clustering.isotropyAudit(emb(s, dir))
 
+  /** q253: the All-but-the-top TRANSFORM closing the q246 loop — run
+    * the isotropy audit, apply [[Clustering.allButTheTop]] (remove the
+    * mean, project out the centered corpus's dominant component), and
+    * audit again: `mean_dir_share` collapses to ~0 and `top_pc_share`
+    * drops to the next eigenvalue's share. Two rows, before/after —
+    * the measured proof the post-processing does what Mu & Viswanath
+    * promise, decimal-deterministic like q246.
+    */
+  val abttTransform: Q = (s, dir) => {
+    val e = emb(s, dir)
+    Clustering.isotropyAudit(Clustering.allButTheTop(e))
+      .select(lit("after").as("stage"), col("*"))
+      .unionByName(
+        Clustering.isotropyAudit(e).select(lit("before").as("stage"), col("*")))
+      .orderBy("stage")
+  }
+
   /** q130: n-gram novelty — per document, the share of its distinct
     * 3-grams never seen in any EARLIER document (doc_id order): the
     * incremental-crawl value signal (a doc that is 90% old grams adds
@@ -1883,6 +1900,22 @@ object PipelineQueries {
   val dhashNearDup: Q = (s, dir) =>
     Multimodal.dhashPairsFromHashes(mDhashFp(s, dir))
 
+  /** q254: the dhash family over a GENUINELY BINARY payload column —
+    * the magic-tagged media bytes (q51's modality surface), not text:
+    * the fingerprint's length/substring/md5 pipeline is
+    * BinaryType-native, so the 8×9 grid pools raw byte windows with no
+    * decode and no string round-trip. Same persisted-fingerprint
+    * discipline as [[mDhashFp]] (its own artifact key — the byte
+    * stream differs by the magic tags), same banded block-capped pair
+    * generation.
+    */
+  private def mDhashFpBin(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "dhash_fp_bin")(
+      Multimodal.withDhash(Multimodal.withMagicPayload(docs(s, dir)), "payload"))
+
+  val dhashBinary: Q = (s, dir) =>
+    Multimodal.dhashPairsFromHashes(mDhashFpBin(s, dir))
+
   /** q245: perceptual dup CLUSTERS — the media twin of q52: the
     * verified dhash pair graph resolved to connected components
     * (min-label clusters + sizes + canonical keeper). Candidate
@@ -1967,6 +2000,32 @@ object PipelineQueries {
     val posts = Materialized.onDisk(s, dir, "postings")(
       TextAnalysis.positionalPostings(docs(s, dir)))
     TextAnalysis.phraseSearchPostings(posts)
+  }
+
+  /** q251: n-word phrase search (3-5-word phrases, incl. a
+    * repeated-word phrase) over the SAME persisted posting artifact as
+    * q248 — anchor aggregation resolves any phrase length with one
+    * broadcast join + one keyed aggregation (see
+    * [[TextAnalysis.phraseSearchPostings]]); the oracle re-derives
+    * postings from scratch.
+    */
+  val phraseSearchNgram: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    TextAnalysis.phraseSearchPostings(posts, TextAnalysis.PhraseQueriesNgram)
+  }
+
+  /** q252: BM25 ranked retrieval SERVED FROM the persisted posting
+    * artifact — term stats (tf, dl, df, N) all derive from one keyed
+    * aggregation of the q248 postings parquet, the corpus is never
+    * re-tokenized (no Generate in the plan), and the scoring tail is
+    * shared with q149 — so the q149 oracle (which re-derives from the
+    * raw corpus) proves index-reader ≡ re-deriver for ranked retrieval.
+    */
+  val bm25Indexed: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    TextAnalysis.bm25FromPostings(posts)
   }
 
   /** q191: deletion-propagation impact — the right-to-be-forgotten
@@ -2068,13 +2127,17 @@ object PipelineQueries {
     "q244_boilerplate" -> boilerplate,
     "q245_dhash_clusters" -> dhashClusters,
     "q246_isotropy" -> isotropy,
+    "q253_abtt_transform" -> abttTransform,
     "q247_dhash_histogram" -> dhashHistogram,
     "q248_phrase_indexed" -> phraseSearchIndexed,
+    "q251_phrase_ngram" -> phraseSearchNgram,
+    "q252_bm25_indexed" -> bm25Indexed,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
     "q188_resize_plan" -> resizePlan,
     "q237_dhash_neardup" -> dhashNearDup,
+    "q254_dhash_binary" -> dhashBinary,
     "q238_persisted_index" -> persistedIndex,
     "q239_dhash_incremental" -> dhashIncremental,
     "q184_stream_gate" -> streamGateTwin,
@@ -2270,6 +2333,11 @@ object PipelineQueries {
     // from scratch — identical SQL to q241 is exactly the point: the
     // hash gate proves artifact-reader ≡ re-deriver
     "q248_phrase_indexed" -> TO.phraseSearch(),
+    // q251/q252 read the persisted artifact too; their oracles re-derive
+    // from the raw corpus (q252's is byte-identical to q149's — equality
+    // of the two formulations is the point)
+    "q251_phrase_ngram" -> TO.phraseSearchN(),
+    "q252_bm25_indexed" -> TO.bm25TopK(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,
@@ -2312,6 +2380,7 @@ object PipelineQueries {
          |FROM d ORDER BY doc_id""".stripMargin
     },
     "q237_dhash_neardup" -> Multimodal.O.dhashPairs(),
+    "q254_dhash_binary" -> Multimodal.O.dhashPairsBinary(),
     "q239_dhash_incremental" -> Multimodal.O.dhashIncremental(IncrementalSplit),
     "q245_dhash_clusters" -> Multimodal.O.dhashClusters(),
     "q247_dhash_histogram" -> Multimodal.O.dhashCandidateHistogram(),
@@ -2926,6 +2995,7 @@ object PipelineQueries {
     "q114_dup_spans" -> Dedup.O.duplicateSpans(),
     "q129_top_pc" -> Clustering.O.topPrincipalComponent(),
     "q246_isotropy" -> Clustering.O.isotropyAudit(),
+    "q253_abtt_transform" -> Clustering.O.allButTheTopAudit(),
     "q130_novelty" ->
       """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, g FROM (

@@ -51,6 +51,19 @@ class BloomSpec extends AnyFunSuite with TestSpark {
     assert(fp > 0 && fp < 600, s"implausible false-positive count $fp")
   }
 
+  test("bloom-prefiltered shuffle semi join (q250) is bit-equal to the plain one (q249)") {
+    // the operator contract: the bloom pass trades shuffle volume,
+    // never rows — zero false negatives means the aggregated result is
+    // identical for ANY filter sizing
+    val dir = "/root/testdata/sf0.001"
+    val plain = graft.warehouse.AnalyticsQueries.queries("q249_semi_plain")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val bloomed = graft.warehouse.AnalyticsQueries.queries("q250_semi_bloom")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(plain.nonEmpty)
+    assert(bloomed == plain)
+  }
+
   test("bloom state merges across streaming micro-batches == one-shot batch") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

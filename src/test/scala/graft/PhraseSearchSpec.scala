@@ -25,4 +25,29 @@ class PhraseSearchSpec extends AnyFunSuite with TestSpark {
     val docs = Seq(1L -> "nothing relevant here").toDF("doc_id", "text")
     assert(TextAnalysis.phraseSearch(docs, Seq("hash join")).count() == 0)
   }
+
+  test("n-word phrases: 3/4-word matches, overlaps, and repeated-word phrases resolve exactly") {
+    val docs = Seq(
+      1L -> "sort merge join wins here", // 3-word at start
+      2L -> "prefer a sort merge join plan", // 3-word mid-doc
+      3L -> "sort merge join sort merge join", // two non-overlapping occurrences
+      4L -> "sort merge then join later", // all words, broken adjacency
+      5L -> "the the the the", // overlapping repeated-word hits: anchors 0,1
+      6L -> "a b a b a", // "a b a" overlaps itself at anchors 0 and 2
+      7L -> "one two three four five") // 4-word phrase source
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.phraseSearch(docs,
+      Seq("sort merge join", "the the the", "a b a", "one two three four"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(
+      ("a b a", 1L, 2L), // doc 6: anchors 0 and 2
+      ("one two three four", 1L, 1L),
+      ("sort merge join", 3L, 4L), // docs 1,2,3; occurrences 1+1+2
+      ("the the the", 1L, 2L))) // doc 5: anchors 0 and 1
+  }
+
+  test("a partial suffix match at doc end never counts (all n votes required)") {
+    val docs = Seq(1L -> "ends with sort merge").toDF("doc_id", "text")
+    assert(TextAnalysis.phraseSearch(docs, Seq("sort merge join")).count() == 0)
+  }
 }

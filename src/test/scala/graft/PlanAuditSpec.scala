@@ -415,6 +415,25 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(!p.contains("Generate"), p.take(1200)) // probe = shift/mask, never an explode
   }
 
+  test("q250 bloom probe drops probe rows BELOW the semi join's Exchange") {
+    val p = plan("q250_semi_bloom")
+    // the exact semi join is shuffle-pinned (the 100 TB regime), and
+    // the codegen'd shift/mask membership probe must evaluate in the
+    // probe side's scan stage — i.e. the Filter sits UNDER the
+    // l_suppkey Exchange, so dropped rows never reach the shuffle
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"), p.take(1500))
+    // the filter arrives as a scalar subquery (computed once, shipped
+    // with the task binary) — a join-shaped feed would let the
+    // optimizer reorder the semi join below the probe
+    assert(p.contains("Subquery subquery") || p.contains("scalar-subquery"), p.take(1500))
+    val lines = p.linesIterator.toVector
+    val exIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning(l_suppkey"))
+    val probeIdx = lines.indexWhere(l => l.contains("shiftright") && l.contains("Filter"))
+    assert(exIdx >= 0, p.take(2500))
+    assert(probeIdx > exIdx,
+      s"bloom probe must sit under the probe-side Exchange (probe@$probeIdx, exchange@$exIdx)\n${p.take(2500)}")
+  }
+
   test("phrase search explodes postings once per side and joins keyed, never scans LIKE") {
     val p = plan("q241_phrase_search")
     // the phrase dictionary broadcasts; the position match is an
@@ -422,6 +441,21 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(1500))
+  }
+
+  test("n-word phrase search joins broadcast and aggregates — no NLJ, no join chain") {
+    val p = plan("q251_phrase_ngram")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500)) // the term dictionary
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("indexed BM25 reads the posting artifact, never re-tokenizes the corpus") {
+    val p = plan("q252_bm25_indexed")
+    // the only corpus-shaped input is the persisted postings parquet;
+    // a Generate would mean the documents table was exploded again
+    assert(!p.contains("Generate"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500)) // the 1-row stats broadcast
   }
 
   test("cluster sample assigns via broadcast centroids and draws via the partial top-k heap") {

@@ -36,7 +36,12 @@ class StreamDhashSpec extends AnyFunSuite with TestSpark {
       mem.addData(newDocs(1), newDocs(2)) // batch 2
       q.processAllAvailable()
     } finally q.stop()
-    val stream = spark.read.parquet(out)
+    // count (not just set) equality: a replayed/duplicated batch would
+    // inflate the row count even when the distinct set still matches
+    val streamRows = spark.read.parquet(out)
+      .select("doc_id", "n_matches", "min_hamming", "best_match")
+    assert(streamRows.count() == newDocs.size.toLong)
+    val stream = streamRows
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
     val batch = Multimodal.dhashIndexMatches(
