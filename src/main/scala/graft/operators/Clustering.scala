@@ -325,6 +325,44 @@ object Clustering {
           (x, vi) => x - col("t") * vi).as("embedding"))
   }
 
+  /** Mean pairwise cosine of the corpus WITHOUT the pair space (the
+    * anisotropy statistic of Ethayarajh 2019, "How Contextual are
+    * Contextualized Word Representations?" — isotropic corpora average
+    * ~0, anisotropic ones are uniformly positive): with x̂ = x/‖x‖,
+    * Σ_{i≠j} cos(xᵢ,xⱼ) = ‖Σx̂‖² − Σ‖x̂‖², so n(n−1) pairs are priced by
+    * ONE pass of per-dimension decimal sums — no pair ever
+    * materializes, at any corpus size. Zero-norm vectors are excluded
+    * (their cosine is undefined). Output: n_vecs, mean_pairwise_cos.
+    */
+  def meanPairwiseCosine(emb: DataFrame): DataFrame = {
+    val nrmed = emb
+      .select(col("embedding"),
+        sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0d), (a, x) => a + x)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("nrm"))
+      .select((col("pos") + 1).as("dim"),
+        (col("x").cast("double") / col("nrm")).as("xh"))
+    nrmed.groupBy("dim")
+      .agg(
+        sum(col("xh").cast("decimal(38,12)")).as("sx"),
+        sum((col("xh") * col("xh")).cast("decimal(38,12)")).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(
+        ((col("sx").cast("double") * col("sx").cast("double"))
+          .cast("decimal(38,12)")).as("sx2"),
+        col("sxx"), col("n"))
+      .agg(
+        sum(col("sx2")).cast("double").as("s2"),
+        sum(col("sxx")).cast("double").as("u"),
+        max(col("n")).as("n"))
+      .select(col("n").as("n_vecs"),
+        round((col("s2") - col("u")) /
+          (col("n") * (col("n") - lit(1L))).cast("double"), 6)
+          .as("mean_pairwise_cos"))
+  }
+
   /** Incremental index maintenance — the operational ANN pattern at
     * 100 TB: the coarse quantizer trains ONCE on the historical corpus
     * and is then FROZEN; newly-ingested vectors are only ASSIGNED to
@@ -460,6 +498,31 @@ object Clustering {
       * engine-exact), then a second full audit trajectory (prefix `b`)
       * over the transformed corpus.
       */
+    /** The transform CTE chain `mu → c → (prefix-a trajectory) → vr →
+      * ab(vec_id, embedding)` — the from-scratch replay of
+      * [[Clustering.allButTheTop]], shared by the q253 audit and the
+      * q256 cosine-shift oracle so the transform cannot drift.
+      */
+    private def abttCtes(iters: Int, dim: Int): String = {
+      val d1 = dim + 1
+      s"""mu AS (SELECT list(m ORDER BY dim) AS mu FROM (
+         |  SELECT i AS dim,
+         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i)),
+         |c AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(1, $d1), i -> CAST(e.embedding[i] AS DOUBLE) - w.mu[i]) AS embedding
+         |  FROM embeddings e CROSS JOIN mu w),
+         |${pcaCtes(iters, dim, "c", "a")},
+         |vr AS (SELECT list_transform(v, x -> round(x, 6)) AS v FROM va$iters),
+         |ab AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(range(1, $d1), i -> embedding[i] - t * v[i]) AS embedding
+         |  FROM (SELECT e.vec_id, e.embedding, w.v,
+         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list_transform(range(1, $d1), i -> e.embedding[i] * w.v[i])),
+         |            (a, b) -> a + b) AS t
+         |        FROM c e CROSS JOIN vr w))""".stripMargin
+    }
+
     def allButTheTopAudit(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
       val d1 = dim + 1
       def sums(src: String, ds: String, one: String) =
@@ -479,27 +542,55 @@ object Clustering {
            |FROM $one CROSS JOIN $n""".stripMargin
       s"""WITH ${pcaCtes(iters, dim)},
          |${sums("embeddings", "ds", "one")},
-         |mu AS (SELECT list(m ORDER BY dim) AS mu FROM (
-         |  SELECT i AS dim,
-         |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i)),
-         |c AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(range(1, $d1), i -> CAST(e.embedding[i] AS DOUBLE) - w.mu[i]) AS embedding
-         |  FROM embeddings e CROSS JOIN mu w),
-         |${pcaCtes(iters, dim, "c", "a")},
-         |vr AS (SELECT list_transform(v, x -> round(x, 6)) AS v FROM va$iters),
-         |ab AS MATERIALIZED (SELECT vec_id,
-         |    list_transform(range(1, $d1), i -> embedding[i] - t * v[i]) AS embedding
-         |  FROM (SELECT e.vec_id, e.embedding, w.v,
-         |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |            list_transform(range(1, $d1), i -> e.embedding[i] * w.v[i])),
-         |            (a, b) -> a + b) AS t
-         |        FROM c e CROSS JOIN vr w)),
+         |${abttCtes(iters, dim)},
          |${pcaCtes(iters, dim, "ab", "b")},
          |${sums("ab", "dsb", "oneb")}
          |${audit("after", "oneb", s"nb$iters")}
          |UNION ALL
          |${audit("before", "one", s"n$iters")}
+         |ORDER BY stage""".stripMargin
+    }
+
+    /** Mirrors [[Clustering.meanPairwiseCosine]] over `src`, CTE names
+      * suffixed with `pfx` so the q256 oracle runs it twice in one
+      * WITH chain.
+      */
+    private def mpcCtes(src: String, pfx: String, dim: Int): String = {
+      val d1 = dim + 1
+      s"""nr$pfx AS (SELECT embedding,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, $d1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM $src e),
+         |xh$pfx AS (SELECT i AS dim, CAST(embedding[i] AS DOUBLE) / nrm AS xh
+         |  FROM nr$pfx CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) WHERE nrm > 0),
+         |dsx$pfx AS (SELECT dim,
+         |    SUM(CAST(xh AS DECIMAL(38,12))) AS sx,
+         |    SUM(CAST(xh * xh AS DECIMAL(38,12))) AS sxx,
+         |    COUNT(*) AS n
+         |  FROM xh$pfx GROUP BY dim),
+         |one$pfx AS (SELECT
+         |    CAST(SUM(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         |    CAST(SUM(sxx) AS DOUBLE) AS u, MAX(n) AS n
+         |  FROM dsx$pfx)""".stripMargin
+    }
+
+    /** Mirrors the q256 before/after cosine-shift query: the shared
+      * [[abttCtes]] transform + [[mpcCtes]] on the raw and transformed
+      * corpus.
+      */
+    def abttCosineShift(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
+      def row(stage: String, pfx: String) =
+        s"""SELECT '$stage' AS stage, n AS n_vecs,
+           |  round((s2 - u) / CAST(n * (n - 1) AS DOUBLE), 6) AS mean_pairwise_cos
+           |FROM one$pfx""".stripMargin
+      s"""WITH ${abttCtes(iters, dim)},
+         |${mpcCtes("embeddings", "r", dim)},
+         |${mpcCtes("ab", "t", dim)}
+         |${row("after", "t")}
+         |UNION ALL
+         |${row("before", "r")}
          |ORDER BY stage""".stripMargin
     }
   }

@@ -991,6 +991,49 @@ object TextAnalysis {
       .orderBy("phrase")
   }
 
+  /** Term-pair PROXIMITY from the positional postings — the sloppy-
+    * phrase/proximity-boost signal ranked retrieval layers on top of
+    * BM25 (terms appearing 2 tokens apart beat terms 200 apart): per
+    * unordered query-term pair and document containing BOTH, the
+    * minimum token distance, rolled up per pair (docs with both terms,
+    * best distance anywhere, mean per-doc min distance).
+    *
+    * The min distance between two position SETS is attained at
+    * ADJACENT elements of their merged sorted stream, so one lag
+    * window over (pair, doc) ordered by position finds it in
+    * O(|postings(terms)|) — never the |A|×|B| per-doc product a naive
+    * position join pays (a stopword-frequency term would make that
+    * quadratic per doc). A posting enters one row per pair it belongs
+    * to via a broadcast (pair, member-word) dictionary.
+    */
+  def termProximity(postings: DataFrame,
+      terms: Seq[String] = Bm25QueryTerms): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val members = (for {
+      i <- terms.indices; j <- terms.indices if i < j
+      p = s"${terms(i)}|${terms(j)}"
+      w <- Seq(terms(i), terms(j))
+    } yield (p, w)).toDF("pair", "word")
+    val posts = postings.filter(col("word").isin(terms: _*))
+      .join(broadcast(members), Seq("word"))
+    val w = Window.partitionBy("pair", "doc_id").orderBy("pos")
+    val adj = posts
+      .select(col("pair"), col("doc_id"), col("pos"), col("word"),
+        lag(col("pos"), 1).over(w).as("prev_pos"),
+        lag(col("word"), 1).over(w).as("prev_word"))
+      .filter(col("prev_pos").isNotNull && col("word") =!= col("prev_word"))
+      .select(col("pair"), col("doc_id"), (col("pos") - col("prev_pos")).as("dist"))
+    adj.groupBy("pair", "doc_id").agg(min(col("dist")).as("min_dist"))
+      .groupBy("pair")
+      .agg(
+        count(lit(1)).as("n_docs_both"),
+        min(col("min_dist")).as("best_dist"),
+        round(sum(col("min_dist")).cast("double") / count(lit(1)), 6).as("avg_min_dist"))
+      .orderBy("pair")
+  }
+
   /** DuckDB fragments mirroring the Spark expressions above. */
   object O {
     import graft.functions.Num
@@ -1126,6 +1169,35 @@ object TextAnalysis {
          |h AS (SELECT phrase, doc_id FROM m WHERE n_terms = n_words)
          |SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, COUNT(*) AS n_hits
          |FROM h GROUP BY phrase ORDER BY phrase""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.termProximity]]: the same merged-order
+      * adjacency window over re-derived postings.
+      */
+    def termProximity(terms: Seq[String] = Bm25QueryTerms): String = {
+      val vals = (for {
+        i <- terms.indices; j <- terms.indices if i < j
+        p = s"${terms(i)}|${terms(j)}"
+        w <- Seq(terms(i), terms(j))
+      } yield s"('$p', '$w')").mkString(", ")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH ph(pair, word) AS (VALUES $vals),
+         |b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, CAST(t.i AS INT) AS pos, w[CAST(t.i AS INT)] AS word
+         |    FROM b, unnest(range(1, len(w) + 1)) t(i))
+         |  WHERE word IN ($inList)),
+         |m AS (SELECT ph.pair, p.doc_id, p.pos, p.word FROM p JOIN ph USING (word)),
+         |a AS (SELECT pair, doc_id, word,
+         |        pos - lag(pos) OVER (PARTITION BY pair, doc_id ORDER BY pos) AS dist,
+         |        lag(word) OVER (PARTITION BY pair, doc_id ORDER BY pos) AS pw
+         |      FROM m),
+         |d AS (SELECT pair, doc_id, MIN(dist) AS min_dist
+         |      FROM a WHERE pw IS NOT NULL AND word <> pw GROUP BY 1, 2)
+         |SELECT pair, COUNT(*) AS n_docs_both, MIN(min_dist) AS best_dist,
+         |  round(CAST(SUM(min_dist) AS DOUBLE) / COUNT(*), 6) AS avg_min_dist
+         |FROM d GROUP BY pair ORDER BY pair""".stripMargin
     }
 
     /** Mirrors blocklistFilter: VALUES dictionaries, the same two-tier

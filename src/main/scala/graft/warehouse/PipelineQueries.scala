@@ -2028,6 +2028,35 @@ object PipelineQueries {
     TextAnalysis.bm25FromPostings(posts)
   }
 
+  /** q255: query-term PROXIMITY from the same persisted posting
+    * artifact — per unordered BM25-query-term pair, the per-doc minimum
+    * token distance (merged-order adjacency window: O(|postings|),
+    * never the per-doc position product), rolled up per pair. The
+    * sloppy-phrase signal ranked retrieval layers on BM25.
+    */
+  val termProximity: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    TextAnalysis.termProximity(posts)
+  }
+
+  /** q256: the retrieval-side EFFECT of the q253 transform — mean
+    * pairwise cosine of the corpus before/after All-but-the-top,
+    * computed via the ‖Σx̂‖² − Σ‖x̂‖² identity (one decimal-sum pass,
+    * n(n−1) pairs priced with no pair space; Ethayarajh 2019's
+    * anisotropy statistic). A uniformly positive "before" collapsing
+    * toward 0 "after" is the measured reason cosine retrieval improves
+    * post-transform.
+    */
+  val abttCosineShift: Q = (s, dir) => {
+    val e = emb(s, dir)
+    Clustering.meanPairwiseCosine(Clustering.allButTheTop(e))
+      .select(lit("after").as("stage"), col("*"))
+      .unionByName(
+        Clustering.meanPairwiseCosine(e).select(lit("before").as("stage"), col("*")))
+      .orderBy("stage")
+  }
+
   /** q191: deletion-propagation impact — the right-to-be-forgotten
     * pass: given a deterministic deletion set (hash buckets >=
     * [[DeleteBucketFrom]], ~3% of docs), the blast radius through the
@@ -2132,6 +2161,8 @@ object PipelineQueries {
     "q248_phrase_indexed" -> phraseSearchIndexed,
     "q251_phrase_ngram" -> phraseSearchNgram,
     "q252_bm25_indexed" -> bm25Indexed,
+    "q255_term_proximity" -> termProximity,
+    "q256_abtt_cosine_shift" -> abttCosineShift,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2338,6 +2369,8 @@ object PipelineQueries {
     // of the two formulations is the point)
     "q251_phrase_ngram" -> TO.phraseSearchN(),
     "q252_bm25_indexed" -> TO.bm25TopK(),
+    "q255_term_proximity" -> TO.termProximity(),
+    "q256_abtt_cosine_shift" -> Clustering.O.abttCosineShift(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

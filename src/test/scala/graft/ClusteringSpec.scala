@@ -78,4 +78,35 @@ class ClusteringSpec extends AnyFunSuite with TestSpark {
     // eigenvalue positive and identical across rows
     assert(a.map(_._3).distinct.length == 1 && a.head._3 > 0)
   }
+
+  test("mean pairwise cosine matches the hand count; zero vectors excluded") {
+    // (1,0), (0,1), (1,0): ordered pairs sum = 2·(0 + 1 + 0) = 2 over
+    // n(n−1) = 6 → 1/3; the zero vector must not perturb it
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0f)),
+      (4L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val r = Clustering.meanPairwiseCosine(df).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.333333)
+  }
+
+  test("all-but-the-top zeroes the mean direction and drops the top-PC share") {
+    // anisotropic corpus: strong common direction + diagonal spread
+    val rows = (0 until 60).map { i =>
+      val s = (i % 13 - 6) / 5.0
+      (i.toLong, Array((2.0 + s).toFloat, (2.0 - s).toFloat, (i % 5 - 2) / 9.0f, 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val before = Clustering.isotropyAudit(df).head()
+    val after = Clustering.isotropyAudit(Clustering.allButTheTop(df)).head()
+    def share(r: org.apache.spark.sql.Row, c: String) =
+      r.getDouble(r.fieldIndex(c))
+    assert(share(before, "mean_dir_share") > 0.5) // strongly anisotropic input
+    assert(share(after, "mean_dir_share") < 1e-6) // mean removed exactly
+    // absolute energy drops (the RELATIVE next-component share can rise
+    // in a crafted low-dim corpus once the dominant direction is gone —
+    // the corpus-level before/after share read is q253's job)
+    assert(share(after, "lambda_max") < share(before, "lambda_max"))
+    assert(share(after, "trace") < share(before, "trace"))
+  }
 }

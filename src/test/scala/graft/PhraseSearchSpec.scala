@@ -50,4 +50,19 @@ class PhraseSearchSpec extends AnyFunSuite with TestSpark {
     val docs = Seq(1L -> "ends with sort merge").toDF("doc_id", "text")
     assert(TextAnalysis.phraseSearch(docs, Seq("sort merge join")).count() == 0)
   }
+
+  test("term proximity takes the per-doc MIN distance via merged-order adjacency") {
+    val docs = Seq(
+      1L -> "spark a b window", // dist 3
+      2L -> "window spark", // dist 1, order-insensitive
+      3L -> "spark x spark window", // nearest occurrence wins: dist 1, not 3
+      4L -> "spark only here") // one side only — no row
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.termProximity(
+      TextAnalysis.positionalPostings(docs), Seq("spark", "window"))
+      .collect().map(x =>
+        (x.getString(0), x.getLong(1), x.getInt(2), x.getDouble(3))).toSeq
+    // docs 1,2,3 qualify; best 1; mean of per-doc mins (3+1+1)/3
+    assert(r == Seq(("spark|window", 3L, 1, 1.666667)))
+  }
 }
