@@ -285,23 +285,17 @@ object Sketch {
   }
 
   /** Membership probe against a [[bloomMd5]] word array: true iff all
-    * K probe bits of `key` are set. Pure codegen'd shift/mask
-    * arithmetic over the same 60-bit md5 the builder used — the bit
-    * pattern (and so every probe verdict) is engine-exact against the
-    * DuckDB position-set replay.
+    * K probe bits of `key` are set — ONE codegen'd md5 per row + K
+    * integer shift/mask checks (graft.functions.expressions.BloomProbe;
+    * a column-arithmetic spelling pays K md5s per row because
+    * FilterExec's short-circuiting defeats subexpression elimination).
+    * Hashing is bit-identical to the builder's, so every probe verdict
+    * is engine-exact against the DuckDB position-set replay.
     */
   def bloomMaybeContains(bloom: Column, key: Column): Column = {
-    import graft.functions.expressions.BloomSketch.{K, M}
-    val h = Hashes.md5Long60(key.cast(StringType))
-    (0 until K).map { i =>
-      val pos = shiftright(h, 12 * i).bitwiseAND(lit((M - 1).toLong))
-      // variable-distance shift: the Scala-API shiftright only takes a
-      // literal Int distance, the SQL function takes an expression
-      call_function("shiftright",
-        element_at(bloom, (shiftright(pos, 6) + 1).cast(IntegerType)),
-        pos.bitwiseAND(lit(63L)).cast(IntegerType))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.expressions.BloomProbe.forInput(
+      GraftBridge.expression(bloom), GraftBridge.expression(key)))
   }
 }
 

@@ -984,9 +984,10 @@ object AnalyticsQueries {
   /** q250: the q240 Bloom filter wired into the join it exists for —
     * not a census this time: the cohort's keys fold into ONE mergeable
     * 4096-bit filter (64 longs per map task), the 1-row filter
-    * broadcasts, and the probe side evaluates the codegen'd shift/mask
-    * membership test UNDER its Exchange — ~90% of lineitem dies
-    * map-side before the shuffle the plain variant pays in full. The
+    * broadcasts, and the probe side evaluates the codegen'd
+    * one-md5-per-row membership test (BloomProbe) UNDER its Exchange —
+    * ~90% of lineitem dies map-side before the shuffle the plain
+    * variant pays in full. The
     * trailing exact semi join removes bloom false positives, so the
     * result is IDENTICAL to q249 for any filter sizing (zero false
     * negatives is the Bloom contract, and the shared oracle SQL is the

@@ -634,12 +634,23 @@ object PipelineQueries {
     * the measured proof the post-processing does what Mu & Viswanath
     * promise, decimal-deterministic like q246.
     */
+  /** The transformed corpus as a session artifact ([[Materialized]]):
+    * the transform's lineage nests the centered frame inside every
+    * power-iteration step, so consumers re-reading the RAW plan would
+    * re-run O(iters²) corpus passes per audit pass (measured: 20 s at
+    * sf0.1 for q253 unpersisted, ~6 s persisted). Solved once per
+    * (session, corpus), both q253 and q256 read the solved frame —
+    * exactly the materialized-artifact discipline of mClusters/mDhashFp.
+    */
+  private def mAbtt(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "abtt_corpus")(
+      Clustering.allButTheTop(emb(s, dir)))
+
   val abttTransform: Q = (s, dir) => {
-    val e = emb(s, dir)
-    Clustering.isotropyAudit(Clustering.allButTheTop(e))
+    Clustering.isotropyAudit(mAbtt(s, dir))
       .select(lit("after").as("stage"), col("*"))
       .unionByName(
-        Clustering.isotropyAudit(e).select(lit("before").as("stage"), col("*")))
+        Clustering.isotropyAudit(emb(s, dir)).select(lit("before").as("stage"), col("*")))
       .orderBy("stage")
   }
 
@@ -2049,11 +2060,11 @@ object PipelineQueries {
     * post-transform.
     */
   val abttCosineShift: Q = (s, dir) => {
-    val e = emb(s, dir)
-    Clustering.meanPairwiseCosine(Clustering.allButTheTop(e))
+    Clustering.meanPairwiseCosine(mAbtt(s, dir))
       .select(lit("after").as("stage"), col("*"))
       .unionByName(
-        Clustering.meanPairwiseCosine(e).select(lit("before").as("stage"), col("*")))
+        Clustering.meanPairwiseCosine(emb(s, dir))
+          .select(lit("before").as("stage"), col("*")))
       .orderBy("stage")
   }
 

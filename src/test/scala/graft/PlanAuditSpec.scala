@@ -428,7 +428,7 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("Subquery subquery") || p.contains("scalar-subquery"), p.take(1500))
     val lines = p.linesIterator.toVector
     val exIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning(l_suppkey"))
-    val probeIdx = lines.indexWhere(l => l.contains("shiftright") && l.contains("Filter"))
+    val probeIdx = lines.indexWhere(l => l.contains("bloom_probe") && l.contains("Filter"))
     assert(exIdx >= 0, p.take(2500))
     assert(probeIdx > exIdx,
       s"bloom probe must sit under the probe-side Exchange (probe@$probeIdx, exchange@$exIdx)\n${p.take(2500)}")
