@@ -1034,6 +1034,40 @@ object TextAnalysis {
       .orderBy("pair")
   }
 
+  /** Minimal covering window (the "sloppy phrase" / passage-retrieval
+    * primitive): per document containing ALL query terms, the smallest
+    * token span that covers one occurrence of each, top-k docs by
+    * tightest window. The classic linear algorithm as a window plan:
+    * for each query-term posting at position p, the best window ENDING
+    * at p spans from the minimum over terms of "last occurrence ≤ p"
+    * (per-term conditional running max) to p; the per-doc minimum over
+    * p is the exact minimal cover. O(|postings(terms)|) with one
+    * (doc)-keyed window — never a per-doc position product, no
+    * explode beyond the postings themselves.
+    */
+  def minWindowCover(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      topK: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.length >= 2, "a covering window needs at least two terms")
+    val posts = postings.filter(col("word").isin(terms: _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("word") === lit(t), col("pos"))).over(w).as(s"lp_$i")
+    }
+    val withLp = posts.select(col("doc_id") +: col("pos") +: lastCols: _*)
+    val allSeen = terms.indices.map(i => col(s"lp_$i").isNotNull).reduce(_ && _)
+    val span = col("pos") -
+      least(terms.indices.map(i => col(s"lp_$i")): _*) + lit(1)
+    withLp.filter(allSeen)
+      .select(col("doc_id"), span.as("window_tokens"))
+      .groupBy("doc_id").agg(min(col("window_tokens")).as("min_window"))
+      .orderBy(col("min_window"), col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("min_window"), col("doc_id"))))
+      .select("rank", "doc_id", "min_window")
+  }
+
   /** DuckDB fragments mirroring the Spark expressions above. */
   object O {
     import graft.functions.Num
@@ -1169,6 +1203,34 @@ object TextAnalysis {
          |h AS (SELECT phrase, doc_id FROM m WHERE n_terms = n_words)
          |SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, COUNT(*) AS n_hits
          |FROM h GROUP BY phrase ORDER BY phrase""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.minWindowCover]]: the same conditional
+      * running-max window over re-derived postings.
+      */
+    def minWindowCover(terms: Seq[String] = Bm25QueryTerms, topK: Int = 25): String = {
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val lastCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN word = '$t' THEN pos END) OVER " +
+          s"(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp_$i"
+      }.mkString(",\n         |    ")
+      val notNull = terms.indices.map(i => s"lp_$i IS NOT NULL").mkString(" AND ")
+      val leastOf = terms.indices.map(i => s"lp_$i").mkString("least(", ", ", ")")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, CAST(t.i AS INT) AS pos, w[CAST(t.i AS INT)] AS word
+         |    FROM b, unnest(range(1, len(w) + 1)) t(i))
+         |  WHERE word IN ($inList)),
+         |l AS (SELECT doc_id, pos,
+         |    $lastCols
+         |  FROM p),
+         |s AS (SELECT doc_id, CAST(pos - $leastOf + 1 AS INT) AS window_tokens
+         |      FROM l WHERE $notNull),
+         |d AS (SELECT doc_id, MIN(window_tokens) AS min_window FROM s GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY min_window, doc_id) AS INT) AS rank,
+         |  doc_id, min_window
+         |FROM d ORDER BY min_window, doc_id LIMIT $topK""".stripMargin
     }
 
     /** Mirrors [[TextAnalysis.termProximity]]: the same merged-order

@@ -2051,6 +2051,18 @@ object PipelineQueries {
     TextAnalysis.termProximity(posts)
   }
 
+  /** q257: minimal covering window over the same artifact — the
+    * "sloppy phrase" passage-retrieval primitive: the tightest token
+    * span containing one occurrence of every BM25 query term, top-25
+    * docs. One (doc)-keyed conditional-running-max window over the
+    * query terms' postings; see [[TextAnalysis.minWindowCover]].
+    */
+  val minWindow: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    TextAnalysis.minWindowCover(posts)
+  }
+
   /** q256: the retrieval-side EFFECT of the q253 transform — mean
     * pairwise cosine of the corpus before/after All-but-the-top,
     * computed via the ‖Σx̂‖² − Σ‖x̂‖² identity (one decimal-sum pass,
@@ -2174,6 +2186,7 @@ object PipelineQueries {
     "q252_bm25_indexed" -> bm25Indexed,
     "q255_term_proximity" -> termProximity,
     "q256_abtt_cosine_shift" -> abttCosineShift,
+    "q257_min_window" -> minWindow,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2382,6 +2395,7 @@ object PipelineQueries {
     "q252_bm25_indexed" -> TO.bm25TopK(),
     "q255_term_proximity" -> TO.termProximity(),
     "q256_abtt_cosine_shift" -> Clustering.O.abttCosineShift(),
+    "q257_min_window" -> TO.minWindowCover(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -51,6 +51,20 @@ class PhraseSearchSpec extends AnyFunSuite with TestSpark {
     assert(TextAnalysis.phraseSearch(docs, Seq("sort merge join")).count() == 0)
   }
 
+  test("minimal covering window finds the exact tightest span, any term order") {
+    val docs = Seq(
+      1L -> "a x x b", // cover [a..b] = 4 tokens
+      2L -> "b a", // reversed: 2 tokens
+      3L -> "a b a", // overlapping: [a,b] or [b,a] = 2
+      4L -> "a x x x x x b x a b", // tightest is the trailing [a b] = 2, not the leading 7
+      5L -> "a only") // missing b — excluded
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.minWindowCover(
+      TextAnalysis.positionalPostings(docs), Seq("a", "b"), topK = 10)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(r == Seq((1, 2L, 2), (2, 3L, 2), (3, 4L, 2), (4, 1L, 4)))
+  }
+
   test("term proximity takes the per-doc MIN distance via merged-order adjacency") {
     val docs = Seq(
       1L -> "spark a b window", // dist 3

@@ -458,6 +458,18 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500)) // the 1-row stats broadcast
   }
 
+  test("query-term filters push down to the postings artifact scan") {
+    // the 100 TB claim for q251/q255/q257: retrieval reads the
+    // query terms' posting lists, not the whole index — the isin()
+    // must reach the parquet reader as a pushed In filter
+    for (q <- Seq("q251_phrase_ngram", "q255_term_proximity", "q257_min_window")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [In(word") || p.contains("PushedFilters: [IsNotNull(word), In(word"),
+        s"$q: ${p.take(1500)}")
+      assert(!p.contains("Generate"), s"$q re-exploded the corpus\n${p.take(1200)}")
+    }
+  }
+
   test("cluster sample assigns via broadcast centroids and draws via the partial top-k heap") {
     val p = plan("q243_cluster_sample")
     assert(p.contains("topk_by_score"), p.take(1500)) // mergeable heap, no per-cluster sort window
