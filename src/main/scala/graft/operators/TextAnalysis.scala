@@ -623,6 +623,44 @@ object TextAnalysis {
       terms, k1, b, topK)
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    * Lafferty 2001, SIGIR — the language-modeling alternative to BM25;
+    * μ is the standard pseudo-length prior): per doc,
+    * score = Σ_t log((tf_t + μ·cf_t/|C|) / (dl + μ)), where cf_t/|C|
+    * is the collection model. Served from the SAME postings
+    * aggregation as [[bm25FromPostings]] — one keyed pass for tf/dl,
+    * collection stats as one 1-row broadcast, a fixed left-associated
+    * contribution tree rounded to 6 dp before ranking, top-k via
+    * orderBy+limit. Docs matching no query term are excluded (their
+    * score is the background constant, meaningless for ranking).
+    */
+  def dirichletQL(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      mu: Double = 300.0, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aggs = count(lit(1)).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("word") === lit(t), 1L).otherwise(0L)).as(s"tf_$i")
+      }
+    val base = postings.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val statAggs = sum(col("dl")).as("ctot") +:
+      terms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val contribs = terms.indices.map { i =>
+      log((col(s"tf_$i").cast("double") +
+        lit(mu) * col(s"cf_$i").cast("double") / col("ctot").cast("double")) /
+        (col("dl").cast("double") + lit(mu)))
+    }
+    val nHits = terms.indices.map(i => (col(s"tf_$i") > 0).cast("int")).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nHits.as("n_hits"),
+        round(contribs.reduce(_ + _), 6).as("score"))
+      .filter(col("n_hits") > 0)
+      .orderBy(desc("score"), col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .orderBy("rank")
+  }
+
   /** Shared BM25 tail: corpus stats as one 1-row broadcast, per-term
     * contributions as a fixed left-associated expression tree, top-k
     * via orderBy+limit. `base` carries (doc_id, dl, tf_0..tf_{n-1}) —
@@ -1068,6 +1106,46 @@ object TextAnalysis {
       .select("rank", "doc_id", "min_window")
   }
 
+  /** Snippet extraction — the retrieval-UX tail of [[minWindowCover]]:
+    * for the top-k docs by tightest covering window, the window's
+    * token slice as a display snippet. The argmin window per doc is
+    * the lexicographic struct-min (window, start) — deterministic
+    * earliest-tightest — and only the k winning docs join back to the
+    * corpus text (broadcast, k rows), so the text column is read for k
+    * documents, never the corpus.
+    */
+  def minWindowSnippets(docs: DataFrame, postings: DataFrame,
+      terms: Seq[String] = Bm25QueryTerms, topK: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    require(terms.length >= 2, "a covering window needs at least two terms")
+    val posts = postings.filter(col("word").isin(terms: _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("word") === lit(t), col("pos"))).over(w).as(s"lp_$i")
+    }
+    val withLp = posts.select(col("doc_id") +: col("pos") +: lastCols: _*)
+    val allSeen = terms.indices.map(i => col(s"lp_$i").isNotNull).reduce(_ && _)
+    val start = least(terms.indices.map(i => col(s"lp_$i")): _*)
+    val top = withLp.filter(allSeen)
+      .select(col("doc_id"),
+        struct((col("pos") - start + lit(1)).as("win"), start.as("st")).as("ws"))
+      .groupBy("doc_id").agg(min(col("ws")).as("ws"))
+      .select(col("doc_id"), col("ws.win").as("min_window"), col("ws.st").as("start_pos"))
+      .orderBy(col("min_window"), col("doc_id")).limit(topK)
+    docs.join(broadcast(top), Seq("doc_id"))
+      .select(col("doc_id"), col("min_window"),
+        array_join(
+          slice(Text.words(col(textCol)), col("start_pos") + lit(1), col("min_window")),
+          " ").as("snippet"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("min_window"), col("doc_id"))))
+      .select("rank", "doc_id", "min_window", "snippet")
+      .orderBy("rank")
+  }
+
   /** DuckDB fragments mirroring the Spark expressions above. */
   object O {
     import graft.functions.Num
@@ -1231,6 +1309,42 @@ object TextAnalysis {
          |SELECT CAST(row_number() OVER (ORDER BY min_window, doc_id) AS INT) AS rank,
          |  doc_id, min_window
          |FROM d ORDER BY min_window, doc_id LIMIT $topK""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.minWindowSnippets]]: same window chain;
+      * the argmin is replayed as min-window-then-min-start (≡ the
+      * Spark side's lexicographic struct-min), snippet = the 1-based
+      * inclusive list slice.
+      */
+    def minWindowSnippets(terms: Seq[String] = Bm25QueryTerms, topK: Int = 10): String = {
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val lastCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN word = '$t' THEN pos END) OVER " +
+          s"(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp_$i"
+      }.mkString(",\n         |    ")
+      val notNull = terms.indices.map(i => s"lp_$i IS NOT NULL").mkString(" AND ")
+      val leastOf = terms.indices.map(i => s"lp_$i").mkString("least(", ", ", ")")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, CAST(t.i AS INT) AS pos, w[CAST(t.i AS INT)] AS word
+         |    FROM b, unnest(range(1, len(w) + 1)) t(i))
+         |  WHERE word IN ($inList)),
+         |l AS (SELECT doc_id, pos,
+         |    $lastCols
+         |  FROM p),
+         |s AS (SELECT doc_id, CAST(pos - $leastOf + 1 AS INT) AS win, $leastOf AS st
+         |      FROM l WHERE $notNull),
+         |d AS (SELECT doc_id, MIN(win) AS min_window FROM s GROUP BY 1),
+         |st AS (SELECT s.doc_id, d.min_window, MIN(s.st) AS start_pos
+         |       FROM s JOIN d ON s.doc_id = d.doc_id AND s.win = d.min_window
+         |       GROUP BY 1, 2),
+         |t AS (SELECT * FROM st ORDER BY min_window, doc_id LIMIT $topK)
+         |SELECT CAST(row_number() OVER (ORDER BY t.min_window, t.doc_id) AS INT) AS rank,
+         |  t.doc_id, t.min_window,
+         |  array_to_string(b.w[t.start_pos : t.start_pos + t.min_window - 1], ' ') AS snippet
+         |FROM t JOIN b ON b.doc_id = t.doc_id
+         |ORDER BY rank""".stripMargin
     }
 
     /** Mirrors [[TextAnalysis.termProximity]]: the same merged-order
@@ -1414,6 +1528,36 @@ object TextAnalysis {
          |      ORDER BY round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) DESC, t.term) AS INT) AS rank
          |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
          |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+    /** Mirrors [[TextAnalysis.dirichletQL]]: same contribution shape
+      * (tf and dl from string_split — re-derived from scratch, so the
+      * hash gate proves postings-reader ≡ re-deriver for this ranker
+      * too), same left-associated sum, rounded before ranking.
+      */
+    def dirichletQL(terms: Seq[String] = Bm25QueryTerms,
+        mu: Double = 300.0, topK: Int = 20): String = {
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        val esc = t.replace("'", "''")
+        s"len(list_filter(string_split(text, ' '), x -> x = '$esc')) AS tf_$i"
+      }.mkString(",\n         |    ")
+      val cfCols = terms.indices.map(i => s"SUM(tf_$i) AS cf_$i").mkString(", ")
+      val contribs = terms.indices.map { i =>
+        s"ln((CAST(tf_$i AS DOUBLE) + $mu * CAST(cf_$i AS DOUBLE) / CAST(ctot AS DOUBLE)) / " +
+          s"(CAST(dl AS DOUBLE) + $mu))"
+      }.mkString(" + ")
+      val nHits = terms.indices
+        .map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |stats AS (SELECT SUM(dl) AS ctot, $cfCols FROM base),
+         |scored AS (SELECT doc_id, CAST($nHits AS INT) AS n_hits,
+         |    round($contribs, 6) AS score
+         |  FROM base CROSS JOIN stats)
+         |SELECT doc_id, n_hits, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |FROM scored WHERE n_hits > 0 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+    }
 
     /** Mirrors bm25TopK: same contribution expression shape, same
       * left-associated sum order, rounded to 6 dp before ranking.

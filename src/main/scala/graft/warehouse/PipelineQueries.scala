@@ -2063,6 +2063,29 @@ object PipelineQueries {
     TextAnalysis.minWindowCover(posts)
   }
 
+  /** q258: snippet extraction — the retrieval-UX tail of q257: for the
+    * top-10 tightest-window docs, the covering window's token slice as
+    * a display snippet; only the 10 winners join back to the corpus
+    * text (broadcast), so the text column is read k times, never
+    * corpus-wide.
+    */
+  val minWindowSnippets: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    TextAnalysis.minWindowSnippets(docs(s, dir), posts)
+  }
+
+  /** q259: Dirichlet query-likelihood ranking (Zhai & Lafferty 2001)
+    * from the same postings artifact — the language-modeling ranker
+    * beside q252's BM25, sharing the one keyed tf/dl aggregation
+    * shape; the oracle re-derives from the raw corpus.
+    */
+  val dirichletQl: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    TextAnalysis.dirichletQL(posts)
+  }
+
   /** q256: the retrieval-side EFFECT of the q253 transform — mean
     * pairwise cosine of the corpus before/after All-but-the-top,
     * computed via the ‖Σx̂‖² − Σ‖x̂‖² identity (one decimal-sum pass,
@@ -2187,6 +2210,8 @@ object PipelineQueries {
     "q255_term_proximity" -> termProximity,
     "q256_abtt_cosine_shift" -> abttCosineShift,
     "q257_min_window" -> minWindow,
+    "q258_min_window_snippets" -> minWindowSnippets,
+    "q259_dirichlet_ql" -> dirichletQl,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2396,6 +2421,8 @@ object PipelineQueries {
     "q255_term_proximity" -> TO.termProximity(),
     "q256_abtt_cosine_shift" -> Clustering.O.abttCosineShift(),
     "q257_min_window" -> TO.minWindowCover(),
+    "q258_min_window_snippets" -> TO.minWindowSnippets(),
+    "q259_dirichlet_ql" -> TO.dirichletQL(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -65,6 +65,29 @@ class PhraseSearchSpec extends AnyFunSuite with TestSpark {
     assert(r == Seq((1, 2L, 2), (2, 3L, 2), (3, 4L, 2), (4, 1L, 4)))
   }
 
+  test("snippet slice is the earliest tightest window's exact tokens") {
+    val docs = Seq(
+      1L -> "x a y b x a b z", // tightest [a b] at pos 5..6; earliest-tightest wins
+      2L -> "a b then more text") // window 2 at start
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.minWindowSnippets(
+      docs, TextAnalysis.positionalPostings(docs), Seq("a", "b"), topK = 5)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2), x.getString(3))).toSeq
+    assert(r == Seq((1, 1L, 2, "a b"), (2, 2L, 2, "a b")))
+  }
+
+  test("dirichlet QL ranks the doc with more query-term mass first") {
+    val docs = Seq(
+      1L -> "spark spark window filler filler",
+      2L -> "spark filler filler filler filler",
+      3L -> "no query terms at all")
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dirichletQL(
+      TextAnalysis.positionalPostings(docs), Seq("spark", "window"))
+      .collect().map(x => x.getLong(0)).toSeq
+    assert(r == Seq(1L, 2L)) // doc 3 excluded (no hits), doc 1 beats doc 2
+  }
+
   test("term proximity takes the per-doc MIN distance via merged-order adjacency") {
     val docs = Seq(
       1L -> "spark a b window", // dist 3
