@@ -1559,6 +1559,58 @@ object TextAnalysis {
          |FROM scored WHERE n_hits > 0 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
     }
 
+    /** Mirrors the q261 hybrid: BOTH rankers' scores from one shared
+      * base CTE (expressions text-identical to the standalone
+      * [[bm25TopK]]/[[dirichletQL]] oracles), each top-k ranked with
+      * its own filter/order, fused by the q216 RRF convention.
+      */
+    def hybridRrf(terms: Seq[String] = Bm25QueryTerms,
+        k1: Double = 1.2, b: Double = 0.75, mu: Double = 300.0,
+        kRrf: Int = 60, topK: Int = 20): String = {
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        val esc = t.replace("'", "''")
+        s"len(list_filter(string_split(text, ' '), x -> x = '$esc')) AS tf_$i"
+      }.mkString(",\n         |    ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val cfCols = terms.indices.map(i => s"SUM(tf_$i) AS cf_$i").mkString(", ")
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+      val bmContribs = terms.indices.map { i =>
+        val idf = s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))"
+        s"(CASE WHEN tf_$i > 0 THEN $idf * CAST(tf_$i AS DOUBLE) * ${k1 + 1} / " +
+          s"(CAST(tf_$i AS DOUBLE) + $k1 * (${1 - b} + $b * dl / $avgdl)) ELSE 0.0 END)"
+      }.mkString(" + ")
+      val qlContribs = terms.indices.map { i =>
+        s"ln((CAST(tf_$i AS DOUBLE) + $mu * CAST(cf_$i AS DOUBLE) / CAST(ctot AS DOUBLE)) / " +
+          s"(CAST(dl AS DOUBLE) + $mu))"
+      }.mkString(" + ")
+      val nHits = terms.indices
+        .map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         |    SUM(dl) AS ctot, $dfCols, $cfCols FROM base),
+         |scored AS (SELECT doc_id, CAST($nHits AS INT) AS n_hits,
+         |    round($bmContribs, 6) AS bscore,
+         |    round($qlContribs, 6) AS qscore
+         |  FROM base CROSS JOIN stats),
+         |bm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bscore DESC, doc_id) AS INT) AS bm_rank
+         |       FROM (SELECT * FROM scored WHERE bscore > 0 ORDER BY bscore DESC, doc_id LIMIT $topK)),
+         |qlr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY qscore DESC, doc_id) AS INT) AS ql_rank
+         |        FROM (SELECT * FROM scored WHERE n_hits > 0 ORDER BY qscore DESC, doc_id LIMIT $topK)),
+         |f AS (SELECT COALESCE(bm.doc_id, qlr.doc_id) AS doc_id,
+         |        round(COALESCE(1.0 / ($kRrf + bm.bm_rank), 0.0)
+         |            + COALESCE(1.0 / ($kRrf + qlr.ql_rank), 0.0), 6) AS rrf_score,
+         |        COALESCE(bm.bm_rank, 0) AS bm_rank,
+         |        COALESCE(qlr.ql_rank, 0) AS ql_rank
+         |      FROM bm FULL OUTER JOIN qlr ON bm.doc_id = qlr.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+         |  doc_id, rrf_score, bm_rank, ql_rank
+         |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT $topK)
+         |ORDER BY rank""".stripMargin
+    }
+
     /** Mirrors bm25TopK: same contribution expression shape, same
       * left-associated sum order, rounded to 6 dp before ranking.
       */

@@ -2086,6 +2086,53 @@ object PipelineQueries {
     TextAnalysis.dirichletQL(posts)
   }
 
+  /** q260: incremental posting-index MAINTENANCE — the text twin of
+    * q239's media-index ingest: the existing docs' postings are the
+    * disk artifact (built once), an arriving batch (doc_id ≥
+    * [[IncrementalSplit]]) is tokenized ALONE and unioned at query
+    * time — the corpus before the split is never re-tokenized. The
+    * oracle is q251's from-scratch SQL, so the hash gate proves
+    * (artifact ∪ delta) ≡ a full re-derivation.
+    */
+  val incrementalPostings: Q = (s, dir) => {
+    val base = Materialized.onDisk(s, dir, "postings_base")(
+      TextAnalysis.positionalPostings(
+        docs(s, dir).filter(col("doc_id") < IncrementalSplit)))
+    val delta = TextAnalysis.positionalPostings(
+      docs(s, dir).filter(col("doc_id") >= IncrementalSplit))
+    TextAnalysis.phraseSearchPostings(
+      base.unionByName(delta), TextAnalysis.PhraseQueriesNgram)
+  }
+
+  /** q261: hybrid TEXT retrieval — Reciprocal Rank Fusion (the q216
+    * convention: 1/(60+rank), absent list contributes 0) of the two
+    * posting-artifact rankers, q252's BM25 and q259's Dirichlet QL.
+    * Both rankings come from the SAME one-pass tf/dl aggregation of
+    * the artifact; fusion is a 20×20 full-outer join.
+    */
+  val hybridTextRrf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    val bm = TextAnalysis.bm25FromPostings(posts)
+      .select(col("doc_id"), col("rank").as("bm_rank"))
+    val ql = TextAnalysis.dirichletQL(posts)
+      .select(col("doc_id"), col("rank").as("ql_rank"))
+    val fused = bm.join(ql, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("ql_rank")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rrf_score"),
+        coalesce(col("bm_rank"), lit(0)).as("bm_rank"),
+        coalesce(col("ql_rank"), lit(0)).as("ql_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select("rank", "doc_id", "rrf_score", "bm_rank", "ql_rank")
+      .orderBy("rank")
+  }
+
   /** q256: the retrieval-side EFFECT of the q253 transform — mean
     * pairwise cosine of the corpus before/after All-but-the-top,
     * computed via the ‖Σx̂‖² − Σ‖x̂‖² identity (one decimal-sum pass,
@@ -2212,6 +2259,8 @@ object PipelineQueries {
     "q257_min_window" -> minWindow,
     "q258_min_window_snippets" -> minWindowSnippets,
     "q259_dirichlet_ql" -> dirichletQl,
+    "q260_incremental_postings" -> incrementalPostings,
+    "q261_hybrid_text_rrf" -> hybridTextRrf,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2423,6 +2472,11 @@ object PipelineQueries {
     "q257_min_window" -> TO.minWindowCover(),
     "q258_min_window_snippets" -> TO.minWindowSnippets(),
     "q259_dirichlet_ql" -> TO.dirichletQL(),
+    // q260 unions the disk artifact with a freshly-tokenized delta; the
+    // oracle is q251's from-scratch SQL — identical results ARE the
+    // (artifact ∪ delta) ≡ re-derivation proof
+    "q260_incremental_postings" -> TO.phraseSearchN(),
+    "q261_hybrid_text_rrf" -> TO.hybridRrf(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,
