@@ -949,24 +949,36 @@ object AnalyticsQueries {
       .orderBy("n_name")
   }
 
-  /** Build cohort for the q249/q250 pair: a deterministic supplier
-    * stripe (key mod 10 — scale-proportional at every SF, ~10% of
-    * suppliers), selective enough that the bloom pass has ~90% true
-    * negatives to drop on the probe side.
+  /** Build cohort for the q249/q250 pair: the HIGH-BALANCE suppliers.
+    * Membership must be an attribute of the supplier ROW (s_acctbal —
+    * invisible from the fact table), NOT a predicate on the join key:
+    * a first cut used `s_suppkey % 10 = 3`, and Catalyst's
+    * InferFiltersFromConstraints transferred that predicate through
+    * the semi join onto the lineitem scan — the "plain" probe was
+    * pre-filtered for free and the bloom could only add cost. A
+    * key-predicate cohort never needs a runtime filter; the bloom's
+    * habitat is exactly the membership the optimizer CANNOT see
+    * through — a data-derived key set.
     */
+  private val CohortBalanceFloor = 6000.0
+
   private def supplierCohort(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "supplier")
-      .filter(col("s_suppkey") % 10 === 3)
+      .filter(col("s_acctbal") > CohortBalanceFloor)
       .select(col("s_suppkey"))
 
   /** Shared tail of q249/q250: exact left-semi join of lineitem against
-    * the cohort, SHUFFLE-pinned (`SHUFFLE_HASH` hint) to model the
-    * 100 TB regime where the key set exceeds the broadcast threshold —
-    * at test scale Catalyst would broadcast 100 keys and neither
-    * variant would shuffle at all. Revenue rollup per return flag.
+    * the cohort, SHUFFLE-pinned (`MERGE` hint → sort-merge, the
+    * strategy Catalyst itself picks for a non-broadcastable join) to
+    * model the 100 TB regime where the key set exceeds the broadcast
+    * threshold — at test scale Catalyst would broadcast 100 keys and
+    * neither variant would shuffle at all. Sort-merge makes the probe
+    * side pay exchange + SORT, so the bloom cut shrinks both (a
+    * shuffled-hash pin would hide the sort and leave only the
+    * loopback-cheap exchange). Revenue rollup per return flag.
     */
   private def cohortSemiRevenue(li: DataFrame, supp: DataFrame): DataFrame =
-    li.join(supp.hint("SHUFFLE_HASH"), col("l_suppkey") === col("s_suppkey"), "left_semi")
+    li.join(supp.hint("MERGE"), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_items"),
@@ -986,8 +998,8 @@ object AnalyticsQueries {
     * 4096-bit filter (64 longs per map task), the 1-row filter
     * broadcasts, and the probe side evaluates the codegen'd
     * one-md5-per-row membership test (BloomProbe) UNDER its Exchange —
-    * ~90% of lineitem dies map-side before the shuffle the plain
-    * variant pays in full. The
+    * the non-member share of lineitem (90% at sf0.001) dies map-side
+    * before the shuffle+sort the plain variant pays in full. The
     * trailing exact semi join removes bloom false positives, so the
     * result is IDENTICAL to q249 for any filter sizing (zero false
     * negatives is the Bloom contract, and the shared oracle SQL is the
@@ -1081,7 +1093,7 @@ object AnalyticsQueries {
        |  ${N.sum("(l_extendedprice * (1.0 - l_discount))")} AS revenue
        |FROM lineitem
        |WHERE EXISTS (SELECT 1 FROM supplier
-       |              WHERE s_suppkey % 10 = 3 AND s_suppkey = l_suppkey)
+       |              WHERE s_acctbal > $CohortBalanceFloor AND s_suppkey = l_suppkey)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -64,6 +64,35 @@ class BloomSpec extends AnyFunSuite with TestSpark {
     assert(bloomed == plain)
   }
 
+  test("bloom pre-filter cuts probe-side shuffle volume ~10x (the 100 TB currency)") {
+    // local wall-clock understates the win (a loopback shuffle of
+    // narrow rows costs less than one md5/row) — the scale-relevant
+    // number is rows through the Exchange, measured here from the
+    // executed plan's shuffle-write metrics. AQE off so the physical
+    // exchanges are directly observable.
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def maxShuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val recs = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec =>
+            e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        }
+        assert(recs.nonEmpty, df.queryExecution.executedPlan.toString.take(1000))
+        recs.max // the probe-side exchange dominates every other one
+      }
+      val plain = maxShuffleRecords(
+        graft.warehouse.AnalyticsQueries.queries("q249_semi_plain")(spark, dir))
+      val bloomed = maxShuffleRecords(
+        graft.warehouse.AnalyticsQueries.queries("q250_semi_bloom")(spark, dir))
+      assert(plain >= 5000L, s"plain probe shuffled $plain rows — fixture changed?")
+      assert(bloomed * 5 < plain,
+        s"bloom probe must cut the shuffle ~10x: bloom=$bloomed plain=$plain")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("bloom state merges across streaming micro-batches == one-shot batch") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -421,7 +421,7 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     // the codegen'd shift/mask membership probe must evaluate in the
     // probe side's scan stage — i.e. the Filter sits UNDER the
     // l_suppkey Exchange, so dropped rows never reach the shuffle
-    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"), p.take(1500))
     // the filter arrives as a scalar subquery (computed once, shipped
     // with the task binary) — a join-shaped feed would let the
     // optimizer reorder the semi join below the probe
