@@ -661,6 +661,50 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** BOTH retrieval scores (BM25 + Dirichlet QL) from ONE postings
+    * aggregation — the q261 fusion input: at corpus scale the per-doc
+    * tf/dl rollup is the dominant cost and must not run once per
+    * ranker. The two branches of the fusion join share this frame's
+    * aggregation EXCHANGE (Spark's ReuseExchange dedupes the identical
+    * subtree — plan-audited), so the corpus is scanned and shuffled
+    * once. Score expressions are the same shapes as [[bm25FromPostings]]
+    * / [[dirichletQL]], so each ranking is value-identical to its
+    * standalone query.
+    */
+  def retrievalScores(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75, mu: Double = 300.0): DataFrame = {
+    val aggs = count(lit(1)).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("word") === lit(t), 1L).otherwise(0L)).as(s"tf_$i")
+      }
+    val base = postings.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val statAggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl").cast("long")).as("sum_dl") +:
+        (terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i")) ++
+          terms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i")))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val bmContribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      when(col(s"tf_$i") > 0,
+        idf * tf * lit(k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val qlContribs = terms.indices.map { i =>
+      log((col(s"tf_$i").cast("double") +
+        lit(mu) * col(s"cf_$i").cast("double") / col("sum_dl").cast("double")) /
+        (col("dl").cast("double") + lit(mu)))
+    }
+    val nHits = terms.indices.map(i => (col(s"tf_$i") > 0).cast("int")).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nHits.as("n_hits"),
+        round(bmContribs.reduce(_ + _), 6).as("bscore"),
+        round(qlContribs.reduce(_ + _), 6).as("qscore"))
+  }
+
   /** Shared BM25 tail: corpus stats as one 1-row broadcast, per-term
     * contributions as a fixed left-associated expression tree, top-k
     * via orderBy+limit. `base` carries (doc_id, dl, tf_0..tf_{n-1}) —

@@ -2114,10 +2114,18 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val posts = Materialized.onDisk(s, dir, "postings")(
       TextAnalysis.positionalPostings(docs(s, dir)))
-    val bm = TextAnalysis.bm25FromPostings(posts)
-      .select(col("doc_id"), col("rank").as("bm_rank"))
-    val ql = TextAnalysis.dirichletQL(posts)
-      .select(col("doc_id"), col("rank").as("ql_rank"))
+    // ONE tf/dl aggregation feeds both rankers (the corpus-scale cost
+    // center must not run once per ranking) — the branches share the
+    // aggregation exchange via ReuseExchange, plan-audited
+    val scored = TextAnalysis.retrievalScores(posts)
+    def ranked(scoreCol: String, keep: org.apache.spark.sql.Column, rankName: String) =
+      scored.filter(keep)
+        .orderBy(col(scoreCol).desc, col("doc_id")).limit(20)
+        .withColumn(rankName,
+          row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id"))))
+        .select(col("doc_id"), col(rankName))
+    val bm = ranked("bscore", col("bscore") > 0, "bm_rank")
+    val ql = ranked("qscore", col("n_hits") > 0, "ql_rank")
     val fused = bm.join(ql, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +

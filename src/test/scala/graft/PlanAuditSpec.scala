@@ -458,6 +458,17 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500)) // the 1-row stats broadcast
   }
 
+  test("hybrid fusion computes the tf/dl base aggregation ONCE (exchange reused)") {
+    // both rankers and both stats rows branch from one scored frame;
+    // at corpus scale the per-doc rollup is the cost center and must
+    // not run per ranking — the reuse only appears in the EXECUTED
+    // (AQE-final) plan, so run the query first
+    val df = SparkEntry.queries("q261_hybrid_text_rrf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
   test("query-term filters push down to the postings artifact scan") {
     // the 100 TB claim for q251/q255/q257: retrieval reads the
     // query terms' posting lists, not the whole index — the isin()
