@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -28,8 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * census built on it — still replays exactly in the DuckDB oracle.
   */
 case class BloomProbe(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // analysis-time contract: word array + string key — a wrong bloom
+  // column (not array<bigint>) or an uncast key fails as an
+  // AnalysisException instead of a runtime ClassCastException
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), StringType)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "bloom_probe"

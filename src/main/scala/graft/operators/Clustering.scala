@@ -254,8 +254,20 @@ object Clustering {
     * cross-partition sum rides decimal(38,12); the only doubles are
     * per-row products and final IEEE divides, identical in the oracle.
     */
-  def isotropyAudit(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
-    val lambda = topPrincipalComponent(emb, iters)
+  def isotropyAudit(emb: DataFrame, iters: Int = PcaIters): DataFrame =
+    isotropyAuditFrom(emb, topPrincipalComponent(emb, iters))
+
+  /** [[isotropyAudit]] with the power trajectory supplied as a
+    * PRECOMPUTED [[topPrincipalComponent]] frame — the artifact-reuse
+    * spelling: the trajectory is the expensive corpus-touching part
+    * (iters × two corpus passes), and q129/q246/q253 all need the SAME
+    * raw-corpus trajectory, so they share one session-materialized
+    * solve instead of re-running it per query. Value-identical to the
+    * inline form (the trajectory is deterministic), so oracle hashes
+    * cannot tell the difference.
+    */
+  def isotropyAuditFrom(emb: DataFrame, pc: DataFrame): DataFrame = {
+    val lambda = pc
       .agg(max(col("eigenvalue")).as("lambda_max")) // constant per row
     // keyed per-dim sums: sx (for the mean direction), sxx (for trace)
     val ds = emb
@@ -358,8 +370,14 @@ object Clustering {
         sum(col("sxx")).cast("double").as("u"),
         max(col("n")).as("n"))
       .select(col("n").as("n_vecs"),
-        round((col("s2") - col("u")) /
-          (col("n") * (col("n") - lit(1L))).cast("double"), 6)
+        // degenerate guard: with 0 or 1 usable vectors there are no
+        // pairs — emit an explicit NULL instead of the unguarded
+        // division's silent NaN (DuckDB's x/0) / NULL (Spark's x/0);
+        // for n > 1 the branch is the identical expression, so hashes
+        // are unchanged
+        when(col("n") > 1,
+          round((col("s2") - col("u")) /
+            (col("n") * (col("n") - lit(1L))).cast("double"), 6))
           .as("mean_pairwise_cos"))
   }
 
@@ -583,7 +601,8 @@ object Clustering {
     def abttCosineShift(iters: Int = PcaIters, dim: Int = Similarity.Dim): String = {
       def row(stage: String, pfx: String) =
         s"""SELECT '$stage' AS stage, n AS n_vecs,
-           |  round((s2 - u) / CAST(n * (n - 1) AS DOUBLE), 6) AS mean_pairwise_cos
+           |  CASE WHEN n > 1
+           |    THEN round((s2 - u) / CAST(n * (n - 1) AS DOUBLE), 6) END AS mean_pairwise_cos
            |FROM one$pfx""".stripMargin
       s"""WITH ${abttCtes(iters, dim)},
          |${mpcCtes("embeddings", "r", dim)},

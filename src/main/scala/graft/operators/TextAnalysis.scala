@@ -646,9 +646,18 @@ object TextAnalysis {
       terms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
     val contribs = terms.indices.map { i =>
-      log((col(s"tf_$i").cast("double") +
-        lit(mu) * col(s"cf_$i").cast("double") / col("ctot").cast("double")) /
-        (col("dl").cast("double") + lit(mu)))
+      // cf = 0 guard: a query term absent from the whole collection
+      // makes the contribution log(0) for docs lacking it — Spark's
+      // log would return NULL (silently nulling the score) while the
+      // DuckDB oracle's ln(0) raises, so the engines would diverge.
+      // Fail loudly and consistently instead; for cf > 0 data the
+      // branch is the identical expression (hashes unchanged).
+      when(col(s"cf_$i") > 0,
+        log((col(s"tf_$i").cast("double") +
+          lit(mu) * col(s"cf_$i").cast("double") / col("ctot").cast("double")) /
+          (col("dl").cast("double") + lit(mu))))
+        .otherwise(raise_error(lit(
+          s"dirichletQL: query term '${terms(i)}' has zero collection frequency")))
     }
     val nHits = terms.indices.map(i => (col(s"tf_$i") > 0).cast("int")).reduce(_ + _)
     base.crossJoin(broadcast(stats))
@@ -694,9 +703,13 @@ object TextAnalysis {
         .otherwise(lit(0.0))
     }
     val qlContribs = terms.indices.map { i =>
-      log((col(s"tf_$i").cast("double") +
-        lit(mu) * col(s"cf_$i").cast("double") / col("sum_dl").cast("double")) /
-        (col("dl").cast("double") + lit(mu)))
+      // same cf = 0 loud-failure guard as [[dirichletQL]]
+      when(col(s"cf_$i") > 0,
+        log((col(s"tf_$i").cast("double") +
+          lit(mu) * col(s"cf_$i").cast("double") / col("sum_dl").cast("double")) /
+          (col("dl").cast("double") + lit(mu))))
+        .otherwise(raise_error(lit(
+          s"retrievalScores: query term '${terms(i)}' has zero collection frequency")))
     }
     val nHits = terms.indices.map(i => (col(s"tf_$i") > 0).cast("int")).reduce(_ + _)
     base.crossJoin(broadcast(stats))

@@ -32,6 +32,9 @@ object StreamBloom {
     * never call with a streaming frame.
     */
   def bloomLiteral(members: DataFrame, key: String): Column = {
+    require(!members.isStreaming,
+      "members must be a static frame: bloomLiteral folds it with an eager " +
+        "driver-side collect, which cannot run on a streaming DataFrame")
     val words = members.agg(Sketch.bloomMd5(col(key)).as("bf"))
       .head().getSeq[Long](0).toArray
     typedlit(words)

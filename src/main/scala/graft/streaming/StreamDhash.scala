@@ -41,7 +41,17 @@ object StreamDhash {
     */
   def matchAgainstIndex(docs: DataFrame, index: DataFrame, outDir: String,
       checkpointDir: String,
-      maxHamming: Int = Multimodal.DHashMaxHamming): DataStreamWriter[Row] =
+      maxHamming: Int = Multimodal.DHashMaxHamming): DataStreamWriter[Row] = {
+    // a pre-round-11 sink appended data files at the ROOT of outDir;
+    // mixing those with batch_id=<id> partition directories breaks
+    // parquet partition discovery for every reader — refuse to write
+    // into a legacy layout rather than corrupt it
+    val root = new java.io.File(outDir)
+    val legacy = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    require(legacy.isEmpty,
+      s"outDir '$outDir' holds root-level data files (${legacy.take(3).map(_.getName).mkString(", ")}…) " +
+        "from the legacy append layout; clear or migrate it before using the batch_id=<id> sink")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -51,4 +61,5 @@ object StreamDhash {
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
       }
+  }
 }

@@ -615,8 +615,19 @@ object PipelineQueries {
     * iteration without materializing the covariance matrix, every step
     * deterministic so the oracle replays the identical trajectory.
     */
+  /** The RAW corpus's power trajectory as a session artifact: q129
+    * returns it, and q246 / q253's "before" audit both need exactly
+    * this frame for their lambda_max — one solve instead of three
+    * identical O(iters × corpus-pass) trajectories (the mAbtt
+    * discipline; values are deterministic, so consumer hashes are
+    * unchanged vs re-deriving).
+    */
+  private def mPcaRaw(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "pca_raw")(
+      Clustering.topPrincipalComponent(emb(s, dir)))
+
   val topPc: Q = (s, dir) =>
-    Clustering.topPrincipalComponent(emb(s, dir)).orderBy("dim")
+    mPcaRaw(s, dir).orderBy("dim")
 
   /** q246: embedding isotropy audit (All-but-the-top diagnostics) —
     * how much corpus energy the dominant direction and the common mean
@@ -624,7 +635,7 @@ object PipelineQueries {
     * new embedding source.
     */
   val isotropy: Q = (s, dir) =>
-    Clustering.isotropyAudit(emb(s, dir))
+    Clustering.isotropyAuditFrom(emb(s, dir), mPcaRaw(s, dir))
 
   /** q253: the All-but-the-top TRANSFORM closing the q246 loop — run
     * the isotropy audit, apply [[Clustering.allButTheTop]] (remove the
@@ -647,10 +658,14 @@ object PipelineQueries {
       Clustering.allButTheTop(emb(s, dir)))
 
   val abttTransform: Q = (s, dir) => {
+    // the "before" audit is the identical raw-corpus trajectory q246
+    // runs — read the shared artifact; only the "after" trajectory
+    // (over the transformed corpus) is this query's own work
     Clustering.isotropyAudit(mAbtt(s, dir))
       .select(lit("after").as("stage"), col("*"))
       .unionByName(
-        Clustering.isotropyAudit(emb(s, dir)).select(lit("before").as("stage"), col("*")))
+        Clustering.isotropyAuditFrom(emb(s, dir), mPcaRaw(s, dir))
+          .select(lit("before").as("stage"), col("*")))
       .orderBy("stage")
   }
 
@@ -2141,6 +2156,54 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** The dense query vector for the q262 hybrid: a fixed corpus id
+    * (doc_id = vec_id is the documents↔embeddings link), the same
+    * fixed-query convention as the q252 BM25 term set.
+    */
+  val HybridQueryVec = 0L
+
+  /** q262: hybrid DENSE + LEXICAL retrieval — the canonical
+    * hybrid-search shape at 100 TB: BM25 served from the persisted
+    * posting artifact (lexical side — the corpus is never
+    * re-tokenized; q252's path) fused with embedding ANN over the
+    * vector corpus (dense side — the q65 IVF path: trained-quantizer
+    * session artifact, probe-list candidates, never all-pairs) through
+    * Reciprocal Rank Fusion (the q216/q261 convention: Σ 1/(60+rank),
+    * an absent list contributes 0). doc_id = vec_id joins the text and
+    * vector corpora, so a doc surfaced by either modality ranks.
+    *
+    * Scale shape: each side reads its index artifact (postings
+    * parquet / coarse quantizer) — one artifact read per side, no
+    * corpus re-derivation anywhere; the fusion itself is a full-outer
+    * join of two ≤20-row rank lists. The oracle re-derives BOTH
+    * rankings from scratch (corpus tokenization + the full Lloyd
+    * trajectory replay), so the hash gate proves index-reader ≡
+    * re-deriver across the whole hybrid stack.
+    */
+  val hybridDenseLexical: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val posts = Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+    val lex = TextAnalysis.bm25FromPostings(posts)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val dense = Similarity.ivfTopK(emb(s, dir), col("vec_id") === HybridQueryVec,
+        k = 20, trained = Some(mKmeansCos(s, dir)))
+      .select(col("cand_id").as("doc_id"), col("rank").as("dense_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rrf_score"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select("rank", "doc_id", "rrf_score", "lex_rank", "dense_rank")
+      .orderBy("rank")
+  }
+
   /** q256: the retrieval-side EFFECT of the q253 transform — mean
     * pairwise cosine of the corpus before/after All-but-the-top,
     * computed via the ‖Σx̂‖² − Σ‖x̂‖² identity (one decimal-sum pass,
@@ -2269,6 +2332,7 @@ object PipelineQueries {
     "q259_dirichlet_ql" -> dirichletQl,
     "q260_incremental_postings" -> incrementalPostings,
     "q261_hybrid_text_rrf" -> hybridTextRrf,
+    "q262_hybrid_dense_lexical" -> hybridDenseLexical,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2485,6 +2549,25 @@ object PipelineQueries {
     // (artifact ∪ delta) ≡ re-derivation proof
     "q260_incremental_postings" -> TO.phraseSearchN(),
     "q261_hybrid_text_rrf" -> TO.hybridRrf(),
+    // q262: both rankings re-derived from scratch (corpus tokenization
+    // for BM25, the full Lloyd-trajectory replay for IVF) — identical
+    // results prove index-reader ≡ re-deriver across the hybrid stack
+    "q262_hybrid_dense_lexical" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id, rank AS lex_rank FROM (${TO.bm25TopK()})),
+         |dense AS (
+         |  SELECT cand_id AS doc_id, rank AS dense_rank
+         |  FROM (${Similarity.O.ivf(s"vec_id = $HybridQueryVec", k = 20)})),
+         |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |        round(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+         |            + COALESCE(1.0 / (60 + d.dense_rank), 0.0), 6) AS rrf_score,
+         |        COALESCE(l.lex_rank, 0) AS lex_rank,
+         |        COALESCE(d.dense_rank, 0) AS dense_rank
+         |      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+         |  doc_id, rrf_score, lex_rank, dense_rank
+         |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
+         |ORDER BY rank""".stripMargin,
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -238,6 +238,56 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
     assert(builds.get() == 2)
   }
 
+  // ---- round-11 advisor findings ----
+
+  test("BloomProbe rejects a non-word-array bloom argument at analysis time") {
+    import graft.functions.Sketch
+    val df = Seq((Array(1, 2, 3), "k")).toDF("arr", "k") // array<int>, not array<bigint>
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Sketch.bloomMaybeContains($"arr", $"k"))
+    }
+  }
+
+  test("StreamBloom.bloomLiteral refuses a streaming members frame") {
+    val streaming = spark.readStream.format("rate").load()
+      .selectExpr("CAST(value AS STRING) AS k")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamBloom.bloomLiteral(streaming, "k")
+    }
+    assert(e.getMessage.contains("static"))
+  }
+
+  test("StreamDhash refuses an outDir holding the legacy append layout") {
+    val out = Files.createTempDirectory("graft-dhash-legacy").toString
+    Files.write(Paths.get(out, "part-00000.parquet"), Array[Byte](1, 2, 3))
+    val docsStream = spark.readStream.format("rate").load()
+      .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    val index = Seq((0L, 0, 0L)).toDF("doc_id", "band", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamDhash.matchAgainstIndex(
+        docsStream, index, out, out + "/cp")
+    }
+    assert(e.getMessage.contains("legacy"))
+  }
+
+  test("meanPairwiseCosine yields NULL, not NaN, with fewer than two usable vectors") {
+    import graft.operators.Clustering
+    val one = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val r = one.transform(Clustering.meanPairwiseCosine).head()
+    assert(r.getLong(0) == 1L)
+    assert(r.isNullAt(1)) // no pairs → explicit NULL, never 0/0 NaN
+  }
+
+  test("dirichletQL fails loudly on a query term with zero collection frequency") {
+    import graft.operators.TextAnalysis
+    val postings = Seq((0L, 1, "hello"), (0L, 2, "world"), (1L, 1, "hello"))
+      .toDF("doc_id", "pos", "word")
+    val e = intercept[Exception] {
+      TextAnalysis.dirichletQL(postings, terms = Seq("hello", "zzz_absent")).collect()
+    }
+    assert(messageChain(e).contains("zero collection frequency"), messageChain(e).take(400))
+  }
+
   test("eventPaths md5 comes from the first PathCap events only") {
     import graft.warehouse.ExtendedQueries
     // 60 events for one user: the path must hash the first 50 by

@@ -469,6 +469,19 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(p.contains("ReusedExchange"), p.take(2000))
   }
 
+  test("hybrid dense+lexical reads both index artifacts; ANN side never all-pairs") {
+    val p = plan("q262_hybrid_dense_lexical")
+    // lexical side: the postings parquet artifact, never a corpus
+    // re-tokenization (a Generate would mean documents was exploded)
+    assert(!p.contains("Generate"), p.take(1500))
+    assert(p.contains("graft-artifacts"), p.take(1500)) // the postings artifact scan
+    // dense side: candidates come from the cent_id-keyed probe-list
+    // equi-join (BHJ); the only NLJ is the bounded 16-centroid /
+    // 1-row-stats broadcast — a CartesianProduct is never acceptable
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("query-term filters push down to the postings artifact scan") {
     // the 100 TB claim for q251/q255/q257: retrieval reads the
     // query terms' posting lists, not the whole index — the isin()
