@@ -216,8 +216,11 @@ object StressBench {
     val synthDir = "target/stress_x10"
     synthesize(spark, sfDir, synthDir, copies = 10)
     val semSynthDir = "target/stress_x10_sem"
-    if (Only.forall(_("q147_semdedup")))
+    val semX3Dir = "target/stress_x3_sem"
+    if (Only.forall(_("q147_semdedup"))) {
       synthesizeShifted(spark, sfDir, semSynthDir, copies = 10)
+      synthesizeShifted(spark, sfDir, semX3Dir, copies = 3)
+    }
 
     def runOne(name: String, q: (SparkSession, String) => DataFrame,
         dir: String): Double = {
@@ -238,10 +241,43 @@ object StressBench {
     run(sfDir, sfDir) // warm JIT/codegen so the timed passes compare like-for-like
     val base = run(sfDir, sfDir)
     val x10 = run(synthDir, semSynthDir)
+    // Standing 3-point linearity fit for q147 (the q159 discipline),
+    // over STEADY-STATE points: each dir gets an untimed pass first, so
+    // the timed pass reads a hot session quantizer artifact. The raw
+    // x10 ratio row (kept above, for history) times a COLD first touch
+    // of the synth corpus — quantizer training + artifact build
+    // included — against an artifact-warm base; that asymmetry is
+    // constant-ish but noisy, which is exactly the r10→r11 "drift".
+    // The fit isolates the operator: t(n) = o + w·n, and max_rel_err
+    // (not the ratio) is the linearity verdict.
+    def runSteady(name: String, q: (SparkSession, String) => DataFrame,
+        dir: String): Double = {
+      spark.catalog.clearCache()
+      q(spark, dir).write.mode("overwrite").format("noop").save() // artifact + JIT warm
+      // min of two timed passes: plan cost is deterministic, so the min
+      // is the statistic an ambient pause can only leave alone (the
+      // Bench discipline) — on 1.5-3 s points one pause is a 10% error
+      val sec = Seq.fill(2)(
+        time(q(spark, dir).write.mode("overwrite").format("noop").save())).min
+      System.err.println(f"[stress] $name%-22s $dir%-28s $sec%7.2fs (steady)")
+      sec
+    }
+    val fit = if (withSem) {
+      val s1 = runSteady("q147_semdedup", semQ, sfDir)
+      val s3 = runSteady("q147_semdedup", semQ, semX3Dir)
+      val s10 = runSteady("q147_semdedup", semQ, semSynthDir)
+      val pts = Seq(1.0 -> s1, 3.0 -> s3, 10.0 -> s10)
+      val (nBar, tBar) = (pts.map(_._1).sum / 3, pts.map(_._2).sum / 3)
+      val w = pts.map { case (n, t) => (n - nBar) * (t - tBar) }.sum /
+        pts.map { case (n, _) => (n - nBar) * (n - nBar) }.sum
+      val o = tBar - w * nBar
+      val err = pts.map { case (n, t) => math.abs(o + w * n - t) / t }.max
+      f""","fit_q147":{"t1":$s1%.3f,"t3":$s3%.3f,"t10":$s10%.3f,"o":$o%.3f,"w":$w%.3f,"max_rel_err":$err%.4f}"""
+    } else ""
     def j(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val ratios = base.keys.map(n => n -> x10(n) / math.max(base(n), 0.001)).toMap
-    println(s"""{"metric":"dedup_stress_x10","base_sf":"$sfDir","base":${j(base)},"x10":${j(x10)},"ratio":${j(ratios)}}""")
+    println(s"""{"metric":"dedup_stress_x10","base_sf":"$sfDir","base":${j(base)},"x10":${j(x10)},"ratio":${j(ratios)}$fit}""")
     spark.stop()
   }
 }

@@ -310,6 +310,16 @@ object Clustering {
     * is order-fixed IEEE, identical in the oracle.
     */
   def allButTheTop(emb: DataFrame, iters: Int = PcaIters): DataFrame = {
+    val centered = centeredCorpus(emb)
+    projectOut(centered, topPrincipalComponent(centered, iters))
+  }
+
+  /** The mean-centered corpus — step 1 of All-but-the-top, factored out
+    * so the deflated top-D pipeline can materialize it once and iterate
+    * over it. The mean is ONE d-row keyed aggregation folded into a
+    * 1-row broadcast array; centering is a per-row zip_with.
+    */
+  def centeredCorpus(emb: DataFrame): DataFrame = {
     val mu = emb
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"))
@@ -319,15 +329,29 @@ object Clustering {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("m")))),
         x => x.getField("m")).as("mu"))
-    val centered = emb.crossJoin(broadcast(mu))
+    emb.crossJoin(broadcast(mu))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("mu"),
           (x, m) => x.cast("double") - m).as("embedding"))
-    val v = topPrincipalComponent(centered, iters)
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("loading")))),
-        x => x.getField("loading")).as("v"))
-    centered.crossJoin(broadcast(v))
+  }
+
+  /** Project the component in `pc` (a [[topPrincipalComponent]] output
+    * frame — the ROUNDED loadings, i.e. the engine-exact transform
+    * input both engines share) out of every row: x ← x − (x·v)v. The
+    * deflation step of top-D All-but-the-top (the paper's recipe
+    * removes the top D ≈ d/100 components, not one): after projecting
+    * out v₁, the dominant direction of the residual is v₂, so
+    * alternating trajectory → projectOut yields successive components
+    * at O(iters) corpus passes per component — provided the caller
+    * materializes each residual before the next trajectory (the q253
+    * lineage lesson: an unpersisted residual nests the whole chain
+    * inside every later corpus pass).
+    */
+  def projectOut(corpus: DataFrame, pc: DataFrame): DataFrame = {
+    val v = pc.agg(transform(
+      array_sort(collect_list(struct(col("dim"), col("loading")))),
+      x => x.getField("loading")).as("v"))
+    corpus.crossJoin(broadcast(v))
       .select(col("vec_id"), col("embedding"), col("v"),
         aggregate(
           zip_with(col("embedding"), col("v"), (x, vi) => x * vi),
@@ -336,6 +360,17 @@ object Clustering {
         zip_with(col("embedding"), col("v"),
           (x, vi) => x - col("t") * vi).as("embedding"))
   }
+
+  /** Σ‖x‖² of a double-array corpus via per-dimension decimal sums (the
+    * q246 trace staging) as a 1-row frame — the energy accounting the
+    * top-D deflation audit reports against.
+    */
+  def corpusTrace(corpus: DataFrame): DataFrame =
+    corpus.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"))
+      .agg(sum(col("sxx")).cast("double").as("trace"))
 
   /** Mean pairwise cosine of the corpus WITHOUT the pair space (the
     * anisotropy statistic of Ethayarajh 2019, "How Contextual are
@@ -567,6 +602,52 @@ object Clustering {
          |UNION ALL
          |${audit("before", "one", s"n$iters")}
          |ORDER BY stage""".stripMargin
+    }
+
+    /** Mirrors the q263 top-D deflation chain: the centered corpus,
+      * then per level the unrolled power trajectory (prefix `l<d>`),
+      * the ROUNDED loadings, and the projection residual — plus a
+      * per-level decimal trace sum. Every residual is MATERIALIZED
+      * (each is read by the next trajectory's iters CTEs AND its trace
+      * CTE — inlining would blow up exponentially, the q199 lesson).
+      */
+    def abttTopD(levels: Int = 3, iters: Int = PcaIters,
+        dim: Int = Similarity.Dim): String = {
+      val d1 = dim + 1
+      val sb = new StringBuilder(
+        s"""mu AS (SELECT list(m ORDER BY dim) AS mu FROM (
+           |  SELECT i AS dim,
+           |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i)),
+           |r0 AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(range(1, $d1), i -> CAST(e.embedding[i] AS DOUBLE) - w.mu[i]) AS embedding
+           |  FROM embeddings e CROSS JOIN mu w)""".stripMargin)
+      for (l <- 1 to levels) {
+        val src = s"r${l - 1}"
+        sb.append(",\n" + pcaCtes(iters, dim, src, s"l$l"))
+        sb.append(s""",
+          |vr$l AS (SELECT list_transform(v, x -> round(x, 6)) AS v FROM vl$l$iters),
+          |r$l AS MATERIALIZED (SELECT vec_id,
+          |    list_transform(range(1, $d1), i -> embedding[i] - t * v[i]) AS embedding
+          |  FROM (SELECT e.vec_id, e.embedding, w.v,
+          |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |            list_transform(range(1, $d1), i -> e.embedding[i] * w.v[i])),
+          |            (a, b) -> a + b) AS t
+          |        FROM $src e CROSS JOIN vr$l w))""".stripMargin)
+      }
+      for (l <- 0 to levels) {
+        sb.append(s""",
+          |tr$l AS (SELECT CAST(SUM(sxx) AS DOUBLE) AS trace FROM (
+          |  SELECT SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS sxx
+          |  FROM r$l CROSS JOIN (SELECT unnest(range(1, $d1)) AS i) GROUP BY i))""".stripMargin)
+      }
+      val rows = (1 to levels).map { l =>
+        s"""SELECT $l AS comp, round(nrm, 6) AS eigenvalue,
+           |  round(t$l.trace, 6) AS resid_trace,
+           |  round(t$l.trace / t0.trace, 6) AS resid_share
+           |FROM nl$l$iters CROSS JOIN tr$l t$l CROSS JOIN tr0 t0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH ${sb.toString}\n$rows\nORDER BY comp"
     }
 
     /** Mirrors [[Clustering.meanPairwiseCosine]] over `src`, CTE names

@@ -1,7 +1,6 @@
 package graft.warehouse
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped registry of materialized CORPUS-SNAPSHOT ARTIFACTS —
   * the deterministic derived frames several queries share: the near-dup
@@ -43,8 +42,17 @@ object Materialized {
     @volatile private var built: Option[DataFrame] = None
     def frame: DataFrame = built.getOrElse(synchronized {
       built.getOrElse {
-        val f = build().persist(StorageLevel.MEMORY_AND_DISK)
-        f.count()
+        // eager localCheckpoint: materializes the solved frame (the
+        // production "write") AND truncates lineage — consumers see a
+        // flat scan of stored blocks, not the build plan. The lineage
+        // cut matters beyond cleanliness: chained artifacts (the q263
+        // deflation levels, each consuming the previous) would
+        // otherwise nest every ancestor's plan as InMemoryRelation
+        // innerChildren, and plan PRINTING re-renders each occurrence —
+        // exponential in chain depth (round-12: treeString OOMed the
+        // test JVM before any query ran). Blocks spill to disk like
+        // the previous MEMORY_AND_DISK persist.
+        val f = build().localCheckpoint(true)
         built = Some(f)
         f
       }

@@ -79,6 +79,44 @@ class ClusteringSpec extends AnyFunSuite with TestSpark {
     assert(a.map(_._3).distinct.length == 1 && a.head._3 > 0)
   }
 
+  test("deflated top-D chain: each projection drains energy; separated spectrum orders components") {
+    // corpus with a genuinely separated spectrum so 4-iteration power
+    // trajectories converge: big variance along e1, medium along e2,
+    // small along e3 (the driver's synthetic embeddings are near-flat
+    // after centering, which is why q263's monotone exhibit is the
+    // residual-trace share, not the eigenvalue ordering — here, with
+    // separation, the eigenvalue estimates DO order)
+    val rows = (0 until 300).map { i =>
+      val a = (i % 31 - 15) / 2.0 // λ1 direction, big spread
+      val b = (i % 17 - 8) / 4.0 // λ2, medium
+      val c = (i % 7 - 3) / 9.0 // λ3, small
+      (i.toLong, Array(a.toFloat, b.toFloat, c.toFloat, 0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val c0 = Clustering.centeredCorpus(df); c0.cache()
+    val pc1 = Clustering.topPrincipalComponent(c0); pc1.cache()
+    val r1 = Clustering.projectOut(c0, pc1); r1.cache()
+    val pc2 = Clustering.topPrincipalComponent(r1); pc2.cache()
+    val r2 = Clustering.projectOut(r1, pc2); r2.cache()
+    val pc3 = Clustering.topPrincipalComponent(r2)
+    def lam(pc: org.apache.spark.sql.DataFrame) =
+      pc.agg(org.apache.spark.sql.functions.max($"eigenvalue")).head.getDouble(0)
+    def tr(c: org.apache.spark.sql.DataFrame) =
+      Clustering.corpusTrace(c).head.getDouble(0)
+    val (l1, l2, l3) = (lam(pc1), lam(pc2), lam(pc3))
+    assert(l1 > l2 && l2 > l3, s"$l1 $l2 $l3") // separated spectrum → ordered estimates
+    val (t0, t1v, t2v) = (tr(c0), tr(r1), tr(r2))
+    assert(t0 > t1v && t1v > t2v, s"$t0 $t1v $t2v") // every deflation drains energy
+    // deflation removed (almost exactly) the dominant component's energy
+    assert(math.abs((t0 - t1v) - l1) / l1 < 0.05, s"removed ${t0 - t1v} vs λ1 $l1")
+    // v2 ⊥ v1: the residual's top direction is orthogonal to what was removed
+    def vec(pc: org.apache.spark.sql.DataFrame) =
+      pc.orderBy("dim").collect().map(_.getDouble(1))
+    val dot12 = vec(pc1).zip(vec(pc2)).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot12) < 0.05, s"v1·v2 = $dot12")
+    Seq(c0, pc1, r1, pc2, r2).foreach(_.unpersist())
+  }
+
   test("mean pairwise cosine matches the hand count; zero vectors excluded") {
     // (1,0), (0,1), (1,0): ordered pairs sum = 2·(0 + 1 + 0) = 2 over
     // n(n−1) = 6 → 1/3; the zero vector must not perturb it
