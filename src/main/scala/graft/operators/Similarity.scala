@@ -274,6 +274,70 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** (cent_id, cemb, cnrm) of a trained quantizer frame — the probe
+    * table every IVF path broadcasts (nlist rows at any corpus size).
+    */
+  private def centsOf(trained: DataFrame): DataFrame =
+    trained.select(col("cluster_id").as("cent_id"), col("cemb"),
+      sqrt(Vec.dotFast(col("cemb"), col("cemb"))).as("cnrm"))
+
+  /** The corpus-side IVF assignment — the INVERTED LISTS an ANN index
+    * actually stores: every vector labeled with its nearest coarse
+    * centroid (the same struct-MAX partial aggregation as [[ivfTopK]],
+    * ties → lowest cent_id), carrying the embedding and its
+    * precomputed norm so a probe join scores candidates without ever
+    * touching the corpus table again. Persist this partitioned BY
+    * cent_id ([[graft.warehouse.Materialized.onDisk]] with
+    * partitionCols) and a query's probe join scans only its probe
+    * centroids' files — partition pruning doing at the file level what
+    * the inverted index does logically.
+    */
+  def ivfAssignments(emb: DataFrame, trained: DataFrame): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val toCent = n.crossJoin(broadcast(centsOf(trained)))
+      .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+    toCent.groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_id"),
+        col("embedding"), col("nrm"))).as("best"))
+      .select(col("vec_id").as("cand_id"), col("best.embedding").as("ce"),
+        col("best.nrm").as("cn"), (-col("best.neg_id")).as("cent_id"))
+  }
+
+  /** IVF search over a STORED inverted-list artifact: `lists` is a
+    * persisted [[ivfAssignments]] table (cand_id, ce, cn, cent_id).
+    * Only the probe ROWS (a bounded query set × nlist) are computed
+    * live; the candidate side is the stored index — at 100 TB the
+    * corpus parquet is read zero times on that side, and with the
+    * artifact partitioned by cent_id the probe join prunes to the
+    * probe lists' files. Arithmetic is expression-for-expression the
+    * [[ivfTopK]] tail, so results are bit-identical to the inline
+    * re-derivation — one shared oracle proves stored-index ≡
+    * re-deriver (the q252-vs-q149 discipline, for vectors).
+    */
+  def ivfTopKFromLists(lists: DataFrame, emb: DataFrame, queryPred: Column,
+      k: Int, trained: DataFrame, probes: Int = IvfProbes): DataFrame = {
+    val cents = centsOf(trained)
+    val q = emb.filter(queryPred).select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val toCentQ = q.crossJoin(broadcast(cents))
+      .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("cent_id"))
+    val probeRows = toCentQ
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= probes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id"))
+    val scored = lists.join(broadcast(probeRows), Seq("cent_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cent_id", "cosine_sim", "rank")
+  }
+
   // deliberately below the q45 label-block threshold (0.40): the
   // (cluster ∧ bucket) blocking is stricter than a curated label, so
   // the pair generator already prunes far pairs — 0.35 keeps the

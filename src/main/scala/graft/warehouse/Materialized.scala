@@ -141,7 +141,14 @@ object Materialized {
     * full — propagates instead of resurfacing later as a confusing
     * missing-path read error.
     */
-  def onDisk(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+  /** `partitionCols`: hive-style partition the stored table — the
+    * inverted-index file layout (e.g. the IVF lists by cent_id), so a
+    * reader with a partition-key predicate scans only its partitions'
+    * files. Readers see the partition column appended (inferred type);
+    * callers normalize its type if the build column was wider.
+    */
+  def onDisk(s: SparkSession, dir: String, key: String,
+      partitionCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     import java.nio.file.{Files, FileAlreadyExistsException}
     val corpus = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -149,7 +156,9 @@ object Materialized {
     if (!Files.exists(path)) synchronized {
       if (!Files.exists(path)) {
         val tmp = diskRoot.resolve(s"$corpus-$key.tmp-${System.nanoTime()}")
-        build.write.mode("overwrite").parquet(tmp.toString)
+        val w = build.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(tmp.toString)
         try Files.move(tmp, path)
         catch {
           case _: FileAlreadyExistsException => // lost the race; winner is complete

@@ -150,6 +150,27 @@ object PipelineQueries {
         trained = Some(mKmeansCos(s, dir)))
       .orderBy("query_id", "rank")
 
+  /** q264: the q65 search served from a STORED inverted-list artifact —
+    * the file layout an ANN index deploys at 100 TB: the corpus-side
+    * assignment ([[Similarity.ivfAssignments]]) is parquet-persisted
+    * ONCE, hive-partitioned by cent_id, and the probe join reads only
+    * the probe centroids' partition directories (partition pruning =
+    * the inverted index at the file level); the corpus parquet is
+    * never scanned on the candidate side. Deliberately the SAME query
+    * set/k/probes as q65 with the SAME oracle: identical hashes are
+    * the stored-index ≡ inline-re-derivation proof (the q252-vs-q149
+    * discipline, for vectors). The partition column reads back as int;
+    * normalize to the quantizer's long before searching.
+    */
+  val annIvfIndexed: Q = (s, dir) => {
+    val lists = Materialized.onDisk(s, dir, "ivf_lists", partitionCols = Seq("cent_id"))(
+        Similarity.ivfAssignments(emb(s, dir), mKmeansCos(s, dir)))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    Similarity.ivfTopKFromLists(lists, emb(s, dir), col("vec_id") < 20, k = 5,
+        trained = mKmeansCos(s, dir))
+      .orderBy("query_id", "rank")
+  }
+
   val langId: Q = (s, dir) =>
     TextAnalysis
       .withLanguageId(docs(s, dir))
@@ -2390,6 +2411,7 @@ object PipelineQueries {
     "q261_hybrid_text_rrf" -> hybridTextRrf,
     "q262_hybrid_dense_lexical" -> hybridDenseLexical,
     "q263_abtt_topd" -> abttTopD,
+    "q264_ann_ivf_indexed" -> annIvfIndexed,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2626,6 +2648,9 @@ object PipelineQueries {
          |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
          |ORDER BY rank""".stripMargin,
     "q263_abtt_topd" -> Clustering.O.abttTopD(),
+    // q264 deliberately shares q65's oracle: the stored-inverted-list
+    // reader must hash-match the from-scratch trajectory replay
+    "q264_ann_ivf_indexed" -> Similarity.O.ivf("vec_id < 20", k = 5),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

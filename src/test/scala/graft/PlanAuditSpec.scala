@@ -482,6 +482,25 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("indexed ANN prunes the stored inverted-list partitions; corpus read only for query rows") {
+    // DPP only materializes in the EXECUTED plan (the pruning subquery
+    // comes from the broadcast probe side), so run the query first
+    val df = SparkEntry.queries("q264_ann_ivf_indexed")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidate side = the cent_id-partitioned lists artifact, with
+    // dynamic partition pruning from the broadcast probe rows — the
+    // file-level inverted index: only probe lists' files are read
+    assert(p.contains("ivf_lists"), p.take(2000))
+    assert(p.contains("dynamicpruningexpression(cast(cent_id") ||
+      p.contains("dynamicpruningexpression(cent_id"), p.take(2000))
+    // the corpus parquet serves ONLY the bounded query set — every scan
+    // of it must carry the pushed query predicate
+    val embScans = p.split("\n").filter(_.contains("embeddings.parquet"))
+    assert(embScans.nonEmpty)
+    embScans.foreach(l => assert(l.contains("< 20"), l.take(300)))
+  }
+
   test("query-term filters push down to the postings artifact scan") {
     // the 100 TB claim for q251/q255/q257: retrieval reads the
     // query terms' posting lists, not the whole index — the isin()
