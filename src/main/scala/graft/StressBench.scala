@@ -225,6 +225,16 @@ object StressBench {
     def runOne(name: String, q: (SparkSession, String) => DataFrame,
         dir: String): Double = {
       spark.catalog.clearCache()
+      // session artifacts (quantizers, fingerprint tables, cluster
+      // maps) must not leak across dirs/passes: pre-round-12 they rode
+      // df.persist, which clearCache evicted, so every timed run was
+      // cold-cold. localCheckpoint (round 12) survives clearCache —
+      // without an explicit evict the base pass reads a warm artifact
+      // while the x10 pass builds its own cold (measured: q237
+      // 1.24→13× with zero operator change). Evicting restores the
+      // historical cold-cold contract; the steady-state fit below is
+      // the warm-warm counterpart.
+      graft.warehouse.Materialized.evict(spark)
       val sec = time(q(spark, dir).write.mode("overwrite").format("noop").save())
       System.err.println(f"[stress] $name%-22s $dir%-28s $sec%7.2fs")
       sec

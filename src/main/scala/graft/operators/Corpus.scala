@@ -604,6 +604,52 @@ object Corpus {
   }
 
   /** DuckDB oracle twins. */
+  /** GLOBAL concat-then-chunk packing census — ONE stream order over
+    * the whole corpus (the reproducible pretraining data-order
+    * contract: fixed order ⇒ fixed chunk boundaries ⇒ byte-identical
+    * training sequences across re-runs), computed WITHOUT the
+    * corpus-wide single-partition window a naive global running sum
+    * plans. Two-level prefix sum: doc_id-range buckets give (a) a
+    * per-bucket running sum — a KEYED window, corpus-parallel — and
+    * (b) a bucket-total frame of n/bucketSize rows whose own running
+    * sum is each bucket's global offset. The only unpartitioned window
+    * runs over THAT frame: at 100 TB pick bucketSize so it stays ~1e5
+    * rows (or apply the same trick once more — it composes). Then
+    * start = bucket offset + within-bucket prefix, chunk = start div
+    * capacity — all integer arithmetic, engine-exact.
+    *
+    * Output: per training chunk, the docs STARTING there (chunks fully
+    * interior to one long document emit no row), their token mass, and
+    * how many straddle the chunk boundary — the fragmentation signal
+    * that prices a capacity choice before a packing job runs.
+    */
+  def globalPackingCensus(docs: DataFrame, capacity: Long = 2048L,
+      bucketSize: Long = 100L, textCol: String = "text"): DataFrame = {
+    require(capacity > 0 && bucketSize > 0, "capacity and bucketSize must be positive")
+    val d = docs.select(col("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"),
+      expr(s"doc_id div $bucketSize").as("bucket"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = d.withColumn("within", coalesce(sum(col("dl")).over(wIn), lit(0L)))
+    // bucket-total frame: n/bucketSize rows — the only unpartitioned
+    // window runs over THIS frame, never over the corpus
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val boff = d.groupBy("bucket").agg(sum(col("dl")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select("bucket", "boff")
+    val placed = within.join(broadcast(boff), "bucket")
+      .withColumn("st", col("boff") + col("within"))
+      .withColumn("chunk_id", expr(s"st div $capacity"))
+      .withColumn("crossing",
+        (expr(s"(st + dl - 1) div $capacity") > col("chunk_id")).cast("long"))
+    placed.groupBy("chunk_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("n_tokens"),
+      sum(col("crossing")).as("n_crossing"))
+      .orderBy("chunk_id")
+  }
+
   object O {
     import graft.functions.{Hashes, Num}
 
@@ -852,6 +898,28 @@ object Corpus {
          |  (COALESCE(h.n_shared, 0) / t.n_grams) AS contamination,
          |  ((COALESCE(h.n_shared, 0) / t.n_grams) > $threshold) AS is_contaminated
          |FROM t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
+    /** Mirrors [[Corpus.globalPackingCensus]]: the same two-level
+      * prefix sum (per-bucket partitioned running sum + bucket-total
+      * running sum), integer-exact throughout. `//` is DuckDB's
+      * trunc-toward-zero integer division ≡ Spark's `div`.
+      */
+    def globalPackingCensus(capacity: Long = 2048L, bucketSize: Long = 100L): String =
+      s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    doc_id // $bucketSize AS bucket FROM documents),
+         |wi AS (SELECT doc_id, dl, bucket,
+         |    COALESCE(SUM(dl) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within FROM d),
+         |bs AS (SELECT bucket, SUM(dl) AS bt FROM d GROUP BY bucket),
+         |bo AS (SELECT bucket, COALESCE(SUM(bt) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff FROM bs),
+         |p AS (SELECT (bo.boff + wi.within) // $capacity AS chunk_id, wi.dl,
+         |        CASE WHEN (bo.boff + wi.within + wi.dl - 1) // $capacity
+         |                  > (bo.boff + wi.within) // $capacity THEN 1 ELSE 0 END AS crossing
+         |      FROM wi JOIN bo USING (bucket))
+         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS n_tokens, CAST(SUM(crossing) AS BIGINT) AS n_crossing
+         |FROM p GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
     def packSequences(tokenBudget: Int = 256): String =
       s"""SELECT source, doc_id, n_tokens,
          |  CAST(cum - n_tokens AS BIGINT) AS start_offset,

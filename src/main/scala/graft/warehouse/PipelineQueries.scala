@@ -328,6 +328,15 @@ object PipelineQueries {
   val bigramLm: Q = (s, dir) =>
     TextAnalysis.bigramLmScore(docs(s, dir)).orderBy("doc_id")
 
+  /** q265: the GLOBAL-order twin of q87 — one packing stream over the
+    * whole corpus via the two-level prefix sum (per-bucket keyed
+    * windows + a tiny bucket-offset frame; never a corpus-wide
+    * single-partition window), censused per training chunk: docs
+    * starting there, token mass, boundary straddlers.
+    */
+  val globalPacking: Q = (s, dir) =>
+    Corpus.globalPackingCensus(docs(s, dir))
+
   /** q87: concat-then-chunk sequence packing per source. */
   val packSeqs: Q = (s, dir) =>
     Corpus.packSequences(docs(s, dir), tokenBudget = 256).orderBy("source", "doc_id")
@@ -2412,6 +2421,7 @@ object PipelineQueries {
     "q262_hybrid_dense_lexical" -> hybridDenseLexical,
     "q263_abtt_topd" -> abttTopD,
     "q264_ann_ivf_indexed" -> annIvfIndexed,
+    "q265_global_packing" -> globalPacking,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2651,6 +2661,7 @@ object PipelineQueries {
     // q264 deliberately shares q65's oracle: the stored-inverted-list
     // reader must hash-match the from-scratch trajectory replay
     "q264_ann_ivf_indexed" -> Similarity.O.ivf("vec_id < 20", k = 5),
+    "q265_global_packing" -> Corpus.O.globalPackingCensus(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

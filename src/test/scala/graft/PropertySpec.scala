@@ -72,6 +72,36 @@ class PropertySpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("global packing census equals the sequential single-stream reference") {
+    for (round <- 1 to 3) {
+      // sparse, shuffled-length docs so buckets are uneven and chunks
+      // straddle bucket boundaries
+      val docs = List.tabulate(40) { i =>
+        val words = List.fill(1 + rng.nextInt(30))("w" + rng.nextInt(5)).mkString(" ")
+        ((i * 7).toLong, words) // sparse ids → uneven doc_id-range buckets
+      }
+      val df = docs.toDF("doc_id", "text")
+      val cap = 64L
+      val got = graft.operators.Corpus
+        .globalPackingCensus(df, capacity = cap, bucketSize = 50L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // sequential reference: one global stream in doc_id order
+      var off = 0L
+      val ref = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      docs.sortBy(_._1).foreach { case (_, text) =>
+        val dl = text.split(" ").length.toLong
+        val chunk = off / cap
+        val crossing = if ((off + dl - 1) / cap > chunk) 1L else 0L
+        val (a, b, c) = ref.getOrElse(chunk, (0L, 0L, 0L))
+        ref(chunk) = (a + 1, b + dl, c + crossing)
+        off += dl
+      }
+      assert(got.toSeq == ref.toSeq.sortBy(_._1)
+        .map { case (k, (a, b, c)) => (k, a, b, c) }, s"round $round")
+      assert(got.map(_._3).sum == docs.map(_._2.split(" ").length).sum)
+    }
+  }
+
   test("int8 quantization round-trips within one scale step") {
     import org.apache.spark.sql.functions._
     val vecs = List.tabulate(20) { i =>
