@@ -171,6 +171,33 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q266: incremental IVF-list MAINTENANCE — the vector member of the
+    * index-maintenance family (q239 media, q260 text): the existing
+    * corpus's inverted lists are the cent_id-partitioned disk artifact
+    * built ONCE (vec_id < [[IncrementalSplit]]); an arriving batch is
+    * assigned ALONE against the same frozen quantizer and unioned at
+    * query time — per-vector assignment is independent given the
+    * quantizer, so (stored lists ∪ delta) ≡ a full re-assignment
+    * EXACTLY, and the query shares q65/q264's from-scratch oracle: the
+    * hash gate proves an ANN index never needs a rebuild to absorb new
+    * vectors (quantizer-retrain DUE-ness is the separate
+    * incrementalAssignment drift audit, q235).
+    */
+  val annIvfIncremental: Q = (s, dir) => {
+    val quant = mKmeansCos(s, dir)
+    val base = Materialized.onDisk(s, dir, "ivf_lists_base", partitionCols = Seq("cent_id"))(
+        Similarity.ivfAssignments(
+          emb(s, dir).filter(col("vec_id") < IncrementalSplit), quant))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .select("cent_id", "cand_id", "ce", "cn")
+    val delta = Similarity.ivfAssignments(
+        emb(s, dir).filter(col("vec_id") >= IncrementalSplit), quant)
+      .select("cent_id", "cand_id", "ce", "cn")
+    Similarity.ivfTopKFromLists(base.unionByName(delta), emb(s, dir),
+        col("vec_id") < 20, k = 5, trained = quant)
+      .orderBy("query_id", "rank")
+  }
+
   val langId: Q = (s, dir) =>
     TextAnalysis
       .withLanguageId(docs(s, dir))
@@ -2422,6 +2449,7 @@ object PipelineQueries {
     "q263_abtt_topd" -> abttTopD,
     "q264_ann_ivf_indexed" -> annIvfIndexed,
     "q265_global_packing" -> globalPacking,
+    "q266_ann_ivf_incremental" -> annIvfIncremental,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2662,6 +2690,9 @@ object PipelineQueries {
     // reader must hash-match the from-scratch trajectory replay
     "q264_ann_ivf_indexed" -> Similarity.O.ivf("vec_id < 20", k = 5),
     "q265_global_packing" -> Corpus.O.globalPackingCensus(),
+    // q266 shares the q65/q264 from-scratch oracle: (stored base lists
+    // ∪ freshly-assigned delta) must hash-match a full re-assignment
+    "q266_ann_ivf_incremental" -> Similarity.O.ivf("vec_id < 20", k = 5),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,
