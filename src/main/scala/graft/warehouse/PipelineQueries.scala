@@ -2275,6 +2275,27 @@ object PipelineQueries {
     */
   val HybridQueryVec = 0L
 
+  /** The shared q262/q267 oracle: BOTH rankings re-derived from scratch
+    * (corpus tokenization for BM25, the full Lloyd-trajectory replay
+    * for IVF), fused by the same RRF tail.
+    */
+  private lazy val hybridOracleSql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, rank AS lex_rank FROM (${TextAnalysis.O.bm25TopK()})),
+       |dense AS (
+       |  SELECT cand_id AS doc_id, rank AS dense_rank
+       |  FROM (${Similarity.O.ivf(s"vec_id = $HybridQueryVec", k = 20)})),
+       |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |        round(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+       |            + COALESCE(1.0 / (60 + d.dense_rank), 0.0), 6) AS rrf_score,
+       |        COALESCE(l.lex_rank, 0) AS lex_rank,
+       |        COALESCE(d.dense_rank, 0) AS dense_rank
+       |      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+       |  doc_id, rrf_score, lex_rank, dense_rank
+       |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
+       |ORDER BY rank""".stripMargin
+
   /** q262: hybrid DENSE + LEXICAL retrieval — the canonical
     * hybrid-search shape at 100 TB: BM25 served from the persisted
     * posting artifact (lexical side — the corpus is never
@@ -2301,6 +2322,54 @@ object PipelineQueries {
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val dense = Similarity.ivfTopK(emb(s, dir), col("vec_id") === HybridQueryVec,
         k = 20, trained = Some(mKmeansCos(s, dir)))
+      .select(col("cand_id").as("doc_id"), col("rank").as("dense_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rrf_score"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select("rank", "doc_id", "rrf_score", "lex_rank", "dense_rank")
+      .orderBy("rank")
+  }
+
+  /** q267: the FULL hybrid stack served from INCREMENTALLY-MAINTAINED
+    * indexes — the everything-incremental capstone: the lexical side is
+    * BM25 over (postings base artifact ∪ freshly-tokenized delta — the
+    * q260 maintenance path), the dense side is IVF over (stored base
+    * lists ∪ freshly-assigned delta — the q266 path), fused exactly
+    * like q262. BM25's corpus statistics derive from the unioned
+    * postings and per-vector assignment is quantizer-deterministic, so
+    * both sides are value-identical to their full-index twins — q267
+    * deliberately SHARES q262's oracle: one hash gate proves the whole
+    * hybrid pipeline (tokenize→index→rank→assign→probe→fuse) absorbs
+    * new documents and vectors with no rebuild anywhere.
+    */
+  val hybridIncremental: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val postsBase = Materialized.onDisk(s, dir, "postings_base")(
+      TextAnalysis.positionalPostings(
+        docs(s, dir).filter(col("doc_id") < IncrementalSplit)))
+    val postsDelta = TextAnalysis.positionalPostings(
+      docs(s, dir).filter(col("doc_id") >= IncrementalSplit))
+    val lex = TextAnalysis.bm25FromPostings(postsBase.unionByName(postsDelta))
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val quant = mKmeansCos(s, dir)
+    val listsBase = Materialized.onDisk(s, dir, "ivf_lists_base", partitionCols = Seq("cent_id"))(
+        Similarity.ivfAssignments(
+          emb(s, dir).filter(col("vec_id") < IncrementalSplit), quant))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .select("cent_id", "cand_id", "ce", "cn")
+    val listsDelta = Similarity.ivfAssignments(
+        emb(s, dir).filter(col("vec_id") >= IncrementalSplit), quant)
+      .select("cent_id", "cand_id", "ce", "cn")
+    val dense = Similarity.ivfTopKFromLists(listsBase.unionByName(listsDelta),
+        emb(s, dir), col("vec_id") === HybridQueryVec, k = 20, trained = quant)
       .select(col("cand_id").as("doc_id"), col("rank").as("dense_rank"))
     val fused = lex.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", round(
@@ -2450,6 +2519,7 @@ object PipelineQueries {
     "q264_ann_ivf_indexed" -> annIvfIndexed,
     "q265_global_packing" -> globalPacking,
     "q266_ann_ivf_incremental" -> annIvfIncremental,
+    "q267_hybrid_incremental" -> hybridIncremental,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2669,22 +2739,11 @@ object PipelineQueries {
     // q262: both rankings re-derived from scratch (corpus tokenization
     // for BM25, the full Lloyd-trajectory replay for IVF) — identical
     // results prove index-reader ≡ re-deriver across the hybrid stack
-    "q262_hybrid_dense_lexical" ->
-      s"""WITH lex AS (
-         |  SELECT doc_id, rank AS lex_rank FROM (${TO.bm25TopK()})),
-         |dense AS (
-         |  SELECT cand_id AS doc_id, rank AS dense_rank
-         |  FROM (${Similarity.O.ivf(s"vec_id = $HybridQueryVec", k = 20)})),
-         |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
-         |        round(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
-         |            + COALESCE(1.0 / (60 + d.dense_rank), 0.0), 6) AS rrf_score,
-         |        COALESCE(l.lex_rank, 0) AS lex_rank,
-         |        COALESCE(d.dense_rank, 0) AS dense_rank
-         |      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
-         |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
-         |  doc_id, rrf_score, lex_rank, dense_rank
-         |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
-         |ORDER BY rank""".stripMargin,
+    "q262_hybrid_dense_lexical" -> hybridOracleSql,
+    // q267 deliberately shares it: (base index ∪ delta) on BOTH sides
+    // must hash-match the from-scratch hybrid — the no-rebuild proof
+    // for the whole pipeline
+    "q267_hybrid_incremental" -> hybridOracleSql,
     "q263_abtt_topd" -> Clustering.O.abttTopD(),
     // q264 deliberately shares q65's oracle: the stored-inverted-list
     // reader must hash-match the from-scratch trajectory replay
