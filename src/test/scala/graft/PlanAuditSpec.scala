@@ -501,6 +501,23 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     embScans.foreach(l => assert(l.contains("< 20"), l.take(300)))
   }
 
+  test("incremental hybrid touches raw tables only for the delta and the query rows") {
+    val df = SparkEntry.queries("q267_hybrid_incremental")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // lexical side: the pre-split corpus lives in the postings_base
+    // artifact — every documents scan must carry the delta predicate
+    val docScans = p.split("\n").filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty)
+    docScans.foreach(l => assert(l.contains(">= 400"), l.take(300)))
+    // dense side: the pre-split corpus lives in the ivf_lists_base
+    // artifact — embeddings scans are the delta assignment or the
+    // single query row, never the full corpus
+    val embScans = p.split("\n").filter(_.contains("embeddings.parquet"))
+    assert(embScans.nonEmpty)
+    embScans.foreach(l => assert(l.contains(">= 400") || l.contains("= 0"), l.take(300)))
+  }
+
   test("query-term filters push down to the postings artifact scan") {
     // the 100 TB claim for q251/q255/q257: retrieval reads the
     // query terms' posting lists, not the whole index — the isin()
