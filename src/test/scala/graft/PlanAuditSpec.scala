@@ -501,6 +501,17 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     embScans.foreach(l => assert(l.contains("< 20"), l.take(300)))
   }
 
+  test("partition pruning survives the (base ∪ delta) union on the incremental lists") {
+    // the 100 TB claim for q266: the stored base index is 99.9% of the
+    // data, and the probe join must still prune its partitioned scan
+    // THROUGH the union with the freshly-assigned delta
+    val df = SparkEntry.queries("q266_ann_ivf_incremental")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression(cast(cent_id") ||
+      p.contains("dynamicpruningexpression(cent_id"), p.take(2000))
+  }
+
   test("incremental hybrid touches raw tables only for the delta and the query rows") {
     val df = SparkEntry.queries("q267_hybrid_incremental")(spark, dir)
     df.collect()
