@@ -1431,13 +1431,20 @@ object Similarity {
          |  FROM prs)
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-    def ivf(queryPredSql: String, k: Int, probes: Int = IvfProbes): String = {
+    /** `candPredSql`: restricts the CANDIDATE lists (the q268 deletion
+      * path — entries removed from the stored index); queries and the
+      * trained quantizer are untouched, mirroring the Spark side where
+      * a deletion is an anti-filter on the lists artifact.
+      */
+    def ivf(queryPredSql: String, k: Int, probes: Int = IvfProbes,
+        candPredSql: String = "TRUE"): String = {
       s"""WITH $trainedCentroidCtes,
          |ranked AS (SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
          |             CAST(row_number() OVER (PARTITION BY v.vec_id
          |               ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS INT) AS crn
          |           FROM e v CROSS JOIN cent c),
-         |assigned AS (SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, cent_id FROM ranked WHERE crn = 1),
+         |assigned AS (SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, cent_id FROM ranked
+         |             WHERE crn = 1 AND ($candPredSql)),
          |probes AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id FROM ranked
          |           WHERE ($queryPredSql) AND crn <= $probes)
          |SELECT query_id, cand_id, cent_id, cosine_sim, rank FROM (
@@ -1448,5 +1455,22 @@ object Similarity {
          |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.cand_id != p.query_id)
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     }
+
+    /** Mirrors the q269 list-size audit: the same trained-quantizer
+      * assignment, one group-by over the lists. Every centroid emits a
+      * row (empty lists count 0), shares sum to 1 by construction.
+      */
+    def ivfListSizes(): String =
+      s"""WITH $trainedCentroidCtes,
+         |ranked AS (SELECT v.vec_id, c.cent_id,
+         |             CAST(row_number() OVER (PARTITION BY v.vec_id
+         |               ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS INT) AS crn
+         |           FROM e v CROSS JOIN cent c),
+         |sz AS (SELECT cent_id, COUNT(*) AS n_vecs FROM ranked WHERE crn = 1 GROUP BY cent_id),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t FROM sz)
+         |SELECT c.cent_id, COALESCE(sz.n_vecs, 0) AS n_vecs,
+         |  round(CAST(COALESCE(sz.n_vecs, 0) AS DOUBLE) / tot.t, 6) AS share
+         |FROM cent c LEFT JOIN sz ON c.cent_id = sz.cent_id CROSS JOIN tot
+         |ORDER BY c.cent_id""".stripMargin
   }
 }

@@ -198,6 +198,47 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q268: DELETION maintenance on the stored ANN index — the CRUD
+    * counterpart to q266's insert: a deletion cohort (a data-derived
+    * predicate, the GDPR/erasure shape) is an ANTI-FILTER on the lists
+    * artifact — no rebuild, no retrain, the quantizer and every other
+    * list entry untouched. The oracle re-derives the whole index from
+    * scratch WITH the candidates removed, so the hash gate proves
+    * filter-on-read ≡ rebuild-without-them.
+    */
+  val annIvfDeletion: Q = (s, dir) => {
+    val lists = Materialized.onDisk(s, dir, "ivf_lists", partitionCols = Seq("cent_id"))(
+        Similarity.ivfAssignments(emb(s, dir), mKmeansCos(s, dir)))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .filter(col("cand_id") % 7 =!= 3) // the erased cohort
+    Similarity.ivfTopKFromLists(lists, emb(s, dir), col("vec_id") < 20, k = 5,
+        trained = mKmeansCos(s, dir))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q269: inverted-list BALANCE audit over the stored index — list
+    * sizes and corpus share per centroid (every centroid emits a row;
+    * empty lists count 0). THE operational ANN signal: a hot list
+    * degrades probe latency and recall long before anything errors,
+    * and the read prices when a quantizer retrain is due (beside
+    * q235's drift audit). One group-by of the artifact + the
+    * nlist-row centroid table.
+    */
+  val annListSizes: Q = (s, dir) => {
+    val lists = Materialized.onDisk(s, dir, "ivf_lists", partitionCols = Seq("cent_id"))(
+        Similarity.ivfAssignments(emb(s, dir), mKmeansCos(s, dir)))
+      .withColumn("cent_id", col("cent_id").cast("long"))
+    val sz = lists.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = sz.agg(sum(col("n_vecs")).as("t"))
+    mKmeansCos(s, dir).select(col("cluster_id").as("cent_id"))
+      .join(sz, Seq("cent_id"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("t").cast("double"), 6).as("share"))
+      .orderBy("cent_id")
+  }
+
   val langId: Q = (s, dir) =>
     TextAnalysis
       .withLanguageId(docs(s, dir))
@@ -2520,6 +2561,8 @@ object PipelineQueries {
     "q265_global_packing" -> globalPacking,
     "q266_ann_ivf_incremental" -> annIvfIncremental,
     "q267_hybrid_incremental" -> hybridIncremental,
+    "q268_ann_ivf_deletion" -> annIvfDeletion,
+    "q269_ann_list_sizes" -> annListSizes,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2752,6 +2795,11 @@ object PipelineQueries {
     // q266 shares the q65/q264 from-scratch oracle: (stored base lists
     // ∪ freshly-assigned delta) must hash-match a full re-assignment
     "q266_ann_ivf_incremental" -> Similarity.O.ivf("vec_id < 20", k = 5),
+    // q268: the oracle rebuilds the index from scratch WITHOUT the
+    // erased cohort — hash-match proves anti-filter-on-read ≡ rebuild
+    "q268_ann_ivf_deletion" ->
+      Similarity.O.ivf("vec_id < 20", k = 5, candPredSql = "(vec_id % 7) <> 3"),
+    "q269_ann_list_sizes" -> Similarity.O.ivfListSizes(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,
