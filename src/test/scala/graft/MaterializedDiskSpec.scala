@@ -42,6 +42,30 @@ class MaterializedDiskSpec extends AnyFunSuite with TestSpark {
     assert(canon(second) == canon(freshFrame()))
   }
 
+  test("partitioned onDisk hive-partitions the table and round-trips every row") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def artifact() = Materialized.onDisk(spark, "disk-spec-part", "lists",
+      partitionCols = Seq("cent_id")) {
+      builds.incrementAndGet()
+      Seq((10L, 0.5, 1L), (11L, 1.5, 1L), (12L, 2.5, 2L), (13L, 3.5, 7L))
+        .toDF("cand_id", "cn", "cent_id")
+    }
+    val first = artifact()
+    assert(builds.get() == 1)
+    // reader sees the partition column (appended, type-inferred) and
+    // every row survives the partitionBy write
+    val rows = first.select($"cand_id", $"cn", $"cent_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(rows == Set((10L, 0.5, 1L), (11L, 1.5, 1L), (12L, 2.5, 2L), (13L, 3.5, 7L)))
+    // second consumer: no rebuild, and a partition-key filter reaches
+    // PartitionFilters (file-level pruning, the inverted-list contract)
+    val pruned = artifact().filter($"cent_id" === 1)
+    assert(builds.get() == 1)
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cent_id"), scan.take(800))
+  }
+
   test("onDisk artifacts are keyed by corpus dir") {
     val builds = new java.util.concurrent.atomic.AtomicInteger(0)
     def artifact(dir: String) = Materialized.onDisk(spark, dir, "cmap2") {
