@@ -1671,8 +1671,15 @@ object TextAnalysis {
     /** Mirrors bm25TopK: same contribution expression shape, same
       * left-associated sum order, rounded to 6 dp before ranking.
       */
+    /** `docPredSql`: restricts the corpus (the q270 deletion path —
+      * docs erased from the posting index); mirrors the Spark side
+      * where a deletion is an anti-filter on the postings artifact.
+      * BM25's corpus statistics (N, Σdl, df) shift with the erasure in
+      * both engines.
+      */
     def bm25TopK(terms: Seq[String] = Bm25QueryTerms,
-        k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+        k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+        docPredSql: String = "TRUE"): String = {
       val tfCols = terms.zipWithIndex.map { case (t, i) =>
         // SQL-escape the term: a quote in a query term must not break
         // the rendered oracle (the Spark side takes terms as values).
@@ -1689,7 +1696,7 @@ object TextAnalysis {
       }.mkString(" + ")
       s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
          |    $tfCols
-         |  FROM documents),
+         |  FROM documents WHERE ($docPredSql)),
          |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols FROM base),
          |scored AS (SELECT doc_id,
          |    CAST(${terms.indices.map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS n_hits,

@@ -788,6 +788,22 @@ object PipelineQueries {
       .orderBy("stage")
   }
 
+  /** q270: DELETION maintenance on the TEXT index — the posting-side
+    * twin of q268: an erased doc cohort is an ANTI-FILTER on the
+    * postings artifact (no re-tokenization of anything), and BM25's
+    * corpus statistics (N, Σdl, df) shift with the erasure because
+    * they derive from the filtered postings. The oracle re-tokenizes
+    * the surviving corpus from scratch, so the hash gate proves
+    * filter-on-read ≡ rebuild-without-them for ranked retrieval. With
+    * q260 (insert) this completes CRUD on the text index.
+    */
+  val textDeletion: Q = (s, dir) => {
+    val posts = Materialized.onDisk(s, dir, "postings")(
+        TextAnalysis.positionalPostings(docs(s, dir)))
+      .filter(col("doc_id") % 7 =!= 3) // the erased cohort
+    TextAnalysis.bm25FromPostings(posts)
+  }
+
   /** q263: All-but-the-top generalized to TOP-D components by deflated
     * power iteration — project out v₁, iterate on the residual for v₂,
     * project, iterate for v₃ ([[Clustering.projectOut]]). One row per
@@ -2563,6 +2579,7 @@ object PipelineQueries {
     "q267_hybrid_incremental" -> hybridIncremental,
     "q268_ann_ivf_deletion" -> annIvfDeletion,
     "q269_ann_list_sizes" -> annListSizes,
+    "q270_text_deletion" -> textDeletion,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -2800,6 +2817,10 @@ object PipelineQueries {
     "q268_ann_ivf_deletion" ->
       Similarity.O.ivf("vec_id < 20", k = 5, candPredSql = "(vec_id % 7) <> 3"),
     "q269_ann_list_sizes" -> Similarity.O.ivfListSizes(),
+    // q270: the oracle re-tokenizes the SURVIVING corpus from scratch —
+    // anti-filter on the artifact ≡ rebuild without the erased docs
+    "q270_text_deletion" ->
+      TextAnalysis.O.bm25TopK(docPredSql = "(doc_id % 7) <> 3"),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,
