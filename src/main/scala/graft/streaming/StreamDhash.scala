@@ -45,13 +45,9 @@ object StreamDhash {
     // a pre-round-11 sink appended data files at the ROOT of outDir;
     // mixing those with batch_id=<id> partition directories breaks
     // parquet partition discovery for every reader — refuse to write
-    // into a legacy layout rather than corrupt it
-    val root = new java.io.File(outDir)
-    val legacy = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-    require(legacy.isEmpty,
-      s"outDir '$outDir' holds root-level data files (${legacy.take(3).map(_.getName).mkString(", ")}…) " +
-        "from the legacy append layout; clear or migrate it before using the batch_id=<id> sink")
+    // into a legacy layout rather than corrupt it (Hadoop FS API, so
+    // the guard also fires on hdfs:// and object stores)
+    BatchLayout.requireCleanRoot(docs.sparkSession, outDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -33,13 +33,9 @@ object StreamIvfLists {
     */
   def ingest(vecs: DataFrame, quantizer: DataFrame, outDir: String,
       checkpointDir: String): DataStreamWriter[Row] = {
-    // same legacy-layout guard as StreamDhash/StreamPostings
-    val root = new java.io.File(outDir)
-    val legacy = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-    require(legacy.isEmpty,
-      s"outDir '$outDir' holds root-level data files (${legacy.take(3).map(_.getName).mkString(", ")}…); " +
-        "the batch_id=<id> layout needs a clean or already-partitioned directory")
+    // legacy-layout guard, through Hadoop's FileSystem API so it works
+    // on any supported filesystem (java.io.File is local-only)
+    BatchLayout.requireCleanRoot(vecs.sparkSession, outDir)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -53,9 +49,21 @@ object StreamIvfLists {
 
   /** Every stream-ingested list row (batch_id partition dropped) —
     * union with the base lists artifact to serve ANN search over the
-    * full corpus, exactly like q266's (base ∪ delta).
+    * full corpus, exactly like q266's (base ∪ delta). Before the
+    * stream's first non-empty batch commits this returns an EMPTY
+    * correctly-typed frame (ingest skips empty batches, so schema
+    * inference would otherwise fail for a reader set up early).
     */
   def readLists(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).drop("batch_id")
-      .select("cent_id", "cand_id", "ce", "cn")
+    BatchLayout.readFragments(spark, outDir, ListsSchema)
+
+  /** (cent_id, cand_id, ce, cn) — [[Similarity.ivfAssignments]]'s shape
+    * in the list-serving column order.
+    */
+  val ListsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("cent_id", LongType), StructField("cand_id", LongType),
+      StructField("ce", ArrayType(FloatType)), StructField("cn", DoubleType)))
+  }
 }

@@ -35,14 +35,9 @@ object StreamPostings {
     */
   def ingest(docs: DataFrame, outDir: String,
       checkpointDir: String): DataStreamWriter[Row] = {
-    // same legacy-layout guard as StreamDhash: root-level data files
-    // would corrupt partition discovery for every reader of outDir
-    val root = new java.io.File(outDir)
-    val legacy = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-    require(legacy.isEmpty,
-      s"outDir '$outDir' holds root-level data files (${legacy.take(3).map(_.getName).mkString(", ")}…); " +
-        "the batch_id=<id> layout needs a clean or already-partitioned directory")
+    // legacy-layout guard, through Hadoop's FileSystem API so it works
+    // on any supported filesystem (java.io.File is local-only)
+    BatchLayout.requireCleanRoot(docs.sparkSession, outDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -56,8 +51,18 @@ object StreamPostings {
 
   /** Every stream-ingested posting (the batch_id partition column
     * dropped) — union with the base artifact to serve retrieval over
-    * the full corpus, exactly like q260's (artifact ∪ delta).
+    * the full corpus, exactly like q260's (artifact ∪ delta). Before
+    * the stream's first non-empty batch commits this returns an EMPTY
+    * correctly-typed frame (ingest skips empty batches, so schema
+    * inference would otherwise fail for a reader set up early).
     */
   def readPostings(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).drop("batch_id")
+    BatchLayout.readFragments(spark, outDir, PostingsSchema)
+
+  /** (doc_id, pos, word) — [[TextAnalysis.positionalPostings]]'s shape. */
+  val PostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType), StructField("pos", IntegerType),
+      StructField("word", StringType)))
+  }
 }

@@ -52,12 +52,29 @@ object Materialized {
         // exponential in chain depth (round-12: treeString OOMed the
         // test JVM before any query ran). Blocks spill to disk like
         // the previous MEMORY_AND_DISK persist.
+        //
+        // Durability caveat: localCheckpoint TRUNCATES lineage, so an
+        // executor loss permanently loses the blocks (nothing left to
+        // recompute from) — fine in this repo's single-JVM local-mode
+        // harness; a multi-executor deployment should route artifacts
+        // that must survive executor loss through [[Materialized.onDisk]]
+        // (the parquet path) instead of this in-session registry.
         val f = build().localCheckpoint(true)
         built = Some(f)
         f
       }
     })
     def builtFrame: Option[DataFrame] = built
+    /** The RDD actually holding the checkpointed blocks. Dataset
+      * .unpersist only clears CacheManager entries, and a local
+      * checkpoint's blocks live OUTSIDE the CacheManager — eviction
+      * must unpersist the LogicalRDD's rdd or the blocks linger until
+      * GC + ContextCleaner get around to them.
+      */
+    def checkpointedRdd: Option[org.apache.spark.rdd.RDD[_]] =
+      built.flatMap(_.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      })
   }
 
   private val reg =
@@ -72,7 +89,10 @@ object Materialized {
     if (hooked.add(s)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict(s)
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          evict(s)
+          hooked.remove(s) // context gone ⇒ drop the session reference too
+        }
       })
     }
 
@@ -80,10 +100,12 @@ object Materialized {
     * blocks are already gone once the context stopped; the point is
     * releasing the strong references).
     */
-  def evict(s: SparkSession): Unit = {
-    hooked.remove(s)
+  def evict(s: SparkSession): Unit =
+    // deliberately does NOT remove `s` from `hooked`: listener
+    // registration and artifact lifetime are independent — evicting
+    // between benchmark passes must not make the next Materialized.of
+    // stack a fresh application-end listener per pass on the bus
     reg.keysIterator.filter(_._1 eq s).toList.foreach(dropCell)
-  }
 
   /** Drops ONE artifact — for tests that must force a rebuild of their
     * own key without wiping every cached artifact a later suite in the
@@ -93,8 +115,14 @@ object Materialized {
     dropCell((s, dir, key))
 
   private def dropCell(k: (SparkSession, String, String)): Unit =
-    reg.remove(k).flatMap(_.builtFrame)
-      .foreach(f => try f.unpersist(blocking = false) catch { case _: Throwable => () })
+    reg.remove(k).foreach { cell =>
+      // unpersist the CHECKPOINTED RDD, not the Dataset: localCheckpoint
+      // blocks live outside the CacheManager, so Dataset.unpersist would
+      // free nothing and per-run eviction (StressBench's cold-cold
+      // contract) would leak every prior run's blocks until GC
+      cell.checkpointedRdd
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
 
   /** The artifact for `key` over the corpus at `dir`, building and
     * persisting it on first use. The eager count() plays the role of

@@ -304,4 +304,55 @@ class AdviceFixesSpec extends AnyFunSuite with TestSpark {
       .map("%02x".format(_)).mkString
     assert(r(0).getString(2) == expected)
   }
+
+  // ---- round-12 advisor findings ----
+
+  test("Materialized.evict frees the localCheckpointed RDD blocks") {
+    import graft.warehouse.Materialized
+    val f = Materialized.of(spark, "advice-r12-dir", "advice-r12-ckpt")(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // the artifact is a lineage-cut LogicalRDD whose rdd holds the
+    // checkpoint blocks OUTSIDE the CacheManager — find its id
+    val rdd = f.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.getOrElse(fail("artifact is not a lineage-cut LogicalRDD"))
+    assert(spark.sparkContext.getPersistentRDDs.contains(rdd.id),
+      "checkpointed RDD should be registered as persistent")
+    Materialized.evict(spark, "advice-r12-dir", "advice-r12-ckpt")
+    // Dataset.unpersist would NOT remove it (blocks live outside the
+    // CacheManager); rdd.unpersist deregisters it immediately
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rdd.id),
+      "evict must unpersist the checkpointed RDD, not just the Dataset")
+  }
+
+  test("StreamPostings/StreamIvfLists readers return empty typed frames before first batch") {
+    import graft.streaming.{StreamIvfLists, StreamPostings}
+    val missing = Files.createTempDirectory("graft-empty-ingest").toString + "/never-written"
+    val p = StreamPostings.readPostings(spark, missing)
+    assert(p.isEmpty && p.schema == StreamPostings.PostingsSchema)
+    val l = StreamIvfLists.readLists(spark, missing)
+    assert(l.isEmpty && l.schema == StreamIvfLists.ListsSchema)
+    // an existing but batch-less directory (stream started, no
+    // non-empty batch committed yet) behaves the same
+    val bare = Files.createTempDirectory("graft-bare-ingest").toString
+    assert(StreamPostings.readPostings(spark, bare).isEmpty)
+    assert(StreamIvfLists.readLists(spark, bare).isEmpty)
+  }
+
+  test("batch_id ingest legacy guard fires through the Hadoop FS API") {
+    // java.io.File-based guards silently skip non-local URIs; the
+    // Hadoop-FS guard must still reject a local legacy layout AND
+    // accept a clean root addressed through an explicit file: URI
+    val out = Files.createTempDirectory("graft-legacy-fs").toString
+    Files.write(Paths.get(out, "part-00000.parquet"), Array[Byte](1, 2, 3))
+    val docsStream = spark.readStream.format("rate").load()
+      .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamPostings.ingest(docsStream, s"file://$out", out + "/cp")
+    }
+    assert(e.getMessage.contains("root-level data files"))
+    val clean = Files.createTempDirectory("graft-clean-fs").toString
+    // must not throw on a clean directory via URI
+    graft.streaming.StreamPostings.ingest(docsStream, s"file://$clean", clean + "/cp")
+  }
 }
