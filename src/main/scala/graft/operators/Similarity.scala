@@ -89,10 +89,15 @@ object Similarity {
     * precomputed per vector (one fold instead of three per pair; the
     * dot/(n1*n2) arithmetic is bit-identical to inline cosine).
     */
-  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  /** `candPred`: restricts the CANDIDATE side (the exact reference for
+    * filtered ANN — "top-k among vectors WHERE <metadata>"); queries
+    * are untouched. Default keeps the unfiltered behavior.
+    */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int,
+      candPred: Column = lit(true)): DataFrame = {
     val q = emb.filter(queryPred).select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("qn"))
-    val c = emb.select(col("vec_id").as("cand_id"),
+    val c = emb.filter(candPred).select(col("vec_id").as("cand_id"),
       col("embedding").as("ce"), sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("cn"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("cosine_sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
@@ -292,16 +297,26 @@ object Similarity {
     * centroids' files — partition pruning doing at the file level what
     * the inverted index does logically.
     */
-  def ivfAssignments(emb: DataFrame, trained: DataFrame): DataFrame = {
-    val n = emb.select(col("vec_id"), col("embedding"),
-      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+  /** `carryCols`: metadata columns stored IN the lists (the filtered-ANN
+    * shape — a candidate-side predicate lands on the lists scan as a
+    * pushed data filter instead of a join back to the corpus). Values
+    * are constant per vec_id, so the MAX in the assignment aggregation
+    * is just the value.
+    */
+  def ivfAssignments(emb: DataFrame, trained: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val n = emb.select((Seq(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm")) ++
+      carryCols.map(col)): _*)
     val toCent = n.crossJoin(broadcast(centsOf(trained)))
       .withColumn("cos_c", Vec.dotFast(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
     toCent.groupBy("vec_id")
       .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_id"),
-        col("embedding"), col("nrm"))).as("best"))
-      .select(col("vec_id").as("cand_id"), col("best.embedding").as("ce"),
-        col("best.nrm").as("cn"), (-col("best.neg_id")).as("cent_id"))
+        col("embedding"), col("nrm"))).as("best"),
+        carryCols.map(c => max(col(c)).as(c)): _*)
+      .select((Seq(col("vec_id").as("cand_id"), col("best.embedding").as("ce"),
+        col("best.nrm").as("cn"), (-col("best.neg_id")).as("cent_id")) ++
+        carryCols.map(col)): _*)
   }
 
   /** IVF search over a STORED inverted-list artifact: `lists` is a
@@ -1081,25 +1096,36 @@ object Similarity {
       * oracles; every arithmetic step is the bit-identical twin of
       * Clustering.kmeans.
       */
-    private def trainedCentroidCtes: String = {
+    /** Generalized form: CTE names carry prefix `p` (so two trainings
+      * compose in one query — the retrain oracle), the corpus comes
+      * from `src` (a table or an upstream CTE), and `trainPredSql`
+      * restricts the training set (the stale-quantizer replay trains
+      * on the pre-drift rows only). `cent` is MATERIALIZED: it is tiny
+      * (nlist rows) and referenced from several consumers, and DuckDB
+      * would otherwise re-run the whole Lloyd chain per reference.
+      */
+    private def centroidCtes(p: String, src: String,
+        trainPredSql: String = "TRUE"): String = {
       val iterCtes = (1 to IvfIters).map { i =>
-        val prev = s"c${i - 1}"
-        s"""a$i AS (SELECT vec_id, embedding, cluster_id FROM (
+        val prev = s"${p}c${i - 1}"
+        s"""${p}a$i AS (SELECT vec_id, embedding, cluster_id FROM (
            |  SELECT s.vec_id, s.embedding, c.cluster_id,
            |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
            |      (${V.O.dot("s.embedding", "c.cemb")} / (s.nrm * sqrt(${V.O.dot("c.cemb", "c.cemb")}))) DESC, c.cluster_id) AS rn
-           |  FROM samp s CROSS JOIN $prev c) WHERE rn = 1),
-           |m$i AS (SELECT cluster_id, CAST(i AS INT) AS dim, ${Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
-           |  FROM a$i, range(1, ${Dim + 1}) t(i) GROUP BY cluster_id, i),
-           |c$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM m$i GROUP BY cluster_id)""".stripMargin
+           |  FROM ${p}samp s CROSS JOIN $prev c) WHERE rn = 1),
+           |${p}m$i AS (SELECT cluster_id, CAST(i AS INT) AS dim, ${Num.O.avg("CAST(embedding[i] AS DOUBLE)")} AS avg_val
+           |  FROM ${p}a$i, range(1, ${Dim + 1}) t(i) GROUP BY cluster_id, i),
+           |${p}c$i AS (SELECT cluster_id, list(CAST(avg_val AS FLOAT) ORDER BY dim) AS cemb FROM ${p}m$i GROUP BY cluster_id)""".stripMargin
       }.mkString(",\n")
-      s"""e AS (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM embeddings),
-         |samp AS (SELECT vec_id, embedding, nrm FROM e WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct),
-         |c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM samp
+      s"""${p}e AS (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM $src),
+         |${p}samp AS (SELECT vec_id, embedding, nrm FROM ${p}e WHERE ${Sampling.O.hashBucket("vec_id")} < $IvfTrainPct AND ($trainPredSql)),
+         |${p}c0 AS (SELECT vec_id AS cluster_id, embedding AS cemb FROM ${p}samp
          |       ORDER BY ${Hashes.O.md5Long32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $IvfNlist),
          |$iterCtes,
-         |cent AS (SELECT cluster_id AS cent_id, cemb, sqrt(${V.O.dot("cemb", "cemb")}) AS cnrm FROM c$IvfIters)""".stripMargin
+         |${p}cent AS MATERIALIZED (SELECT cluster_id AS cent_id, cemb, sqrt(${V.O.dot("cemb", "cemb")}) AS cnrm FROM ${p}c$IvfIters)""".stripMargin
     }
+
+    private def trainedCentroidCtes: String = centroidCtes("", "embeddings")
 
     /** Bit-identical twin of [[Similarity.semDedup]]: trained-quantizer
       * assignment (rounded centroid cosine carried), capped
@@ -1472,5 +1498,90 @@ object Similarity {
          |  round(CAST(COALESCE(sz.n_vecs, 0) AS DOUBLE) / tot.t, 6) AS share
          |FROM cent c LEFT JOIN sz ON c.cent_id = sz.cent_id CROSS JOIN tot
          |ORDER BY c.cent_id""".stripMargin
+
+    /** One (exact, ivf, recall-row) stage of the retrain oracle: the
+      * q143 recall harness over `corpus` (a CTE name) with the
+      * `centP`-prefixed quantizer, queries = `qPredSql` (over vec_id).
+      */
+    private def recallStageCtes(tag: String, label: String, corpus: String,
+        centP: String, qPredSql: String, k: Int, probes: Int): String =
+      s"""${tag}ex AS (SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |    FROM $corpus q JOIN $corpus c ON c.vec_id != q.vec_id
+         |    WHERE (${qPredSql.replace("vec_id", "q.vec_id")})) WHERE rank <= $k),
+         |${tag}rk AS (SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+         |    CAST(row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS INT) AS crn
+         |  FROM (SELECT vec_id, embedding, sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM $corpus) v
+         |  CROSS JOIN ${centP}cent c),
+         |${tag}iv AS (SELECT query_id, cand_id FROM (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY round(${V.O.dot("p.embedding", "a.embedding")} / (p.nrm * a.nrm), 6) DESC, a.vec_id) AS INT) AS rank
+         |  FROM (SELECT * FROM ${tag}rk WHERE crn = 1) a
+         |  JOIN (SELECT * FROM ${tag}rk WHERE ($qPredSql) AND crn <= $probes) p
+         |    ON a.cent_id = p.cent_id AND a.vec_id != p.vec_id)
+         |  WHERE rank <= $k),
+         |${tag}row AS (SELECT '$label' AS stage,
+         |  (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ${tag}ex) AS n_queries,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${tag}ex) AS n_exact_pairs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${tag}ex JOIN ${tag}iv USING (query_id, cand_id)) AS n_hits,
+         |  round(CAST((SELECT COUNT(*) FROM ${tag}ex JOIN ${tag}iv USING (query_id, cand_id)) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM ${tag}ex), 6) AS recall_at_10)""".stripMargin
+
+    /** q275 oracle: the full retrain-rotation replay — the drifted
+      * corpus (vectors at/after `split` shift by +driftScale·mean|x|
+      * per component; list_reduce/list_transform are the bit-identical
+      * twins of the Spark aggregate/transform fold), BOTH Lloyd
+      * trajectories (stale = trained on the pre-drift rows, fresh =
+      * the current corpus), and the three recall stages.
+      */
+    def retrainRecall(split: Long, driftScale: Double, k: Int = 10,
+        probes: Int = IvfProbes): String = {
+      val mixed = s"(vec_id < 10 OR (vec_id >= $split AND vec_id < ${split + 10}))"
+      s"""WITH draw AS (SELECT vec_id, embedding,
+         |    list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b) / $Dim AS absmean
+         |  FROM embeddings),
+         |drift AS MATERIALIZED (SELECT vec_id,
+         |  CASE WHEN vec_id >= $split
+         |    THEN list_transform(embedding, (x, i) -> CAST(
+         |      (CASE WHEN (i - 1) % 2 = 0 THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END)
+         |      + $driftScale * absmean AS FLOAT))
+         |    ELSE embedding END AS embedding
+         |  FROM draw),
+         |dbase AS MATERIALIZED (SELECT vec_id, embedding FROM drift WHERE vec_id < $split),
+         |${centroidCtes("st", "drift", s"vec_id < $split")},
+         |${centroidCtes("fr", "drift")},
+         |${recallStageCtes("s1", "1_before_drift", "dbase", "st", "vec_id < 10", k, probes)},
+         |${recallStageCtes("s2", "2_stale_after_drift", "drift", "st", mixed, k, probes)},
+         |${recallStageCtes("s3", "3_after_retrain", "drift", "fr", mixed, k, probes)}
+         |SELECT * FROM s1row UNION ALL SELECT * FROM s2row UNION ALL SELECT * FROM s3row
+         |ORDER BY stage""".stripMargin
+    }
+
+    /** q277 oracle: filtered-IVF recall vs the exact FILTERED top-k —
+      * both candidate sets restricted to `candPredSql` (over the
+      * embeddings table's columns), IVF with the widened probe budget.
+      */
+    def filteredRecall(queryPredSql: String, candPredSql: String, k: Int,
+        probes: Int): String =
+      s"""WITH ex AS (SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |      AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE $candPredSql)
+         |    WHERE (${queryPredSql.replace("vec_id", "q.vec_id")})) WHERE rank <= $k),
+         |iv AS (SELECT query_id, cand_id
+         |  FROM (${ivf(queryPredSql, k, probes,
+                 s"vec_id IN (SELECT vec_id FROM embeddings WHERE $candPredSql)")})),
+         |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM ex JOIN iv USING (query_id, cand_id))
+         |SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) AS n_queries,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact_pairs,
+         |       h.n_hits,
+         |       round(CAST(h.n_hits AS DOUBLE) / (SELECT COUNT(*) FROM ex), 6) AS recall_at_10
+         |FROM h""".stripMargin
   }
 }

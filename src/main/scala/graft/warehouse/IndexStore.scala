@@ -1,0 +1,248 @@
+package graft.warehouse
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+import graft.streaming.BatchLayout
+
+/** Generation-versioned index store — the on-disk lifecycle for the
+  * persisted retrieval indexes (the IVF inverted lists, the text
+  * posting lists): a BASE table in `gen-<n>` directories behind an
+  * atomic `_CURRENT` commit pointer, plus the streaming ingest twins'
+  * `batch_id=<id>` fragment directories and a tombstone key table.
+  * This is the Lucene segment-lifecycle shape re-expressed as a parquet
+  * layout: ingest appends small fragments, COMPACTION merges
+  * (base ∪ fragments − tombstones) into the next generation, and
+  * serving reads always resolve one complete committed snapshot.
+  *
+  * Commit protocol: `_CURRENT` holds `<gen> <fragWatermark>` — the
+  * committed generation and the HIGHEST fragment batch_id absorbed
+  * into it. A serving read is `gen-<g>` ∪ fragments with
+  * `batch_id > watermark`, minus live tombstones. Compaction writes
+  * `gen-<g+1>` completely, then swaps the pointer with an atomic
+  * rename; consumed fragments and the stale generation are deleted
+  * only AFTER the swap. Every crash window is therefore safe:
+  *   - crash mid-write of `gen-<g+1>`: the pointer still names
+  *     `gen-<g>`; readers see the old snapshot; the partial directory
+  *     is overwritten by the next compaction (same target, Overwrite);
+  *   - crash after the swap, before fragment GC: readers already use
+  *     `gen-<g+1>` and the watermark EXCLUDES the absorbed-but-not-yet-
+  *     deleted fragments — no double counting; the next compaction (or
+  *     [[gc]]) removes them.
+  * Readers never see a mix of generations, and a fragment is counted
+  * exactly once at every point in time.
+  *
+  * Tombstones are a KEY TABLE (`tombstones/batch_id=<id>` parquet — the
+  * GDPR/erasure shape: arbitrary ids, batch- or stream-delivered), not
+  * a predicate: serving reads anti-join the live tombstone set, and
+  * compaction applies them PHYSICALLY — the new generation contains no
+  * tombstoned row. Tombstone rows stay after compaction (a later
+  * fragment could re-deliver an erased key; the anti-join must keep
+  * winning) — they are retired explicitly via [[purgeTombstones]] once
+  * the owner knows ingest can no longer resurrect those keys.
+  *
+  * At 100 TB: fragments are micro-batch-sized, tombstones are key
+  * lists (both broadcastable); compaction is one shuffle-free
+  * partitionBy rewrite of the base per generation — and with
+  * `partitionCols` (the IVF lists' `cent_id`) the new generation keeps
+  * the hive layout, so dynamic partition pruning serves probes from
+  * the compacted base exactly as before (plan-audited in
+  * PlanAuditSpec). Writer contract: single compactor at a time (run it
+  * from the ingest owner, between micro-batches); readers need no
+  * coordination.
+  */
+object IndexStore {
+
+  /** The committed snapshot: generation + highest absorbed fragment. */
+  final case class Commit(gen: Long, fragWatermark: Long)
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genPath(root: String, g: Long) = s"$root/gen-$g"
+  def fragmentsDir(root: String): String = s"$root/fragments"
+  def tombstonesDir(root: String): String = s"$root/tombstones"
+
+  /** Parse `_CURRENT` (None before [[writeBase]]). */
+  def commitOf(spark: SparkSession, root: String): Option[Commit] = {
+    val p = new Path(root, "_CURRENT")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      val parts = txt.split("\\s+")
+      Some(Commit(parts(0).toLong, parts(1).toLong))
+    }
+  }
+
+  private def swapCurrent(spark: SparkSession, root: String, c: Commit): Unit = {
+    val dir = new Path(root)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val tmp = new Path(root, s"_CURRENT.tmp-${System.nanoTime()}")
+    val out = f.create(tmp, true)
+    try out.write(s"${c.gen} ${c.fragWatermark}".getBytes("UTF-8")) finally out.close()
+    // rename onto an existing file is not atomic-replace on every FS;
+    // delete-then-rename leaves a sub-millisecond missing-pointer
+    // window only for a reader racing the single writer's swap — close
+    // it by retrying commitOf; on HDFS use rename with OVERWRITE
+    val cur = new Path(root, "_CURRENT")
+    if (f.exists(cur)) f.delete(cur, false)
+    if (!f.rename(tmp, cur))
+      throw new java.io.IOException(s"failed to commit $c at $cur")
+  }
+
+  /** Publish `df` as generation 0 (no fragments absorbed yet). */
+  def writeBase(df: DataFrame, root: String, partitionCols: Seq[String] = Nil): Commit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(genPath(root, 0L))
+    val c = Commit(0L, -1L)
+    swapCurrent(df.sparkSession, root, c)
+    c
+  }
+
+  /** Append one fragment (the batch twin of the streaming ingest
+    * sinks' `batch_id=<id>` write — idempotent per id).
+    */
+  def addFragment(df: DataFrame, root: String, batchId: Long): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"${fragmentsDir(root)}/batch_id=$batchId")
+
+  /** Append tombstone KEYS (any schema whose columns are the anti-join
+    * keys of the stored rows — typically one id column).
+    */
+  def addTombstones(df: DataFrame, root: String, batchId: Long): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"${tombstonesDir(root)}/batch_id=$batchId")
+
+  /** Every live tombstone key (empty typed frame when none). */
+  def tombstones(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    BatchLayout.readFragments(spark, tombstonesDir(root), schema)
+
+  /** The SERVING read: committed generation ∪ unabsorbed fragments,
+    * minus live tombstones (broadcast anti-join on the tombstone
+    * frame's columns). `schema` types the fragment/tombstone reads so
+    * the store serves correctly even before any fragment exists.
+    */
+  def read(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tombstoneKeys: Seq[String] = Nil): DataFrame = {
+    val c = commitOf(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    // hive partition columns read back as the INFERRED type (cent_id
+    // comes back INT whatever was written) — cast every column to the
+    // declared schema so base and fragments union cleanly
+    val base = spark.read.parquet(genPath(root, c.gen))
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val frags = unabsorbedFragments(spark, root, c, schema)
+    val all = base.unionByName(frags)
+    if (tombstoneKeys.isEmpty) all
+    else {
+      val ts = tombstones(spark, root, org.apache.spark.sql.types.StructType(
+        tombstoneKeys.map(k => schema(k))))
+      all.join(broadcast(ts), tombstoneKeys, "left_anti")
+    }
+  }
+
+  /** Fragments NOT yet absorbed into the committed generation:
+    * `batch_id > watermark`. Partition-directory listing + the pushed
+    * batch_id predicate — absorbed fragments are never scanned.
+    */
+  private def unabsorbedFragments(spark: SparkSession, root: String, c: Commit,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dirs = BatchLayout.batchDirs(spark, fragmentsDir(root))
+      .filter(_.split("batch_id=").last.toLong > c.fragWatermark)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dirs: _*)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** COMPACTION: merge (committed generation ∪ fragments up to the
+    * snapshot watermark − live tombstones) into generation g+1 and
+    * swap the pointer. Preserves `partitionCols` hive layout, so
+    * partition-pruned serving plans are unchanged post-compaction.
+    * Returns the new commit. Crash-safe per the object contract;
+    * consumed fragments and the stale generation are GC'd after the
+    * swap (a crash between swap and GC only delays the GC).
+    */
+  def compact(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Nil,
+      tombstoneKeys: Seq[String] = Nil): Commit = {
+    val c = commitOf(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    // snapshot the fragment set FIRST: fragments arriving mid-compaction
+    // stay above the new watermark and keep serving from the fragment path
+    val fragIds = BatchLayout.batchDirs(spark, fragmentsDir(root))
+      .map(_.split("batch_id=").last.toLong).filter(_ > c.fragWatermark)
+    val newWatermark = if (fragIds.isEmpty) c.fragWatermark else fragIds.max
+    val snapshot = read(spark, root, schema, tombstoneKeys)
+    val target = genPath(root, c.gen + 1)
+    val w = snapshot.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(target)
+    val next = Commit(c.gen + 1, newWatermark)
+    swapCurrent(spark, root, next)
+    gc(spark, root, next, fragIds)
+    next
+  }
+
+  /** Delete the stale generation and the absorbed fragments — safe any
+    * time after the swap that absorbed them.
+    */
+  private def gc(spark: SparkSession, root: String, c: Commit,
+      absorbed: Seq[Long]): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val stale = new Path(genPath(root, c.gen - 1))
+    if (f.exists(stale)) f.delete(stale, true)
+    absorbed.foreach { id =>
+      val p = new Path(s"${fragmentsDir(root)}/batch_id=$id")
+      if (f.exists(p)) f.delete(p, true)
+    }
+  }
+
+  /** Retire ALL tombstones — call only once the owner knows ingest can
+    * no longer deliver the erased keys (e.g. after the source stream's
+    * retention has passed). Until then tombstones survive compaction so
+    * a re-delivered key stays erased.
+    */
+  def purgeTombstones(spark: SparkSession, root: String): Unit = {
+    val p = new Path(tombstonesDir(root))
+    val f = fs(spark, p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** Parquet data-file count under the committed generation plus live
+    * fragments — the small-file pressure gauge a compaction scheduler
+    * reads (and the number IndexStoreSpec asserts drops).
+    */
+  def dataFileCount(spark: SparkSession, root: String): Long = {
+    val c = commitOf(spark, root).getOrElse(return 0L)
+    def count(dir: String): Long = {
+      val p = new Path(dir)
+      val f = fs(spark, p)
+      if (!f.exists(p)) 0L
+      else {
+        val it = f.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith(".") && !name.startsWith("_")) n += 1
+        }
+        n
+      }
+    }
+    count(genPath(root, c.gen)) +
+      BatchLayout.batchDirs(spark, fragmentsDir(root))
+        .filter(_.split("batch_id=").last.toLong > c.fragWatermark)
+        .map(count).sum
+  }
+}

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{BatchLayout, StreamTombstones}
+import graft.warehouse.IndexStore
+
+/** The generation-versioned index store: compaction merges base ∪
+  * fragments (− tombstones) into an atomic new generation, readers
+  * always resolve one complete snapshot, tombstones erase immediately
+  * on read and physically at compaction.
+  */
+class IndexStoreSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def freshRoot() =
+    Files.createTempDirectory("ixstore-").toString + "/store"
+
+  private def rows(r: (Long, String)*) = r.toSeq.toDF("k", "v")
+
+  private def readSet(root: String, ts: Seq[String] = Nil): Set[(Long, String)] =
+    IndexStore.read(spark, root, schema, ts).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("serving read = base ∪ fragments; compaction preserves it exactly and drops files") {
+    val root = freshRoot()
+    IndexStore.writeBase(rows(1L -> "a", 2L -> "b").repartition(4), root)
+    IndexStore.addFragment(rows(3L -> "c").repartition(2), root, 0L)
+    IndexStore.addFragment(rows(4L -> "d").repartition(2), root, 1L)
+    val before = readSet(root)
+    assert(before == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    val filesBefore = IndexStore.dataFileCount(spark, root)
+    val c = IndexStore.compact(spark, root, schema)
+    assert(c == IndexStore.Commit(1L, 1L))
+    assert(readSet(root) == before, "compaction must not change the served rows")
+    // small-file pressure actually dropped (8 part files -> 1-ish)
+    val filesAfter = IndexStore.dataFileCount(spark, root)
+    assert(filesAfter < filesBefore, s"$filesAfter >= $filesBefore")
+    // absorbed fragments and the stale generation are gone
+    assert(!Files.exists(Paths.get(IndexStore.fragmentsDir(root), "batch_id=0")))
+    assert(!Files.exists(Paths.get(root, "gen-0")))
+    // new fragments after compaction serve immediately
+    IndexStore.addFragment(rows(5L -> "e"), root, 2L)
+    assert(readSet(root) == before + (5L -> "e"))
+  }
+
+  test("crash between pointer swap and fragment GC never double-counts") {
+    val root = freshRoot()
+    IndexStore.writeBase(rows(1L -> "a"), root)
+    IndexStore.addFragment(rows(2L -> "b"), root, 0L)
+    IndexStore.compact(spark, root, schema)
+    // simulate the crash window: the absorbed fragment reappears on
+    // disk (GC never ran) — the watermark must keep excluding it
+    IndexStore.addFragment(rows(2L -> "b"), root, 0L)
+    assert(readSet(root) == Set(1L -> "a", 2L -> "b"),
+      "absorbed fragment below the watermark must not be re-served")
+    assert(IndexStore.read(spark, root, schema).count() == 2L)
+  }
+
+  test("crash mid-compaction leaves the old snapshot serving; retry succeeds") {
+    val root = freshRoot()
+    IndexStore.writeBase(rows(1L -> "a"), root)
+    IndexStore.addFragment(rows(2L -> "b"), root, 0L)
+    // a partial gen-1 from a crashed compactor: data present, pointer
+    // NOT swapped — readers must ignore it entirely
+    rows(99L -> "junk").write.parquet(s"$root/gen-1")
+    assert(readSet(root) == Set(1L -> "a", 2L -> "b"))
+    // the retry overwrites the partial directory and commits
+    val c = IndexStore.compact(spark, root, schema)
+    assert(c.gen == 1L)
+    assert(readSet(root) == Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("tombstones erase on read immediately and physically at compaction") {
+    val root = freshRoot()
+    IndexStore.writeBase(rows(1L -> "a", 2L -> "b"), root)
+    IndexStore.addFragment(rows(3L -> "c", 4L -> "d"), root, 0L)
+    IndexStore.addTombstones(Seq(2L, 3L).toDF("k"), root, 0L)
+    // immediate: the anti-join wins before any compaction
+    assert(readSet(root, Seq("k")) == Set(1L -> "a", 4L -> "d"))
+    val c = IndexStore.compact(spark, root, schema, tombstoneKeys = Seq("k"))
+    // physical: the committed generation's parquet holds no erased row
+    val gen = spark.read.parquet(s"$root/gen-${c.gen}")
+    assert(gen.filter(col("k").isin(2L, 3L)).isEmpty,
+      "compaction must purge tombstoned keys from the new generation")
+    assert(readSet(root, Seq("k")) == Set(1L -> "a", 4L -> "d"))
+  }
+
+  test("a tombstone outlives compaction: re-delivered keys stay erased") {
+    val root = freshRoot()
+    IndexStore.writeBase(rows(1L -> "a", 2L -> "b"), root)
+    IndexStore.addTombstones(Seq(2L).toDF("k"), root, 0L)
+    IndexStore.compact(spark, root, schema, tombstoneKeys = Seq("k"))
+    // ingest re-delivers the erased key AFTER the purge
+    IndexStore.addFragment(rows(2L -> "b2"), root, 7L)
+    assert(readSet(root, Seq("k")) == Set(1L -> "a"),
+      "re-delivered erased key must keep losing the anti-join")
+    // explicit retirement is the only way a key returns
+    IndexStore.purgeTombstones(spark, root)
+    assert(readSet(root, Seq("k")) == Set(1L -> "a", 2L -> "b2"))
+  }
+
+  test("compaction preserves the hive partition layout") {
+    val root = freshRoot()
+    val part = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("cent_id", "cand_id", "p")
+    val pSchema = StructType(Seq(StructField("cent_id", LongType),
+      StructField("cand_id", LongType), StructField("p", StringType)))
+    IndexStore.writeBase(part, root, Seq("cent_id"))
+    IndexStore.addFragment(Seq((1L, 12L, "c")).toDF("cent_id", "cand_id", "p"), root, 0L)
+    val c = IndexStore.compact(spark, root, pSchema, Seq("cent_id"))
+    val genDir = Paths.get(s"$root/gen-${c.gen}")
+    val parts = Files.list(genDir).toArray.map(_.toString).filter(_.contains("cent_id="))
+    assert(parts.nonEmpty, "compacted generation must keep cent_id=<v> directories")
+    assert(IndexStore.read(spark, root, pSchema).count() == 3L)
+  }
+
+  test("streaming ingest twins write store fragments; compaction absorbs them") {
+    // StreamPostings' batch_id=<id> sink IS the store's fragment
+    // layout: point its outDir at fragmentsDir and the lifecycle
+    // composes — stream in, serve immediately, compact into the base
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamPostings
+    val root = freshRoot()
+    val dir = "/root/testdata/sf0.001"
+    val docs = sources.Tables(spark, dir, "documents")
+    IndexStore.writeBase(
+      TextAnalysis.positionalPostings(docs.filter($"doc_id" < 400L)), root)
+    val delta = docs.filter($"doc_id" >= 400L)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val ckpt = Files.createTempDirectory("sp-ckpt-").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamPostings.ingest(mem.toDF().toDF("doc_id", "text"),
+      IndexStore.fragmentsDir(root), ckpt).start()
+    try {
+      mem.addData(delta.take(delta.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(delta.drop(delta.size / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pSchema = graft.streaming.StreamPostings.PostingsSchema
+    val expected = TextAnalysis.positionalPostings(docs).count()
+    assert(IndexStore.read(spark, root, pSchema).count() == expected)
+    IndexStore.compact(spark, root, pSchema)
+    assert(IndexStore.read(spark, root, pSchema).count() == expected,
+      "compaction must absorb the streamed fragments losslessly")
+    assert(BatchLayout.batchDirs(spark, IndexStore.fragmentsDir(root)).isEmpty,
+      "absorbed stream fragments should be GC'd")
+  }
+
+  test("streaming tombstone ingest: erased the moment the micro-batch commits") {
+    implicit val ctx = spark.sqlContext
+    val root = freshRoot()
+    IndexStore.writeBase(rows(1L -> "a", 2L -> "b", 3L -> "c"), root)
+    val ckpt = Files.createTempDirectory("ts-ckpt-").toString
+    val mem = MemoryStream[Long]
+    val q = StreamTombstones.ingest(mem.toDF().toDF("k"), root, ckpt).start()
+    try {
+      mem.addData(2L)
+      q.processAllAvailable()
+      assert(readSet(root, Seq("k")) == Set(1L -> "a", 3L -> "c"))
+      mem.addData(3L) // a second erasure batch layers on
+      q.processAllAvailable()
+      assert(readSet(root, Seq("k")) == Set(1L -> "a"))
+    } finally q.stop()
+    // compaction applies the streamed tombstones physically
+    val c = IndexStore.compact(spark, root, schema, tombstoneKeys = Seq("k"))
+    val gen = spark.read.parquet(s"$root/gen-${c.gen}")
+    assert(gen.count() == 1L && gen.head.getLong(0) == 1L)
+  }
+}

@@ -554,4 +554,37 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500)) // candidate generation is the banded equi-join, never all-pairs
   }
+
+  test("dynamic partition pruning survives compaction on the generation store") {
+    // the q271 contract: the compacted generation keeps the cent_id
+    // hive layout, so the probe join still prunes the lists scan at the
+    // file level — compaction must never cost the index its pruning
+    val df = SparkEntry.queries("q271_ivf_compacted")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ivf_store"), p.take(2000)) // serving from the store, not the corpus
+    assert(p.contains("dynamicpruningexpression(cast(cent_id") ||
+      p.contains("dynamicpruningexpression(cent_id"), p.take(2000))
+  }
+
+  test("filtered ANN pushes the metadata predicate into the lists scan beside the pruning") {
+    // FileScan metadata truncates at maxMetadataStringLength (default
+    // 100) — raise it so the artifact path and PushedFilters are
+    // visible to the assertions
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val df = SparkEntry.queries("q276_ann_filtered")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruningexpression(cast(cent_id") ||
+        p.contains("dynamicpruningexpression(cent_id"), p.take(2000))
+      // the label cohort filter lands ON the stored-lists scan (the
+      // carried metadata column) as a pushed data filter, never as a
+      // post-join filter or a join back to the corpus
+      val listScans = p.split("\n").filter(_.contains("ivf_lists_meta"))
+      assert(listScans.nonEmpty, p.take(2000))
+      assert(listScans.exists(l => l.contains("In(label, [1,4,7]")),
+        listScans.mkString("\n").take(1200))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+  }
 }
