@@ -503,6 +503,40 @@ object Dedup {
 
   val SpanGramLen = 8 // L: duplicate-substring resolution, in words
 
+  /** SOFT deduplication — duplicate-cluster down-weighting instead of
+    * removal (the SoftDeDup idea: keep every copy but give each member
+    * of an n-way duplicate cluster weight 1/n, so the training
+    * distribution matches the deduplicated corpus while retaining the
+    * full data for curriculum/shuffling freedom). Input `clusters` is
+    * any (doc_id, cluster_size) table — here the near-dup connected
+    * components; docs outside every cluster weigh 1. Reported per
+    * source: doc counts, duplicate-cluster membership, raw vs
+    * EFFECTIVE token mass (Σ n_tokens/cluster_size) and their ratio —
+    * the "how much of this source is really there" read that prices a
+    * mixture BEFORE sampling weights are chosen.
+    *
+    * Scale shape: one doc-keyed left join (the cluster table is the
+    * pair-graph's node set, orders of magnitude smaller than the
+    * corpus) + one keyed aggregation; per-row effective masses are
+    * deterministic scalar divisions riding a decimal-backed sum.
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(Text.words(col(textCol))).as("n_tokens"))
+    base.join(clusters.select("doc_id", "cluster_size"), Seq("doc_id"), "left")
+      .withColumn("csz", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("eff", col("n_tokens").cast("double") / col("csz"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_in_dup_clusters"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("eff").cast("decimal(38,6)")).cast("double").as("eff_tokens"))
+      .withColumn("dedup_ratio", round(col("eff_tokens") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
   /** Exact duplicate-substring spans at L-word resolution: for each
     * document, the maximal word ranges covered by L-grams that also
     * occur in at least one OTHER document — the span-level exact-dedup
@@ -891,7 +925,11 @@ object Dedup {
       * closure (recursive CTE) → per-node component min label and size —
       * semantically identical to the Spark min-label propagation.
       */
-    def clusters: String =
+    /** The q52 component replay's shared prefix, ending in
+      * `reach(src, dst)` — the transitive closure of the thresholded
+      * Jaccard pair graph.
+      */
+    private def reachCtes: String =
       s"""${jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (SELECT d1, d2 FROM inter
          |          JOIN sizes za ON d1 = za.doc_id
@@ -901,10 +939,34 @@ object Dedup {
          |reach(src, dst) AS (
          |  SELECT src, src FROM (SELECT DISTINCT src FROM sym) t
          |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)""".stripMargin
+
+    def clusters: String =
+      s"""$reachCtes
          |SELECT src AS doc_id, min(dst) AS cluster_rep, COUNT(DISTINCT dst) AS cluster_size,
          |  (src = min(dst)) AS is_kept
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[Dedup.softDedupWeights]] over the replayed component
+      * sizes: same coalesce-to-1 for unclustered docs, same per-row
+      * effective-mass division riding the decimal sum.
+      */
+    def softDedupWeights: String =
+      s"""$reachCtes,
+         |cl AS (SELECT src AS doc_id, COUNT(DISTINCT dst) AS cluster_size
+         |       FROM reach GROUP BY src),
+         |base AS (SELECT doc_id, source,
+         |           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+         |wts AS (SELECT b.source, b.n_tokens,
+         |          COALESCE(cl.cluster_size, 1) AS csz,
+         |          CAST(b.n_tokens AS DOUBLE) / COALESCE(cl.cluster_size, 1) AS eff
+         |        FROM base b LEFT JOIN cl USING (doc_id))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(eff AS DECIMAL(38,6))) AS DOUBLE) AS eff_tokens,
+         |  round(CAST(SUM(CAST(eff AS DECIMAL(38,6))) AS DOUBLE) / SUM(n_tokens), 6) AS dedup_ratio
+         |FROM wts GROUP BY source ORDER BY source""".stripMargin
 
     /** The end-to-end dedup DECISION list (mirrors canonicalKeep): the
       * q52 closure, then the canonical member per cluster by

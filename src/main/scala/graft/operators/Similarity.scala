@@ -123,6 +123,50 @@ object Similarity {
       .select("query_id", "cand_id", "cosine_sim", "rank")
   }
 
+  /** Two-stage ADAPTIVE retrieval — Matryoshka truncation as a SERVING
+    * strategy, not just an audit (Kusupati et al. 2022 §4, "adaptive
+    * retrieval"): a COARSE pass ranks every candidate with only the
+    * first `d` dimensions and keeps `m` per query; the EXACT pass
+    * re-scores just those m with the full vectors. This is the shape
+    * that makes prefix truncation pay at 100 TB: the corpus-wide scan
+    * reads the d/Dim-sized PREFIX artifact (pass `prefix` — the
+    * persisted truncated index, built once), and full-width vectors
+    * are reduced to m·|Q| rows by a broadcast join of the coarse
+    * candidate list BEFORE any pairwise math — the full-dim pair space
+    * is never materialized. Both stages rank round(cos, 6) DESC with
+    * the cand_id tie-break, so the m-boundary cut is
+    * engine-deterministic; q206's recall curve prices d, q281's prices
+    * m.
+    */
+  def adaptiveTopK(emb: DataFrame, queryPred: Column, k: Int, d: Int, m: Int,
+      prefix: Option[DataFrame] = None): DataFrame = {
+    val pre = prefix.getOrElse(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("pe")))
+    val q = pre.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("pe").as("qe"))
+      .withColumn("qn", sqrt(Vec.dotFast(col("qe"), col("qe"))))
+    val c = pre.select(col("vec_id").as("cand_id"), col("pe").as("ce"))
+      .withColumn("cn", sqrt(Vec.dotFast(col("ce"), col("ce"))))
+    val coarse = topKRanked(
+      c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .withColumn("coarse_sim",
+          round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)),
+      "coarse_sim", m, ascending = false)
+      .select("query_id", "cand_id")
+    val full = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val rescored = full
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(coarse), "cand_id")
+      .join(broadcast(full.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))),
+        "query_id")
+      .withColumn("cosine_sim",
+        round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    topKRanked(rescored, "cosine_sim", k, ascending = false)
+      .select("query_id", "cand_id", "cosine_sim", "rank")
+  }
+
   /** LSH-bucketed cosine top-k: candidates share the query's bucket. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", bucketOf(col("embedding")))
@@ -1481,6 +1525,44 @@ object Similarity {
          |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.cand_id != p.query_id)
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     }
+
+    /** CTE chain ending in `asg(doc_id, cent_id)` — the full-corpus
+      * trained-quantizer assignment, exposed for cross-domain oracles
+      * that join cluster ids against the text corpus (doc_id = vec_id;
+      * the q282 topic-labeling replay). Distinct CTE names (`rkda`) so
+      * it composes beside the other quantizer consumers.
+      */
+    def assignmentCtes: String =
+      s"""$trainedCentroidCtes,
+         |rkda AS (SELECT v.vec_id, c.cent_id,
+         |    CAST(row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY (${V.O.dot("v.embedding", "c.cemb")} / (v.nrm * c.cnrm)) DESC, c.cent_id) AS INT) AS crn
+         |  FROM e v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id AS doc_id, cent_id FROM rkda WHERE crn = 1)""".stripMargin
+
+    /** Mirrors [[Similarity.adaptiveTopK]]: the coarse stage ranks on
+      * the d-dim truncated cosine (round-then-rank, cand_id tie-break —
+      * the m-boundary cut is deterministic in both engines), the exact
+      * stage re-scores ONLY the coarse survivors with the full-width
+      * cosine. The coarse CTE is MATERIALIZED (referenced by both rerank
+      * joins).
+      */
+    def adaptive(queryPredSql: String, k: Int, d: Int, m: Int): String =
+      s"""WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE $queryPredSql),
+         |co AS MATERIALIZED (SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${V.O.cosine("q.embedding", "c.embedding", d)}, 6) DESC, c.vec_id) AS INT) AS rank
+         |    FROM qs q JOIN embeddings c ON c.vec_id != q.vec_id)
+         |  WHERE rank <= $m)
+         |SELECT query_id, cand_id, cosine_sim, rank FROM (
+         |  SELECT co.query_id, co.cand_id,
+         |    round(${V.O.cosine("q.embedding", "c.embedding")}, 6) AS cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY co.query_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, co.cand_id) AS INT) AS rank
+         |  FROM co JOIN embeddings q ON q.vec_id = co.query_id
+         |  JOIN embeddings c ON c.vec_id = co.cand_id)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
     /** Mirrors the q269 list-size audit: the same trained-quantizer
       * assignment, one group-by over the lists. Every centroid emits a

@@ -304,6 +304,139 @@ object TextAnalysis {
           .as("avg_logscore"))
   }
 
+  val KnDiscount = 0.75 // the standard absolute-discount operating point
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 §2.7) — the smoother behind KenLM and therefore the
+    * CCNet-style perplexity quality filter the web-corpus pipelines
+    * actually run (beside q86's raw MLE bigram LM and q159's Stupid
+    * Backoff, which bracket it from below and above in sophistication).
+    * The model trains on the REFERENCE subset (`refPred`) and scores
+    * every document:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *            + D·N1+(w1,·)/c(w1) · Pcont(w2)
+    *
+    * where the continuation probability Pcont(w2) ∝ the number of
+    * DISTINCT contexts w2 follows — the property that makes KN rank
+    * "Francisco" (frequent but only after "San") below a genuinely
+    * productive word. An unseen context backs off to Pcont alone, and
+    * Pcont is add-0.5-smoothed over (distinct-bigram total, observed
+    * continuation vocabulary + 1 OOV slot) — the [[stupidBackoffScores]]
+    * / dsir floor convention, keeping every ln finite with no tuning.
+    * When the context IS seen, N1+(w1,·) ≥ 1 makes the interpolation
+    * term strictly positive, so no extra floor is needed there.
+    *
+    * Scale design mirrors [[stupidBackoffScores]]: the corpus stream
+    * collapses to per-doc distinct bigrams before any join; each
+    * DISTINCT bigram is scored once globally against the three
+    * reference count tables (bigram, context, continuation — all
+    * gram-keyed, all sublinear in the corpus) with the two scalars a
+    * 1-row broadcast; the per-doc mean is the decimal-backed
+    * occurrence-weighted fold (bit-identical to summing n copies).
+    * Reported per doc: bigram mass, reference-bigram hits, seen-context
+    * hits, and the KN mean log-probability.
+    */
+  def knBigramScores(docs: DataFrame, refPred: Column,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    // cached: the tokenized frame feeds the doc bigram stream AND the
+    // reference count tables (the q159 convention)
+    val words = docs.select(col("doc_id"), refPred.as("is_ref"),
+      Text.words(col(textCol)).as("w"))
+      .cache()
+    // cached: distinct per-doc bigrams feed the global score table's
+    // key set and the scoring join-back
+    val docBg = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(Text.shinglesOfWords(col("w"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .cache()
+    // Reference count tables, all keyed by gram parts: c(w1w2); then
+    // c(w1) and the distinct-continuation fan-outs ROLL UP FROM the
+    // bigram counts (each cb row is one distinct bigram, so COUNT(*)
+    // per w1 is N1+(w1,·) and per w2 is N1+(·,w2)) — no second pass
+    // over the reference stream.
+    val cb = words.filter(col("is_ref") && size(col("w")) >= 2)
+      .select(explode(Text.shinglesOfWords(col("w"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .cache()
+    val p = split(col("bg"), " ")
+    val ctx = cb.groupBy(p.getItem(0).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1fw"))
+    val cont = cb.groupBy(p.getItem(1).as("w2"))
+      .agg(count(lit(1)).as("n_cont"))
+    val scal = cb.agg(count(lit(1)).as("b_tot"),
+      countDistinct(p.getItem(1)).as("v_cont"))
+    // One row per DISTINCT corpus bigram: the score table. Pcont's
+    // denominator and both interpolation terms are spelled with the
+    // exact association the oracle renders, so the doubles are
+    // bit-identical cross-engine.
+    val bgScore = docBg.select("bg").distinct()
+      .withColumn("w1", p.getItem(0))
+      .withColumn("w2", p.getItem(1))
+      .join(cb, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("pc",
+        (coalesce(col("n_cont"), lit(0L)).cast("double") + 0.5) /
+          (col("b_tot").cast("double") + lit(0.5) * (col("v_cont") + 1).cast("double")))
+      .withColumn("p",
+        when(col("c_w1").isNotNull,
+          greatest(coalesce(col("c_bg"), lit(0L)).cast("double") - KnDiscount, lit(0.0))
+            / col("c_w1")
+            + lit(KnDiscount) * col("n1fw").cast("double") / col("c_w1") * col("pc"))
+          .otherwise(col("pc")))
+      .select(col("bg"), col("c_bg"), col("c_w1"), log(col("p")).as("lp"))
+    docBg.join(bgScore, "bg")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        sum(when(col("c_bg").isNotNull, col("n")).otherwise(0L)).as("n_hits"),
+        sum(when(col("c_w1").isNotNull, col("n")).otherwise(0L)).as("n_ctx_hits"),
+        (sum(col("lp").cast("decimal(38,6)") * col("n")).cast("double") / sum(col("n")))
+          .as("kn_avg_logprob"))
+  }
+
+  /** Class-based TF-IDF topic labeling (the BERTopic c-TF-IDF,
+    * Grootendorst 2022): given a document→cluster assignment (here the
+    * trained coarse quantizer's, doc_id = vec_id — corpus cartography
+    * over the embedding space), the top-k terms per cluster by
+    * tf(t,c) · ln(1 + A/tf(t)) where A is the mean token mass per
+    * cluster and tf(t) the corpus-wide term count — the class-level
+    * IDF that surfaces what a cluster says MORE than the corpus does.
+    *
+    * Scale shape: one corpus explode joined to the assignment on
+    * doc_id, then gram-keyed shrinking aggregates — (cluster, term)
+    * counts, corpus term counts rolled up FROM them, scalars a 1-row
+    * broadcast; the rank window is keyed per cluster over the cluster
+    * vocabulary. Ties break by term; scores round before ranking in
+    * both engines.
+    */
+  def clusterTopics(docs: DataFrame, asg: DataFrame, k: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(Text.words(col(textCol))).as("term"))
+    // cached: the (cluster, term) counts feed the corpus rollup, the
+    // scalar pass, and the scoring join
+    val tfc = toks.join(asg.select("doc_id", "cent_id"), "doc_id")
+      .groupBy("cent_id", "term").agg(count(lit(1)).as("tf"))
+      .cache()
+    val tft = tfc.groupBy("term").agg(sum(col("tf")).as("tf_corpus"))
+    val scal = tfc.agg(sum(col("tf")).as("tot"), countDistinct(col("cent_id")).as("nc"))
+    val scored = tfc.join(tft, "term").crossJoin(broadcast(scal))
+      .withColumn("ctfidf", round(
+        col("tf") * log(lit(1.0) +
+          (col("tot").cast("double") / col("nc")) / col("tf_corpus")), 6))
+    scored
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("cent_id").orderBy(col("ctfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("cent_id"), col("rank"), col("term"), col("tf"), col("ctfidf"))
+      .orderBy("cent_id", "rank")
+  }
+
   /** Character-level Shannon entropy per document — the degenerate-text
     * detector that catches what word-level stats miss (base64 blobs,
     * key-mash, single-char floods). p·ln(p) terms ride through a
@@ -1568,6 +1701,47 @@ object TextAnalysis {
          |  CAST(SUM(CASE WHEN tier = 1 THEN n ELSE 0 END) AS BIGINT) AS n_bi_backoff,
          |  CAST(SUM(CASE WHEN tier = 2 THEN n ELSE 0 END) AS BIGINT) AS n_uni_backoff,
          |  (CAST(SUM(CAST(lp AS DECIMAL(38,6)) * n) AS DOUBLE) / SUM(n)) AS avg_logscore
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirrors knBigramScores: the same reference count tables rolled
+      * up from the distinct-bigram counts (COUNT(*) per w1/w2 IS the
+      * N1+ fan-out), the same Pcont floor, and the interpolation
+      * rendered with the identical operator association so the doubles
+      * are bit-equal. Occurrence-weighted decimal mean, the q86/q159
+      * convention.
+      */
+    def knBigramScores(refPredSql: String): String =
+      s"""WITH wl AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |      FROM wl WHERE len(w) >= 2),
+         |s AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2),
+         |rb AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |       FROM wl WHERE ($refPredSql) AND len(w) >= 2),
+         |cb AS (SELECT bg, COUNT(*) AS c_bg FROM rb GROUP BY 1),
+         |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1,
+         |          COUNT(*) AS n1fw FROM cb GROUP BY 1),
+         |cont AS (SELECT string_split(bg, ' ')[2] AS w2, COUNT(*) AS n_cont FROM cb GROUP BY 1),
+         |sc AS (SELECT COUNT(*) AS b_tot, COUNT(DISTINCT string_split(bg, ' ')[2]) AS v_cont FROM cb),
+         |parts AS (SELECT doc_id, bg, n,
+         |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM s),
+         |j0 AS (SELECT p.doc_id, p.n, cb.c_bg, cx.c_w1, cx.n1fw,
+         |    (CAST(COALESCE(ct.n_cont, 0) AS DOUBLE) + 0.5)
+         |      / (CAST(sc.b_tot AS DOUBLE) + 0.5 * CAST(sc.v_cont + 1 AS DOUBLE)) AS pc
+         |  FROM parts p
+         |  LEFT JOIN cb USING (bg)
+         |  LEFT JOIN ctx cx ON cx.w1 = p.w1
+         |  LEFT JOIN cont ct ON ct.w2 = p.w2
+         |  CROSS JOIN sc),
+         |j AS (SELECT doc_id, n, c_bg IS NOT NULL AS hit, c_w1 IS NOT NULL AS ctx_hit,
+         |    ln(CASE WHEN c_w1 IS NOT NULL
+         |        THEN greatest(CAST(COALESCE(c_bg, 0) AS DOUBLE) - $KnDiscount, CAST(0 AS DOUBLE)) / c_w1
+         |             + $KnDiscount * CAST(n1fw AS DOUBLE) / c_w1 * pc
+         |        ELSE pc END) AS lp
+         |  FROM j0)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN ctx_hit THEN n ELSE 0 END) AS BIGINT) AS n_ctx_hits,
+         |  (CAST(SUM(CAST(lp AS DECIMAL(38,6)) * n) AS DOUBLE) / SUM(n)) AS kn_avg_logprob
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     /** Mirrors tfidfTopTerms (DuckDB `log` is base-10 — `ln` is the

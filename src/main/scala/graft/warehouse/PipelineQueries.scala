@@ -339,9 +339,13 @@ object PipelineQueries {
     * (IndexStoreSpec asserts it on the parquet itself). The oracle
     * rebuilds the whole index from scratch without the cohort.
     */
-  val annIvfTombstoned: Q = (s, dir) => {
-    val quant = mKmeansCos(s, dir)
-    val root = builtStore(dir, "ivf_store_ts") { r =>
+  /** The tombstoned-and-compacted store roots, shared by the per-family
+    * serving reads (q273/q274) and the q278 lifecycle capstone — ONE
+    * build definition per store, so every consumer provably reads the
+    * same lived-in artifact.
+    */
+  private def tsIvfStoreRoot(s: SparkSession, dir: String, quant: DataFrame): String =
+    builtStore(dir, "ivf_store_ts") { r =>
       ivfStoreFragments(s, dir, r, quant)
       graft.warehouse.IndexStore.addTombstones(
         emb(s, dir).filter(col("label") === 7).select(col("vec_id").as("cand_id")), r, 0L)
@@ -349,7 +353,19 @@ object PipelineQueries {
         graft.streaming.StreamIvfLists.ListsSchema, Seq("cent_id"),
         tombstoneKeys = Seq("cand_id"))
     }
-    val lists = graft.warehouse.IndexStore.read(s, root,
+
+  private def tsPostStoreRoot(s: SparkSession, dir: String): String =
+    builtStore(dir, "post_store_ts") { r =>
+      postStoreFragments(s, dir, r)
+      graft.warehouse.IndexStore.addTombstones(
+        docs(s, dir).filter(col("lang") === "de").select("doc_id"), r, 0L)
+      graft.warehouse.IndexStore.compact(s, r,
+        graft.streaming.StreamPostings.PostingsSchema, tombstoneKeys = Seq("doc_id"))
+    }
+
+  val annIvfTombstoned: Q = (s, dir) => {
+    val quant = mKmeansCos(s, dir)
+    val lists = graft.warehouse.IndexStore.read(s, tsIvfStoreRoot(s, dir, quant),
       graft.streaming.StreamIvfLists.ListsSchema, tombstoneKeys = Seq("cand_id"))
     Similarity.ivfTopKFromLists(lists, emb(s, dir), col("vec_id") < 20, k = 5,
         trained = quant)
@@ -364,15 +380,8 @@ object PipelineQueries {
     * re-tokenizes the surviving corpus from scratch.
     */
   val textTombstoned: Q = (s, dir) => {
-    val root = builtStore(dir, "post_store_ts") { r =>
-      postStoreFragments(s, dir, r)
-      graft.warehouse.IndexStore.addTombstones(
-        docs(s, dir).filter(col("lang") === "de").select("doc_id"), r, 0L)
-      graft.warehouse.IndexStore.compact(s, r,
-        graft.streaming.StreamPostings.PostingsSchema, tombstoneKeys = Seq("doc_id"))
-    }
     TextAnalysis.bm25FromPostings(
-      graft.warehouse.IndexStore.read(s, root,
+      graft.warehouse.IndexStore.read(s, tsPostStoreRoot(s, dir),
         graft.streaming.StreamPostings.PostingsSchema, tombstoneKeys = Seq("doc_id")))
   }
 
@@ -1429,6 +1438,74 @@ object PipelineQueries {
       .orderBy("dim")
   }
 
+  /** q280: two-stage ADAPTIVE retrieval served (Kusupati 2022 §4 —
+    * q206's truncation audit turned into the serving strategy): the
+    * coarse pass ranks the whole corpus with the first
+    * [[AdaptiveDim]] dims read from a PERSISTED prefix artifact (an
+    * index 1/8th the full vector width — the scan that touches every
+    * candidate reads only it), keeps [[AdaptiveM]] per query, and the
+    * exact full-width cosine re-scores just those m (broadcast
+    * candidate list, full vectors never pairwise-joined corpus-wide).
+    */
+  val AdaptiveDim = 8
+  val AdaptiveM = 50
+  val annAdaptive: Q = (s, dir) => {
+    val pre = Materialized.onDisk(s, dir, "mrl_prefix")(
+      emb(s, dir).select(col("vec_id"),
+        slice(col("embedding"), 1, AdaptiveDim).as("pe")))
+    Similarity.adaptiveTopK(emb(s, dir), col("vec_id") < 20, k = 10,
+        d = AdaptiveDim, m = AdaptiveM, prefix = Some(pre))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q281: the m-knob recall audit for q280 — recall@10 of the
+    * two-stage adaptive retrieval at m ∈ [[AdaptiveMs]] against the
+    * exact full-dim reference (the q206 harness, pricing the OTHER
+    * axis: q206 prices d with a hard truncation cut, q281 prices the
+    * rerank budget that buys the recall back). Monotone in m by
+    * construction; m = corpus would be exact.
+    */
+  val AdaptiveMs = Seq(10, 25, 50)
+  val adaptiveRecall: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val exact = mExactTop10(s, dir).select("query_id", "cand_id")
+    val denom = exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact_pairs"))
+    AdaptiveMs.map { m =>
+      val hits = exact.join(
+        Similarity.adaptiveTopK(e, annAuditPred, k = 10, d = AdaptiveDim, m = m)
+          .select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      denom.crossJoin(broadcast(hits)).withColumn("m", lit(m))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_at_10",
+        round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
+      .select("m", "n_queries", "n_exact_pairs", "n_hits", "recall_at_10")
+      .orderBy("m")
+  }
+
+  /** q282: corpus CARTOGRAPHY — c-TF-IDF topic labels (BERTopic,
+    * Grootendorst 2022) for every trained-quantizer cluster: the
+    * embedding-space map gets human-readable labels from the text side
+    * (doc_id = vec_id), the standard first read over an unlabeled
+    * 100 TB corpus ("what IS in here, cluster by cluster").
+    */
+  val clusterTopicsQ: Q = (s, dir) => {
+    val asg = Similarity.ivfAssignments(emb(s, dir), mKmeansCos(s, dir))
+      .select(col("cand_id").as("doc_id"), col("cent_id"))
+    TextAnalysis.clusterTopics(docs(s, dir), asg)
+  }
+
+  /** q283: SOFT deduplication census — 1/cluster_size down-weighting
+    * over the near-dup components (q52's table): raw vs effective
+    * token mass per source, the "how much of this source is really
+    * there" read that prices a mixture before sampling weights.
+    */
+  val softDedupQ: Q = (s, dir) =>
+    Dedup.softDedupWeights(docs(s, dir), mClusters(s, dir))
+
   /** DCG weights 1/log2(i+1) for ranks 1..10 and their sum (the ideal
     * DCG with 10 binary-relevant items) — computed ONCE here and
     * embedded as identical literals in both engines (shortest-repr
@@ -1719,6 +1796,15 @@ object PipelineQueries {
     */
   val stupidBackoff: Q = (s, dir) =>
     TextAnalysis.stupidBackoffScores(docs(s, dir), col("source") =!= "src0")
+      .orderBy("doc_id")
+
+  /** q279: interpolated Kneser-Ney bigram scoring — the KenLM/CCNet
+    * perplexity quality filter, trained on the q159 reference subset
+    * (non-src0 docs) so held-out src0 text exercises the unseen-context
+    * backoff and the continuation-probability floor.
+    */
+  val knScores: Q = (s, dir) =>
+    TextAnalysis.knBigramScores(docs(s, dir), col("source") =!= "src0")
       .orderBy("doc_id")
 
   /** q160: PQ recall audit — ADC@10 against the exact squared-L2
@@ -2589,19 +2675,7 @@ object PipelineQueries {
         .select(col("doc_id"), col(rankName))
     val bm = ranked("bscore", col("bscore") > 0, "bm_rank")
     val ql = ranked("qscore", col("n_hits") > 0, "ql_rank")
-    val fused = bm.join(ql, Seq("doc_id"), "full_outer")
-      .withColumn("rrf_score", round(
-        coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("ql_rank")), lit(0.0)), 6))
-      .select(col("doc_id"), col("rrf_score"),
-        coalesce(col("bm_rank"), lit(0)).as("bm_rank"),
-        coalesce(col("ql_rank"), lit(0)).as("ql_rank"))
-      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
-    fused
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))))
-      .select("rank", "doc_id", "rrf_score", "bm_rank", "ql_rank")
-      .orderBy("rank")
+    rrfFuse(bm, "bm_rank", ql, "ql_rank")
   }
 
   /** The dense query vector for the q262 hybrid: a fixed corpus id
@@ -2610,16 +2684,18 @@ object PipelineQueries {
     */
   val HybridQueryVec = 0L
 
-  /** The shared q262/q267 oracle: BOTH rankings re-derived from scratch
-    * (corpus tokenization for BM25, the full Lloyd-trajectory replay
-    * for IVF), fused by the same RRF tail.
+  /** The shared q262/q267/q278 oracle shape: BOTH rankings re-derived
+    * from scratch (corpus tokenization for BM25, the full
+    * Lloyd-trajectory replay for IVF), fused by the same RRF tail;
+    * q278 passes each side's surviving-corpus predicate so the oracle
+    * rebuilds WITHOUT the tombstoned cohorts.
     */
-  private lazy val hybridOracleSql: String =
+  private def hybridOracle(lexSql: String, denseSql: String): String =
     s"""WITH lex AS (
-       |  SELECT doc_id, rank AS lex_rank FROM (${TextAnalysis.O.bm25TopK()})),
+       |  SELECT doc_id, rank AS lex_rank FROM ($lexSql)),
        |dense AS (
        |  SELECT cand_id AS doc_id, rank AS dense_rank
-       |  FROM (${Similarity.O.ivf(s"vec_id = $HybridQueryVec", k = 20)})),
+       |  FROM ($denseSql)),
        |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
        |        round(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
        |            + COALESCE(1.0 / (60 + d.dense_rank), 0.0), 6) AS rrf_score,
@@ -2630,6 +2706,34 @@ object PipelineQueries {
        |  doc_id, rrf_score, lex_rank, dense_rank
        |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20)
        |ORDER BY rank""".stripMargin
+
+  private lazy val hybridOracleSql: String = hybridOracle(
+    TextAnalysis.O.bm25TopK(),
+    Similarity.O.ivf(s"vec_id = $HybridQueryVec", k = 20))
+
+  /** The shared RRF tail of every hybrid query (q261/q262/q267/q278):
+    * full-outer join of two ≤20-row (doc_id, rank) lists, score
+    * Σ 1/(60+rank) with an absent list contributing 0 (the q216
+    * convention), rounded before ranking with a doc_id tie-break in
+    * both engines.
+    */
+  private def rrfFuse(left: DataFrame, leftRank: String,
+      right: DataFrame, rightRank: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = left.join(right, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(60) + col(leftRank)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col(rightRank)), lit(0.0)), 6))
+      .select(col("doc_id"), col("rrf_score"),
+        coalesce(col(leftRank), lit(0)).as(leftRank),
+        coalesce(col(rightRank), lit(0)).as(rightRank))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select("rank", "doc_id", "rrf_score", leftRank, rightRank)
+      .orderBy("rank")
+  }
 
   /** q262: hybrid DENSE + LEXICAL retrieval — the canonical
     * hybrid-search shape at 100 TB: BM25 served from the persisted
@@ -2650,7 +2754,6 @@ object PipelineQueries {
     * re-deriver across the whole hybrid stack.
     */
   val hybridDenseLexical: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val posts = Materialized.onDisk(s, dir, "postings")(
       TextAnalysis.positionalPostings(docs(s, dir)))
     val lex = TextAnalysis.bm25FromPostings(posts)
@@ -2658,19 +2761,7 @@ object PipelineQueries {
     val dense = Similarity.ivfTopK(emb(s, dir), col("vec_id") === HybridQueryVec,
         k = 20, trained = Some(mKmeansCos(s, dir)))
       .select(col("cand_id").as("doc_id"), col("rank").as("dense_rank"))
-    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
-      .withColumn("rrf_score", round(
-        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
-      .select(col("doc_id"), col("rrf_score"),
-        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
-      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
-    fused
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))))
-      .select("rank", "doc_id", "rrf_score", "lex_rank", "dense_rank")
-      .orderBy("rank")
+    rrfFuse(lex, "lex_rank", dense, "dense_rank")
   }
 
   /** q267: the FULL hybrid stack served from INCREMENTALLY-MAINTAINED
@@ -2686,7 +2777,6 @@ object PipelineQueries {
     * new documents and vectors with no rebuild anywhere.
     */
   val hybridIncremental: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val postsBase = Materialized.onDisk(s, dir, "postings_base")(
       TextAnalysis.positionalPostings(
         docs(s, dir).filter(col("doc_id") < IncrementalSplit)))
@@ -2706,19 +2796,34 @@ object PipelineQueries {
     val dense = Similarity.ivfTopKFromLists(listsBase.unionByName(listsDelta),
         emb(s, dir), col("vec_id") === HybridQueryVec, k = 20, trained = quant)
       .select(col("cand_id").as("doc_id"), col("rank").as("dense_rank"))
-    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
-      .withColumn("rrf_score", round(
-        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
-      .select(col("doc_id"), col("rrf_score"),
-        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
-      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
-    fused
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))))
-      .select("rank", "doc_id", "rrf_score", "lex_rank", "dense_rank")
-      .orderBy("rank")
+    rrfFuse(lex, "lex_rank", dense, "dense_rank")
+  }
+
+  /** q278: the lifecycle CAPSTONE — the q262 hybrid served entirely
+    * from generation stores that have LIVED: both index families'
+    * stores carry a base generation, two absorbed ingest fragments,
+    * and a tombstoned erasure cohort applied physically at compaction
+    * (the q271-q274 lifecycle, composed). The lexical side is BM25
+    * from the compacted-and-purged postings store (corpus statistics
+    * N/Σdl/df shift with the text erasure), the dense side is IVF from
+    * the compacted-and-purged lists store (the erased vectors never
+    * enter the candidate set), fused by the shared [[rrfFuse]] tail.
+    * The oracle re-derives BOTH rankings from scratch over the
+    * SURVIVING corpora — one hash gate over the whole
+    * lifecycle × serving composition.
+    */
+  val hybridLifecycle: Q = (s, dir) => {
+    val quant = mKmeansCos(s, dir)
+    val lex = TextAnalysis.bm25FromPostings(
+        graft.warehouse.IndexStore.read(s, tsPostStoreRoot(s, dir),
+          graft.streaming.StreamPostings.PostingsSchema, tombstoneKeys = Seq("doc_id")))
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val lists = graft.warehouse.IndexStore.read(s, tsIvfStoreRoot(s, dir, quant),
+      graft.streaming.StreamIvfLists.ListsSchema, tombstoneKeys = Seq("cand_id"))
+    val dense = Similarity.ivfTopKFromLists(lists, emb(s, dir),
+        col("vec_id") === HybridQueryVec, k = 20, trained = quant)
+      .select(col("cand_id").as("doc_id"), col("rank").as("dense_rank"))
+    rrfFuse(lex, "lex_rank", dense, "dense_rank")
   }
 
   /** q256: the retrieval-side EFFECT of the q253 transform — mean
@@ -2865,6 +2970,12 @@ object PipelineQueries {
     "q275_retrain_recall" -> retrainRecall,
     "q276_ann_filtered" -> annFiltered,
     "q277_ann_filtered_recall" -> annFilteredRecall,
+    "q278_hybrid_lifecycle" -> hybridLifecycle,
+    "q279_kneser_ney" -> knScores,
+    "q280_ann_adaptive" -> annAdaptive,
+    "q281_adaptive_recall" -> adaptiveRecall,
+    "q282_cluster_topics" -> clusterTopicsQ,
+    "q283_soft_dedup" -> softDedupQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3121,6 +3232,65 @@ object PipelineQueries {
       candPredSql = "vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (1, 4, 7))"),
     "q277_ann_filtered_recall" -> Similarity.O.filteredRecall(
       "vec_id < 20", "label IN (1, 4, 7)", k = 10, probes = FilteredAnnProbes),
+    // q278: both rankings rebuilt from scratch over the SURVIVING
+    // corpora — lived-in stores (fragments + purge + compaction) ≡
+    // tombstone-filtered full re-derivation, one hash gate
+    "q278_hybrid_lifecycle" -> hybridOracle(
+      TextAnalysis.O.bm25TopK(
+        docPredSql = "doc_id NOT IN (SELECT doc_id FROM documents WHERE lang = 'de')"),
+      Similarity.O.ivf(s"vec_id = $HybridQueryVec", k = 20,
+        candPredSql = "vec_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 7)")),
+    "q279_kneser_ney" -> TO.knBigramScores("NOT (source = 'src0')"),
+    "q280_ann_adaptive" ->
+      Similarity.O.adaptive("vec_id < 20", k = 10, d = AdaptiveDim, m = AdaptiveM),
+    "q281_adaptive_recall" -> {
+      val exTop =
+        s"""SELECT query_id, cand_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
+           |WHERE rank <= 10""".stripMargin
+      val arms = AdaptiveMs.map { m =>
+        s"a$m AS (${Similarity.O.adaptive(annAuditPredSql, 10, AdaptiveDim, m)})"
+      }.mkString(",\n")
+      val hits = AdaptiveMs.map { m =>
+        s"""h$m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM ex JOIN a$m USING (query_id, cand_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = AdaptiveMs.map { m =>
+        s"""SELECT CAST($m AS INT) AS m, dn.n_queries, dn.n_exact_pairs, h$m.n_hits,
+           |  round(CAST(h$m.n_hits AS DOUBLE) / dn.n_exact_pairs, 6) AS recall_at_10
+           |FROM dn, h$m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS MATERIALIZED ($exTop),
+         |$arms,
+         |dn AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |         CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM ex),
+         |$hits
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY m""".stripMargin
+    },
+    // q282: Lloyd-trajectory assignment replay + the c-TF-IDF scoring,
+    // round-then-rank with the term tie-break in both engines
+    "q282_cluster_topics" ->
+      s"""WITH ${Similarity.O.assignmentCtes},
+         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tfc AS MATERIALIZED (SELECT a.cent_id, tk.term, COUNT(*) AS tf
+         |       FROM tk JOIN asg a USING (doc_id) GROUP BY 1, 2),
+         |tft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf_corpus FROM tfc GROUP BY 1),
+         |sc AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot, COUNT(DISTINCT cent_id) AS nc FROM tfc),
+         |scored AS (SELECT f.cent_id, f.term, f.tf,
+         |    round(f.tf * ln(1.0 + (CAST(sc.tot AS DOUBLE) / sc.nc) / t.tf_corpus), 6) AS ctfidf
+         |  FROM tfc f JOIN tft t USING (term) CROSS JOIN sc)
+         |SELECT cent_id, CAST(rank AS INT) AS rank, term, tf, ctfidf FROM (
+         |  SELECT cent_id, term, tf, ctfidf,
+         |    row_number() OVER (PARTITION BY cent_id ORDER BY ctfidf DESC, term) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY cent_id, rank""".stripMargin,
+    "q283_soft_dedup" -> Dedup.O.softDedupWeights,
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

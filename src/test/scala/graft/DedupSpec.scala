@@ -61,6 +61,22 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(got == expected)
   }
 
+  test("soft-dedup weights: 1/cluster_size effective mass, singletons weigh 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "w w w w"), // 4 tokens, in a 2-cluster -> eff 2.0
+      (2L, "a", "x y"), // 2 tokens, unclustered -> eff 2.0
+      (3L, "b", "p q r s t u")) // 6 tokens, in a 3-cluster -> eff 2.0
+      .toDF("doc_id", "source", "text")
+    val clusters = Seq((1L, 1L, 2L), (3L, 3L, 3L))
+      .toDF("doc_id", "cluster_rep", "cluster_size")
+    val r = graft.operators.Dedup.softDedupWeights(docs, clusters).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r("a") == ((2L, 1L, 6L, 4.0, 0.666667)))
+    assert(r("b") == ((1L, 1L, 6L, 2.0, 0.333333)))
+  }
+
   test("duplicate spans: cross-doc 8-gram runs merge into maximal ranges") {
     // w1..w12 shared prefix (12 words) then unique tails; doc 30 is unrelated
     val shared = (1 to 12).map(i => s"w$i").mkString(" ")

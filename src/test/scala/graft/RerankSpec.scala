@@ -30,6 +30,29 @@ class RerankSpec extends AnyFunSuite with TestSpark {
   private def vec(i: Int): Array[Float] =
     Array.tabulate(4)(j => ((i % 5) * 0.125 + j * 0.0625 + (i * j % 3) * 0.25).toFloat)
 
+  test("adaptive two-stage retrieval: m >= corpus is exactly brute force; small m stays a rerank of the coarse list") {
+    val emb = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 5
+    // the exact full-width reference
+    val brute = Similarity.bruteForceTopK(emb, pred, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // m covering every candidate -> the coarse stage cannot lose anyone
+    val full = Similarity.adaptiveTopK(emb, pred, k = 10, d = 2, m = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute, "m=corpus adaptive must equal exact brute force")
+    // small m: every result must come from the coarse top-m, re-scored
+    // with the FULL-width cosine (not the truncated one)
+    val m = 6
+    val coarse = Similarity.truncatedTopK(emb, pred, k = m, d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Similarity.adaptiveTopK(emb, pred, k = 10, d = 2, m = m).collect().foreach { r =>
+      val (q, c, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(coarse.contains((q, c)), s"($q,$c) not in the coarse top-$m")
+      assert(s == cos(vecs(q), vecs(c)), "rerank score must be the full-width cosine")
+    }
+  }
+
   test("standardize matches the plain-Scala population z-score, any partitioning") {
     val n = 24
     val rows = (0 until n).map(i => (i.toLong, vec(i)))

@@ -364,6 +364,57 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(got(2L)._5 - expected) < 1e-9, s"got ${got(2L)._5} want $expected")
   }
 
+  test("c-tf-idf cluster topics: hand-computed scores, ranks, tie-breaks") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "apple fruit"), // cluster 0
+      (3L, "car car car banana")) // cluster 1
+      .toDF("doc_id", "text")
+    val asg = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("doc_id", "cent_id")
+    val r = TextAnalysis.clusterTopics(docs, asg, k = 3).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> ((x.getString(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    // tot=9 over nc=2 clusters -> A=4.5; tf_corpus: apple 3, banana 2,
+    // fruit 1, car 3
+    def s(tf: Long, tfc: Long) =
+      BigDecimal(tf * math.log(1.0 + 4.5 / tfc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r((0L, 1)) == (("apple", 3L, s(3, 3))))
+    assert(r((0L, 2)) == (("fruit", 1L, s(1, 1))))
+    assert(r((0L, 3)) == (("banana", 1L, s(1, 2))))
+    assert(r((1L, 1)) == (("car", 3L, s(3, 3))))
+    assert(r((1L, 2)) == (("banana", 1L, s(1, 2))))
+    assert(r.size == 5)
+  }
+
+  test("kneser-ney: hand-computed interpolation, backoff, and floor") {
+    import graft.operators.TextAnalysis
+    // reference: "a b a b c" + "b c" -> cb {a b:2, b a:1, b c:2};
+    // ctx a:(c=2,n1fw=1), b:(c=3,n1fw=2); cont a/b/c all 1 distinct
+    // predecessor; b_tot=3, v_cont=3 -> pc(seen)=1.5/5=0.3, pc(oov)=0.1
+    val df = Seq(
+      (1L, "ref", "a b a b c"),
+      (2L, "ref", "b c"),
+      (3L, "held", "a b z"), // seen bigram + seen-ctx/unseen-word
+      (4L, "held", "z q")) // unseen context -> pure continuation
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.knBigramScores(df,
+      org.apache.spark.sql.functions.col("source") === "ref")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 3: "a b" -> (2-.75)/2 + .75*1/2*0.3 = 0.7375;
+    //        "b z" -> 0 + .75*2/3*0.1 = 0.05
+    assert(got(3L)._1 == 2 && got(3L)._2 == 1 && got(3L)._3 == 2)
+    val exp3 = (dec6(math.log(0.7375)) + dec6(math.log(0.75 * 2 / 3d * 0.1))) / 2
+    assert(math.abs(got(3L)._4 - exp3) < 1e-9, s"got ${got(3L)._4} want $exp3")
+    // doc 4: context z unseen in ref -> P = pc(q) = 0.1
+    assert(got(4L)._1 == 1 && got(4L)._2 == 0 && got(4L)._3 == 0)
+    assert(math.abs(got(4L)._4 - dec6(math.log(0.1))) < 1e-9)
+    // ref doc 1: every bigram and context in-model
+    assert(got(1L)._1 == 4 && got(1L)._2 == 4 && got(1L)._3 == 4)
+  }
+
   test("bpe merge pairs: frequency-weighted adjacent pairs over the vocab") {
     val df = Seq(
       (1L, "aab aab ba"), // vocab: aab(wf 2) -> aa, ab; ba(wf 1) -> ba
