@@ -119,6 +119,12 @@ object StressBench {
     // word-prefixes shift every chunk hash, so replicas share no
     // chunks and the shared-chunk workload scales with the input.
     "q244_boilerplate" -> warehouse.PipelineQueries.boilerplate,
+    // round-13 additions: Kneser-Ney scoring (the q159 shrinking-join
+    // shape plus two continuation-count rollups — gram-keyed, must
+    // track the input) and the soft-dedup census (CC components + one
+    // doc-keyed left join + one keyed aggregation)
+    "q279_kneser_ney" -> warehouse.PipelineQueries.knScores,
+    "q283_soft_dedup" -> warehouse.PipelineQueries.softDedupQ,
     // q52's production operator is ADAPTIVE: below 2M edges it solves
     // on the driver (microseconds), above it runs the distributed
     // pointer-jumping loop — so the plain q52 ratio jumps two regimes

@@ -345,28 +345,59 @@ object TextAnalysis {
     val words = docs.select(col("doc_id"), refPred.as("is_ref"),
       Text.words(col(textCol)).as("w"))
       .cache()
-    // cached: distinct per-doc bigrams feed the global score table's
-    // key set and the scoring join-back
-    val docBg = words.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(Text.shinglesOfWords(col("w"), 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-      .cache()
-    // Reference count tables, all keyed by gram parts: c(w1w2); then
-    // c(w1) and the distinct-continuation fan-outs ROLL UP FROM the
-    // bigram counts (each cb row is one distinct bigram, so COUNT(*)
-    // per w1 is N1+(w1,·) and per w2 is N1+(·,w2)) — no second pass
-    // over the reference stream.
-    val cb = words.filter(col("is_ref") && size(col("w")) >= 2)
+    knScoreBigrams(docBigrams(words), knTrain(words.filter(col("is_ref"))))
+  }
+
+  /** The frozen KN MODEL: the three gram-keyed reference count tables
+    * plus the 1-row scalars — everything scoring ever needs, so a
+    * model trained offline can gate a live stream
+    * ([[graft.streaming.StreamCuration.knGate]]) or be parquet-persisted
+    * like any other index artifact. c(w1) and both N1+ fan-outs ROLL UP
+    * FROM the bigram counts (each cb row is one distinct bigram, so
+    * COUNT(*) per w1 is N1+(w1,·) and per w2 is N1+(·,w2)) — no second
+    * pass over the reference stream.
+    */
+  final case class KnModel(cb: DataFrame, ctx: DataFrame,
+      cont: DataFrame, scal: DataFrame)
+
+  private def bgPart = split(col("bg"), " ")
+
+  /** Train the KN count tables from a tokenized reference frame
+    * (`w`: array of words).
+    */
+  def knTrain(refWords: DataFrame): KnModel = {
+    import graft.functions.Text
+    val p = bgPart
+    val cb = refWords.filter(size(col("w")) >= 2)
       .select(explode(Text.shinglesOfWords(col("w"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_bg"))
       .cache()
-    val p = split(col("bg"), " ")
     val ctx = cb.groupBy(p.getItem(0).as("w1"))
       .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1fw"))
     val cont = cb.groupBy(p.getItem(1).as("w2"))
       .agg(count(lit(1)).as("n_cont"))
     val scal = cb.agg(count(lit(1)).as("b_tot"),
       countDistinct(p.getItem(1)).as("v_cont"))
+    KnModel(cb, ctx, cont, scal)
+  }
+
+  /** Per-doc distinct-bigram counts from a tokenized frame — the
+    * scoring stream's input. `pin` caches it (it feeds the score
+    * table's key set AND the join-back; the batch default) — pass
+    * false from per-micro-batch callers, where a pin would accumulate
+    * across batches.
+    */
+  def docBigrams(words: DataFrame, pin: Boolean = true): DataFrame = {
+    import graft.functions.Text
+    val bg = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(Text.shinglesOfWords(col("w"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+    if (pin) bg.cache() else bg
+  }
+
+  /** Score a per-doc bigram stream against a frozen [[KnModel]]. */
+  def knScoreBigrams(docBg: DataFrame, model: KnModel): DataFrame = {
+    val p = bgPart
     // One row per DISTINCT corpus bigram: the score table. Pcont's
     // denominator and both interpolation terms are spelled with the
     // exact association the oracle renders, so the doubles are
@@ -374,10 +405,10 @@ object TextAnalysis {
     val bgScore = docBg.select("bg").distinct()
       .withColumn("w1", p.getItem(0))
       .withColumn("w2", p.getItem(1))
-      .join(cb, Seq("bg"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
-      .crossJoin(broadcast(scal))
+      .join(model.cb, Seq("bg"), "left")
+      .join(model.ctx, Seq("w1"), "left")
+      .join(model.cont, Seq("w2"), "left")
+      .crossJoin(broadcast(model.scal))
       .withColumn("pc",
         (coalesce(col("n_cont"), lit(0L)).cast("double") + 0.5) /
           (col("b_tot").cast("double") + lit(0.5) * (col("v_cont") + 1).cast("double")))

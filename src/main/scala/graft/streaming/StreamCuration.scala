@@ -32,4 +32,26 @@ object StreamCuration {
       .withColumn("selected", col("pass_gopher") && col("keep_domain"))
       .select("doc_id", "source", "n_words", "pass_gopher",
         "domain_score", "keep_domain", "selected")
+
+  /** The KN-perplexity gate as a stream stage — the CCNet production
+    * split (train the LM offline on the reference corpus, gate the
+    * live feed forever): arriving docs are tokenized and scored
+    * against the FROZEN [[TextAnalysis.KnModel]] via stream-static
+    * joins of the micro-batch against the model's count tables, and
+    * pass when the mean KN log-probability clears `minLogprob` (the
+    * reference-likeness floor). Run inside foreachBatch (the per-doc
+    * aggregation is batch-scoped: a doc never spans batches); the SAME
+    * code path scores a batch frame, so stream ≡ batch is spec-proven
+    * like the [[curate]] gate. Unlike [[curate]] this stage joins — but
+    * only against the model tables, which are corpus-vocabulary-sized
+    * and static (broadcastable at serving scale), never against other
+    * stream rows: no state store, no watermark.
+    */
+  def knGate(docs: DataFrame, model: TextAnalysis.KnModel,
+      minLogprob: Double): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      graft.functions.Text.words(col("text")).as("w"))
+    TextAnalysis.knScoreBigrams(TextAnalysis.docBigrams(words, pin = false), model)
+      .withColumn("pass_kn", col("kn_avg_logprob") >= minLogprob)
+  }
 }

@@ -1803,9 +1803,51 @@ object PipelineQueries {
     * (non-src0 docs) so held-out src0 text exercises the unseen-context
     * backoff and the continuation-probability floor.
     */
-  val knScores: Q = (s, dir) =>
-    TextAnalysis.knBigramScores(docs(s, dir), col("source") =!= "src0")
-      .orderBy("doc_id")
+  /** The KN score table as a session artifact — solved once, read by
+    * q279 (the score dump) and q284 (the tercile partition): the
+    * q253/q246 shared-trajectory discipline for the LM family.
+    */
+  private def mKnScores(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "kn_scores")(
+      TextAnalysis.knBigramScores(docs(s, dir), col("source") =!= "src0"))
+
+  val knScores: Q = (s, dir) => mKnScores(s, dir).orderBy("doc_id")
+
+  /** q284: the CCNet perplexity PARTITION (Wenzek et al. 2020 §4.3 —
+    * what the q279 scores exist FOR): docs split into head/middle/tail
+    * terciles of the KN log-probability distribution (head = most
+    * reference-like; CCNet trains on head+middle and drops or
+    * re-weights tail), with the cutoffs the EXACT tercile percentiles
+    * (the q27 PERCENTILE_CONT convention: rounded to 6 before use, so
+    * the bucket boundary is engine-identical). Per bucket: docs, token
+    * mass, token share — the mixture-sizing read.
+    *
+    * Scale: the cutoffs are one 2-value aggregate broadcast back; at
+    * extreme scale swap `percentile` for `percentile_approx` exactly
+    * as the q27 family documents.
+    */
+  val ccnetBuckets: Q = (s, dir) => {
+    import graft.functions.Text
+    val kn = mKnScores(s, dir).select("doc_id", "kn_avg_logprob")
+    val base = kn.join(
+      docs(s, dir).select(col("doc_id"), size(Text.words(col("text"))).as("n_tokens")),
+      "doc_id")
+    val cuts = base.agg(
+      round(percentile(col("kn_avg_logprob"), lit(1.0 / 3)), 6).as("c1"),
+      round(percentile(col("kn_avg_logprob"), lit(2.0 / 3)), 6).as("c2"))
+    val bucketed = base.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("kn_avg_logprob") > col("c2"), "head")
+          .when(col("kn_avg_logprob") > col("c1"), "middle")
+          .otherwise("tail"))
+    val tot = bucketed.agg(sum(col("n_tokens")).as("tot"))
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("token_share", round(col("n_tokens").cast("double") / col("tot"), 6))
+      .select("bucket", "n_docs", "n_tokens", "token_share")
+      .orderBy("bucket")
+  }
 
   /** q160: PQ recall audit — ADC@10 against the exact squared-L2
     * top-10 (what 4-nibble codes give up vs full-precision scan; the
@@ -2976,6 +3018,7 @@ object PipelineQueries {
     "q281_adaptive_recall" -> adaptiveRecall,
     "q282_cluster_topics" -> clusterTopicsQ,
     "q283_soft_dedup" -> softDedupQ,
+    "q284_ccnet_buckets" -> ccnetBuckets,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3291,6 +3334,23 @@ object PipelineQueries {
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY cent_id, rank""".stripMargin,
     "q283_soft_dedup" -> Dedup.O.softDedupWeights,
+    // q284: full KN replay + exact tercile cutoffs (quantile_cont ≡
+    // percentile, rounded to 6 BEFORE bucketing — the q27 convention)
+    "q284_ccnet_buckets" ->
+      s"""WITH kn AS MATERIALIZED (${TO.knBigramScores("NOT (source = 'src0')")}),
+         |b AS (SELECT kn.doc_id, kn.kn_avg_logprob,
+         |        CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+         |      FROM kn JOIN documents d USING (doc_id)),
+         |c AS (SELECT round(quantile_cont(kn_avg_logprob, ${1.0 / 3}), 6) AS c1,
+         |        round(quantile_cont(kn_avg_logprob, ${2.0 / 3}), 6) AS c2 FROM b),
+         |w AS (SELECT CASE WHEN kn_avg_logprob > c2 THEN 'head'
+         |        WHEN kn_avg_logprob > c1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |        n_tokens
+         |      FROM b CROSS JOIN c),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM w)
+         |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(SUM(n_tokens) AS DOUBLE) / tot, 6) AS token_share
+         |FROM w CROSS JOIN t GROUP BY bucket, tot ORDER BY bucket""".stripMargin,
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

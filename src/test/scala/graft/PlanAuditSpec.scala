@@ -567,6 +567,39 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
       p.contains("dynamicpruningexpression(cent_id"), p.take(2000))
   }
 
+  test("adaptive retrieval scans the prefix artifact coarse, full vectors only behind broadcast joins") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val df = SparkEntry.queries("q280_ann_adaptive")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the corpus-wide coarse stage reads the persisted 8-dim prefix,
+      // and that scan projects the prefix column, never the full vector
+      val prefixScans = p.split("\n").filter(l => l.contains("mrl_prefix") && l.contains("ReadSchema"))
+      assert(prefixScans.nonEmpty, p.take(2000))
+      assert(prefixScans.forall(l => l.contains("pe") && !l.contains("embedding")),
+        prefixScans.mkString("\n").take(1200))
+      // the full-width rerank is fed by broadcast joins (candidate list
+      // + bounded query side) — the full-dim pair space is never built
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+  }
+
+  test("lifecycle hybrid serves from both lived-in stores with the lists pruning intact") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val df = SparkEntry.queries("q278_hybrid_lifecycle")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("post_store_ts"), p.take(2000)) // lexical side: the compacted postings store
+      assert(p.contains("ivf_store_ts"), p.take(2000)) // dense side: the compacted lists store
+      // the tombstone anti-join must not cost the dense side its
+      // file-level pruning on the compacted generation
+      assert(p.contains("dynamicpruningexpression(cast(cent_id") ||
+        p.contains("dynamicpruningexpression(cent_id"), p.take(2000))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+  }
+
   test("filtered ANN pushes the metadata predicate into the lists scan beside the pruning") {
     // FileScan metadata truncates at maxMetadataStringLength (default
     // 100) — raise it so the artifact path and PushedFilters are

@@ -24,6 +24,45 @@ class StreamCurationSpec extends AnyFunSuite with TestSpark {
     pos ++ neg
   }
 
+  test("kn gate: micro-batches score against the frozen model exactly like batch") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamCuration
+    val docs = corpus.toDF("doc_id", "text", "source")
+    // train OFFLINE on the reference slice; the stream never retrains
+    val model = TextAnalysis.knTrain(
+      docs.filter(col("source") === "src0")
+        .select(graft.functions.Text.words(col("text")).as("w")))
+    val batch = StreamCuration.knGate(docs, model, minLogprob = 0.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // the reference-like docs must outscore the OOV-heavy ones; gate at
+    // the midpoint so the verdict column carries the planted structure
+    val bySource = corpus.map { case (id, _, s) => id -> s }.toMap
+    val pos = batch.collect { case (id, s) if bySource(id) == "src0" => s }
+    val neg = batch.collect { case (id, s) if bySource(id) != "src0" => s }
+    assert(pos.min > neg.max, s"frozen-model scores do not separate: ${pos.min} vs ${neg.max}")
+    val cut = (pos.min + neg.max) / 2
+    val want = StreamCuration.knGate(docs, model, cut).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(4), r.getBoolean(5)))).toMap
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Double, Boolean)]
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      StreamCuration.knGate(b, model, cut).collect().foreach { r =>
+        buf.synchronized { buf(r.getLong(0)) = ((r.getLong(1), r.getDouble(4), r.getBoolean(5))) }
+      }
+    val q = mem.toDF().toDF("doc_id", "text", "source")
+      .writeStream.foreachBatch(fn).start()
+    mem.addData(corpus.take(15): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.toMap == want, "stream and batch KN verdicts diverge")
+    assert(buf.size == 40)
+    assert(want.forall { case (id, (_, _, pass)) => pass == (bySource(id) == "src0") })
+  }
+
   test("stream verdicts equal batch verdicts; selection respects the trained boundary") {
     val docs = corpus.toDF("doc_id", "text", "source")
     val w = Classifier.trainedWeights(docs, col("source") === "src0")
