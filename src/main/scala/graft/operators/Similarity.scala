@@ -167,6 +167,55 @@ object Similarity {
       .select("query_id", "cand_id", "cosine_sim", "rank")
   }
 
+  /** Exact KNN-Shapley data VALUATION (Jia et al. 2019, PVLDB 12(11) —
+    * "Efficient Task-Specific Data Valuation for Nearest Neighbor
+    * Algorithms"): the Shapley value of every training point for a
+    * K-NN classifier has a closed form over the per-query distance
+    * ranking — rank train points nearest-first per validation point
+    * (cosine here, round-then-rank with the id tie-break), then the
+    * recursion s_N = hit_N/N, s_i = s_{i+1} + (hit_i − hit_{i+1})/K ·
+    * min(K,i)/i, and a point's value is its mean s over the validation
+    * set. Negative values mark mislabeled/harmful training docs — the
+    * data-cleaning signal that actually prices a POINT, not a cluster.
+    *
+    * Execution shape: the validation sample broadcasts against the
+    * train side (the q143/q206 audit-contract pair space — quadratic
+    * in (sample × corpus) BY DESIGN, the sample pct fixed); the
+    * recursion is a reverse cumulative window sum per validation
+    * point over terms cast to DECIMAL(38,18), so the fold is exact
+    * and order-independent in both engines; the final mean is one
+    * keyed decimal aggregation. Verified against brute-force subset
+    * enumeration of the Shapley definition in RerankSpec.
+    */
+  def knnShapley(emb: DataFrame, valPred: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), col("embedding"), col("label"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val va = e.filter(valPred).select(col("vec_id").as("val_id"),
+      col("embedding").as("qe"), col("nrm").as("qn"), col("label").as("val_label"))
+    val tr = e.filter(!valPred).select(col("vec_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"), col("label"))
+    val wRank = Window.partitionBy("val_id").orderBy(col("sim").desc, col("vec_id"))
+    val ranked = tr.join(broadcast(va), col("vec_id") =!= col("val_id"))
+      .withColumn("sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n_tr", count(lit(1)).over(Window.partitionBy("val_id")))
+      .withColumn("hit", when(col("label") === col("val_label"), 1.0).otherwise(0.0))
+    val terms = ranked
+      .withColumn("nxt", lead(col("hit"), 1).over(wRank))
+      .withColumn("term",
+        when(col("nxt").isNull, col("hit") / col("n_tr"))
+          .otherwise((col("hit") - col("nxt")) / k *
+            least(lit(k), col("rank")).cast("double") / col("rank")))
+      .withColumn("s", sum(col("term").cast("decimal(38,18)"))
+        .over(wRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    terms.groupBy("vec_id", "label")
+      .agg(
+        count(lit(1)).as("n_val"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6).as("shap_value"))
+      .orderBy("vec_id")
+  }
+
   /** LSH-bucketed cosine top-k: candidates share the query's bucket. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", bucketOf(col("embedding")))
@@ -1525,6 +1574,38 @@ object Similarity {
          |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.cand_id != p.query_id)
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
     }
+
+    /** Mirrors [[Similarity.knnShapley]]: the same rounded-cosine
+      * ranking, the closed-form recursion as a reverse cumulative
+      * window sum over DECIMAL(38,18) terms (exact fold — the window
+      * order can't change the value), the same decimal mean.
+      */
+    def knnShapley(valPredSql: String, k: Int): String =
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+         |       sqrt(${V.O.dot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |v AS (SELECT vec_id AS val_id, embedding AS qe, nrm AS qn, label AS vlabel
+         |      FROM e WHERE $valPredSql),
+         |t AS (SELECT vec_id, embedding AS ce, nrm AS cn, label FROM e
+         |      WHERE NOT ($valPredSql)),
+         |p AS (SELECT t.vec_id, t.label, v.val_id, v.vlabel,
+         |        round(${V.O.dot("v.qe", "t.ce")} / (v.qn * t.cn), 6) AS sim
+         |      FROM t JOIN v ON t.vec_id != v.val_id),
+         |r AS (SELECT vec_id, label, val_id,
+         |        CAST(row_number() OVER w AS INT) AS rank,
+         |        COUNT(*) OVER (PARTITION BY val_id) AS n_tr,
+         |        CAST(CASE WHEN label = vlabel THEN 1 ELSE 0 END AS DOUBLE) AS hit,
+         |        lead(CAST(CASE WHEN label = vlabel THEN 1 ELSE 0 END AS DOUBLE), 1) OVER w AS nxt
+         |      FROM p WINDOW w AS (PARTITION BY val_id ORDER BY sim DESC, vec_id)),
+         |s AS (SELECT vec_id, label,
+         |        SUM(CAST(CASE WHEN nxt IS NULL THEN hit / n_tr
+         |              ELSE (hit - nxt) / $k * CAST(least($k, rank) AS DOUBLE) / rank END
+         |            AS DECIMAL(38,18)))
+         |          OVER (PARTITION BY val_id ORDER BY rank
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv
+         |      FROM r)
+         |SELECT vec_id, label, COUNT(*) AS n_val,
+         |  round(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 6) AS shap_value
+         |FROM s GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
 
     /** CTE chain ending in `asg(doc_id, cent_id)` — the full-corpus
       * trained-quantizer assignment, exposed for cross-domain oracles

@@ -1506,6 +1506,17 @@ object PipelineQueries {
   val softDedupQ: Q = (s, dir) =>
     Dedup.softDedupWeights(docs(s, dir), mClusters(s, dir))
 
+  /** q285: exact KNN-Shapley data valuation (Jia et al. 2019) — every
+    * training vector's Shapley value for the K-NN label classifier
+    * against the [[AnnAuditPct]] validation sample: the per-POINT
+    * data-cleaning signal (negative value = the point hurts held-out
+    * accuracy — mislabeled or poisoned). Audit-contract pair space
+    * (sample × corpus, the q143/q206 class); the closed-form recursion
+    * makes it one ranking + two keyed windows, not 2^N subsets.
+    */
+  val knnShapleyQ: Q = (s, dir) =>
+    Similarity.knnShapley(emb(s, dir), annAuditPred, k = 5)
+
   /** DCG weights 1/log2(i+1) for ranks 1..10 and their sum (the ideal
     * DCG with 10 binary-relevant items) — computed ONCE here and
     * embedded as identical literals in both engines (shortest-repr
@@ -3019,6 +3030,7 @@ object PipelineQueries {
     "q282_cluster_topics" -> clusterTopicsQ,
     "q283_soft_dedup" -> softDedupQ,
     "q284_ccnet_buckets" -> ccnetBuckets,
+    "q285_knn_shapley" -> knnShapleyQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3351,6 +3363,7 @@ object PipelineQueries {
          |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |  round(CAST(SUM(n_tokens) AS DOUBLE) / tot, 6) AS token_share
          |FROM w CROSS JOIN t GROUP BY bucket, tot ORDER BY bucket""".stripMargin,
+    "q285_knn_shapley" -> Similarity.O.knnShapley(annAuditPredSql, k = 5),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -53,6 +53,40 @@ class RerankSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("knn-shapley equals brute-force subset enumeration of the Shapley definition") {
+    val k = 2
+    // 1 validation point (id 0) + 6 train points, mixed labels
+    val labels = Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 1L)
+    val valLabel = 0L
+    val emb = ((0L, vec(0), valLabel) +: labels.toSeq.sortBy(_._1).map { case (i, l) => (i, vec(i.toInt), l) })
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnShapley(emb, col("vec_id") === 0L, k = k).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // brute force: v(S) = (1/K) * sum of hits among the min(K,|S|)
+    // nearest members of S (rounded cosine desc, id asc — the
+    // operator's ranking convention)
+    val q = vec(0)
+    val byNear = labels.keys.toSeq.sortBy(i => (-cos(q, vec(i.toInt)), i))
+    def v(s: Set[Long]): Double =
+      if (s.isEmpty) 0.0
+      else byNear.filter(s).take(k).count(i => labels(i) == valLabel).toDouble / k
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val n = labels.size
+    val brute = labels.keys.map { i =>
+      val others = labels.keySet - i
+      val s = others.subsets().map { sub =>
+        fact(sub.size) * fact(n - sub.size - 1) / fact(n) * (v(sub + i) - v(sub))
+      }.sum
+      i -> s
+    }.toMap
+    labels.keys.foreach { i =>
+      assert(math.abs(got(i) - brute(i)) < 1e-5,
+        s"vec $i: closed form ${got(i)} vs enumeration ${brute(i)}")
+    }
+    // efficiency axiom: values sum to v(everything)
+    assert(math.abs(got.values.sum - v(labels.keySet)) < 1e-4)
+  }
+
   test("standardize matches the plain-Scala population z-score, any partitioning") {
     val n = 24
     val rows = (0 until n).map(i => (i.toLong, vec(i)))
