@@ -834,6 +834,98 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  val Rm3Lambda = 0.5 // original-query interpolation mass
+  val Rm3FeedbackDocs = 5 // pseudo-relevant docs feeding RM1
+  val Rm3ExpansionTerms = 5 // expansion terms kept
+
+  /** RM3 pseudo-relevance-feedback QUERY EXPANSION (Lavrenko & Croft
+    * 2001 relevance models; the RM3 interpolation of Abdul-Jaleel et
+    * al. 2004 — the standard PRF baseline every IR stack ships): run
+    * the original query, treat the top-F BM25 docs as pseudo-relevant,
+    * estimate the relevance model RM1(w) = Σ_d P(d)·P(w|d) with P(d)
+    * the normalized retrieval score and P(w|d) = tf/dl, keep the top-E
+    * non-query terms, and interpolate the original query:
+    * P'(w) = λ·P_mle(w|q) + (1−λ)·RM1(w).
+    *
+    * Determinism: the score normalizer is a decimal-exact sum of the
+    * rounded BM25 scores; RM1 sums per-(doc, word) contributions
+    * through DECIMAL(38,18) (order-independent); expansion selection
+    * is round-then-rank with the word tie-break. Scale: everything
+    * after the top-F feedback list is feedback-doc-sized — the
+    * postings artifact is read once for the F docs' term vectors.
+    */
+  def rm3Weights(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = Rm3FeedbackDocs,
+      expTerms: Int = Rm3ExpansionTerms, lambda: Double = Rm3Lambda): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val fb = bm25FromPostings(postings, terms, k1, b, fbDocs)
+      .select(col("doc_id"), col("score"))
+    val tot = fb.agg(
+      sum(col("score").cast("decimal(38,6)")).cast("double").as("s_tot"))
+    val fbW = fb.crossJoin(broadcast(tot))
+      .select(col("doc_id"), (col("score") / col("s_tot")).as("w_d"))
+    val fbPost = postings.join(broadcast(fbW), "doc_id")
+    val dl = fbPost.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = fbPost.groupBy("doc_id", "w_d", "word").agg(count(lit(1)).as("tf"))
+    val rm1 = tf.join(dl, "doc_id")
+      .withColumn("contrib",
+        (col("w_d") * (col("tf").cast("double") / col("dl"))).cast("decimal(38,18)"))
+      .groupBy("word").agg(sum(col("contrib")).cast("double").as("rm1"))
+    val origs = terms.map(t => (t, 1.0 / terms.size)).toDF("word", "p_orig")
+    val exp = rm1.filter(!col("word").isin(terms: _*))
+      .withColumn("exp_rank",
+        row_number().over(Window.orderBy(round(col("rm1"), 6).desc, col("word"))))
+      .filter(col("exp_rank") <= expTerms)
+    val origW = broadcast(origs).join(rm1, Seq("word"), "left")
+      .select(col("word"), lit(true).as("is_original"), lit(0).as("exp_rank"),
+        round(coalesce(col("rm1"), lit(0.0)), 6).as("rm1_weight"),
+        round(lit(lambda) * col("p_orig") +
+          lit(1 - lambda) * coalesce(col("rm1"), lit(0.0)), 6).as("rm3_weight"))
+    val expW = exp.select(col("word"), lit(false).as("is_original"), col("exp_rank"),
+      round(col("rm1"), 6).as("rm1_weight"),
+      round(lit(1 - lambda) * col("rm1"), 6).as("rm3_weight"))
+    origW.unionByName(expW).orderBy("word")
+  }
+
+  /** WEIGHTED BM25 over a dynamic term table — the RM3 second pass:
+    * score(d) = Σ_w weight_w · bm25_w(d) for the expanded query.
+    * Unlike the fixed-literal [[bm25FromPostings]] columns, the term
+    * set here is DATA (it came out of the feedback docs), so tf/df
+    * arrive by a broadcast term join against the postings artifact —
+    * the shuffle is sized by the matched postings, never the corpus.
+    * Per-doc sums ride DECIMAL(38,18) (the weighted contributions are
+    * doubles; the fold must not depend on shuffle order).
+    */
+  def rm3Rerank(postings: DataFrame, weights: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = postings.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = postings
+      .join(broadcast(weights.select("word", "rm3_weight")), "word")
+      .groupBy("doc_id", "word", "rm3_weight").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val tfd = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * tfd * lit(k1 + 1) /
+      (tfd + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(dfreq, "word").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("wc", (col("rm3_weight") * contrib).cast("decimal(38,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("wc")).cast("double").as("raw"))
+      .select(col("doc_id"), col("n_hits"), round(col("raw"), 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .select("rank", "doc_id", "n_hits", "score")
+      .orderBy("rank")
+  }
+
   /** BOTH retrieval scores (BM25 + Dirichlet QL) from ONE postings
     * aggregation — the q261 fusion input: at corpus scale the per-doc
     * tf/dl rollup is the dominant cost and must not run once per
@@ -1819,6 +1911,79 @@ object TextAnalysis {
          |SELECT doc_id, n_hits, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
          |FROM scored WHERE n_hits > 0 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+    }
+
+    /** Shared RM3 CTE chain ending in `rm3w(word, is_original,
+      * exp_rank, rm1_weight, rm3_weight)`: feedback BM25 from scratch
+      * (the proven [[bm25TopK]] subquery), RM1 through DECIMAL(38,18)
+      * contribution sums, round-then-rank expansion selection, the λ
+      * interpolation — every arithmetic step the bit-identical twin of
+      * [[TextAnalysis.rm3Weights]].
+      */
+    def rm3WeightCtes(terms: Seq[String] = Bm25QueryTerms,
+        k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = Rm3FeedbackDocs,
+        expTerms: Int = Rm3ExpansionTerms, lambda: Double = Rm3Lambda): String = {
+      val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      val origVals = terms
+        .map(t => s"('${t.replace("'", "''")}', ${1.0 / terms.size})").mkString(", ")
+      s"""fb AS MATERIALIZED (SELECT doc_id, score FROM (${bm25TopK(terms, k1, b, fbDocs)})),
+         |rtot AS (SELECT CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS s_tot FROM fb),
+         |fbw AS (SELECT doc_id, score / s_tot AS w_d FROM fb CROSS JOIN rtot),
+         |fbb AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM fb)),
+         |fbdl AS (SELECT doc_id, COUNT(*) AS dl FROM fbb GROUP BY 1),
+         |fbtf AS (SELECT doc_id, word, COUNT(*) AS tf FROM fbb GROUP BY 1, 2),
+         |rm1 AS MATERIALIZED (SELECT word,
+         |    CAST(SUM(CAST(w.w_d * (CAST(t.tf AS DOUBLE) / d.dl) AS DECIMAL(38,18))) AS DOUBLE) AS rm1
+         |  FROM fbtf t JOIN fbdl d USING (doc_id) JOIN fbw w USING (doc_id) GROUP BY word),
+         |orig(word, p_orig) AS (VALUES $origVals),
+         |rexp AS (SELECT word, rm1,
+         |    CAST(row_number() OVER (ORDER BY round(rm1, 6) DESC, word) AS INT) AS exp_rank
+         |  FROM rm1 WHERE word NOT IN ($termList)),
+         |rm3w AS MATERIALIZED (
+         |  SELECT o.word, TRUE AS is_original, 0 AS exp_rank,
+         |    round(COALESCE(r.rm1, CAST(0 AS DOUBLE)), 6) AS rm1_weight,
+         |    round($lambda * CAST(o.p_orig AS DOUBLE)
+         |      + ${1 - lambda} * COALESCE(r.rm1, CAST(0 AS DOUBLE)), 6) AS rm3_weight
+         |  FROM orig o LEFT JOIN rm1 r USING (word)
+         |  UNION ALL
+         |  SELECT word, FALSE AS is_original, exp_rank, round(rm1, 6) AS rm1_weight,
+         |    round(${1 - lambda} * rm1, 6) AS rm3_weight
+         |  FROM rexp WHERE exp_rank <= $expTerms)""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.rm3Weights]] — the expansion-term table. */
+    def rm3Weights(terms: Seq[String] = Bm25QueryTerms): String =
+      s"""WITH ${rm3WeightCtes(terms)}
+         |SELECT word, is_original, exp_rank, rm1_weight, rm3_weight
+         |FROM rm3w ORDER BY word""".stripMargin
+
+    /** Mirrors [[TextAnalysis.rm3Rerank]]: the weighted-BM25 second
+      * pass over the expanded term TABLE (tf/df via joins, not
+      * per-term literal columns — the term set is data here), per-doc
+      * decimal sums, round-then-rank.
+      */
+    def rm3Rerank(terms: Seq[String] = Bm25QueryTerms,
+        k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+      s"""WITH ${rm3WeightCtes(terms, k1, b)},
+         |ab AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |adl AS (SELECT doc_id, COUNT(*) AS dl FROM ab GROUP BY 1),
+         |ast AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM adl),
+         |atf AS (SELECT ab.doc_id, ab.word, w.rm3_weight, COUNT(*) AS tf
+         |        FROM ab JOIN rm3w w USING (word) GROUP BY 1, 2, 3),
+         |adf AS (SELECT word, COUNT(*) AS df FROM atf GROUP BY 1),
+         |sc AS (SELECT t.doc_id, COUNT(*) AS n_hits,
+         |    CAST(SUM(CAST(t.rm3_weight *
+         |      (ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * CAST(t.tf AS DOUBLE) * ${k1 + 1} /
+         |       (CAST(t.tf AS DOUBLE) + $k1 * (${1 - b} + $b * d.dl / $avgdl)))
+         |      AS DECIMAL(38,18))) AS DOUBLE) AS raw
+         |  FROM atf t JOIN adf USING (word) JOIN adl d USING (doc_id) CROSS JOIN ast
+         |  GROUP BY t.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+         |  doc_id, n_hits, score
+         |FROM (SELECT doc_id, n_hits, round(raw, 6) AS score FROM sc WHERE round(raw, 6) > 0)
+         |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
     }
 
     /** Mirrors the q261 hybrid: BOTH rankers' scores from one shared

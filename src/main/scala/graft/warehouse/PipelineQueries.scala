@@ -1506,6 +1506,28 @@ object PipelineQueries {
   val softDedupQ: Q = (s, dir) =>
     Dedup.softDedupWeights(docs(s, dir), mClusters(s, dir))
 
+  /** q286/q287: RM3 pseudo-relevance-feedback query expansion
+    * (Lavrenko & Croft 2001 / Abdul-Jaleel 2004 — the standard PRF
+    * baseline) over the persisted postings artifact: q286 is the
+    * expansion-term table (RM1 relevance-model weights from the top-F
+    * BM25 feedback docs, λ-interpolated with the original query),
+    * q287 the weighted-BM25 second pass over the expanded query. The
+    * corpus is never re-tokenized — feedback vectors and the rerank's
+    * tf/df all come from the artifact; the oracle re-derives the whole
+    * two-pass pipeline from raw text.
+    */
+  private def mPostings(s: SparkSession, dir: String): DataFrame =
+    Materialized.onDisk(s, dir, "postings")(
+      TextAnalysis.positionalPostings(docs(s, dir)))
+
+  val rm3Expansion: Q = (s, dir) =>
+    TextAnalysis.rm3Weights(mPostings(s, dir))
+
+  val rm3Reranked: Q = (s, dir) => {
+    val posts = mPostings(s, dir)
+    TextAnalysis.rm3Rerank(posts, TextAnalysis.rm3Weights(posts))
+  }
+
   /** q285: exact KNN-Shapley data valuation (Jia et al. 2019) — every
     * training vector's Shapley value for the K-NN label classifier
     * against the [[AnnAuditPct]] validation sample: the per-POINT
@@ -3031,6 +3053,8 @@ object PipelineQueries {
     "q283_soft_dedup" -> softDedupQ,
     "q284_ccnet_buckets" -> ccnetBuckets,
     "q285_knn_shapley" -> knnShapleyQ,
+    "q286_rm3_expansion" -> rm3Expansion,
+    "q287_rm3_rerank" -> rm3Reranked,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3364,6 +3388,8 @@ object PipelineQueries {
          |  round(CAST(SUM(n_tokens) AS DOUBLE) / tot, 6) AS token_share
          |FROM w CROSS JOIN t GROUP BY bucket, tot ORDER BY bucket""".stripMargin,
     "q285_knn_shapley" -> Similarity.O.knnShapley(annAuditPredSql, k = 5),
+    "q286_rm3_expansion" -> TO.rm3Weights(),
+    "q287_rm3_rerank" -> TO.rm3Rerank(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -364,6 +364,53 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(got(2L)._5 - expected) < 1e-9, s"got ${got(2L)._5} want $expected")
   }
 
+  test("rm3: RM1 weights match an independent fold; expansion reaches query-free docs") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark window apple apple grape"),
+      (2L, "spark banana window apple"),
+      (3L, "apple banana cherry"), // no original term — only expansion finds it
+      (4L, "cherry cherry cherry grape"),
+      (5L, "spark spark other words here"))
+      .toDF("doc_id", "text")
+    val posts = TextAnalysis.positionalPostings(docs)
+    val terms = Seq("spark", "window")
+    val w = TextAnalysis.rm3Weights(posts, terms, fbDocs = 2, expTerms = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // independent RM1 fold from the feedback list the (q252-proven)
+    // BM25 ranker returns
+    val fb = TextAnalysis.bm25FromPostings(posts, terms, topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sTot = fb.values.map(BigDecimal(_)).sum.toDouble
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    def dec18(x: Double) = BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val rm1 = fb.keys.flatMap { d =>
+      val toks = texts(d)
+      toks.distinct.map { t =>
+        t -> dec18((fb(d) / sTot) * (toks.count(_ == t).toDouble / toks.length))
+      }
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum.toDouble }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    w.foreach { case (word, (isOrig, _, rm1w, rm3w)) =>
+      assert(rm1w == r6(rm1.getOrElse(word, 0.0)), s"rm1($word)")
+      val expect = if (isOrig) r6(0.5 * (1.0 / terms.size) + 0.5 * rm1.getOrElse(word, 0.0))
+        else r6(0.5 * rm1(word))
+      assert(rm3w == expect, s"rm3($word): $rm3w vs $expect")
+    }
+    // originals present; expansion terms are feedback-doc words, not originals
+    assert(terms.forall(t => w(t)._1))
+    val exp = w.collect { case (t, (false, r, _, _)) => (t, r) }.toSeq.sortBy(_._2)
+    assert(exp.size == 2 && exp.forall { case (t, _) => !terms.contains(t) })
+    // the expanded second pass retrieves the query-term-free doc 3
+    val rr = TextAnalysis.rm3Rerank(posts,
+      TextAnalysis.rm3Weights(posts, terms, fbDocs = 2, expTerms = 2))
+      .collect().map(_.getLong(1)).toSet
+    assert(rr.contains(3L), s"expansion failed to reach doc 3: $rr")
+  }
+
   test("c-tf-idf cluster topics: hand-computed scores, ranks, tie-breaks") {
     import graft.operators.TextAnalysis
     val docs = Seq(
