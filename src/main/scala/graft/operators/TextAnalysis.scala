@@ -854,12 +854,14 @@ object TextAnalysis {
     * after the top-F feedback list is feedback-doc-sized — the
     * postings artifact is read once for the F docs' term vectors.
     */
-  def rm3Weights(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
-      k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = Rm3FeedbackDocs,
-      expTerms: Int = Rm3ExpansionTerms, lambda: Double = Rm3Lambda): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = postings.sparkSession
-    import spark.implicits._
+  /** The RM1 relevance model alone — (word, rm1) over the feedback
+    * vocabulary, rm1 summing exactly to 1 (per-doc tf/dl masses sum to
+    * 1, doc weights sum to 1). Shared by [[rm3Weights]] and the q288
+    * clarity score.
+    */
+  def rm1Model(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75,
+      fbDocs: Int = Rm3FeedbackDocs): DataFrame = {
     val fb = bm25FromPostings(postings, terms, k1, b, fbDocs)
       .select(col("doc_id"), col("score"))
     val tot = fb.agg(
@@ -869,10 +871,19 @@ object TextAnalysis {
     val fbPost = postings.join(broadcast(fbW), "doc_id")
     val dl = fbPost.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = fbPost.groupBy("doc_id", "w_d", "word").agg(count(lit(1)).as("tf"))
-    val rm1 = tf.join(dl, "doc_id")
+    tf.join(dl, "doc_id")
       .withColumn("contrib",
         (col("w_d") * (col("tf").cast("double") / col("dl"))).cast("decimal(38,18)"))
       .groupBy("word").agg(sum(col("contrib")).cast("double").as("rm1"))
+  }
+
+  def rm3Weights(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = Rm3FeedbackDocs,
+      expTerms: Int = Rm3ExpansionTerms, lambda: Double = Rm3Lambda): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val rm1 = rm1Model(postings, terms, k1, b, fbDocs)
     val origs = terms.map(t => (t, 1.0 / terms.size)).toDF("word", "p_orig")
     val exp = rm1.filter(!col("word").isin(terms: _*))
       .withColumn("exp_rank",
@@ -924,6 +935,90 @@ object TextAnalysis {
         row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
       .select("rank", "doc_id", "n_hits", "score")
       .orderBy("rank")
+  }
+
+  /** Query CLARITY score (Cronen-Townsend, Zhou & Croft 2002, SIGIR —
+    * "Predicting Query Performance"): the KL divergence between the
+    * query's relevance model and the collection language model,
+    * clarity = Σ_w RM1(w)·ln(RM1(w)/P_c(w)) with P_c(w) = cf_w/|C|.
+    * High clarity = the feedback docs speak a focused dialect (the
+    * query will retrieve well); clarity ≈ 0 = the query's language is
+    * indistinguishable from the collection — the standard
+    * query-performance-prediction signal, and the monitoring read for
+    * an RM3 deployment (expansion helps focused queries, hurts murky
+    * ones). RM1 sums to 1 and every feedback word has cf ≥ 1, so the
+    * KL is finite with no floor. Per-term contributions ride
+    * DECIMAL(38,18); collection stats come from the postings artifact
+    * (one keyed count + one scalar).
+    */
+  def clarityScore(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75,
+      fbDocs: Int = Rm3FeedbackDocs): DataFrame = {
+    val rm1 = rm1Model(postings, terms, k1, b, fbDocs)
+    val cf = postings.groupBy("word").agg(count(lit(1)).as("cf"))
+    val ctot = postings.agg(count(lit(1)).as("ctot"))
+    rm1.join(cf, "word").crossJoin(broadcast(ctot))
+      .withColumn("contrib",
+        (col("rm1") * log(col("rm1") / (col("cf").cast("double") / col("ctot"))))
+          .cast("decimal(38,18)"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("contrib")).cast("double"), 6).as("clarity"))
+  }
+
+  /** Standing-query PERCOLATION (the Elasticsearch-percolator /
+    * prospective-search shape: queries are STORED, documents arrive
+    * and are matched against all of them — alerting at ingest): a
+    * document matches a stored conjunctive query iff it contains EVERY
+    * query term. Presence, not frequency: the postings collapse to
+    * distinct (doc, word) map-side, join the broadcast query-term
+    * dictionary (standing queries are small by nature), and one
+    * (query, doc)-keyed aggregation tests `matched terms = |query|` —
+    * output is alert-sized, the corpus is never paired with queries.
+    * The streaming twin runs the same operator per micro-batch
+    * ([[graft.streaming.StreamCuration]] neighborhood — matching is
+    * per-doc, so stream ≡ batch holds by construction).
+    */
+  def percolateMatches(postings: DataFrame,
+      queries: Seq[(String, Seq[String])]): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) =>
+      val d = ts.distinct
+      d.map(t => (q, t, d.size))
+    }.toDF("query_id", "term", "n_terms")
+    postings.select("doc_id", "word").distinct()
+      .join(broadcast(qt), col("word") === col("term"))
+      .groupBy("query_id", "n_terms", "doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select("query_id", "doc_id")
+  }
+
+  /** Fixed standing queries for the percolator surface — conjunctions
+    * over mid-frequency corpus words (hits at both test SFs) plus one
+    * deliberately unsatisfiable conjunction (its 0-row arm proves the
+    * every-query-reports contract).
+    */
+  val PercolatorQueries: Seq[(String, Seq[String])] = Seq(
+    "alert_big_order" -> Seq("big", "order", "scan"),
+    "alert_spark_window" -> Seq("spark", "window"),
+    "alert_stream_hash" -> Seq("stream", "table", "hash"),
+    "alert_merge_vector" -> Seq("merge", "vector"),
+    "alert_all_four" -> Seq("spark", "window", "merge", "vector"))
+
+  /** The per-query percolation census: every stored query reports its
+    * matching-doc count and first match (NULL when none).
+    */
+  def percolateCensus(postings: DataFrame,
+      queries: Seq[(String, Seq[String])] = PercolatorQueries): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val counts = percolateMatches(postings, queries)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    queries.map(_._1).toDF("query_id")
+      .join(counts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .orderBy("query_id")
   }
 
   /** BOTH retrieval scores (BM25 + Dirichlet QL) from ONE postings
@@ -1920,12 +2015,11 @@ object TextAnalysis {
       * interpolation — every arithmetic step the bit-identical twin of
       * [[TextAnalysis.rm3Weights]].
       */
-    def rm3WeightCtes(terms: Seq[String] = Bm25QueryTerms,
-        k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = Rm3FeedbackDocs,
-        expTerms: Int = Rm3ExpansionTerms, lambda: Double = Rm3Lambda): String = {
-      val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
-      val origVals = terms
-        .map(t => s"('${t.replace("'", "''")}', ${1.0 / terms.size})").mkString(", ")
+    /** The RM1 chain alone, ending in `rm1(word, rm1)` — shared by the
+      * RM3 oracles and the q288 clarity replay.
+      */
+    def rm1Ctes(terms: Seq[String] = Bm25QueryTerms, k1: Double = 1.2,
+        b: Double = 0.75, fbDocs: Int = Rm3FeedbackDocs): String =
       s"""fb AS MATERIALIZED (SELECT doc_id, score FROM (${bm25TopK(terms, k1, b, fbDocs)})),
          |rtot AS (SELECT CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS s_tot FROM fb),
          |fbw AS (SELECT doc_id, score / s_tot AS w_d FROM fb CROSS JOIN rtot),
@@ -1935,7 +2029,15 @@ object TextAnalysis {
          |fbtf AS (SELECT doc_id, word, COUNT(*) AS tf FROM fbb GROUP BY 1, 2),
          |rm1 AS MATERIALIZED (SELECT word,
          |    CAST(SUM(CAST(w.w_d * (CAST(t.tf AS DOUBLE) / d.dl) AS DECIMAL(38,18))) AS DOUBLE) AS rm1
-         |  FROM fbtf t JOIN fbdl d USING (doc_id) JOIN fbw w USING (doc_id) GROUP BY word),
+         |  FROM fbtf t JOIN fbdl d USING (doc_id) JOIN fbw w USING (doc_id) GROUP BY word)""".stripMargin
+
+    def rm3WeightCtes(terms: Seq[String] = Bm25QueryTerms,
+        k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = Rm3FeedbackDocs,
+        expTerms: Int = Rm3ExpansionTerms, lambda: Double = Rm3Lambda): String = {
+      val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+      val origVals = terms
+        .map(t => s"('${t.replace("'", "''")}', ${1.0 / terms.size})").mkString(", ")
+      s"""${rm1Ctes(terms, k1, b, fbDocs)},
          |orig(word, p_orig) AS (VALUES $origVals),
          |rexp AS (SELECT word, rm1,
          |    CAST(row_number() OVER (ORDER BY round(rm1, 6) DESC, word) AS INT) AS exp_rank
@@ -1950,6 +2052,43 @@ object TextAnalysis {
          |  SELECT word, FALSE AS is_original, exp_rank, round(rm1, 6) AS rm1_weight,
          |    round(${1 - lambda} * rm1, 6) AS rm3_weight
          |  FROM rexp WHERE exp_rank <= $expTerms)""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.clarityScore]]: the same RM1 chain, the
+      * collection model from re-tokenized counts, the KL sum through
+      * DECIMAL(38,18).
+      */
+    def clarityScore(terms: Seq[String] = Bm25QueryTerms): String =
+      s"""WITH ${rm1Ctes(terms)},
+         |cfq AS (SELECT word, COUNT(*) AS cf FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+         |ct AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ctot FROM documents)
+         |SELECT COUNT(*) AS n_terms,
+         |  round(CAST(SUM(CAST(r.rm1 * ln(r.rm1 / (CAST(c.cf AS DOUBLE) / t.ctot))
+         |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS clarity
+         |FROM rm1 r JOIN cfq c USING (word) CROSS JOIN ct t""".stripMargin
+
+    /** Mirrors [[TextAnalysis.percolateCensus]]: the VALUES query
+      * dictionary, distinct presence, the conjunctive count test,
+      * every stored query reporting.
+      */
+    def percolateCensus(
+        queries: Seq[(String, Seq[String])] = PercolatorQueries): String = {
+      val vals = queries.flatMap { case (q, ts) =>
+        val d = ts.distinct
+        d.map(t => s"('$q', '${t.replace("'", "''")}', ${d.size})")
+      }.mkString(", ")
+      val qids = queries.map(q => s"('${q._1}')").mkString(", ")
+      s"""WITH qt(query_id, term, n_terms) AS (VALUES $vals),
+         |pres AS (SELECT DISTINCT doc_id, word FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+         |m AS (SELECT q.query_id, q.n_terms, p.doc_id, COUNT(*) AS n_hit
+         |      FROM pres p JOIN qt q ON p.word = q.term GROUP BY 1, 2, 3),
+         |mm AS (SELECT query_id, doc_id FROM m WHERE n_hit = n_terms),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM mm GROUP BY 1),
+         |ids(query_id) AS (VALUES $qids)
+         |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
+         |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
     }
 
     /** Mirrors [[TextAnalysis.rm3Weights]] — the expansion-term table. */

@@ -1,0 +1,22 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.TextAnalysis
+
+/** Standing-query percolation as a STREAM stage — the prospective-
+  * search/alerting shape (stored queries, arriving documents): every
+  * micro-batch is tokenized and matched against the whole broadcast
+  * query dictionary by the same conjunctive-containment operator the
+  * batch census (q289) runs. Matching is per-document, so running it
+  * inside foreachBatch makes stream ≡ batch hold by construction —
+  * no state store, no watermark, alert-sized output per batch
+  * (spec-proven across batch boundaries in StreamCurationSpec).
+  */
+object StreamPercolate {
+
+  /** (query_id, doc_id) alert pairs for one batch of documents. */
+  def alerts(docs: DataFrame,
+      queries: Seq[(String, Seq[String])] = TextAnalysis.PercolatorQueries): DataFrame =
+    TextAnalysis.percolateMatches(TextAnalysis.positionalPostings(docs), queries)
+}

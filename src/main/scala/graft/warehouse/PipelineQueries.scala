@@ -1528,6 +1528,22 @@ object PipelineQueries {
     TextAnalysis.rm3Rerank(posts, TextAnalysis.rm3Weights(posts))
   }
 
+  /** q288: query CLARITY (Cronen-Townsend 2002) — the
+    * query-performance-prediction signal: KL(RM1 ‖ collection model)
+    * over the feedback vocabulary, from the same RM1 chain as q286.
+    */
+  val clarityQ: Q = (s, dir) =>
+    TextAnalysis.clarityScore(mPostings(s, dir))
+
+  /** q289: standing-query PERCOLATION census — stored conjunctive
+    * queries matched against the corpus (the alerting/prospective-
+    * search shape; the streaming twin percolates each micro-batch);
+    * every stored query reports, incl. the deliberately unsatisfiable
+    * one.
+    */
+  val percolatorQ: Q = (s, dir) =>
+    TextAnalysis.percolateCensus(mPostings(s, dir))
+
   /** q285: exact KNN-Shapley data valuation (Jia et al. 2019) — every
     * training vector's Shapley value for the K-NN label classifier
     * against the [[AnnAuditPct]] validation sample: the per-POINT
@@ -3055,6 +3071,8 @@ object PipelineQueries {
     "q285_knn_shapley" -> knnShapleyQ,
     "q286_rm3_expansion" -> rm3Expansion,
     "q287_rm3_rerank" -> rm3Reranked,
+    "q288_query_clarity" -> clarityQ,
+    "q289_percolator" -> percolatorQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3390,6 +3408,8 @@ object PipelineQueries {
     "q285_knn_shapley" -> Similarity.O.knnShapley(annAuditPredSql, k = 5),
     "q286_rm3_expansion" -> TO.rm3Weights(),
     "q287_rm3_rerank" -> TO.rm3Rerank(),
+    "q288_query_clarity" -> TO.clarityScore(),
+    "q289_percolator" -> TO.percolateCensus(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

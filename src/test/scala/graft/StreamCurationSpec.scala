@@ -63,6 +63,39 @@ class StreamCurationSpec extends AnyFunSuite with TestSpark {
     assert(want.forall { case (id, (_, _, pass)) => pass == (bySource(id) == "src0") })
   }
 
+  test("percolator: per-batch alerts equal batch matches; unsatisfiable query stays silent") {
+    import graft.streaming.StreamPercolate
+    val queries = Seq(
+      "q_pipeline" -> Seq("data", "pipeline"),
+      "q_short" -> Seq("short", "doc"),
+      "q_never" -> Seq("data", "number21"))
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val want = StreamPercolate.alerts(docs, queries).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.Set.empty[(String, Long)]
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      StreamPercolate.alerts(b, queries).collect().foreach { r =>
+        buf.synchronized { buf += ((r.getString(0), r.getLong(1))) }
+      }
+    val q = mem.toDF().toDF("doc_id", "text", "source")
+      .writeStream.foreachBatch(fn).start()
+    mem.addData(corpus.take(15): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.toSet == want, "stream and batch percolation alerts diverge")
+    // planted structure: every pos doc carries data+pipeline, every neg
+    // doc carries short+doc, and the impossible conjunction never fires
+    assert(want.count(_._1 == "q_pipeline") == 20)
+    assert(want.count(_._1 == "q_short") == 20)
+    assert((want & Set(("q_short", 21L))).nonEmpty)
+    assert(!want.exists(_._1 == "q_never"))
+  }
+
   test("stream verdicts equal batch verdicts; selection respects the trained boundary") {
     val docs = corpus.toDF("doc_id", "text", "source")
     val w = Classifier.trainedWeights(docs, col("source") === "src0")
