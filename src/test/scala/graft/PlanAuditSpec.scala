@@ -567,6 +567,20 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
       p.contains("dynamicpruningexpression(cent_id"), p.take(2000))
   }
 
+  test("rm3 family serves from the postings artifact: no re-tokenization, broadcast dictionaries") {
+    for (name <- Seq("q286_rm3_expansion", "q287_rm3_rerank", "q288_query_clarity",
+        "q289_percolator")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the corpus text is never re-exploded — every tf/df/presence
+      // read comes off the persisted postings parquet
+      assert(!p.contains("Generate"), s"$name re-tokenizes: ${p.take(1500)}")
+      assert(p.contains("postings"), s"$name does not read the postings artifact")
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast dictionary join")
+    }
+  }
+
   test("adaptive retrieval scans the prefix artifact coarse, full vectors only behind broadcast joins") {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     try {
