@@ -196,10 +196,14 @@ object Similarity {
     val tr = e.filter(!valPred).select(col("vec_id"),
       col("embedding").as("ce"), col("nrm").as("cn"), col("label"))
     val wRank = Window.partitionBy("val_id").orderBy(col("sim").desc, col("vec_id"))
+    // n_tr is a CONSTANT (train and validation are disjoint, so the
+    // self-exclusion never bites): one broadcast scalar instead of a
+    // per-val count window — drops a whole pass over the pair space
+    val nTr = tr.agg(count(lit(1)).as("n_tr"))
     val ranked = tr.join(broadcast(va), col("vec_id") =!= col("val_id"))
+      .crossJoin(broadcast(nTr))
       .withColumn("sim", round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(wRank))
-      .withColumn("n_tr", count(lit(1)).over(Window.partitionBy("val_id")))
       .withColumn("hit", when(col("label") === col("val_label"), 1.0).otherwise(0.0))
     val terms = ranked
       .withColumn("nxt", lead(col("hit"), 1).over(wRank))
@@ -1590,12 +1594,12 @@ object Similarity {
          |p AS (SELECT t.vec_id, t.label, v.val_id, v.vlabel,
          |        round(${V.O.dot("v.qe", "t.ce")} / (v.qn * t.cn), 6) AS sim
          |      FROM t JOIN v ON t.vec_id != v.val_id),
-         |r AS (SELECT vec_id, label, val_id,
+         |nt AS (SELECT COUNT(*) AS n_tr FROM t),
+         |r AS (SELECT vec_id, label, val_id, n_tr,
          |        CAST(row_number() OVER w AS INT) AS rank,
-         |        COUNT(*) OVER (PARTITION BY val_id) AS n_tr,
          |        CAST(CASE WHEN label = vlabel THEN 1 ELSE 0 END AS DOUBLE) AS hit,
          |        lead(CAST(CASE WHEN label = vlabel THEN 1 ELSE 0 END AS DOUBLE), 1) OVER w AS nxt
-         |      FROM p WINDOW w AS (PARTITION BY val_id ORDER BY sim DESC, vec_id)),
+         |      FROM p CROSS JOIN nt WINDOW w AS (PARTITION BY val_id ORDER BY sim DESC, vec_id)),
          |s AS (SELECT vec_id, label,
          |        SUM(CAST(CASE WHEN nxt IS NULL THEN hit / n_tr
          |              ELSE (hit - nxt) / $k * CAST(least($k, rank) AS DOUBLE) / rank END
