@@ -395,6 +395,112 @@ object Classifier {
     * lazy frame still reads it, so lifecycle belongs to the caller —
     * the shared-subtree convention; Verify clears per query.)
     */
+  /** Exact per-document SHAP attributions for the linear model (the
+    * closed form: for z = b + Σ wᵢxᵢ with independent-baseline
+    * expectation, φᵢ = wᵢ·(xᵢ − E[xᵢ]) and z = base + Σφᵢ exactly) —
+    * the explainability read a production filter ships next to its
+    * verdicts: WHY did this doc score low (length? token shape?
+    * stopword mass?). One trajectory + one 3-mean aggregate + a
+    * narrow per-doc projection; `top_feature` breaks |φ| ties in
+    * feature order, on the rounded values in both engines.
+    */
+  def shapAttributions(docs: DataFrame, labelPred: Column,
+      lr: Double = Lr, iters: Int = Iters): DataFrame = {
+    val f = features(docs, labelPred).cache()
+    val w = fit(f, lr, iters)
+    val means = f.agg(Num.davg(col("x1")).as("m1"), Num.davg(col("x2")).as("m2"),
+      Num.davg(col("x3")).as("m3"))
+    f.crossJoin(broadcast(means))
+      .withColumn("phi1", round(lit(w(1)) * (col("x1") - col("m1")), 6))
+      .withColumn("phi2", round(lit(w(2)) * (col("x2") - col("m2")), 6))
+      .withColumn("phi3", round(lit(w(3)) * (col("x3") - col("m3")), 6))
+      .select(col("doc_id"), col("phi1"), col("phi2"), col("phi3"),
+        round(lit(w(0)) + lit(w(1)) * col("m1") + lit(w(2)) * col("m2")
+          + lit(w(3)) * col("m3"), 6).as("base_z"),
+        when(abs(col("phi1")) >= abs(col("phi2"))
+            && abs(col("phi1")) >= abs(col("phi3")), "x1")
+          .when(abs(col("phi2")) >= abs(col("phi3")), "x2")
+          .otherwise("x3").as("top_feature"))
+      .orderBy("doc_id")
+  }
+
+  /** Calibration curve / ECE decomposition: scored docs bucketed into
+    * `bins` fixed-width confidence bins, each reporting mean confidence
+    * vs empirical positive rate and its Expected-Calibration-Error
+    * contribution (n_b/N)·|conf − acc| — the "is 0.9 really 90%?" read
+    * that decides whether the filter's scores can be thresholded or
+    * must be re-calibrated (q219's conformal gate is the fix; this is
+    * the detector). Bins are equal-width over the OBSERVED score range
+    * (the algebraic sigmoid compresses |z| ≪ 1 scores into a narrow
+    * band, so absolute [0,1] deciles would be degenerate) — min/max of
+    * already-rounded scores are engine-exact, so the layout is too;
+    * per-bin means are decimal-backed and rounded before the gap.
+    */
+  def calibrationCurve(docs: DataFrame, labelPred: Column,
+      lr: Double = Lr, iters: Int = Iters, bins: Int = 10): DataFrame = {
+    val f = features(docs, labelPred).cache()
+    val w = fit(f, lr, iters)
+    val scored = f.select(col("y"), round(sigmoid(z(w)), 6).as("score"))
+    val tot = scored.agg(count(lit(1)).as("n_all"))
+    scored
+      .crossJoin(broadcast(scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))))
+      .withColumn("bin", rangeBin(bins))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(Num.davg(col("score")), 6).as("avg_conf"),
+        round(Num.davg(col("y")), 6).as("frac_pos"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ece_contrib",
+        round(col("n_docs").cast("double") / col("n_all")
+          * abs(col("avg_conf") - col("frac_pos")), 6))
+      .select("bin", "n_docs", "avg_conf", "frac_pos", "ece_contrib")
+      .orderBy("bin")
+  }
+
+  /** Population Stability Index of the score distribution between a
+    * reference cohort and the current one (`refPred` splits; the
+    * industry-standard drift alarm beside q151's JSD): fixed-width
+    * score bins, add-0.5 smoothing over the bin count so empty bins
+    * stay finite, PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) reported as
+    * per-bin contributions (the drilldown IS the diagnosis: which
+    * score region moved). One scoring pass + one keyed count.
+    */
+  /** Equal-width bin over the observed [mn, mx] score range (bin 0
+    * when the range is degenerate) — shared by the calibration and PSI
+    * layouts; rounded-score min/max keep it engine-exact.
+    */
+  private def rangeBin(bins: Int): Column =
+    when(col("mx") > col("mn"),
+      least(floor((col("score") - col("mn")) / (col("mx") - col("mn")) * bins),
+        lit((bins - 1).toLong)))
+      .otherwise(lit(0L)).cast("int")
+
+  def psiDrift(docs: DataFrame, labelPred: Column, refPred: Column,
+      lr: Double = Lr, iters: Int = Iters, bins: Int = 10): DataFrame = {
+    val f = features(docs, labelPred).cache()
+    val w = fit(f, lr, iters)
+    val scored0 = f.select(col("doc_id"), round(sigmoid(z(w)), 6).as("score"))
+      .withColumn("is_ref", refPred)
+    val scored = scored0
+      .crossJoin(broadcast(scored0.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))))
+      .withColumn("bin", rangeBin(bins))
+    val cnts = scored.groupBy("bin").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val tots = cnts.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    cnts.crossJoin(broadcast(tots))
+      .withColumn("p_ref", (col("n_ref").cast("double") + 0.5)
+        / (col("t_ref").cast("double") + lit(0.5) * bins))
+      .withColumn("p_cur", (col("n_cur").cast("double") + 0.5)
+        / (col("t_cur").cast("double") + lit(0.5) * bins))
+      .withColumn("psi_contrib",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        col("psi_contrib"))
+      .orderBy("bin")
+  }
+
   def trainedWeights(docs: DataFrame, labelPred: Column,
       lr: Double = Lr, iters: Int = Iters, trainPct: Int = 100): Array[Double] = {
     val f = features(docs, labelPred).cache()
@@ -483,6 +589,79 @@ object Classifier {
          |  round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score,
          |  ($zSql >= 0.0) AS predicted_positive
          |FROM feats f CROSS JOIN w$iters w ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[Classifier.shapAttributions]]: the trajectory's final
+      * weights, decimal feature means, the closed-form φ columns, the
+      * same rounded |φ| tie order.
+      */
+    def shapAttributions(labelSql: String,
+        lr: Double = Lr, iters: Int = Iters): String =
+      s"""${trajectoryCtes(labelSql, lr, iters)},
+         |m AS (SELECT ${Num.O.avg("x1")} AS m1, ${Num.O.avg("x2")} AS m2,
+         |        ${Num.O.avg("x3")} AS m3 FROM feats),
+         |ph AS (SELECT f.doc_id,
+         |    round(w.w1 * (f.x1 - m.m1), 6) AS phi1,
+         |    round(w.w2 * (f.x2 - m.m2), 6) AS phi2,
+         |    round(w.w3 * (f.x3 - m.m3), 6) AS phi3,
+         |    round(w.b + w.w1 * m.m1 + w.w2 * m.m2 + w.w3 * m.m3, 6) AS base_z
+         |  FROM feats f CROSS JOIN w$iters w CROSS JOIN m)
+         |SELECT doc_id, phi1, phi2, phi3, base_z,
+         |  CASE WHEN abs(phi1) >= abs(phi2) AND abs(phi1) >= abs(phi3) THEN 'x1'
+         |       WHEN abs(phi2) >= abs(phi3) THEN 'x2' ELSE 'x3' END AS top_feature
+         |FROM ph ORDER BY doc_id""".stripMargin
+
+    /** The range-scaled bin expression shared by the calibration and
+      * PSI oracles (requires `sc(score)` and `rg(mn, mx)` CTEs).
+      */
+    private def rangeBinSql(bins: Int): String =
+      s"""CAST(CASE WHEN mx > mn
+         |  THEN least(floor((score - mn) / (mx - mn) * $bins), ${bins - 1})
+         |  ELSE 0 END AS INT)""".stripMargin.replace("\n", " ")
+
+    /** Mirrors [[Classifier.calibrationCurve]]: range-scaled bins,
+      * decimal per-bin means rounded before the gap.
+      */
+    def calibrationCurve(labelSql: String, lr: Double = Lr,
+        iters: Int = Iters, bins: Int = 10): String =
+      s"""${trajectoryCtes(labelSql, lr, iters)},
+         |sc AS (SELECT f.y,
+         |    round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score
+         |  FROM feats f CROSS JOIN w$iters w),
+         |rg AS (SELECT min(score) AS mn, max(score) AS mx FROM sc),
+         |tot AS (SELECT COUNT(*) AS n_all FROM sc),
+         |g AS (SELECT ${rangeBinSql(bins)} AS bin,
+         |        COUNT(*) AS n_docs,
+         |        round(${Num.O.avg("score")}, 6) AS avg_conf,
+         |        round(${Num.O.avg("y")}, 6) AS frac_pos
+         |      FROM sc CROSS JOIN rg GROUP BY 1)
+         |SELECT bin, n_docs, avg_conf, frac_pos,
+         |  round(CAST(n_docs AS DOUBLE) / n_all * abs(avg_conf - frac_pos), 6) AS ece_contrib
+         |FROM g CROSS JOIN tot ORDER BY bin""".stripMargin
+
+    /** Mirrors [[Classifier.psiDrift]]: the same fixed bins, add-0.5
+      * smoothing over the bin count, per-bin PSI contributions from
+      * unrounded masses.
+      */
+    def psiDrift(labelSql: String, refSql: String, lr: Double = Lr,
+        iters: Int = Iters, bins: Int = 10): String =
+      s"""${trajectoryCtes(labelSql, lr, iters)},
+         |sc AS (SELECT f.doc_id, ($refSql) AS is_ref,
+         |    round((0.5 + 0.5 * $zSql / (1.0 + abs($zSql))), 6) AS score
+         |  FROM feats f CROSS JOIN w$iters w),
+         |rg AS (SELECT min(score) AS mn, max(score) AS mx FROM sc),
+         |c AS (SELECT ${rangeBinSql(bins)} AS bin,
+         |        CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |        CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |      FROM sc CROSS JOIN rg GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         |        CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM c),
+         |p AS (SELECT bin, n_ref, n_cur,
+         |        (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(t_ref AS DOUBLE) + 0.5 * $bins) AS p_ref,
+         |        (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(t_cur AS DOUBLE) + 0.5 * $bins) AS p_cur
+         |      FROM c CROSS JOIN t)
+         |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+         |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib
+         |FROM p ORDER BY bin""".stripMargin
 
     /** Mirrors [[Classifier.crossValidate]]: k fold-prefixed
       * trajectories sharing one feats CTE, per-fold eval confusion.

@@ -2142,6 +2142,28 @@ object PipelineQueries {
   val classifierScores: Q = (s, dir) =>
     Classifier.scoreDocuments(docs(s, dir), col("source") === "src0")
 
+  /** q290: exact linear-SHAP attributions for the domain classifier —
+    * per doc, WHY it scored what it scored (φᵢ = wᵢ(xᵢ−E[xᵢ]); the
+    * explainability pass beside the q172 verdicts).
+    */
+  val shapQ: Q = (s, dir) =>
+    Classifier.shapAttributions(docs(s, dir), col("source") === "src0")
+
+  /** q291: PSI score-drift alarm — the classifier's score distribution
+    * compared between two hash cohorts ("yesterday vs today"), per-bin
+    * contributions.
+    */
+  val psiQ: Q = (s, dir) =>
+    Classifier.psiDrift(docs(s, dir), col("source") === "src0",
+      Sampling.hashBucket(col("doc_id")) < 50)
+
+  /** q292: calibration curve + ECE decomposition for the classifier —
+    * is a 0.9 score really 90%? (q219's conformal gate is the repair;
+    * this is the detector.)
+    */
+  val calibrationQ: Q = (s, dir) =>
+    Classifier.calibrationCurve(docs(s, dir), col("source") === "src0")
+
   /** q230: Neyman-optimal stratified sampling plan — per source, the
     * variance-minimizing share of a 100-sample inspection budget
     * (n_h ∝ N_h·S_h over the quality-score signal): big or internally
@@ -3073,6 +3095,9 @@ object PipelineQueries {
     "q287_rm3_rerank" -> rm3Reranked,
     "q288_query_clarity" -> clarityQ,
     "q289_percolator" -> percolatorQ,
+    "q290_linear_shap" -> shapQ,
+    "q291_psi_drift" -> psiQ,
+    "q292_calibration" -> calibrationQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3410,6 +3435,10 @@ object PipelineQueries {
     "q287_rm3_rerank" -> TO.rm3Rerank(),
     "q288_query_clarity" -> TO.clarityScore(),
     "q289_percolator" -> TO.percolateCensus(),
+    "q290_linear_shap" -> Classifier.O.shapAttributions("source = 'src0'"),
+    "q291_psi_drift" -> Classifier.O.psiDrift("source = 'src0'",
+      s"${Sampling.O.hashBucket("doc_id")} < 50"),
+    "q292_calibration" -> Classifier.O.calibrationCurve("source = 'src0'"),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -39,6 +39,42 @@ class ClassifierSpec extends AnyFunSuite with TestSpark {
     assert(f(2L)._3 == 0.0 && f(2L)._4 == 0.0)
   }
 
+  test("linear shap: attributions reconstruct z and name the dominant feature") {
+    val label = col("source") === "src0"
+    val sh = Classifier.shapAttributions(corpus, label).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    val w = Classifier.trainedWeights(corpus, label)
+    val f = Classifier.features(corpus, label).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    sh.foreach { case (id, (p1, p2, p3, base, top)) =>
+      // efficiency: base + Σφ = z(doc), up to the 6-dp rounding of 4 terms
+      val z = w(0) + w(1) * f(id)._1 + w(2) * f(id)._2 + w(3) * f(id)._3
+      assert(math.abs(base + p1 + p2 + p3 - z) < 2e-6, s"doc $id")
+      val phis = Seq("x1" -> p1, "x2" -> p2, "x3" -> p3)
+      assert(math.abs(phis.toMap.apply(top)) == phis.map(x => math.abs(x._2)).max)
+    }
+    assert(sh.size == 60)
+  }
+
+  test("calibration bins partition the corpus; psi is exactly zero for identical cohorts") {
+    val label = col("source") === "src0"
+    val cal = Classifier.calibrationCurve(corpus, label).collect()
+    assert(cal.map(_.getLong(1)).sum == 60)
+    assert(cal.forall(r => r.getDouble(4) >= 0.0)) // ECE contributions
+    // duplicate every doc under offset ids: the two cohorts have
+    // IDENTICAL score distributions, so every PSI contribution is 0
+    val doubled = corpus.unionByName(
+      corpus.withColumn("doc_id", col("doc_id") + 1000L))
+    val psi = Classifier.psiDrift(doubled, label, col("doc_id") < 1000L).collect()
+    assert(psi.nonEmpty)
+    psi.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "cohort counts differ")
+      assert(r.getDouble(5) == 0.0, s"bin ${r.getInt(0)} psi ${r.getDouble(5)}")
+    }
+  }
+
   test("GD trajectory is exactly partitioning-invariant") {
     val a = Classifier.trainDomainClassifier(corpus, col("source") === "src0").head
     val b = Classifier.trainDomainClassifier(corpus.repartition(7), col("source") === "src0").head
