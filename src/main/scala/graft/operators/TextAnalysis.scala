@@ -1021,6 +1021,39 @@ object TextAnalysis {
       .orderBy("query_id")
   }
 
+  /** Boolean standing queries: MUST terms (all present) plus MUST_NOT
+    * terms (none present) — the other half of the percolator contract
+    * (Elasticsearch `bool.must` / `must_not`). The exclusion is one
+    * broadcast anti-join of the conjunctive matches against the
+    * forbidden-term presence pairs — still alert-sized, still one pass
+    * over the distinct-presence table.
+    */
+  val PercolatorBoolQueries: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("bool_big_order_no_slow", Seq("big", "order"), Seq("slow")),
+    ("bool_spark_no_window", Seq("spark"), Seq("window")),
+    ("bool_stream_hash_no_merge", Seq("stream", "hash"), Seq("merge")),
+    ("bool_scan_no_spark_window", Seq("scan"), Seq("spark", "window")))
+
+  def percolateBoolCensus(postings: DataFrame,
+      queries: Seq[(String, Seq[String], Seq[String])] = PercolatorBoolQueries): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val pres = postings.select("doc_id", "word").distinct()
+    val must = percolateMatches(postings, queries.map(q => (q._1, q._2)))
+    val nt = queries.flatMap { case (q, _, nots) =>
+      nots.distinct.map(t => (q, t))
+    }.toDF("query_id", "not_term")
+    val forbidden = pres.join(broadcast(nt), col("word") === col("not_term"))
+      .select("query_id", "doc_id").distinct()
+    val matches = must.join(forbidden, Seq("query_id", "doc_id"), "left_anti")
+    val counts = matches.groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    queries.map(_._1).toDF("query_id")
+      .join(counts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .orderBy("query_id")
+  }
+
   /** BOTH retrieval scores (BM25 + Dirichlet QL) from ONE postings
     * aggregation — the q261 fusion input: at corpus scale the per-doc
     * tf/dl rollup is the dominant cost and must not run once per
@@ -2086,6 +2119,38 @@ object TextAnalysis {
          |      FROM pres p JOIN qt q ON p.word = q.term GROUP BY 1, 2, 3),
          |mm AS (SELECT query_id, doc_id FROM m WHERE n_hit = n_terms),
          |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM mm GROUP BY 1),
+         |ids(query_id) AS (VALUES $qids)
+         |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
+         |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.percolateBoolCensus]]: must-conjunction
+      * via the count test, must_not via an anti (IS NULL) join of the
+      * forbidden presence pairs.
+      */
+    def percolateBoolCensus(
+        queries: Seq[(String, Seq[String], Seq[String])] = PercolatorBoolQueries): String = {
+      val mustVals = queries.flatMap { case (q, ts, _) =>
+        val d = ts.distinct
+        d.map(t => s"('$q', '${t.replace("'", "''")}', ${d.size})")
+      }.mkString(", ")
+      val notVals = queries.flatMap { case (q, _, ns) =>
+        ns.distinct.map(t => s"('$q', '${t.replace("'", "''")}')")
+      }.mkString(", ")
+      val qids = queries.map(q => s"('${q._1}')").mkString(", ")
+      s"""WITH qt(query_id, term, n_terms) AS (VALUES $mustVals),
+         |nt(query_id, not_term) AS (VALUES $notVals),
+         |pres AS (SELECT DISTINCT doc_id, word FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+         |m AS (SELECT q.query_id, q.n_terms, p.doc_id, COUNT(*) AS n_hit
+         |      FROM pres p JOIN qt q ON p.word = q.term GROUP BY 1, 2, 3),
+         |mm AS (SELECT query_id, doc_id FROM m WHERE n_hit = n_terms),
+         |fb AS (SELECT DISTINCT n.query_id, p.doc_id
+         |       FROM pres p JOIN nt n ON p.word = n.not_term),
+         |ok AS (SELECT mm.query_id, mm.doc_id
+         |       FROM mm LEFT JOIN fb ON fb.query_id = mm.query_id AND fb.doc_id = mm.doc_id
+         |       WHERE fb.doc_id IS NULL),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM ok GROUP BY 1),
          |ids(query_id) AS (VALUES $qids)
          |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
          |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin

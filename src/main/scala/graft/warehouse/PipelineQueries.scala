@@ -1544,6 +1544,13 @@ object PipelineQueries {
   val percolatorQ: Q = (s, dir) =>
     TextAnalysis.percolateCensus(mPostings(s, dir))
 
+  /** q293: BOOLEAN percolation — must + must_not standing queries (the
+    * exclusion is a broadcast anti-join on the forbidden presence
+    * pairs), completing the percolator's boolean contract.
+    */
+  val percolatorBoolQ: Q = (s, dir) =>
+    TextAnalysis.percolateBoolCensus(mPostings(s, dir))
+
   /** q285: exact KNN-Shapley data valuation (Jia et al. 2019) — every
     * training vector's Shapley value for the K-NN label classifier
     * against the [[AnnAuditPct]] validation sample: the per-POINT
@@ -3098,6 +3105,7 @@ object PipelineQueries {
     "q290_linear_shap" -> shapQ,
     "q291_psi_drift" -> psiQ,
     "q292_calibration" -> calibrationQ,
+    "q293_percolator_bool" -> percolatorBoolQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3439,6 +3447,7 @@ object PipelineQueries {
     "q291_psi_drift" -> Classifier.O.psiDrift("source = 'src0'",
       s"${Sampling.O.hashBucket("doc_id")} < 50"),
     "q292_calibration" -> Classifier.O.calibrationCurve("source = 'src0'"),
+    "q293_percolator_bool" -> TO.percolateBoolCensus(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

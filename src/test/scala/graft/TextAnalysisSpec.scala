@@ -364,6 +364,26 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(got(2L)._5 - expected) < 1e-9, s"got ${got(2L)._5} want $expected")
   }
 
+  test("boolean percolation: must_not removes exactly the docs carrying a forbidden term") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "big order fast"),
+      (2L, "big order slow"), // forbidden term -> excluded
+      (3L, "big nothing else"),
+      (4L, "order big slow slow")) // forbidden -> excluded
+      .toDF("doc_id", "text")
+    val posts = TextAnalysis.positionalPostings(docs)
+    val r = TextAnalysis.percolateBoolCensus(posts, Seq(
+        ("q_no_slow", Seq("big", "order"), Seq("slow")),
+        ("q_plain", Seq("big", "order"), Seq()),
+        ("q_never", Seq("big"), Seq("big"))))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2)))).toMap
+    assert(r("q_no_slow") == ((1L, 1L))) // only doc 1
+    assert(r("q_plain") == ((3L, 1L))) // docs 1, 2, 4
+    assert(r("q_never") == ((0L, -1L))) // must and must_not collide -> empty
+  }
+
   test("rm3: RM1 weights match an independent fold; expansion reaches query-free docs") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.functions.col
