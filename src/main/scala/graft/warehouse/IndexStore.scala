@@ -61,12 +61,11 @@ object IndexStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def genPath(root: String, g: Long) = s"$root/gen-$g"
+  private def commitPath(root: String, g: Long) = s"$root/_commit-$g"
   def fragmentsDir(root: String): String = s"$root/fragments"
   def tombstonesDir(root: String): String = s"$root/tombstones"
 
-  /** Parse `_CURRENT` (None before [[writeBase]]). */
-  def commitOf(spark: SparkSession, root: String): Option[Commit] = {
-    val p = new Path(root, "_CURRENT")
+  private def readCommitFile(spark: SparkSession, p: Path): Option[Commit] = {
     val f = fs(spark, p)
     if (!f.exists(p)) None
     else {
@@ -78,21 +77,32 @@ object IndexStore {
     }
   }
 
-  private def swapCurrent(spark: SparkSession, root: String, c: Commit): Unit = {
-    val dir = new Path(root)
-    val f = fs(spark, dir)
-    f.mkdirs(dir)
-    val tmp = new Path(root, s"_CURRENT.tmp-${System.nanoTime()}")
+  private def writeCommitFile(spark: SparkSession, root: String, path: Path,
+      c: Commit): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(root))
+    val tmp = new Path(root, s"${path.getName}.tmp-${System.nanoTime()}")
     val out = f.create(tmp, true)
     try out.write(s"${c.gen} ${c.fragWatermark}".getBytes("UTF-8")) finally out.close()
-    // rename onto an existing file is not atomic-replace on every FS;
-    // delete-then-rename leaves a sub-millisecond missing-pointer
-    // window only for a reader racing the single writer's swap — close
-    // it by retrying commitOf; on HDFS use rename with OVERWRITE
-    val cur = new Path(root, "_CURRENT")
-    if (f.exists(cur)) f.delete(cur, false)
-    if (!f.rename(tmp, cur))
-      throw new java.io.IOException(s"failed to commit $c at $cur")
+    if (f.exists(path)) f.delete(path, false)
+    if (!f.rename(tmp, path))
+      throw new java.io.IOException(s"failed to commit $c at $path")
+  }
+
+  /** Parse `_CURRENT` (None before [[writeBase]]). */
+  def commitOf(spark: SparkSession, root: String): Option[Commit] =
+    readCommitFile(spark, new Path(root, "_CURRENT"))
+
+  // rename onto an existing file is not atomic-replace on every FS;
+  // delete-then-rename leaves a sub-millisecond missing-pointer window
+  // only for a reader racing the single writer's swap — close it by
+  // retrying commitOf; on HDFS use rename with OVERWRITE. The
+  // per-generation `_commit-<g>` sidecar (same format) is what lets
+  // [[readAt]] resolve a RETAINED generation's watermark after the
+  // pointer has moved on.
+  private def swapCurrent(spark: SparkSession, root: String, c: Commit): Unit = {
+    writeCommitFile(spark, root, new Path(commitPath(root, c.gen)), c)
+    writeCommitFile(spark, root, new Path(root, "_CURRENT"), c)
   }
 
   /** Publish `df` as generation 0 (no fragments absorbed yet). */
@@ -134,6 +144,29 @@ object IndexStore {
       tombstoneKeys: Seq[String] = Nil): DataFrame = {
     val c = commitOf(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed generation under $root"))
+    readSnapshot(spark, root, schema, c, tombstoneKeys)
+  }
+
+  /** TIME TRAVEL: the serving read as of generation `gen` — possible
+    * for the current generation and (thanks to the one-generation
+    * retention lag of [[gc]]) the previous one, whose directory,
+    * absorbed fragments, and `_commit-<g>` watermark survive until the
+    * NEXT compaction retires them. A reader pinned to the old snapshot
+    * therefore keeps a complete, consistent view through a concurrent
+    * compaction — the snapshot-isolation contract.
+    */
+  def readAt(spark: SparkSession, root: String, gen: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      tombstoneKeys: Seq[String] = Nil): DataFrame = {
+    val c = readCommitFile(spark, new Path(commitPath(root, gen))).getOrElse(
+      throw new IllegalStateException(
+        s"generation $gen of $root is unknown or retired"))
+    readSnapshot(spark, root, schema, c, tombstoneKeys)
+  }
+
+  private def readSnapshot(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType, c: Commit,
+      tombstoneKeys: Seq[String]): DataFrame = {
     // hive partition columns read back as the INFERRED type (cent_id
     // comes back INT whatever was written) — cast every column to the
     // declared schema so base and fragments union cleanly
@@ -189,23 +222,36 @@ object IndexStore {
       .parquet(target)
     val next = Commit(c.gen + 1, newWatermark)
     swapCurrent(spark, root, next)
-    gc(spark, root, next, fragIds)
+    gc(spark, root, next, retiredWatermark = c.fragWatermark)
     next
   }
 
-  /** Delete the stale generation and the absorbed fragments — safe any
-    * time after the swap that absorbed them.
+  /** GC with a ONE-GENERATION RETENTION LAG: the generation just
+    * replaced (gen−1) survives — its directory, `_commit` sidecar, and
+    * the fragments it still needs (batch_id > its own watermark) — so
+    * a reader that pinned the previous `_CURRENT` (or calls [[readAt]])
+    * keeps a complete snapshot through this compaction. What retires
+    * here is the generation BEFORE that (gen−2) and every fragment at
+    * or below the retained generation's watermark — absorbed by both
+    * surviving snapshots, needed by neither.
     */
   private def gc(spark: SparkSession, root: String, c: Commit,
-      absorbed: Seq[Long]): Unit = {
+      retiredWatermark: Long): Unit = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
-    val stale = new Path(genPath(root, c.gen - 1))
-    if (f.exists(stale)) f.delete(stale, true)
-    absorbed.foreach { id =>
-      val p = new Path(s"${fragmentsDir(root)}/batch_id=$id")
-      if (f.exists(p)) f.delete(p, true)
+    val retired = c.gen - 2
+    if (retired >= 0) {
+      val stale = new Path(genPath(root, retired))
+      if (f.exists(stale)) f.delete(stale, true)
+      val meta = new Path(commitPath(root, retired))
+      if (f.exists(meta)) f.delete(meta, false)
     }
+    BatchLayout.batchDirs(spark, fragmentsDir(root))
+      .filter(_.split("batch_id=").last.toLong <= retiredWatermark)
+      .foreach { dir =>
+        val p = new Path(dir)
+        if (f.exists(p)) f.delete(p, true)
+      }
   }
 
   /** Retire ALL tombstones — call only once the owner knows ingest can

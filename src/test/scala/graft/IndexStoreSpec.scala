@@ -44,11 +44,29 @@ class IndexStoreSpec extends AnyFunSuite with TestSpark {
     // small-file pressure actually dropped (8 part files -> 1-ish)
     val filesAfter = IndexStore.dataFileCount(spark, root)
     assert(filesAfter < filesBefore, s"$filesAfter >= $filesBefore")
-    // absorbed fragments and the stale generation are gone
-    assert(!Files.exists(Paths.get(IndexStore.fragmentsDir(root), "batch_id=0")))
-    assert(!Files.exists(Paths.get(root, "gen-0")))
+    // ONE-GENERATION RETENTION LAG: the replaced generation and its
+    // fragments survive this compaction (a pinned reader keeps its
+    // snapshot), and readAt time-travels it
+    assert(Files.exists(Paths.get(IndexStore.fragmentsDir(root), "batch_id=0")))
+    assert(Files.exists(Paths.get(root, "gen-0")))
+    val at0 = IndexStore.readAt(spark, root, 0L, schema).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at0 == before, "readAt(0) must serve the retained snapshot")
     // new fragments after compaction serve immediately
     IndexStore.addFragment(rows(5L -> "e"), root, 2L)
+    assert(readSet(root) == before + (5L -> "e"))
+    // the NEXT compaction retires generation 0 and its absorbed
+    // fragments; gen-1 becomes the retained snapshot
+    IndexStore.compact(spark, root, schema)
+    assert(!Files.exists(Paths.get(root, "gen-0")))
+    assert(!Files.exists(Paths.get(IndexStore.fragmentsDir(root), "batch_id=0")))
+    assert(!Files.exists(Paths.get(IndexStore.fragmentsDir(root), "batch_id=1")))
+    assert(Files.exists(Paths.get(root, "gen-1"))) // retained now
+    assert(Files.exists(Paths.get(IndexStore.fragmentsDir(root), "batch_id=2")))
+    intercept[IllegalStateException](IndexStore.readAt(spark, root, 0L, schema))
+    val at1 = IndexStore.readAt(spark, root, 1L, schema).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at1 == before + (5L -> "e"))
     assert(readSet(root) == before + (5L -> "e"))
   }
 
@@ -152,8 +170,12 @@ class IndexStoreSpec extends AnyFunSuite with TestSpark {
     IndexStore.compact(spark, root, pSchema)
     assert(IndexStore.read(spark, root, pSchema).count() == expected,
       "compaction must absorb the streamed fragments losslessly")
+    // the absorbed stream fragments survive ONE compaction (retained
+    // for gen-0 readers) and retire on the next
+    IndexStore.compact(spark, root, pSchema)
     assert(BatchLayout.batchDirs(spark, IndexStore.fragmentsDir(root)).isEmpty,
-      "absorbed stream fragments should be GC'd")
+      "fragments absorbed by the retained generation should be GC'd")
+    assert(IndexStore.read(spark, root, pSchema).count() == expected)
   }
 
   test("streaming tombstone ingest: erased the moment the micro-batch commits") {
