@@ -207,7 +207,8 @@ object IndexStore {
   def compact(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[String] = Nil,
-      tombstoneKeys: Seq[String] = Nil): Commit = {
+      tombstoneKeys: Seq[String] = Nil,
+      targetRowsPerFile: Long = 4L * 1024 * 1024): Commit = {
     val c = commitOf(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed generation under $root"))
     // snapshot the fragment set FIRST: fragments arriving mid-compaction
@@ -216,8 +217,21 @@ object IndexStore {
       .map(_.split("batch_id=").last.toLong).filter(_ > c.fragWatermark)
     val newWatermark = if (fragIds.isEmpty) c.fragWatermark else fragIds.max
     val snapshot = read(spark, root, schema, tombstoneKeys)
+    // compaction REPAIRS file counts, it doesn't just merge logically:
+    // partitioned stores repartition on the partition key, so every
+    // hive dir is written by exactly ONE task → one file per dir (the
+    // q264 DPP read then opens one file per probed centroid); flat
+    // stores size to ceil(rows/targetRowsPerFile) (the extra count is
+    // a compaction-time cost, not a serving cost)
+    val shaped =
+      if (partitionCols.nonEmpty) snapshot.repartition(partitionCols.map(col): _*)
+      else {
+        val n = snapshot.count()
+        snapshot.repartition(
+          math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt)
+      }
     val target = genPath(root, c.gen + 1)
-    val w = snapshot.write.mode(SaveMode.Overwrite)
+    val w = shaped.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(target)
     val next = Commit(c.gen + 1, newWatermark)

@@ -41,9 +41,11 @@ class IndexStoreSpec extends AnyFunSuite with TestSpark {
     val c = IndexStore.compact(spark, root, schema)
     assert(c == IndexStore.Commit(1L, 1L))
     assert(readSet(root) == before, "compaction must not change the served rows")
-    // small-file pressure actually dropped (8 part files -> 1-ish)
+    // small-file pressure actually REPAIRED: a flat store this far
+    // under targetRowsPerFile compacts to exactly one data file
     val filesAfter = IndexStore.dataFileCount(spark, root)
     assert(filesAfter < filesBefore, s"$filesAfter >= $filesBefore")
+    assert(filesAfter == 1L, s"flat compaction should write 1 file, got $filesAfter")
     // ONE-GENERATION RETENTION LAG: the replaced generation and its
     // fragments survive this compaction (a pinned reader keeps its
     // snapshot), and readAt time-travels it
@@ -137,6 +139,15 @@ class IndexStoreSpec extends AnyFunSuite with TestSpark {
     val genDir = Paths.get(s"$root/gen-${c.gen}")
     val parts = Files.list(genDir).toArray.map(_.toString).filter(_.contains("cent_id="))
     assert(parts.nonEmpty, "compacted generation must keep cent_id=<v> directories")
+    // file-count repair: the key-repartitioned write leaves exactly ONE
+    // data file in every hive dir (the DPP read opens one file per
+    // probed centroid)
+    parts.foreach { dir =>
+      val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+        .filter(f => !Paths.get(f).getFileName.toString.startsWith(".")
+          && !Paths.get(f).getFileName.toString.startsWith("_"))
+      assert(files.length == 1, s"$dir holds ${files.length} data files")
+    }
     assert(IndexStore.read(spark, root, pSchema).count() == 3L)
   }
 
