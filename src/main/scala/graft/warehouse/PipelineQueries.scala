@@ -1085,8 +1085,7 @@ object PipelineQueries {
     * q260 (insert) this completes CRUD on the text index.
     */
   val textDeletion: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-        TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
       .filter(col("doc_id") % 7 =!= 3) // the erased cohort
     TextAnalysis.bm25FromPostings(posts)
   }
@@ -2677,8 +2676,7 @@ object PipelineQueries {
     * the text-retrieval index too.
     */
   val phraseSearchIndexed: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     TextAnalysis.phraseSearchPostings(posts)
   }
 
@@ -2690,8 +2688,7 @@ object PipelineQueries {
     * postings from scratch.
     */
   val phraseSearchNgram: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     TextAnalysis.phraseSearchPostings(posts, TextAnalysis.PhraseQueriesNgram)
   }
 
@@ -2703,8 +2700,7 @@ object PipelineQueries {
     * raw corpus) proves index-reader ≡ re-deriver for ranked retrieval.
     */
   val bm25Indexed: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     TextAnalysis.bm25FromPostings(posts)
   }
 
@@ -2715,8 +2711,7 @@ object PipelineQueries {
     * sloppy-phrase signal ranked retrieval layers on BM25.
     */
   val termProximity: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     TextAnalysis.termProximity(posts)
   }
 
@@ -2727,8 +2722,7 @@ object PipelineQueries {
     * query terms' postings; see [[TextAnalysis.minWindowCover]].
     */
   val minWindow: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     TextAnalysis.minWindowCover(posts)
   }
 
@@ -2739,8 +2733,7 @@ object PipelineQueries {
     * corpus-wide.
     */
   val minWindowSnippets: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     TextAnalysis.minWindowSnippets(docs(s, dir), posts)
   }
 
@@ -2750,8 +2743,7 @@ object PipelineQueries {
     * shape; the oracle re-derives from the raw corpus.
     */
   val dirichletQl: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     TextAnalysis.dirichletQL(posts)
   }
 
@@ -2781,8 +2773,7 @@ object PipelineQueries {
     */
   val hybridTextRrf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     // ONE tf/dl aggregation feeds both rankers (the corpus-scale cost
     // center must not run once per ranking) — the branches share the
     // aggregation exchange via ReuseExchange, plan-audited
@@ -2874,8 +2865,7 @@ object PipelineQueries {
     * re-deriver across the whole hybrid stack.
     */
   val hybridDenseLexical: Q = (s, dir) => {
-    val posts = Materialized.onDisk(s, dir, "postings")(
-      TextAnalysis.positionalPostings(docs(s, dir)))
+    val posts = mPostings(s, dir)
     val lex = TextAnalysis.bm25FromPostings(posts)
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val dense = Similarity.ivfTopK(emb(s, dir), col("vec_id") === HybridQueryVec,
