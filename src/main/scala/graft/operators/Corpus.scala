@@ -650,6 +650,150 @@ object Corpus {
       .orderBy("chunk_id")
   }
 
+  /** Seeded, deterministic, RESUMABLE global training order — the data
+    * order a reproducible training run needs: every document gets a
+    * stable position from md5(seed:doc_id) (a new seed is a fresh
+    * epoch-level shuffle; the same seed replays bit-identically on any
+    * cluster size or partitioning), positions pack into fixed-size
+    * batches, and the per-batch manifest carries an order fingerprint —
+    * so "resume from step k" is provably the same data the interrupted
+    * run would have seen.
+    *
+    * Scale design: lexicographic order on fixed-width lowercase-hex md5
+    * equals numeric order, so the first two hex chars form 256 ORDERED
+    * range buckets; the global rank is the two-level prefix sum of
+    * [[globalPackingCensus]] — a keyed within-bucket row_number plus
+    * one tiny window over the 256-row bucket frame. No corpus-wide
+    * single-partition window, no zipWithIndex, no driver sort.
+    */
+  def trainingOrder(docs: DataFrame, seed: String = "graft", batchSize: Int = 64,
+      textCol: String = "text"): DataFrame =
+    batchManifest(trainingRanks(docs, seed, batchSize, textCol))
+
+  /** The rank machinery behind [[trainingOrder]]: (doc_id, nt, rank,
+    * batch_id) — shared with [[noveltyCurve]] and composable with any
+    * per-doc signal.
+    */
+  private[graft] def trainingRanks(docs: DataFrame, seed: String, batchSize: Int,
+      textCol: String): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val d = docs.select(col("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("nt"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wIn = Window.partitionBy("bucket").orderBy("key", "doc_id")
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val boff = d.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select("bucket", "boff")
+    d.withColumn("within", row_number().over(wIn))
+      .join(broadcast(boff), "bucket")
+      .withColumn("rank", col("boff") + col("within"))
+      .withColumn("batch_id", expr(s"(rank - 1) div $batchSize"))
+      .select("doc_id", "nt", "rank", "batch_id")
+  }
+
+  /** Per-batch manifest over a (doc_id, nt, rank, batch_id[, ...]) rank
+    * frame, with the exact-order fingerprint.
+    */
+  private def batchManifest(ranks: DataFrame,
+      extra: Seq[Column] = Nil): DataFrame =
+    ranks
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens") +: (extra :+
+          min(col("rank")).as("first_rank") :+
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(struct(col("rank"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("order_md5")): _*)
+      .orderBy("batch_id")
+
+  /** CURRICULUM training order (easy→hard phases with a seeded shuffle
+    * INSIDE each phase — the Bengio et al. 2009 schedule as a data
+    * op): quality-score terciles (exact rounded percentile cutoffs,
+    * the q284 convention) order the phases head → middle → tail, and
+    * within a phase every doc gets the same seeded md5 position as
+    * [[trainingOrder]]. The per-batch manifest carries the phase mix,
+    * so the schedule is auditable (early batches pure head, boundary
+    * batches straddle).
+    *
+    * Scale: the rank is the same two-level prefix sum, just
+    * partitioned by (phase, bucket) with a 3·256-row offset frame;
+    * cutoffs are a 1-row broadcast.
+    */
+  def curriculumOrder(docs: DataFrame, seed: String = "graft",
+      batchSize: Int = 64, textCol: String = "text"): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val qs = TextAnalysis.withTextStats(docs).select(col("doc_id"), col("quality_score"))
+    val cuts = qs.agg(
+      round(percentile(col("quality_score"), lit(1.0 / 3)), 6).as("c1"),
+      round(percentile(col("quality_score"), lit(2.0 / 3)), 6).as("c2"))
+    val d = docs.select(col("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("nt"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("key"))
+      .join(qs, "doc_id")
+      .crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        when(col("quality_score") > col("c2"), 0)
+          .when(col("quality_score") > col("c1"), 1)
+          .otherwise(2))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wIn = Window.partitionBy("phase", "bucket").orderBy("key", "doc_id")
+    val wB = Window.orderBy("phase", "bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val boff = d.groupBy("phase", "bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select("phase", "bucket", "boff")
+    val ranked = d.withColumn("within_rn", row_number().over(wIn))
+      .join(broadcast(boff), Seq("phase", "bucket"))
+      .withColumn("rank", col("boff") + col("within_rn"))
+      .withColumn("batch_id", expr(s"(rank - 1) div $batchSize"))
+      .select("doc_id", "nt", "rank", "batch_id", "phase")
+    batchManifest(ranked, Seq(
+      sum(when(col("phase") === 0, 1L).otherwise(0L)).as("n_head"),
+      sum(when(col("phase") === 1, 1L).otherwise(0L)).as("n_middle"),
+      sum(when(col("phase") === 2, 1L).otherwise(0L)).as("n_tail")))
+  }
+
+  /** N-gram NOVELTY curve along the training order — the data-freshness
+    * diagnostic of a chosen schedule: per batch, how many of its
+    * distinct word 3-grams appear here for the FIRST time (no
+    * occurrence in any earlier batch), plus the cumulative distinct
+    * gram count (Heaps growth in training order). One distinct
+    * (batch, gram) projection, one keyed min, one tiny window over the
+    * batch frame.
+    */
+  def noveltyCurve(docs: DataFrame, seed: String = "graft", batchSize: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    val ranks = trainingRanks(docs, seed, batchSize, textCol)
+    val dg = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col(textCol), 3))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gk"))
+      .join(ranks.select("doc_id", "batch_id"), "doc_id")
+      .select("batch_id", "gk")
+      .distinct()
+    val firstB = dg.groupBy("gk").agg(min(col("batch_id")).as("fb"))
+    val perBatch = dg.join(firstB, "gk")
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("batch_id") === col("fb"), 1L).otherwise(0L)).as("n_new_grams"))
+    val wCum = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0)
+    ranks.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .join(perBatch, Seq("batch_id"), "left")
+      .select(col("batch_id"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
+      .withColumn("novelty_rate",
+        round(when(col("n_distinct_grams") > 0,
+          col("n_new_grams").cast("double") / col("n_distinct_grams")), 6))
+      .withColumn("cum_new_grams", sum(col("n_new_grams")).over(wCum))
+      .orderBy("batch_id")
+  }
+
   object O {
     import graft.functions.{Hashes, Num}
 
@@ -919,6 +1063,97 @@ object Corpus {
          |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
          |  CAST(SUM(dl) AS BIGINT) AS n_tokens, CAST(SUM(crossing) AS BIGINT) AS n_crossing
          |FROM p GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
+    /** Shared rank CTEs (ending in p(doc_id, nt, rank, batch_id)) —
+      * the two-level prefix-sum replay behind trainingOrder and
+      * noveltyCurve.
+      */
+    private def rankCtes(seed: String, batchSize: Int): String =
+      s"""d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    md5('$seed:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+         |b AS (SELECT doc_id, nt, key, substr(key, 1, 2) AS bucket FROM d),
+         |wi AS (SELECT doc_id, nt, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY key, doc_id) AS within FROM b),
+         |bs AS (SELECT bucket, COUNT(*) AS bn FROM b GROUP BY bucket),
+         |bo AS (SELECT bucket, COALESCE(SUM(bn) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff FROM bs),
+         |p AS (SELECT wi.doc_id, wi.nt, bo.boff + wi.within AS rank,
+         |        (bo.boff + wi.within - 1) // $batchSize AS batch_id
+         |      FROM wi JOIN bo USING (bucket))""".stripMargin
+
+    /** Mirrors [[Corpus.trainingOrder]]: identical md5 keys, ordered
+      * hex-prefix range buckets, two-level rank, per-batch manifest.
+      */
+    def trainingOrder(seed: String = "graft", batchSize: Int = 64): String =
+      s"""WITH ${rankCtes(seed, batchSize)}
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(rank) AS BIGINT) AS first_rank,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank)) AS order_md5
+         |FROM p GROUP BY 1 ORDER BY batch_id""".stripMargin
+
+    /** Mirrors [[Corpus.curriculumOrder]]: textStats quality terciles
+      * (rounded quantile_cont cutoffs, the q284 convention), seeded
+      * within-phase shuffle via the (phase, bucket) two-level rank.
+      */
+    def curriculumOrder(seed: String = "graft", batchSize: Int = 64): String = {
+      import TextAnalysis.{O => TO}
+      s"""WITH s AS (SELECT doc_id, ${TO.textStats} FROM documents),
+         |c AS (SELECT round(quantile_cont(quality_score, ${1.0 / 3}), 6) AS c1,
+         |        round(quantile_cont(quality_score, ${2.0 / 3}), 6) AS c2 FROM s),
+         |d AS (SELECT doc.doc_id, CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS nt,
+         |        md5('$seed:' || CAST(doc.doc_id AS VARCHAR)) AS key,
+         |        CASE WHEN s.quality_score > c.c2 THEN 0
+         |             WHEN s.quality_score > c.c1 THEN 1 ELSE 2 END AS phase
+         |      FROM documents doc JOIN s ON s.doc_id = doc.doc_id CROSS JOIN c),
+         |b AS (SELECT doc_id, nt, key, phase, substr(key, 1, 2) AS bucket FROM d),
+         |wi AS (SELECT doc_id, nt, phase, bucket,
+         |    row_number() OVER (PARTITION BY phase, bucket ORDER BY key, doc_id) AS within
+         |  FROM b),
+         |bs AS (SELECT phase, bucket, COUNT(*) AS bn FROM b GROUP BY 1, 2),
+         |bo AS (SELECT phase, bucket, COALESCE(SUM(bn) OVER (ORDER BY phase, bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff FROM bs),
+         |p AS (SELECT wi.doc_id, wi.nt, wi.phase, bo.boff + wi.within AS rank,
+         |        (bo.boff + wi.within - 1) // $batchSize AS batch_id
+         |      FROM wi JOIN bo USING (phase, bucket))
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN phase = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+         |  CAST(SUM(CASE WHEN phase = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+         |  CAST(SUM(CASE WHEN phase = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+         |  CAST(MIN(rank) AS BIGINT) AS first_rank,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank)) AS order_md5
+         |FROM p GROUP BY 1 ORDER BY batch_id""".stripMargin
+    }
+
+    /** Mirrors [[Corpus.noveltyCurve]]: per-doc distinct 3-grams →
+      * distinct (batch, gram) → first-batch keyed min → per-batch
+      * novelty + the cumulative window over the batch frame.
+      */
+    def noveltyCurve(seed: String = "graft", batchSize: Int = 64): String =
+      s"""WITH ${rankCtes(seed, batchSize)},
+         |wl3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+         |         SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |         FROM wl3 WHERE len(w) >= 3) t),
+         |dg AS (SELECT DISTINCT p.batch_id, md5(sh) AS gk
+         |       FROM sh0 JOIN p USING (doc_id)),
+         |fb AS (SELECT gk, MIN(batch_id) AS fb FROM dg GROUP BY gk),
+         |pb AS (SELECT batch_id, COUNT(*) AS n_distinct_grams,
+         |         CAST(SUM(CASE WHEN batch_id = fb THEN 1 ELSE 0 END) AS BIGINT) AS n_new_grams
+         |       FROM dg JOIN fb USING (gk) GROUP BY batch_id),
+         |bm AS (SELECT batch_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |       FROM p GROUP BY batch_id)
+         |SELECT CAST(bm.batch_id AS BIGINT) AS batch_id, bm.n_docs, bm.n_tokens,
+         |  COALESCE(pb.n_distinct_grams, 0) AS n_distinct_grams,
+         |  COALESCE(pb.n_new_grams, 0) AS n_new_grams,
+         |  round(CASE WHEN COALESCE(pb.n_distinct_grams, 0) > 0
+         |             THEN CAST(pb.n_new_grams AS DOUBLE) / pb.n_distinct_grams END, 6)
+         |    AS novelty_rate,
+         |  CAST(SUM(COALESCE(pb.n_new_grams, 0)) OVER (ORDER BY bm.batch_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new_grams
+         |FROM bm LEFT JOIN pb USING (batch_id) ORDER BY batch_id""".stripMargin
 
     def packSequences(tokenBudget: Int = 256): String =
       s"""SELECT source, doc_id, n_tokens,

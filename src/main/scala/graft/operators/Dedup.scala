@@ -577,6 +577,107 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_dup_grams")
   }
 
+  /** Exact substring-level DEDUPLICATION at L-word resolution — the
+    * cleaning pass over [[duplicateSpans]]'s census (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": remove
+    * every copy of a repeated substring except the first). An
+    * occurrence (doc, pos) of an L-gram is redundant iff a strictly
+    * earlier occurrence of the same gram exists anywhere in the corpus
+    * (earlier = smaller (doc_id, pos) lexicographically — covers both
+    * cross-document boilerplate and within-document loops); redundant
+    * windows are erased from the token stream and the surviving text is
+    * fingerprinted. Exactly one copy of every duplicated L-gram's first
+    * window survives, so corpus-wide repeated substrings keep one
+    * canonical occurrence — the suffix-array dedup result re-expressed
+    * as two keyed aggregations, no suffix array needed.
+    *
+    * Scale design: the first-occurrence fold is one keyed min over the
+    * 16-byte gram md5 (never the gram text); the redundant set joins
+    * back by the same key; erased positions explode L rows per
+    * redundant window (bounded) and dedup per doc; the surviving text
+    * reassembles with one per-doc sort — all linear, no pair space.
+    * Occurrence order is encoded as doc_id·2^20 + pos (documents are
+    * capped at 2^20 words here; a longer-doc corpus would switch to the
+    * struct-min spelling at the same cost).
+    */
+  def substringRemoval(docs: DataFrame, L: Int = SpanGramLen,
+      textCol: String = "text"): DataFrame = {
+    val occKey = col("doc_id") * lit(1048576L) + col("pos")
+    val g = hashedGramPositions(docs, L, textCol)
+    val first = g.groupBy("gk").agg(min(occKey).as("first_occ"))
+    val erased = g.join(first, "gk")
+      .filter(occKey > col("first_occ"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("pos"))
+      .distinct()
+    erasureCensus(docs, erased, textCol)
+  }
+
+  /** (doc_id, pos, gk) hashed L-gram positions — shared by the removal
+    * pass and the gate.
+    */
+  private def hashedGramPositions(docs: DataFrame, L: Int,
+      textCol: String): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(Text.shingles(col(textCol), L)).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), md5(col("g")).as("gk"))
+
+  /** Per-doc census after erasing `erased` (doc_id, pos) token
+    * positions: kept/removed counts and the md5 of the surviving text.
+    */
+  private def erasureCensus(docs: DataFrame, erased: DataFrame,
+      textCol: String): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(Text.words(col(textCol))).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
+    val keptAgg = tok.join(erased, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")))).as("kept_md5"))
+    docs.select(col("doc_id"), size(Text.words(col(textCol))).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double")
+          / col("n_tokens"), 6).as("removed_frac"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** Distinct hashed L-gram set of a base corpus — the frozen artifact
+    * [[substringGate]] cleans arriving documents against (persist it
+    * via Materialized/IndexStore like any other index table; it is the
+    * text-side analogue of the dhash base).
+    */
+  def gramSet(docs: DataFrame, L: Int = SpanGramLen,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(array_distinct(Text.shingles(col(textCol), L))).as("g"))
+      .select(md5(col("g")).as("gk"))
+      .distinct()
+
+  /** The incremental/serving half of [[substringRemoval]] — the Lee et
+    * al. cleaning applied at INGEST: erase from each arriving document
+    * every window whose L-gram already exists in the base corpus's
+    * [[gramSet]]. Stream-static shape (the q184/knGate discipline):
+    * the batch tokenizes and joins the frozen artifact by the 16-byte
+    * gram key — no state store, no watermark, no batch-vs-batch state.
+    * Within-batch novelty is deliberately NOT deduped here (that is
+    * the batch pass's job at the next compaction); the gate's contract
+    * is "nothing the corpus already contains survives ingestion".
+    */
+  def substringGate(batch: DataFrame, baseGrams: DataFrame,
+      L: Int = SpanGramLen, textCol: String = "text"): DataFrame = {
+    val erased = hashedGramPositions(batch, L, textCol)
+      .join(baseGrams, "gk")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("pos"))
+      .distinct()
+    erasureCensus(batch, erased, textCol)
+  }
+
   val WinnowK = 3 // fingerprint gram size (words)
   val WinnowW = 4 // winnowing window (grams)
   val WinnowDfCap = 50 // hot-fingerprint cap in overlap candidate generation
@@ -732,6 +833,61 @@ object Dedup {
          |  COUNT(*) AS n_dup_grams
          |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
 
+    /** Shared erasure tail: given CTEs `$wl` (doc_id, w) and `er`
+      * (doc_id, pos), reassemble surviving text and census per doc.
+      */
+    private def erasureTailCtes(wl: String): String =
+      s"""tok AS (SELECT doc_id, pos, w[pos] AS word FROM (
+         |          SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos FROM $wl)),
+         |kept AS (SELECT t.doc_id, t.pos, t.word FROM tok t
+         |         ANTI JOIN er ON er.doc_id = t.doc_id AND er.pos = t.pos),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |         md5(string_agg(word, ' ' ORDER BY pos)) AS kept_md5
+         |       FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM $wl)""".stripMargin
+
+    private val erasureSelect: String =
+      s"""SELECT tot.doc_id, tot.n_tokens,
+         |  COALESCE(ka.n_kept, 0) AS n_kept,
+         |  tot.n_tokens - COALESCE(ka.n_kept, 0) AS n_removed,
+         |  round(CAST(tot.n_tokens - COALESCE(ka.n_kept, 0) AS DOUBLE) / tot.n_tokens, 6)
+         |    AS removed_frac,
+         |  COALESCE(ka.kept_md5, md5('')) AS kept_md5
+         |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+
+    /** Mirrors substringRemoval: identical gram hashing, first-occurrence
+      * keyed min, window erasure, per-doc reassembly.
+      */
+    def substringRemoval(l: Int = SpanGramLen): String =
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
+         |      FROM wl WHERE len(w) >= $l),
+         |g AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM p),
+         |f AS (SELECT gk, MIN(doc_id * 1048576 + pos) AS first_occ FROM g GROUP BY gk),
+         |er AS (SELECT DISTINCT g.doc_id, CAST(unnest(range(g.pos, g.pos + $l)) AS INT) AS pos
+         |       FROM g JOIN f USING (gk) WHERE g.doc_id * 1048576 + g.pos > f.first_occ),
+         |${erasureTailCtes("wl")}
+         |$erasureSelect""".stripMargin
+
+    /** Mirrors substringGate over a base/delta split of `documents`:
+      * base grams = the frozen artifact, delta docs = the arriving
+      * batch.
+      */
+    def substringGate(basePredSql: String, l: Int = SpanGramLen): String =
+      s"""WITH dwl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |             WHERE NOT ($basePredSql)),
+         |bg AS (SELECT DISTINCT md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM (
+         |        SELECT w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
+         |        FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE $basePredSql)
+         |        WHERE len(w) >= $l)),
+         |p AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
+         |      FROM dwl WHERE len(w) >= $l),
+         |g AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM p),
+         |er AS (SELECT DISTINCT g.doc_id, CAST(unnest(range(g.pos, g.pos + $l)) AS INT) AS pos
+         |       FROM g JOIN bg USING (gk)),
+         |${erasureTailCtes("dwl")}
+         |$erasureSelect""".stripMargin
+
     private val shingleCte =
       """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (
@@ -852,7 +1008,11 @@ object Dedup {
          |  (d.doc_id IN (SELECT doc_id FROM near)) AS is_near_dup
          |FROM documents d WHERE d.doc_id >= $splitId ORDER BY doc_id""".stripMargin
 
-    def minhashPairs: String = {
+    /** Shared CTE list ending in mhp(d1, d2, est_jaccard) — the q43
+      * LSH-candidate generator, reusable by the pair-metric oracles
+      * (BLEU/ROUGE) exactly like [[jwPairsCtes]].
+      */
+    def minhashPairCtes: String = {
       val hs = minhashHs
       val bands = minhashBandsEq
       val matches = (0 until MinhashK)
@@ -861,12 +1021,15 @@ object Dedup {
       s"""$shingleCte,
          |sig AS (SELECT doc_id,
          |         $hs
-         |        FROM sh GROUP BY doc_id)
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |  round(($matches) / ${MinhashK}.0, 6) AS est_jaccard
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bands)
-         |ORDER BY d1, d2""".stripMargin
+         |        FROM sh GROUP BY doc_id),
+         |mhp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |          round(($matches) / ${MinhashK}.0, 6) AS est_jaccard
+         |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bands))""".stripMargin
     }
+
+    def minhashPairs: String =
+      s"""$minhashPairCtes
+         |SELECT d1, d2, est_jaccard FROM mhp ORDER BY d1, d2""".stripMargin
 
     def simhashPairs: String = {
       val bitSums = (0 until SimhashBits)

@@ -283,6 +283,49 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Mixture diversity census over the corpus token mass, one row per
+    * grouping dimension (source, lang): group count, Shannon entropy
+    * (nats) with its effective group number, Simpson concentration with
+    * its inverse, and the Gini coefficient of the token-mass
+    * distribution — the standard "how balanced is my mixture" report a
+    * pretraining recipe is judged by. Shannon/Simpson terms ride the
+    * 18-dp decimal-backed sum (order-independent, engine-identical);
+    * Gini's Σ i·x_i is INTEGER-exact over ranks assigned by the
+    * deterministic (mass, group) ordering. One groupBy per dimension,
+    * then windows over the tiny group frame (#sources/#langs rows) —
+    * never over documents.
+    */
+  def diversityCensus(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Num, Text}
+    val tok = docs.select(col("source"), col("lang"),
+      size(Text.words(col(textCol))).cast("long").as("nt"))
+    def byDim(dim: String): DataFrame =
+      tok.groupBy(col(dim).as("grp")).agg(sum(col("nt")).as("x"))
+        .withColumn("dim", lit(dim))
+    val wOrd = Window.partitionBy("dim").orderBy(col("x"), col("grp"))
+    val wAll = Window.partitionBy("dim")
+    byDim("source").unionByName(byDim("lang"))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("tx", sum(col("x")).over(wAll))
+      .withColumn("p", col("x").cast("double") / col("tx"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("x")).as("n_tokens"),
+        (-Num.dsumHi(col("p") * log(col("p")))).as("sh"),
+        Num.dsumHi(col("p") * col("p")).as("si"),
+        sum(col("i") * col("x")).as("sx"))
+      .select(col("dim"), col("n_groups"), col("n_tokens"),
+        round(col("sh"), 6).as("shannon"),
+        round(exp(col("sh")), 6).as("eff_groups"),
+        round(col("si"), 6).as("simpson"),
+        round(lit(1.0) / col("si"), 6).as("inv_simpson"),
+        round(lit(2.0) * col("sx") / (col("n_groups") * col("n_tokens"))
+          - (col("n_groups") + lit(1)).cast("double") / col("n_groups"), 6).as("gini"))
+      .orderBy("dim")
+  }
+
   object O {
     /** Unrolled-CTE replay of [[doremiWeights]] — one (wp, norm, w)
       * CTE triple per round, same fold-sum, same 12-dp trajectory.
@@ -335,6 +378,36 @@ object Sampling {
       s"""CASE WHEN ${hashBucket(key)} < $trainPct THEN 'train'
          |     WHEN ${hashBucket(key)} < ${trainPct + valPct} THEN 'val'
          |     ELSE 'test' END""".stripMargin
+
+    /** Mirrors [[Sampling.diversityCensus]]: identical rank ordering,
+      * 18-dp decimal sums for the entropy/concentration terms,
+      * integer-exact Σ i·x_i for Gini.
+      */
+    def diversityCensus(): String = {
+      import graft.functions.Num
+      val p = "(CAST(x AS DOUBLE) / tx)"
+      s"""WITH tok AS (SELECT source, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+         |g AS (SELECT 'source' AS dim, source AS grp, CAST(SUM(nt) AS BIGINT) AS x
+         |      FROM tok GROUP BY 2
+         |      UNION ALL
+         |      SELECT 'lang', lang, CAST(SUM(nt) AS BIGINT) FROM tok GROUP BY 2),
+         |r AS (SELECT dim, grp, x,
+         |        row_number() OVER (PARTITION BY dim ORDER BY x, grp) AS i,
+         |        SUM(x) OVER (PARTITION BY dim) AS tx
+         |      FROM g),
+         |a AS (SELECT dim, COUNT(*) AS n_groups, CAST(SUM(x) AS BIGINT) AS n_tokens,
+         |        -${Num.O.sumHi(s"$p * ln($p)")} AS sh,
+         |        ${Num.O.sumHi(s"$p * $p")} AS si,
+         |        CAST(SUM(i * x) AS BIGINT) AS sx
+         |      FROM r GROUP BY dim)
+         |SELECT dim, n_groups, n_tokens,
+         |  round(sh, 6) AS shannon, round(exp(sh), 6) AS eff_groups,
+         |  round(si, 6) AS simpson, round(1.0 / si, 6) AS inv_simpson,
+         |  round(2.0 * sx / (n_groups * n_tokens)
+         |    - CAST(n_groups + 1 AS DOUBLE) / n_groups, 6) AS gini
+         |FROM a ORDER BY dim""".stripMargin
+    }
   }
 
   /** Greedy quality-ranked selection under a per-source token budget —

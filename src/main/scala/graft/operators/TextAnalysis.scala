@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashes
+import graft.functions.{Hashes, Text}
 
 /** Text-analysis operators for LLM-data pipelines: token stats, quality
   * scoring, heuristic language ID, and rolling-hash fingerprinting.
@@ -1587,6 +1587,124 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** LSH-candidate pair n-gram overlap stats shared by [[bleuPairs]] and
+    * [[rougePairs]]: for each MinHash-LSH candidate pair (d1 < d2,
+    * [[Dedup.minhashPairs]]) and each n in `ns`, the CLIPPED match count
+    * Σ_g min(count_1(g), count_2(g)) plus both documents' total n-gram
+    * counts. The two-stage shape of q94: approximate candidates first,
+    * the exact (and per-pair expensive) metric only on candidates — the
+    * pair set is bounded by the LSH band contract, so it broadcasts,
+    * and the per-doc gram tables join it by (doc, n, gram) key; no pair
+    * space beyond the candidates ever exists.
+    */
+  private def pairNgramStats(docs: DataFrame, ns: Seq[Int],
+      textCol: String): DataFrame = {
+    val cand = Dedup.minhashPairs(docs).select("d1", "d2")
+    val gc = ns.map { n =>
+        docs.select(col("doc_id"), lit(n).as("n"),
+          explode(Text.shinglesOfWords(Text.words(col(textCol)), n)).as("g"))
+      }.reduce(_ unionByName _)
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val tot = gc.groupBy("doc_id", "n").agg(sum(col("c")).as("t"))
+    val m = broadcast(cand)
+      .join(gc.as("g1"), col("d1") === col("g1.doc_id"))
+      .join(gc.as("g2"),
+        col("d2") === col("g2.doc_id") && col("g1.n") === col("g2.n")
+          && col("g1.g") === col("g2.g"))
+      .groupBy(col("d1"), col("d2"), col("g1.n").as("n"))
+      .agg(sum(least(col("g1.c"), col("g2.c"))).as("m"))
+    broadcast(cand)
+      .withColumn("n", explode(array(ns.map(lit): _*)))
+      .as("pn")
+      .join(tot.as("ta"), col("pn.d1") === col("ta.doc_id") && col("pn.n") === col("ta.n"))
+      .join(tot.as("tb"), col("pn.d2") === col("tb.doc_id") && col("pn.n") === col("tb.n"))
+      .select(col("pn.d1").as("d1"), col("pn.d2").as("d2"), col("pn.n").as("n"),
+        col("ta.t").as("t1"), col("tb.t").as("t2"))
+      .join(m, Seq("d1", "d2", "n"), "left")
+      .select(col("d1"), col("d2"), col("n"),
+        coalesce(col("m"), lit(0L)).as("m"), col("t1"), col("t2"))
+  }
+
+  /** BLEU over the LSH candidate pairs — the exact pair-similarity
+    * metric of the evaluation literature run as the verification stage
+    * after approximate candidate generation. Candidate = the LATER
+    * document (d2), reference = the earlier (d1); clipped modified
+    * n-gram precisions p1..p4, brevity penalty, geometric mean; the
+    * standard unsmoothed convention scores 0 when any order has zero
+    * matches. All counts are integers; the double arithmetic is one
+    * fixed expression both engines evaluate identically.
+    */
+  def bleuPairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = pairNgramStats(docs, 1 to 4, textCol)
+    def piv(c: String, n: Int, as: String) =
+      max(when(col("n") === n, col(c))).as(as)
+    val wide = st.groupBy("d1", "d2").agg(
+      piv("t1", 1, "rlen"),
+      piv("m", 1, "m1"), piv("m", 2, "m2"), piv("m", 3, "m3"), piv("m", 4, "m4"),
+      piv("t2", 1, "c1"), piv("t2", 2, "c2"), piv("t2", 3, "c3"), piv("t2", 4, "c4"))
+    val pn = (1 to 4).map(i =>
+      when(col(s"c$i") > 0, col(s"m$i").cast("double") / col(s"c$i")))
+    val anyZero = (1 to 4).map(i => col(s"m$i") === 0).reduce(_ || _)
+    val bp = when(col("c1") > col("rlen"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("rlen").cast("double") / col("c1")))
+    val bleu = when(anyZero, lit(0.0))
+      .otherwise(bp * exp(pn.map(log).reduce(_ + _) / 4))
+    wide.select(
+      col("d1"), col("d2"),
+      col("rlen").as("ref_len"), col("c1").as("cand_len"),
+      round(pn(0), 6).as("p1"), round(pn(1), 6).as("p2"),
+      round(pn(2), 6).as("p3"), round(pn(3), 6).as("p4"),
+      round(bp, 6).as("bp"), round(bleu, 6).as("bleu"))
+      .orderBy("d1", "d2")
+  }
+
+  /** ROUGE-N (n = 1, 2) over the same LSH candidate pairs: clipped
+    * n-gram precision/recall/F1 with d1 as reference, d2 as candidate —
+    * the recall-oriented complement to [[bleuPairs]]. F1 = 0 when there
+    * are no matches (both components zero).
+    */
+  def rougePairs(docs: DataFrame, ns: Seq[Int] = Seq(1, 2),
+      textCol: String = "text"): DataFrame = {
+    val st = pairNgramStats(docs, ns, textCol)
+    val p = when(col("t2") > 0, col("m").cast("double") / col("t2"))
+    val r = when(col("t1") > 0, col("m").cast("double") / col("t1"))
+    st.select(
+      col("d1"), col("d2"), col("n"),
+      col("m").as("n_matches"),
+      col("t1").as("ref_ngrams"), col("t2").as("cand_ngrams"),
+      round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
+      round(when(col("m") === 0, lit(0.0))
+        .otherwise(lit(2.0) * p * r / (p + r)), 6).as("rouge_f1"))
+      .orderBy("d1", "d2", "n")
+  }
+
+  /** Flesch reading-ease + Flesch–Kincaid grade per document — the
+    * classic readability pair of the quality-filter stack. Sentences =
+    * terminator runs ([.!?]+, floor 1); syllables = vowel-group runs
+    * per word ([aeiouy]+ on the lowercased word, floor 1 per word) —
+    * the standard heuristic. Pure narrow per-row expressions: no
+    * shuffle, no explode; integer counts feed one fixed double formula
+    * both engines evaluate identically.
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Text.words(col(textCol))
+    val nWords = size(w).cast("long")
+    val nSents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyll = aggregate(
+      transform(w, x =>
+        greatest(lit(1), size(regexp_extract_all(lower(x), lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, x) => acc + x)
+    val wps = col("n_words").cast("double") / col("n_sents")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    docs
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("flesch"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("fk_grade"))
+  }
+
   /** DuckDB fragments mirroring the Spark expressions above. */
   object O {
     import graft.functions.Num
@@ -2440,5 +2558,89 @@ object TextAnalysis {
          |SELECT source, CAST(rank AS INT) AS rank, word, a, g2
          |FROM r WHERE rank <= $topK ORDER BY source, rank""".stripMargin
     }
+
+    /** Shared CTE list ending in st(d1, d2, n, m, t1, t2) — mirrors
+      * pairNgramStats over [[Dedup.O.minhashPairCtes]]'s candidate set.
+      */
+    private def pairNgramCtes(ns: Seq[Int]): String = {
+      val gramSel = ns.map { n =>
+        s"""SELECT doc_id, $n AS n, unnest(${Text.O.shingles("w", n)}) AS g
+           |  FROM wl2 WHERE len(w) >= $n""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""${Dedup.O.minhashPairCtes},
+         |wl2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gd AS (SELECT doc_id, n, g, COUNT(*) AS c FROM (
+         |  $gramSel
+         |) GROUP BY doc_id, n, g),
+         |tt AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS t FROM gd GROUP BY 1, 2),
+         |mm AS (SELECT p.d1, p.d2, a.n, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+         |       FROM mhp p JOIN gd a ON a.doc_id = p.d1
+         |       JOIN gd b ON b.doc_id = p.d2 AND b.n = a.n AND b.g = a.g
+         |       GROUP BY 1, 2, 3),
+         |st AS (SELECT p.d1, p.d2, nn.n, COALESCE(mm.m, 0) AS m, t1.t AS t1, t2.t AS t2
+         |       FROM mhp p
+         |       CROSS JOIN (SELECT CAST(unnest([${ns.mkString(", ")}]) AS INT) AS n) nn
+         |       JOIN tt t1 ON t1.doc_id = p.d1 AND t1.n = nn.n
+         |       JOIN tt t2 ON t2.doc_id = p.d2 AND t2.n = nn.n
+         |       LEFT JOIN mm ON mm.d1 = p.d1 AND mm.d2 = p.d2 AND mm.n = nn.n)""".stripMargin
+    }
+
+    /** Mirrors bleuPairs: identical pivot, brevity penalty, unsmoothed
+      * geometric mean (the ln sum is written left-to-right in both
+      * engines).
+      */
+    def bleuPairs(): String = {
+      def mx(expr: String, n: Int, as: String) =
+        s"MAX(CASE WHEN n = $n THEN $expr END) AS $as"
+      val wide = (mx("t1", 1, "rlen") +:
+        (1 to 4).map(i => mx("m", i, s"m$i"))) ++
+        (1 to 4).map(i => mx("t2", i, s"c$i"))
+      val bp = "CASE WHEN c1 > rlen THEN 1.0 ELSE exp(1.0 - CAST(rlen AS DOUBLE) / c1) END"
+      val lnSum = (1 to 4).map(i => s"ln(CAST(m$i AS DOUBLE) / c$i)").mkString(" + ")
+      s"""${pairNgramCtes(1 to 4)},
+         |wd AS (SELECT d1, d2, ${wide.mkString(", ")} FROM st GROUP BY d1, d2)
+         |SELECT d1, d2, CAST(rlen AS BIGINT) AS ref_len, CAST(c1 AS BIGINT) AS cand_len,
+         |  round(CASE WHEN c1 > 0 THEN CAST(m1 AS DOUBLE) / c1 END, 6) AS p1,
+         |  round(CASE WHEN c2 > 0 THEN CAST(m2 AS DOUBLE) / c2 END, 6) AS p2,
+         |  round(CASE WHEN c3 > 0 THEN CAST(m3 AS DOUBLE) / c3 END, 6) AS p3,
+         |  round(CASE WHEN c4 > 0 THEN CAST(m4 AS DOUBLE) / c4 END, 6) AS p4,
+         |  round($bp, 6) AS bp,
+         |  round(CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0 THEN 0.0
+         |             ELSE ($bp) * exp(($lnSum) / 4) END, 6) AS bleu
+         |FROM wd ORDER BY d1, d2""".stripMargin
+    }
+
+    /** Mirrors rougePairs (ns = 1, 2 by default). */
+    def rougePairs(ns: Seq[Int] = Seq(1, 2)): String = {
+      val p = "CASE WHEN t2 > 0 THEN CAST(m AS DOUBLE) / t2 END"
+      val r = "CASE WHEN t1 > 0 THEN CAST(m AS DOUBLE) / t1 END"
+      s"""${pairNgramCtes(ns)}
+         |SELECT d1, d2, n, CAST(m AS BIGINT) AS n_matches,
+         |  t1 AS ref_ngrams, t2 AS cand_ngrams,
+         |  round($p, 6) AS rouge_p, round($r, 6) AS rouge_r,
+         |  round(CASE WHEN m = 0 THEN 0.0
+         |             ELSE 2.0 * ($p) * ($r) / (($p) + ($r)) END, 6) AS rouge_f1
+         |FROM st ORDER BY d1, d2, n""".stripMargin
+    }
+
+    /** Mirrors readability (vowel-group runs per lowercased word,
+      * floor 1; terminator runs, floor 1; the two fixed Flesch
+      * formulas).
+      */
+    def readability(): String =
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sents,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      x -> greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))))) AS BIGINT)
+         |      AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sents, n_syllables,
+         |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
+         |FROM b ORDER BY doc_id""".stripMargin
   }
 }

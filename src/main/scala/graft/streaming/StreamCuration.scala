@@ -54,4 +54,16 @@ object StreamCuration {
     TextAnalysis.knScoreBigrams(TextAnalysis.docBigrams(words, pin = false), model)
       .withColumn("pass_kn", col("kn_avg_logprob") >= minLogprob)
   }
+
+  /** Substring-dedup at INGEST (the Lee et al. cleaning as a stream
+    * stage): every arriving document is scrubbed of windows whose
+    * 8-gram the base corpus already contains — the frozen
+    * [[graft.operators.Dedup.gramSet]] artifact joined stream-static
+    * per micro-batch, exactly the [[knGate]] split (build the gram set
+    * offline, gate the feed forever). No state store, no watermark, no
+    * batch-vs-batch state; the SAME operator runs on a batch frame, so
+    * stream ≡ batch is spec-provable.
+    */
+  def substringGate(docs: DataFrame, baseGrams: DataFrame): DataFrame =
+    graft.operators.Dedup.substringGate(docs, baseGrams)
 }

@@ -865,6 +865,70 @@ object PipelineQueries {
   val dupSpans: Q = (s, dir) =>
     Dedup.duplicateSpans(docs(s, dir)).orderBy("doc_id", "span_start")
 
+  /** q294: exact substring-level dedup CLEANING — q114's census turned
+    * into the Lee et al. 2022 removal pass (keep the corpus-wide first
+    * occurrence of every duplicated 8-gram, erase the rest), with the
+    * surviving text fingerprinted per doc.
+    */
+  val substringRemovalQ: Q = (s, dir) =>
+    Dedup.substringRemoval(docs(s, dir)).orderBy("doc_id")
+
+  /** q295: BLEU over the MinHash-LSH candidate pairs — the exact
+    * evaluation-metric verification stage after approximate candidate
+    * generation (the q94 two-stage shape, with the metric the
+    * generation-eval literature standardizes on).
+    */
+  val bleuPairsQ: Q = (s, dir) =>
+    TextAnalysis.bleuPairs(docs(s, dir))
+
+  /** q296: ROUGE-1/2 precision/recall/F1 over the same LSH pairs. */
+  val rougePairsQ: Q = (s, dir) =>
+    TextAnalysis.rougePairs(docs(s, dir))
+
+  /** q297: Flesch reading-ease + Flesch–Kincaid grade per document. */
+  val readabilityQ: Q = (s, dir) =>
+    TextAnalysis.readability(docs(s, dir)).orderBy("doc_id")
+
+  /** q298: mixture diversity census — Shannon/Simpson/Gini over the
+    * token mass by source and by lang.
+    */
+  val diversityQ: Q = (s, dir) =>
+    Sampling.diversityCensus(docs(s, dir))
+
+  /** q299: seeded deterministic resumable training order — per-batch
+    * manifest with an order fingerprint (two-level prefix-sum rank,
+    * never a corpus-wide single-partition window).
+    */
+  val trainingOrderQ: Q = (s, dir) =>
+    Corpus.trainingOrder(docs(s, dir))
+
+  /** q300: curriculum training order — quality-tercile phases
+    * (easy→hard), seeded shuffle inside each phase, phase-mix audit
+    * per batch.
+    */
+  val curriculumOrderQ: Q = (s, dir) =>
+    Corpus.curriculumOrder(docs(s, dir))
+
+  /** q301: n-gram novelty curve along the q299 training order — new
+    * distinct 3-grams per batch + the cumulative Heaps growth.
+    */
+  val noveltyCurveQ: Q = (s, dir) =>
+    Corpus.noveltyCurve(docs(s, dir))
+
+  /** q302: substring-dedup gate at ingest — the arriving delta
+    * (doc_id >= [[IncrementalSplit]]) cleaned against the frozen
+    * 8-gram set of the base corpus, the stream-static serving half of
+    * q294 (same operator the StreamCuration twin runs per
+    * micro-batch).
+    */
+  val substringGateQ: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.substringGate(
+      d.filter(col("doc_id") >= IncrementalSplit),
+      Dedup.gramSet(d.filter(col("doc_id") < IncrementalSplit)))
+      .orderBy("doc_id")
+  }
+
   /** q115: sharded inverted index — per term, doc-id posting lists cut
     * into fixed-size shards (row size is bounded by ShardSize no matter
     * how hot the term). Document frequency is decided BEFORE any list
@@ -3096,6 +3160,15 @@ object PipelineQueries {
     "q291_psi_drift" -> psiQ,
     "q292_calibration" -> calibrationQ,
     "q293_percolator_bool" -> percolatorBoolQ,
+    "q294_substring_removal" -> substringRemovalQ,
+    "q295_bleu_pairs" -> bleuPairsQ,
+    "q296_rouge_pairs" -> rougePairsQ,
+    "q297_readability" -> readabilityQ,
+    "q298_diversity" -> diversityQ,
+    "q299_training_order" -> trainingOrderQ,
+    "q300_curriculum_order" -> curriculumOrderQ,
+    "q301_novelty_curve" -> noveltyCurveQ,
+    "q302_substring_gate" -> substringGateQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3438,6 +3511,15 @@ object PipelineQueries {
       s"${Sampling.O.hashBucket("doc_id")} < 50"),
     "q292_calibration" -> Classifier.O.calibrationCurve("source = 'src0'"),
     "q293_percolator_bool" -> TO.percolateBoolCensus(),
+    "q294_substring_removal" -> Dedup.O.substringRemoval(),
+    "q295_bleu_pairs" -> TO.bleuPairs(),
+    "q296_rouge_pairs" -> TO.rougePairs(),
+    "q297_readability" -> TO.readability(),
+    "q298_diversity" -> Sampling.O.diversityCensus(),
+    "q299_training_order" -> Corpus.O.trainingOrder(),
+    "q300_curriculum_order" -> Corpus.O.curriculumOrder(),
+    "q301_novelty_curve" -> Corpus.O.noveltyCurve(),
+    "q302_substring_gate" -> Dedup.O.substringGate(s"doc_id < $IncrementalSplit"),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -1,0 +1,218 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Sampling, TextAnalysis}
+
+/** Round-13 extension block: substring-removal cleaning, BLEU/ROUGE
+  * pair metrics, readability, diversity indices, resumable training
+  * order.
+  */
+class EvalMetricsSpec extends AnyFunSuite with TestSpark {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("substringRemoval erases the full later copy and keeps the first intact") {
+    val docs = Seq(
+      (1L, base, "en", "s0"),
+      (2L, base, "en", "s0"), // exact copy: every 8-gram has an earlier occurrence
+      (3L, "one two three four five six seven eight nine ten", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.substringRemoval(docs).orderBy("doc_id").collect()
+    assert(r.length == 3)
+    // doc 1: first occurrence of everything -> untouched
+    assert(r(0).getAs[Long]("n_kept") == 10 && r(0).getAs[Long]("n_removed") == 0)
+    val origMd5 = docs.filter($"doc_id" === 1).select(md5($"text")).head.getString(0)
+    assert(r(0).getAs[String]("kept_md5") == origMd5)
+    // doc 2: every position covered by a redundant window -> fully erased
+    assert(r(1).getAs[Long]("n_kept") == 0 && r(1).getAs[Long]("n_removed") == 10)
+    assert(r(1).getAs[Double]("removed_frac") == 1.0)
+    // doc 3: unique text -> untouched
+    assert(r(2).getAs[Long]("n_removed") == 0)
+    // invariant: kept + removed = total, everywhere
+    r.foreach(row => assert(
+      row.getAs[Long]("n_kept") + row.getAs[Long]("n_removed") == row.getAs[Long]("n_tokens")))
+  }
+
+  test("substringRemoval keeps exactly one copy of a shared boilerplate span") {
+    // Shared 8-word boilerplate inside otherwise-unique docs: the first
+    // doc keeps it, the second loses exactly those 8 words.
+    val bp = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"u1 u2 $bp u3 u4", "en", "s0"),
+      (2L, s"v1 v2 v3 $bp v4 v5", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.substringRemoval(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_removed") == 0)
+    assert(r(1).getAs[Long]("n_removed") == 8)
+    val cleaned2 = "v1 v2 v3 v4 v5"
+    assert(r(1).getAs[String]("kept_md5") ==
+      docs.sparkSession.range(1).select(md5(lit(cleaned2))).head.getString(0))
+  }
+
+  test("BLEU and ROUGE are exactly 1 on an identical LSH pair") {
+    val docs = Seq(
+      (1L, base, "en", "s0"),
+      (2L, base, "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val b = TextAnalysis.bleuPairs(docs).collect()
+    assert(b.length == 1)
+    val row = b.head
+    assert(row.getAs[Double]("bleu") == 1.0 && row.getAs[Double]("bp") == 1.0)
+    (1 to 4).foreach(i => assert(row.getAs[Double](s"p$i") == 1.0))
+    val rg = TextAnalysis.rougePairs(docs).collect()
+    assert(rg.length == 2)
+    rg.foreach { rr =>
+      assert(rr.getAs[Double]("rouge_p") == 1.0 && rr.getAs[Double]("rouge_r") == 1.0
+        && rr.getAs[Double]("rouge_f1") == 1.0)
+    }
+  }
+
+  test("BLEU matches a plain-Scala reference on a near-identical pair") {
+    val t1 = base
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota omega" // last word differs
+    val docs = Seq((1L, t1, "en", "s0"), (2L, t2, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.bleuPairs(docs).collect()
+    assert(got.length == 1, "near-identical docs must be LSH candidates")
+    def grams(t: String, n: Int): Map[String, Int] =
+      t.split(" ").sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity).map {
+        case (k, v) => k -> v.size
+      }
+    val ps = (1 to 4).map { n =>
+      val (g1, g2) = (grams(t1, n), grams(t2, n))
+      val m = g2.map { case (g, c) => math.min(c, g1.getOrElse(g, 0)) }.sum
+      m.toDouble / g2.values.sum
+    }
+    val expected = math.exp(ps.map(math.log).sum / 4) // bp = 1 (equal lengths)
+    val row = got.head
+    assert(math.abs(row.getAs[Double]("bleu") -
+      BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(row.getAs[Long]("ref_len") == 10 && row.getAs[Long]("cand_len") == 10)
+  }
+
+  test("readability computes the two Flesch formulas from heuristic counts") {
+    val docs = Seq((1L, "hello world. it is fun.", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.readability(docs).head
+    assert(r.getAs[Long]("n_words") == 5)
+    assert(r.getAs[Long]("n_sents") == 2)
+    // hello=2, world.=1, it=1, is=1, fun.=1
+    assert(r.getAs[Long]("n_syllables") == 6)
+    val flesch = 206.835 - 1.015 * (5.0 / 2) - 84.6 * (6.0 / 5)
+    val fk = 0.39 * (5.0 / 2) + 11.8 * (6.0 / 5) - 15.59
+    assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-6)
+    assert(math.abs(r.getAs[Double]("fk_grade") - fk) < 1e-6)
+  }
+
+  test("diversityCensus: balanced mixture has ln(k) entropy and zero Gini") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "s0"),
+      (2L, "e f g h", "de", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Sampling.diversityCensus(docs).collect().map(x =>
+      x.getAs[String]("dim") -> x).toMap
+    Seq("source", "lang").foreach { dim =>
+      val row = r(dim)
+      assert(row.getAs[Long]("n_groups") == 2)
+      assert(math.abs(row.getAs[Double]("shannon") - math.log(2)) < 1e-5)
+      assert(row.getAs[Double]("simpson") == 0.5)
+      assert(row.getAs[Double]("gini") == 0.0)
+      assert(math.abs(row.getAs[Double]("eff_groups") - 2.0) < 1e-5)
+    }
+  }
+
+  test("diversityCensus: single group is degenerate (H=0, Simpson=1, Gini=0)") {
+    val docs = Seq((1L, "a b c", "en", "s0"), (2L, "d e", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Sampling.diversityCensus(docs).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_groups") == 1)
+      assert(row.getAs[Double]("shannon") == 0.0)
+      assert(row.getAs[Double]("simpson") == 1.0)
+      assert(row.getAs[Double]("gini") == 0.0)
+    }
+  }
+
+  test("trainingOrder batches partition the corpus and replay the exact global order") {
+    val docs = (0L until 37L).map(i => (i, (s"w$i " * 3).trim, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.trainingOrder(docs, seed = "s1", batchSize = 10)
+      .orderBy("batch_id").collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 37)
+    assert(got.map(_.getAs[Long]("n_docs")).toSeq == Seq(10L, 10L, 10L, 7L))
+    assert(got.map(_.getAs[Long]("first_rank")).toSeq == Seq(1L, 11L, 21L, 31L))
+    // single-partition reference: sort by the md5 key on the driver
+    val ref = docs.select($"doc_id",
+        md5(concat(lit("s1:"), $"doc_id".cast("string"))).as("k"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).sortBy(identity).map(_._2)
+    val refBatches = ref.grouped(10).toSeq
+    got.zip(refBatches).foreach { case (row, ids) =>
+      val expMd5 = docs.sparkSession.range(1)
+        .select(md5(lit(ids.mkString(",")))).head.getString(0)
+      assert(row.getAs[String]("order_md5") == expMd5)
+    }
+  }
+
+  test("trainingOrder: a different seed permutes, the same seed replays") {
+    val docs = (0L until 30L).map(i => (i, s"t$i", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    def fp(seed: String) = Corpus.trainingOrder(docs, seed, batchSize = 30)
+      .select("order_md5").head.getString(0)
+    assert(fp("a") == fp("a"))
+    assert(fp("a") != fp("b"))
+  }
+
+  test("curriculumOrder schedules whole phases easy-to-hard with an audited mix") {
+    // quality_score is dominated by the token-count term: three planted
+    // tiers — long (head), medium (middle), short (tail)
+    def doc(i: Long, words: Int) = (i, (1 to words).map(j => s"w${i}x$j").mkString(" "), "en", "s0")
+    val docs = ((0L until 10L).map(doc(_, 220)) ++ (10L until 20L).map(doc(_, 100)) ++
+      (20L until 30L).map(doc(_, 10))).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.curriculumOrder(docs, seed = "c", batchSize = 10)
+      .orderBy("batch_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_head") == 10 && got(0).getAs[Long]("n_middle") == 0)
+    assert(got(1).getAs[Long]("n_middle") == 10)
+    assert(got(2).getAs[Long]("n_tail") == 10 && got(2).getAs[Long]("n_head") == 0)
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 30)
+    assert(got.map(_.getAs[Long]("first_rank")).toSeq == Seq(1L, 11L, 21L))
+  }
+
+  test("noveltyCurve: disjoint batches are fully novel; repeated text is novel once") {
+    // 20 docs with globally unique grams -> every batch 100% novel
+    val uniq = (0L until 20L).map(i => (i, (1 to 6).map(j => s"u${i}v$j").mkString(" "), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r1 = Corpus.noveltyCurve(uniq, seed = "n", batchSize = 5).collect()
+    assert(r1.forall(_.getAs[Double]("novelty_rate") == 1.0))
+    assert(r1.map(_.getAs[Long]("n_new_grams")).sum ==
+      r1.last.getAs[Long]("cum_new_grams"))
+    // identical docs -> only the first batch (in training order) is novel
+    val same = (0L until 20L).map(i => (i, base, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r2 = Corpus.noveltyCurve(same, seed = "n", batchSize = 5)
+      .orderBy("batch_id").collect()
+    assert(r2.head.getAs[Long]("n_new_grams") == 8) // 8 distinct 3-grams of a 10-word doc
+    assert(r2.tail.forall(_.getAs[Long]("n_new_grams") == 0))
+    assert(r2.last.getAs[Long]("cum_new_grams") == 8)
+  }
+
+  test("substringGate erases base boilerplate, keeps novelty, ignores within-batch dups") {
+    val bp = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val baseDocs = Seq((1L, s"a1 a2 $bp a3", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val grams = Dedup.gramSet(baseDocs)
+    val batch = Seq(
+      (10L, s"n1 n2 n3 $bp n4", "en", "s0"), // boilerplate must go, novelty stays
+      (11L, "f1 f2 f3 f4 f5 f6 f7 f8 f9", "en", "s0"), // fully novel: untouched
+      (12L, "f1 f2 f3 f4 f5 f6 f7 f8 f9", "en", "s0") // within-batch dup: ALSO untouched (contract)
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.substringGate(batch, grams).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_removed") == 8)
+    assert(r(0).getAs[String]("kept_md5") ==
+      batch.sparkSession.range(1).select(md5(lit("n1 n2 n3 n4"))).head.getString(0))
+    assert(r(1).getAs[Long]("n_removed") == 0)
+    assert(r(2).getAs[Long]("n_removed") == 0)
+  }
+}

@@ -127,4 +127,44 @@ class StreamCurationSpec extends AnyFunSuite with TestSpark {
     assert(got.forall { case (id, (_, _, _, sel)) => sel == (bySource(id) == "src0") },
       s"selection does not match the planted structure: $got")
   }
+
+  test("substring gate: micro-batches scrub against the frozen gram set exactly like batch") {
+    import graft.operators.Dedup
+    val bp = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val baseDocs = Seq((1L, s"base words $bp more base", "src0"))
+      .toDF("doc_id", "text", "source")
+    val grams = Dedup.gramSet(baseDocs).cache() // the frozen artifact
+    val feed: Seq[(Long, String, String)] = (10L until 30L).map { i =>
+      val t = if (i % 3 == 0) s"x${i}a x${i}b $bp x${i}c" // planted boilerplate
+      else s"y${i}a y${i}b y${i}c y${i}d y${i}e y${i}f y${i}g y${i}h"
+      (i, t, "feed")
+    }
+    val docs = feed.toDF("doc_id", "text", "source")
+    val want = StreamCuration.substringGate(docs, grams).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_removed"), r.getAs[String]("kept_md5"))))
+      .toMap
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      StreamCuration.substringGate(b, grams).collect().foreach { r =>
+        buf.synchronized {
+          buf(r.getLong(0)) = ((r.getAs[Long]("n_removed"), r.getAs[String]("kept_md5")))
+        }
+      }
+    val q = mem.toDF().toDF("doc_id", "text", "source")
+      .writeStream.foreachBatch(fn).start()
+    mem.addData(feed.take(7): _*)
+    q.processAllAvailable()
+    mem.addData(feed.drop(7): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.toMap == want, "stream and batch scrub results diverge")
+    // the planted boilerplate is erased in every doc carrying it
+    feed.foreach { case (id, t, _) =>
+      assert(want(id)._1 == (if (t.contains(bp)) 8L else 0L))
+    }
+    grams.unpersist()
+  }
 }
