@@ -1598,8 +1598,8 @@ object TextAnalysis {
     * space beyond the candidates ever exists.
     */
   private def pairNgramStats(docs: DataFrame, ns: Seq[Int],
-      textCol: String): DataFrame = {
-    val cand = Dedup.minhashPairs(docs).select("d1", "d2")
+      textCol: String, pairs: Option[DataFrame]): DataFrame = {
+    val cand = pairs.getOrElse(Dedup.minhashPairs(docs)).select("d1", "d2")
     val gc = ns.map { n =>
         docs.select(col("doc_id"), lit(n).as("n"),
           explode(Text.shinglesOfWords(Text.words(col(textCol)), n)).as("g"))
@@ -1634,8 +1634,9 @@ object TextAnalysis {
     * matches. All counts are integers; the double arithmetic is one
     * fixed expression both engines evaluate identically.
     */
-  def bleuPairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val st = pairNgramStats(docs, 1 to 4, textCol)
+  def bleuPairs(docs: DataFrame, textCol: String = "text",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val st = pairNgramStats(docs, 1 to 4, textCol, pairs)
     def piv(c: String, n: Int, as: String) =
       max(when(col("n") === n, col(c))).as(as)
     val wide = st.groupBy("d1", "d2").agg(
@@ -1664,8 +1665,8 @@ object TextAnalysis {
     * are no matches (both components zero).
     */
   def rougePairs(docs: DataFrame, ns: Seq[Int] = Seq(1, 2),
-      textCol: String = "text"): DataFrame = {
-    val st = pairNgramStats(docs, ns, textCol)
+      textCol: String = "text", pairs: Option[DataFrame] = None): DataFrame = {
+    val st = pairNgramStats(docs, ns, textCol, pairs)
     val p = when(col("t2") > 0, col("m").cast("double") / col("t2"))
     val r = when(col("t1") > 0, col("m").cast("double") / col("t1"))
     st.select(

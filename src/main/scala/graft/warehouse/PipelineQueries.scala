@@ -85,8 +85,16 @@ object PipelineQueries {
   val ngramJaccard: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(docs(s, dir)).orderBy("d1", "d2")
 
+  /** MinHash-LSH candidate pairs as a session artifact — feeds
+    * q43/q295/q296 (one signature + band pass per session, the
+    * mClusters discipline).
+    */
+  private def mMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "minhash_pairs")(
+      Dedup.minhashPairs(docs(s, dir)))
+
   val minhashLsh: Q = (s, dir) =>
-    Dedup.minhashPairs(docs(s, dir)).orderBy("d1", "d2")
+    mMinhashPairs(s, dir).orderBy("d1", "d2")
 
   val simhash: Q = (s, dir) =>
     Dedup.simhashPairs(docs(s, dir)).orderBy("d1", "d2")
@@ -879,11 +887,11 @@ object PipelineQueries {
     * generation-eval literature standardizes on).
     */
   val bleuPairsQ: Q = (s, dir) =>
-    TextAnalysis.bleuPairs(docs(s, dir))
+    TextAnalysis.bleuPairs(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
 
   /** q296: ROUGE-1/2 precision/recall/F1 over the same LSH pairs. */
   val rougePairsQ: Q = (s, dir) =>
-    TextAnalysis.rougePairs(docs(s, dir))
+    TextAnalysis.rougePairs(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
 
   /** q297: Flesch reading-ease + Flesch–Kincaid grade per document. */
   val readabilityQ: Q = (s, dir) =>

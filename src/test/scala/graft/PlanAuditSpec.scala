@@ -634,4 +634,23 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
         listScans.mkString("\n").take(1200))
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
   }
+
+  test("substring gate pushes the base/delta split to the documents scans") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val p = plan("q302_substring_gate")
+      assert(p.contains("LessThan(doc_id,400)"), p.take(1500))
+      assert(p.contains("GreaterThanOrEqual(doc_id,400)"), p.take(1500))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+  }
+
+  test("pair metrics broadcast the bounded LSH candidate list") {
+    val p = plan("q295_bleu_pairs")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
+  test("training order ranks inside hex-prefix buckets (keyed shuffle)") {
+    val p = plan("q299_training_order")
+    assert(p.contains("hashpartitioning(bucket"), p.take(1500))
+  }
 }
