@@ -125,6 +125,14 @@ object StressBench {
     // doc-keyed left join + one keyed aggregation)
     "q279_kneser_ney" -> warehouse.PipelineQueries.knScores,
     "q283_soft_dedup" -> warehouse.PipelineQueries.softDedupQ,
+    // substring-level cleaning: gram-position explode + keyed min +
+    // bounded erasure explode + per-doc reassembly — every stage must
+    // track the input linearly (the x10 corpus multiplies positions,
+    // not the pair space)
+    "q294_substring_removal" -> warehouse.PipelineQueries.substringRemovalQ,
+    // the two-level prefix-sum rank: keyed bucket windows + the fixed
+    // 256-row offset frame — the offset frame must NOT grow with input
+    "q299_training_order" -> warehouse.PipelineQueries.trainingOrderQ,
     // q52's production operator is ADAPTIVE: below 2M edges it solves
     // on the driver (microseconds), above it runs the distributed
     // pointer-jumping loop — so the plain q52 ratio jumps two regimes

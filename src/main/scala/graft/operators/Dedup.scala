@@ -106,6 +106,71 @@ object Dedup {
       .select(col("d1"), col("d2"), round(matches / lit(MinhashK.toDouble), 6).as("est_jaccard"))
   }
 
+  /** Analytic LSH S-curve collision probability 1-(1-t^r)^b, computed
+    * by explicit IEEE multiplication chains so the Scala value and any
+    * engine replaying the same chain agree bit-for-bit.
+    */
+  private[graft] def lshCollisionProb(t: Double, b: Int, r: Int): Double = {
+    val tr = (1 to r).foldLeft(1.0)((a, _) => a * t)
+    1.0 - (1 to b).foldLeft(1.0)((a, _) => a * (1.0 - tr))
+  }
+
+  /** LSH band-configuration TUNING curve — the (bands, rows) knob
+    * priced the way q206 prices the Matryoshka d and q281 prices the
+    * rerank m: from the SAME 16-component MinHash signatures, each
+    * config with b·r = MinhashK builds its band join, and is scored
+    * against the exact-Jaccard truth set (pairs ≥ `truthThreshold`
+    * from the df-capped q42 generator): candidate volume (the cost
+    * axis), precision, recall, plus the analytic collision probability
+    * at the threshold. Signatures are computed once; every candidate
+    * join is banded equality; the truth set is near-dup-sized and
+    * joins keyed — no pair space beyond each config's own candidates.
+    */
+  def lshTuningCurve(docs: DataFrame,
+      configs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2)),
+      truthThreshold: Double = 0.5): DataFrame = {
+    require(configs.forall { case (b, r) => b * r == MinhashK },
+      s"each (bands, rows) config must factor MinhashK = $MinhashK")
+    val sig = minhashSignatures(docs).cache()
+    val truth = ngramJaccardPairs(docs)
+      .filter(col("jaccard") >= truthThreshold)
+      .select("d1", "d2")
+      .cache()
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val perConfig = configs.map { case (b, r) =>
+      val bandCols = (0 until b).map { bi =>
+        struct(lit(bi).as("band_id"),
+          concat_ws("|", (0 until r).map(j => col(s"h${bi * r + j}")): _*).as("band_val"))
+      }
+      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .cache()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+        .withColumn("bands", lit(b))
+        .withColumn("rows_per_band", lit(r))
+        .withColumn("p_collision",
+          lit(BigDecimal(lshCollisionProb(truthThreshold, b, r))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.reduce(_ unionByName _)
+    perConfig.crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_hits"), col("n_true"),
+        round(when(col("n_candidates") > 0,
+          col("n_hits").cast("double") / col("n_candidates")), 6).as("pair_precision"),
+        round(when(col("n_true") > 0,
+          col("n_hits").cast("double") / col("n_true")), 6).as("pair_recall"),
+        col("p_collision"))
+      .orderBy("bands")
+  }
+
   /** Per-document 60-bit SimHash: md5 token hashes, per-bit majority vote
     * computed as 60 conditional sums in one aggregation pass (no bit
     * explosion).
@@ -1030,6 +1095,58 @@ object Dedup {
     def minhashPairs: String =
       s"""$minhashPairCtes
          |SELECT d1, d2, est_jaccard FROM mhp ORDER BY d1, d2""".stripMargin
+
+    /** Mirrors [[Dedup.lshTuningCurve]]: one signature table, one
+      * hashed-shingle truth set (the q42 df-capped generator at the
+      * tuning threshold), per-config band-equality candidate CTEs, and
+      * the shared Scala-computed analytic collision literal.
+      */
+    def lshTuningCurve(configs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2)),
+        truthThreshold: Double = 0.5): String = {
+      val cfgCtes = configs.map { case (b, r) =>
+        val bands = (0 until b).map { bi =>
+          (0 until r).map(j => s"a.h${bi * r + j} = b.h${bi * r + j}")
+            .mkString("(", " AND ", ")")
+        }.mkString(" OR ")
+        s"""cand_${b}_$r AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bands))""".stripMargin
+      }.mkString(",\n")
+      val rows = configs.map { case (b, r) =>
+        val p = BigDecimal(lshCollisionProb(truthThreshold, b, r))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+           |  (SELECT COUNT(*) FROM cand_${b}_$r) AS n_candidates,
+           |  (SELECT COUNT(*) FROM cand_${b}_$r c JOIN truth t
+           |     ON t.d1 = c.d1 AND t.d2 = c.d2) AS n_hits,
+           |  (SELECT COUNT(*) FROM truth) AS n_true,
+           |  CAST($p AS DOUBLE) AS p_collision""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$shingleCte,
+         |sig AS MATERIALIZED (SELECT doc_id,
+         |         $minhashHs
+         |        FROM sh GROUP BY doc_id),
+         |hsh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+         |rare AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) <= $JaccardDocFreqCap),
+         |filt AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h)),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+         |          FROM filt a JOIN filt b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT d1, d2 FROM inter
+         |         JOIN sizes za ON d1 = za.doc_id JOIN sizes zb ON d2 = zb.doc_id
+         |         WHERE round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 6)
+         |           >= $truthThreshold),
+         |$cfgCtes
+         |SELECT bands, rows_per_band, n_candidates, n_hits, n_true,
+         |  round(CASE WHEN n_candidates > 0
+         |             THEN CAST(n_hits AS DOUBLE) / n_candidates END, 6) AS pair_precision,
+         |  round(CASE WHEN n_true > 0
+         |             THEN CAST(n_hits AS DOUBLE) / n_true END, 6) AS pair_recall,
+         |  p_collision
+         |FROM (
+         |$rows
+         |) ORDER BY bands""".stripMargin
+    }
 
     def simhashPairs: String = {
       val bitSums = (0 until SimhashBits)

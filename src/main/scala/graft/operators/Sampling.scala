@@ -283,6 +283,50 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic SYSTEMATIC resampling with replacement — the
+    * particle-filter / data-mixture standard: k draws exactly
+    * proportional to weight, zero variance, zero randomness. The
+    * quality-weighted cumulative share axis is cut at k equally spaced
+    * thresholds; doc i receives floor(shareᵢ·k) − floor(shareᵢ₋₁·k)
+    * copies, so Σ copies = k exactly and every doc's copy count is
+    * within 1 of its exact expectation — the with-replacement
+    * extension of this file's pure-function membership discipline
+    * (seeded rand() gives neither the proportionality nor the
+    * replayability).
+    *
+    * Engine-exactness: weights round to 6 dp and accumulate as exact
+    * decimals via the two-level prefix sum (per-bucket keyed windows +
+    * the tiny bucket-offset frame — never a corpus-wide
+    * single-partition window); shares round to 12 dp before the floor,
+    * so the grid cut is the same IEEE double in both engines.
+    */
+  def systematicResample(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w6 = TextAnalysis.withTextStats(docs)
+      .select(col("doc_id"),
+        round(col("quality_score"), 6).cast("decimal(38,6)").as("w"))
+      .withColumn("bucket", expr("doc_id div 100"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val boff = w6.groupBy("bucket").agg(sum(col("w")).as("bt"))
+      .withColumn("boff",
+        coalesce(sum(col("bt")).over(wB), lit(0).cast("decimal(38,6)")))
+      .select("bucket", "boff")
+    val tot = w6.agg(sum(col("w")).as("tw"))
+    val share = round((col("boff") + col("cw")).cast("double") / col("tw").cast("double"), 12)
+    val sharePrev =
+      round((col("boff") + col("cw") - col("w")).cast("double") / col("tw").cast("double"), 12)
+    w6.withColumn("cw", sum(col("w")).over(wIn))
+      .join(broadcast(boff), "bucket")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_copies", floor(share * k) - floor(sharePrev * k))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("w").cast("double").as("weight"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** Mixture diversity census over the corpus token mass, one row per
     * grouping dimension (source, lang): group count, Shannon entropy
     * (nats) with its effective group number, Simpson concentration with
@@ -378,6 +422,29 @@ object Sampling {
       s"""CASE WHEN ${hashBucket(key)} < $trainPct THEN 'train'
          |     WHEN ${hashBucket(key)} < ${trainPct + valPct} THEN 'val'
          |     ELSE 'test' END""".stripMargin
+
+    /** Mirrors [[Sampling.systematicResample]]: 6-dp decimal weights,
+      * exact decimal cumulative sum (the two-level Spark split and this
+      * single window are value-identical — decimal addition is exact),
+      * 12-dp share rounding before the floor-grid cut.
+      */
+    def systematicResample(k: Int = 100): String = {
+      import TextAnalysis.{O => TO}
+      s"""WITH s AS (SELECT doc_id, ${TO.textStats} FROM documents),
+         |w AS (SELECT doc_id, CAST(round(quality_score, 6) AS DECIMAL(38,6)) AS w FROM s),
+         |t AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS tw FROM w),
+         |c AS (SELECT doc_id, w,
+         |        SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w),
+         |g AS (SELECT doc_id, w,
+         |        round(CAST(cum AS DOUBLE) / CAST(tw AS DOUBLE), 12) AS sh,
+         |        round(CAST(cum - w AS DOUBLE) / CAST(tw AS DOUBLE), 12) AS shp
+         |      FROM c CROSS JOIN t)
+         |SELECT doc_id, CAST(w AS DOUBLE) AS weight,
+         |  CAST(floor(sh * $k) - floor(shp * $k) AS BIGINT) AS n_copies
+         |FROM g
+         |WHERE floor(sh * $k) - floor(shp * $k) > 0
+         |ORDER BY doc_id""".stripMargin
+    }
 
     /** Mirrors [[Sampling.diversityCensus]]: identical rank ordering,
       * 18-dp decimal sums for the entropy/concentration terms,

@@ -937,6 +937,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q303: deterministic systematic resampling — k quality-weighted
+    * with-replacement draws, exactly proportional, zero randomness.
+    */
+  val systematicResampleQ: Q = (s, dir) =>
+    Sampling.systematicResample(docs(s, dir))
+
+  /** q304: LSH band-configuration tuning curve — candidate volume,
+    * precision, recall vs the exact-Jaccard truth set for each
+    * (bands, rows) factorization of the 16-component signature.
+    */
+  val lshTuningQ: Q = (s, dir) =>
+    Dedup.lshTuningCurve(docs(s, dir))
+
   /** q115: sharded inverted index — per term, doc-id posting lists cut
     * into fixed-size shards (row size is bounded by ShardSize no matter
     * how hot the term). Document frequency is decided BEFORE any list
@@ -3177,6 +3190,8 @@ object PipelineQueries {
     "q300_curriculum_order" -> curriculumOrderQ,
     "q301_novelty_curve" -> noveltyCurveQ,
     "q302_substring_gate" -> substringGateQ,
+    "q303_systematic_resample" -> systematicResampleQ,
+    "q304_lsh_tuning" -> lshTuningQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3528,6 +3543,8 @@ object PipelineQueries {
     "q300_curriculum_order" -> Corpus.O.curriculumOrder(),
     "q301_novelty_curve" -> Corpus.O.noveltyCurve(),
     "q302_substring_gate" -> Dedup.O.substringGate(s"doc_id < $IncrementalSplit"),
+    "q303_systematic_resample" -> Sampling.O.systematicResample(),
+    "q304_lsh_tuning" -> Dedup.O.lshTuningCurve(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -199,6 +199,34 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
     assert(r2.last.getAs[Long]("cum_new_grams") == 8)
   }
 
+  test("systematicResample draws exactly k copies, uniformly under uniform weights") {
+    val docs = (0L until 25L).map(i => (i, base, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Sampling.systematicResample(docs, k = 50).collect()
+    assert(r.map(_.getAs[Long]("n_copies")).sum == 50)
+    // identical texts -> identical weights -> exactly 2 copies each
+    assert(r.length == 25 && r.forall(_.getAs[Long]("n_copies") == 2L))
+    val r2 = Sampling.systematicResample(docs, k = 7).collect()
+    assert(r2.map(_.getAs[Long]("n_copies")).sum == 7)
+    assert(r2.forall(_.getAs[Long]("n_copies") == 1L)) // within 1 of expectation 7/25
+  }
+
+  test("lshTuningCurve: an identical pair survives every band config; analytic curve matches") {
+    val docs = (Seq((1L, base, "en", "s0"), (2L, base, "en", "s0")) ++
+      (3L until 10L).map(i => (i, (1 to 12).map(j => s"z${i}w$j").mkString(" "), "en", "s0")))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.lshTuningCurve(docs).orderBy("bands").collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_true") == 1)
+      assert(row.getAs[Long]("n_hits") == 1, "identical docs share every band")
+      assert(row.getAs[Double]("pair_recall") == 1.0)
+      val (b, rr) = (row.getAs[Int]("bands"), row.getAs[Int]("rows_per_band"))
+      val p = 1.0 - math.pow(1.0 - math.pow(0.5, rr), b)
+      assert(math.abs(row.getAs[Double]("p_collision") - p) < 1e-6)
+    }
+  }
+
   test("substringGate erases base boilerplate, keeps novelty, ignores within-batch dups") {
     val bp = "c1 c2 c3 c4 c5 c6 c7 c8"
     val baseDocs = Seq((1L, s"a1 a2 $bp a3", "en", "s0")).toDF("doc_id", "text", "lang", "source")
