@@ -755,6 +755,66 @@ object Corpus {
       sum(when(col("phase") === 2, 1L).otherwise(0L)).as("n_tail")))
   }
 
+  /** Mixture-balanced INTERLEAVED training order (stride scheduling —
+    * the deterministic spelling of "draw from source s with probability
+    * n_s/N"): every document gets a seeded per-source rank (the same
+    * two-level machinery as [[trainingOrder]], partitioned by source),
+    * its progress key rank/n_s ∈ (0,1] measures how far through its
+    * source's quota it sits, and the global order sorts by progress —
+    * so every batch reproduces the corpus mixture to within rounding,
+    * with no randomness and no coordination. The census reports each
+    * batch's source mix against the corpus share.
+    *
+    * Scale: per-source ranks via (source, bucket) keyed windows + a
+    * |sources|·256-row offset frame; the global progress rank via 256
+    * ordered progress buckets + their tiny offset frame — never a
+    * corpus-wide single-partition window.
+    */
+  def mixtureInterleave(docs: DataFrame, seed: String = "graft",
+      batchSize: Int = 64, textCol: String = "text"): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val d = docs.select(col("doc_id"), col("source"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    // per-source seeded rank: within (source, hex bucket) + offsets
+    val wIn = Window.partitionBy("source", "bucket").orderBy("key", "doc_id")
+    val wSb = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sOff = d.groupBy("source", "bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wSb), lit(0L)))
+      .select("source", "bucket", "boff")
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("ns"))
+    val keyed = d.withColumn("within", row_number().over(wIn))
+      .join(broadcast(sOff), Seq("source", "bucket"))
+      .join(broadcast(sizes), "source")
+      .withColumn("progress",
+        (col("boff") + col("within")).cast("double") / col("ns"))
+      // 256 ordered progress-range buckets over (0, 1]
+      .withColumn("pbucket",
+        least(floor(col("progress") * 256).cast("int"), lit(255)))
+    val wP = Window.partitionBy("pbucket").orderBy("progress", "source", "doc_id")
+    val wPb = Window.orderBy("pbucket").rowsBetween(Window.unboundedPreceding, -1)
+    val pOff = keyed.groupBy("pbucket").agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(sum(col("pn")).over(wPb), lit(0L)))
+      .select("pbucket", "poff")
+    val ranked = keyed.withColumn("prn", row_number().over(wP))
+      .join(broadcast(pOff), "pbucket")
+      .withColumn("rank", col("poff") + col("prn"))
+      .withColumn("batch_id", expr(s"(rank - 1) div $batchSize"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    ranked.groupBy("batch_id", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(sizes), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("batch_total",
+        sum(col("n_docs")).over(Window.partitionBy("batch_id")))
+      .select(col("batch_id"), col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("batch_total"), 6).as("batch_share"),
+        round(col("ns").cast("double") / col("n_total"), 6).as("corpus_share"))
+      .withColumn("abs_dev", round(abs(col("batch_share") - col("corpus_share")), 6))
+      .orderBy("batch_id", "source")
+  }
+
   /** N-gram NOVELTY curve along the training order — the data-freshness
     * diagnostic of a chosen schedule: per batch, how many of its
     * distinct word 3-grams appear here for the FIRST time (no
@@ -1125,6 +1185,45 @@ object Corpus {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank)) AS order_md5
          |FROM p GROUP BY 1 ORDER BY batch_id""".stripMargin
     }
+
+    /** Mirrors [[Corpus.mixtureInterleave]]: per-source two-level
+      * seeded ranks, the progress key, 256 progress-range buckets, and
+      * the rounded batch-vs-corpus mix census.
+      */
+    def mixtureInterleave(seed: String = "graft", batchSize: Int = 64): String =
+      s"""WITH d AS (SELECT doc_id, source,
+         |    md5('$seed:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+         |b AS (SELECT doc_id, source, key, substr(key, 1, 2) AS bucket FROM d),
+         |wi AS (SELECT doc_id, source, bucket,
+         |    row_number() OVER (PARTITION BY source, bucket ORDER BY key, doc_id) AS within
+         |  FROM b),
+         |so AS (SELECT source, bucket, COALESCE(SUM(bn) OVER (PARTITION BY source
+         |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+         |  FROM (SELECT source, bucket, COUNT(*) AS bn FROM b GROUP BY 1, 2)),
+         |sz AS (SELECT source, COUNT(*) AS ns FROM b GROUP BY 1),
+         |k2 AS (SELECT doc_id, source, progress,
+         |    least(CAST(floor(progress * 256) AS INT), 255) AS pbucket FROM (
+         |    SELECT wi.doc_id, wi.source,
+         |      CAST(so.boff + wi.within AS DOUBLE) / sz.ns AS progress
+         |    FROM wi JOIN so USING (source, bucket) JOIN sz USING (source))),
+         |pw AS (SELECT doc_id, source, pbucket,
+         |    row_number() OVER (PARTITION BY pbucket ORDER BY progress, source, doc_id) AS prn
+         |  FROM k2),
+         |po AS (SELECT pbucket, COALESCE(SUM(pn) OVER (ORDER BY pbucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+         |  FROM (SELECT pbucket, COUNT(*) AS pn FROM k2 GROUP BY 1)),
+         |r AS (SELECT pw.doc_id, pw.source, (po.poff + pw.prn - 1) // $batchSize AS batch_id
+         |      FROM pw JOIN po USING (pbucket)),
+         |t AS (SELECT COUNT(*) AS n_total FROM documents),
+         |g AS (SELECT batch_id, source, COUNT(*) AS n_docs FROM r GROUP BY 1, 2),
+         |bt AS (SELECT batch_id, SUM(n_docs) AS batch_total FROM g GROUP BY 1)
+         |SELECT CAST(g.batch_id AS BIGINT) AS batch_id, g.source, g.n_docs,
+         |  round(CAST(g.n_docs AS DOUBLE) / bt.batch_total, 6) AS batch_share,
+         |  round(CAST(sz.ns AS DOUBLE) / t.n_total, 6) AS corpus_share,
+         |  round(abs(round(CAST(g.n_docs AS DOUBLE) / bt.batch_total, 6)
+         |    - round(CAST(sz.ns AS DOUBLE) / t.n_total, 6)), 6) AS abs_dev
+         |FROM g JOIN bt USING (batch_id) JOIN sz USING (source) CROSS JOIN t
+         |ORDER BY batch_id, source""".stripMargin
 
     /** Mirrors [[Corpus.noveltyCurve]]: per-doc distinct 3-grams →
       * distinct (batch, gram) → first-batch keyed min → per-batch

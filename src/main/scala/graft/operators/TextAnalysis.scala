@@ -396,7 +396,15 @@ object TextAnalysis {
   }
 
   /** Score a per-doc bigram stream against a frozen [[KnModel]]. */
-  def knScoreBigrams(docBg: DataFrame, model: KnModel): DataFrame = {
+  def knScoreBigrams(docBg: DataFrame, model: KnModel): DataFrame =
+    knScoreBigramsBy(docBg, model, Seq("doc_id"))
+
+  /** [[knScoreBigrams]] generalized to an arbitrary grouping key set —
+    * the chunk-level caller ([[knWindowLocalize]]) scores
+    * (doc_id, chunk_idx) streams with the identical score table.
+    */
+  def knScoreBigramsBy(docBg: DataFrame, model: KnModel,
+      keys: Seq[String]): DataFrame = {
     val p = bgPart
     // One row per DISTINCT corpus bigram: the score table. Pcont's
     // denominator and both interpolation terms are spelled with the
@@ -420,13 +428,59 @@ object TextAnalysis {
           .otherwise(col("pc")))
       .select(col("bg"), col("c_bg"), col("c_w1"), log(col("p")).as("lp"))
     docBg.join(bgScore, "bg")
-      .groupBy("doc_id")
+      .groupBy(keys.map(col): _*)
       .agg(
         sum(col("n")).as("n_bigrams"),
         sum(when(col("c_bg").isNotNull, col("n")).otherwise(0L)).as("n_hits"),
         sum(when(col("c_w1").isNotNull, col("n")).otherwise(0L)).as("n_ctx_hits"),
         (sum(col("lp").cast("decimal(38,6)") * col("n")).cast("double") / sum(col("n")))
           .as("kn_avg_logprob"))
+  }
+
+  /** Windowed KN-perplexity LOCALIZATION — which PART of a document is
+    * the low-quality part: sliding word windows (the q88 chunk grid)
+    * are each scored against the frozen [[KnModel]], and the per-doc
+    * report carries the worst window's index and score beside the best
+    * (the doc-level q279 score says "drop or keep"; this says "trim
+    * HERE"). Round-then-rank with the chunk_idx tie-break, so the
+    * worst-window call is engine-deterministic.
+    *
+    * Scale: the chunk explode is bounded (stride-overlap duplication
+    * ≈ chunkTokens/stride), scoring is the same gram-keyed join as the
+    * doc-level pass, and the localization windows are keyed per doc.
+    */
+  def knWindowLocalize(docs: DataFrame, refPred: Column, chunkTokens: Int = 32,
+      stride: Int = 24, textCol: String = "text"): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"), refPred.as("is_ref"),
+      Text.words(col(textCol)).as("w"))
+      .cache()
+    val model = knTrain(words.filter(col("is_ref")))
+    val ch = words
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("int").as("chunk_idx"),
+        slice(col("w"), col("start"), lit(chunkTokens)).as("cw"))
+      .filter(size(col("cw")) >= 2)
+    val bg = ch
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(Text.shinglesOfWords(col("cw"), 2)).as("bg"))
+      .groupBy("doc_id", "chunk_idx", "bg").agg(count(lit(1)).as("n"))
+    val wd = Window.partitionBy("doc_id")
+    knScoreBigramsBy(bg, model, Seq("doc_id", "chunk_idx"))
+      .withColumn("sc6", round(col("kn_avg_logprob"), 6))
+      .withColumn("rn", row_number().over(wd.orderBy(col("sc6"), col("chunk_idx"))))
+      .withColumn("n_chunks", count(lit(1)).over(wd))
+      .withColumn("worst_score", min(col("sc6")).over(wd))
+      .withColumn("best_score", max(col("sc6")).over(wd))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_chunks"),
+        col("chunk_idx").cast("int").as("worst_chunk"),
+        col("worst_score"), col("best_score"),
+        round(col("best_score") - col("worst_score"), 6).as("score_range"))
   }
 
   /** Class-based TF-IDF topic labeling (the BERTopic c-TF-IDF,
@@ -2113,6 +2167,59 @@ object TextAnalysis {
          |  CAST(SUM(CASE WHEN ctx_hit THEN n ELSE 0 END) AS BIGINT) AS n_ctx_hits,
          |  (CAST(SUM(CAST(lp AS DECIMAL(38,6)) * n) AS DOUBLE) / SUM(n)) AS kn_avg_logprob
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[TextAnalysis.knWindowLocalize]]: the knBigramScores
+      * model chain scored per (doc, chunk) over the q88 chunk grid,
+      * then the round-then-rank worst-window localization.
+      */
+    def knWindowLocalize(refPredSql: String, chunkTokens: Int = 32,
+        stride: Int = 24): String =
+      s"""WITH wl AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |ch AS (SELECT doc_id, CAST((start - 1) / $stride AS INT) AS chunk_idx,
+         |         w[start:least(start + ${chunkTokens - 1}, n)] AS cw
+         |       FROM (SELECT doc_id, w, len(w) AS n,
+         |               CAST(unnest(range(1, len(w) + 1, $stride)) AS INT) AS start
+         |             FROM wl)),
+         |chb AS (SELECT doc_id, chunk_idx,
+         |          unnest(list_transform(range(1, len(cw)), i -> cw[i] || ' ' || cw[i+1])) AS bg
+         |        FROM ch WHERE len(cw) >= 2),
+         |s AS (SELECT doc_id, chunk_idx, bg, COUNT(*) AS n FROM chb GROUP BY 1, 2, 3),
+         |rb AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+         |       FROM wl WHERE ($refPredSql) AND len(w) >= 2),
+         |cb AS (SELECT bg, COUNT(*) AS c_bg FROM rb GROUP BY 1),
+         |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1,
+         |          COUNT(*) AS n1fw FROM cb GROUP BY 1),
+         |cont AS (SELECT string_split(bg, ' ')[2] AS w2, COUNT(*) AS n_cont FROM cb GROUP BY 1),
+         |sc AS (SELECT COUNT(*) AS b_tot, COUNT(DISTINCT string_split(bg, ' ')[2]) AS v_cont FROM cb),
+         |parts AS (SELECT doc_id, chunk_idx, bg, n,
+         |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM s),
+         |j0 AS (SELECT p.doc_id, p.chunk_idx, p.n, cb.c_bg, cx.c_w1, cx.n1fw,
+         |    (CAST(COALESCE(ct.n_cont, 0) AS DOUBLE) + 0.5)
+         |      / (CAST(sc.b_tot AS DOUBLE) + 0.5 * CAST(sc.v_cont + 1 AS DOUBLE)) AS pc
+         |  FROM parts p
+         |  LEFT JOIN cb USING (bg)
+         |  LEFT JOIN ctx cx ON cx.w1 = p.w1
+         |  LEFT JOIN cont ct ON ct.w2 = p.w2
+         |  CROSS JOIN sc),
+         |j AS (SELECT doc_id, chunk_idx, n,
+         |    ln(CASE WHEN c_w1 IS NOT NULL
+         |        THEN greatest(CAST(COALESCE(c_bg, 0) AS DOUBLE) - $KnDiscount, CAST(0 AS DOUBLE)) / c_w1
+         |             + $KnDiscount * CAST(n1fw AS DOUBLE) / c_w1 * pc
+         |        ELSE pc END) AS lp
+         |  FROM j0),
+         |kc AS (SELECT doc_id, chunk_idx,
+         |    round(CAST(SUM(CAST(lp AS DECIMAL(38,6)) * n) AS DOUBLE) / SUM(n), 6) AS sc6
+         |  FROM j GROUP BY 1, 2),
+         |loc AS (SELECT doc_id, chunk_idx, sc6,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY sc6, chunk_idx) AS rn,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks,
+         |    MIN(sc6) OVER (PARTITION BY doc_id) AS worst_score,
+         |    MAX(sc6) OVER (PARTITION BY doc_id) AS best_score
+         |  FROM kc)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(chunk_idx AS INT) AS worst_chunk, worst_score, best_score,
+         |  round(best_score - worst_score, 6) AS score_range
+         |FROM loc WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
     /** Mirrors tfidfTopTerms (DuckDB `log` is base-10 — `ln` is the
       * twin of Spark's `log`). Rounded before ranking in BOTH engines.

@@ -950,6 +950,21 @@ object PipelineQueries {
   val lshTuningQ: Q = (s, dir) =>
     Dedup.lshTuningCurve(docs(s, dir))
 
+  /** q305: mixture-balanced interleaved training order (stride
+    * scheduling) — every batch reproduces the corpus source mix,
+    * deterministically, with the per-batch deviation audited.
+    */
+  val mixtureInterleaveQ: Q = (s, dir) =>
+    Corpus.mixtureInterleave(docs(s, dir))
+
+  /** q306: windowed KN-perplexity localization — the q279 quality
+    * signal resolved to the worst window INSIDE each doc ("trim here",
+    * not just "drop this").
+    */
+  val knWindowLocalizeQ: Q = (s, dir) =>
+    TextAnalysis.knWindowLocalize(docs(s, dir), col("source") =!= "src0")
+      .orderBy("doc_id")
+
   /** q115: sharded inverted index — per term, doc-id posting lists cut
     * into fixed-size shards (row size is bounded by ShardSize no matter
     * how hot the term). Document frequency is decided BEFORE any list
@@ -3192,6 +3207,8 @@ object PipelineQueries {
     "q302_substring_gate" -> substringGateQ,
     "q303_systematic_resample" -> systematicResampleQ,
     "q304_lsh_tuning" -> lshTuningQ,
+    "q305_mixture_interleave" -> mixtureInterleaveQ,
+    "q306_kn_localize" -> knWindowLocalizeQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3545,6 +3562,8 @@ object PipelineQueries {
     "q302_substring_gate" -> Dedup.O.substringGate(s"doc_id < $IncrementalSplit"),
     "q303_systematic_resample" -> Sampling.O.systematicResample(),
     "q304_lsh_tuning" -> Dedup.O.lshTuningCurve(),
+    "q305_mixture_interleave" -> Corpus.O.mixtureInterleave(),
+    "q306_kn_localize" -> TO.knWindowLocalize("NOT (source = 'src0')"),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -227,6 +227,42 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("mixtureInterleave: every batch reproduces the skewed corpus mix within one doc") {
+    val docs = ((0L until 60L).map(i => (i, s"a$i", "en", "sA")) ++
+      (60L until 90L).map(i => (i, s"b$i", "en", "sB")) ++
+      (90L until 100L).map(i => (i, s"c$i", "en", "sC")))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.mixtureInterleave(docs, seed = "m", batchSize = 20).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 100)
+    // corpus shares 0.6 / 0.3 / 0.1; with batch 20 the stride schedule
+    // keeps every batch within one doc of its quota (dev <= 1/20)
+    r.foreach { row =>
+      assert(row.getAs[Double]("abs_dev") <= 0.05 + 1e-9,
+        s"${row.getAs[String]("source")} batch ${row.getAs[Long]("batch_id")} dev ${row.getAs[Double]("abs_dev")}")
+    }
+    val shares = r.map(x => x.getAs[String]("source") -> x.getAs[Double]("corpus_share")).toMap
+    assert(shares("sA") == 0.6 && shares("sB") == 0.3 && shares("sC") == 0.1)
+  }
+
+  test("knWindowLocalize points the worst window at the planted garbage span") {
+    import graft.operators.TextAnalysis
+    val good = (1 to 100).map(i => s"tok${i % 12}") // reference-like vocabulary
+    val ref = (0L until 10L).map(i =>
+      (i, good.drop((i % 5).toInt).take(60).mkString(" "), "en", "ref"))
+    // 32 good + 16 OOV-garbage + 24 good: chunk grid (32/24) puts the
+    // garbage wholly inside chunk 1 (words 25..56)
+    val probe = (good.take(32) ++ (1 to 16).map(j => s"zzq$j") ++ good.take(24)).mkString(" ")
+    val docs = (ref :+ ((100L, probe, "en", "feed")))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.knWindowLocalize(docs, col("source") === "ref")
+      .filter($"doc_id" === 100L).head
+    assert(r.getAs[Int]("worst_chunk") == 1,
+      s"worst window should be the garbage chunk: $r")
+    assert(r.getAs[Long]("n_chunks") == 3)
+    assert(r.getAs[Double]("score_range") > 0.5,
+      "the garbage window must score far below the clean ones")
+  }
+
   test("substringGate erases base boilerplate, keeps novelty, ignores within-batch dups") {
     val bp = "c1 c2 c3 c4 c5 c6 c7 c8"
     val baseDocs = Seq((1L, s"a1 a2 $bp a3", "en", "s0")).toDF("doc_id", "text", "lang", "source")
