@@ -369,6 +369,15 @@ object Text {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Word-level LCS length (codegen'd custom expression) — the ROUGE-L
+    * kernel; space-split tokenization matching [[words]].
+    */
+  def wordLcs(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.expressions.WordLcs(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** Word n-gram shingles (default 3), matching DuckDB's
     * list_transform(range(1, len(w)-(n-2)), ...) construction.
     */

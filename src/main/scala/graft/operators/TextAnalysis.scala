@@ -1733,6 +1733,35 @@ object TextAnalysis {
       .orderBy("d1", "d2", "n")
   }
 
+  /** ROUGE-L over the LSH candidate pairs — LCS-based
+    * precision/recall/F (Lin 2004 §3.1), completing the pair-metric
+    * family beside [[bleuPairs]]/[[rougePairs]]: order-sensitive
+    * subsequence overlap where the n-gram metrics see only multisets.
+    * The LCS length comes from the codegen'd [[graft.functions.Text
+    * .wordLcs]] kernel (integer — no float parity concerns); the pair
+    * list broadcasts, so the O(n·m) kernel runs once per candidate
+    * pair, never per corpus pair.
+    */
+  def rougeLPairs(docs: DataFrame, textCol: String = "text",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val cand = pairs.getOrElse(Dedup.minhashPairs(docs)).select("d1", "d2")
+    val t = docs.select(col("doc_id"), col(textCol).as("t"),
+      size(Text.words(col(textCol))).cast("long").as("len"))
+    val p = when(col("cand_len") > 0, col("lcs").cast("double") / col("cand_len"))
+    val r = when(col("ref_len") > 0, col("lcs").cast("double") / col("ref_len"))
+    broadcast(cand)
+      .join(t.as("ta"), col("d1") === col("ta.doc_id"))
+      .join(t.as("tb"), col("d2") === col("tb.doc_id"))
+      .select(col("d1"), col("d2"),
+        Text.wordLcs(col("ta.t"), col("tb.t")).cast("long").as("lcs"),
+        col("ta.len").as("ref_len"), col("tb.len").as("cand_len"))
+      .select(col("d1"), col("d2"), col("lcs"), col("ref_len"), col("cand_len"),
+        round(p, 6).as("rouge_l_p"), round(r, 6).as("rouge_l_r"),
+        round(when(col("lcs") === 0, lit(0.0))
+          .otherwise(lit(2.0) * p * r / (p + r)), 6).as("rouge_l_f1"))
+      .orderBy("d1", "d2")
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade per document — the
     * classic readability pair of the quality-filter stack. Sentences =
     * terminator runs ([.!?]+, floor 1); syllables = vowel-group runs
@@ -2729,6 +2758,46 @@ object TextAnalysis {
          |  round(CASE WHEN m = 0 THEN 0.0
          |             ELSE 2.0 * ($p) * ($r) / (($p) + ($r)) END, 6) AS rouge_f1
          |FROM st ORDER BY d1, d2, n""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.rougeLPairs]]: the word-LCS DP replayed
+      * as `rounds` unrolled CTEs of the in-row-dependency-free
+      * recurrence dp[i][j] = max(dp[i-1][j],
+      * max_{k≤j, b_k=a_i}(dp[i-1][k-1]+1)) — value-identical to the
+      * textbook three-way form (the only in-row path is a running max
+      * over match columns, which the prefix list_max expresses
+      * directly). `rounds` must be ≥ the longest document (99 words in
+      * the driver corpus); shorter pairs freeze early via the CASE
+      * guard. dp is a len(b)+1 list with dp[k+1] = column k.
+      */
+    def rougeLPairs(rounds: Int = 99): String = {
+      val steps = (1 to rounds).map { i =>
+        s"""l$i AS (SELECT d1, d2, aw, bw, CASE WHEN $i <= len(aw) THEN
+           |    list_transform(range(0, len(bw) + 1), j -> CASE WHEN j = 0 THEN 0 ELSE
+           |      greatest(dp[j + 1], COALESCE(list_max(list_transform(range(1, j + 1),
+           |        k -> CASE WHEN bw[k] = aw[$i] THEN dp[k] + 1 ELSE 0 END)), 0)) END)
+           |  ELSE dp END AS dp FROM l${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""${Dedup.O.minhashPairCtes},
+         |wl2 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |l0 AS (SELECT p.d1, p.d2, ta.w AS aw, tb.w AS bw,
+         |         list_transform(range(0, len(tb.w) + 1), j -> 0) AS dp
+         |       FROM mhp p JOIN wl2 ta ON ta.doc_id = p.d1
+         |       JOIN wl2 tb ON tb.doc_id = p.d2),
+         |$steps,
+         |f AS (SELECT d1, d2, CAST(dp[len(bw) + 1] AS BIGINT) AS lcs,
+         |        CAST(len(aw) AS BIGINT) AS ref_len, CAST(len(bw) AS BIGINT) AS cand_len
+         |      FROM l$rounds)
+         |SELECT d1, d2, lcs, ref_len, cand_len,
+         |  round(CASE WHEN cand_len > 0 THEN CAST(lcs AS DOUBLE) / cand_len END, 6) AS rouge_l_p,
+         |  round(CASE WHEN ref_len > 0 THEN CAST(lcs AS DOUBLE) / ref_len END, 6) AS rouge_l_r,
+         |  round(CASE WHEN lcs = 0 THEN 0.0
+         |    ELSE 2.0 * (CASE WHEN cand_len > 0 THEN CAST(lcs AS DOUBLE) / cand_len END)
+         |         * (CASE WHEN ref_len > 0 THEN CAST(lcs AS DOUBLE) / ref_len END)
+         |         / ((CASE WHEN cand_len > 0 THEN CAST(lcs AS DOUBLE) / cand_len END)
+         |            + (CASE WHEN ref_len > 0 THEN CAST(lcs AS DOUBLE) / ref_len END)) END, 6)
+         |    AS rouge_l_f1
+         |FROM f ORDER BY d1, d2""".stripMargin
     }
 
     /** Mirrors readability (vowel-group runs per lowercased word,

@@ -957,6 +957,13 @@ object PipelineQueries {
   val mixtureInterleaveQ: Q = (s, dir) =>
     Corpus.mixtureInterleave(docs(s, dir))
 
+  /** q307: ROUGE-L over the LSH pairs — LCS subsequence overlap via
+    * the codegen'd word_lcs kernel (order-sensitive where q296's
+    * n-gram multisets are not).
+    */
+  val rougeLQ: Q = (s, dir) =>
+    TextAnalysis.rougeLPairs(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
+
   /** q306: windowed KN-perplexity localization — the q279 quality
     * signal resolved to the worst window INSIDE each doc ("trim here",
     * not just "drop this").
@@ -3209,6 +3216,7 @@ object PipelineQueries {
     "q304_lsh_tuning" -> lshTuningQ,
     "q305_mixture_interleave" -> mixtureInterleaveQ,
     "q306_kn_localize" -> knWindowLocalizeQ,
+    "q307_rouge_l" -> rougeLQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3564,6 +3572,7 @@ object PipelineQueries {
     "q304_lsh_tuning" -> Dedup.O.lshTuningCurve(),
     "q305_mixture_interleave" -> Corpus.O.mixtureInterleave(),
     "q306_kn_localize" -> TO.knWindowLocalize("NOT (source = 'src0')"),
+    "q307_rouge_l" -> TO.rougeLPairs(),
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -227,6 +227,54 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("wordLcs kernel matches a plain-Scala LCS on crafted and random word pairs") {
+    import graft.functions.Text
+    def refLcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      ("a b c d", "a x c y"), ("x y", "y x"), ("a a b", "a b a"),
+      ("", "a b"), ("same same", "same same")) ++
+      (1 to 20).map { _ =>
+        def t = (1 to 3 + rnd.nextInt(15)).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+        (t, t.split(" ").reverse.mkString(" "))
+      }
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i, a, b) }.toDF("id", "a", "b")
+    val got = df.select($"id", Text.wordLcs($"a", $"b").as("l")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i) == refLcs(a.split(" ", -1).toSeq, b.split(" ", -1).toSeq),
+        s"case $i: '$a' vs '$b'")
+    }
+    // interpreted path agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val g2 = df.select($"id", Text.wordLcs($"a", $"b").as("l")).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(g2 == got)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("rougeLPairs is 1 on identical pairs and tracks the LCS on a near pair") {
+    import graft.operators.TextAnalysis
+    // the q295-proven LSH candidate pair: last word differs -> LCS 9/10
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    val docs = Seq((1L, base, "en", "s0"), (2L, t2, "en", "s0"),
+      (3L, base, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.rougeLPairs(docs).collect()
+      .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2")) -> x).toMap
+    assert(r.contains((1L, 2L)) && r.contains((1L, 3L)))
+    assert(r((1L, 2L)).getAs[Long]("lcs") == 9)
+    assert(r((1L, 2L)).getAs[Double]("rouge_l_f1") == 0.9)
+    assert(r((1L, 3L)).getAs[Double]("rouge_l_f1") == 1.0) // identical pair
+  }
+
   test("mixtureInterleave: every batch reproduces the skewed corpus mix within one doc") {
     val docs = ((0L until 60L).map(i => (i, s"a$i", "en", "sA")) ++
       (60L until 90L).map(i => (i, s"b$i", "en", "sB")) ++
