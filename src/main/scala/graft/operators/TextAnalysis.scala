@@ -1733,6 +1733,64 @@ object TextAnalysis {
       .orderBy("d1", "d2", "n")
   }
 
+  /** chrF2 over the LSH candidate pairs (Popović 2015 — the
+    * character-level member of the MT-metric trio beside BLEU and
+    * ROUGE, robust to tokenization/morphology where word n-grams are
+    * brittle): clipped character n-gram precisions/recalls for
+    * n = 1..6 over whitespace-stripped text, arithmetic-averaged, then
+    * the β=2 recall-weighted harmonic mean. Same two-stage discipline
+    * as [[bleuPairs]]: the bounded pair list broadcasts, per-doc char
+    * gram tables join by (doc, n, gram).
+    */
+  def chrfPairs(docs: DataFrame, textCol: String = "text",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val ns = 1 to 6
+    val cand = pairs.getOrElse(Dedup.minhashPairs(docs)).select("d1", "d2")
+    val ch = regexp_replace(col(textCol), " ", "")
+    val gc = ns.map { n =>
+        docs.select(col("doc_id"), lit(n).as("n"),
+          explode(when(length(ch) >= n,
+            transform(sequence(lit(1), length(ch) - (n - 1)),
+              i => ch.substr(i, lit(n))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      }.reduce(_ unionByName _)
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val tot = gc.groupBy("doc_id", "n").agg(sum(col("c")).as("t"))
+    val m = broadcast(cand)
+      .join(gc.as("g1"), col("d1") === col("g1.doc_id"))
+      .join(gc.as("g2"),
+        col("d2") === col("g2.doc_id") && col("g1.n") === col("g2.n")
+          && col("g1.g") === col("g2.g"))
+      .groupBy(col("d1"), col("d2"), col("g1.n").as("n"))
+      .agg(sum(least(col("g1.c"), col("g2.c"))).as("m"))
+    val st = broadcast(cand)
+      .withColumn("n", explode(array(ns.map(lit): _*)))
+      .as("pn")
+      .join(tot.as("ta"), col("pn.d1") === col("ta.doc_id") && col("pn.n") === col("ta.n"))
+      .join(tot.as("tb"), col("pn.d2") === col("tb.doc_id") && col("pn.n") === col("tb.n"))
+      .select(col("pn.d1").as("d1"), col("pn.d2").as("d2"), col("pn.n").as("n"),
+        col("ta.t").as("t1"), col("tb.t").as("t2"))
+      .join(m, Seq("d1", "d2", "n"), "left")
+      .select(col("d1"), col("d2"), col("n"),
+        coalesce(col("m"), lit(0L)).as("m"), col("t1"), col("t2"))
+    def piv(c: String, n: Int) = max(when(col("n") === n, col(c))).as(s"$c$n")
+    val wide = st.groupBy("d1", "d2")
+      .agg(piv("m", 1), (ns.drop(1).map(n => piv("m", n)) ++
+        ns.map(n => piv("t1", n)) ++ ns.map(n => piv("t2", n))): _*)
+    val pSum = ns.map(n => when(col(s"t2$n") > 0,
+      col(s"m$n").cast("double") / col(s"t2$n")).otherwise(lit(0.0))).reduce(_ + _)
+    val rSum = ns.map(n => when(col(s"t1$n") > 0,
+      col(s"m$n").cast("double") / col(s"t1$n")).otherwise(lit(0.0))).reduce(_ + _)
+    val chrP = pSum / ns.size
+    val chrR = rSum / ns.size
+    val anyMatch = ns.map(n => col(s"m$n") > 0).reduce(_ || _)
+    wide.select(col("d1"), col("d2"),
+      round(chrP, 6).as("chr_p"), round(chrR, 6).as("chr_r"),
+      round(when(!anyMatch, lit(0.0))
+        .otherwise(lit(5.0) * chrP * chrR / (lit(4.0) * chrP + chrR)), 6).as("chrf2"))
+      .orderBy("d1", "d2")
+  }
+
   /** ROUGE-L over the LSH candidate pairs — LCS-based
     * precision/recall/F (Lin 2004 §3.1), completing the pair-metric
     * family beside [[bleuPairs]]/[[rougePairs]]: order-sensitive
@@ -2744,6 +2802,54 @@ object TextAnalysis {
          |  round($bp, 6) AS bp,
          |  round(CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0 THEN 0.0
          |             ELSE ($bp) * exp(($lnSum) / 4) END, 6) AS bleu
+         |FROM wd ORDER BY d1, d2""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.chrfPairs]]: whitespace-stripped char
+      * n-grams (n = 1..6), the same clipped-match frame, arithmetic
+      * mean of per-order P/R, β=2 harmonic mean.
+      */
+    def chrfPairs(): String = {
+      val ns = 1 to 6
+      val gramSel = ns.map { n =>
+        s"""SELECT doc_id, $n AS n,
+           |    unnest(list_transform(range(1, length(ch) - ${n - 2}),
+           |      i -> substr(ch, i, $n))) AS g
+           |  FROM cl WHERE length(ch) >= $n""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      def mx(expr: String, n: Int, as: String) =
+        s"MAX(CASE WHEN n = $n THEN $expr END) AS $as"
+      val wide = ns.flatMap(n =>
+        Seq(mx("m", n, s"m$n"), mx("t1", n, s"t1$n"), mx("t2", n, s"t2$n")))
+      val pSum = ns.map(n =>
+        s"CASE WHEN t2$n > 0 THEN CAST(m$n AS DOUBLE) / t2$n ELSE 0.0 END")
+        .mkString(" + ")
+      val rSum = ns.map(n =>
+        s"CASE WHEN t1$n > 0 THEN CAST(m$n AS DOUBLE) / t1$n ELSE 0.0 END")
+        .mkString(" + ")
+      val anyM = ns.map(n => s"m$n > 0").mkString(" OR ")
+      val p = s"(($pSum) / 6)"
+      val r = s"(($rSum) / 6)"
+      s"""${Dedup.O.minhashPairCtes},
+         |cl AS (SELECT doc_id, replace(text, ' ', '') AS ch FROM documents),
+         |gd AS (SELECT doc_id, n, g, COUNT(*) AS c FROM (
+         |  $gramSel
+         |) GROUP BY doc_id, n, g),
+         |tt AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS t FROM gd GROUP BY 1, 2),
+         |mm AS (SELECT p.d1, p.d2, a.n, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+         |       FROM mhp p JOIN gd a ON a.doc_id = p.d1
+         |       JOIN gd b ON b.doc_id = p.d2 AND b.n = a.n AND b.g = a.g
+         |       GROUP BY 1, 2, 3),
+         |st AS (SELECT p.d1, p.d2, nn.n, COALESCE(mm.m, 0) AS m, t1.t AS t1, t2.t AS t2
+         |       FROM mhp p
+         |       CROSS JOIN (SELECT CAST(unnest([${ns.mkString(", ")}]) AS INT) AS n) nn
+         |       JOIN tt t1 ON t1.doc_id = p.d1 AND t1.n = nn.n
+         |       JOIN tt t2 ON t2.doc_id = p.d2 AND t2.n = nn.n
+         |       LEFT JOIN mm ON mm.d1 = p.d1 AND mm.d2 = p.d2 AND mm.n = nn.n),
+         |wd AS (SELECT d1, d2, ${wide.mkString(", ")} FROM st GROUP BY d1, d2)
+         |SELECT d1, d2, round($p, 6) AS chr_p, round($r, 6) AS chr_r,
+         |  round(CASE WHEN NOT ($anyM) THEN 0.0
+         |    ELSE 5.0 * $p * $r / (4.0 * $p + $r) END, 6) AS chrf2
          |FROM wd ORDER BY d1, d2""".stripMargin
     }
 

@@ -972,6 +972,43 @@ object PipelineQueries {
     TextAnalysis.knWindowLocalize(docs(s, dir), col("source") =!= "src0")
       .orderBy("doc_id")
 
+  /** q309: chrF2 over the LSH pairs — the character-level MT metric
+    * (tokenization-robust where word n-grams are brittle).
+    */
+  val chrfQ: Q = (s, dir) =>
+    TextAnalysis.chrfPairs(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
+
+  /** q308: the DATASET CARD — the one-row datasheet (Gebru et al.
+    * 2021) a corpus release ships: volume, composition, duplication
+    * (exact-doc AND substring-level), diversity, and quality summary,
+    * each number the same machinery its dedicated query hash-gates.
+    * Every component is a 1-row aggregate; the card is their broadcast
+    * cross-join — one pass per signal family, no new shuffle shapes.
+    */
+  val datasetCardQ: Q = (s, dir) => {
+    import graft.functions.Num
+    val d = docs(s, dir)
+    val stats = TextAnalysis.withTextStats(d)
+    val basic = stats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens").cast("long")).as("n_tokens"),
+      round(Num.davg(col("quality_score")), 6).as("mean_quality"),
+      round(percentile(col("n_tokens"), lit(0.5)), 6).as("median_doc_tokens"))
+    val dims = d.agg(
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val dup = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_exact_dup_docs"))
+    val span = Dedup.substringRemoval(d)
+      .agg((sum(col("n_removed")).cast("double") / sum(col("n_tokens"))).as("r"))
+      .select(round(col("r"), 6).as("dup_token_share"))
+    val div = Sampling.diversityCensus(d)
+      .filter(col("dim") === "source")
+      .select(col("shannon").as("source_shannon"), col("gini").as("source_gini"))
+    basic.crossJoin(broadcast(dims)).crossJoin(broadcast(dup))
+      .crossJoin(broadcast(span)).crossJoin(broadcast(div))
+  }
+
   /** q115: sharded inverted index — per term, doc-id posting lists cut
     * into fixed-size shards (row size is bounded by ShardSize no matter
     * how hot the term). Document frequency is decided BEFORE any list
@@ -3217,6 +3254,8 @@ object PipelineQueries {
     "q305_mixture_interleave" -> mixtureInterleaveQ,
     "q306_kn_localize" -> knWindowLocalizeQ,
     "q307_rouge_l" -> rougeLQ,
+    "q308_dataset_card" -> datasetCardQ,
+    "q309_chrf" -> chrfQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3573,6 +3612,28 @@ object PipelineQueries {
     "q305_mixture_interleave" -> Corpus.O.mixtureInterleave(),
     "q306_kn_localize" -> TO.knWindowLocalize("NOT (source = 'src0')"),
     "q307_rouge_l" -> TO.rougeLPairs(),
+    "q309_chrf" -> TO.chrfPairs(),
+    "q308_dataset_card" -> {
+      import graft.functions.Num
+      s"""WITH ts AS (SELECT doc_id, ${TO.textStats} FROM documents),
+         |basic AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+         |    round(${Num.O.avg("quality_score")}, 6) AS mean_quality,
+         |    round(quantile_cont(n_tokens, 0.5), 6) AS median_doc_tokens
+         |  FROM ts),
+         |dims AS (SELECT COUNT(DISTINCT source) AS n_sources,
+         |           COUNT(DISTINCT lang) AS n_langs FROM documents),
+         |dup AS (SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         |          AS n_exact_dup_docs
+         |        FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)),
+         |span AS (SELECT round(CAST(SUM(n_removed) AS DOUBLE) / SUM(n_tokens), 6)
+         |           AS dup_token_share
+         |         FROM (${Dedup.O.substringRemoval()})),
+         |div AS (SELECT shannon AS source_shannon, gini AS source_gini
+         |        FROM (${Sampling.O.diversityCensus()}) WHERE dim = 'source')
+         |SELECT * FROM basic CROSS JOIN dims CROSS JOIN dup
+         |CROSS JOIN span CROSS JOIN div""".stripMargin
+    },
     "q185_modality_stats" ->
       s"""WITH ${Multimodal.O.payloadCtes}
          |SELECT modality, COUNT(*) AS n_docs,

@@ -275,6 +275,34 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
     assert(r((1L, 3L)).getAs[Double]("rouge_l_f1") == 1.0) // identical pair
   }
 
+  test("chrfPairs is 1 on identical pairs and in (0,1) on the near pair") {
+    import graft.operators.TextAnalysis
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    val docs = Seq((1L, base, "en", "s0"), (2L, t2, "en", "s0"),
+      (3L, base, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.chrfPairs(docs).collect()
+      .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2")) -> x).toMap
+    assert(r((1L, 3L)).getAs[Double]("chrf2") == 1.0)
+    assert(r((1L, 3L)).getAs[Double]("chr_p") == 1.0)
+    val near = r((1L, 2L)).getAs[Double]("chrf2")
+    assert(near > 0.5 && near < 1.0, s"near-pair chrf2 = $near")
+  }
+
+  test("datasetCard is one row with the census invariants") {
+    import graft.warehouse.PipelineQueries
+    val r = PipelineQueries.queries("q308_dataset_card")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 500)
+    assert(row.getAs[Long]("n_tokens") > 0)
+    assert(row.getAs[Long]("n_sources") > 1 && row.getAs[Long]("n_langs") > 1)
+    val share = row.getAs[Double]("dup_token_share")
+    assert(share > 0.0 && share < 1.0)
+    assert(row.getAs[Double]("source_gini") >= 0.0 && row.getAs[Double]("source_gini") < 1.0)
+  }
+
   test("mixtureInterleave: every batch reproduces the skewed corpus mix within one doc") {
     val docs = ((0L until 60L).map(i => (i, s"a$i", "en", "sA")) ++
       (60L until 90L).map(i => (i, s"b$i", "en", "sB")) ++
