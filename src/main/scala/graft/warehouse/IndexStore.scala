@@ -141,10 +141,11 @@ object IndexStore {
     */
   def read(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
-      tombstoneKeys: Seq[String] = Nil): DataFrame = {
+      tombstoneKeys: Seq[String] = Nil,
+      maxFragmentId: Long = Long.MaxValue): DataFrame = {
     val c = commitOf(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed generation under $root"))
-    readSnapshot(spark, root, schema, c, tombstoneKeys)
+    readSnapshot(spark, root, schema, c, tombstoneKeys, maxFragmentId)
   }
 
   /** TIME TRAVEL: the serving read as of generation `gen` — possible
@@ -166,13 +167,14 @@ object IndexStore {
 
   private def readSnapshot(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType, c: Commit,
-      tombstoneKeys: Seq[String]): DataFrame = {
+      tombstoneKeys: Seq[String],
+      maxFragmentId: Long = Long.MaxValue): DataFrame = {
     // hive partition columns read back as the INFERRED type (cent_id
     // comes back INT whatever was written) — cast every column to the
     // declared schema so base and fragments union cleanly
     val base = spark.read.parquet(genPath(root, c.gen))
       .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    val frags = unabsorbedFragments(spark, root, c, schema)
+    val frags = unabsorbedFragments(spark, root, c, schema, maxFragmentId)
     val all = base.unionByName(frags)
     if (tombstoneKeys.isEmpty) all
     else {
@@ -187,9 +189,17 @@ object IndexStore {
     * batch_id predicate — absorbed fragments are never scanned.
     */
   private def unabsorbedFragments(spark: SparkSession, root: String, c: Commit,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType,
+      maxFragmentId: Long = Long.MaxValue): DataFrame = {
+    // maxFragmentId bounds the view from above — a replayed consumer
+    // reads the store AS OF BEFORE its own (possibly half-written)
+    // fragment and later arrivals (the StreamGramSet idempotence
+    // contract)
     val dirs = BatchLayout.batchDirs(spark, fragmentsDir(root))
-      .filter(_.split("batch_id=").last.toLong > c.fragWatermark)
+      .filter { d =>
+        val id = d.split("batch_id=").last.toLong
+        id > c.fragWatermark && id <= maxFragmentId
+      }
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(dirs: _*)

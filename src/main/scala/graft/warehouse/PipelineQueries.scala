@@ -937,6 +937,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The lived-in GRAM-SET store — the third IndexStore family (q271's
+    * vector lists, q272's postings, now the substring-dedup gram set):
+    * base generation = grams of the base corpus; batch A arrives via
+    * the gate-then-absorb discipline (StreamGramSet, batch-side — its
+    * verdicts gated against base only); compaction merges base ∪ A
+    * into generation 1 behind the atomic pointer.
+    */
+  private def gramStoreRoot(s: SparkSession, dir: String): String =
+    builtStore(dir, "gram_store") { r =>
+      val d = docs(s, dir)
+      graft.warehouse.IndexStore.writeBase(
+        Dedup.gramSet(d.filter(col("doc_id") < IncrementalSplit)), r)
+      graft.streaming.StreamGramSet.gateAndAbsorb(
+        d.filter(col("doc_id") >= IncrementalSplit && col("doc_id") < FragmentSplit),
+        r, 0L)
+      graft.warehouse.IndexStore.compact(s, r,
+        graft.streaming.StreamGramSet.GramSchema)
+    }
+
+  /** q310: the gram-store LIFECYCLE gate — batch B scrubbed against the
+    * lived-in store (base generation, one absorbed gate-then-absorb
+    * fragment, a compaction swap) ≡ the from-scratch gram set of
+    * everything before B: the q302 oracle at the moved split, one hash
+    * gate over the whole ingest × compaction × serving composition.
+    */
+  val gramStoreGateQ: Q = (s, dir) => {
+    val root = gramStoreRoot(s, dir)
+    Dedup.substringGate(
+      docs(s, dir).filter(col("doc_id") >= FragmentSplit),
+      graft.warehouse.IndexStore.read(s, root,
+        graft.streaming.StreamGramSet.GramSchema))
+      .orderBy("doc_id")
+  }
+
   /** q303: deterministic systematic resampling — k quality-weighted
     * with-replacement draws, exactly proportional, zero randomness.
     */
@@ -3256,6 +3290,7 @@ object PipelineQueries {
     "q307_rouge_l" -> rougeLQ,
     "q308_dataset_card" -> datasetCardQ,
     "q309_chrf" -> chrfQ,
+    "q310_gram_store_gate" -> gramStoreGateQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3613,6 +3648,9 @@ object PipelineQueries {
     "q306_kn_localize" -> TO.knWindowLocalize("NOT (source = 'src0')"),
     "q307_rouge_l" -> TO.rougeLPairs(),
     "q309_chrf" -> TO.chrfPairs(),
+    // q310 shares q302's from-scratch oracle shape at the moved split:
+    // lived-in store (fragment + compaction) ≡ gram set of docs < 450
+    "q310_gram_store_gate" -> Dedup.O.substringGate(s"doc_id < $FragmentSplit"),
     "q308_dataset_card" -> {
       import graft.functions.Num
       s"""WITH ts AS (SELECT doc_id, ${TO.textStats} FROM documents),
