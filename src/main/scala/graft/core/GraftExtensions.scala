@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CmsSketch, DamerauLevenshtein, DotProductD, HllSketch, JaroWinkler, KmvSketch, TopKByScore, WordLcs, ZOrder2}
+import graft.functions.expressions.{CmsSketch, DamerauLevenshtein, DotProductD, HllSketch, JaroWinkler, KmvSketch, TopKByScore, WordEditDistance, WordLcs, ZOrder2}
 
 /** Catalyst extension point: registers graft's custom expressions with
   * the SQL function registry, so `spark.sql("SELECT dot_product_d(a,b)")`
@@ -100,6 +100,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_lcs takes exactly 2 arguments")
         WordLcs(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("word_edit_distance"),
+      new ExpressionInfo(classOf[WordEditDistance].getCanonicalName, null, "word_edit_distance"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_edit_distance takes exactly 2 arguments")
+        WordEditDistance(children.head, children(1))
       }),
     (
       FunctionIdentifier("zorder2"),

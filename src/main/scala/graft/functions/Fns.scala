@@ -378,6 +378,15 @@ object Text {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** Word-level Levenshtein distance (codegen'd custom expression) —
+    * the WER kernel; space-split tokenization matching [[words]].
+    */
+  def wordEditDistance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.expressions.WordEditDistance(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
   /** Word n-gram shingles (default 3), matching DuckDB's
     * list_transform(range(1, len(w)-(n-2)), ...) construction.
     */

@@ -1820,6 +1820,31 @@ object TextAnalysis {
       .orderBy("d1", "d2")
   }
 
+  /** Word error rate over the LSH candidate pairs — word-level
+    * Levenshtein / reference length, the ASR-standard metric and the
+    * edit-based complement to [[rougeLPairs]]'s subsequence view
+    * (reference = d1, hypothesis = d2; WER can exceed 1 when the
+    * hypothesis is longer). The distance comes from the codegen'd
+    * [[graft.functions.Text.wordEditDistance]] kernel; same broadcast
+    * two-stage shape as the other pair metrics.
+    */
+  def werPairs(docs: DataFrame, textCol: String = "text",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val cand = pairs.getOrElse(Dedup.minhashPairs(docs)).select("d1", "d2")
+    val t = docs.select(col("doc_id"), col(textCol).as("t"),
+      size(Text.words(col(textCol))).cast("long").as("len"))
+    broadcast(cand)
+      .join(t.as("ta"), col("d1") === col("ta.doc_id"))
+      .join(t.as("tb"), col("d2") === col("tb.doc_id"))
+      .select(col("d1"), col("d2"),
+        Text.wordEditDistance(col("ta.t"), col("tb.t")).cast("long").as("edit_dist"),
+        col("ta.len").as("ref_len"), col("tb.len").as("cand_len"))
+      .withColumn("wer",
+        round(when(col("ref_len") > 0,
+          col("edit_dist").cast("double") / col("ref_len")), 6))
+      .orderBy("d1", "d2")
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade per document — the
     * classic readability pair of the quality-filter stack. Sentences =
     * terminator runs ([.!?]+, floor 1); syllables = vowel-group runs
@@ -2904,6 +2929,40 @@ object TextAnalysis {
          |            + (CASE WHEN ref_len > 0 THEN CAST(lcs AS DOUBLE) / ref_len END)) END, 6)
          |    AS rouge_l_f1
          |FROM f ORDER BY d1, d2""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.werPairs]]: the word-Levenshtein DP as
+      * `rounds` unrolled CTEs of the in-row-dependency-free form
+      * dp[i][j] = min_{k≤j}(seed[k] + (j−k)), seed[k] =
+      * min(dp[i−1][k]+1, dp[i−1][k−1]+cost), seed[0] = i (a path
+      * enters row i exactly once, then only inserts). dp is a
+      * len(b)+1 list with dp[k+1] = column k; row 0 = insertion costs.
+      */
+    def werPairs(rounds: Int = 99): String = {
+      val steps = (1 to rounds).map { i =>
+        s"""l$i AS (SELECT d1, d2, aw, bw, CASE WHEN $i <= len(aw) THEN
+           |    list_transform(range(0, len(bw) + 1), j ->
+           |      list_min(list_transform(range(0, j + 1), k -> sd[k + 1] + (j - k))))
+           |  ELSE dp END AS dp FROM (
+           |    SELECT d1, d2, aw, bw, dp,
+           |      list_transform(range(0, len(bw) + 1), k ->
+           |        CASE WHEN k = 0 THEN $i
+           |             ELSE least(dp[k + 1] + 1,
+           |               dp[k] + (CASE WHEN bw[k] = aw[$i] THEN 0 ELSE 1 END)) END) AS sd
+           |    FROM l${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""${Dedup.O.minhashPairCtes},
+         |wl2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |l0 AS (SELECT p.d1, p.d2, ta.w AS aw, tb.w AS bw,
+         |         list_transform(range(0, len(tb.w) + 1), j -> j) AS dp
+         |       FROM mhp p JOIN wl2 ta ON ta.doc_id = p.d1
+         |       JOIN wl2 tb ON tb.doc_id = p.d2),
+         |$steps
+         |SELECT d1, d2, CAST(dp[len(bw) + 1] AS BIGINT) AS edit_dist,
+         |  CAST(len(aw) AS BIGINT) AS ref_len, CAST(len(bw) AS BIGINT) AS cand_len,
+         |  round(CASE WHEN len(aw) > 0
+         |             THEN CAST(dp[len(bw) + 1] AS DOUBLE) / len(aw) END, 6) AS wer
+         |FROM l$rounds ORDER BY d1, d2""".stripMargin
     }
 
     /** Mirrors readability (vowel-group runs per lowercased word,

@@ -1012,6 +1012,13 @@ object PipelineQueries {
   val chrfQ: Q = (s, dir) =>
     TextAnalysis.chrfPairs(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
 
+  /** q311: WER over the LSH pairs — word-level edit distance /
+    * reference length, the edit-based complement to q307's
+    * subsequence view.
+    */
+  val werQ: Q = (s, dir) =>
+    TextAnalysis.werPairs(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
+
   /** q308: the DATASET CARD — the one-row datasheet (Gebru et al.
     * 2021) a corpus release ships: volume, composition, duplication
     * (exact-doc AND substring-level), diversity, and quality summary,
@@ -3291,6 +3298,7 @@ object PipelineQueries {
     "q308_dataset_card" -> datasetCardQ,
     "q309_chrf" -> chrfQ,
     "q310_gram_store_gate" -> gramStoreGateQ,
+    "q311_wer" -> werQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3651,6 +3659,7 @@ object PipelineQueries {
     // q310 shares q302's from-scratch oracle shape at the moved split:
     // lived-in store (fragment + compaction) ≡ gram set of docs < 450
     "q310_gram_store_gate" -> Dedup.O.substringGate(s"doc_id < $FragmentSplit"),
+    "q311_wer" -> TO.werPairs(),
     "q308_dataset_card" -> {
       import graft.functions.Num
       s"""WITH ts AS (SELECT doc_id, ${TO.textStats} FROM documents),

@@ -275,6 +275,47 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
     assert(r((1L, 3L)).getAs[Double]("rouge_l_f1") == 1.0) // identical pair
   }
 
+  test("wordEditDistance kernel matches a plain-Scala Levenshtein on word pairs") {
+    import graft.functions.Text
+    def refDist(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(("a b c", "a x c"), ("a b", "b a"), ("", "x y z"),
+      ("same", "same")) ++ (1 to 20).map { _ =>
+      def t = (1 to 2 + rnd.nextInt(12)).map(_ => s"v${rnd.nextInt(5)}").mkString(" ")
+      (t, t)
+    }.map { case (a, _) =>
+      (a, a.split(" ").drop(1).mkString(" ") + " zz") // drop head, append tail
+    }
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i, a, b) }.toDF("id", "a", "b")
+    val got = df.select($"id", Text.wordEditDistance($"a", $"b").as("d")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i) == refDist(a.split(" ", -1).toSeq, b.split(" ", -1).toSeq),
+        s"case $i: '$a' vs '$b'")
+    }
+  }
+
+  test("werPairs: 0 on the identical pair, 0.1 on the one-word-substitution pair") {
+    import graft.operators.TextAnalysis
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    val docs = Seq((1L, base, "en", "s0"), (2L, t2, "en", "s0"),
+      (3L, base, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.werPairs(docs).collect()
+      .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2")) -> x).toMap
+    assert(r((1L, 3L)).getAs[Long]("edit_dist") == 0)
+    assert(r((1L, 3L)).getAs[Double]("wer") == 0.0)
+    assert(r((1L, 2L)).getAs[Long]("edit_dist") == 1)
+    assert(r((1L, 2L)).getAs[Double]("wer") == 0.1)
+  }
+
   test("chrfPairs is 1 on identical pairs and in (0,1) on the near pair") {
     import graft.operators.TextAnalysis
     val t2 = "alpha beta gamma delta epsilon zeta eta theta iota omega"
