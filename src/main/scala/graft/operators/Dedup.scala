@@ -936,11 +936,14 @@ object Dedup {
 
     /** Mirrors substringGate over a base/delta split of `documents`:
       * base grams = the frozen artifact, delta docs = the arriving
-      * batch.
+      * batch (the complement of the base by default; pass
+      * `deltaPredSql` when the two are not complements — e.g. an
+      * erased cohort belongs to neither side, q312).
       */
-    def substringGate(basePredSql: String, l: Int = SpanGramLen): String =
+    def substringGate(basePredSql: String, l: Int = SpanGramLen,
+        deltaPredSql: Option[String] = None): String =
       s"""WITH dwl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |             WHERE NOT ($basePredSql)),
+         |             WHERE ${deltaPredSql.getOrElse(s"NOT ($basePredSql)")}),
          |bg AS (SELECT DISTINCT md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM (
          |        SELECT w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
          |        FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE $basePredSql)

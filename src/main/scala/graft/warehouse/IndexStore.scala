@@ -115,6 +115,37 @@ object IndexStore {
     c
   }
 
+  /** REBASE: replace the store's content wholesale with `df` as the
+    * next generation — the rebuild-from-survivors lifecycle op for
+    * SET-KEYED families (the gram store), where per-row tombstones
+    * cannot express erasure because keys are not row-owned (a gram is
+    * shared by every document containing it): erasing documents from
+    * the protected corpus means re-deriving the key set from the
+    * survivors and swapping it in. Same atomic-pointer discipline as
+    * [[compact]] — readers see the old or the new generation, never a
+    * mix — and the fragment watermark advances past every current
+    * fragment (their content is superseded by the rebuilt frame, which
+    * the caller derives from the full surviving corpus). GC retires
+    * the gen−2 snapshot exactly as after a compaction.
+    */
+  def rebase(df: DataFrame, root: String,
+      partitionCols: Seq[String] = Nil): Commit = {
+    val spark = df.sparkSession
+    val c = commitOf(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    val fragIds = BatchLayout.batchDirs(spark, fragmentsDir(root))
+      .map(_.split("batch_id=").last.toLong)
+    val newWatermark = if (fragIds.isEmpty) c.fragWatermark
+      else math.max(c.fragWatermark, fragIds.max)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(genPath(root, c.gen + 1))
+    val next = Commit(c.gen + 1, newWatermark)
+    swapCurrent(spark, root, next)
+    gc(spark, root, next, retiredWatermark = c.fragWatermark)
+    next
+  }
+
   /** Append one fragment (the batch twin of the streaming ingest
     * sinks' `batch_id=<id>` write — idempotent per id).
     */

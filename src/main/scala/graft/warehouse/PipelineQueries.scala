@@ -971,6 +971,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The gram store AFTER a corpus erasure — the set-keyed family's
+    * GDPR path (q273/q274's tombstones don't apply: gram keys are not
+    * doc-owned, a shared gram must survive if ANY surviving doc
+    * contains it): the lived-in q310 store (base + absorbed fragment +
+    * compaction) followed by `IndexStore.rebase` with the gram set
+    * RE-DERIVED from the surviving corpus (lang ≠ 'de'), swapped in as
+    * the next generation behind the atomic pointer.
+    */
+  private def gramStoreErasedRoot(s: SparkSession, dir: String): String =
+    builtStore(dir, "gram_store_erased") { r =>
+      val d = docs(s, dir)
+      graft.warehouse.IndexStore.writeBase(
+        Dedup.gramSet(d.filter(col("doc_id") < IncrementalSplit)), r)
+      graft.streaming.StreamGramSet.gateAndAbsorb(
+        d.filter(col("doc_id") >= IncrementalSplit && col("doc_id") < FragmentSplit),
+        r, 0L)
+      graft.warehouse.IndexStore.compact(s, r,
+        graft.streaming.StreamGramSet.GramSchema)
+      graft.warehouse.IndexStore.rebase(
+        Dedup.gramSet(d.filter(
+          col("doc_id") < FragmentSplit && col("lang") =!= "de")), r)
+    }
+
+  /** q312: the erasure-rebuilt gram store serves the gate — batch B
+    * scrubbed against the REBASED store ≡ the from-scratch gram set of
+    * the SURVIVING pre-B corpus: grams whose only carriers were erased
+    * docs stop gating (their reuse is novel again), shared grams keep
+    * gating — the semantics only rebuild-from-survivors gives.
+    */
+  val gramStoreErasedQ: Q = (s, dir) => {
+    val root = gramStoreErasedRoot(s, dir)
+    Dedup.substringGate(
+      docs(s, dir).filter(col("doc_id") >= FragmentSplit),
+      graft.warehouse.IndexStore.read(s, root,
+        graft.streaming.StreamGramSet.GramSchema))
+      .orderBy("doc_id")
+  }
+
   /** q303: deterministic systematic resampling — k quality-weighted
     * with-replacement draws, exactly proportional, zero randomness.
     */
@@ -3299,6 +3337,7 @@ object PipelineQueries {
     "q309_chrf" -> chrfQ,
     "q310_gram_store_gate" -> gramStoreGateQ,
     "q311_wer" -> werQ,
+    "q312_gram_store_erased" -> gramStoreErasedQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3660,6 +3699,11 @@ object PipelineQueries {
     // lived-in store (fragment + compaction) ≡ gram set of docs < 450
     "q310_gram_store_gate" -> Dedup.O.substringGate(s"doc_id < $FragmentSplit"),
     "q311_wer" -> TO.werPairs(),
+    // q312: rebased store ≡ gram set of the SURVIVING pre-B corpus;
+    // the delta stays the full B batch (erasure isn't its complement)
+    "q312_gram_store_erased" -> Dedup.O.substringGate(
+      s"doc_id < $FragmentSplit AND lang <> 'de'",
+      deltaPredSql = Some(s"doc_id >= $FragmentSplit")),
     "q308_dataset_card" -> {
       import graft.functions.Num
       s"""WITH ts AS (SELECT doc_id, ${TO.textStats} FROM documents),

@@ -91,4 +91,34 @@ class GramStoreSpec extends AnyFunSuite with TestSpark {
     // of its 19 words)
     assert(after(30L)._1 == 16L)
   }
+
+  test("rebase: erased-doc-only grams stop gating; shared grams keep gating") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val erasedOnly = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val corpus = Seq(
+      (1L, s"x1 $shared x2 $erasedOnly", "de"), // to be erased
+      (2L, s"y1 y2 $shared y3", "en")) // survivor also carries `shared`
+      .toDF("doc_id", "text", "source")
+    val root = mkRoot()
+    IndexStore.writeBase(Dedup.gramSet(corpus), root)
+    // GDPR erasure of the de doc: rebuild the key set from survivors
+    val c = IndexStore.rebase(
+      Dedup.gramSet(corpus.filter($"source" =!= "de")), root)
+    assert(c.gen == 1L)
+    val probe = Seq((10L, s"p1 $shared p2 $erasedOnly p3", "s"))
+      .toDF("doc_id", "text", "source")
+    val v = verdictMap(Dedup.substringGate(probe,
+      IndexStore.read(spark, root, StreamGramSet.GramSchema)))
+    // only the SHARED boilerplate still gates: 8 of 19 words erased
+    assert(v(10L)._1 == 8L,
+      s"expected only the shared span to gate after the rebase: $v")
+    // and the store physically contains no erased-only gram
+    val eMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(erasedOnly.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grams = IndexStore.read(spark, root, StreamGramSet.GramSchema)
+    assert(grams.filter(col("gk") === eMd5).count() == 0)
+    val sMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(shared.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(grams.filter(col("gk") === sMd5).count() == 1)
+  }
 }
