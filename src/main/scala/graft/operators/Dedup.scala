@@ -712,6 +712,35 @@ object Dedup {
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 
+  /** Directed boilerplate-flow matrix — WHO COPIES WHOM at substring
+    * granularity: every redundant L-gram occurrence (the
+    * [[substringRemoval]] definition) is attributed to the SOURCE of
+    * its corpus-wide first occurrence, and the census counts redundant
+    * occurrences by (from_source → in_source) — the provenance read
+    * that tells a curation team which feed originates the duplication
+    * a downstream feed re-serves. Diagonal = within-source
+    * duplication. Same keyed first-occurrence min as the removal pass;
+    * the first doc decodes from the occurrence key (doc·2^20 + pos)
+    * and joins the doc→source map by id.
+    */
+  def boilerplateFlow(docs: DataFrame, L: Int = SpanGramLen,
+      textCol: String = "text"): DataFrame = {
+    val occKey = col("doc_id") * lit(1048576L) + col("pos")
+    val g = hashedGramPositions(docs, L, textCol)
+    val first = g.groupBy("gk").agg(min(occKey).as("first_occ"))
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    g.join(first, "gk")
+      .filter(occKey > col("first_occ"))
+      .withColumn("first_doc", expr("first_occ div 1048576"))
+      .join(srcOf.withColumnRenamed("source", "in_source"), "doc_id")
+      .join(srcOf.withColumnRenamed("doc_id", "first_doc")
+        .withColumnRenamed("source", "from_source"), "first_doc")
+      .groupBy("from_source", "in_source")
+      .agg(count(lit(1)).as("n_redundant_grams"),
+        countDistinct(col("doc_id")).as("n_docs_hit"))
+      .orderBy("from_source", "in_source")
+  }
+
   /** Distinct hashed L-gram set of a base corpus — the frozen artifact
     * [[substringGate]] cleans arriving documents against (persist it
     * via Materialized/IndexStore like any other index table; it is the
@@ -933,6 +962,25 @@ object Dedup {
          |       FROM g JOIN f USING (gk) WHERE g.doc_id * 1048576 + g.pos > f.first_occ),
          |${erasureTailCtes("wl")}
          |$erasureSelect""".stripMargin
+
+    /** Mirrors [[Dedup.boilerplateFlow]]: same first-occurrence keyed
+      * min, first-doc decode, source attribution.
+      */
+    def boilerplateFlow(l: Int = SpanGramLen): String =
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
+         |      FROM wl WHERE len(w) >= $l),
+         |g AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM p),
+         |f AS (SELECT gk, MIN(doc_id * 1048576 + pos) AS first_occ FROM g GROUP BY gk),
+         |r AS (SELECT g.doc_id, f.first_occ // 1048576 AS first_doc
+         |      FROM g JOIN f USING (gk)
+         |      WHERE g.doc_id * 1048576 + g.pos > f.first_occ)
+         |SELECT df.source AS from_source, di.source AS in_source,
+         |  COUNT(*) AS n_redundant_grams,
+         |  CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_docs_hit
+         |FROM r JOIN documents di ON di.doc_id = r.doc_id
+         |JOIN documents df ON df.doc_id = r.first_doc
+         |GROUP BY 1, 2 ORDER BY from_source, in_source""".stripMargin
 
     /** Mirrors substringGate over a base/delta split of `documents`:
       * base grams = the frozen artifact, delta docs = the arriving

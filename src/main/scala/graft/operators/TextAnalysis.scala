@@ -1651,11 +1651,25 @@ object TextAnalysis {
     * and the per-doc gram tables join it by (doc, n, gram) key; no pair
     * space beyond the candidates ever exists.
     */
+  /** Distinct doc ids appearing on either side of the candidate pair
+    * list — the semi-join key set that keeps pair-metric gram tables
+    * candidate-sized.
+    */
+  private def candDocIds(cand: DataFrame): DataFrame =
+    cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id")))
+      .distinct()
+
   private def pairNgramStats(docs: DataFrame, ns: Seq[Int],
       textCol: String, pairs: Option[DataFrame]): DataFrame = {
     val cand = pairs.getOrElse(Dedup.minhashPairs(docs)).select("d1", "d2")
+    // only docs that appear in a candidate pair ever contribute a gram
+    // row — semi-join BEFORE the explode, so the gram tables are
+    // candidate-sized, not corpus-sized (values unchanged: rows for
+    // other docs never joined anything)
+    val pdocs = docs.join(broadcast(candDocIds(cand)), "doc_id", "left_semi")
     val gc = ns.map { n =>
-        docs.select(col("doc_id"), lit(n).as("n"),
+        pdocs.select(col("doc_id"), lit(n).as("n"),
           explode(Text.shinglesOfWords(Text.words(col(textCol)), n)).as("g"))
       }.reduce(_ unionByName _)
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
@@ -1746,12 +1760,19 @@ object TextAnalysis {
       pairs: Option[DataFrame] = None): DataFrame = {
     val ns = 1 to 6
     val cand = pairs.getOrElse(Dedup.minhashPairs(docs)).select("d1", "d2")
-    val ch = regexp_replace(col(textCol), " ", "")
+    // candidate-doc semi-join (see pairNgramStats), and the stripped
+    // text MATERIALIZED as a column before the per-position lambda —
+    // an expression inside transform re-evaluates per ELEMENT, which
+    // for regexp_replace meant O(len²) regex work per doc (measured
+    // 106 s at sf0.1; the shinglesOfWords lesson, char edition)
+    val cl = docs.join(broadcast(candDocIds(cand)), "doc_id", "left_semi")
+      .select(col("doc_id"), regexp_replace(col(textCol), " ", "").as("ch"))
+    val chc = col("ch")
     val gc = ns.map { n =>
-        docs.select(col("doc_id"), lit(n).as("n"),
-          explode(when(length(ch) >= n,
-            transform(sequence(lit(1), length(ch) - (n - 1)),
-              i => ch.substr(i, lit(n))))
+        cl.select(col("doc_id"), lit(n).as("n"),
+          explode(when(length(chc) >= n,
+            transform(sequence(lit(1), length(chc) - (n - 1)),
+              i => chc.substr(i, lit(n))))
             .otherwise(array().cast("array<string>"))).as("g"))
       }.reduce(_ unionByName _)
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))

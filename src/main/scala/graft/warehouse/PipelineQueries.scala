@@ -1009,6 +1009,30 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q313: per-source substring-dedup burden — q294's census grouped
+    * by source: raw vs surviving token mass per feed, the "who carries
+    * the duplication" read beside q283's doc-level soft-dedup.
+    */
+  val sourceDupBurdenQ: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.substringRemoval(d)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_removed")).as("n_removed"))
+      .withColumn("removed_share",
+        round(col("n_removed").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  /** q314: the directed boilerplate-flow matrix — redundant substring
+    * occurrences attributed to the SOURCE of their first occurrence
+    * (who copies whom; diagonal = within-feed duplication).
+    */
+  val boilerplateFlowQ: Q = (s, dir) =>
+    Dedup.boilerplateFlow(docs(s, dir))
+
   /** q303: deterministic systematic resampling — k quality-weighted
     * with-replacement draws, exactly proportional, zero randomness.
     */
@@ -3338,6 +3362,8 @@ object PipelineQueries {
     "q310_gram_store_gate" -> gramStoreGateQ,
     "q311_wer" -> werQ,
     "q312_gram_store_erased" -> gramStoreErasedQ,
+    "q313_source_dup_burden" -> sourceDupBurdenQ,
+    "q314_boilerplate_flow" -> boilerplateFlowQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3704,6 +3730,15 @@ object PipelineQueries {
     "q312_gram_store_erased" -> Dedup.O.substringGate(
       s"doc_id < $FragmentSplit AND lang <> 'de'",
       deltaPredSql = Some(s"doc_id >= $FragmentSplit")),
+    "q313_source_dup_burden" ->
+      s"""SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(r.n_removed) AS BIGINT) AS n_removed,
+         |  round(CAST(SUM(r.n_removed) AS DOUBLE) / SUM(r.n_tokens), 6) AS removed_share
+         |FROM (${Dedup.O.substringRemoval()}) r
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q314_boilerplate_flow" -> Dedup.O.boilerplateFlow(),
     "q308_dataset_card" -> {
       import graft.functions.Num
       s"""WITH ts AS (SELECT doc_id, ${TO.textStats} FROM documents),

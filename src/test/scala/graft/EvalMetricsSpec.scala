@@ -380,6 +380,22 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
       "the garbage window must score far below the clean ones")
   }
 
+  test("boilerplateFlow attributes redundancy to the originating source") {
+    val bp = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val docs = Seq(
+      (1L, s"o1 o2 $bp o3", "en", "srcA"), // originates the boilerplate
+      (2L, s"c1 c2 $bp c3", "en", "srcB"), // cross-source copy
+      (3L, s"d1 d2 $bp d3", "en", "srcA"), // within-source copy
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "srcB") // clean
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.boilerplateFlow(docs).collect()
+      .map(x => (x.getAs[String]("from_source"), x.getAs[String]("in_source")) ->
+        ((x.getAs[Long]("n_redundant_grams"), x.getAs[Long]("n_docs_hit")))).toMap
+    assert(r((("srcA", "srcB"))) == ((1L, 1L)))
+    assert(r((("srcA", "srcA"))) == ((1L, 1L)))
+    assert(!r.contains(("srcB", "srcA")) && !r.contains(("srcB", "srcB")))
+  }
+
   test("substringGate erases base boilerplate, keeps novelty, ignores within-batch dups") {
     val bp = "c1 c2 c3 c4 c5 c6 c7 c8"
     val baseDocs = Seq((1L, s"a1 a2 $bp a3", "en", "s0")).toDF("doc_id", "text", "lang", "source")
