@@ -1866,6 +1866,49 @@ object TextAnalysis {
       .orderBy("d1", "d2")
   }
 
+  /** Pair-metric AGREEMENT audit — Spearman rank correlation between
+    * the four pair metrics (BLEU, ROUGE-L F1, chrF2, WER) over the
+    * same LSH candidate pairs: the q201-style "do my signals agree"
+    * read for the evaluation family (WER is an error — expect it
+    * anti-correlated with the other three). Ranks are
+    * row_number over (rounded score desc, d1, d2) — the deterministic
+    * total-order convention, not average-rank ties — and
+    * ρ = 1 − 6Σd²/(n(n²−1)) stays INTEGER-exact until the one final
+    * division. The rank windows run over the candidate pair list,
+    * which is bounded by the LSH band contract (alert-sized, never
+    * corpus-sized).
+    */
+  def metricAgreement(docs: DataFrame, textCol: String = "text",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pairs.getOrElse(Dedup.minhashPairs(docs)).select("d1", "d2").cache()
+    val p = Some(cand)
+    val m = bleuPairs(docs, textCol, p).select("d1", "d2", "bleu")
+      .join(rougeLPairs(docs, textCol, p).select("d1", "d2", "rouge_l_f1"), Seq("d1", "d2"))
+      .join(chrfPairs(docs, textCol, p).select("d1", "d2", "chrf2"), Seq("d1", "d2"))
+      .join(werPairs(docs, textCol, p).select("d1", "d2", "wer"), Seq("d1", "d2"))
+    val metrics = Seq("bleu", "rouge_l_f1", "chrf2", "wer")
+    val ranked = metrics.foldLeft(m) { (df, mc) =>
+      df.withColumn(s"r_$mc",
+        row_number().over(Window.orderBy(col(mc).desc, col("d1"), col("d2"))))
+    }.cache()
+    val combos = for {
+      i <- metrics.indices; j <- metrics.indices if i < j
+    } yield (metrics(i), metrics(j))
+    combos.map { case (a, b) =>
+      ranked.agg(
+        count(lit(1)).as("n_pairs"),
+        sum((col(s"r_$a") - col(s"r_$b")) * (col(s"r_$a") - col(s"r_$b"))).as("sum_d2"))
+        .select(lit(a).as("metric_a"), lit(b).as("metric_b"),
+          col("n_pairs"), col("sum_d2"),
+          round(when(col("n_pairs") > 1,
+            lit(1.0) - lit(6.0) * col("sum_d2")
+              / (col("n_pairs") * (col("n_pairs") * col("n_pairs") - 1))), 6)
+            .as("spearman_rho"))
+    }.reduce(_ unionByName _)
+      .orderBy("metric_a", "metric_b")
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade per document — the
     * classic readability pair of the quality-filter stack. Sentences =
     * terminator runs ([.!?]+, floor 1); syllables = vowel-group runs
@@ -2984,6 +3027,45 @@ object TextAnalysis {
          |  round(CASE WHEN len(aw) > 0
          |             THEN CAST(dp[len(bw) + 1] AS DOUBLE) / len(aw) END, 6) AS wer
          |FROM l$rounds ORDER BY d1, d2""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.metricAgreement]]: the four metric
+      * oracles as CTE-wrapped subqueries, the same deterministic rank
+      * convention, integer-exact Σd².
+      */
+    def metricAgreement(): String = {
+      val metrics = Seq("bleu", "rouge_l_f1", "chrf2", "wer")
+      val ranks = metrics.map(m =>
+        s"row_number() OVER (ORDER BY $m DESC, d1, d2) AS r_$m").mkString(",\n        ")
+      val combos = for {
+        i <- metrics.indices; j <- metrics.indices if i < j
+      } yield (metrics(i), metrics(j))
+      val sums = combos.map { case (a, b) =>
+        s"CAST(SUM((r_$a - r_$b) * (r_$a - r_$b)) AS BIGINT) AS s_${a}_$b"
+      }.mkString(",\n        ")
+      val rows = combos.map { case (a, b) =>
+        s"""SELECT '$a' AS metric_a, '$b' AS metric_b, n AS n_pairs,
+           |  s_${a}_$b AS sum_d2,
+           |  round(CASE WHEN n > 1
+           |    THEN 1.0 - 6.0 * s_${a}_$b / (n * (n * n - 1)) END, 6) AS spearman_rho
+           |FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH mb AS (SELECT d1, d2, bleu FROM (${bleuPairs()})),
+         |mr AS (SELECT d1, d2, rouge_l_f1 FROM (${rougeLPairs()})),
+         |mc AS (SELECT d1, d2, chrf2 FROM (${chrfPairs()})),
+         |mw AS (SELECT d1, d2, wer FROM (${werPairs()})),
+         |j AS (SELECT mb.d1, mb.d2, bleu, rouge_l_f1, chrf2, wer
+         |      FROM mb JOIN mr USING (d1, d2) JOIN mc USING (d1, d2)
+         |      JOIN mw USING (d1, d2)),
+         |r AS (SELECT *,
+         |        $ranks
+         |      FROM j),
+         |agg AS (SELECT COUNT(*) AS n,
+         |        $sums
+         |      FROM r)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY metric_a, metric_b""".stripMargin
     }
 
     /** Mirrors readability (vowel-group runs per lowercased word,

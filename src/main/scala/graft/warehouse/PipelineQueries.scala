@@ -1081,6 +1081,13 @@ object PipelineQueries {
   val werQ: Q = (s, dir) =>
     TextAnalysis.werPairs(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
 
+  /** q315: pair-metric agreement — Spearman between BLEU / ROUGE-L /
+    * chrF2 / WER over the shared pairs (the q201 discipline for the
+    * eval family; WER anti-correlates by construction).
+    */
+  val metricAgreementQ: Q = (s, dir) =>
+    TextAnalysis.metricAgreement(docs(s, dir), pairs = Some(mMinhashPairs(s, dir)))
+
   /** q308: the DATASET CARD — the one-row datasheet (Gebru et al.
     * 2021) a corpus release ships: volume, composition, duplication
     * (exact-doc AND substring-level), diversity, and quality summary,
@@ -3364,6 +3371,7 @@ object PipelineQueries {
     "q312_gram_store_erased" -> gramStoreErasedQ,
     "q313_source_dup_burden" -> sourceDupBurdenQ,
     "q314_boilerplate_flow" -> boilerplateFlowQ,
+    "q315_metric_agreement" -> metricAgreementQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3739,6 +3747,7 @@ object PipelineQueries {
          |JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q314_boilerplate_flow" -> Dedup.O.boilerplateFlow(),
+    "q315_metric_agreement" -> TO.metricAgreement(),
     "q308_dataset_card" -> {
       import graft.functions.Num
       s"""WITH ts AS (SELECT doc_id, ${TO.textStats} FROM documents),

@@ -380,6 +380,29 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
       "the garbage window must score far below the clean ones")
   }
 
+  test("metricAgreement: quality metrics correlate, WER anti-correlates") {
+    import graft.operators.TextAnalysis
+    // three graded pairs: identical / one-word-off / half-rewritten —
+    // every quality metric ranks them the same way, WER reverses
+    val t1 = base
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota omega"
+    val t3 = "alpha beta gamma delta epsilon q1 q2 q3 q4 q5"
+    val docs = Seq(
+      (1L, t1, "en", "s0"), (2L, t1, "en", "s0"),
+      (3L, t1, "en", "s0"), (4L, t2, "en", "s0"),
+      (5L, t1, "en", "s0"), (6L, t3, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val r = TextAnalysis.metricAgreement(docs, pairs = Some(pairs)).collect()
+      .map(x => (x.getAs[String]("metric_a"), x.getAs[String]("metric_b")) ->
+        x.getAs[Double]("spearman_rho")).toMap
+    assert(r.size == 6)
+    assert(r(("bleu", "rouge_l_f1")) == 1.0)
+    assert(r(("bleu", "chrf2")) == 1.0)
+    assert(r(("bleu", "wer")) == -1.0)
+    assert(r(("chrf2", "wer")) == -1.0)
+  }
+
   test("boilerplateFlow attributes redundancy to the originating source") {
     val bp = "q1 q2 q3 q4 q5 q6 q7 q8"
     val docs = Seq(

@@ -653,4 +653,14 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
     val p = plan("q299_training_order")
     assert(p.contains("hashpartitioning(bucket"), p.take(1500))
   }
+
+  test("pair-metric gram tables are candidate-sized: semi-join precedes the explode") {
+    // the q309 regression pin: without the candidate-doc semi-join the
+    // char-gram explode runs over the whole corpus (measured 106 s at
+    // sf0.1; 3.4 s with it)
+    for (name <- Seq("q309_chrf", "q295_bleu_pairs")) {
+      val p = plan(name)
+      assert(p.contains("LeftSemi"), s"$name lost the candidate semi-join\n" + p.take(1200))
+    }
+  }
 }
