@@ -72,6 +72,57 @@ object Graph {
         (col("m") / lit(1000000.0)).as("pagerank"))
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PERSONALIZED
+    * PageRank whose teleport mass lands only on a trusted SEED set:
+    * trust flows outward from known-good documents along the
+    * similarity graph, so a page (document) scores high only if the
+    * seed neighborhood reaches it — the quality-propagation signal
+    * web-scale curation attaches beside raw centrality (q101). Same
+    * integer micro-rank arithmetic as [[pageRank]] (per-seed teleport
+    * = teleportMicro·N/|S| by integer division, zero elsewhere), so
+    * the trajectory is engine-exact. `seeds` is an id frame; it must
+    * intersect the graph for trust to flow (empty seed sets are a
+    * caller error).
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      dampingNum: Long = 17, dampingDen: Long = 20,
+      teleportMicro: Long = 150000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seeds.select(col("id"), lit(true).as("sd")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("sd"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val cnt = nodes.agg(count(lit(1)).as("nn"),
+      sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
+    val tele = nodes.crossJoin(broadcast(cnt))
+      .select(col("id"), col("is_seed"),
+        when(col("is_seed"), expr(s"(${teleportMicro}L * nn) div ns"))
+          .otherwise(lit(0L)).as("tpt"))
+      .localCheckpoint()
+    var r = nodes.select(col("id")).withColumn("m", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val prev = r
+      val contrib = withDeg
+        .join(prev.select(col("id").as("src"), col("m")), "src")
+        .select(col("dst").as("id"), expr("m div deg").as("c"))
+      r = tele
+        .join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
+        .select(col("id"),
+          (col("tpt") +
+            expr(s"(${dampingNum}L * coalesce(s, 0L)) div ${dampingDen}L")).as("m"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    r.join(tele.select("id", "is_seed"), "id")
+      .join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
+      .select(col("id"), col("is_seed"),
+        coalesce(col("deg"), lit(0L)).as("out_degree"),
+        (col("m") / lit(1000000.0)).as("trust"))
+  }
+
   /** One power-iteration round, pre-checkpoint — exposed so the plan
     * audit can assert the contribution aggregate combines map-side
     * (inside `pageRank` every round hides behind a localCheckpoint, so
@@ -193,6 +244,26 @@ object Graph {
            |  LEFT JOIN r${i - 1} p ON p.id = e.src
            |  LEFT JOIN deg d ON d.src = e.src
            |  GROUP BY n.id)""".stripMargin
+      }
+      (Seq("r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes)") ++ steps)
+        .mkString(",\n")
+    }
+
+    /** [[pageRankCtes]]'s TrustRank twin: expects the extra prepared
+      * CTE `tele(id, is_seed, tpt)` (seed-concentrated integer
+      * teleport) beside edges/deg/nodes; ends with `r$iters(id, m)`.
+      */
+    def trustRankCtes(iters: Int = 5, dampingNum: Long = 17,
+        dampingDen: Long = 20): String = {
+      val steps = (1 to iters).map { i =>
+        s"""r$i AS (
+           |  SELECT t.id,
+           |    t.tpt + ($dampingNum * COALESCE(SUM(p.m // d.deg), 0)) // $dampingDen AS m
+           |  FROM tele t
+           |  LEFT JOIN edges e ON e.dst = t.id
+           |  LEFT JOIN r${i - 1} p ON p.id = e.src
+           |  LEFT JOIN deg d ON d.src = e.src
+           |  GROUP BY t.id, t.tpt)""".stripMargin
       }
       (Seq("r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes)") ++ steps)
         .mkString(",\n")

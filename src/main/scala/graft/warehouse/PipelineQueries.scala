@@ -738,6 +738,24 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** q316: TrustRank over the similarity graph — personalized PageRank
+    * whose teleport mass lands only on the quality-head tercile (the
+    * q284 cutoff convention): trust flows outward from known-good docs,
+    * the quality-PROPAGATION signal beside q101's raw centrality.
+    */
+  val trustRankQ: Q = (s, dir) => {
+    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
+      .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+    val qs = TextAnalysis.withTextStats(docs(s, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val cut = qs.agg(round(percentile(col("quality_score"), lit(2.0 / 3)), 6).as("c2"))
+    val seeds = qs.crossJoin(broadcast(cut))
+      .filter(col("quality_score") > col("c2"))
+      .select(col("doc_id").as("id"))
+    Graph.trustRank(edges, seeds).orderBy("id")
+  }
+
   /** q102: VARIANT semi-structured shred — one parse_json per event,
     * typed path extraction, then a per-type rollup over the extracted
     * field (exact decimal-backed mean).
@@ -3372,6 +3390,7 @@ object PipelineQueries {
     "q313_source_dup_burden" -> sourceDupBurdenQ,
     "q314_boilerplate_flow" -> boilerplateFlowQ,
     "q315_metric_agreement" -> metricAgreementQ,
+    "q316_trust_rank" -> trustRankQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3748,6 +3767,26 @@ object PipelineQueries {
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q314_boilerplate_flow" -> Dedup.O.boilerplateFlow(),
     "q315_metric_agreement" -> TO.metricAgreement(),
+    "q316_trust_rank" ->
+      s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges),
+         |ts AS (SELECT doc_id, ${TO.textStats} FROM documents),
+         |c AS (SELECT round(quantile_cont(quality_score, ${2.0 / 3}), 6) AS c2 FROM ts),
+         |seeds AS (SELECT doc_id AS id FROM ts CROSS JOIN c WHERE quality_score > c2),
+         |ni AS (SELECT n.id, (s.id IS NOT NULL) AS is_seed
+         |       FROM nodes n LEFT JOIN seeds s USING (id)),
+         |cnt AS (SELECT COUNT(*) AS nn,
+         |          CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM ni),
+         |tele AS (SELECT id, is_seed,
+         |           CASE WHEN is_seed THEN (150000 * nn) // ns ELSE CAST(0 AS BIGINT) END AS tpt
+         |         FROM ni CROSS JOIN cnt),
+         |${Graph.O.trustRankCtes(iters = 5)}
+         |SELECT r5.id, t.is_seed, COALESCE(d.deg, 0) AS out_degree,
+         |  r5.m / 1000000.0 AS trust
+         |FROM r5 JOIN tele t ON t.id = r5.id
+         |LEFT JOIN deg d ON d.src = r5.id ORDER BY r5.id""".stripMargin,
     "q308_dataset_card" -> {
       import graft.functions.Num
       s"""WITH ts AS (SELECT doc_id, ${TO.textStats} FROM documents),

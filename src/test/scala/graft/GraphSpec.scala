@@ -101,4 +101,25 @@ class GraphSpec extends AnyFunSuite with TestSpark {
       assert(got == brute, s"trial $trial: $got vs $brute")
     }
   }
+
+  test("trustRank: trust flows from the seed; seedless components decay") {
+    // two symmetric components: seeded chain 1-2-3, unseeded pair 10-11
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.trustRank(edges, seeds).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Boolean]("is_seed"), x.getAs[Double]("trust")))).toMap
+    assert(r(1L)._1 && !r(2L)._1 && !r(10L)._1)
+    // the hub adjacent to the seed collects BOTH neighbors' outflow and
+    // legitimately outranks the seed itself (the TrustRank shape); the
+    // far end gets only what leaks through the hub
+    assert(r(2L)._2 > r(1L)._2 && r(1L)._2 > r(3L)._2,
+      s"unexpected seeded-component ordering: $r")
+    // the seedless component holds only decayed initial mass — strictly
+    // below every seeded-component node
+    assert(Seq(1L, 2L, 3L).forall(n => r(n)._2 > r(10L)._2),
+      s"seedless component must rank lowest: $r")
+    assert(r(10L)._2 == r(11L)._2)
+  }
 }
