@@ -123,6 +123,34 @@ object Graph {
         (col("m") / lit(1000000.0)).as("trust"))
   }
 
+  /** Per-community MODULARITY contributions (Newman & Girvan 2004)
+    * over an undirected pair list (v1 < v2) and a node→community
+    * assignment: internal-edge share minus the squared degree share;
+    * Σ over communities = the classic Q. Exact integer edge/degree
+    * counts, one rounded double per community.
+    */
+  def modularity(pairs: DataFrame, asg: DataFrame): DataFrame = {
+    val e = pairs.select(col("v1"), col("v2"))
+      .join(asg.select(col("id").as("v1"), col("cent_id").as("c1")), "v1")
+      .join(asg.select(col("id").as("v2"), col("cent_id").as("c2")), "v2")
+      .localCheckpoint()
+    val m = e.agg(count(lit(1)).as("m_edges"))
+    val internal = e.filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("cent_id")).agg(count(lit(1)).as("internal_edges"))
+    val degs = e.select(col("c1").as("cent_id"))
+      .unionByName(e.select(col("c2").as("cent_id")))
+      .groupBy("cent_id").agg(count(lit(1)).as("degree_sum"))
+    val degShare = col("degree_sum").cast("double") / (lit(2L) * col("m_edges"))
+    degs.join(internal, Seq("cent_id"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("cent_id"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("internal_edges"), lit(0L)).cast("double") / col("m_edges")
+          - degShare * degShare, 6).as("q_contribution"))
+      .orderBy("cent_id")
+  }
+
   /** One power-iteration round, pre-checkpoint — exposed so the plan
     * audit can assert the contribution aggregate combines map-side
     * (inside `pageRank` every round hides behind a localCheckpoint, so

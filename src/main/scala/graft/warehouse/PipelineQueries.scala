@@ -738,6 +738,22 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** q317: MODULARITY of the quantizer partition over the similarity
+    * graph (Newman & Girvan 2004) — DOES the trained clustering carve
+    * the corpus at its joints? Per cluster: internal-edge share minus
+    * the squared degree share (the null-model expectation); Σ = the
+    * classic Q. Edge and degree counts are exact integers off the
+    * SAME bounded pair generator as q101/q316; the assignment is the
+    * q282 quantizer map — so this audits an artifact the pipeline
+    * already ships, with no new candidate generation.
+    */
+  val modularityQ: Q = (s, dir) =>
+    Graph.modularity(
+      Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+        .select(col("v1"), col("v2")),
+      Similarity.ivfAssignments(emb(s, dir), mKmeansCos(s, dir))
+        .select(col("cand_id").as("id"), col("cent_id")))
+
   /** q316: TrustRank over the similarity graph — personalized PageRank
     * whose teleport mass lands only on the quality-head tercile (the
     * q284 cutoff convention): trust flows outward from known-good docs,
@@ -3391,6 +3407,7 @@ object PipelineQueries {
     "q314_boilerplate_flow" -> boilerplateFlowQ,
     "q315_metric_agreement" -> metricAgreementQ,
     "q316_trust_rank" -> trustRankQ,
+    "q317_modularity" -> modularityQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3767,6 +3784,22 @@ object PipelineQueries {
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q314_boilerplate_flow" -> Dedup.O.boilerplateFlow(),
     "q315_metric_agreement" -> TO.metricAgreement(),
+    "q317_modularity" ->
+      s"""WITH ${Similarity.O.assignmentCtes},
+         |${Similarity.O.bucketedPairsCte(0.15)},
+         |ej AS (SELECT a1.cent_id AS c1, a2.cent_id AS c2 FROM pairs p
+         |       JOIN asg a1 ON a1.doc_id = p.v1 JOIN asg a2 ON a2.doc_id = p.v2),
+         |mm AS (SELECT COUNT(*) AS m_edges FROM ej),
+         |ii AS (SELECT c1 AS cent_id, COUNT(*) AS internal_edges FROM ej
+         |       WHERE c1 = c2 GROUP BY 1),
+         |dd AS (SELECT cent_id, COUNT(*) AS degree_sum FROM (
+         |        SELECT c1 AS cent_id FROM ej UNION ALL SELECT c2 FROM ej) GROUP BY 1)
+         |SELECT dd.cent_id, COALESCE(ii.internal_edges, 0) AS internal_edges,
+         |  dd.degree_sum,
+         |  round(CAST(COALESCE(ii.internal_edges, 0) AS DOUBLE) / mm.m_edges
+         |    - (CAST(dd.degree_sum AS DOUBLE) / (2 * mm.m_edges))
+         |      * (CAST(dd.degree_sum AS DOUBLE) / (2 * mm.m_edges)), 6) AS q_contribution
+         |FROM dd LEFT JOIN ii USING (cent_id) CROSS JOIN mm ORDER BY cent_id""".stripMargin,
     "q316_trust_rank" ->
       s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),

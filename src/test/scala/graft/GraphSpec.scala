@@ -102,6 +102,26 @@ class GraphSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  test("modularity: two planted triangles with one bridge, hand-computed") {
+    // m = 7 edges; each triangle: internal 3, degree sum 7 (one bridge
+    // endpoint each) -> contribution 3/7 - (7/14)^2 = 0.178571
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("v1", "v2")
+    val asg = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1))
+      .toDF("id", "cent_id")
+    val r = Graph.modularity(pairs, asg).collect()
+      .map(x => x.getAs[Int]("cent_id") ->
+        ((x.getAs[Long]("internal_edges"), x.getAs[Long]("degree_sum"),
+          x.getAs[Double]("q_contribution")))).toMap
+    assert(r(0) == ((3L, 7L, 0.178571)) && r(1) == ((3L, 7L, 0.178571)))
+    // a random half/half split of the same graph scores lower
+    val bad = Seq((1L, 0), (4L, 0), (5L, 0), (2L, 1), (3L, 1), (6L, 1))
+      .toDF("id", "cent_id")
+    val qBad = Graph.modularity(pairs, bad).collect()
+      .map(_.getAs[Double]("q_contribution")).sum
+    assert(qBad < 2 * 0.178571, s"shuffled partition must score lower: $qBad")
+  }
+
   test("trustRank: trust flows from the seed; seedless components decay") {
     // two symmetric components: seeded chain 1-2-3, unseeded pair 10-11
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
