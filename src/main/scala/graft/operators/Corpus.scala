@@ -650,6 +650,51 @@ object Corpus {
       .orderBy("chunk_id")
   }
 
+  /** Fill-in-the-middle example generation (Bainbridge et al. /
+    * "Efficient Training of Language Models to Fill in the Middle",
+    * 2022 — the causal-infilling transform beside q154's T5 span
+    * corruption): each document splits at two DETERMINISTIC cut points
+    * (md5-derived, so both engines and every rerun derive identical
+    * examples) into (prefix, middle, suffix), and the example is
+    * emitted in both canonical orders — PSM
+    * `<pre>P<suf>S<mid>M` and SPM `<suf>S<pre>P<mid>M` — as md5
+    * fingerprints (the array-output convention). Docs shorter than 3
+    * words can't split and are passed through flagged. Pure narrow
+    * per-row array expressions: no shuffle, no explode.
+    */
+  def fimExamples(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.{Hashes, Text}
+    val n = size(col("w"))
+    // two cut points in [1, n-1] (word boundaries), ordered: the middle
+    // is non-empty iff lo < hi; lo = hi yields an empty middle, kept
+    // (the paper keeps empty-middle examples — they teach the no-op)
+    val h1 = Hashes.md5Long32(concat(lit("fim1:"), col("doc_id").cast("string")))
+    val h2 = Hashes.md5Long32(concat(lit("fim2:"), col("doc_id").cast("string")))
+    val joinPart = (a: Column, b: Column) => array_join(slice(col("w"), a, b), " ")
+    docs
+      .select(col("doc_id"), Text.words(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"), n.as("n"),
+        (lit(1) + pmod(h1, greatest(n - 1, lit(1))).cast("int")).as("p1"),
+        (lit(1) + pmod(h2, greatest(n - 1, lit(1))).cast("int")).as("p2"))
+      .select(col("doc_id"), col("w"), col("n"),
+        least(col("p1"), col("p2")).as("lo"), greatest(col("p1"), col("p2")).as("hi"))
+      .select(
+        col("doc_id"), col("n").cast("int").as("n_words"),
+        (col("n") >= 3).as("splittable"),
+        col("lo"), col("hi"),
+        (col("hi") - col("lo")).cast("int").as("middle_len"),
+        md5(when(col("n") >= 3, concat_ws(" ",
+          lit("<pre>"), joinPart(lit(1), col("lo")),
+          lit("<suf>"), joinPart(col("hi") + 1, col("n") - col("hi")),
+          lit("<mid>"), joinPart(col("lo") + 1, col("hi") - col("lo"))))
+          .otherwise(col("w")(0))).as("psm_md5"),
+        md5(when(col("n") >= 3, concat_ws(" ",
+          lit("<suf>"), joinPart(col("hi") + 1, col("n") - col("hi")),
+          lit("<pre>"), joinPart(lit(1), col("lo")),
+          lit("<mid>"), joinPart(col("lo") + 1, col("hi") - col("lo"))))
+          .otherwise(col("w")(0))).as("spm_md5"))
+  }
+
   /** Seeded, deterministic, RESUMABLE global training order — the data
     * order a reproducible training run needs: every document gets a
     * stable position from md5(seed:doc_id) (a new seed is a fresh
@@ -1140,6 +1185,32 @@ object Corpus {
          |p AS (SELECT wi.doc_id, wi.nt, bo.boff + wi.within AS rank,
          |        (bo.boff + wi.within - 1) // $batchSize AS batch_id
          |      FROM wi JOIN bo USING (bucket))""".stripMargin
+
+    /** Mirrors [[Corpus.fimExamples]]: identical md5 cut points; the
+      * possibly-empty middle COALESCEs (DuckDB's array_to_string of an
+      * empty list is NULL where Spark's array_join is '').
+      */
+    def fimExamples(): String = {
+      val h1 = Hashes.O.md5Long32("'fim1:' || CAST(doc_id AS VARCHAR)")
+      val h2 = Hashes.O.md5Long32("'fim2:' || CAST(doc_id AS VARCHAR)")
+      val pre = "array_to_string(w[1:lo], ' ')"
+      val suf = "array_to_string(w[hi+1:n], ' ')"
+      val mid = "COALESCE(array_to_string(w[lo+1:hi], ' '), '')"
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, w, len(w) AS n,
+         |        1 + ($h1 % greatest(len(w) - 1, 1)) AS p1,
+         |        1 + ($h2 % greatest(len(w) - 1, 1)) AS p2
+         |      FROM b),
+         |d AS (SELECT doc_id, w, n, least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM c)
+         |SELECT doc_id, CAST(n AS INT) AS n_words, (n >= 3) AS splittable,
+         |  CAST(lo AS INT) AS lo, CAST(hi AS INT) AS hi,
+         |  CAST(hi - lo AS INT) AS middle_len,
+         |  md5(CASE WHEN n >= 3 THEN concat_ws(' ', '<pre>', $pre, '<suf>', $suf, '<mid>', $mid)
+         |      ELSE w[1] END) AS psm_md5,
+         |  md5(CASE WHEN n >= 3 THEN concat_ws(' ', '<suf>', $suf, '<pre>', $pre, '<mid>', $mid)
+         |      ELSE w[1] END) AS spm_md5
+         |FROM d ORDER BY doc_id""".stripMargin
+    }
 
     /** Mirrors [[Corpus.trainingOrder]]: identical md5 keys, ordered
       * hex-prefix range buckets, two-level rank, per-batch manifest.

@@ -738,6 +738,13 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** q318: fill-in-the-middle example generation — the causal-infilling
+    * transform beside q154's T5 span corruption, with md5-derived
+    * deterministic cut points and both PSM/SPM canonical orders.
+    */
+  val fimQ: Q = (s, dir) =>
+    Corpus.fimExamples(docs(s, dir)).orderBy("doc_id")
+
   /** q317: MODULARITY of the quantizer partition over the similarity
     * graph (Newman & Girvan 2004) — DOES the trained clustering carve
     * the corpus at its joints? Per cluster: internal-edge share minus
@@ -3408,6 +3415,7 @@ object PipelineQueries {
     "q315_metric_agreement" -> metricAgreementQ,
     "q316_trust_rank" -> trustRankQ,
     "q317_modularity" -> modularityQ,
+    "q318_fim_examples" -> fimQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3784,6 +3792,7 @@ object PipelineQueries {
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q314_boilerplate_flow" -> Dedup.O.boilerplateFlow(),
     "q315_metric_agreement" -> TO.metricAgreement(),
+    "q318_fim_examples" -> Corpus.O.fimExamples(),
     "q317_modularity" ->
       s"""WITH ${Similarity.O.assignmentCtes},
          |${Similarity.O.bucketedPairsCte(0.15)},

@@ -403,6 +403,28 @@ class EvalMetricsSpec extends AnyFunSuite with TestSpark {
     assert(r(("chrf2", "wer")) == -1.0)
   }
 
+  test("fimExamples: PSM/SPM reassemble the exact partition at the derived cuts") {
+    import graft.operators.Corpus
+    val docs = Seq((7L, base, "en", "s0"), (8L, "a b", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.fimExamples(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val row = r(7L)
+    assert(row.getAs[Boolean]("splittable"))
+    val (lo, hi) = (row.getAs[Int]("lo"), row.getAs[Int]("hi"))
+    assert(lo >= 1 && lo <= hi && hi <= 9)
+    val w = base.split(" ")
+    val expectedPsm = Seq("<pre>", w.take(lo).mkString(" "),
+      "<suf>", w.drop(hi).mkString(" "),
+      "<mid>", w.slice(lo, hi).mkString(" ")).mkString(" ")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("psm_md5") == hex(expectedPsm),
+      s"lo=$lo hi=$hi expected '$expectedPsm'")
+    assert(row.getAs[Int]("middle_len") == hi - lo)
+    assert(!r(8L).getAs[Boolean]("splittable"))
+  }
+
   test("boilerplateFlow attributes redundancy to the originating source") {
     val bp = "q1 q2 q3 q4 q5 q6 q7 q8"
     val docs = Seq(
