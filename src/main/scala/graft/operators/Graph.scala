@@ -279,21 +279,23 @@ object Graph {
 
     /** [[pageRankCtes]]'s TrustRank twin: expects the extra prepared
       * CTE `tele(id, is_seed, tpt)` (seed-concentrated integer
-      * teleport) beside edges/deg/nodes; ends with `r$iters(id, m)`.
+      * teleport) beside edges/deg/nodes; ends with
+      * `$prefix$iters(id, m)` (prefix the CTE names when composing
+      * with [[pageRankCtes]] in one query — q319).
       */
     def trustRankCtes(iters: Int = 5, dampingNum: Long = 17,
-        dampingDen: Long = 20): String = {
+        dampingDen: Long = 20, prefix: String = "r"): String = {
       val steps = (1 to iters).map { i =>
-        s"""r$i AS (
+        s"""$prefix$i AS (
            |  SELECT t.id,
            |    t.tpt + ($dampingNum * COALESCE(SUM(p.m // d.deg), 0)) // $dampingDen AS m
            |  FROM tele t
            |  LEFT JOIN edges e ON e.dst = t.id
-           |  LEFT JOIN r${i - 1} p ON p.id = e.src
+           |  LEFT JOIN $prefix${i - 1} p ON p.id = e.src
            |  LEFT JOIN deg d ON d.src = e.src
            |  GROUP BY t.id, t.tpt)""".stripMargin
       }
-      (Seq("r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes)") ++ steps)
+      (Seq(s"${prefix}0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes)") ++ steps)
         .mkString(",\n")
     }
   }

@@ -745,6 +745,37 @@ object PipelineQueries {
   val fimQ: Q = (s, dir) =>
     Corpus.fimExamples(docs(s, dir)).orderBy("doc_id")
 
+  /** q319: relative SPAM MASS (Gyöngyi et al. — the detection signal
+    * TrustRank exists for): the share of a node's PageRank NOT
+    * accounted for by trust flowing from the good seeds,
+    * (pr − trust)/pr. Both trajectories ride the exact integer
+    * micro-rank arithmetic and the total teleport mass is identical
+    * (0.15e6·N, uniform vs seed-concentrated), so the subtraction is
+    * meaningful; seed-adjacent nodes go NEGATIVE (over-trusted) — the
+    * sign is the read.
+    */
+  val spamMassQ: Q = (s, dir) => {
+    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
+      .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+      .localCheckpoint()
+    val qs = TextAnalysis.withTextStats(docs(s, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val cut = qs.agg(round(percentile(col("quality_score"), lit(2.0 / 3)), 6).as("c2"))
+    val seeds = qs.crossJoin(broadcast(cut))
+      .filter(col("quality_score") > col("c2"))
+      .select(col("doc_id").as("id"))
+    Graph.pageRank(edges).select(col("id"), col("pagerank"))
+      .join(Graph.trustRank(edges, seeds)
+        .select(col("id"), col("is_seed"), col("trust")), "id")
+      .withColumn("spam_mass",
+        round((col("pagerank") - col("trust")) / col("pagerank"), 6))
+      .select(col("id"), col("is_seed"),
+        round(col("pagerank"), 6).as("pagerank"),
+        round(col("trust"), 6).as("trust"), col("spam_mass"))
+      .orderBy("id")
+  }
+
   /** q317: MODULARITY of the quantizer partition over the similarity
     * graph (Newman & Girvan 2004) — DOES the trained clustering carve
     * the corpus at its joints? Per cluster: internal-edge share minus
@@ -3416,6 +3447,7 @@ object PipelineQueries {
     "q316_trust_rank" -> trustRankQ,
     "q317_modularity" -> modularityQ,
     "q318_fim_examples" -> fimQ,
+    "q319_spam_mass" -> spamMassQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3793,6 +3825,29 @@ object PipelineQueries {
     "q314_boilerplate_flow" -> Dedup.O.boilerplateFlow(),
     "q315_metric_agreement" -> TO.metricAgreement(),
     "q318_fim_examples" -> Corpus.O.fimExamples(),
+    "q319_spam_mass" ->
+      s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges),
+         |ts AS (SELECT doc_id, ${TO.textStats} FROM documents),
+         |c AS (SELECT round(quantile_cont(quality_score, ${2.0 / 3}), 6) AS c2 FROM ts),
+         |seeds AS (SELECT doc_id AS id FROM ts CROSS JOIN c WHERE quality_score > c2),
+         |ni AS (SELECT n.id, (s.id IS NOT NULL) AS is_seed
+         |       FROM nodes n LEFT JOIN seeds s USING (id)),
+         |cnt AS (SELECT COUNT(*) AS nn,
+         |          CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS ns FROM ni),
+         |tele AS (SELECT id, is_seed,
+         |           CASE WHEN is_seed THEN (150000 * nn) // ns ELSE CAST(0 AS BIGINT) END AS tpt
+         |         FROM ni CROSS JOIN cnt),
+         |${Graph.O.pageRankCtes(iters = 5)},
+         |${Graph.O.trustRankCtes(iters = 5, prefix = "t")}
+         |SELECT r5.id, ni.is_seed,
+         |  round(r5.m / 1000000.0, 6) AS pagerank,
+         |  round(t5.m / 1000000.0, 6) AS trust,
+         |  round((r5.m / 1000000.0 - t5.m / 1000000.0) / (r5.m / 1000000.0), 6) AS spam_mass
+         |FROM r5 JOIN t5 ON t5.id = r5.id JOIN ni ON ni.id = r5.id
+         |ORDER BY r5.id""".stripMargin,
     "q317_modularity" ->
       s"""WITH ${Similarity.O.assignmentCtes},
          |${Similarity.O.bucketedPairsCte(0.15)},
