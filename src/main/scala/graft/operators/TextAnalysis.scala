@@ -1059,6 +1059,60 @@ object TextAnalysis {
     "alert_merge_vector" -> Seq("merge", "vector"),
     "alert_all_four" -> Seq("spark", "window", "merge", "vector"))
 
+  /** Standing PHRASE queries (the Elasticsearch match_phrase
+    * percolator — ordered adjacency, where [[percolateMatches]] tests
+    * only presence): a document matches phrase [w₀..w₋₁] iff some base
+    * position b carries wⱼ at b+j for every j. Each stored phrase
+    * explodes to (query, idx, word); candidate bases come from ONE
+    * keyed join on the word with base = pos − idx, and the match test
+    * is a (query, doc, base)-keyed distinct-offset count — positional,
+    * alert-sized, never a LIKE scan.
+    */
+  def percolatePhrases(postings: DataFrame,
+      phrases: Seq[(String, Seq[String])]): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val pt = phrases.flatMap { case (q, ws) =>
+      ws.zipWithIndex.map { case (w, i) => (q, i, w, ws.size) }
+    }.toDF("query_id", "idx", "term", "len")
+    postings.select("doc_id", "pos", "word")
+      .join(broadcast(pt), col("word") === col("term"))
+      .groupBy(col("query_id"), col("len"), col("doc_id"),
+        (col("pos") - col("idx")).as("base"))
+      .agg(countDistinct(col("idx")).as("n_hit"))
+      .filter(col("n_hit") === col("len"))
+      .select("query_id", "doc_id")
+      .distinct()
+  }
+
+  /** Fixed standing phrases — adjacency hits at both test SFs plus one
+    * OOV-anchored impossible phrase (the every-query-reports arm).
+    */
+  val PercolatorPhrases: Seq[(String, Seq[String])] = Seq(
+    "ph_the_line" -> Seq("the", "line"),
+    "ph_row_fast" -> Seq("row", "fast"),
+    "ph_table_window" -> Seq("table", "window"),
+    "ph_value_fast_spark" -> Seq("value", "fast", "spark"),
+    "ph_never" -> Seq("table", "zzqq"))
+
+  /** Per-phrase census: match count + first matching doc (NULL when
+    * none — the unsatisfiable phrase must still report).
+    */
+  def percolatePhraseCensus(postings: DataFrame,
+      phrases: Seq[(String, Seq[String])] = PercolatorPhrases): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qs = phrases.map(_._1).toDF("query_id")
+    qs.join(percolatePhrases(postings, phrases)
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc")),
+      Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("first_doc"))
+      .orderBy("query_id")
+  }
+
   /** The per-query percolation census: every stored query reports its
     * matching-doc count and first match (NULL when none).
     */
@@ -2523,6 +2577,35 @@ object TextAnalysis {
          |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM mm GROUP BY 1),
          |ids(query_id) AS (VALUES $qids)
          |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
+         |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.percolatePhraseCensus]]: the VALUES
+      * phrase table with per-term offsets, candidate bases pos − idx,
+      * the distinct-offset count test, every phrase reporting.
+      */
+    def percolatePhraseCensus(
+        phrases: Seq[(String, Seq[String])] = PercolatorPhrases): String = {
+      val vals = phrases.flatMap { case (q, ws) =>
+        ws.zipWithIndex.map { case (w, i) =>
+          s"('$q', $i, '${w.replace("'", "''")}', ${ws.size})"
+        }
+      }.mkString(", ")
+      val qids = phrases.map(p => s"('${p._1}')").mkString(", ")
+      s"""WITH pt(query_id, idx, term, len) AS (VALUES $vals),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word FROM (
+         |      SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS i
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         |cb AS (SELECT p.query_id, p.len, t.doc_id, t.pos - p.idx AS base,
+         |         COUNT(DISTINCT p.idx) AS n_hit
+         |       FROM tok t JOIN pt p ON t.word = p.term
+         |       GROUP BY 1, 2, 3, 4),
+         |mm AS (SELECT DISTINCT query_id, doc_id FROM cb WHERE n_hit = len),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_matches, MIN(doc_id) AS first_doc
+         |        FROM mm GROUP BY 1),
+         |ids(query_id) AS (VALUES $qids)
+         |SELECT i.query_id, CAST(COALESCE(c.n_matches, 0) AS BIGINT) AS n_matches,
+         |  c.first_doc
          |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
     }
 

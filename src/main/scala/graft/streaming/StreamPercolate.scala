@@ -19,4 +19,11 @@ object StreamPercolate {
   def alerts(docs: DataFrame,
       queries: Seq[(String, Seq[String])] = TextAnalysis.PercolatorQueries): DataFrame =
     TextAnalysis.percolateMatches(TextAnalysis.positionalPostings(docs), queries)
+
+  /** PHRASE alert pairs — the match_phrase percolator per micro-batch
+    * (ordered adjacency, same per-document stream ≡ batch argument).
+    */
+  def phraseAlerts(docs: DataFrame,
+      phrases: Seq[(String, Seq[String])] = TextAnalysis.PercolatorPhrases): DataFrame =
+    TextAnalysis.percolatePhrases(TextAnalysis.positionalPostings(docs), phrases)
 }

@@ -738,6 +738,14 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** q320: PHRASE percolation — standing match_phrase queries (ordered
+    * adjacency, completing the percolator family: conjunctive q289,
+    * boolean q293, positional q320), with the streaming twin in
+    * StreamPercolate.phraseAlerts.
+    */
+  val phrasePercolatorQ: Q = (s, dir) =>
+    TextAnalysis.percolatePhraseCensus(mPostings(s, dir))
+
   /** q318: fill-in-the-middle example generation — the causal-infilling
     * transform beside q154's T5 span corruption, with md5-derived
     * deterministic cut points and both PSM/SPM canonical orders.
@@ -3448,6 +3456,7 @@ object PipelineQueries {
     "q317_modularity" -> modularityQ,
     "q318_fim_examples" -> fimQ,
     "q319_spam_mass" -> spamMassQ,
+    "q320_phrase_percolator" -> phrasePercolatorQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3825,6 +3834,7 @@ object PipelineQueries {
     "q314_boilerplate_flow" -> Dedup.O.boilerplateFlow(),
     "q315_metric_agreement" -> TO.metricAgreement(),
     "q318_fim_examples" -> Corpus.O.fimExamples(),
+    "q320_phrase_percolator" -> TO.percolatePhraseCensus(),
     "q319_spam_mass" ->
       s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),

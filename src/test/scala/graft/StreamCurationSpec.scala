@@ -128,6 +128,38 @@ class StreamCurationSpec extends AnyFunSuite with TestSpark {
       s"selection does not match the planted structure: $got")
   }
 
+  test("phrase percolator: ordered adjacency alerts, stream equals batch") {
+    import graft.streaming.StreamPercolate
+    val phrases = Seq(
+      "p_data_pipeline" -> Seq("data", "of"), // adjacent in the planted text
+      "p_reversed" -> Seq("of", "data"), // same words, wrong order -> silent
+      "p_repeat" -> Seq("a", "a"), // repeated-word phrase
+      "p_never" -> Seq("data", "zzz"))
+    val feed: Seq[(Long, String, String)] = Seq(
+      (1L, "the data of a pipeline", "s"),
+      (2L, "a a doubled word here", "s"),
+      (3L, "of data reversed order", "s"))
+    val docs = feed.toDF("doc_id", "text", "source")
+    val want = StreamPercolate.phraseAlerts(docs, phrases).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want == Set(("p_data_pipeline", 1L), ("p_repeat", 2L), ("p_reversed", 3L)),
+      s"unexpected batch alerts: $want")
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.Set.empty[(String, Long)]
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      StreamPercolate.phraseAlerts(b, phrases).collect().foreach { r =>
+        buf.synchronized { buf += ((r.getString(0), r.getLong(1))) }
+      }
+    val q = mem.toDF().toDF("doc_id", "text", "source")
+      .writeStream.foreachBatch(fn).start()
+    mem.addData(feed.take(2): _*); q.processAllAvailable()
+    mem.addData(feed.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    assert(buf.toSet == want, "stream and batch phrase alerts diverge")
+  }
+
   test("substring gate: micro-batches scrub against the frozen gram set exactly like batch") {
     import graft.operators.Dedup
     val bp = "p1 p2 p3 p4 p5 p6 p7 p8"
