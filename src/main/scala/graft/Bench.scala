@@ -38,13 +38,23 @@ object Bench {
   private val GlobalBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET", "1500").toInt
   private val TimedPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
 
+  // Locale.ROOT: the f"" interpolator formats in the JVM default
+  // locale — a comma-decimal locale would emit invalid JSON
+  private def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The COMPLETE small summary line — everything the driver's gate
+    * needs in well under the harness's 2000-char stdout tail.
+    */
+  private def summaryLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val total = d3(results.map(_._2).filter(_ >= 0).sum)
+    val failures = results.count(_._2 < 0)
+    s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+  }
+
   @volatile private var printed = false
   private def emit(results: Seq[(String, Double)], sfDir: String): Unit = synchronized {
     if (!printed) {
       printed = true
-      // Locale.ROOT: the f"" interpolator formats in the JVM default
-      // locale — a comma-decimal locale would emit invalid JSON
-      def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val total = d3(results.map(_._2).filter(_ >= 0).sum)
       val failures = results.count(_._2 < 0)
       def line(keyed: Seq[(String, Double)]): String = {
@@ -67,13 +77,27 @@ object Bench {
       // verdict fields. The full-name line is persisted to
       // bench_out.json for humans/judges.
       println(line(results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }))
-      println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}""")
+      println(summaryLine(results, sfDir))
       System.out.flush()
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_out.json"),
         (line(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
+  }
+
+  /** Re-print ONLY the small summary line, unguarded: round 13 lost the
+    * gate record ("parsed": null) because `spark.stop()` fired the
+    * Materialized app-end eviction whose per-artifact
+    * localCheckpoint-unpersist WARNs flushed the summary out of the
+    * harness's 2000-char stdout tail. The shutdown hook calls this
+    * AFTER teardown so the true last stdout line is always the
+    * parseable summary, no matter what Spark logs between emit and
+    * JVM exit.
+    */
+  private def emitSummaryLast(results: Seq[(String, Double)], sfDir: String): Unit = {
+    println(summaryLine(results, sfDir))
+    System.out.flush()
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,7 +125,10 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val results = new scala.collection.mutable.LinkedHashMap[String, Double]
     names.foreach(n => results(n) = -1.0)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(results.toSeq, sfDir)))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      emit(results.toSeq, sfDir)
+      emitSummaryLast(results.toSeq, sfDir)
+    }))
 
     val pool = Executors.newCachedThreadPool()
     val t0Global = System.nanoTime()
@@ -148,6 +175,10 @@ object Bench {
 
     emit(results.toSeq, sfDir)
     pool.shutdownNow()
+    // ERROR before stop: app-end listeners (Materialized eviction)
+    // WARN per unpersisted artifact — that flood is what flushed the
+    // round-13 summary out of the harness's stdout tail
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
   }
 }

@@ -301,7 +301,17 @@ object StressBench {
     def j(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val ratios = base.keys.map(n => n -> x10(n) / math.max(base(n), 0.001)).toMap
-    println(s"""{"metric":"dedup_stress_x10","base_sf":"$sfDir","base":${j(base)},"x10":${j(x10)},"ratio":${j(ratios)}$fit}""")
+    val summary = s"""{"metric":"dedup_stress_x10","base_sf":"$sfDir","base":${j(base)},"x10":${j(x10)},"ratio":${j(ratios)}$fit}"""
+    println(summary)
+    System.out.flush()
+    // unguarded re-print from the shutdown hook so the true LAST stdout
+    // line is the parseable JSON even if teardown logs after us (the
+    // round-13 bench-tail lesson); ERROR level silences the app-end
+    // eviction WARN flood itself
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      println(summary); System.out.flush()
+    }))
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
   }
 }

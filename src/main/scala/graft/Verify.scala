@@ -72,6 +72,9 @@ object Verify {
     val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // silence the app-end eviction WARN flood (the round-13 bench-tail
+    // lesson) so any stdout the driver tails stays meaningful
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
   }
 }

@@ -131,6 +131,12 @@ object Dedup {
       truthThreshold: Double = 0.5): DataFrame = {
     require(configs.forall { case (b, r) => b * r == MinhashK },
       s"each (bands, rows) config must factor MinhashK = $MinhashK")
+    // the truth set derives from ngramJaccardPairs, which pre-filters
+    // at JaccardThreshold — below it the truth set would silently lose
+    // pairs a from-scratch oracle keeps (engine-parity break)
+    require(truthThreshold >= JaccardThreshold,
+      s"truthThreshold=$truthThreshold below the pair generator's floor " +
+        s"$JaccardThreshold — the truth set would be silently incomplete")
     val sig = minhashSignatures(docs).cache()
     val truth = ngramJaccardPairs(docs)
       .filter(col("jaccard") >= truthThreshold)
@@ -425,7 +431,7 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIters: Int = 25,
-      localEdgeThreshold: Long = 2000000L): DataFrame = {
+      localEdgeThreshold: Long = LocalSolveMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -456,6 +462,20 @@ object Dedup {
       connectedComponentsLoop(sym.repartition(p, col("dst")).localCheckpoint(true), maxIters, p)
     }
   }
+
+  /** Edge-count ceiling for the driver-local union-find fast path of
+    * [[connectedComponents]]. Memory math: each collected edge is one
+    * (Long, Long) tuple (16 B payload, ~48 B with object headers), so
+    * 2M edges is ~32 MB payload / well under 100 MB resident on the
+    * driver — negligible against the multi-GB driver of any cluster
+    * this runs on, while covering every near-dup pair graph a blocked/
+    * banded generator emits at 100 TB (pair graphs are near-dup-sized,
+    * not corpus-sized). Above it the distributed pointer-jumping loop
+    * takes over unchanged. Overridable per-JVM via
+    * -Dgraft.cc.local.max.edges.
+    */
+  private[graft] def LocalSolveMaxEdges: Long =
+    sys.props.get("graft.cc.local.max.edges").map(_.toLong).getOrElse(2000000L)
 
   /** Driver union-find with path compression + union by min label. */
   private def localSolve(spark: org.apache.spark.sql.SparkSession, sym: DataFrame): DataFrame = {
@@ -661,13 +681,13 @@ object Dedup {
     * back by the same key; erased positions explode L rows per
     * redundant window (bounded) and dedup per doc; the surviving text
     * reassembles with one per-doc sort — all linear, no pair space.
-    * Occurrence order is encoded as doc_id·2^20 + pos (documents are
-    * capped at 2^20 words here; a longer-doc corpus would switch to the
-    * struct-min spelling at the same cost).
+    * Occurrence order is the struct-min over (doc_id, pos) — exact for
+    * ANY document length and id range (the round-13 spelling encoded
+    * doc_id·2^20 + pos, silently wrong past 2^20 words per doc).
     */
   def substringRemoval(docs: DataFrame, L: Int = SpanGramLen,
       textCol: String = "text"): DataFrame = {
-    val occKey = col("doc_id") * lit(1048576L) + col("pos")
+    val occKey = struct(col("doc_id"), col("pos"))
     val g = hashedGramPositions(docs, L, textCol)
     val first = g.groupBy("gk").agg(min(occKey).as("first_occ"))
     val erased = g.join(first, "gk")
@@ -719,19 +739,19 @@ object Dedup {
     * occurrences by (from_source → in_source) — the provenance read
     * that tells a curation team which feed originates the duplication
     * a downstream feed re-serves. Diagonal = within-source
-    * duplication. Same keyed first-occurrence min as the removal pass;
-    * the first doc decodes from the occurrence key (doc·2^20 + pos)
-    * and joins the doc→source map by id.
+    * duplication. Same keyed first-occurrence struct-min as the
+    * removal pass; the first doc reads from the occurrence struct and
+    * joins the doc→source map by id.
     */
   def boilerplateFlow(docs: DataFrame, L: Int = SpanGramLen,
       textCol: String = "text"): DataFrame = {
-    val occKey = col("doc_id") * lit(1048576L) + col("pos")
+    val occKey = struct(col("doc_id"), col("pos"))
     val g = hashedGramPositions(docs, L, textCol)
     val first = g.groupBy("gk").agg(min(occKey).as("first_occ"))
     val srcOf = docs.select(col("doc_id"), col("source"))
     g.join(first, "gk")
       .filter(occKey > col("first_occ"))
-      .withColumn("first_doc", expr("first_occ div 1048576"))
+      .withColumn("first_doc", col("first_occ").getField("doc_id"))
       .join(srcOf.withColumnRenamed("source", "in_source"), "doc_id")
       .join(srcOf.withColumnRenamed("doc_id", "first_doc")
         .withColumnRenamed("source", "from_source"), "first_doc")
@@ -957,9 +977,12 @@ object Dedup {
          |p AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
          |      FROM wl WHERE len(w) >= $l),
          |g AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM p),
-         |f AS (SELECT gk, MIN(doc_id * 1048576 + pos) AS first_occ FROM g GROUP BY gk),
+         |f AS (SELECT gk, doc_id AS f_doc, pos AS f_pos FROM (
+         |      SELECT gk, doc_id, pos,
+         |             ROW_NUMBER() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g)
+         |      WHERE rn = 1),
          |er AS (SELECT DISTINCT g.doc_id, CAST(unnest(range(g.pos, g.pos + $l)) AS INT) AS pos
-         |       FROM g JOIN f USING (gk) WHERE g.doc_id * 1048576 + g.pos > f.first_occ),
+         |       FROM g JOIN f USING (gk) WHERE (g.doc_id, g.pos) > (f.f_doc, f.f_pos)),
          |${erasureTailCtes("wl")}
          |$erasureSelect""".stripMargin
 
@@ -971,10 +994,13 @@ object Dedup {
          |p AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) - ${l - 2})) AS INT) AS pos
          |      FROM wl WHERE len(w) >= $l),
          |g AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+${l - 1}], ' ')) AS gk FROM p),
-         |f AS (SELECT gk, MIN(doc_id * 1048576 + pos) AS first_occ FROM g GROUP BY gk),
-         |r AS (SELECT g.doc_id, f.first_occ // 1048576 AS first_doc
+         |f AS (SELECT gk, doc_id AS f_doc, pos AS f_pos FROM (
+         |      SELECT gk, doc_id, pos,
+         |             ROW_NUMBER() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g)
+         |      WHERE rn = 1),
+         |r AS (SELECT g.doc_id, f.f_doc AS first_doc
          |      FROM g JOIN f USING (gk)
-         |      WHERE g.doc_id * 1048576 + g.pos > f.first_occ)
+         |      WHERE (g.doc_id, g.pos) > (f.f_doc, f.f_pos))
          |SELECT df.source AS from_source, di.source AS in_source,
          |  COUNT(*) AS n_redundant_grams,
          |  CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_docs_hit

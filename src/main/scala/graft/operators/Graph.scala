@@ -81,8 +81,9 @@ object Graph {
     * integer micro-rank arithmetic as [[pageRank]] (per-seed teleport
     * = teleportMicro·N/|S| by integer division, zero elsewhere), so
     * the trajectory is engine-exact. `seeds` is an id frame; it must
-    * intersect the graph for trust to flow (empty seed sets are a
-    * caller error).
+    * intersect the graph for trust to flow — ENFORCED below (a
+    * non-intersecting seed set would integer-divide by zero into
+    * all-NULL trust; failing fast beats a silently-NULL board).
     */
   def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
       dampingNum: Long = 17, dampingDen: Long = 20,
@@ -97,6 +98,13 @@ object Graph {
       .localCheckpoint()
     val cnt = nodes.agg(count(lit(1)).as("nn"),
       sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
+    // fail fast on a seed set disjoint from the graph: one 1-row
+    // collect (the frames above are localCheckpointed, so this costs
+    // no recomputation) guards the integer division in the teleport
+    val nSeedsInGraph = cnt.select(coalesce(col("ns"), lit(0L))).head().getLong(0)
+    require(nSeedsInGraph > 0,
+      "trustRank: the seed set does not intersect the graph's nodes — " +
+        "teleport mass has nowhere to land")
     val tele = nodes.crossJoin(broadcast(cnt))
       .select(col("id"), col("is_seed"),
         when(col("is_seed"), expr(s"(${teleportMicro}L * nn) div ns"))

@@ -3046,7 +3046,9 @@ object TextAnalysis {
       * over match columns, which the prefix list_max expresses
       * directly). `rounds` must be ≥ the longest document (99 words in
       * the driver corpus); shorter pairs freeze early via the CASE
-      * guard. dp is a len(b)+1 list with dp[k+1] = column k.
+      * guard, and a g0 assertion CTE makes the oracle ERROR (not
+      * silently truncate the DP) if the corpus ever outgrows the
+      * unroll. dp is a len(b)+1 list with dp[k+1] = column k.
       */
     def rougeLPairs(rounds: Int = 99): String = {
       val steps = (1 to rounds).map { i =>
@@ -3058,10 +3060,13 @@ object TextAnalysis {
       }.mkString(",\n")
       s"""${Dedup.O.minhashPairCtes},
          |wl2 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |g0 AS (SELECT CASE WHEN COALESCE(MAX(len(w)), 0) > $rounds
+         |         THEN error('rougeLPairs oracle: unrolled rounds=$rounds < longest doc — raise rounds')
+         |         ELSE 1 END AS ok FROM wl2),
          |l0 AS (SELECT p.d1, p.d2, ta.w AS aw, tb.w AS bw,
          |         list_transform(range(0, len(tb.w) + 1), j -> 0) AS dp
          |       FROM mhp p JOIN wl2 ta ON ta.doc_id = p.d1
-         |       JOIN wl2 tb ON tb.doc_id = p.d2),
+         |       JOIN wl2 tb ON tb.doc_id = p.d2 CROSS JOIN g0),
          |$steps,
          |f AS (SELECT d1, d2, CAST(dp[len(bw) + 1] AS BIGINT) AS lcs,
          |        CAST(len(aw) AS BIGINT) AS ref_len, CAST(len(bw) AS BIGINT) AS cand_len
@@ -3100,10 +3105,13 @@ object TextAnalysis {
       }.mkString(",\n")
       s"""${Dedup.O.minhashPairCtes},
          |wl2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g0 AS (SELECT CASE WHEN COALESCE(MAX(len(w)), 0) > $rounds
+         |         THEN error('werPairs oracle: unrolled rounds=$rounds < longest doc — raise rounds')
+         |         ELSE 1 END AS ok FROM wl2),
          |l0 AS (SELECT p.d1, p.d2, ta.w AS aw, tb.w AS bw,
          |         list_transform(range(0, len(tb.w) + 1), j -> j) AS dp
          |       FROM mhp p JOIN wl2 ta ON ta.doc_id = p.d1
-         |       JOIN wl2 tb ON tb.doc_id = p.d2),
+         |       JOIN wl2 tb ON tb.doc_id = p.d2 CROSS JOIN g0),
          |$steps
          |SELECT d1, d2, CAST(dp[len(bw) + 1] AS BIGINT) AS edit_dist,
          |  CAST(len(aw) AS BIGINT) AS ref_len, CAST(len(bw) AS BIGINT) AS cand_len,

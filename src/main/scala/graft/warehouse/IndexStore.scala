@@ -69,7 +69,10 @@ object IndexStore {
     val f = fs(spark, p)
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
+      // exists→open is itself racy against the writer's delete→rename:
+      // a vanished file reads as None (and commitOf's retry re-probes)
+      val in = try f.open(p)
+        catch { case _: java.io.FileNotFoundException => return None }
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       val parts = txt.split("\\s+")
@@ -89,15 +92,40 @@ object IndexStore {
       throw new java.io.IOException(s"failed to commit $c at $path")
   }
 
-  /** Parse `_CURRENT` (None before [[writeBase]]). */
-  def commitOf(spark: SparkSession, root: String): Option[Commit] =
-    readCommitFile(spark, new Path(root, "_CURRENT"))
+  /** Parse `_CURRENT` (None before [[writeBase]]). Rename onto an
+    * existing file is not atomic-replace on every FS, so
+    * [[swapCurrent]] deletes then renames — a sub-millisecond
+    * missing-pointer window for a reader racing the single writer's
+    * swap. Closed HERE with a bounded retry: a missing pointer is
+    * re-checked [[CommitRetries]] times before it is believed. The
+    * only cost lands on the legitimately-uncommitted store (a few ms
+    * before `None`), never on the committed hot path (first probe
+    * hits).
+    */
+  def commitOf(spark: SparkSession, root: String): Option[Commit] = {
+    val p = new Path(root, "_CURRENT")
+    var attempt = 0
+    while (true) {
+      readCommitFile(spark, p) match {
+        case some @ Some(_) => return some
+        case None if attempt < CommitRetries =>
+          attempt += 1
+          Thread.sleep(CommitRetrySleepMs)
+        case None => return None
+      }
+    }
+    None // unreachable
+  }
 
-  // rename onto an existing file is not atomic-replace on every FS;
-  // delete-then-rename leaves a sub-millisecond missing-pointer window
-  // only for a reader racing the single writer's swap — close it by
-  // retrying commitOf; on HDFS use rename with OVERWRITE. The
-  // per-generation `_commit-<g>` sidecar (same format) is what lets
+  /** Missing-`_CURRENT` re-checks before a reader believes the store is
+    * uncommitted — sized to dwarf the writer's delete→rename gap
+    * (sub-ms on a local FS, single-digit ms on an object store's
+    * metadata path) while keeping the genuine-None path under ~50 ms.
+    */
+  private val CommitRetries = 5
+  private val CommitRetrySleepMs = 10L
+
+  // The per-generation `_commit-<g>` sidecar (same format) is what lets
   // [[readAt]] resolve a RETAINED generation's watermark after the
   // pointer has moved on.
   private def swapCurrent(spark: SparkSession, root: String, c: Commit): Unit = {
@@ -211,9 +239,47 @@ object IndexStore {
     else {
       val ts = tombstones(spark, root, org.apache.spark.sql.types.StructType(
         tombstoneKeys.map(k => schema(k))))
-      all.join(broadcast(ts), tombstoneKeys, "left_anti")
+      // broadcast is the right plan under the documented purge
+      // discipline (tombstones stay a small key list) — but a
+      // purge-deferred store must degrade to a shuffle anti-join, not
+      // OOM the driver. The gauge is the tombstone dirs' on-disk byte
+      // size (pure FS metadata, no job): parquet keys expand ~4-8× in
+      // memory, so 16 MB on disk keeps the broadcast comfortably under
+      // typical driver/executor headroom.
+      val hinted =
+        if (tombstoneBytes(spark, root) <= TombstoneBroadcastMaxBytes) broadcast(ts)
+        else ts
+      all.join(hinted, tombstoneKeys, "left_anti")
     }
   }
+
+  /** On-disk byte size of the live tombstone key table (0 when none) —
+    * the broadcast-vs-shuffle gauge for the serving anti-join.
+    */
+  private[graft] def tombstoneBytes(spark: SparkSession, root: String): Long = {
+    val p = new Path(tombstonesDir(root))
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0L
+    else {
+      val it = f.listFiles(p, true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith(".") && !name.startsWith("_")) bytes += st.getLen
+      }
+      bytes
+    }
+  }
+
+  /** Disk-size threshold above which the serving read's tombstone
+    * anti-join abandons the broadcast hint for a shuffle anti-join.
+    * Overridable per-JVM for tests (and for clusters with bigger
+    * driver headroom) via -Dgraft.tombstone.broadcast.max.bytes.
+    */
+  private[graft] def TombstoneBroadcastMaxBytes: Long =
+    sys.props.get("graft.tombstone.broadcast.max.bytes").map(_.toLong)
+      .getOrElse(16L * 1024 * 1024)
 
   /** Fragments NOT yet absorbed into the committed generation:
     * `batch_id > watermark`. Partition-directory listing + the pushed
@@ -346,4 +412,28 @@ object IndexStore {
         .filter(_.split("batch_id=").last.toLong > c.fragWatermark)
         .map(count).sum
   }
+
+  /** Compaction SCHEDULING POLICY — the call a production ingest owner
+    * makes between micro-batches: compact only when small-file pressure
+    * ([[dataFileCount]]) exceeds `maxDataFiles`, otherwise leave the
+    * committed generation alone. Returns the new commit when a
+    * compaction ran, None when the store was already within budget.
+    *
+    * Threshold choice (ARCHITECTURE.md §index-lifecycle): each serving
+    * read opens every live data file once, so the gauge IS the serving
+    * read's open() count; compaction costs one full rewrite of the
+    * base, so the policy amortizes that rewrite over
+    * `maxDataFiles − (post-compaction file count)` micro-batches. For
+    * the hive-partitioned stores (one file per cent_id dir after
+    * compaction) a budget of ~4× the partition count keeps reads
+    * pruned-scan-shaped while compacting only every few dozen batches.
+    */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxDataFiles: Long,
+      partitionCols: Seq[String] = Nil,
+      tombstoneKeys: Seq[String] = Nil): Option[Commit] =
+    if (dataFileCount(spark, root) > maxDataFiles)
+      Some(compact(spark, root, schema, partitionCols, tombstoneKeys))
+    else None
 }
