@@ -1036,15 +1036,73 @@ object TextAnalysis {
       queries: Seq[(String, Seq[String])]): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val qt = queries.flatMap { case (q, ts) =>
-      val d = ts.distinct
-      d.map(t => (q, t, d.size))
-    }.toDF("query_id", "term", "n_terms")
+    percolateMatchesTable(postings,
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term"))
+  }
+
+  /** QUERIES-AS-DATA percolation (round-13 verdict #5): production
+    * prospective search stores its standing queries in a TABLE that
+    * changes without redeploying — `queryTerms` is any (query_id, term)
+    * frame. Same plan shape as the literal spelling: the query table is
+    * distinct'd, sized per query (one tiny aggregation on the
+    * alert-dictionary side), broadcast, and conjunction-tested with the
+    * (query, doc)-keyed count — the corpus is never paired with
+    * queries, and a query-table UPDATE is just new rows in the next
+    * run's broadcast.
+    */
+  def percolateMatchesTable(postings: DataFrame,
+      queryTerms: DataFrame): DataFrame = {
+    val qt = queryTerms.select("query_id", "term").distinct()
+    val qtn = qt.join(qt.groupBy("query_id").agg(count(lit(1)).as("n_terms")),
+      "query_id")
     postings.select("doc_id", "word").distinct()
-      .join(broadcast(qt), col("word") === col("term"))
+      .join(broadcast(qtn), col("word") === col("term"))
       .groupBy("query_id", "n_terms", "doc_id").agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === col("n_terms"))
       .select("query_id", "doc_id")
+  }
+
+  /** A DATA-DERIVED standing-query table over the corpus itself — one
+    * conjunctive alert per source built from its `topN` most
+    * source-characteristic terms: document frequency within the source
+    * (ties by word), excluding corpus-wide stop-ish words (df > half
+    * the corpus). The shape a prospective-search owner maintains as a
+    * table (here derived, so both engines rebuild it identically);
+    * feeds [[percolateMatchesTable]] and its stream twin.
+    */
+  def percolatorQueryTable(docs: DataFrame, topN: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pres = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(Text.words(col(textCol)))).as("word"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val dfq = pres.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val eligible = dfq.crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 <= col("nd")).select("word")
+    val w = Window.partitionBy("source").orderBy(desc("sdf"), col("word"))
+    pres.groupBy("source", "word").agg(count(lit(1)).as("sdf"))
+      .join(eligible, "word")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(concat(lit("src_alert_"), col("source")).as("query_id"),
+        col("word").as("term"))
+  }
+
+  /** Per-query census over the data-derived query table — every stored
+    * query reports (n_docs, first match), including zero-match ones.
+    */
+  def percolateTableCensus(docs: DataFrame, postings: DataFrame,
+      topN: Int = 3): DataFrame = {
+    val qt = percolatorQueryTable(docs, topN)
+    val counts = percolateMatchesTable(postings, qt)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    qt.select("query_id").distinct()
+      .join(counts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .orderBy("query_id")
   }
 
   /** Fixed standing queries for the percolator surface — conjunctions
@@ -1072,9 +1130,22 @@ object TextAnalysis {
       phrases: Seq[(String, Seq[String])]): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val pt = phrases.flatMap { case (q, ws) =>
-      ws.zipWithIndex.map { case (w, i) => (q, i, w, ws.size) }
-    }.toDF("query_id", "idx", "term", "len")
+    percolatePhrasesTable(postings,
+      phrases.flatMap { case (q, ws) =>
+        ws.zipWithIndex.map { case (w, i) => (q, i, w) }
+      }.toDF("query_id", "idx", "term"))
+  }
+
+  /** Queries-as-data twin of [[percolatePhrases]]: `phraseTerms` is any
+    * (query_id, idx, term) frame — idx 0-based word offset within the
+    * phrase; the length is derived per query (one tiny aggregation on
+    * the broadcast side, the [[percolateMatchesTable]] discipline).
+    */
+  def percolatePhrasesTable(postings: DataFrame,
+      phraseTerms: DataFrame): DataFrame = {
+    val pt0 = phraseTerms.select("query_id", "idx", "term")
+    val pt = pt0.join(
+      pt0.groupBy("query_id").agg(count(lit(1)).as("len")), "query_id")
     postings.select("doc_id", "pos", "word")
       .join(broadcast(pt), col("word") === col("term"))
       .groupBy(col("query_id"), col("len"), col("doc_id"),
@@ -2579,6 +2650,36 @@ object TextAnalysis {
          |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
          |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
     }
+
+    /** Mirrors [[TextAnalysis.percolateTableCensus]]: the stored-query
+      * table rebuilt in SQL (per-source top-N by in-source df, df-cap
+      * eligibility, same tie-break), then the same conjunctive count
+      * test. qt is MATERIALIZED (referenced by the match join, the
+      * per-query sizing, and the reporting id list).
+      */
+    def percolateTableCensus(topN: Int = 3): String =
+      s"""WITH pres AS MATERIALIZED (SELECT DISTINCT doc_id, word FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+         |nd AS (SELECT COUNT(*) AS nd FROM documents),
+         |dfq AS (SELECT word, COUNT(*) AS df FROM pres GROUP BY 1),
+         |el AS (SELECT word FROM dfq CROSS JOIN nd WHERE df * 2 <= nd),
+         |sd AS (SELECT d.source, p.word, COUNT(*) AS sdf
+         |       FROM pres p JOIN documents d USING (doc_id) JOIN el USING (word)
+         |       GROUP BY 1, 2),
+         |qt AS MATERIALIZED (SELECT 'src_alert_' || source AS query_id, word AS term FROM (
+         |    SELECT source, word,
+         |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY sdf DESC, word) AS rn
+         |    FROM sd) WHERE rn <= $topN),
+         |ntq AS (SELECT query_id, COUNT(*) AS n_terms
+         |        FROM (SELECT DISTINCT query_id, term FROM qt) GROUP BY 1),
+         |m AS (SELECT q.query_id, n.n_terms, p.doc_id, COUNT(*) AS n_hit
+         |      FROM pres p JOIN qt q ON p.word = q.term JOIN ntq n USING (query_id)
+         |      GROUP BY 1, 2, 3),
+         |mm AS (SELECT query_id, doc_id FROM m WHERE n_hit = n_terms),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM mm GROUP BY 1),
+         |ids AS (SELECT DISTINCT query_id FROM qt)
+         |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
+         |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
 
     /** Mirrors [[TextAnalysis.percolatePhraseCensus]]: the VALUES
       * phrase table with per-term offsets, candidate bases pos − idx,

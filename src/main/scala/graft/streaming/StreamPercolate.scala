@@ -26,4 +26,15 @@ object StreamPercolate {
   def phraseAlerts(docs: DataFrame,
       phrases: Seq[(String, Seq[String])] = TextAnalysis.PercolatorPhrases): DataFrame =
     TextAnalysis.percolatePhrases(TextAnalysis.positionalPostings(docs), phrases)
+
+  /** QUERIES-AS-DATA alerts per micro-batch: the standing-query set is
+    * a (query_id, term) TABLE frozen at stream start (stream-static
+    * join, the q184/knGate discipline) — production updates the table
+    * and restarts the query, never redeploys code. Matching stays
+    * per-document, so stream ≡ batch holds across any batch split
+    * (spec-proven in StreamCurationSpec).
+    */
+  def tableAlerts(docs: DataFrame, queryTerms: DataFrame): DataFrame =
+    TextAnalysis.percolateMatchesTable(
+      TextAnalysis.positionalPostings(docs), queryTerms)
 }

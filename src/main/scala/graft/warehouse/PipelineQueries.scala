@@ -1884,6 +1884,16 @@ object PipelineQueries {
   val percolatorBoolQ: Q = (s, dir) =>
     TextAnalysis.percolateBoolCensus(mPostings(s, dir))
 
+  /** q322: QUERIES-AS-DATA percolation (round-13 verdict #5) — the
+    * standing-query set lives in a TABLE (here data-derived: one
+    * conjunctive alert per source from its top-3 source-characteristic
+    * terms), not in code, so production alert sets update without a
+    * redeploy. Same broadcast-dictionary plan as q289; the oracle
+    * rebuilds the identical query table in SQL.
+    */
+  val percolatorTableQ: Q = (s, dir) =>
+    TextAnalysis.percolateTableCensus(docs(s, dir), mPostings(s, dir))
+
   /** q285: exact KNN-Shapley data valuation (Jia et al. 2019) — every
     * training vector's Shapley value for the K-NN label classifier
     * against the [[AnnAuditPct]] validation sample: the per-POINT
@@ -1894,6 +1904,16 @@ object PipelineQueries {
     */
   val knnShapleyQ: Q = (s, dir) =>
     Similarity.knnShapley(emb(s, dir), annAuditPred, k = 5)
+
+  /** q321: COUNT-CAPPED KNN-Shapley — the production cleaning-signal
+    * spelling of q285 (round-13 verdict #3): a fixed-size top-N-by-hash
+    * validation set makes the valuation's pair space nVal·n, linear in
+    * the corpus at constant statistical power, where q285's fixed
+    * hash-percentage sample is 0.04·n² by audit contract. Same closed
+    * form, same oracle tail; only the sample definition changes.
+    */
+  val knnShapleyCappedQ: Q = (s, dir) =>
+    Similarity.knnShapleyCapped(emb(s, dir), nVal = 40, k = 5)
 
   /** DCG weights 1/log2(i+1) for ranks 1..10 and their sum (the ideal
     * DCG with 10 binary-relevant items) — computed ONCE here and
@@ -3457,6 +3477,8 @@ object PipelineQueries {
     "q318_fim_examples" -> fimQ,
     "q319_spam_mass" -> spamMassQ,
     "q320_phrase_percolator" -> phrasePercolatorQ,
+    "q321_shapley_capped" -> knnShapleyCappedQ,
+    "q322_percolator_table" -> percolatorTableQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3835,6 +3857,8 @@ object PipelineQueries {
     "q315_metric_agreement" -> TO.metricAgreement(),
     "q318_fim_examples" -> Corpus.O.fimExamples(),
     "q320_phrase_percolator" -> TO.percolatePhraseCensus(),
+    "q321_shapley_capped" -> Similarity.O.knnShapleyCapped(n = 40, k = 5),
+    "q322_percolator_table" -> TO.percolateTableCensus(),
     "q319_spam_mass" ->
       s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),

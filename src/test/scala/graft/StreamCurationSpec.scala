@@ -96,6 +96,45 @@ class StreamCurationSpec extends AnyFunSuite with TestSpark {
     assert(!want.exists(_._1 == "q_never"))
   }
 
+  test("queries-as-data percolator: stored-query TABLE drives alerts; stream equals batch") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamPercolate
+    val docs = corpus.toDF("doc_id", "text", "source")
+    // the standing-query set is DATA: derived from the corpus, frozen
+    // for the stream (stream-static join — updating the table is a
+    // restart, never a redeploy)
+    val qt = TextAnalysis.percolatorQueryTable(docs).localCheckpoint()
+    val want = StreamPercolate.tableAlerts(docs, qt).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "the data-derived query table should fire on its own corpus")
+    // census contract: every stored query reports, zero-match included
+    val census = TextAnalysis.percolateTableCensus(
+      docs, TextAnalysis.positionalPostings(docs)).collect()
+    assert(census.length == qt.select("query_id").distinct().count())
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.Set.empty[(String, Long)]
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      StreamPercolate.tableAlerts(b, qt).collect().foreach { r =>
+        buf.synchronized { buf += ((r.getString(0), r.getLong(1))) }
+      }
+    val q = mem.toDF().toDF("doc_id", "text", "source")
+      .writeStream.foreachBatch(fn).start()
+    mem.addData(corpus.take(15): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.toSet == want, "stream and batch table-driven alerts diverge")
+    // a query-table UPDATE (new alert row) takes effect with no code
+    // change: the same operator over qt ∪ {new query} fires the new id
+    val qt2 = qt.unionByName(Seq(("alert_added", "data")).toDF("query_id", "term"))
+    val withNew = StreamPercolate.tableAlerts(docs, qt2).collect()
+      .map(r => r.getString(0)).toSet
+    assert(withNew.contains("alert_added"))
+  }
+
   test("stream verdicts equal batch verdicts; selection respects the trained boundary") {
     val docs = corpus.toDF("doc_id", "text", "source")
     val w = Classifier.trainedWeights(docs, col("source") === "src0")
