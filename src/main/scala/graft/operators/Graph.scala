@@ -131,6 +131,162 @@ object Graph {
         (col("m") / lit(1000000.0)).as("trust"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, JACM — "Authoritative
+    * sources in a hyperlinked environment") over a DIRECTED edge list,
+    * fixed `iters` rounds of the mutual recursion
+    *
+    *   a'(v) = Σ_{(u,v) ∈ E} h(u)      h'(v) = Σ_{(v,w) ∈ E} a(w)
+    *
+    * with L∞ (max) normalization each half-step in integer micro-units:
+    * x(v) = (x'(v) · 10^6) div max_v x'(v) — the max node lands exactly
+    * at 10^6, everything else truncates deterministically, so the
+    * trajectory is engine-exact (the [[pageRank]] discipline; max
+    * normalization instead of the classic L2 precisely because a sqrt
+    * cannot be replayed integer-exactly).
+    *
+    * On the provenance-DIRECTED near-dup graph (each pair pointed
+    * newer → older doc: late copies "cite" their earlier source),
+    * authorities are the canonical originals that copies converge on
+    * and hubs are the serial re-packagers — the two curation reads a
+    * dedup owner wants beside plain centrality (keep authorities,
+    * down-weight hub output).
+    *
+    * Scale: per round, two keyed join+agg passes (the Pregel shape,
+    * linear in |E|) plus one 1-row max broadcast each;
+    * localCheckpoint cuts lineage per half-step. Overflow headroom:
+    * x' ≤ deg · 10^6 and the normalization multiplies by 10^6, so
+    * per-node degree must stay ≤ ~9.2·10^6 — comfortably above any
+    * df-capped near-dup pair generator (documents this engine feeds it
+    * are band-join candidates, never the raw corpus).
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val Micro = "CAST(1000000 AS BIGINT)"
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $Micro) div mx").as(c))
+        .localCheckpoint(true)
+    }
+    var h = nodes.withColumn("h", expr(Micro)).localCheckpoint(true)
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      val aPrev = a
+      a = normalized(
+        e.join(h.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw")), "a")
+      val hPrev = h
+      h = normalized(
+        e.join(a.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw")), "h")
+      hPrev.unpersist()
+      if (aPrev != null) aPrev.unpersist()
+    }
+    h.join(a, "id")
+      .select(col("id"),
+        (col("h") / lit(1000000.0)).as("hub"),
+        (col("a") / lit(1000000.0)).as("authority"))
+  }
+
+  /** k-CORE decomposition at a FIXED k (Seidman 1983, Social Networks —
+    * "Network structure and minimum degree"): the maximal subgraph in
+    * which every node keeps degree ≥ k, computed by iterative PEELING —
+    * drop every node whose within-subgraph degree is < k, recompute,
+    * repeat to fixpoint. On the near-dup similarity graph the k-core is
+    * the DENSE DUPLICATION NUCLEUS: template farms and mass-reposted
+    * boilerplate concentrate there, while one-off near-dup pairs peel
+    * away — a stronger cleaning target than raw degree (degree counts
+    * neighbors, coreness requires the neighborhood itself to be dense).
+    *
+    * Scale: each round is two semi-joins (edge endpoints against the
+    * alive set) + one keyed count — linear in |E|, Pregel-shaped,
+    * lineage cut per round; rounds needed = peel depth, typically
+    * O(10) on power-law graphs. Exits with IllegalStateException if
+    * `maxIters` rounds don't reach the fixpoint (a silently
+    * non-converged core would diverge from the oracle's full peel —
+    * the connectedComponents discipline).
+    */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 15): DataFrame = {
+    val e = pairs.select(col("v1").as("src"), col("v2").as("dst"))
+      .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+      .distinct().localCheckpoint(true)
+    def coreEdges(alive: DataFrame): DataFrame = e
+      .join(alive.select(col("id").as("src")), "src")
+      .join(alive.select(col("id").as("dst")), "dst")
+    var alive = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var nAlive = alive.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      val next = coreEdges(alive)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nAlive
+      alive.unpersist()
+      alive = next
+      nAlive = nNext
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"$k-core peeling did not converge in $maxIters rounds")
+    coreEdges(alive)
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002, CMU
+    * tech report): seed nodes carry trusted labels; each synchronous
+    * round, every non-seed node takes the MAJORITY label of its
+    * currently-labeled neighbors (ties → smallest label; no labeled
+    * neighbor → stays unlabeled). The weak-supervision primitive for
+    * corpus curation: spread a small trusted label set (human-audited
+    * docs) over the similarity graph and read labels for the rest —
+    * and, run against a masked holdout, the audit of how label-coherent
+    * the graph is. Deterministic by construction (integer votes, total
+    * tie order), so both engines replay the rounds exactly.
+    *
+    * Scale: per round one keyed join (labels → edges) + one
+    * (node, label)-keyed count + one per-node argmax via the same
+    * total order — linear in |E|; lineage cut per round.
+    */
+  def labelProp(edges: DataFrame, seedLabels: DataFrame,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seedLabels.select(col("id"), col("label").as("seed_label")),
+        Seq("id"), "left")
+      .select(col("id"), col("seed_label"),
+        col("seed_label").isNotNull.as("is_seed"))
+      .localCheckpoint(true)
+    var lbl = nodes.select(col("id"), col("seed_label").as("lbl"))
+      .localCheckpoint(true)
+    val wVote = Window.partitionBy("id").orderBy(desc("votes"), col("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(lbl.select(col("id").as("src"), col("lbl")), "src")
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val winner = votes.withColumn("rn", row_number().over(wVote))
+        .filter(col("rn") === 1).select(col("id"), col("lbl").as("maj"))
+      val prev = lbl
+      lbl = nodes.join(winner, Seq("id"), "left")
+        .select(col("id"),
+          when(col("is_seed"), col("seed_label")).otherwise(col("maj")).as("lbl"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    nodes.select(col("id"), col("is_seed")).join(lbl, "id")
+      .select(col("id"), col("is_seed"), col("lbl").as("pred_label"))
+  }
+
   /** Per-community MODULARITY contributions (Newman & Girvan 2004)
     * over an undirected pair list (v1 < v2) and a node→community
     * assignment: internal-edge share minus the squared degree share;
@@ -282,6 +438,68 @@ object Graph {
            |  GROUP BY n.id)""".stripMargin
       }
       (Seq("r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes)") ++ steps)
+        .mkString(",\n")
+    }
+
+    /** Mirrors [[Graph.hits]]: `iters` unrolled (authority, hub)
+      * half-step pairs over prepared CTEs `edges(src, dst)` and
+      * `nodes(id)`; each half-step is the same LEFT JOIN + keyed sum as
+      * [[pageRankCtes]] followed by the integer max-normalization.
+      * Ends with h$iters(id, h) and a$iters(id, a).
+      */
+    def hitsCtes(iters: Int = 5): String = {
+      val micro = "CAST(1000000 AS BIGINT)"
+      // every CTE here is referenced twice (the value row and its MAX
+      // scalar) — without MATERIALIZED DuckDB inlines the chain and
+      // re-evaluates the whole prefix 2^rounds times (the q199 lesson)
+      val steps = (1 to iters).map { i =>
+        s"""ar$i AS MATERIALIZED (SELECT n.id, COALESCE(SUM(p.h), 0) AS raw
+           |  FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+           |  LEFT JOIN h${i - 1} p ON p.id = e.src GROUP BY n.id),
+           |a$i AS MATERIALIZED (SELECT id, (raw * $micro) // (SELECT MAX(raw) FROM ar$i) AS a FROM ar$i),
+           |hr$i AS MATERIALIZED (SELECT n.id, COALESCE(SUM(p.a), 0) AS raw
+           |  FROM nodes n LEFT JOIN edges e ON e.src = n.id
+           |  LEFT JOIN a$i p ON p.id = e.dst GROUP BY n.id),
+           |h$i AS MATERIALIZED (SELECT id, (raw * $micro) // (SELECT MAX(raw) FROM hr$i) AS h FROM hr$i)""".stripMargin
+      }
+      (Seq(s"h0 AS (SELECT id, $micro AS h FROM nodes)") ++ steps).mkString(",\n")
+    }
+
+    /** Mirrors [[Graph.kCore]]: `rounds` unrolled peel steps over a
+      * prepared symmetric `edges(src, dst)` CTE. Peeling is monotone
+      * and idempotent at the fixpoint, so `rounds` only needs to be ≥
+      * the Spark side's actual peel depth (which [[Graph.kCore]]
+      * enforces is ≤ its maxIters = the same 15). Ends with
+      * al$rounds(id). Each step referenced twice → MATERIALIZED.
+      */
+    def kCoreCtes(k: Int, rounds: Int = 15): String = {
+      val steps = (1 to rounds).map { i =>
+        s"""al$i AS MATERIALIZED (SELECT e.src AS id FROM edges e
+           |  JOIN al${i - 1} a ON a.id = e.src JOIN al${i - 1} b ON b.id = e.dst
+           |  GROUP BY e.src HAVING COUNT(*) >= $k)""".stripMargin
+      }
+      (Seq("al0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)") ++ steps)
+        .mkString(",\n")
+    }
+
+    /** Mirrors [[Graph.labelProp]]: `iters` unrolled vote/argmax/update
+      * rounds over prepared CTEs `edges(src, dst)` and
+      * `nl(id, seed_label, is_seed)`. Ends with l$iters(id, lbl).
+      */
+    def labelPropCtes(iters: Int = 3): String = {
+      val steps = (1 to iters).map { i =>
+        s"""v$i AS (SELECT e.dst AS id, p.lbl, COUNT(*) AS votes
+           |  FROM edges e JOIN l${i - 1} p ON p.id = e.src
+           |  WHERE p.lbl IS NOT NULL GROUP BY 1, 2),
+           |w$i AS (SELECT id, lbl AS maj FROM (
+           |  SELECT id, lbl,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY votes DESC, lbl) AS rn
+           |  FROM v$i) WHERE rn = 1),
+           |l$i AS MATERIALIZED (SELECT n.id,
+           |  CASE WHEN n.is_seed THEN n.seed_label ELSE w.maj END AS lbl
+           |  FROM nl n LEFT JOIN w$i w USING (id))""".stripMargin
+      }
+      (Seq("l0 AS MATERIALIZED (SELECT id, seed_label AS lbl FROM nl)") ++ steps)
         .mkString(",\n")
     }
 

@@ -167,6 +167,66 @@ object Similarity {
       .select("query_id", "cand_id", "cosine_sim", "rank")
   }
 
+  /** Sign-BINARIZED embedding sketch (the binary-hashing limit of
+    * Charikar 2002's hyperplane LSH with the coordinate axes as
+    * planes): bit d = [e_d > 0], packed into dim/32 little-endian
+    * 32-bit words carried as BIGINTs. 64 dims → 8 bytes per vector vs
+    * 256 for float32 — a 32× index-memory shrink, and the matching
+    * distance (Hamming = Σ popcount(xor)) is the cheapest pairwise
+    * scan a CPU can run. 32-bit words rather than 64 so the packing is
+    * a plain SUM of distinct powers of two — exact, overflow-free, and
+    * engine-identical (a 64th bit would need signed-wraparound
+    * semantics DuckDB refuses).
+    */
+  def binarySketch(emb: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim % 32 == 0, s"dim=$dim must pack whole 32-bit words")
+    val words = (0 until dim / 32).map { wi =>
+      expr(s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+        (acc, j) -> acc + IF(element_at(embedding, ${wi * 32} + j + 1) > 0,
+                             shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""")
+        .as(s"w$wi")
+    }
+    emb.select(col("vec_id") +: words: _*)
+  }
+
+  /** Two-stage BINARY-sketch retrieval: the coarse pass ranks the whole
+    * corpus by Hamming distance over the [[binarySketch]] words
+    * (ties by cand_id — integer distance, bit-deterministic), keeps
+    * `m` per query, and the exact full-width cosine re-scores just
+    * those m — the [[adaptiveTopK]] harness with the prefix artifact
+    * swapped for an 8-byte binary one. The scan that touches every
+    * candidate reads two BIGINTs; full vectors are only paired with
+    * the broadcast m-list.
+    */
+  def binaryTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int,
+      dim: Int = 64, sketch: Option[DataFrame] = None): DataFrame = {
+    val nW = dim / 32
+    val sk = sketch.getOrElse(binarySketch(emb, dim))
+    val q = sk.filter(queryPred).select(
+      col("vec_id").as("query_id") +: (0 until nW).map(i => col(s"w$i").as(s"qw$i")): _*)
+    val c = sk.select(
+      col("vec_id").as("cand_id") +: (0 until nW).map(i => col(s"w$i")): _*)
+    val ham = (0 until nW).map(i => expr(s"bit_count(qw$i ^ w$i)"))
+      .reduce(_ + _).cast("double")
+    val coarse = topKRanked(
+      c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+        .withColumn("hamming", ham),
+      "hamming", m, ascending = true)
+      .select("query_id", "cand_id")
+    val full = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vec.dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val rescored = full
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(coarse), "cand_id")
+      .join(broadcast(full.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))),
+        "query_id")
+      .withColumn("cosine_sim",
+        round(Vec.dotFast(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    topKRanked(rescored, "cosine_sim", k, ascending = false)
+      .select("query_id", "cand_id", "cosine_sim", "rank")
+  }
+
   /** Exact KNN-Shapley data VALUATION (Jia et al. 2019, PVLDB 12(11) —
     * "Efficient Task-Specific Data Valuation for Nearest Neighbor
     * Algorithms"): the Shapley value of every training point for a
@@ -1705,6 +1765,43 @@ object Similarity {
          |  FROM co JOIN embeddings q ON q.vec_id = co.query_id
          |  JOIN embeddings c ON c.vec_id = co.cand_id)
          |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+    /** The [[Similarity.binarySketch]] word `wi` rebuilt in SQL: sum of
+      * distinct powers of two over the sign bits — exact, overflow-free
+      * 32-bit packing in a BIGINT.
+      */
+    def binaryWord(wi: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN embedding[CAST(${wi * 32} + j + 1 AS INT)] > 0
+         |         THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+    /** Mirrors [[Similarity.binaryTopK]]: the sketch CTE, the
+      * Hamming-ascending coarse cut (ties by cand_id), the full-width
+      * cosine rerank — the [[adaptive]] harness over binary words.
+      */
+    def binaryTopK(queryPredSql: String, k: Int, m: Int, dim: Int = 64): String = {
+      val nW = dim / 32
+      val words = (0 until nW).map(i => s"${binaryWord(i)} AS w$i").mkString(",\n    ")
+      val ham = (0 until nW).map(i => s"bit_count(xor(q.w$i, c.w$i))").mkString(" + ")
+      s"""WITH bs AS MATERIALIZED (SELECT vec_id,
+         |    $words
+         |  FROM embeddings),
+         |qb AS (SELECT * FROM bs WHERE $queryPredSql),
+         |co AS MATERIALIZED (SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ($ham) ASC, c.vec_id) AS INT) AS rank
+         |    FROM qb q JOIN bs c ON c.vec_id != q.vec_id)
+         |  WHERE rank <= $m)
+         |SELECT query_id, cand_id, cosine_sim, rank FROM (
+         |  SELECT co.query_id, co.cand_id,
+         |    round(${V.O.cosine("q.embedding", "c.embedding")}, 6) AS cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY co.query_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, co.cand_id) AS INT) AS rank
+         |  FROM co JOIN embeddings q ON q.vec_id = co.query_id
+         |  JOIN embeddings c ON c.vec_id = co.cand_id)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
 
     /** Mirrors the q269 list-size audit: the same trained-quantizer
       * assignment, one group-by over the lists. Every centroid emits a

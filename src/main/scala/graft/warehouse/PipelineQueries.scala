@@ -784,6 +784,63 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** q323: HITS hubs & authorities (Kleinberg 1999) on the
+    * provenance-DIRECTED near-dup graph — every pair pointed newer doc
+    * → older doc, the dedup family's first-occurrence convention
+    * (q313/q314) read as citation: AUTHORITIES are the canonical
+    * originals near-dup mass converges on (keep, weight up),
+    * HUBS are the serial re-packagers whose output is mostly copies
+    * (down-weight at ingest). Same bounded pair generator as
+    * q101/q316/q319; integer max-normalized trajectory, both engines
+    * replay all five rounds exactly.
+    */
+  val hitsQ: Q = (s, dir) => {
+    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    Graph.hits(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+      .select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+      .orderBy("id")
+  }
+
+  /** q326: k-CORE of the near-dup graph (Seidman 1983) — the dense
+    * duplication NUCLEUS: nodes whose neighborhoods are themselves
+    * dense (template farms, mass-reposted boilerplate), found by
+    * iterative peeling to a fixpoint. Complements degree (q101 in/out
+    * mass) and clustering (q132 triangles): coreness is the signal
+    * that survives when a high-degree node's neighbors are all
+    * one-off. Same bounded pair generator as the rest of the family.
+    */
+  val KCoreK = 2
+  val kCoreQ: Q = (s, dir) =>
+    Graph.kCore(
+      Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+        .select(col("v1"), col("v2")), k = KCoreK)
+      .orderBy("id")
+
+  /** q327: semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002)
+    * over the similarity graph — the trusted half of the corpus
+    * (hash-split seeds, the q141 discipline) spreads its labels 3
+    * synchronous majority rounds; the masked half reads back predicted
+    * vs true label. The weak-supervision primitive (label the corpus
+    * from a small audited set) doubling as the graph-coherence audit
+    * (how label-pure are near-dup neighborhoods?).
+    */
+  val labelPropQ: Q = (s, dir) => {
+    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
+      .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+    val seeds = emb(s, dir)
+      .filter(Sampling.hashBucket(col("vec_id")) < RecallAuditPct)
+      .select(col("vec_id").as("id"), col("label"))
+    Graph.labelProp(edges, seeds)
+      .join(emb(s, dir).select(col("vec_id").as("id"),
+        col("label").as("true_label")), "id")
+      .select(col("id"), col("is_seed"), col("pred_label"), col("true_label"),
+        when(col("pred_label").isNotNull,
+          col("pred_label") === col("true_label")).as("correct"))
+      .orderBy("id")
+  }
+
   /** q317: MODULARITY of the quantizer partition over the similarity
     * graph (Newman & Girvan 2004) — DOES the trained clustering carve
     * the corpus at its joints? Per cluster: internal-edge share minus
@@ -1808,6 +1865,51 @@ object PipelineQueries {
     AdaptiveMs.map { m =>
       val hits = exact.join(
         Similarity.adaptiveTopK(e, annAuditPred, k = 10, d = AdaptiveDim, m = m)
+          .select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      denom.crossJoin(broadcast(hits)).withColumn("m", lit(m))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_at_10",
+        round(col("n_hits").cast("double") / col("n_exact_pairs"), 6))
+      .select("m", "n_queries", "n_exact_pairs", "n_hits", "recall_at_10")
+      .orderBy("m")
+  }
+
+  /** q324: two-stage BINARY-sketch retrieval — the sign-binarized
+    * index (bit d = [e_d > 0], 8 bytes/vector vs 256: a 32× memory
+    * shrink) ranks the whole corpus by Hamming distance, the exact
+    * cosine reranks only the m survivors. The third point on the
+    * coarse-index spectrum beside IVF (q264, cluster-pruned) and
+    * Matryoshka (q280, prefix-pruned): binary keeps FULL-corpus scan
+    * semantics but at popcount-over-two-BIGINTs cost — the shape that
+    * wins when probes must never miss a list. Sketch persisted as an
+    * index artifact like the mrl prefix.
+    */
+  val BinaryM = 50
+  val annBinary: Q = (s, dir) => {
+    val sk = Materialized.onDisk(s, dir, "bin_sketch")(
+      Similarity.binarySketch(emb(s, dir)))
+    Similarity.binaryTopK(emb(s, dir), col("vec_id") < 20, k = 10,
+        m = BinaryM, sketch = Some(sk))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q325: the m-knob recall audit for q324 (the q281 harness) —
+    * recall@10 of Hamming-coarse + cosine-rerank vs the exact
+    * full-width reference, priced at m ∈ [[BinaryMs]]. Reads the
+    * same stored audit_exact_top10 artifact as q143/q281.
+    */
+  val BinaryMs = Seq(10, 25, 50)
+  val binaryRecall: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val exact = mExactTop10(s, dir).select("query_id", "cand_id")
+    val denom = exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact_pairs"))
+    BinaryMs.map { m =>
+      val hits = exact.join(
+        Similarity.binaryTopK(e, annAuditPred, k = 10, m = m)
           .select("query_id", "cand_id"),
         Seq("query_id", "cand_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
@@ -3479,6 +3581,11 @@ object PipelineQueries {
     "q320_phrase_percolator" -> phrasePercolatorQ,
     "q321_shapley_capped" -> knnShapleyCappedQ,
     "q322_percolator_table" -> percolatorTableQ,
+    "q323_hits" -> hitsQ,
+    "q324_binary_ann" -> annBinary,
+    "q325_binary_recall" -> binaryRecall,
+    "q326_kcore" -> kCoreQ,
+    "q327_label_prop" -> labelPropQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3859,6 +3966,64 @@ object PipelineQueries {
     "q320_phrase_percolator" -> TO.percolatePhraseCensus(),
     "q321_shapley_capped" -> Similarity.O.knnShapleyCapped(n = 40, k = 5),
     "q322_percolator_table" -> TO.percolateTableCensus(),
+    "q326_kcore" ->
+      s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+         |${Graph.O.kCoreCtes(k = KCoreK, rounds = 15)}
+         |SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM edges e JOIN al15 a ON a.id = e.src JOIN al15 b ON b.id = e.dst
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q327_label_prop" ->
+      s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
+         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nl AS MATERIALIZED (SELECT n.id,
+         |  CASE WHEN ${Sampling.O.hashBucket("n.id")} < $RecallAuditPct THEN em.label END AS seed_label,
+         |  ${Sampling.O.hashBucket("n.id")} < $RecallAuditPct AS is_seed
+         |  FROM nodes n JOIN embeddings em ON em.vec_id = n.id),
+         |${Graph.O.labelPropCtes(iters = 3)}
+         |SELECT n.id, n.is_seed, l3.lbl AS pred_label, em.label AS true_label,
+         |  CASE WHEN l3.lbl IS NOT NULL THEN l3.lbl = em.label END AS correct
+         |FROM nl n JOIN l3 ON l3.id = n.id JOIN embeddings em ON em.vec_id = n.id
+         |ORDER BY n.id""".stripMargin,
+    "q324_binary_ann" ->
+      Similarity.O.binaryTopK("vec_id < 20", k = 10, m = BinaryM),
+    "q325_binary_recall" -> {
+      val exTop =
+        s"""SELECT query_id, cand_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
+           |WHERE rank <= 10""".stripMargin
+      val arms = BinaryMs.map { m =>
+        s"b$m AS (${Similarity.O.binaryTopK(annAuditPredSql, 10, m)})"
+      }.mkString(",\n")
+      val hits = BinaryMs.map { m =>
+        s"""hh$m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM ex JOIN b$m USING (query_id, cand_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = BinaryMs.map { m =>
+        s"""SELECT CAST($m AS INT) AS m, dn.n_queries, dn.n_exact_pairs, hh$m.n_hits,
+           |  round(CAST(hh$m.n_hits AS DOUBLE) / dn.n_exact_pairs, 6) AS recall_at_10
+           |FROM dn, hh$m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS MATERIALIZED ($exTop),
+         |$arms,
+         |dn AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |         CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM ex),
+         |$hits
+         |SELECT * FROM ($rows) ORDER BY m""".stripMargin
+    },
+    "q323_hits" ->
+      s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
+         |edges AS (SELECT v2 AS src, v1 AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges),
+         |${Graph.O.hitsCtes(iters = 5)}
+         |SELECT h5.id, round(h5.h / 1000000.0, 6) AS hub,
+         |  round(a5.a / 1000000.0, 6) AS authority
+         |FROM h5 JOIN a5 ON a5.id = h5.id ORDER BY h5.id""".stripMargin,
     "q319_spam_mass" ->
       s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),

@@ -142,4 +142,69 @@ class GraphSpec extends AnyFunSuite with TestSpark {
       s"seedless component must rank lowest: $r")
     assert(r(10L)._2 == r(11L)._2)
   }
+
+  test("trustRank fails fast when the seed set misses the graph") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(99L).toDF("id")
+    val e = intercept[IllegalArgumentException](Graph.trustRank(edges, seeds))
+    assert(e.getMessage.contains("seed set"))
+  }
+
+  test("hits: hubs point, authorities receive; max-normalized to 1.0") {
+    // two hubs (1, 2) each pointing at authorities 10 and 11; hub 1
+    // also points at 12 — 1 is the stronger hub, 10/11 the stronger
+    // authorities (two in-links each vs 12's one)
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, iters = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    // hubs: 1 strictly above 2 (extra out-link), both above all authorities
+    assert(r(1L)._1 == 1.0, s"strongest hub must sit at the L-inf max: $r")
+    assert(r(2L)._1 < 1.0 && r(2L)._1 > 0.5)
+    assert(Seq(10L, 11L, 12L).forall(a => r(a)._1 == 0.0), "pure authorities have no out-links")
+    // authorities: 10 and 11 tie at the max, 12 strictly below
+    assert(r(10L)._2 == 1.0 && r(11L)._2 == 1.0)
+    assert(r(12L)._2 < 1.0 && r(12L)._2 > 0.0)
+    assert(Seq(1L, 2L).forall(h => r(h)._2 == 0.0), "pure hubs receive no links")
+  }
+
+  test("kCore: the 2-core keeps the cycle and peels the tail") {
+    // triangle 1-2-3 plus a pendant path 3-4-5: peeling at k=2 removes
+    // 5 (deg 1), then 4 — the triangle survives with core degree 2
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("v1", "v2")
+    val r = Graph.kCore(pairs, k = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the densest structure → empty core, still converges
+    assert(Graph.kCore(pairs, k = 3).isEmpty)
+  }
+
+  test("kCore throws rather than serving a non-converged peel") {
+    // a 10-node path peels one end per round from each side — depth 5;
+    // maxIters=2 must refuse, not return a half-peeled "core"
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("v1", "v2")
+    intercept[IllegalStateException](Graph.kCore(pairs, k = 2, maxIters = 2))
+    assert(Graph.kCore(pairs, k = 2, maxIters = 15).isEmpty, "a path has no 2-core")
+  }
+
+  test("labelProp: majority spread, smallest-label ties, isolated stays null") {
+    // star: seeds 1(label 7) and 2(label 3) both neighbor 10; 11 hangs
+    // off 10; 12 is connected only to 13 (both unlabeled)
+    val edges = Seq((1L, 10L), (10L, 1L), (2L, 10L), (10L, 2L),
+      (10L, 11L), (11L, 10L), (12L, 13L), (13L, 12L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 7), (2L, 3)).toDF("id", "label")
+    val r = Graph.labelProp(edges, seeds, iters = 3).collect()
+      .map(x => (x.getLong(0), (x.getBoolean(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2))))).toMap
+    assert(r(1L) == ((true, Some(7))) && r(2L) == ((true, Some(3))),
+      "seeds never change")
+    // node 10 sees one vote for 7 and one for 3 → tie → smallest label
+    assert(r(10L) == ((false, Some(3))))
+    // node 11's only labeled neighbor is 10, labeled 3 from round 1 on
+    assert(r(11L) == ((false, Some(3))))
+    assert(r(12L)._2.isEmpty && r(13L)._2.isEmpty,
+      "no labeled neighbor anywhere → stays unlabeled")
+  }
 }

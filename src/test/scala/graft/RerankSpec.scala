@@ -53,6 +53,49 @@ class RerankSpec extends AnyFunSuite with TestSpark {
     }
   }
 
+  // 64-dim deterministic mixed-sign vectors (some exact zeros — the
+  // bit-clear edge) for the binary-sketch path
+  private def vec64(i: Int): Array[Float] =
+    Array.tabulate(64)(j => (((i * 31 + j * 17) % 7) - 3) * 0.125f)
+
+  test("binary sketch packs sign bits exactly; m=corpus hamming+rerank equals brute force") {
+    val e1 = Array.tabulate(64)(j => if (j % 3 == 0) 1.0f else -1.0f)
+    val sk = Similarity.binarySketch(Seq((1L, e1)).toDF("vec_id", "embedding")).head()
+    def expectWord(base: Int) =
+      (0 until 32).filter(j => (base + j) % 3 == 0).map(j => 1L << j).sum
+    assert(sk.getLong(1) == expectWord(0) && sk.getLong(2) == expectWord(32))
+    // exact zero is NOT positive → bit stays clear
+    val z = Similarity.binarySketch(
+      Seq((2L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")).head()
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L)
+
+    val emb = (0L until 40L).map(i => (i, vec64(i.toInt))).toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 5
+    val brute = Similarity.bruteForceTopK(emb, pred, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // m covering every candidate → the Hamming cut cannot lose anyone
+    val full = Similarity.binaryTopK(emb, pred, k = 10, m = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute, "m=corpus binary retrieval must equal exact brute force")
+    // small m: every served pair must come from the Hamming top-m
+    // (ties by cand_id), re-scored with the FULL-width cosine
+    val m = 6
+    val words = Similarity.binarySketch(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: Long, b: Long) = (java.lang.Long.bitCount(words(a)._1 ^ words(b)._1)
+      + java.lang.Long.bitCount(words(a)._2 ^ words(b)._2))
+    val coarse = (0L until 5L).flatMap { q =>
+      (0L until 40L).filter(_ != q).map(c => (q, c))
+        .sortBy { case (_, c) => (ham(q, c), c) }.take(m)
+    }.toSet
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Similarity.binaryTopK(emb, pred, k = 10, m = m).collect().foreach { r =>
+      val (q, c, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(coarse.contains((q, c)), s"($q,$c) not in the Hamming top-$m")
+      assert(s == cos(vecs(q), vecs(c)), "rerank score must be the full-width cosine")
+    }
+  }
+
   test("knn-shapley equals brute-force subset enumeration of the Shapley definition") {
     val k = 2
     // 1 validation point (id 0) + 6 train points, mixed labels
@@ -85,6 +128,24 @@ class RerankSpec extends AnyFunSuite with TestSpark {
     }
     // efficiency axiom: values sum to v(everything)
     assert(math.abs(got.values.sum - v(labels.keySet)) < 1e-4)
+  }
+
+  test("count-capped knn-shapley equals the pct spelling on the same validation set") {
+    val emb = (0L until 30L).map(i => (i, vec(i.toInt), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val n = 6
+    // the capped sample is by definition the n smallest (md5-hash, id)
+    // ids — feed exactly that set to the pct-style predicate spelling
+    // and the two operators must agree row-for-row
+    val ids = emb
+      .select(col("vec_id"), graft.functions.Hashes.md5Long32(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id").limit(n).collect().map(_.getLong(0))
+    val viaPred = Similarity.knnShapley(emb, col("vec_id").isin(ids: _*), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val capped = Similarity.knnShapleyCapped(emb, nVal = n, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(capped == viaPred, "capped and predicate spellings must agree")
+    assert(capped.size == 30 - n, "every train point is valued")
   }
 
   test("standardize matches the plain-Scala population z-score, any partitioning") {
