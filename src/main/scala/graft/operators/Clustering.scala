@@ -694,4 +694,49 @@ object Clustering {
          |ORDER BY stage""".stripMargin
     }
   }
+
+  /** SAMPLED SILHOUETTE (Rousseeuw 1987, J. Comput. Appl. Math.) over a
+    * clustered embedding table — the per-POINT cluster-quality read
+    * that complements modularity (q317, per community) and the recall
+    * audits (per query): a(i) = mean cosine distance to i's own
+    * cluster, b(i) = the nearest other cluster's mean, s = (b−a)/max.
+    * Points near 1 sit deep in their cluster; negative points are
+    * assigned wrong — the quantizer-health signal read per point.
+    *
+    * Exact silhouette is O(n²); this runs the audit-contract shape
+    * (q285/q143): a fixed hash-percentage SAMPLE of points, each
+    * scored against the FULL corpus — distances ride one broadcast of
+    * the sample, means are decimal-backed then rounded, min/compare
+    * over rounded values so both engines cut ties identically.
+    * Singleton convention: a cluster containing only the sampled point
+    * has no intra distance → s = 0 (Rousseeuw's definition).
+    *
+    * `points`: (vec_id, ce, cn, cent_id) — the stored
+    * [[Similarity.ivfAssignments]] artifact, so the audit prices the
+    * quantizer the pipeline actually serves.
+    */
+  def sampledSilhouette(points: DataFrame, samplePred: Column): DataFrame = {
+    val smp = points.filter(samplePred).select(col("vec_id").as("sid"),
+      col("ce").as("se"), col("cn").as("sn"), col("cent_id").as("scent"))
+    val pd = points
+      .join(broadcast(smp), col("vec_id") =!= col("sid"))
+      .withColumn("dist",
+        round(lit(1.0) - Vec.dotFast(col("se"), col("ce")) / (col("sn") * col("cn")), 6))
+    val mcd = pd.groupBy("sid", "scent", "cent_id")
+      .agg(round(Num.dsum(col("dist")) / count(lit(1)), 6).as("mean_dist"))
+    val a = mcd.filter(col("cent_id") === col("scent"))
+      .select(col("sid"), col("mean_dist").as("a_intra"))
+    val b = mcd.filter(col("cent_id") =!= col("scent"))
+      .groupBy("sid").agg(min(col("mean_dist")).as("b_inter"))
+    smp.select(col("sid"), col("scent"))
+      .join(a, Seq("sid"), "left").join(b, Seq("sid"), "left")
+      .select(col("sid").as("vec_id"), col("scent").as("cent_id"),
+        col("a_intra"), col("b_inter"),
+        when(col("a_intra").isNull || col("b_inter").isNull, lit(0.0))
+          .otherwise(when(greatest(col("a_intra"), col("b_inter")) > 0,
+            round((col("b_inter") - col("a_intra"))
+              / greatest(col("a_intra"), col("b_inter")), 6))
+            .otherwise(lit(0.0))).as("silhouette"))
+      .orderBy("vec_id")
+  }
 }

@@ -106,6 +106,40 @@ object Dedup {
       .select(col("d1"), col("d2"), round(matches / lit(MinhashK.toDouble), 6).as("est_jaccard"))
   }
 
+  /** b-BIT minwise hashing (Li & König 2010, WWW — "b-Bit Minwise
+    * Hashing"): keep only the lowest `b` bits of every minhash
+    * component, shrinking the stored signature 16× at b=2 (16
+    * components × 2 bits = 4 BYTES per document — the storage knob
+    * that lets a 100 TB corpus keep its dedup signatures in memory).
+    * Random collisions now matter (two unrelated mins agree on b bits
+    * with probability 2^−b), so the raw match fraction m̂ is debiased
+    * with the closed form Ĵ = (m̂ − 2^−b)/(1 − 2^−b), clamped at 0.
+    * Per LSH candidate pair this reports the full-width estimate
+    * beside the b-bit one — the audit that prices the compression
+    * (how much estimator variance do 4 bytes buy back?).
+    *
+    * Determinism: matches are integer counts off the SAME md5
+    * signatures as q43; the debias arithmetic is two IEEE ops on
+    * dyadic literals (2^−b is exact), identical in both engines.
+    */
+  def bbitMinhashPairs(pairs: DataFrame, sig: DataFrame, b: Int = 2): DataFrame = {
+    require(b >= 1 && b <= 16, s"b=$b bits out of the sensible range")
+    val mask = (1L << b) - 1
+    val matchesB = (0 until MinhashK)
+      .map(i => when(col(s"s1.h$i").bitwiseAND(lit(mask)) ===
+        col(s"s2.h$i").bitwiseAND(lit(mask)), 1).otherwise(0))
+      .reduce(_ + _)
+    val pRand = 1.0 / (1L << b)
+    pairs
+      .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("est_jaccard"),
+        matchesB.cast("int").as("n_match_bbit"),
+        round(greatest(lit(0.0),
+          (matchesB.cast("double") / lit(MinhashK.toDouble) - lit(pRand))
+            / lit(1.0 - pRand)), 6).as("est_jaccard_bbit"))
+  }
+
   /** Analytic LSH S-curve collision probability 1-(1-t^r)^b, computed
     * by explicit IEEE multiplication chains so the Scala value and any
     * engine replaying the same chain agree bit-for-bit.
@@ -1172,6 +1206,26 @@ object Dedup {
     def minhashPairs: String =
       s"""$minhashPairCtes
          |SELECT d1, d2, est_jaccard FROM mhp ORDER BY d1, d2""".stripMargin
+
+    /** Mirrors [[Dedup.bbitMinhashPairs]]: the same signature/pair CTEs,
+      * low-b-bit masked matches, the Li–König debias with the identical
+      * dyadic literals and op order.
+      */
+    def bbitMinhashPairs(b: Int = 2): String = {
+      val mask = (1L << b) - 1
+      val matchesB = (0 until MinhashK)
+        .map(i => s"CASE WHEN (a.h$i & $mask) = (b.h$i & $mask) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val pRand = 1.0 / (1L << b)
+      s"""$minhashPairCtes
+         |SELECT p.d1, p.d2, p.est_jaccard,
+         |  CAST(($matchesB) AS INT) AS n_match_bbit,
+         |  round(greatest(0.0,
+         |    (CAST(($matchesB) AS DOUBLE) / ${MinhashK}.0 - $pRand) / ${1.0 - pRand}), 6)
+         |    AS est_jaccard_bbit
+         |FROM mhp p JOIN sig a ON a.doc_id = p.d1 JOIN sig b ON b.doc_id = p.d2
+         |ORDER BY p.d1, p.d2""".stripMargin
+    }
 
     /** Mirrors [[Dedup.lshTuningCurve]]: one signature table, one
       * hashed-shingle truth set (the q42 df-capped generator at the

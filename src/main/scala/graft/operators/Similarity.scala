@@ -227,6 +227,34 @@ object Similarity {
       .select("query_id", "cand_id", "cosine_sim", "rank")
   }
 
+  /** Expected Reciprocal Rank (Chapelle et al. 2009, CIKM) of a served
+    * ranking against a relevant-set anchor, binary relevance R = 1/2 —
+    * the CASCADE user model: a relevant result at rank r is only
+    * reached with probability Π_{i<r}(1 − R_i), so each relevant item
+    * above it halves the payoff: term = 0.5^(c+1)/r with c = relevant
+    * items ranked earlier. pow-of-half is dyadic exact and the one
+    * division is a single IEEE op, so per-query ERR is engine-exact
+    * through the decimal-backed sum.
+    *
+    * `exact`: (query_id, cand_id) relevant pairs; `approx`:
+    * (query_id, cand_id, rank) the served ranking.
+    */
+  def errAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    import graft.functions.Num
+    val wb = Window.partitionBy("query_id").orderBy("arank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    approx.select(col("query_id"), col("cand_id"), col("rank").as("arank"))
+      .join(exact.withColumn("rel", lit(1)), Seq("query_id", "cand_id"), "left")
+      .withColumn("r", coalesce(col("rel"), lit(0)))
+      .withColumn("cb", coalesce(sum(col("r")).over(wb), lit(0L)))
+      .withColumn("term", when(col("r") === 1,
+        pow(lit(0.5), col("cb") + 1) / col("arank")).otherwise(lit(0.0)))
+      .groupBy("query_id")
+      .agg(sum(col("r")).cast("long").as("n_rel"),
+        round(Num.dsum(col("term")), 6).as("err_at_10"))
+      .orderBy("query_id")
+  }
+
   /** Exact KNN-Shapley data VALUATION (Jia et al. 2019, PVLDB 12(11) —
     * "Efficient Task-Specific Data Valuation for Nearest Neighbor
     * Algorithms"): the Shapley value of every training point for a

@@ -1166,6 +1166,41 @@ object TextAnalysis {
     "ph_value_fast_spark" -> Seq("value", "fast", "spark"),
     "ph_never" -> Seq("table", "zzqq"))
 
+  /** A DATA-DERIVED standing PHRASE table — per source, the `topN`
+    * bigrams by in-source document frequency (ties by bigram text),
+    * one stored phrase query per (source, rank) as (query_id, idx,
+    * term) rows for [[percolatePhrasesTable]]. The phrase twin of
+    * [[percolatorQueryTable]]: the alert set is corpus-derived data,
+    * rebuilt identically by both engines.
+    */
+  def percolatorPhraseTable(docs: DataFrame, topN: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(Text.shingles(col(textCol), 2))).as("bigram"))
+    val w = Window.partitionBy("source").orderBy(desc("df"), col("bigram"))
+    bg.groupBy("source", "bigram").agg(count(lit(1)).as("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(concat(lit("src_ph_"), col("source"), lit("_"), col("rn")).as("query_id"),
+        posexplode(split(col("bigram"), " ")).as(Seq("idx", "term")))
+  }
+
+  /** Census over the data-derived phrase table — every stored phrase
+    * reports (n_matches, first match).
+    */
+  def percolatePhraseTableCensus(docs: DataFrame, postings: DataFrame,
+      topN: Int = 2): DataFrame = {
+    val pt = percolatorPhraseTable(docs, topN)
+    val counts = percolatePhrasesTable(postings, pt)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))
+    pt.select("query_id").distinct()
+      .join(counts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .orderBy("query_id")
+  }
+
   /** Per-phrase census: match count + first matching doc (NULL when
     * none — the unsatisfiable phrase must still report).
     */
@@ -2709,6 +2744,41 @@ object TextAnalysis {
          |  c.first_doc
          |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
     }
+
+    /** Mirrors [[TextAnalysis.percolatePhraseTableCensus]]: the
+      * stored-phrase table rebuilt in SQL (per-source top-N bigrams by
+      * in-source df, same tie-break, same query-id spelling), then the
+      * positional adjacency test of the phrase percolator.
+      */
+    def percolatePhraseTableCensus(topN: Int = 2): String =
+      s"""WITH wl AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |bgp AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i + 1] AS bigram
+         |       FROM (SELECT doc_id, source, w, CAST(unnest(range(1, len(w))) AS INT) AS i
+         |             FROM wl WHERE len(w) >= 2)),
+         |sdp AS (SELECT source, bigram, COUNT(*) AS df FROM bgp GROUP BY 1, 2),
+         |tp AS MATERIALIZED (SELECT 'src_ph_' || source || '_' || rn AS query_id, bigram FROM (
+         |    SELECT source, bigram,
+         |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY df DESC, bigram) AS rn
+         |    FROM sdp) WHERE rn <= $topN),
+         |pt AS MATERIALIZED (
+         |    SELECT query_id, 0 AS idx, string_split(bigram, ' ')[1] AS term FROM tp
+         |    UNION ALL
+         |    SELECT query_id, 1 AS idx, string_split(bigram, ' ')[2] AS term FROM tp),
+         |ptn AS (SELECT query_id, COUNT(*) AS len FROM pt GROUP BY 1),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word FROM (
+         |      SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1)) AS INT) AS i
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+         |cb AS (SELECT p.query_id, n.len, t.doc_id, t.pos - p.idx AS base,
+         |         COUNT(DISTINCT p.idx) AS n_hit
+         |       FROM tok t JOIN pt p ON t.word = p.term JOIN ptn n USING (query_id)
+         |       GROUP BY 1, 2, 3, 4),
+         |mm AS (SELECT DISTINCT query_id, doc_id FROM cb WHERE n_hit = len),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_matches, MIN(doc_id) AS first_doc
+         |        FROM mm GROUP BY 1),
+         |ids AS (SELECT DISTINCT query_id FROM pt)
+         |SELECT i.query_id, CAST(COALESCE(c.n_matches, 0) AS BIGINT) AS n_matches,
+         |  c.first_doc
+         |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
 
     /** Mirrors [[TextAnalysis.percolateBoolCensus]]: must-conjunction
       * via the count test, must_not via an anti (IS NULL) join of the

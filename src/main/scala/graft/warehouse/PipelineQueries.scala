@@ -1996,6 +1996,26 @@ object PipelineQueries {
   val percolatorTableQ: Q = (s, dir) =>
     TextAnalysis.percolateTableCensus(docs(s, dir), mPostings(s, dir))
 
+  /** q328: queries-as-data PHRASE percolation — the q322 contract for
+    * ordered-adjacency alerts: the stored phrase set is a corpus-derived
+    * table (per-source top-2 bigrams by in-source df), matched by the
+    * positional base = pos − idx test. Alert sets change as data, never
+    * as code.
+    */
+  val phraseTableQ: Q = (s, dir) =>
+    TextAnalysis.percolatePhraseTableCensus(docs(s, dir), mPostings(s, dir))
+
+  /** q329: b-BIT minwise hashing (Li & König 2010) — the 4-bytes-per-
+    * document dedup signature: lowest 2 bits of each of the 16 minhash
+    * components, with the closed-form collision debias, priced per LSH
+    * candidate pair against the full-width estimate. The compression
+    * knob that keeps 100 TB of signatures resident.
+    */
+  val bbitMinhashQ: Q = (s, dir) =>
+    Dedup.bbitMinhashPairs(mMinhashPairs(s, dir),
+        Dedup.minhashSignatures(docs(s, dir)), b = 2)
+      .orderBy("d1", "d2")
+
   /** q285: exact KNN-Shapley data valuation (Jia et al. 2019) — every
     * training vector's Shapley value for the K-NN label classifier
     * against the [[AnnAuditPct]] validation sample: the per-POINT
@@ -2056,6 +2076,37 @@ object PipelineQueries {
         round(Num.dsum(coalesce(col("rr"), lit(0.0))) / count(lit(1)), 6).as("mrr"),
         round(Num.dsum(coalesce(col("dcg"), lit(0.0)) / lit(Idcg)) / count(lit(1)), 6)
           .as("mean_ndcg"))
+  }
+
+  /** q330: Expected Reciprocal Rank @10 (Chapelle et al. 2009, CIKM —
+    * "Expected reciprocal rank for graded relevance") of the IVF
+    * ranking against the exact-top-10 relevance anchor — the CASCADE
+    * metric: a relevant hit at rank r pays off only if the user got
+    * past the relevant results above it (each absorbs half the
+    * remaining attention at binary relevance R = 1/2). Completes the
+    * ranking-eval ladder: recall (set, q143), MRR (first hit) + nDCG
+    * (independent discounts) (q207), RBO (list shape, q224), ERR
+    * (competing results). term = 0.5^(c+1)/r — pow-of-half is dyadic
+    * exact, one IEEE division, decimal-backed per-query sum.
+    */
+  val errQ: Q = (s, dir) =>
+    Similarity.errAtK(
+      mExactTop10(s, dir).select("query_id", "cand_id"),
+      mIvfTop10(s, dir).select(col("query_id"), col("cand_id"), col("rank")))
+
+  /** q331: sampled SILHOUETTE of the trained quantizer's partition
+    * (Rousseeuw 1987) — the per-point companion to q317's per-community
+    * modularity: negative silhouette = the point is assigned to the
+    * wrong list (its nearest other cluster is closer than its own),
+    * the direct misassignment signal an IVF owner reads before
+    * retraining. Audit-contract pair space (sample × corpus, the q285
+    * class); distances/means decimal-exact then rounded in both
+    * engines.
+    */
+  val silhouetteQ: Q = (s, dir) => {
+    val pts = Similarity.ivfAssignments(emb(s, dir), mKmeansCos(s, dir))
+      .select(col("cand_id").as("vec_id"), col("ce"), col("cn"), col("cent_id"))
+    Clustering.sampledSilhouette(pts, annAuditPred)
   }
 
   /** q224: Rank-Biased Overlap (Webber/Moffat/Zobel 2010, TOIS) of the
@@ -3586,6 +3637,10 @@ object PipelineQueries {
     "q325_binary_recall" -> binaryRecall,
     "q326_kcore" -> kCoreQ,
     "q327_label_prop" -> labelPropQ,
+    "q328_phrase_table" -> phraseTableQ,
+    "q329_bbit_minhash" -> bbitMinhashQ,
+    "q330_err_at_10" -> errQ,
+    "q331_silhouette" -> silhouetteQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -3966,6 +4021,51 @@ object PipelineQueries {
     "q320_phrase_percolator" -> TO.percolatePhraseCensus(),
     "q321_shapley_capped" -> Similarity.O.knnShapleyCapped(n = 40, k = 5),
     "q322_percolator_table" -> TO.percolateTableCensus(),
+    "q328_phrase_table" -> TO.percolatePhraseTableCensus(),
+    "q329_bbit_minhash" -> Dedup.O.bbitMinhashPairs(b = 2),
+    "q330_err_at_10" ->
+      s"""WITH ex AS MATERIALIZED (SELECT query_id, cand_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE ${Sampling.O.hashBucket("q.vec_id")} < $AnnAuditPct)
+         |  WHERE rank <= 10),
+         |iv AS MATERIALIZED (SELECT query_id, cand_id, rank AS arank
+         |  FROM (${Similarity.O.ivf(annAuditPredSql, 10)})),
+         |fl AS (SELECT iv.query_id, iv.arank,
+         |         CASE WHEN ex.cand_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |       FROM iv LEFT JOIN ex
+         |         ON ex.query_id = iv.query_id AND ex.cand_id = iv.cand_id),
+         |cbt AS (SELECT query_id, arank, rel,
+         |         COALESCE(SUM(rel) OVER (PARTITION BY query_id ORDER BY arank
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |        FROM fl)
+         |SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |  round(${Num.O.sum("CASE WHEN rel = 1 THEN pow(0.5, cb + 1) / arank ELSE CAST(0 AS DOUBLE) END")}, 6) AS err_at_10
+         |FROM cbt GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q331_silhouette" ->
+      s"""WITH ${Similarity.O.assignmentCtes},
+         |pts AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+         |  FROM e JOIN asg a ON a.doc_id = e.vec_id),
+         |sp AS (SELECT vec_id AS sid, embedding AS se, nrm AS sn, cent_id AS scent
+         |       FROM pts WHERE $annAuditPredSql),
+         |pd AS (SELECT sp.sid, sp.scent, p.cent_id AS ocent,
+         |         round(1.0 - ${V.O.dot("sp.se", "p.embedding")} / (sp.sn * p.nrm), 6) AS dist
+         |       FROM pts p JOIN sp ON p.vec_id != sp.sid),
+         |mcd AS MATERIALIZED (SELECT sid, scent, ocent,
+         |         round(${Num.O.sum("dist")} / COUNT(*), 6) AS mean_dist
+         |       FROM pd GROUP BY 1, 2, 3),
+         |aa AS (SELECT sid, mean_dist AS a_intra FROM mcd WHERE ocent = scent),
+         |bb AS (SELECT sid, MIN(mean_dist) AS b_inter FROM mcd WHERE ocent != scent GROUP BY 1)
+         |SELECT s.sid AS vec_id, s.scent AS cent_id, aa.a_intra, bb.b_inter,
+         |  CASE WHEN aa.a_intra IS NULL OR bb.b_inter IS NULL THEN CAST(0.0 AS DOUBLE)
+         |       WHEN greatest(aa.a_intra, bb.b_inter) > 0
+         |         THEN round((bb.b_inter - aa.a_intra) / greatest(aa.a_intra, bb.b_inter), 6)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS silhouette
+         |FROM (SELECT sid, scent FROM sp) s
+         |LEFT JOIN aa USING (sid) LEFT JOIN bb USING (sid)
+         |ORDER BY vec_id""".stripMargin,
     "q326_kcore" ->
       s"""WITH ${Similarity.O.bucketedPairsCte(0.15)},
          |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),

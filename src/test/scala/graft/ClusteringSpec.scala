@@ -147,4 +147,30 @@ class ClusteringSpec extends AnyFunSuite with TestSpark {
     assert(share(after, "lambda_max") < share(before, "lambda_max"))
     assert(share(after, "trace") < share(before, "trace"))
   }
+
+  test("sampled silhouette: deep points near 1, misassigned negative, singleton 0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // two tight orthogonal clusters + one point ASSIGNED to the wrong
+    // cluster + one singleton cluster
+    def pt(id: Long, e: Array[Float], c: Long) =
+      (id, e, math.sqrt(e.map(x => x.toDouble * x).sum), c)
+    val x = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val y = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val z = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val rows = Seq(
+      pt(1L, x, 0L), pt(2L, x, 0L), pt(3L, x, 0L),
+      pt(4L, y, 1L), pt(5L, y, 1L),
+      pt(6L, y, 0L), // a y-point misassigned to the x cluster
+      pt(7L, z, 2L)) // singleton cluster
+    val pts = rows.toDF("vec_id", "ce", "cn", "cent_id")
+    val r = Clustering.sampledSilhouette(pts, lit(true)).collect()
+      .map(q => q.getLong(0) -> q.getDouble(4)).toMap
+    assert(r(1L) > 0.5, s"deep cluster member should score high: $r")
+    assert(r(6L) < 0, s"misassigned point must go negative: $r")
+    assert(r(7L) == 0.0, "singleton convention: silhouette 0")
+    // sampling restricts the SCORED side only, values are unchanged
+    val sampled = Clustering.sampledSilhouette(pts, col("vec_id") <= 2)
+      .collect().map(q => q.getLong(0) -> q.getDouble(4)).toMap
+    assert(sampled.keySet == Set(1L, 2L) && sampled(1L) == r(1L))
+  }
 }

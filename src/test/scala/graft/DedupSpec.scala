@@ -40,6 +40,29 @@ class DedupSpec extends AnyFunSuite with TestSpark {
     assert(pairs.get((0L, 1L)).forall(_ > 0.5)) // near-dup collides in some band
   }
 
+  test("b-bit minhash: identical stays 1, debias formula exact, clamped at 0") {
+    // synthetic 16-component signatures so the masked-match count is
+    // fully controlled: s2 agrees with s1 on the low 2 bits of exactly
+    // 10 components (debias: (10/16 − 1/4)/(3/4) = 0.5); s3 agrees on
+    // 0 (raw −1/3 → clamped 0); s4 is identical (→ 1.0)
+    val sig = Seq(
+      (1L +: (0 until 16).map(i => 4L * i)), // low bits 00 everywhere
+      (2L +: (0 until 16).map(i => if (i < 10) 4L * i else 4L * i + 1)),
+      (3L +: (0 until 16).map(i => 4L * i + 2)),
+      (4L +: (0 until 16).map(i => 4L * i))
+    ).map { s => (s.head, s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8),
+      s(9), s(10), s(11), s(12), s(13), s(14), s(15), s(16)) }
+      .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
+        "h8", "h9", "h10", "h11", "h12", "h13", "h14", "h15")
+    val pairs = Seq((1L, 2L, 0.625), (1L, 3L, 0.0), (1L, 4L, 1.0))
+      .toDF("d1", "d2", "est_jaccard")
+    val r = Dedup.bbitMinhashPairs(pairs, sig, b = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getInt(3), x.getDouble(4)))).toMap
+    assert(r((1L, 2L)) == ((10, 0.5)))
+    assert(r((1L, 3L)) == ((0, 0.0)), "negative debias must clamp to 0")
+    assert(r((1L, 4L)) == ((16, 1.0)))
+  }
+
   test("simhash: exact dups at hamming 0, near-dups within threshold") {
     val pairs = Dedup.simhashPairs(docs)
       .select("d1", "d2", "hamming").collect()

@@ -130,6 +130,24 @@ class RerankSpec extends AnyFunSuite with TestSpark {
     assert(math.abs(got.values.sum - v(labels.keySet)) < 1e-4)
   }
 
+  test("ERR matches the hand-computed cascade on known rankings") {
+    // q1: relevant at ranks 1 and 3 → 0.5/1 + (0.5·0.5)/3 = 0.583333
+    // q2: relevant at rank 2 only → 0.5/2 = 0.25
+    // q3: nothing relevant → 0
+    val exact = Seq((1L, 10L), (1L, 30L), (2L, 20L))
+      .toDF("query_id", "cand_id")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1), (2L, 20L, 2), (2L, 30L, 3),
+      (3L, 40L, 1), (3L, 50L, 2))
+      .toDF("query_id", "cand_id", "rank")
+    val r = Similarity.errAtK(exact, approx).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((2L, round6(0.5 + 0.25 / 3))))
+    assert(r(2L) == ((1L, 0.25)))
+    assert(r(3L) == ((0L, 0.0)))
+  }
+
   test("count-capped knn-shapley equals the pct spelling on the same validation set") {
     val emb = (0L until 30L).map(i => (i, vec(i.toInt), (i % 3).toInt))
       .toDF("vec_id", "embedding", "label")
