@@ -841,6 +841,71 @@ object TextAnalysis {
       terms, k1, b, topK)
   }
 
+  /** Passage-level retrieval with document MaxP aggregation (Dai &
+    * Callan 2019, SIGIR — "Deeper Text Understanding for IR with
+    * Contextual Neural Language Modeling": score each PASSAGE, rank
+    * documents by their best passage) — the RAG-era retrieval shape:
+    * long documents are indexed as overlapping token-window chunks
+    * (the q88 chunking grid: `chunkTokens` window, `stride` step), BM25
+    * scores each chunk against chunk-corpus statistics, and a document
+    * ranks by its maximum chunk score with the winning chunk reported —
+    * retrieval that cannot be diluted by document length, and the
+    * chunk id to hand a RAG reader.
+    *
+    * Scale: chunking is a bounded explode (one row per chunk token,
+    * the q88 shape), scoring is one (doc, chunk)-keyed aggregation +
+    * a 1-row stats broadcast, MaxP is a struct-max partial aggregate,
+    * top-k is orderBy+limit (TakeOrderedAndProject). Deterministic:
+    * rounded chunk scores, best chunk ties to the smallest index, doc
+    * ranking ties to doc_id.
+    */
+  def passageMaxP(docs: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      chunkTokens: Int = 64, stride: Int = 48,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col(textCol), " ")
+    val ch = docs.select(col("doc_id"), w.as("w"), size(w).as("n_tokens"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("n_tokens"), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / lit(stride)).cast("int").as("chunk_idx"),
+        explode(slice(col("w"), col("start"), lit(chunkTokens))).as("word"))
+    val aggs = count(lit(1)).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("word") === lit(t), 1L).otherwise(0L)).as(s"tf_$i")
+      }
+    val base = ch.groupBy("doc_id", "chunk_idx").agg(aggs.head, aggs.tail: _*)
+    val statAggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      when(col(s"tf_$i") > 0,
+        idf * tf * lit(k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("chunk_idx"),
+        round(contribs.reduce(_ + _), 6).as("cscore"))
+      .filter(col("cscore") > 0)
+    scored.groupBy("doc_id")
+      .agg(max(struct(col("cscore"), (-col("chunk_idx")).as("nci"))).as("best"),
+        count(lit(1)).as("n_hit_chunks"))
+      .select(col("doc_id"), (-col("best.nci")).as("best_chunk"),
+        col("n_hit_chunks"), col("best.cscore").as("score"))
+      .orderBy(desc("score"), col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+      .orderBy("rank")
+  }
+
   /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
     * Lafferty 2001, SIGIR — the language-modeling alternative to BM25;
     * μ is the standard pseudo-length prior): per doc,
@@ -2935,6 +3000,47 @@ object TextAnalysis {
          |SELECT doc_id, n_hits, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
          |FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.passageMaxP]]: the q88 chunk grid, BM25
+      * over chunk units with chunk-corpus statistics (the bm25TopK
+      * expression verbatim), per-doc best chunk via the same
+      * (score DESC, chunk_idx) cut, doc ranking ties to doc_id.
+      */
+    def passageMaxP(terms: Seq[String] = Bm25QueryTerms,
+        chunkTokens: Int = 64, stride: Int = 48,
+        k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        val esc = t.replace("'", "''")
+        s"SUM(CASE WHEN word = '$esc' THEN 1 ELSE 0 END) AS tf_$i"
+      }.mkString(",\n         |    ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+      val contribs = terms.indices.map { i =>
+        val idf = s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))"
+        s"(CASE WHEN tf_$i > 0 THEN $idf * CAST(tf_$i AS DOUBLE) * ${k1 + 1} / " +
+          s"(CAST(tf_$i AS DOUBLE) + $k1 * (${1 - b} + $b * dl / $avgdl)) ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |st AS (SELECT doc_id, w, CAST(unnest(range(1, len(w) + 1, $stride)) AS INT) AS start FROM wl),
+         |chp AS (SELECT doc_id, CAST((start - 1) // $stride AS INT) AS chunk_idx,
+         |        unnest(w[start:start + ${chunkTokens - 1}]) AS word FROM st),
+         |base AS MATERIALIZED (SELECT doc_id, chunk_idx, COUNT(*) AS dl,
+         |    $tfCols
+         |  FROM chp GROUP BY 1, 2),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols FROM base),
+         |scf AS (SELECT * FROM (
+         |    SELECT doc_id, chunk_idx, round($contribs, 6) AS cscore
+         |    FROM base CROSS JOIN stats) WHERE cscore > 0),
+         |best AS (SELECT doc_id, chunk_idx AS best_chunk, n_hit_chunks, cscore AS score FROM (
+         |    SELECT doc_id, chunk_idx, cscore,
+         |      COUNT(*) OVER (PARTITION BY doc_id) AS n_hit_chunks,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cscore DESC, chunk_idx) AS rn
+         |    FROM scf) WHERE rn = 1)
+         |SELECT doc_id, best_chunk, CAST(n_hit_chunks AS BIGINT) AS n_hit_chunks, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |FROM best ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
     }
 
     /** Mirrors dsirScores: occurrence-stream replay (n × decimal(lp) is

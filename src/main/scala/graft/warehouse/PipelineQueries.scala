@@ -1996,6 +1996,16 @@ object PipelineQueries {
   val percolatorTableQ: Q = (s, dir) =>
     TextAnalysis.percolateTableCensus(docs(s, dir), mPostings(s, dir))
 
+  /** q332: passage-level retrieval with MaxP document aggregation (Dai
+    * & Callan 2019) — the RAG indexing shape: documents chunked on the
+    * q88 grid, BM25 per CHUNK against chunk-corpus statistics, each
+    * document ranked by its best passage (winning chunk_idx reported
+    * for the reader). Long documents can't dilute their best passage —
+    * the failure mode whole-doc BM25 (q149/q252) has by construction.
+    */
+  val passageMaxPQ: Q = (s, dir) =>
+    TextAnalysis.passageMaxP(docs(s, dir))
+
   /** q328: queries-as-data PHRASE percolation — the q322 contract for
     * ordered-adjacency alerts: the stored phrase set is a corpus-derived
     * table (per-source top-2 bigrams by in-source df), matched by the
@@ -3641,6 +3651,7 @@ object PipelineQueries {
     "q329_bbit_minhash" -> bbitMinhashQ,
     "q330_err_at_10" -> errQ,
     "q331_silhouette" -> silhouetteQ,
+    "q332_passage_maxp" -> passageMaxPQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4023,6 +4034,7 @@ object PipelineQueries {
     "q322_percolator_table" -> TO.percolateTableCensus(),
     "q328_phrase_table" -> TO.percolatePhraseTableCensus(),
     "q329_bbit_minhash" -> Dedup.O.bbitMinhashPairs(b = 2),
+    "q332_passage_maxp" -> TO.passageMaxP(),
     "q330_err_at_10" ->
       s"""WITH ex AS MATERIALIZED (SELECT query_id, cand_id FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

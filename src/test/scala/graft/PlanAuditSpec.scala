@@ -663,4 +663,32 @@ class PlanAuditSpec extends AnyFunSuite with TestSpark {
       assert(p.contains("LeftSemi"), s"$name lost the candidate semi-join\n" + p.take(1200))
     }
   }
+
+  test("binary retrieval: the corpus-wide Hamming scan reads only the 8-byte sketch") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val df = SparkEntry.queries("q324_binary_ann")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the coarse stage scans the persisted bin_sketch artifact and
+      // projects the packed words, never the float vector
+      val sketchScans = p.split("\n").filter(l => l.contains("bin_sketch") && l.contains("ReadSchema"))
+      assert(sketchScans.nonEmpty, p.take(2000))
+      assert(sketchScans.forall(l => l.contains("w0") && !l.contains("embedding")),
+        sketchScans.mkString("\n").take(1200))
+      // full vectors appear only behind the broadcast m-list rerank
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+  }
+
+  test("table-driven percolation: broadcast query dictionary, no Generate on the serving side") {
+    val df = SparkEntry.queries("q322_percolator_table")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus side is the postings artifact — the percolator itself
+    // must not re-tokenize (its only explodes live in the one-time
+    // query-table derivation over documents, not per serving row)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("postings"), p.take(1500))
+  }
 }
