@@ -1358,6 +1358,14 @@ object Dedup {
          |  (src = min(dst)) AS is_kept
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+    /** The closure plus `cl(doc_id, cluster_rep)` — the cluster-map
+      * prefix a consumer joins by doc (q334's leakage-safe split key).
+      * Starts with WITH RECURSIVE; append further CTEs with commas.
+      */
+    def clusterRepCtes: String =
+      s"""$reachCtes,
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src)""".stripMargin
+
     /** Mirrors [[Dedup.softDedupWeights]] over the replayed component
       * sizes: same coalesce-to-1 for unclustered docs, same per-row
       * effective-mass division riding the decimal sum.

@@ -337,8 +337,21 @@ object Similarity {
         when(col("nxt").isNull, col("hit") / col("n_tr"))
           .otherwise((col("hit") - col("nxt")) / k *
             least(lit(k), col("rank")).cast("double") / col("rank")))
-      .withColumn("s", sum(col("term").cast("decimal(38,18)"))
-        .over(wRank.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      // suffix sum spelled as (partition total − EXCLUSIVE prefix):
+      // Spark's WindowExec evaluates a currentRow→unboundedFollowing
+      // frame by re-scanning to the partition end for every row —
+      // O(n²) per validation point (measured: the frame alone was ~12 s
+      // of q321's 13 s at sf0.1) — while whole-partition and running
+      // frames are both O(n). Decimal addition is exact, so
+      // total − prefix ≡ the suffix sum bit-for-bit and the oracle's
+      // CURRENT ROW..UNBOUNDED FOLLOWING spelling still hash-matches.
+      .withColumn("td", col("term").cast("decimal(38,18)"))
+      .withColumn("s",
+        sum(col("td")).over(Window.partitionBy("val_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          - coalesce(sum(col("td"))
+              .over(wRank.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0).cast("decimal(38,18)")))
     terms.groupBy("vec_id", "label")
       .agg(
         count(lit(1)).as("n_val"),

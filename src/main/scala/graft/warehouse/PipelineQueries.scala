@@ -1921,6 +1921,44 @@ object PipelineQueries {
       .orderBy("m")
   }
 
+  /** q333: INCREMENTAL maintenance of the binary sketch index — the
+    * q260/q266 contract for the q324 family: the stored base sketch
+    * covers the pre-split corpus, an arriving delta is sign-packed
+    * ALONE and unioned at query time (the base parquet is never
+    * re-read as floats, the delta never joins the base until serving).
+    * The oracle is q324's from-scratch SQL — identical hashes prove
+    * (artifact ∪ delta) ≡ full re-derivation.
+    */
+  val binaryIncremental: Q = (s, dir) => {
+    val base = Materialized.onDisk(s, dir, "bin_sketch_base")(
+      Similarity.binarySketch(emb(s, dir).filter(col("vec_id") < IncrementalSplit)))
+    val delta = Similarity.binarySketch(
+      emb(s, dir).filter(col("vec_id") >= IncrementalSplit))
+    Similarity.binaryTopK(emb(s, dir), col("vec_id") < 20, k = 10,
+        m = BinaryM, sketch = Some(base.unionByName(delta)))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q334: LEAKAGE-SAFE train/val/test split — q141 AUDITS near-dup
+    * leakage across the naive per-doc hash split; this op PREVENTS it:
+    * the split key is the near-dup cluster REPRESENTATIVE (singletons
+    * key their own id), so every member of a duplicate cluster lands
+    * on the same side by construction — a split boundary can never
+    * separate near-duplicates into train and eval. One broadcast-sized
+    * join against the session cluster map + the q69 hash-split
+    * expression on the rep key.
+    */
+  val clusterSplitQ: Q = (s, dir) => {
+    val cl = mClusters(s, dir).select(col("doc_id"), col("cluster_rep"))
+    Sampling.withSplit(
+      docs(s, dir).select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("split_key")),
+      "split_key")
+      .orderBy("doc_id")
+  }
+
   /** q282: corpus CARTOGRAPHY — c-TF-IDF topic labels (BERTopic,
     * Grootendorst 2022) for every trained-quantizer cluster: the
     * embedding-space map gets human-readable labels from the text side
@@ -3652,6 +3690,8 @@ object PipelineQueries {
     "q330_err_at_10" -> errQ,
     "q331_silhouette" -> silhouetteQ,
     "q332_passage_maxp" -> passageMaxPQ,
+    "q333_binary_incremental" -> binaryIncremental,
+    "q334_cluster_split" -> clusterSplitQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4035,6 +4075,14 @@ object PipelineQueries {
     "q328_phrase_table" -> TO.percolatePhraseTableCensus(),
     "q329_bbit_minhash" -> Dedup.O.bbitMinhashPairs(b = 2),
     "q332_passage_maxp" -> TO.passageMaxP(),
+    "q333_binary_incremental" ->
+      Similarity.O.binaryTopK("vec_id < 20", k = 10, m = BinaryM),
+    "q334_cluster_split" ->
+      s"""${Dedup.O.clusterRepCtes}
+         |SELECT d.doc_id, COALESCE(cl.cluster_rep, d.doc_id) AS split_key,
+         |  ${Sampling.O.split("COALESCE(cl.cluster_rep, d.doc_id)")} AS split
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q330_err_at_10" ->
       s"""WITH ex AS MATERIALIZED (SELECT query_id, cand_id FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
