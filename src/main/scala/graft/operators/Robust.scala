@@ -189,6 +189,43 @@ object Robust {
     * the expression shapes cannot drift.
     */
   object O {
+    /** Mirrors [[Robust.mannWhitney]]. `sourceCte` must define
+      * `mwd(g, v)`; ranks replay the tie-average definition directly
+      * (below + (cnt+1)/2), every double expression in the identical
+      * op order.
+      */
+    def mannWhitney(sourceCte: String): String =
+      s"""WITH $sourceCte,
+         |gset AS (SELECT DISTINCT g FROM mwd),
+         |prs AS (SELECT x.g AS ga, y.g AS gb FROM gset x JOIN gset y ON x.g < y.g),
+         |rws AS MATERIALIZED (SELECT ga || '|' || gb AS pair, ga, gb, m.g, m.v
+         |       FROM mwd m JOIN prs ON m.g = prs.ga OR m.g = prs.gb),
+         |gv AS MATERIALIZED (SELECT pair, v, COUNT(*) AS cnt FROM rws GROUP BY 1, 2),
+         |rr AS (SELECT pair, v,
+         |         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY pair ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         |           + (cnt + 1) / 2.0 AS r
+         |       FROM gv),
+         |ag AS (SELECT r2.pair, r2.ga, r2.gb, COUNT(*) AS n,
+         |         CAST(SUM(CASE WHEN r2.g = r2.ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |         ${Num.O.sum("CASE WHEN r2.g = r2.ga THEN rr.r ELSE 0.0 END")} AS ra
+         |       FROM rws r2 JOIN rr ON rr.pair = r2.pair AND rr.v = r2.v
+         |       GROUP BY 1, 2, 3),
+         |tc AS (SELECT pair, SUM(cnt * cnt * cnt - cnt) AS tcorr FROM gv GROUP BY 1),
+         |fin AS (SELECT ga, gb, na, n - na AS nb, tcorr, n,
+         |          ra - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE) / 2.0 AS u
+         |        FROM ag JOIN tc USING (pair))
+         |SELECT source_a, source_b, na, nb, round(u, 6) AS u,
+         |  round(CASE WHEN varu > 0
+         |    THEN (u - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / sqrt(varu) END, 6) AS z,
+         |  round(2.0 * u / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) AS cliffs_delta
+         |FROM (SELECT ga AS source_a, gb AS source_b, na, nb, u,
+         |        CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+         |          (CAST(n + 1 AS DOUBLE) - CAST(tcorr AS DOUBLE)
+         |            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS varu
+         |      FROM fin)
+         |ORDER BY source_a, source_b""".stripMargin
+
     def histCte(table: String, groupCol: String, valueCol: String): String = {
       val width = (HistHi - HistLo) / HistBins
       s"""SELECT $groupCol AS g, bin, COUNT(*) AS c,
@@ -355,6 +392,62 @@ object Robust {
     * [[Num.fitCorr]] shape shared with q106 — mirrored 1:1 in the
     * oracle. Output: (keyCol, n, rho).
     */
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947, Ann. Math.
+    * Stat.) between every GROUP PAIR over a per-row signal, with the
+    * tie-corrected normal approximation and Cliff's delta effect size —
+    * the distribution-free "is feed A genuinely better than feed B?"
+    * read a curation team runs on quality scores, where a difference
+    * of means (q28-class) is hostage to outliers and a KL divergence
+    * (q151) has no significance calibrus. U counts how often an A draw
+    * beats a B draw (ties half); z calibrates it; delta = 2U/(n_a·n_b)
+    * − 1 is the probability-scaled effect.
+    *
+    * Exactness: tie-averaged ranks come from [[tieRanks]] (exact rank
+    * intervals, never a per-group value buffer); rank sums ride
+    * decimals; U and delta are exact rationals rounded once; z is a
+    * fixed mirrored IEEE expression. Group pairs are |G|² driver-free
+    * rows (sources are few); each row of data joins only its group's
+    * pairs, so the expanded table is ≤ |G|−1 copies of the input —
+    * linear per group pair, no row-pair space anywhere.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val srcs = df.select(col(groupCol).cast("string").as("g")).distinct()
+    val prs = srcs.as("x").join(srcs.as("y"), col("x.g") < col("y.g"))
+      .select(col("x.g").as("ga"), col("y.g").as("gb"))
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .join(broadcast(prs), col("g") === col("ga") || col("g") === col("gb"))
+      .select(concat(col("ga"), lit("|"), col("gb")).as("pair"),
+        col("ga"), col("gb"), col("g"), col("v"))
+    val ranked = tieRanks(rows.select(col("pair"), col("v")), "pair", "v")
+      .select(col("pair"), col("v"), col("r"))
+    val agg = rows.join(ranked, Seq("pair", "v"))
+      .groupBy("pair", "ga", "gb").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("na"),
+        Num.dsum(when(col("g") === col("ga"), col("r")).otherwise(lit(0.0))).as("ra"))
+    val ties = rows.groupBy("pair", "v").agg(count(lit(1)).as("t"))
+      .groupBy("pair").agg(sum(col("t") * col("t") * col("t") - col("t")).as("tcorr"))
+    agg.join(ties, "pair")
+      .withColumn("nb", col("n") - col("na"))
+      .withColumn("u",
+        col("ra") - col("na").cast("double") * (col("na") + 1).cast("double") / lit(2.0))
+      .withColumn("varu",
+        col("na").cast("double") * col("nb").cast("double") / lit(12.0) *
+          ((col("n") + 1).cast("double") -
+            col("tcorr").cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("na"), col("nb"), round(col("u"), 6).as("u"),
+        round(when(col("varu") > 0,
+          (col("u") - col("na").cast("double") * col("nb").cast("double") / lit(2.0))
+            / sqrt(col("varu"))), 6).as("z"),
+        round(lit(2.0) * col("u") /
+          (col("na").cast("double") * col("nb").cast("double")) - lit(1.0), 6)
+          .as("cliffs_delta"))
+      .orderBy("source_a", "source_b")
+  }
+
   def spearman(df: DataFrame, keyCol: String, xCol: String, yCol: String,
       buckets: Int = 1024): DataFrame = {
     val rx = tieRanks(df.select(col(keyCol), col(xCol)), keyCol, xCol, buckets)

@@ -2044,6 +2044,20 @@ object PipelineQueries {
   val passageMaxPQ: Q = (s, dir) =>
     TextAnalysis.passageMaxP(docs(s, dir))
 
+  /** q335: Mann–Whitney U feed comparison (Mann & Whitney 1947) — for
+    * every source pair, the rank-sum test + Cliff's delta on the
+    * quality score: the distribution-free "is feed A genuinely better
+    * than feed B" read (means are outlier-hostage, KL has no
+    * significance scale). Tie-exact ranks from the bucketed rank
+    * machinery (q203's tieRanks — no per-group value buffer), rank
+    * sums decimal-backed, z mirrored IEEE-op-for-op.
+    */
+  val mannWhitneyQ: Q = (s, dir) =>
+    Robust.mannWhitney(
+      TextAnalysis.withTextStats(docs(s, dir))
+        .select(col("source"), col("quality_score")),
+      "source", "quality_score")
+
   /** q328: queries-as-data PHRASE percolation — the q322 contract for
     * ordered-adjacency alerts: the stored phrase set is a corpus-derived
     * table (per-source top-2 bigrams by in-source df), matched by the
@@ -3692,6 +3706,7 @@ object PipelineQueries {
     "q332_passage_maxp" -> passageMaxPQ,
     "q333_binary_incremental" -> binaryIncremental,
     "q334_cluster_split" -> clusterSplitQ,
+    "q335_mann_whitney" -> mannWhitneyQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4077,6 +4092,8 @@ object PipelineQueries {
     "q332_passage_maxp" -> TO.passageMaxP(),
     "q333_binary_incremental" ->
       Similarity.O.binaryTopK("vec_id < 20", k = 10, m = BinaryM),
+    "q335_mann_whitney" -> Robust.O.mannWhitney(
+      s"mwd AS (SELECT source AS g, quality_score AS v FROM (SELECT source, ${TO.textStats} FROM documents))"),
     "q334_cluster_split" ->
       s"""${Dedup.O.clusterRepCtes}
          |SELECT d.doc_id, COALESCE(cl.cluster_rep, d.doc_id) AS split_key,

@@ -269,4 +269,57 @@ class AnalyticsSpec extends AnyFunSuite with TestSpark {
     assert(r.getLong(2) == 1000L) // total_seconds
     assert(r.getDouble(3) == 46.0)
   }
+
+  test("mann-whitney: hand-computed U/z/delta, tie averaging, dominance extremes") {
+    import graft.operators.Robust
+    // A = {1,2}, B = {2,3}: ranks 1, 2.5, 2.5, 4 → ra = 3.5, U = 0.5,
+    // delta = −0.75; tie group of 2 → tcorr = 6,
+    // var = (4/12)·(5 − 6/12) = 1.5, z = (0.5 − 2)/√1.5 = −1.224745
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v")
+    val row = Robust.mannWhitney(df, "g", "v").head()
+    assert(row.getString(0) == "A" && row.getString(1) == "B")
+    assert(row.getLong(2) == 2L && row.getLong(3) == 2L)
+    assert(row.getDouble(4) == 0.5)
+    assert(row.getDouble(5) == BigDecimal((0.5 - 2.0) / math.sqrt(1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(6) == -0.75)
+    // total dominance: every A below every B → U = 0, delta = −1
+    val dom = Seq(("A", 1.0), ("A", 2.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    val d = Robust.mannWhitney(dom, "g", "v").head()
+    assert(d.getDouble(4) == 0.0 && d.getDouble(6) == -1.0)
+    // identical distributions: U = na·nb/2, delta = 0, variance 0 → z null
+    val same = Seq(("A", 7.0), ("A", 7.0), ("B", 7.0)).toDF("g", "v")
+    val s0 = Robust.mannWhitney(same, "g", "v").head()
+    assert(s0.getDouble(4) == 1.0 && s0.isNullAt(5) && s0.getDouble(6) == 0.0)
+  }
+
+  test("cluster-keyed split: near-duplicates can never straddle the split boundary") {
+    import graft.operators.{Dedup, Sampling}
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 40L).map { i =>
+      // pairs (2k, 2k+1) are near-dups; ids chosen so a naive per-doc
+      // hash split WOULD separate some of them
+      val text = if (i % 2 == 0) near + s" tail${i / 2}" else near + s" tail${i / 2} extra"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val cl = Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs))
+      .select(col("doc_id"), col("cluster_rep"))
+    val split = Sampling.withSplit(
+      docs.select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("split_key")),
+      "split_key")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (0L until 40L by 2).foreach { i =>
+      assert(split(i) == split(i + 1),
+        s"near-dup pair ($i, ${i + 1}) split across ${split(i)}/${split(i + 1)}")
+    }
+    // the naive per-doc split DOES leak on this corpus (the fixture is
+    // non-trivial): at least one pair would straddle
+    val naive = Sampling.withSplit(docs.select(col("doc_id"), col("doc_id").as("split_key")), "split_key")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0L until 40L by 2).exists(i => naive(i) != naive(i + 1)),
+      "fixture too easy: naive split never leaks")
+  }
 }
