@@ -142,7 +142,17 @@ object StressBench {
     "q52_cc_distributed" -> ((s: SparkSession, dir: String) =>
       operators.Dedup.connectedComponents(
         operators.Dedup.ngramJaccardPairs(sources.Tables(s, dir, "documents").cache()),
-        localEdgeThreshold = 0L).orderBy("doc_id")))
+        localEdgeThreshold = 0L).orderBy("doc_id")),
+    // round-14 additions: the count-capped Shapley (THE linearity
+    // claim of the round — a fixed-N validation set must make the
+    // valuation track the corpus, where the q285 pct contract is
+    // quadratic by design and stays out); HITS (per-round keyed
+    // join+agg over the label-blocked pair graph — linear per round
+    // like q101); passage MaxP (chunk explode + one keyed agg + a
+    // 1-row stats broadcast — chunk volume tracks tokens)
+    "q321_shapley_capped" -> warehouse.PipelineQueries.knnShapleyCappedQ,
+    "q323_hits" -> warehouse.PipelineQueries.hitsQ,
+    "q332_passage_maxp" -> warehouse.PipelineQueries.passageMaxPQ)
 
   /** Replica id stride derived from the ACTUAL max id (+1): a constant
     * stride would silently merge replicas — corrupting the linearity
