@@ -906,6 +906,85 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Weighted Information Gain QPP (Zhou & Croft 2007, SIGIR — "Query
+    * performance prediction in web search environments"): the
+    * POST-retrieval difficulty predictor beside q288's pre-retrieval
+    * clarity — how far the top-k BM25 scores stand above the scoring
+    * corpus's mean, normalized by √|q|. High WIG = the index separates
+    * the query's answers from the noise floor; near-zero = the ranking
+    * is indistinguishable from background and downstream consumers
+    * (RM3 expansion, hybrid fusion weights) should not trust it.
+    * Served from the postings artifact: one keyed tf/dl aggregation,
+    * one 1-row stats broadcast, decimal-backed score sums; √|q| is a
+    * Scala-computed literal shipped identically to both engines (the
+    * DcgW convention).
+    */
+  def wigScore(postings: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    import graft.functions.Num
+    val aggs = count(lit(1)).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("word") === lit(t), 1L).otherwise(0L)).as(s"tf_$i")
+      }
+    val base = postings.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val statAggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      when(col(s"tf_$i") > 0,
+        idf * tf * lit(k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(contribs.reduce(_ + _), 6).as("score"))
+      .filter(col("score") > 0)
+    val sqrtQ = math.sqrt(terms.size.toDouble)
+    val allAgg = scored.agg(count(lit(1)).as("n_scoring"), Num.dsum(col("score")).as("ssum"))
+    val topAgg = scored.orderBy(desc("score"), col("doc_id")).limit(k)
+      .agg(count(lit(1)).as("n_top"), Num.dsum(col("score")).as("tsum"))
+    allAgg.crossJoin(broadcast(topAgg))
+      .select(col("n_scoring"), col("n_top"),
+        round(col("tsum") / col("n_top"), 6).as("mean_topk"),
+        round(col("ssum") / col("n_scoring"), 6).as("corpus_mean"),
+        round((col("tsum") / col("n_top") - col("ssum") / col("n_scoring"))
+          / lit(sqrtQ), 6).as("wig"))
+  }
+
+  /** Term BURSTINESS census (Church & Gale 1995, "Poisson mixtures" —
+    * the variance-to-mean ratio of a term's tf across the documents
+    * that contain it): a Poisson (topic-neutral) term has VMR ≈ 1;
+    * keyword-stuffed / template terms repeat in bursts (VMR ≫ 1) —
+    * the lexical spam signal that catches what document-level entropy
+    * (q98) and repetition (q82/q140) miss when the stuffing spreads
+    * across documents. Exact integer moment sums per word (tf and tf²
+    * both fit BIGINT at any corpus size that fits a document), one
+    * vocab-keyed aggregation; df floor keeps the output at the head of
+    * the vocabulary, top-N by (VMR, word) via TakeOrderedAndProject.
+    */
+  def termBurstiness(postings: DataFrame, minDf: Long = 5,
+      topN: Int = 50): DataFrame = {
+    val tf = postings.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.groupBy("word").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .filter(col("df") >= minDf)
+      .withColumn("mean_tf", col("cf").cast("double") / col("df").cast("double"))
+      .withColumn("vmr",
+        (col("s2").cast("double") / col("df").cast("double")
+          - col("mean_tf") * col("mean_tf")) / col("mean_tf"))
+      .select(col("word"), col("df"), col("cf"),
+        round(col("mean_tf"), 6).as("mean_tf"), round(col("vmr"), 6).as("vmr"))
+      .orderBy(desc("vmr"), col("word")).limit(topN)
+  }
+
   /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
     * Lafferty 2001, SIGIR — the language-modeling alternative to BM25;
     * μ is the standard pseudo-length prior): per doc,
@@ -3041,6 +3120,60 @@ object TextAnalysis {
          |SELECT doc_id, best_chunk, CAST(n_hit_chunks AS BIGINT) AS n_hit_chunks, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
          |FROM best ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.wigScore]]: the bm25TopK scoring replay
+      * (hash-equal to the postings-artifact formulation by the q252
+      * equivalence), decimal score sums over top-k and all scoring
+      * docs, √|q| as the identical Scala-printed literal.
+      */
+    def wigScore(terms: Seq[String] = Bm25QueryTerms,
+        k1: Double = 1.2, b: Double = 0.75, k: Int = 10): String = {
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        val esc = t.replace("'", "''")
+        s"len(list_filter(string_split(text, ' '), x -> x = '$esc')) AS tf_$i"
+      }.mkString(",\n         |    ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+      val contribs = terms.indices.map { i =>
+        val idf = s"ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))"
+        s"(CASE WHEN tf_$i > 0 THEN $idf * CAST(tf_$i AS DOUBLE) * ${k1 + 1} / " +
+          s"(CAST(tf_$i AS DOUBLE) + $k1 * (${1 - b} + $b * dl / $avgdl)) ELSE 0.0 END)"
+      }.mkString(" + ")
+      val sqrtQ = math.sqrt(terms.size.toDouble)
+      s"""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols FROM base),
+         |scf AS MATERIALIZED (SELECT * FROM (
+         |    SELECT doc_id, round($contribs, 6) AS score FROM base CROSS JOIN stats)
+         |  WHERE score > 0),
+         |tk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top, ${graft.functions.Num.O.sum("score")} AS tsum
+         |       FROM (SELECT score FROM scf ORDER BY score DESC, doc_id LIMIT $k)),
+         |al AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scoring, ${graft.functions.Num.O.sum("score")} AS ssum FROM scf)
+         |SELECT n_scoring, n_top,
+         |  round(tsum / n_top, 6) AS mean_topk,
+         |  round(ssum / n_scoring, 6) AS corpus_mean,
+         |  round((tsum / n_top - ssum / n_scoring) / $sqrtQ, 6) AS wig
+         |FROM al CROSS JOIN tk""".stripMargin
+    }
+
+    /** Mirrors [[TextAnalysis.termBurstiness]]: integer tf/tf² moment
+      * sums per word, the same double expression shape, ordered and
+      * cut on the ROUNDED vmr (ties by word).
+      */
+    def termBurstiness(minDf: Long = 5, topN: Int = 50): String = {
+      val mean = "(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE))"
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tfq AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |ag AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+         |         CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tfq GROUP BY 1),
+         |fl AS (SELECT word, df, cf, $mean AS mean_tf,
+         |         (CAST(s2 AS DOUBLE) / CAST(df AS DOUBLE) - $mean * $mean) / $mean AS vmr
+         |       FROM ag WHERE df >= $minDf)
+         |SELECT word, df, cf, round(mean_tf, 6) AS mean_tf, round(vmr, 6) AS vmr
+         |FROM fl ORDER BY round(vmr, 6) DESC, word LIMIT $topN""".stripMargin
     }
 
     /** Mirrors dsirScores: occurrence-stream replay (n × decimal(lp) is

@@ -2058,6 +2058,24 @@ object PipelineQueries {
         .select(col("source"), col("quality_score")),
       "source", "quality_score")
 
+  /** q336: Weighted Information Gain QPP (Zhou & Croft 2007) — the
+    * POST-retrieval difficulty read beside q288's pre-retrieval
+    * clarity: top-k BM25 mass above the scoring corpus's mean,
+    * √|q|-normalized. Near zero = don't trust this ranking downstream
+    * (RM3, fusion weights). Served from the postings artifact.
+    */
+  val wigQ: Q = (s, dir) =>
+    TextAnalysis.wigScore(mPostings(s, dir))
+
+  /** q337: term BURSTINESS census (Church & Gale 1995 VMR) — the
+    * lexical spam signal: terms whose occurrences cluster in bursts
+    * (keyword stuffing, templates) stand out from Poisson-ish topic
+    * vocabulary at VMR ≫ 1, across documents where per-doc repetition
+    * (q82/q140) can't see them.
+    */
+  val burstinessQ: Q = (s, dir) =>
+    TextAnalysis.termBurstiness(mPostings(s, dir))
+
   /** q328: queries-as-data PHRASE percolation — the q322 contract for
     * ordered-adjacency alerts: the stored phrase set is a corpus-derived
     * table (per-source top-2 bigrams by in-source df), matched by the
@@ -3707,6 +3725,8 @@ object PipelineQueries {
     "q333_binary_incremental" -> binaryIncremental,
     "q334_cluster_split" -> clusterSplitQ,
     "q335_mann_whitney" -> mannWhitneyQ,
+    "q336_wig" -> wigQ,
+    "q337_burstiness" -> burstinessQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4092,6 +4112,8 @@ object PipelineQueries {
     "q332_passage_maxp" -> TO.passageMaxP(),
     "q333_binary_incremental" ->
       Similarity.O.binaryTopK("vec_id < 20", k = 10, m = BinaryM),
+    "q336_wig" -> TO.wigScore(),
+    "q337_burstiness" -> TO.termBurstiness(),
     "q335_mann_whitney" -> Robust.O.mannWhitney(
       s"mwd AS (SELECT source AS g, quality_score AS v FROM (SELECT source, ${TO.textStats} FROM documents))"),
     "q334_cluster_split" ->

@@ -542,4 +542,26 @@ class TextAnalysisSpec extends AnyFunSuite with TestSpark {
       assert(toks.split(" ").count(_.nonEmpty) == n, s"token count mismatch for '$w'")
     }
   }
+
+  test("term burstiness: Poisson-flat terms at VMR 0, bursty terms well above") {
+    val docs = Seq(
+      (1L, "flat bursty bursty bursty bursty bursty pad1"),
+      (2L, "flat bursty pad2 pad2a x"),
+      (3L, "flat bursty pad3 y z"),
+      (4L, "flat w1 w2"),
+      (5L, "flat w3 w4")).toDF("doc_id", "text")
+    val posts = TextAnalysis.positionalPostings(docs)
+    val r = TextAnalysis.termBurstiness(posts, minDf = 3, topN = 10).collect()
+      .map(x => (x.getString(0), (x.getLong(1), x.getLong(2), x.getDouble(4)))).toMap
+    // "flat": tf = 1 in every doc → variance 0 → VMR exactly 0
+    assert(r("flat") == ((5L, 5L, 0.0)))
+    // "bursty": tfs (5, 1, 1) → mean 7/3, E[t²] = 9, VMR = (9 − 49/9)/(7/3)
+    val mean = 7.0 / 3.0
+    val want = BigDecimal((9.0 - mean * mean) / mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("bursty") == ((3L, 7L, want)))
+    assert(r("bursty")._3 > 1.0, "a bursty term must exceed the Poisson line")
+    // df floor: terms below minDf never report
+    assert(!r.contains("pad1") && !r.contains("w1"))
+  }
 }
