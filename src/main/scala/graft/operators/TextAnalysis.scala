@@ -1216,6 +1216,16 @@ object TextAnalysis {
     * feeds [[percolateMatchesTable]] and its stream twin.
     */
   def percolatorQueryTable(docs: DataFrame, topN: Int = 3,
+      textCol: String = "text"): DataFrame =
+    percolatorRankedTerms(docs, topN, textCol)
+      .select(col("query_id"), col("term"))
+
+  /** The ranked form of [[percolatorQueryTable]]: (query_id, term, rn)
+    * with rn = the term's in-source characteristic rank — the shape
+    * BOOLEAN stored queries slice (must = head ranks, must_not = the
+    * next rank, the q338 derivation).
+    */
+  def percolatorRankedTerms(docs: DataFrame, topN: Int = 3,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pres = docs.select(col("doc_id"), col("source"),
@@ -1231,7 +1241,29 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topN)
       .select(concat(lit("src_alert_"), col("source")).as("query_id"),
-        col("word").as("term"))
+        col("word").as("term"), col("rn"))
+  }
+
+  /** Queries-as-data BOOLEAN percolation — the q322/q328 contract for
+    * the must/must_not shape (q293's literal spelling): both clause
+    * sets are (query_id, term) TABLES; the exclusion is the same
+    * broadcast anti-join on forbidden presence pairs. Every stored
+    * query reports (n_docs, first match), zero-match included.
+    */
+  def percolateBoolTableCensus(postings: DataFrame, mustTerms: DataFrame,
+      notTerms: DataFrame): DataFrame = {
+    val pres = postings.select("doc_id", "word").distinct()
+    val must = percolateMatchesTable(postings, mustTerms)
+    val nt = notTerms.select(col("query_id"), col("term").as("not_term")).distinct()
+    val forbidden = pres.join(broadcast(nt), col("word") === col("not_term"))
+      .select("query_id", "doc_id").distinct()
+    val counts = must.join(forbidden, Seq("query_id", "doc_id"), "left_anti")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    mustTerms.select("query_id").distinct()
+      .join(counts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .orderBy("query_id")
   }
 
   /** Per-query census over the data-derived query table — every stored
@@ -2857,6 +2889,43 @@ object TextAnalysis {
          |mm AS (SELECT query_id, doc_id FROM m WHERE n_hit = n_terms),
          |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM mm GROUP BY 1),
          |ids AS (SELECT DISTINCT query_id FROM qt)
+         |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
+         |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
+
+    /** Mirrors the q338 composition
+      * ([[TextAnalysis.percolateBoolTableCensus]] over
+      * [[TextAnalysis.percolatorRankedTerms]] slices): the ranked query
+      * table rebuilt in SQL, must = head ranks, must_not = the next
+      * rank, then the boolean count/anti-join census.
+      */
+    def percolateBoolTableCensus(mustN: Int = 2, notRank: Int = 3): String =
+      s"""WITH pres AS MATERIALIZED (SELECT DISTINCT doc_id, word FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+         |nd AS (SELECT COUNT(*) AS nd FROM documents),
+         |dfq AS (SELECT word, COUNT(*) AS df FROM pres GROUP BY 1),
+         |el AS (SELECT word FROM dfq CROSS JOIN nd WHERE df * 2 <= nd),
+         |sd AS (SELECT d.source, p.word, COUNT(*) AS sdf
+         |       FROM pres p JOIN documents d USING (doc_id) JOIN el USING (word)
+         |       GROUP BY 1, 2),
+         |qt AS MATERIALIZED (SELECT 'src_alert_' || source AS query_id, word AS term, rn FROM (
+         |    SELECT source, word,
+         |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY sdf DESC, word) AS rn
+         |    FROM sd) WHERE rn <= $notRank),
+         |mt AS MATERIALIZED (SELECT query_id, term FROM qt WHERE rn <= $mustN),
+         |nt AS (SELECT query_id, term AS not_term FROM qt WHERE rn = $notRank),
+         |ntq AS (SELECT query_id, COUNT(*) AS n_terms
+         |        FROM (SELECT DISTINCT query_id, term FROM mt) GROUP BY 1),
+         |m AS (SELECT q.query_id, n.n_terms, p.doc_id, COUNT(*) AS n_hit
+         |      FROM pres p JOIN mt q ON p.word = q.term JOIN ntq n USING (query_id)
+         |      GROUP BY 1, 2, 3),
+         |mm AS (SELECT query_id, doc_id FROM m WHERE n_hit = n_terms),
+         |fb AS (SELECT DISTINCT n.query_id, p.doc_id
+         |       FROM pres p JOIN nt n ON p.word = n.not_term),
+         |ok AS (SELECT mm.query_id, mm.doc_id
+         |       FROM mm LEFT JOIN fb ON fb.query_id = mm.query_id AND fb.doc_id = mm.doc_id
+         |       WHERE fb.doc_id IS NULL),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM ok GROUP BY 1),
+         |ids AS (SELECT DISTINCT query_id FROM mt)
          |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
          |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
 

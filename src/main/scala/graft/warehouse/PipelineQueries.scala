@@ -2076,6 +2076,20 @@ object PipelineQueries {
   val burstinessQ: Q = (s, dir) =>
     TextAnalysis.termBurstiness(mPostings(s, dir))
 
+  /** q338: queries-as-data BOOLEAN percolation — the last percolator
+    * shape migrated to a stored-query TABLE (conjunctive q322, phrase
+    * q328, boolean here): must = each source's two most characteristic
+    * terms, must_not = its third — "looks like source S's head but
+    * lacks its next marker", all three clause sets data-derived so
+    * both engines rebuild them identically.
+    */
+  val percolatorBoolTableQ: Q = (s, dir) => {
+    val ranked = TextAnalysis.percolatorRankedTerms(docs(s, dir), topN = 3)
+    TextAnalysis.percolateBoolTableCensus(mPostings(s, dir),
+      ranked.filter(col("rn") <= 2).select("query_id", "term"),
+      ranked.filter(col("rn") === 3).select("query_id", "term"))
+  }
+
   /** q328: queries-as-data PHRASE percolation — the q322 contract for
     * ordered-adjacency alerts: the stored phrase set is a corpus-derived
     * table (per-source top-2 bigrams by in-source df), matched by the
@@ -3727,6 +3741,7 @@ object PipelineQueries {
     "q335_mann_whitney" -> mannWhitneyQ,
     "q336_wig" -> wigQ,
     "q337_burstiness" -> burstinessQ,
+    "q338_percolator_bool_table" -> percolatorBoolTableQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4114,6 +4129,7 @@ object PipelineQueries {
       Similarity.O.binaryTopK("vec_id < 20", k = 10, m = BinaryM),
     "q336_wig" -> TO.wigScore(),
     "q337_burstiness" -> TO.termBurstiness(),
+    "q338_percolator_bool_table" -> TO.percolateBoolTableCensus(),
     "q335_mann_whitney" -> Robust.O.mannWhitney(
       s"mwd AS (SELECT source AS g, quality_score AS v FROM (SELECT source, ${TO.textStats} FROM documents))"),
     "q334_cluster_split" ->
