@@ -287,6 +287,48 @@ object Graph {
       .select(col("id"), col("is_seed"), col("lbl").as("pred_label"))
   }
 
+  /** CONFIDENCE-WEIGHTED label propagation — [[labelProp]] with each
+    * neighbor's vote weighted by the edge's (rounded) similarity
+    * instead of counted: a 0.9-cosine near-duplicate should pull a
+    * label harder than a 0.15 acquaintance (Zhu & Ghahramani's W
+    * matrix, argmax spelling). Weights are 6-dp-rounded upstream, vote
+    * sums ride DECIMAL(38,6) (exact, order-free), ties by smallest
+    * label — the trajectory is engine-exact like the unweighted twin.
+    */
+  def labelPropWeighted(edges: DataFrame, seedLabels: DataFrame,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("decimal(38,6)").as("w")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seedLabels.select(col("id"), col("label").as("seed_label")),
+        Seq("id"), "left")
+      .select(col("id"), col("seed_label"),
+        col("seed_label").isNotNull.as("is_seed"))
+      .localCheckpoint(true)
+    var lbl = nodes.select(col("id"), col("seed_label").as("lbl"))
+      .localCheckpoint(true)
+    val wVote = Window.partitionBy("id").orderBy(desc("votes"), col("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(lbl.select(col("id").as("src"), col("lbl")), "src")
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(sum(col("w")).as("votes"))
+      val winner = votes.withColumn("rn", row_number().over(wVote))
+        .filter(col("rn") === 1).select(col("id"), col("lbl").as("maj"))
+      val prev = lbl
+      lbl = nodes.join(winner, Seq("id"), "left")
+        .select(col("id"),
+          when(col("is_seed"), col("seed_label")).otherwise(col("maj")).as("lbl"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    nodes.select(col("id"), col("is_seed")).join(lbl, "id")
+      .select(col("id"), col("is_seed"), col("lbl").as("pred_label"))
+  }
+
   /** Per-community MODULARITY contributions (Newman & Girvan 2004)
     * over an undirected pair list (v1 < v2) and a node→community
     * assignment: internal-edge share minus the squared degree share;
@@ -489,6 +531,28 @@ object Graph {
     def labelPropCtes(iters: Int = 3): String = {
       val steps = (1 to iters).map { i =>
         s"""v$i AS (SELECT e.dst AS id, p.lbl, COUNT(*) AS votes
+           |  FROM edges e JOIN l${i - 1} p ON p.id = e.src
+           |  WHERE p.lbl IS NOT NULL GROUP BY 1, 2),
+           |w$i AS (SELECT id, lbl AS maj FROM (
+           |  SELECT id, lbl,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY votes DESC, lbl) AS rn
+           |  FROM v$i) WHERE rn = 1),
+           |l$i AS MATERIALIZED (SELECT n.id,
+           |  CASE WHEN n.is_seed THEN n.seed_label ELSE w.maj END AS lbl
+           |  FROM nl n LEFT JOIN w$i w USING (id))""".stripMargin
+      }
+      (Seq("l0 AS MATERIALIZED (SELECT id, seed_label AS lbl FROM nl)") ++ steps)
+        .mkString(",\n")
+    }
+
+    /** Mirrors [[Graph.labelPropWeighted]]: the [[labelPropCtes]] shape
+      * with DECIMAL(38,6) weighted vote sums over prepared
+      * `edges(src, dst, w)` and `nl(id, seed_label, is_seed)`.
+      */
+    def labelPropWeightedCtes(iters: Int = 3): String = {
+      val steps = (1 to iters).map { i =>
+        s"""v$i AS (SELECT e.dst AS id, p.lbl,
+           |    SUM(CAST(e.w AS DECIMAL(38,6))) AS votes
            |  FROM edges e JOIN l${i - 1} p ON p.id = e.src
            |  WHERE p.lbl IS NOT NULL GROUP BY 1, 2),
            |w$i AS (SELECT id, lbl AS maj FROM (

@@ -1319,6 +1319,18 @@ object Similarity {
          |  FROM blk a JOIN blk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  WHERE round(${graft.functions.Vec.O.cosine("a.embedding", "b.embedding")}, 6) >= $threshold)""".stripMargin
 
+    /** [[bucketedPairsCte]] with the rounded cosine carried as `w` —
+      * the weighted-graph consumers' edge list (q339).
+      */
+    def bucketedWeightedPairsCte(threshold: Double): String =
+      s"""bkt AS (SELECT vec_id, label, embedding, (${bucket("embedding")}) AS bucket FROM embeddings),
+         |bsz AS (SELECT label, bucket FROM bkt GROUP BY label, bucket HAVING COUNT(*) <= $GraphBlockCap),
+         |blk AS (SELECT bkt.* FROM bkt JOIN bsz USING (label, bucket)),
+         |pairs AS (SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+         |    round(${graft.functions.Vec.O.cosine("a.embedding", "b.embedding")}, 6) AS w
+         |  FROM blk a JOIN blk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${graft.functions.Vec.O.cosine("a.embedding", "b.embedding")}, 6) >= $threshold)""".stripMargin
+
     /** Full IVF oracle: replays the quantizer training (hash-sampled
       * training set, hash-seeded c0, `IvfIters` unrolled Lloyd rounds
       * with decimal-exact means cast to FLOAT) and then the

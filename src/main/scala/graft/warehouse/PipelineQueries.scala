@@ -841,6 +841,31 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** q339: CONFIDENCE-WEIGHTED label propagation — q327 with each
+    * vote weighted by the edge's rounded cosine (Zhu & Ghahramani's W
+    * matrix): a 0.9-similar neighbor pulls harder than a 0.15 one, so
+    * spread respects how close each neighborhood actually is. Same seeds,
+    * same holdout readback; decimal vote sums keep the trajectory
+    * engine-exact.
+    */
+  val labelPropWeightedQ: Q = (s, dir) => {
+    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"),
+        col("cosine_sim").as("w"))
+      .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst"),
+        col("cosine_sim").as("w")))
+    val seeds = emb(s, dir)
+      .filter(Sampling.hashBucket(col("vec_id")) < RecallAuditPct)
+      .select(col("vec_id").as("id"), col("label"))
+    Graph.labelPropWeighted(edges, seeds)
+      .join(emb(s, dir).select(col("vec_id").as("id"),
+        col("label").as("true_label")), "id")
+      .select(col("id"), col("is_seed"), col("pred_label"), col("true_label"),
+        when(col("pred_label").isNotNull,
+          col("pred_label") === col("true_label")).as("correct"))
+      .orderBy("id")
+  }
+
   /** q317: MODULARITY of the quantizer partition over the similarity
     * graph (Newman & Girvan 2004) — DOES the trained clustering carve
     * the corpus at its joints? Per cluster: internal-edge share minus
@@ -3742,6 +3767,7 @@ object PipelineQueries {
     "q336_wig" -> wigQ,
     "q337_burstiness" -> burstinessQ,
     "q338_percolator_bool_table" -> percolatorBoolTableQ,
+    "q339_weighted_label_prop" -> labelPropWeightedQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4130,6 +4156,20 @@ object PipelineQueries {
     "q336_wig" -> TO.wigScore(),
     "q337_burstiness" -> TO.termBurstiness(),
     "q338_percolator_bool_table" -> TO.percolateBoolTableCensus(),
+    "q339_weighted_label_prop" ->
+      s"""WITH ${Similarity.O.bucketedWeightedPairsCte(0.15)},
+         |edges AS (SELECT v1 AS src, v2 AS dst, w FROM pairs
+         |          UNION ALL SELECT v2, v1, w FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nl AS MATERIALIZED (SELECT n.id,
+         |  CASE WHEN ${Sampling.O.hashBucket("n.id")} < $RecallAuditPct THEN em.label END AS seed_label,
+         |  ${Sampling.O.hashBucket("n.id")} < $RecallAuditPct AS is_seed
+         |  FROM nodes n JOIN embeddings em ON em.vec_id = n.id),
+         |${Graph.O.labelPropWeightedCtes(iters = 3)}
+         |SELECT n.id, n.is_seed, l3.lbl AS pred_label, em.label AS true_label,
+         |  CASE WHEN l3.lbl IS NOT NULL THEN l3.lbl = em.label END AS correct
+         |FROM nl n JOIN l3 ON l3.id = n.id JOIN embeddings em ON em.vec_id = n.id
+         |ORDER BY n.id""".stripMargin,
     "q335_mann_whitney" -> Robust.O.mannWhitney(
       s"mwd AS (SELECT source AS g, quality_score AS v FROM (SELECT source, ${TO.textStats} FROM documents))"),
     "q334_cluster_split" ->

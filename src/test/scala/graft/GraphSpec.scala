@@ -207,4 +207,22 @@ class GraphSpec extends AnyFunSuite with TestSpark {
     assert(r(12L)._2.isEmpty && r(13L)._2.isEmpty,
       "no labeled neighbor anywhere → stays unlabeled")
   }
+
+  test("weighted labelProp: one strong neighbor outvotes two weak ones") {
+    // node 10 hears label 7 at weight 0.9 and label 3 twice at 0.3 —
+    // the weighted vote (0.9 > 0.6) and the count vote (1 < 2) disagree
+    val edges = Seq(
+      (1L, 10L, 0.9), (10L, 1L, 0.9),
+      (2L, 10L, 0.3), (10L, 2L, 0.3),
+      (3L, 10L, 0.3), (10L, 3L, 0.3)).toDF("src", "dst", "w")
+    val seeds = Seq((1L, 7), (2L, 3), (3L, 3)).toDF("id", "label")
+    val w = Graph.labelPropWeighted(edges, seeds, iters = 1).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getInt(2)))).toMap
+    assert(w(10L) == Some(7), s"0.9 must outvote 0.3 + 0.3: $w")
+    val u = Graph.labelProp(edges.select("src", "dst"), seeds, iters = 1)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getInt(2)))).toMap
+    assert(u(10L) == Some(3), s"the count vote must pick the majority: $u")
+  }
 }
