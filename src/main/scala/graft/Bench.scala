@@ -8,30 +8,49 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, printing one JSON line with per-query seconds.
   *
   * Queries are materialized through the noop sink (full execution
-  * including final sort — count() would let the optimizer drop work),
-  * after one untimed warm-up pass so timings reflect steady-state
-  * throughput rather than JVM/codegen warm-up.
+  * including final sort — count() would let the optimizer drop work).
   *
-  * Each query is timed over [[TimedPasses]] full passes and scored with
-  * the MINIMUM (round-6 lesson: a single timed pass in a 350+-execution
-  * JVM let one GC pause record q01 at 14× its standalone time — the min
-  * of independent passes is the statistic a pause can only leave alone,
-  * never inflate, and plan cost is deterministic so the min IS the
-  * plan's cost). Passes are interleaved (pass 1 over every query, then
-  * pass 2, …) so a budget exhaustion still leaves one timing per query
-  * rather than three timings for half of them.
+  * PASS DESIGN (round-14 lesson: a separate warmup pass over the full
+  * board ate most of the 1500 s budget on a ~2×-loaded box, timed pass
+  * 1 died a third of the way in, and 116 never-timed queries were
+  * recorded as "failures" — the official record read as 116 broken
+  * queries when the truth was 0):
+  *
+  *   - NO separate warmup: pass 1 is timed and scored. Passes 2+
+  *     refine the MIN — JIT/codegen warm-up can only INFLATE pass 1,
+  *     and a min is the statistic later passes can only improve, so
+  *     folding warmup in costs accuracy only when the budget dies
+  *     after one pass — exactly the case where a slightly-inflated
+  *     timing beats no timing at all.
+  *   - ADAPTIVE pass count: another full pass starts only if the
+  *     remaining budget covers the measured cost of the previous pass
+  *     with 30% headroom, up to [[TimedPasses]]. The board can grow
+  *     without silently outgrowing the budget.
+  *   - Budget-skipped ≠ failed: the summary carries "failures":N (real
+  *     errors/timeouts — every attempt failed) and "skipped":N (never
+  *     attempted, budget) separately, so budget exhaustion can never
+  *     masquerade as broken queries. bench_out.json lists the names.
+  *   - Queries whose only timing came from a single successful pass
+  *     are flagged ("single_pass") so a judge can discount ambient
+  *     one-run artifacts (the q114 38× lesson: min-of-passes
+  *     protection never engaged for them).
+  *   - MIN scoring (round-6 lesson): a single timed pass in a 350+-
+  *     execution JVM let one GC pause record q01 at 14× its standalone
+  *     time — the min of independent passes is the statistic a pause
+  *     can only leave alone, never inflate, and plan cost is
+  *     deterministic so the min IS the plan's cost.
   *
   * Robustness (round-1 bench died with executor-heartbeat timeouts and
   * produced no JSON at all):
   *   - each query runs under a watchdog: on timeout its job group is
   *     cancelled, it scores -1, and the run continues;
-  *   - a global wall-clock budget skips remaining queries rather than
-  *     overrunning the harness;
   *   - heartbeat/network timeouts get generous headroom so a long GC
   *     pause degrades a timing instead of killing the JVM;
-  *   - failures are counted explicitly ("failures":N) so a broken query
-  *     can never read as a speedup, and the JSON line is printed from a
-  *     shutdown hook if the JVM dies mid-run.
+  *   - the JSON line is printed from a shutdown hook if the JVM dies
+  *     mid-run, with the log level forced to ERROR FIRST so Spark's
+  *     own shutdown hooks (Materialized eviction WARN flood) cannot
+  *     flush the summary out of the harness's 2000-char stdout tail
+  *     even on the abnormal-termination path.
   */
 object Bench {
   private val PerQueryTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_Q_TIMEOUT", "150").toInt
@@ -40,32 +59,57 @@ object Bench {
 
   // Locale.ROOT: the f"" interpolator formats in the JVM default
   // locale — a comma-decimal locale would emit invalid JSON
-  private def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private[graft] def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private final class QState {
+    @volatile var best: Double = -1.0   // min over successful passes
+    @volatile var passes: Int = 0       // successful timed passes
+    @volatile var attempts: Int = 0     // passes that tried to run it
+  }
+
+  private def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   /** The COMPLETE small summary line — everything the driver's gate
     * needs in well under the harness's 2000-char stdout tail.
+    * "failures" = queries attempted at least once with zero successful
+    * passes; "skipped" = never attempted (budget); "single_pass" =
+    * timed queries whose min rests on one pass (count here, names in
+    * bench_out.json).
     */
-  private def summaryLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val total = d3(results.map(_._2).filter(_ >= 0).sum)
-    val failures = results.count(_._2 < 0)
-    s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+  private def summaryLine(states: Seq[(String, QState)], sfDir: String): String = {
+    val total = d3(states.map(_._2.best).filter(_ >= 0).sum)
+    val failures = states.count { case (_, s) => s.attempts > 0 && s.passes == 0 }
+    val skipped = states.count { case (_, s) => s.attempts == 0 }
+    val singlePass = states.count { case (_, s) => s.passes == 1 }
+    s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"skipped":$skipped,"single_pass":$singlePass,"n_queries":${states.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
   }
 
   @volatile private var printed = false
-  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = synchronized {
+  private def emit(states: Seq[(String, QState)], sfDir: String): Unit = synchronized {
     if (!printed) {
       printed = true
-      val total = d3(results.map(_._2).filter(_ >= 0).sum)
-      val failures = results.count(_._2 < 0)
-      def line(keyed: Seq[(String, Double)]): String = {
+      def line(keyed: Seq[(String, QState)], full: Boolean): String = {
         val qs = keyed
-          .map { case (k, v) => "\"" + k + "\":" + d3(v) }
+          .map { case (k, s) => "\"" + k + "\":" + d3(s.best) }
           .mkString("{", ",", "}")
+        val extra = if (full) {
+          val failedNames = keyed.collect { case (k, s) if s.attempts > 0 && s.passes == 0 => k }
+          val skippedNames = keyed.collect { case (k, s) if s.attempts == 0 => k }
+          val singleNames = keyed.collect { case (k, s) if s.passes == 1 => k }
+          s""","failed":${jarr(failedNames)},"skipped":${jarr(skippedNames)},"single_pass":${jarr(singleNames)}"""
+        } else ""
+        val total = d3(keyed.map(_._2.best).filter(_ >= 0).sum)
+        val failures = keyed.count { case (_, s) => s.attempts > 0 && s.passes == 0 }
+        val skipped = keyed.count { case (_, s) => s.attempts == 0 }
         // queries FIRST, verdict-bearing fields (value/failures) LAST:
-        // the harness captures only the tail of stdout, and with 200+
+        // the harness captures only the tail of stdout, and with 300+
         // queries the dict alone overflows any fixed window — the tail
-        // must always end with the total and failure count.
-        s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failures":$failures}"""
+        // must always end with the total and failure count. The full
+        // (bench_out.json) line carries skipped as a NAME LIST in
+        // `extra`; re-emitting the count under the same key would
+        // shadow the list, so the count rides under "n_skipped" there.
+        val skippedField = if (full) s""""n_skipped":$skipped""" else s""""skipped":$skipped"""
+        s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs$extra,"value":$total,"failures":$failures,$skippedField}"""
       }
       // The harness captures only the LAST 2000 chars of stdout (rounds
       // 2+3 both lost the JSON to that window: "parsed": null; round 7
@@ -76,12 +120,12 @@ object Bench {
       // window always contains one parseable JSON object carrying the
       // verdict fields. The full-name line is persisted to
       // bench_out.json for humans/judges.
-      println(line(results.map { case (k, v) => (k.takeWhile(_ != '_'), v) }))
-      println(summaryLine(results, sfDir))
+      println(line(states.map { case (k, s) => (k.takeWhile(_ != '_'), s) }, full = false))
+      println(summaryLine(states, sfDir))
       System.out.flush()
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_out.json"),
-        (line(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (line(states, full = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
   }
@@ -95,8 +139,8 @@ object Bench {
     * parseable summary, no matter what Spark logs between emit and
     * JVM exit.
     */
-  private def emitSummaryLast(results: Seq[(String, Double)], sfDir: String): Unit = {
-    println(summaryLine(results, sfDir))
+  private def emitSummaryLast(states: Seq[(String, QState)], sfDir: String): Unit = {
+    println(summaryLine(states, sfDir))
     System.out.flush()
   }
 
@@ -121,13 +165,20 @@ object Bench {
     // SPARK_GRAFT_ONLY=q95_contamination,q96_... subsets the run — the
     // fast dev loop for profiling a single query under bench conditions.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // numeric order: q01..q35 (the SURVEY §2 contract) time first, so a
+    // budget collapse truncates the extension board, not the contract
+    val names = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (Verify.queryNumber(n), n))
       .filter(n => only.forall(_.contains(n)))
-    val results = new scala.collection.mutable.LinkedHashMap[String, Double]
-    names.foreach(n => results(n) = -1.0)
+    val states = names.map(n => n -> new QState)
+    val byName = states.toMap
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      emit(results.toSeq, sfDir)
-      emitSummaryLast(results.toSeq, sfDir)
+      // ERROR FIRST: on abnormal termination this hook races Spark's
+      // own shutdown hook, whose eviction WARN flood would otherwise
+      // land after the summary and flush it out of the stdout tail
+      try spark.sparkContext.setLogLevel("ERROR") catch { case _: Throwable => () }
+      emit(states, sfDir)
+      emitSummaryLast(states, sfDir)
     }))
 
     val pool = Executors.newCachedThreadPool()
@@ -158,22 +209,38 @@ object Bench {
       }
     }
 
-    val phases = "warmup" +: (1 to TimedPasses).map(i => s"timed$i")
-    for (phase <- phases; name <- names) {
-      if (elapsedGlobal < GlobalBudgetSec) {
-        val s = run(name, phase)
-        // min over the passes that succeeded; a query only scores -1
-        // when EVERY timed pass failed (a pass-level hiccup must not
-        // erase a real timing, and a real failure must not hide)
-        if (phase != "warmup" && s >= 0)
-          results(name) = if (results(name) < 0) s else math.min(results(name), s)
-        System.err.println(f"[bench] $phase $name%-24s ${s}%.2fs (t+${elapsedGlobal}%.0fs)")
-      } else if (phase != "warmup") {
-        System.err.println(s"[bench] budget exhausted (${GlobalBudgetSec}s); skipping $phase $name")
+    var pass = 0
+    var lastPassCost = 0.0
+    var continue = true
+    while (continue && pass < TimedPasses) {
+      pass += 1
+      val passT0 = elapsedGlobal
+      for (name <- names) {
+        if (elapsedGlobal < GlobalBudgetSec) {
+          val st = byName(name)
+          st.attempts += 1
+          val s = run(name, s"timed$pass")
+          if (s >= 0) {
+            st.best = if (st.best < 0) s else math.min(st.best, s)
+            st.passes += 1
+          }
+          System.err.println(f"[bench] timed$pass $name%-24s ${s}%.2fs (t+${elapsedGlobal}%.0fs)")
+        } else if (byName(name).attempts > 0) {
+          // already has at least one attempt — nothing to record
+        } else {
+          System.err.println(s"[bench] budget exhausted (${GlobalBudgetSec}s); skipping $name")
+        }
       }
+      lastPassCost = elapsedGlobal - passT0
+      // adaptive: another pass only if it fits with 30% headroom — a
+      // loaded box degrades to fewer passes, never to missing timings
+      continue = elapsedGlobal + lastPassCost * 1.3 < GlobalBudgetSec
+      if (!continue && pass < TimedPasses)
+        System.err.println(f"[bench] pass ${pass + 1} skipped: last pass cost $lastPassCost%.0fs, " +
+          f"remaining ${GlobalBudgetSec - elapsedGlobal}%.0fs < 1.3x headroom")
     }
 
-    emit(results.toSeq, sfDir)
+    emit(states, sfDir)
     pool.shutdownNow()
     // ERROR before stop: app-end listeners (Materialized eviction)
     // WARN per unpersisted artifact — that flood is what flushed the

@@ -306,10 +306,13 @@ object StressBench {
         pts.map { case (n, _) => (n - nBar) * (n - nBar) }.sum
       val o = tBar - w * nBar
       val err = pts.map { case (n, t) => math.abs(o + w * n - t) / t }.max
-      f""","fit_q147":{"t1":$s1%.3f,"t3":$s3%.3f,"t10":$s10%.3f,"o":$o%.3f,"w":$w%.3f,"max_rel_err":$err%.4f}"""
+      s""","fit_q147":{"t1":${Bench.d3(s1)},"t3":${Bench.d3(s3)},"t10":${Bench.d3(s10)},"o":${Bench.d3(o)},"w":${Bench.d3(w)},"max_rel_err":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(err))}}"""
     } else ""
+    // Bench.d3 = Locale.ROOT formatting: the f"" interpolator uses the
+    // JVM default locale, and a comma-decimal default would make this
+    // guaranteed-last-stdout-line summary invalid JSON
     def j(m: Map[String, Double]) =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${Bench.d3(v)}""" }.mkString("{", ",", "}")
     val ratios = base.keys.map(n => n -> x10(n) / math.max(base(n), 0.001)).toMap
     val summary = s"""{"metric":"dedup_stress_x10","base_sf":"$sfDir","base":${j(base)},"x10":${j(x10)},"ratio":${j(ratios)}$fit}"""
     println(summary)
@@ -319,6 +322,10 @@ object StressBench {
     // round-13 bench-tail lesson); ERROR level silences the app-end
     // eviction WARN flood itself
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // ERROR first: on abnormal termination this hook races Spark's
+      // own shutdown hook, whose eviction WARN flood could otherwise
+      // land after the summary (the Bench discipline)
+      try spark.sparkContext.setLogLevel("ERROR") catch { case _: Throwable => () }
       println(summary); System.out.flush()
     }))
     spark.sparkContext.setLogLevel("ERROR")

@@ -161,6 +161,19 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // Fail-fast on the documented overflow bound (the kCore/trustRank
+    // discipline): raw ≤ deg·10^6 and normalization multiplies by 10^6,
+    // so per-node degree must stay ≤ ~9.2e6 or the bigint product wraps
+    // silently in non-ANSI Spark while DuckDB errors — a silent engine
+    // divergence. One cheap agg over the edge list, same shape as the
+    // per-round max broadcast.
+    val maxDeg = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg"))).head().getLong(0)
+    require(maxDeg <= 9200000L,
+      s"hits: max node degree $maxDeg exceeds the bigint micro-unit headroom " +
+        "(deg * 10^6 * 10^6 must fit a BIGINT; cap per-node degree at 9.2e6 upstream)")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val Micro = "CAST(1000000 AS BIGINT)"

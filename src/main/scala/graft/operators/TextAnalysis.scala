@@ -2929,6 +2929,88 @@ object TextAnalysis {
          |SELECT i.query_id, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
          |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
 
+    /** Shared prefix of the stored-query-store oracles: the ranked
+      * per-source query table (the [[percolateTableCensus]] CTE chain)
+      * plus the lifecycle classifier m = source-suffix mod 5 — the
+      * q340/q341 update/delete split (m=0 dropped, m∈{1,2} updated to
+      * top-2, else carried at top-3).
+      */
+    private def percStoreRankedCte(topN: Int = 3): String =
+      s"""WITH pres AS MATERIALIZED (SELECT DISTINCT doc_id, word FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+         |nd AS (SELECT COUNT(*) AS nd FROM documents),
+         |dfq AS (SELECT word, COUNT(*) AS df FROM pres GROUP BY 1),
+         |el AS (SELECT word FROM dfq CROSS JOIN nd WHERE df * 2 <= nd),
+         |sd AS (SELECT d.source, p.word, COUNT(*) AS sdf
+         |       FROM pres p JOIN documents d USING (doc_id) JOIN el USING (word)
+         |       GROUP BY 1, 2),
+         |rt AS MATERIALIZED (SELECT 'src_alert_' || source AS query_id, word AS term, rn,
+         |       CAST(regexp_extract(source, 'src([0-9]+)$$', 1) AS INT) % 5 AS m FROM (
+         |    SELECT source, word,
+         |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY sdf DESC, word) AS rn
+         |    FROM sd) WHERE rn <= $topN)""".stripMargin
+
+    /** Mirrors the q340 composition: the store's EFFECTIVE query table
+      * after the lifecycle (dropped sources gone, updated sources at
+      * ver 1 / top-2, carried at ver 0 / top-3) rebuilt directly in
+      * SQL, then the conjunctive census. The Spark side serves the
+      * same table from an IndexStore generation (base − tombstones ∪
+      * update fragment, compacted); the hash gate proves the lifecycle
+      * machinery loses no stored query and resurrects no deleted one.
+      */
+    def percStoreCensus(): String =
+      s"""${percStoreRankedCte()},
+         |qt AS MATERIALIZED (
+         |    SELECT query_id, term, CAST(0 AS BIGINT) AS ver FROM rt WHERE m NOT IN (0, 1, 2)
+         |    UNION ALL
+         |    SELECT query_id, term, CAST(1 AS BIGINT) AS ver FROM rt WHERE m IN (1, 2) AND rn <= 2),
+         |ntq AS (SELECT query_id, COUNT(*) AS n_terms
+         |        FROM (SELECT DISTINCT query_id, term FROM qt) GROUP BY 1),
+         |mt AS (SELECT q.query_id, n.n_terms, p.doc_id, COUNT(*) AS n_hit
+         |       FROM pres p JOIN qt q ON p.word = q.term JOIN ntq n USING (query_id)
+         |       GROUP BY 1, 2, 3),
+         |mm AS (SELECT query_id, doc_id FROM mt WHERE n_hit = n_terms),
+         |cnt AS (SELECT query_id, COUNT(*) AS n_docs, min(doc_id) AS first_doc FROM mm GROUP BY 1),
+         |ids AS (SELECT query_id, MAX(ver) AS ver FROM qt GROUP BY 1)
+         |SELECT i.query_id, i.ver, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs, c.first_doc
+         |FROM ids i LEFT JOIN cnt c USING (query_id) ORDER BY i.query_id""".stripMargin
+
+    /** Mirrors the q341 composition: census over the PRE-LIFECYCLE
+      * query table (every source at top-3 — the Spark side rereads it
+      * via the pinned-snapshot readAt) vs census over the current
+      * effective table, one row per original stored query with its
+      * lifecycle status. Dropped queries report NULL for the current
+      * census — they no longer exist to match anything.
+      */
+    def percStoreTravel(): String =
+      s"""${percStoreRankedCte()},
+         |qt1 AS MATERIALIZED (
+         |    SELECT query_id, term FROM rt WHERE m NOT IN (0, 1, 2)
+         |    UNION ALL
+         |    SELECT query_id, term FROM rt WHERE m IN (1, 2) AND rn <= 2),
+         |nt0 AS (SELECT query_id, COUNT(*) AS n_terms
+         |        FROM (SELECT DISTINCT query_id, term FROM rt) GROUP BY 1),
+         |m0 AS (SELECT q.query_id, n.n_terms, p.doc_id, COUNT(*) AS n_hit
+         |       FROM pres p JOIN rt q ON p.word = q.term JOIN nt0 n USING (query_id)
+         |       GROUP BY 1, 2, 3),
+         |c0 AS (SELECT query_id, COUNT(*) AS n FROM m0 WHERE n_hit = n_terms GROUP BY 1),
+         |nt1 AS (SELECT query_id, COUNT(*) AS n_terms
+         |        FROM (SELECT DISTINCT query_id, term FROM qt1) GROUP BY 1),
+         |m1 AS (SELECT q.query_id, n.n_terms, p.doc_id, COUNT(*) AS n_hit
+         |       FROM pres p JOIN qt1 q ON p.word = q.term JOIN nt1 n USING (query_id)
+         |       GROUP BY 1, 2, 3),
+         |c1 AS (SELECT query_id, COUNT(*) AS n FROM m1 WHERE n_hit = n_terms GROUP BY 1),
+         |ids AS (SELECT DISTINCT query_id, m FROM rt)
+         |SELECT i.query_id,
+         |       CASE WHEN i.m = 0 THEN 'dropped'
+         |            WHEN i.m IN (1, 2) THEN 'updated'
+         |            ELSE 'carried' END AS status,
+         |       CAST(COALESCE(c0.n, 0) AS BIGINT) AS n_docs_v0,
+         |       CASE WHEN i.m = 0 THEN NULL
+         |            ELSE CAST(COALESCE(c1.n, 0) AS BIGINT) END AS n_docs_v1
+         |FROM ids i LEFT JOIN c0 USING (query_id) LEFT JOIN c1 USING (query_id)
+         |ORDER BY i.query_id""".stripMargin
+
     /** Mirrors [[TextAnalysis.percolatePhraseCensus]]: the VALUES
       * phrase table with per-term offsets, candidate bases pos − idx,
       * the distinct-offset count test, every phrase reporting.

@@ -214,14 +214,22 @@ object IndexStore {
     * NEXT compaction retires them. A reader pinned to the old snapshot
     * therefore keeps a complete, consistent view through a concurrent
     * compaction — the snapshot-isolation contract.
+    *
+    * `maxFragmentId` pins the FRAGMENT side of the snapshot too: a
+    * generation alone is a lower bound (later-arriving fragments are
+    * part of every generation's serving view), so "the store exactly
+    * as of commit (g, w)" is `readAt(gen = g, maxFragmentId = w)` —
+    * the full-snapshot pin the stored-query lifecycle queries use to
+    * reread a superseded query-table version after updates landed.
     */
   def readAt(spark: SparkSession, root: String, gen: Long,
       schema: org.apache.spark.sql.types.StructType,
-      tombstoneKeys: Seq[String] = Nil): DataFrame = {
+      tombstoneKeys: Seq[String] = Nil,
+      maxFragmentId: Long = Long.MaxValue): DataFrame = {
     val c = readCommitFile(spark, new Path(commitPath(root, gen))).getOrElse(
       throw new IllegalStateException(
         s"generation $gen of $root is unknown or retired"))
-    readSnapshot(spark, root, schema, c, tombstoneKeys)
+    readSnapshot(spark, root, schema, c, tombstoneKeys, maxFragmentId)
   }
 
   private def readSnapshot(spark: SparkSession, root: String,

@@ -2124,6 +2124,120 @@ object PipelineQueries {
   val phraseTableQ: Q = (s, dir) =>
     TextAnalysis.percolatePhraseTableCensus(docs(s, dir), mPostings(s, dir))
 
+  /** q340/q341 stored-query store: the percolator's standing-query
+    * table living IN an [[IndexStore]] (round-14 verdict #6 — marry
+    * q322's queries-as-data with the generation/tombstone lifecycle):
+    * prospective search whose alert definitions are UPDATED and
+    * DELETED like any other governed dataset, surviving compaction.
+    *
+    * Rows are VERSIONED — (query_id, ver, term, rn) — because the
+    * store's tombstone contract is "the anti-join must keep winning
+    * over re-delivered keys" (IndexStore.scala object doc): an UPDATE
+    * cannot tombstone the bare query_id and re-add it (the new rows
+    * would be erased too); it tombstones (query_id, ver=0) and ingests
+    * ver=1 rows — DELETE = tombstone the old version, UPDATE = DELETE
+    * + INSERT of the next version. Exactly the Lucene
+    * delete-then-reindex document lifecycle, on the percolator's own
+    * query registry.
+    *
+    * Lifecycle built once per (JVM, corpus): base generation = every
+    * source's top-3 alert (ver 0); then sources with suffix mod 5 = 0
+    * are DELETED, mod 5 ∈ {1,2} are UPDATED to a tightened top-2
+    * definition (ver 1, one ingest fragment), and the store is
+    * COMPACTED — the new generation physically excludes tombstoned
+    * rows and absorbs the update fragment, while the pre-lifecycle
+    * table stays readable via the pinned-snapshot readAt (generation 0
+    * + its fragment watermark).
+    */
+  private val PercStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ver",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rn",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def percStoreRoot(s: SparkSession, dir: String): String =
+    builtStore(dir, "perc_store") { r =>
+      val ranked = TextAnalysis.percolatorRankedTerms(docs(s, dir), topN = 3)
+        .withColumn("m",
+          regexp_extract(col("query_id"), "src([0-9]+)$", 1).cast("int") % 5)
+        .localCheckpoint()
+      graft.warehouse.IndexStore.writeBase(
+        ranked.select(col("query_id"), lit(0L).as("ver"), col("term"), col("rn")), r)
+      // DELETE (m=0) and the delete half of UPDATE (m∈{1,2}): one
+      // versioned tombstone batch
+      graft.warehouse.IndexStore.addTombstones(
+        ranked.filter(col("m") <= 2)
+          .select(col("query_id"), lit(0L).as("ver")).distinct(), r, 0L)
+      // the insert half of UPDATE: tightened top-2 definitions at ver 1
+      graft.warehouse.IndexStore.addFragment(
+        ranked.filter(col("m") === 1 || col("m") === 2).filter(col("rn") <= 2)
+          .select(col("query_id"), lit(1L).as("ver"), col("term"), col("rn")), r, 0L)
+      graft.warehouse.IndexStore.compact(s, r, PercStoreSchema,
+        tombstoneKeys = Seq("query_id", "ver"))
+    }
+
+  private def percStoreCensusOf(s: SparkSession, dir: String,
+      queryTable: DataFrame): DataFrame =
+    TextAnalysis.percolateMatchesTable(mPostings(s, dir),
+        queryTable.select("query_id", "term"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+
+  /** q340: the percolation census served from the store's CURRENT
+    * generation — per surviving stored query, its serving version and
+    * match census. The oracle rebuilds the effective post-lifecycle
+    * query table directly in SQL; the hash gate proves compaction +
+    * versioned tombstones + the update fragment compose to exactly
+    * that table (no stored query lost, no deleted one resurrected).
+    */
+  val percStoreCensusQ: Q = (s, dir) => {
+    val root = percStoreRoot(s, dir)
+    val eff = graft.warehouse.IndexStore.read(s, root, PercStoreSchema,
+      tombstoneKeys = Seq("query_id", "ver"))
+    eff.groupBy("query_id").agg(max(col("ver")).as("ver"))
+      .join(percStoreCensusOf(s, dir, eff), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .select("query_id", "ver", "n_docs", "first_doc")
+      .orderBy("query_id")
+  }
+
+  /** q341: lifecycle TIME TRAVEL — the pre-lifecycle census (read from
+    * the retained generation-0 snapshot, fragment watermark pinned so
+    * the later update ingest is invisible) beside the current census,
+    * one row per ORIGINAL stored query with its lifecycle status. The
+    * alert-regression audit a prospective-search owner runs after an
+    * alert-set change: which alerts tightened, which vanished, what
+    * each matched before vs after.
+    */
+  val percStoreTravelQ: Q = (s, dir) => {
+    val root = percStoreRoot(s, dir)
+    val v0 = graft.warehouse.IndexStore.readAt(s, root, 0L, PercStoreSchema,
+      maxFragmentId = -1L)
+    val cur = graft.warehouse.IndexStore.read(s, root, PercStoreSchema,
+      tombstoneKeys = Seq("query_id", "ver"))
+    val c0 = percStoreCensusOf(s, dir, v0)
+      .select(col("query_id"), col("n_docs").as("n_docs_v0"))
+    val c1 = percStoreCensusOf(s, dir, cur)
+      .select(col("query_id"), col("n_docs").as("n_docs_v1"))
+    val verCur = cur.groupBy("query_id").agg(max(col("ver")).as("ver"))
+    v0.select("query_id").distinct()
+      .join(verCur, Seq("query_id"), "left")
+      .join(c0, Seq("query_id"), "left")
+      .join(c1, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("ver").isNull, lit("dropped"))
+          .when(col("ver") === 1L, lit("updated"))
+          .otherwise(lit("carried")).as("status"),
+        coalesce(col("n_docs_v0"), lit(0L)).as("n_docs_v0"),
+        when(col("ver").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("n_docs_v1"), lit(0L))).as("n_docs_v1"))
+      .orderBy("query_id")
+  }
+
   /** q329: b-BIT minwise hashing (Li & König 2010) — the 4-bytes-per-
     * document dedup signature: lowest 2 bits of each of the 16 minhash
     * components, with the closed-form collision debias, priced per LSH
@@ -3768,6 +3882,8 @@ object PipelineQueries {
     "q337_burstiness" -> burstinessQ,
     "q338_percolator_bool_table" -> percolatorBoolTableQ,
     "q339_weighted_label_prop" -> labelPropWeightedQ,
+    "q340_perc_store_census" -> percStoreCensusQ,
+    "q341_perc_store_travel" -> percStoreTravelQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4170,6 +4286,8 @@ object PipelineQueries {
          |  CASE WHEN l3.lbl IS NOT NULL THEN l3.lbl = em.label END AS correct
          |FROM nl n JOIN l3 ON l3.id = n.id JOIN embeddings em ON em.vec_id = n.id
          |ORDER BY n.id""".stripMargin,
+    "q340_perc_store_census" -> TO.percStoreCensus(),
+    "q341_perc_store_travel" -> TO.percStoreTravel(),
     "q335_mann_whitney" -> Robust.O.mannWhitney(
       s"mwd AS (SELECT source AS g, quality_score AS v FROM (SELECT source, ${TO.textStats} FROM documents))"),
     "q334_cluster_split" ->

@@ -168,6 +168,26 @@ class GraphSpec extends AnyFunSuite with TestSpark {
     assert(Seq(1L, 2L).forall(h => r(h)._2 == 0.0), "pure hubs receive no links")
   }
 
+  test("hits fails fast past the bigint micro-unit degree headroom") {
+    // the documented bound (deg * 10^6 * 10^6 must fit a BIGINT) is
+    // ENFORCED, not just documented: exceeding it must throw before
+    // the normalization multiply wraps silently in non-ANSI Spark
+    // (the kCore/trustRank fail-fast discipline). 10M edges into one
+    // node would be slow to build for real — monkey-test the guard
+    // with a tiny graph by lowering nothing: instead assert the guard
+    // accepts a legal graph and the require message names the bound.
+    val ok = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    Graph.hits(ok, iters = 1).collect() // no throw at legal degree
+    // a degree over the bound must throw; build it cheaply via a
+    // range→one-node edge list (9.3M rows is a single narrow column)
+    val spark2 = spark
+    import spark2.implicits._
+    val over = spark.range(9300000L).toDF("src")
+      .select(col("src"), lit(0L).as("dst"))
+    val e = intercept[IllegalArgumentException](Graph.hits(over, iters = 1))
+    assert(e.getMessage.contains("degree"))
+  }
+
   test("kCore: the 2-core keeps the cycle and peels the tail") {
     // triangle 1-2-3 plus a pendant path 3-4-5: peeling at k=2 removes
     // 5 (deg 1), then 4 — the triangle survives with core degree 2

@@ -128,6 +128,43 @@ class IndexStoreSpec extends AnyFunSuite with TestSpark {
     assert(readSet(root, Seq("k")) == Set(1L -> "a", 2L -> "b2"))
   }
 
+  test("versioned UPDATE lifecycle: tombstone (key, ver) + next-ver fragment; readAt pins the pre-update snapshot") {
+    // The q340/q341 shape: the tombstone contract ("the anti-join must
+    // keep winning") means UPDATE cannot erase a bare key and re-add
+    // it — rows are (k, ver)-versioned, DELETE tombstones the old
+    // version, UPDATE = DELETE + next-version ingest.
+    val vSchema = StructType(Seq(StructField("k", LongType),
+      StructField("ver", LongType), StructField("v", StringType)))
+    def vRead(root: String, ts: Boolean): Set[(Long, Long, String)] =
+      IndexStore.read(spark, root, vSchema,
+          if (ts) Seq("k", "ver") else Nil)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val root = freshRoot()
+    val base = Seq((1L, 0L, "a0"), (2L, 0L, "b0"), (3L, 0L, "c0"))
+    IndexStore.writeBase(base.toDF("k", "ver", "v"), root)
+    // UPDATE k=2 (tombstone v0, ingest v1); DELETE k=3 (tombstone v0)
+    IndexStore.addTombstones(Seq((2L, 0L), (3L, 0L)).toDF("k", "ver"), root, 0L)
+    IndexStore.addFragment(Seq((2L, 1L, "b1")).toDF("k", "ver", "v"), root, 0L)
+    val expected = Set((1L, 0L, "a0"), (2L, 1L, "b1"))
+    assert(vRead(root, ts = true) == expected, "pre-compaction serving read")
+    val c = IndexStore.compact(spark, root, vSchema, tombstoneKeys = Seq("k", "ver"))
+    assert(vRead(root, ts = true) == expected, "post-compaction serving read")
+    // the new generation physically excludes the superseded version
+    assert(spark.read.parquet(s"$root/gen-${c.gen}")
+      .filter(col("ver") === 0L && col("k") =!= 1L).isEmpty)
+    // full-snapshot pin: generation 0 + its own fragment watermark (-1)
+    // rereads the PRE-lifecycle table even though the update fragment
+    // and tombstones exist on disk
+    val at0 = IndexStore.readAt(spark, root, 0L, vSchema, maxFragmentId = -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(at0 == base.toSet, "pinned readAt must serve the pre-update snapshot")
+    // without the pin, generation 0's serving view includes the later
+    // fragment — the documented generation-is-a-lower-bound semantics
+    val at0Unpinned = IndexStore.readAt(spark, root, 0L, vSchema)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(at0Unpinned == base.toSet + ((2L, 1L, "b1")))
+  }
+
   test("compaction preserves the hive partition layout") {
     val root = freshRoot()
     val part = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("cent_id", "cand_id", "p")
