@@ -232,12 +232,15 @@ object Bench {
         }
       }
       lastPassCost = elapsedGlobal - passT0
-      // adaptive: another pass only if it fits with 30% headroom — a
-      // loaded box degrades to fewer passes, never to missing timings
-      continue = elapsedGlobal + lastPassCost * 1.3 < GlobalBudgetSec
+      // adaptive: a PARTIAL further pass is pure upside — the per-query
+      // budget check stops it cleanly, every query it reaches refines
+      // its min, and numeric order refines the §2 contract first. Only
+      // skip when the remaining budget couldn't improve more than a
+      // handful of timings.
+      continue = GlobalBudgetSec - elapsedGlobal > 120
       if (!continue && pass < TimedPasses)
         System.err.println(f"[bench] pass ${pass + 1} skipped: last pass cost $lastPassCost%.0fs, " +
-          f"remaining ${GlobalBudgetSec - elapsedGlobal}%.0fs < 1.3x headroom")
+          f"remaining ${GlobalBudgetSec - elapsedGlobal}%.0fs under the 120s floor")
     }
 
     emit(states, sfDir)

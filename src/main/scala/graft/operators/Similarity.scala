@@ -255,6 +255,55 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Kendall's τ-b RANK AGREEMENT (Kendall 1938, Biometrika) between
+    * two per-query rankings over their COMMON candidates — the
+    * retrieval-curation read that prices a fusion decision: τ near 1
+    * means the lexical and semantic rankers already agree (fusion buys
+    * little), τ near 0/negative means they rank the shared candidates
+    * in genuinely different orders (RRF has signal to combine). RBO
+    * (q217's cousin) weights top-heavy OVERLAP of possibly-disjoint
+    * lists; τ is the complementary read on the candidates both sides
+    * retrieved.
+    *
+    * Engine-exact by construction: concordant/discordant are INTEGER
+    * pair counts (ranks are row_number ties-free, so no tie terms and
+    * τ-b = τ-a), and τ = (C − D) / (n(n−1)/2) is one integer-operand
+    * IEEE division, rounded. Pair space is k² per query — alert-sized,
+    * never corpus-sized.
+    *
+    * `a`: (query_id, cand_id, rank_a); `b`: (query_id, cand_id,
+    * rank_b). EVERY query appearing in either ranking reports (the
+    * percolator census discipline); queries with < 2 common candidates
+    * report NULL τ.
+    */
+  def kendallTauB(a: DataFrame, b: DataFrame): DataFrame = {
+    val ids = a.select("query_id").union(b.select("query_id")).distinct()
+    val common = a.select(col("query_id"), col("cand_id"), col("rank_a"))
+      .join(b.select(col("query_id"), col("cand_id"), col("rank_b")),
+        Seq("query_id", "cand_id"))
+    val l = common.select(col("query_id"), col("cand_id").as("c1"),
+      col("rank_a").as("a1"), col("rank_b").as("b1"))
+    val r = common.select(col("query_id"), col("cand_id").as("c2"),
+      col("rank_a").as("a2"), col("rank_b").as("b2"))
+    val pairs = l.join(r, Seq("query_id")).filter(col("c1") < col("c2"))
+      .withColumn("agree",
+        (col("a1") - col("a2")).cast("long") * (col("b1") - col("b2")) > 0)
+    val counts = pairs.groupBy("query_id")
+      .agg(sum(when(col("agree"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("agree"), 0L).otherwise(1L)).as("discordant"))
+    ids
+      .join(common.groupBy("query_id").agg(count(lit(1)).as("n_common")),
+        Seq("query_id"), "left")
+      .join(counts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common", "concordant", "discordant"))
+      .withColumn("tau", when(col("n_common") < 2, lit(null).cast("double"))
+        .otherwise(round(
+          (col("concordant") - col("discordant")).cast("double") /
+            (col("n_common") * (col("n_common") - 1) / 2).cast("double"), 6)))
+      .select("query_id", "n_common", "concordant", "discordant", "tau")
+      .orderBy("query_id")
+  }
+
   /** Exact KNN-Shapley data VALUATION (Jia et al. 2019, PVLDB 12(11) —
     * "Efficient Task-Specific Data Valuation for Nearest Neighbor
     * Algorithms"): the Shapley value of every training point for a

@@ -1681,12 +1681,16 @@ object PipelineQueries {
     * query words, semantic is the q46 brute-force contract; the fusion
     * itself is a full-outer join of two ≤k-row-per-query rank lists.
     */
-  val rrfFusion: Q = (s, dir) => {
+  /** The two top-k rankings q216/q342 compare: semantic = brute-force
+    * cosine, lexical = word-set Jaccard, both over query docs 0-4.
+    */
+  private def semRanking(s: SparkSession, dir: String, k: Int): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 5, k = k)
+      .select(col("query_id"), col("cand_id"), col("rank").as("sem_rank"))
+
+  private def lexRanking(s: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
-    val k = 20
-    val sem = Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 5, k = k)
-      .select(col("query_id"), col("cand_id"), col("rank").as("sem_rank"))
     val wsets = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(Text.words(col("text")))).as("w"))
     val nw = wsets.groupBy("doc_id").agg(count(lit(1)).as("nw"))
@@ -1702,9 +1706,16 @@ object PipelineQueries {
       .select(col("query_id"), col("doc_id").as("cand_id"),
         round(col("ic").cast("double") / (col("nwq") + col("nw") - col("ic")), 6).as("j"))
     val wLex = Window.partitionBy("query_id").orderBy(col("j").desc, col("cand_id"))
-    val lex = jac.withColumn("lex_rank", row_number().over(wLex))
+    jac.withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= k)
       .select(col("query_id"), col("cand_id"), col("lex_rank"))
+  }
+
+  val rrfFusion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val sem = semRanking(s, dir, k)
+    val lex = lexRanking(s, dir, k)
     val fused = sem.join(lex, Seq("query_id", "cand_id"), "full_outer")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)) +
@@ -2236,6 +2247,50 @@ object PipelineQueries {
         when(col("ver").isNull, lit(null).cast("long"))
           .otherwise(coalesce(col("n_docs_v1"), lit(0L))).as("n_docs_v1"))
       .orderBy("query_id")
+  }
+
+  /** q342: Kendall τ-b rank agreement between the q216 pair of
+    * rankings (semantic cosine vs lexical Jaccard) on their common
+    * candidates — the diagnostic that prices the RRF fusion itself:
+    * high τ means the two retrievers are redundant, low/negative τ
+    * means fusion is combining genuinely different orderings.
+    */
+  val kendallTauQ: Q = (s, dir) =>
+    Similarity.kendallTauB(
+      semRanking(s, dir, 20).withColumnRenamed("sem_rank", "rank_a"),
+      lexRanking(s, dir, 20).withColumnRenamed("lex_rank", "rank_b"))
+
+  /** q343: temperature-scaled source-MIXTURE plan (the multilingual /
+    * multi-corpus sampling shape — Devlin et al. 2019 §A.2, Conneau &
+    * Lample 2019: draw source s with weight ∝ p_s^τ, τ = 0.5): per
+    * source, its token mass, natural share p_s, the τ-scaled mixture
+    * weight, and the repeat factor ("epochs") each source runs at
+    * under a 4×-total-token training budget — up-weighting the tail
+    * sources a plain proportional draw would starve. The planning
+    * table a data owner prices a mixture with BEFORE a packing job.
+    *
+    * Engine-exact: token sums are integer; p_s is one IEEE division;
+    * √p_s is IEEE-exact (sqrt is correctly rounded in both engines);
+    * the normalizer Σ√p_s is decimal-backed (order-independent); the
+    * final weight/epochs are mirrored op-for-op.
+    */
+  val mixturePlanQ: Q = (s, dir) => {
+    import graft.functions.Num
+    val toks = TextAnalysis.withTextStats(docs(s, dir))
+      .groupBy("source").agg(sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val tot = toks.agg(sum(col("n_tokens")).as("t"))
+    val wraw = toks.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("t").cast("double"))
+      .withColumn("w_raw", sqrt(col("share")))
+    val z = wraw.agg(Num.dsumHi(col("w_raw")).as("z"))
+    wraw.crossJoin(broadcast(z))
+      .withColumn("mix_weight", col("w_raw") / col("z"))
+      .select(col("source"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("mix_weight"), 6).as("mix_weight"),
+        round(lit(4.0) * col("t").cast("double") * col("mix_weight") /
+          col("n_tokens").cast("double"), 6).as("epochs"))
+      .orderBy("source")
   }
 
   /** q329: b-BIT minwise hashing (Li & König 2010) — the 4-bytes-per-
@@ -3884,6 +3939,8 @@ object PipelineQueries {
     "q339_weighted_label_prop" -> labelPropWeightedQ,
     "q340_perc_store_census" -> percStoreCensusQ,
     "q341_perc_store_travel" -> percStoreTravelQ,
+    "q342_kendall_tau" -> kendallTauQ,
+    "q343_mixture_plan" -> mixturePlanQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4288,6 +4345,57 @@ object PipelineQueries {
          |ORDER BY n.id""".stripMargin,
     "q340_perc_store_census" -> TO.percStoreCensus(),
     "q341_perc_store_travel" -> TO.percStoreTravel(),
+    "q342_kendall_tau" ->
+      s"""WITH sem AS (SELECT query_id, cand_id, rank AS sem_rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${V.O.cosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS INT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 5) WHERE rank <= 20),
+         |w AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |     FROM documents),
+         |nw AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY 1),
+         |inter AS (SELECT qw.doc_id AS query_id, cw.doc_id AS cand_id, COUNT(*) AS ic
+         |          FROM w qw JOIN w cw ON qw.w = cw.w
+         |          WHERE qw.doc_id < 5 AND cw.doc_id != qw.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT query_id, cand_id,
+         |          round(CAST(ic AS DOUBLE) / (nq.nw + nc.nw - ic), 6) AS j
+         |        FROM inter JOIN nw nq ON nq.doc_id = query_id
+         |          JOIN nw nc ON nc.doc_id = cand_id),
+         |lex AS (SELECT query_id, cand_id, lex_rank FROM (
+         |  SELECT query_id, cand_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY j DESC, cand_id) AS INT) AS lex_rank FROM jac) WHERE lex_rank <= 20),
+         |common AS MATERIALIZED (SELECT s.query_id, s.cand_id, s.sem_rank AS a, l.lex_rank AS b
+         |  FROM sem s JOIN lex l USING (query_id, cand_id)),
+         |p AS (SELECT c1.query_id,
+         |        SUM(CASE WHEN (c1.a - c2.a) * (c1.b - c2.b) > 0 THEN 1 ELSE 0 END) AS concordant,
+         |        SUM(CASE WHEN (c1.a - c2.a) * (c1.b - c2.b) > 0 THEN 0 ELSE 1 END) AS discordant
+         |      FROM common c1 JOIN common c2
+         |        ON c1.query_id = c2.query_id AND c1.cand_id < c2.cand_id
+         |      GROUP BY 1),
+         |n AS (SELECT query_id, COUNT(*) AS n_common FROM common GROUP BY 1),
+         |ids AS (SELECT query_id FROM sem UNION SELECT query_id FROM lex)
+         |SELECT i.query_id, CAST(COALESCE(n.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(COALESCE(p.concordant, 0) AS BIGINT) AS concordant,
+         |  CAST(COALESCE(p.discordant, 0) AS BIGINT) AS discordant,
+         |  CASE WHEN COALESCE(n.n_common, 0) < 2 THEN NULL
+         |       ELSE round(CAST(COALESCE(p.concordant, 0) - COALESCE(p.discordant, 0) AS DOUBLE)
+         |                  / CAST((n.n_common * (n.n_common - 1)) // 2 AS DOUBLE), 6) END AS tau
+         |FROM ids i LEFT JOIN n USING (query_id) LEFT JOIN p USING (query_id)
+         |ORDER BY i.query_id""".stripMargin,
+    "q343_mixture_plan" ->
+      """WITH d AS (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |tk AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM tk),
+        |wr AS MATERIALIZED (SELECT source, n_tokens, t,
+        |        CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+        |        sqrt(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)) AS w_raw
+        |      FROM tk CROSS JOIN tt),
+        |z AS (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(38,18))) AS DOUBLE) AS z FROM wr)
+        |SELECT source, n_tokens, round(share, 6) AS share,
+        |  round(w_raw / z, 6) AS mix_weight,
+        |  round(4.0 * CAST(t AS DOUBLE) * (w_raw / z) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM wr CROSS JOIN z ORDER BY source""".stripMargin,
     "q335_mann_whitney" -> Robust.O.mannWhitney(
       s"mwd AS (SELECT source AS g, quality_score AS v FROM (SELECT source, ${TO.textStats} FROM documents))"),
     "q334_cluster_split" ->

@@ -282,4 +282,29 @@ class RerankSpec extends AnyFunSuite with TestSpark {
     val tiny = rows.take(3).toDF("vec_id", "embedding")
     assert(Similarity.kCenterCoreset(tiny, k = 8).count() == 3)
   }
+
+  test("kendallTauB: +1 on agreement, -1 on reversal, 0 on a crossed pair; every query reports") {
+    def rk(rows: Seq[(Long, Long, Int)], c: String) =
+      rows.toDF("query_id", "cand_id", c)
+    // q1: identical order (tau 1); q2: fully reversed (tau -1);
+    // q3: 3 candidates with exactly one swapped pair (tau 1/3);
+    // q4: only in ranking a, no common candidates -> NULL tau, still reports
+    val a = rk(Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 10L, 1), (2L, 11L, 2),
+      (3L, 10L, 1), (3L, 11L, 2), (3L, 12L, 3),
+      (4L, 10L, 1)), "rank_a")
+    val b = rk(Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 10L, 2), (2L, 11L, 1),
+      (3L, 10L, 2), (3L, 11L, 1), (3L, 12L, 3),
+      (5L, 99L, 1)), "rank_b")
+    val r = Similarity.kendallTauB(a, b).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4))))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L), s"every query must report: $r")
+    assert(r(1L) == ((2L, 1L, 0L, Some(1.0))))
+    assert(r(2L) == ((2L, 0L, 1L, Some(-1.0))))
+    assert(r(3L) == ((3L, 2L, 1L, Some(0.333333))))
+    assert(r(4L) == ((0L, 0L, 0L, None)), "no common candidates -> NULL tau")
+    assert(r(5L) == ((0L, 0L, 0L, None)))
+  }
 }

@@ -135,6 +135,56 @@ class StreamCurationSpec extends AnyFunSuite with TestSpark {
     assert(withNew.contains("alert_added"))
   }
 
+  test("stored-query STORE drives stream alerts through the UPDATE/DELETE lifecycle and compaction") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamPercolate
+    import graft.warehouse.IndexStore
+    import org.apache.spark.sql.types._
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val schema = StructType(Seq(StructField("query_id", StringType),
+      StructField("ver", LongType), StructField("term", StringType)))
+    val root = java.nio.file.Files.createTempDirectory("perc-store-").toString + "/store"
+    // base generation: two standing queries at ver 0
+    IndexStore.writeBase(Seq(
+      ("q_data", 0L, "data"), ("q_data", 0L, "zzmissing"),
+      ("q_doomed", 0L, "short")).toDF("query_id", "ver", "term"), root)
+    // UPDATE q_data (drop the never-matching term — ver 1), DELETE
+    // q_doomed: versioned tombstones + the next-version fragment
+    IndexStore.addTombstones(
+      Seq(("q_data", 0L), ("q_doomed", 0L)).toDF("query_id", "ver"), root, 0L)
+    IndexStore.addFragment(
+      Seq(("q_data", 1L, "data")).toDF("query_id", "ver", "term"), root, 0L)
+    IndexStore.compact(spark, root, schema, tombstoneKeys = Seq("query_id", "ver"))
+    // the stream's standing-query table IS the store's serving read
+    val qt = IndexStore.read(spark, root, schema, Seq("query_id", "ver"))
+      .select("query_id", "term").localCheckpoint()
+    val want = StreamPercolate.tableAlerts(docs, qt).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // deleted query can never fire; the pre-update definition (which
+    // required the never-matching term) fired nothing, the updated one
+    // fires on every pos doc — compaction + tombstones served the
+    // correct alert set
+    assert(!want.exists(_._1 == "q_doomed"))
+    assert(want == (0 until 20).map(i => ("q_data", i.toLong)).toSet,
+      s"updated stored query must fire on every planted doc: $want")
+
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.Set.empty[(String, Long)]
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+      StreamPercolate.tableAlerts(b, qt).collect().foreach { r =>
+        buf.synchronized { buf += ((r.getString(0), r.getLong(1))) }
+      }
+    val q = mem.toDF().toDF("doc_id", "text", "source")
+      .writeStream.foreachBatch(fn).start()
+    mem.addData(corpus.take(15): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.toSet == want, "stream and store-served alerts diverge")
+  }
+
   test("stream verdicts equal batch verdicts; selection respects the trained boundary") {
     val docs = corpus.toDF("doc_id", "text", "source")
     val w = Classifier.trainedWeights(docs, col("source") === "src0")
