@@ -370,6 +370,50 @@ object Graph {
       .orderBy("cent_id")
   }
 
+  /** LABEL-NOISE neighborhood audit (Brodley & Friedl 1999, JAIR —
+    * "Identifying Mislabeled Training Data", the neighborhood-filter
+    * member): for every labeled point with at least one near-neighbor,
+    * the fraction of its neighborhood carrying a DIFFERENT label and
+    * the neighborhood's majority label (ties → smallest) — a point
+    * whose neighborhood disagrees at ≥ `minDisagree` AND whose
+    * majority label differs is a mislabeling SUSPECT, the per-point
+    * cleaning signal label propagation (q327/q339) cannot give (prop
+    * trusts seeds; this audits them). Neighbors must come from a
+    * label-FREE pair generator ([[Similarity.bucketedCrossPairs]]) —
+    * a label-blocked graph is blind to disagreement by construction.
+    *
+    * Scale: one edge-list join against the label table + two keyed
+    * aggregations + one per-node top-1 window over vote rows (≤
+    * #labels per node) — linear in |E|. Counts are integer; the rate
+    * is one IEEE division.
+    *
+    * `pairs`: (v1, v2) undirected; `labels`: (id, label).
+    */
+  def labelNoiseAudit(pairs: DataFrame, labels: DataFrame,
+      minDisagree: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = pairs.select(col("v1").as("id"), col("v2").as("nb"))
+      .unionByName(pairs.select(col("v2").as("id"), col("v1").as("nb")))
+    val nb = e
+      .join(labels.select(col("id").as("nb"), col("label").as("nb_label")), "nb")
+      .join(labels, "id")
+    val agg = nb.groupBy("id", "label").agg(
+      count(lit(1)).as("n_neighbors"),
+      sum(when(col("nb_label") =!= col("label"), 1L).otherwise(0L)).as("n_disagree"))
+    val wv = Window.partitionBy("id").orderBy(desc("v"), col("nb_label"))
+    val maj = nb.groupBy("id", "nb_label").agg(count(lit(1)).as("v"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("id"), col("nb_label").as("majority_label"))
+    agg.join(maj, "id")
+      .withColumn("disagree_rate",
+        round(col("n_disagree").cast("double") / col("n_neighbors").cast("double"), 6))
+      .withColumn("suspect",
+        col("disagree_rate") >= minDisagree && col("majority_label") =!= col("label"))
+      .select("id", "label", "n_neighbors", "n_disagree", "disagree_rate",
+        "majority_label", "suspect")
+      .orderBy("id")
+  }
+
   /** One power-iteration round, pre-checkpoint — exposed so the plan
     * audit can assert the contribution aggregate combines map-side
     * (inside `pageRank` every round hides behind a localCheckpoint, so

@@ -1300,6 +1300,35 @@ object Similarity {
     * bucket by construction; only far-apart same-label pairs are
     * pruned with the candidate space.
     */
+  /** [[bucketedNearDupPairs]] WITHOUT the label in the blocking key —
+    * candidate pairs from sign-LSH bucket equality alone, cap per
+    * bucket. The pair generator label-noise auditing REQUIRES: the
+    * (label ∧ bucket) graph can only connect same-label vectors, so a
+    * neighborhood-disagreement audit over it is blind by construction;
+    * here cross-label near-neighbors surface, which is the signal.
+    * Same cap discipline (an over-cap bucket is dropped, mirrored in
+    * the oracle); at 2^[[LshPlanes]] buckets the cap holds the pair
+    * space to cap²·2^planes regardless of corpus size.
+    */
+  def bucketedCrossPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketOf(col("embedding")))
+      .withColumn("nrm", sqrt(Vec.dotFast(col("embedding"), col("embedding"))))
+    val ok = n.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= GraphBlockCap).select("bucket")
+    val k = n.join(ok, Seq("bucket"))
+    val a = k.select(col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = k.select(col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cosine_sim",
+        round(Vec.dotFast(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select("v1", "v2", "cosine_sim")
+  }
+
   def bucketedNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     // NOT cached: the bucketed frame feeds the size aggregation and both
     // join sides, but a cache here measured neutral at sf0.1 (columnar
@@ -1371,6 +1400,18 @@ object Similarity {
     /** [[bucketedPairsCte]] with the rounded cosine carried as `w` —
       * the weighted-graph consumers' edge list (q339).
       */
+    /** Mirrors [[Similarity.bucketedCrossPairs]] — bucket-only blocks
+      * (cross-label neighbors), cap per bucket, emits `pairs (v1, v2, w)`.
+      */
+    def bucketedCrossPairsCte(threshold: Double): String =
+      s"""xbkt AS (SELECT vec_id, embedding, (${bucket("embedding")}) AS bucket FROM embeddings),
+         |xbsz AS (SELECT bucket FROM xbkt GROUP BY bucket HAVING COUNT(*) <= $GraphBlockCap),
+         |xblk AS (SELECT xbkt.* FROM xbkt JOIN xbsz USING (bucket)),
+         |pairs AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    round(${graft.functions.Vec.O.cosine("a.embedding", "b.embedding")}, 6) AS w
+         |  FROM xblk a JOIN xblk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${graft.functions.Vec.O.cosine("a.embedding", "b.embedding")}, 6) >= $threshold)""".stripMargin
+
     def bucketedWeightedPairsCte(threshold: Double): String =
       s"""bkt AS (SELECT vec_id, label, embedding, (${bucket("embedding")}) AS bucket FROM embeddings),
          |bsz AS (SELECT label, bucket FROM bkt GROUP BY label, bucket HAVING COUNT(*) <= $GraphBlockCap),

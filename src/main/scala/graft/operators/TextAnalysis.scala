@@ -3011,6 +3011,27 @@ object TextAnalysis {
          |FROM ids i LEFT JOIN c0 USING (query_id) LEFT JOIN c1 USING (query_id)
          |ORDER BY i.query_id""".stripMargin
 
+    /** Mirrors the q344 composition: the pre-lifecycle and effective
+      * query tables rebuilt directly, row-diffed with EXCEPT — the
+      * engine side computes the same two frames from the store
+      * (pinned readAt vs serving read).
+      */
+    def percStoreDiff(): String =
+      s"""${percStoreRankedCte()},
+         |v0 AS MATERIALIZED (SELECT query_id, CAST(0 AS BIGINT) AS ver, term,
+         |        CAST(rn AS INT) AS rn FROM rt),
+         |cur AS MATERIALIZED (
+         |    SELECT query_id, CAST(0 AS BIGINT) AS ver, term, CAST(rn AS INT) AS rn
+         |    FROM rt WHERE m NOT IN (0, 1, 2)
+         |    UNION ALL
+         |    SELECT query_id, CAST(1 AS BIGINT) AS ver, term, CAST(rn AS INT) AS rn
+         |    FROM rt WHERE m IN (1, 2) AND rn <= 2)
+         |SELECT * FROM (
+         |  SELECT *, 'removed' AS change FROM (SELECT * FROM v0 EXCEPT SELECT * FROM cur)
+         |  UNION ALL
+         |  SELECT *, 'added' AS change FROM (SELECT * FROM cur EXCEPT SELECT * FROM v0))
+         |ORDER BY query_id, ver, term""".stripMargin
+
     /** Mirrors [[TextAnalysis.percolatePhraseCensus]]: the VALUES
       * phrase table with per-term offsets, candidate bases pos − idx,
       * the distinct-offset count test, every phrase reporting.

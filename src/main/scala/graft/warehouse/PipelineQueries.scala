@@ -2249,6 +2249,39 @@ object PipelineQueries {
       .orderBy("query_id")
   }
 
+  /** q344: store generation DIFF — row-level change feed between the
+    * pinned pre-lifecycle snapshot and the current generation (the
+    * Delta-CDF / `table_changes` shape, on the stored-query store):
+    * every (query_id, ver, term, rn) row tagged 'removed' (tombstoned
+    * version) or 'added' (ingested next version). q341 reads the
+    * lifecycle at census grain (what each alert MATCHED); this is the
+    * registry grain (what each alert IS) — the audit trail a
+    * prospective-search owner diffs before signing off an alert-set
+    * release. Two EXCEPTs over alert-sized frames.
+    */
+  val percStoreDiffQ: Q = (s, dir) => {
+    val root = percStoreRoot(s, dir)
+    val v0 = graft.warehouse.IndexStore.readAt(s, root, 0L, PercStoreSchema,
+      maxFragmentId = -1L)
+    val cur = graft.warehouse.IndexStore.read(s, root, PercStoreSchema,
+      tombstoneKeys = Seq("query_id", "ver"))
+    v0.except(cur).withColumn("change", lit("removed"))
+      .unionByName(cur.except(v0).withColumn("change", lit("added")))
+      .orderBy("query_id", "ver", "term")
+  }
+
+  /** q345: label-noise neighborhood audit (Brodley & Friedl 1999) —
+    * every labeled embedding judged by its near-neighbors from the
+    * label-FREE bucketed pair generator (cross-label neighbors are the
+    * whole signal; the label-blocked graph of q339 cannot see them):
+    * disagreement rate + neighborhood majority, suspects flagged. The
+    * seed-auditing read BEFORE label propagation trusts those seeds.
+    */
+  val labelNoiseQ: Q = (s, dir) =>
+    Graph.labelNoiseAudit(
+      Similarity.bucketedCrossPairs(emb(s, dir), threshold = 0.15),
+      emb(s, dir).select(col("vec_id").as("id"), col("label")))
+
   /** q342: Kendall τ-b rank agreement between the q216 pair of
     * rankings (semantic cosine vs lexical Jaccard) on their common
     * candidates — the diagnostic that prices the RRF fusion itself:
@@ -3941,6 +3974,8 @@ object PipelineQueries {
     "q341_perc_store_travel" -> percStoreTravelQ,
     "q342_kendall_tau" -> kendallTauQ,
     "q343_mixture_plan" -> mixturePlanQ,
+    "q344_perc_store_diff" -> percStoreDiffQ,
+    "q345_label_noise" -> labelNoiseQ,
     "q185_modality_stats" -> modalityStats,
     "q186_byte_entropy" -> byteEntropy,
     "q187_decode_features" -> decodeFeatures,
@@ -4345,6 +4380,27 @@ object PipelineQueries {
          |ORDER BY n.id""".stripMargin,
     "q340_perc_store_census" -> TO.percStoreCensus(),
     "q341_perc_store_travel" -> TO.percStoreTravel(),
+    "q344_perc_store_diff" -> TO.percStoreDiff(),
+    "q345_label_noise" ->
+      s"""WITH ${Similarity.O.bucketedCrossPairsCte(0.15)},
+         |e AS (SELECT v1 AS id, v2 AS nb FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+         |nbl AS MATERIALIZED (SELECT e.id, own.label, x.label AS nb_label
+         |      FROM e JOIN embeddings x ON x.vec_id = e.nb
+         |        JOIN embeddings own ON own.vec_id = e.id),
+         |agg AS (SELECT id, label, COUNT(*) AS n_neighbors,
+         |          SUM(CASE WHEN nb_label != label THEN 1 ELSE 0 END) AS n_disagree
+         |        FROM nbl GROUP BY 1, 2),
+         |votes AS (SELECT id, nb_label, COUNT(*) AS v FROM nbl GROUP BY 1, 2),
+         |maj AS (SELECT id, nb_label AS majority_label FROM (
+         |    SELECT id, nb_label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY v DESC, nb_label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT a.id, a.label, CAST(a.n_neighbors AS BIGINT) AS n_neighbors,
+         |  CAST(a.n_disagree AS BIGINT) AS n_disagree,
+         |  round(CAST(a.n_disagree AS DOUBLE) / CAST(a.n_neighbors AS DOUBLE), 6) AS disagree_rate,
+         |  m.majority_label,
+         |  (round(CAST(a.n_disagree AS DOUBLE) / CAST(a.n_neighbors AS DOUBLE), 6) >= 0.5
+         |   AND m.majority_label != a.label) AS suspect
+         |FROM agg a JOIN maj m USING (id) ORDER BY a.id""".stripMargin,
     "q342_kendall_tau" ->
       s"""WITH sem AS (SELECT query_id, cand_id, rank AS sem_rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

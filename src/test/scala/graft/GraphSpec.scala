@@ -188,6 +188,27 @@ class GraphSpec extends AnyFunSuite with TestSpark {
     assert(e.getMessage.contains("degree"))
   }
 
+  test("labelNoiseAudit: unanimous disagreement flags, split neighborhoods don't, ties pick the smallest label") {
+    // node 1 (label 0): neighbors 2,3,4 all label 1 -> rate 1.0,
+    //   majority 1 != 0 -> SUSPECT
+    // node 2 (label 1): neighbors 1 (0), 3 (1), 4 (1) -> rate 1/3,
+    //   majority 1 == own -> clean
+    // node 5 (label 0): neighbors 6 (1), 7 (2) -> rate 1.0, vote tie
+    //   1 vs 2 -> majority = smallest (1) -> suspect
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (5L, 7L)).toDF("v1", "v2")
+    val labels = Seq((1L, 0), (2L, 1), (3L, 1), (4L, 1), (5L, 0),
+      (6L, 1), (7L, 2)).toDF("id", "label")
+    val r = Graph.labelNoiseAudit(pairs, labels).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getInt(5), x.getBoolean(6)))).toMap
+    assert(r(1L) == ((0, 3L, 3L, 1.0, 1, true)), s"unanimous disagreement must flag: $r")
+    assert(r(2L) == ((1, 3L, 1L, 0.333333, 1, false)))
+    assert(r(5L) == ((0, 2L, 2L, 1.0, 1, true)), s"vote tie must pick the smallest label: $r")
+    // every node with >= 1 neighbor reports
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("kCore: the 2-core keeps the cycle and peels the tail") {
     // triangle 1-2-3 plus a pendant path 3-4-5: peeling at k=2 removes
     // 5 (deg 1), then 4 — the triangle survives with core degree 2
