@@ -2293,14 +2293,17 @@ object PipelineQueries {
       semRanking(s, dir, 20).withColumnRenamed("sem_rank", "rank_a"),
       lexRanking(s, dir, 20).withColumnRenamed("lex_rank", "rank_b"))
 
-  /** q343: temperature-scaled source-MIXTURE plan (the multilingual /
-    * multi-corpus sampling shape — Devlin et al. 2019 §A.2, Conneau &
-    * Lample 2019: draw source s with weight ∝ p_s^τ, τ = 0.5): per
-    * source, its token mass, natural share p_s, the τ-scaled mixture
-    * weight, and the repeat factor ("epochs") each source runs at
-    * under a 4×-total-token training budget — up-weighting the tail
-    * sources a plain proportional draw would starve. The planning
-    * table a data owner prices a mixture with BEFORE a packing job.
+  /** q343: temperature-scaled source-MIXTURE plan (draw source s with
+    * weight ∝ √p_s — Devlin et al. 2019 §A.2, Conneau & Lample 2019).
+    * Sits between its two cousins and closes their gap: q152 emits the
+    * temperature WEIGHT alone (α = 0.7, doc-count shares) and q233
+    * prices dedup-aware effective tokens at FIXED epoch counts; this
+    * is the third read a mixture owner needs — token-mass shares, the
+    * exactly-normalized mixture (decimal-backed Σ√p, so the weights
+    * provably sum to 1 in both engines), and the per-source REPEAT
+    * factor that mixture implies under a concrete 4×-total-token
+    * budget, i.e. the knob that feeds q233's epoch axis instead of
+    * assuming it.
     *
     * Engine-exact: token sums are integer; p_s is one IEEE division;
     * √p_s is IEEE-exact (sqrt is correctly rounded in both engines);
