@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.math.BigDecimal.RoundingMode
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, RangeJoin}
@@ -477,6 +479,84 @@ class PropertySpec extends AnyFunSuite with TestSpark {
         !pts.exists { case (_, ox, oy) => ox >= x && oy >= y && (ox > x || oy > y) }
       }.map(_._1).toSet
       assert(got == exp, s"round $round: got ${got.size} vs expected ${exp.size}")
+    }
+  }
+
+  test("kendall tau-b == brute-force pair statistic on random rankings; symmetric; self-tau 1") {
+    import graft.operators.Similarity
+    for (round <- 1 to 5) {
+      // two random permutations of a shared candidate pool per query,
+      // truncated to different lengths so the common set varies
+      val qs = (1L to 4L)
+      val rowsA = qs.flatMap { q =>
+        val perm = rng.shuffle((10 to 25).toList).take(10 + rng.nextInt(6))
+        perm.zipWithIndex.map { case (c, i) => (q, c.toLong, i + 1) }
+      }
+      val rowsB = qs.flatMap { q =>
+        val perm = rng.shuffle((10 to 25).toList).take(10 + rng.nextInt(6))
+        perm.zipWithIndex.map { case (c, i) => (q, c.toLong, i + 1) }
+      }
+      val a = rowsA.toDF("query_id", "cand_id", "rank_a")
+      val b = rowsB.toDF("query_id", "cand_id", "rank_b")
+      def collectTau(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      val got = collectTau(Similarity.kendallTauB(a, b))
+      // brute force per query
+      val aM = rowsA.groupBy(_._1).map { case (q, rs) => q -> rs.map(r => r._2 -> r._3).toMap }
+      val bM = rowsB.groupBy(_._1).map { case (q, rs) => q -> rs.map(r => r._2 -> r._3).toMap }
+      qs.foreach { q =>
+        val common = (aM(q).keySet & bM(q).keySet).toSeq.sorted
+        val pairsList = for { i <- common.indices; j <- i + 1 until common.size } yield (common(i), common(j))
+        val c = pairsList.count { case (x, y) =>
+          (aM(q)(x) - aM(q)(y)).toLong * (bM(q)(x) - bM(q)(y)) > 0 }
+        val d = pairsList.size - c
+        val n = common.size
+        val exp = if (n < 2) None
+          else Some(BigDecimal((c - d).toDouble / (n.toLong * (n - 1) / 2).toDouble)
+            .setScale(6, RoundingMode.HALF_UP).toDouble)
+        assert(got(q) == ((n.toLong, c.toLong, d.toLong, exp)), s"round $round q$q: ${got(q)}")
+      }
+      // symmetry: tau(a,b) == tau(b,a)
+      val sym = collectTau(Similarity.kendallTauB(
+        b.withColumnRenamed("rank_b", "rank_a"), a.withColumnRenamed("rank_a", "rank_b")))
+      assert(got == sym, s"round $round: tau not symmetric")
+      // self-agreement: tau(a,a) == 1 for every query with >= 2 candidates
+      val self = collectTau(Similarity.kendallTauB(
+        a, a.withColumnRenamed("rank_a", "rank_b")))
+      self.values.foreach { case (n, _, dis, t) =>
+        if (n >= 2) { assert(t.contains(1.0)); assert(dis == 0L) }
+      }
+    }
+  }
+
+  test("label-noise audit == brute-force neighborhood stats on random labeled graphs") {
+    import graft.operators.Graph
+    for (round <- 1 to 5) {
+      val nodes = (0L until 15L).map(i => i -> rng.nextInt(3)).toMap
+      val edges = List.fill(30) {
+        val x = rng.nextInt(15).toLong; val y = rng.nextInt(15).toLong
+        (math.min(x, y), math.max(x, y))
+      }.filter(e => e._1 != e._2).distinct
+      val pairs = edges.toDF("v1", "v2")
+      val labels = nodes.toSeq.toDF("id", "label")
+      val got = Graph.labelNoiseAudit(pairs, labels).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getInt(5), r.getBoolean(6)))).toMap
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+      adj.foreach { case (id, nbs) =>
+        val own = nodes(id)
+        val nd = nbs.count(n => nodes(n) != own).toLong
+        val rate = BigDecimal(nd.toDouble / nbs.size)
+          .setScale(6, RoundingMode.HALF_UP).toDouble
+        val maj = nbs.groupBy(nodes).map { case (l, xs) => (l, xs.size) }
+          .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        val suspect = rate >= 0.5 && maj != own
+        assert(got(id) == ((own, nbs.size.toLong, nd, rate, maj, suspect)),
+          s"round $round node $id: ${got(id)}")
+      }
+      assert(got.keySet == adj.keySet, "exactly the nodes with neighbors report")
     }
   }
 }
