@@ -172,11 +172,23 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val states = names.map(n => n -> new QState)
     val byName = states.toMap
+    // The query the watchdog loop is blocking on RIGHT NOW: if the JVM
+    // dies mid-query, that query's in-flight attempt was interrupted by
+    // the PROCESS, not broken by the code — the shutdown hook undoes
+    // the attempt so an external kill can never invent a "failure"
+    // (the same masquerade class as r14's budget-skips-as-failures).
+    // A query that also failed an EARLIER pass keeps its failure.
+    @volatile var inFlight: String = null
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       // ERROR FIRST: on abnormal termination this hook races Spark's
       // own shutdown hook, whose eviction WARN flood would otherwise
       // land after the summary and flush it out of the stdout tail
       try spark.sparkContext.setLogLevel("ERROR") catch { case _: Throwable => () }
+      val f = inFlight
+      if (f != null) {
+        val st = byName(f)
+        if (st.passes == 0 && st.attempts > 0) st.attempts -= 1
+      }
       emit(states, sfDir)
       emitSummaryLast(states, sfDir)
     }))
@@ -219,7 +231,9 @@ object Bench {
         if (elapsedGlobal < GlobalBudgetSec) {
           val st = byName(name)
           st.attempts += 1
+          inFlight = name
           val s = run(name, s"timed$pass")
+          inFlight = null
           if (s >= 0) {
             st.best = if (st.best < 0) s else math.min(st.best, s)
             st.passes += 1
