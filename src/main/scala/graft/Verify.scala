@@ -119,6 +119,15 @@ object Verify {
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
 
+    // A driver-side SIGTERM interrupts the in-flight dumps, which then
+    // throw; recording those as "failed" would leave FAIL rows in the
+    // official record for queries the PROCESS interrupted (the Bench
+    // in-flight lesson). Once shutdown begins, exceptions from dumps
+    // are kill-noise: the query stays un-attempted and drops out of
+    // the restricted oracle map instead.
+    @volatile var shuttingDown = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => { shuttingDown = true }))
+
     val queue = new ConcurrentLinkedQueue[String]()
     names.foreach(queue.add)
     val skipped = new ConcurrentLinkedQueue[String]()
@@ -139,10 +148,10 @@ object Verify {
           System.err.println(s"[verify] $name TIMED OUT after ${PerQueryTimeoutSec}s; cancelling")
           spark.sparkContext.cancelJobGroup(s"verify-$name")
           task.cancel(true)
-          failed.add(name)
+          if (!shuttingDown) failed.add(name)
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          failed.add(name)
+          if (!shuttingDown) failed.add(name)
       }
       rewriteAttempted()
       // several operators cache shared subtrees (minhash signatures,
