@@ -39,6 +39,21 @@ object Verify {
   private val PerQueryTimeoutSec = sys.env.getOrElse("SPARK_GRAFT_Q_TIMEOUT", "300").toInt
   private val GlobalBudgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET", "1500").toInt
   private val Concurrency = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CONC", "3").toInt
+  // Diagnostic bisection knobs (default = production behavior): the
+  // round-15 empty-dump race was isolated by toggling these on the full
+  // board. Kept so a future flake can be bisected the same way.
+  private val ClearCacheBetween = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CLEARCACHE", "1") == "1"
+  private val FairScheduling = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FAIR", "1") == "1"
+  // How many completed dumps between cache clears. Clearing after EVERY
+  // dump (the round-14 spelling) raced the other in-flight dumps:
+  // spark.catalog.clearCache() concurrently with a query READING one of
+  // those InMemoryRelations silently emptied the scan (3/3 full boards
+  // each corrupted one query to a 0-row dump, job SUCCESS — q282, q105;
+  // 2/2 boards clean with clearCache off). Eviction is supposed to be
+  // recompute-safe, but uncache-then-recache churn across 3 threads is
+  // not: so clears now happen only at EXCLUSIVE safe points (all dumps
+  // drained), every N completions — same bounded memory, zero races.
+  private val ClearEvery = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CLEAR_EVERY", "24").toInt
 
   // Dev-loop subset: SPARK_GRAFT_ONLY=q65_ann_ivf,q67_embed_centroids
   // restricts the dump (and oracle json) to the named queries.
@@ -89,7 +104,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // concurrent dumps share the cores fairly instead of FIFO
       // head-of-line blocking behind one heavy plan
-      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.mode", if (FairScheduling) "FAIR" else "FIFO")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.tune(spark)
@@ -133,34 +148,94 @@ object Verify {
     val skipped = new ConcurrentLinkedQueue[String]()
     val taskPool = Executors.newCachedThreadPool()
 
-    def runOne(name: String): Unit = {
+    // Dumps hold the READ side; cache clears hold the WRITE side, so a
+    // clear only ever runs with ZERO dumps in flight (fair = a pending
+    // writer blocks new readers instead of starving). See ClearEvery.
+    val cacheGate = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
+    val sinceClear = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def dumpOnce(name: String): Unit = {
       val task = new FutureTask[Unit](() => {
         spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
         SparkEntry.queries(name)(spark, sfDir)
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       })
       taskPool.execute(task)
-      try {
-        task.get(PerQueryTimeoutSec, TimeUnit.SECONDS)
-        completed.add(name)
-      } catch {
-        case _: TimeoutException =>
+      try task.get(PerQueryTimeoutSec, TimeUnit.SECONDS)
+      catch {
+        case e: TimeoutException =>
           System.err.println(s"[verify] $name TIMED OUT after ${PerQueryTimeoutSec}s; cancelling")
           spark.sparkContext.cancelJobGroup(s"verify-$name")
           task.cancel(true)
-          if (!shuttingDown) failed.add(name)
-        case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          if (!shuttingDown) failed.add(name)
+          throw e
+      }
+    }
+
+    // Parquet footer row count of a completed dump — metadata-only, no
+    // data scan (the tripwire must stay cheap at any SF).
+    def dumpRows(name: String): Long = {
+      val dir = new java.io.File(s"$outDir/$name")
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+      files.map { f =>
+        val in = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+        val conf = spark.sparkContext.hadoopConfiguration
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, in, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        footer.getBlocks.toArray.map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData].getRowCount).sum
+      }.sum
+    }
+
+    def runOne(name: String): Unit = {
+      val r = cacheGate.readLock()
+      r.lock()
+      val ok = try { dumpOnce(name); true }
+        catch {
+          case e: Throwable =>
+            if (e.getMessage != null && !e.isInstanceOf[TimeoutException])
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            if (!shuttingDown) failed.add(name)
+            false
+        } finally r.unlock()
+      if (ok) {
+        // Zero-row tripwire: every board query legitimately returns rows,
+        // so a 0-row dump with a SUCCEEDED job is the cache-churn race
+        // signature. Retry once at an exclusive safe point (no concurrent
+        // dumps, cache cleared) and keep whatever the clean re-run says —
+        // a genuinely-empty result would simply dump empty again.
+        var good = true
+        if (dumpRows(name) == 0L && !shuttingDown) {
+          System.err.println(s"[verify] $name dumped 0 rows; exclusive retry")
+          val w = cacheGate.writeLock()
+          w.lock()
+          try {
+            spark.catalog.clearCache()
+            sinceClear.set(0)
+            dumpOnce(name)
+          } catch {
+            case _: Throwable => if (!shuttingDown) { failed.add(name); good = false }
+          } finally w.unlock()
+        }
+        if (good) completed.add(name)
       }
       rewriteAttempted()
       // several operators cache shared subtrees (minhash signatures,
       // shingle sets, band tables) and leave lifecycle to the caller;
       // over a 330+-query run those pins would accumulate to real
-      // executor memory, so drop them once the query's output is on
-      // disk. (Unpersist mid-flight is correctness-safe for the other
-      // in-flight dumps — Spark recomputes evicted blocks.)
-      spark.catalog.clearCache()
+      // executor memory. Clearing is NOT safe concurrently with other
+      // in-flight dumps (the round-15 empty-dump race) — take the write
+      // side so the clear runs alone, every ClearEvery completions.
+      if (ClearCacheBetween && sinceClear.incrementAndGet() >= ClearEvery) {
+        val w = cacheGate.writeLock()
+        w.lock()
+        try {
+          if (sinceClear.get() >= ClearEvery) {
+            spark.catalog.clearCache()
+            sinceClear.set(0)
+          }
+        } finally w.unlock()
+      }
     }
 
     val workers = (1 to math.max(1, Concurrency)).map { i =>
