@@ -52,18 +52,41 @@ object Classifier {
     lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
 
   /** The GD loop over a cached feature frame: `iters` aggregations, a
-    * 1-row weight vector round-tripping through the driver as literals.
+    * 1-row weight vector round-tripping through the driver.
+    *
+    * PER-ITERATION PLAN REUSE (round-15 optimization, guide §1.2 "per-
+    * task work"): the weights are fed back as a BROADCAST 1-ROW FRAME,
+    * not as literals. Primitive literals are inlined into the generated
+    * code, so literal weights forced a janino recompile of the whole
+    * gradient-aggregation plan every iteration — ~0.35 s/iteration of
+    * pure driver latency at ANY data scale (measured: 0.63 s/iter with
+    * literals vs 0.30 s/iter with broadcast columns, 5-fold cv, sf0.1).
+    * As broadcast columns the generated source is byte-identical across
+    * iterations and the codegen cache hits. The arithmetic is the same
+    * IEEE ops on the same doubles (no constant folding existed to lose:
+    * every weight multiplies a column), so the trajectory is
+    * bit-identical — profiled 12 iterations × 5 folds equal, and the
+    * DuckDB oracle re-verifies every consumer query.
     */
+  private def wCol(j: Int): Column = col(s"_wp_$j")
+
+  private def weightFrame(f: DataFrame, flat: Seq[Double]): DataFrame =
+    f.sparkSession.range(1)
+      .select(flat.indices.map(j => lit(flat(j)).as(s"_wp_$j")): _*)
+
   private def fit(f: DataFrame, lr: Double, iters: Int): Array[Double] = {
     val n = count(lit(1)).cast("double")
+    val zc = wCol(0) + wCol(1) * col("x1") + wCol(2) * col("x2") + wCol(3) * col("x3")
+    val err = sigmoid(zc) - col("y")
+    val aggs = Seq(
+      round(max(wCol(0)) - lit(lr) * (Num.dsumHi(err) / n), 12).as("b"),
+      round(max(wCol(1)) - lit(lr) * (Num.dsumHi(err * col("x1")) / n), 12).as("w1"),
+      round(max(wCol(2)) - lit(lr) * (Num.dsumHi(err * col("x2")) / n), 12).as("w2"),
+      round(max(wCol(3)) - lit(lr) * (Num.dsumHi(err * col("x3")) / n), 12).as("w3"))
     var w = Array(0.0, 0.0, 0.0, 0.0) // bias, w1, w2, w3
     for (_ <- 1 to iters) {
-      val err = sigmoid(z(w)) - col("y")
-      val row = f.agg(
-        round(lit(w(0)) - lit(lr) * (Num.dsumHi(err) / n), 12).as("b"),
-        round(lit(w(1)) - lit(lr) * (Num.dsumHi(err * col("x1")) / n), 12).as("w1"),
-        round(lit(w(2)) - lit(lr) * (Num.dsumHi(err * col("x2")) / n), 12).as("w2"),
-        round(lit(w(3)) - lit(lr) * (Num.dsumHi(err * col("x3")) / n), 12).as("w3"))
+      val row = f.crossJoin(broadcast(weightFrame(f, w.toSeq)))
+        .agg(aggs.head, aggs.tail: _*)
         .head()
       // an empty training frame (count 0) nulls every gradient — fail
       // with the real cause instead of a getDouble NPE downstream
@@ -95,19 +118,25 @@ object Classifier {
         s"empty training set for model ${if (names.isDefinedAt(i)) names(i) else i.toString}: " +
           "its predicate selects no rows")
     }
+    // Weights ride a broadcast 1-row frame so the multi-model gradient
+    // plan compiles ONCE for all iterations — see [[fit]].
+    val aggs = preds.zipWithIndex.flatMap { case (pred, i) =>
+      def w(j: Int) = wCol(4 * i + j)
+      val zc = w(0) + w(1) * col("x1") + w(2) * col("x2") + w(3) * col("x3")
+      val err = sigmoid(zc) - col("y")
+      val n = sum(when(pred, 1L).otherwise(0L)).cast("double")
+      def g(t: Column) = Num.dsumHi(when(pred, t).otherwise(lit(0.0)))
+      Seq(
+        round(max(w(0)) - lit(lr) * (g(err) / n), 12).as(s"b_$i"),
+        round(max(w(1)) - lit(lr) * (g(err * col("x1")) / n), 12).as(s"w1_$i"),
+        round(max(w(2)) - lit(lr) * (g(err * col("x2")) / n), 12).as(s"w2_$i"),
+        round(max(w(3)) - lit(lr) * (g(err * col("x3")) / n), 12).as(s"w3_$i"))
+    }
     var ws: Seq[Array[Double]] = preds.map(_ => Array(0.0, 0.0, 0.0, 0.0))
     for (_ <- 1 to iters) {
-      val aggs = preds.zip(ws).zipWithIndex.flatMap { case ((pred, w), i) =>
-        val err = sigmoid(z(w)) - col("y")
-        val n = sum(when(pred, 1L).otherwise(0L)).cast("double")
-        def g(t: Column) = Num.dsumHi(when(pred, t).otherwise(lit(0.0)))
-        Seq(
-          round(lit(w(0)) - lit(lr) * (g(err) / n), 12).as(s"b_$i"),
-          round(lit(w(1)) - lit(lr) * (g(err * col("x1")) / n), 12).as(s"w1_$i"),
-          round(lit(w(2)) - lit(lr) * (g(err * col("x2")) / n), 12).as(s"w2_$i"),
-          round(lit(w(3)) - lit(lr) * (g(err * col("x3")) / n), 12).as(s"w3_$i"))
-      }
-      val row = f.agg(aggs.head, aggs.tail: _*).head()
+      val row = f.crossJoin(broadcast(weightFrame(f, ws.flatten)))
+        .agg(aggs.head, aggs.tail: _*)
+        .head()
       require(!row.isNullAt(0), "empty training set in multi-model fit")
       ws = preds.indices.map(i => Array(
         row.getDouble(4 * i), row.getDouble(4 * i + 1),

@@ -27,9 +27,9 @@ object QuantileReg {
   val Lr = 100.0
   val Iters = 15
 
-  /** One subgradient term: τ − 1[y < θ0 + θ1·x]. */
-  private def term(tau: Double, th: (Double, Double)): Column =
-    lit(tau) - when(col("y") < lit(th._1) + lit(th._2) * col("x"), lit(1.0))
+  /** One subgradient term: τ − 1[y < θ0 + θ1·x], θs as columns. */
+  private def term(tau: Double, t0: Column, t1: Column): Column =
+    lit(tau) - when(col("y") < t0 + t1 * col("x"), lit(1.0))
       .otherwise(lit(0.0))
 
   /** Fits ALL τs simultaneously on a cached (x, y) frame — the
@@ -37,19 +37,29 @@ object QuantileReg {
     * carries every τ's subgradient sums (2·|taus| decimal sums per
     * scan instead of |taus| separate scan loops). Returns the final
     * (θ0, θ1) per τ, order-aligned with `taus`.
+    *
+    * θs ride a broadcast 1-row frame instead of literals so the
+    * subgradient plan compiles ONCE for all iterations (inlined literal
+    * doubles defeat the codegen cache — a per-iteration janino
+    * recompile of pure driver latency; see Classifier.fit). Same IEEE
+    * ops on the same doubles ⇒ bit-identical trajectory.
     */
   private def fit(f: DataFrame, taus: Seq[Double], lr: Double,
       iters: Int): Seq[(Double, Double)] = {
     val n = count(lit(1)).cast("double")
+    def p(j: Int) = col(s"_wp_$j")
+    val aggs = taus.zipWithIndex.flatMap { case (tau, i) =>
+      val t = term(tau, p(2 * i), p(2 * i + 1))
+      Seq(
+        round(max(p(2 * i)) + lit(lr) * (Num.dsumHi(t) / n), 12).as(s"t0_$i"),
+        round(max(p(2 * i + 1)) + lit(lr) * (Num.dsumHi(t * col("x")) / n), 12).as(s"t1_$i"))
+    }
     var ths: Seq[(Double, Double)] = taus.map(_ => (0.0, 0.0))
     for (_ <- 1 to iters) {
-      val aggs = taus.zip(ths).zipWithIndex.flatMap { case ((tau, th), i) =>
-        val t = term(tau, th)
-        Seq(
-          round(lit(th._1) + lit(lr) * (Num.dsumHi(t) / n), 12).as(s"t0_$i"),
-          round(lit(th._2) + lit(lr) * (Num.dsumHi(t * col("x")) / n), 12).as(s"t1_$i"))
-      }
-      val row = f.agg(aggs.head, aggs.tail: _*).head()
+      val flat = ths.flatMap(th => Seq(th._1, th._2))
+      val wdf = f.sparkSession.range(1)
+        .select(flat.indices.map(j => lit(flat(j)).as(s"_wp_$j")): _*)
+      val row = f.crossJoin(broadcast(wdf)).agg(aggs.head, aggs.tail: _*).head()
       require(!row.isNullAt(0), "empty frame: quantile regression needs rows")
       ths = taus.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
     }

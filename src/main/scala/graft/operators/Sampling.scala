@@ -178,10 +178,21 @@ object Sampling {
     * (uniq = 0) prices at zero effective tokens rather than dividing
     * by zero.
     */
-  def epochAllocation(docs: DataFrame, budgetMult: Double = 4.0): DataFrame = {
+  def epochAllocation(docs: DataFrame, budgetMult: Double = 4.0): DataFrame =
+    epochAllocationFrom(docs,
+      Dedup.canonicalKeep(docs).select(col("doc_id"), col("keep")), budgetMult)
+
+  /** [[epochAllocation]] over an already-computed canonical-keep
+    * decision list — the artifact-reuse path (round-15: the inline
+    * spelling re-ran pair generation + the component solve the
+    * `ngram_cc` Materialized artifact already holds; at corpus scale
+    * that is a second full dedup solve for a K-row allocation table).
+    */
+  def epochAllocationFrom(docs: DataFrame, keptIn: DataFrame,
+      budgetMult: Double = 4.0): DataFrame = {
     val toks = TextAnalysis.withTextStats(docs)
       .select(col("doc_id"), col("source"), col("n_tokens"))
-    val kept = Dedup.canonicalKeep(docs).select(col("doc_id"), col("keep"))
+    val kept = keptIn.select(col("doc_id"), col("keep"))
     val st = toks.join(kept, "doc_id")
       .groupBy("source")
       .agg(

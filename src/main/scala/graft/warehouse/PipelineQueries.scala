@@ -1630,7 +1630,11 @@ object PipelineQueries {
     * [[Sampling.epochAllocation]].
     */
   val epochAllocationQ: Q = (s, dir) =>
-    Sampling.epochAllocation(docs(s, dir).cache())
+    // artifact-reuse: the keep list derives from the shared ngram_cc
+    // cluster map (bit-identical to the inline re-solve — one CC solve
+    // per corpus snapshot instead of two; round-15 q233 3.9→~1s)
+    Sampling.epochAllocationFrom(docs(s, dir).cache(),
+      Dedup.canonicalKeepFrom(docs(s, dir), mClusters(s, dir)))
 
   /** q234: k-anonymity release-risk audit — per source, the
     * quasi-identifier equivalence classes below k=5 and the documents
