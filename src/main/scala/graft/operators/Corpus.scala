@@ -879,8 +879,11 @@ object Corpus {
       .join(ranks.select("doc_id", "batch_id"), "doc_id")
       .select("batch_id", "gk")
       .distinct()
-    val firstB = dg.groupBy("gk").agg(min(col("batch_id")).as("fb"))
-    val perBatch = dg.join(firstB, "gk")
+    // gk-keyed window MIN instead of groupBy + self-join: one gram
+    // shuffle and one (batch, gram) computation instead of two of each
+    // (guide §2.4; identical rows — see Dedup.substringRemoval)
+    val perBatch = dg
+      .withColumn("fb", min(col("batch_id")).over(Window.partitionBy("gk")))
       .groupBy("batch_id")
       .agg(
         count(lit(1)).as("n_distinct_grams"),

@@ -674,12 +674,15 @@ object Dedup {
     val g = docs
       .select(col("doc_id"), posexplode(Text.shingles(col(textCol), L)).as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), md5(col("g")).as("gk"))
-    val dup = g.select("gk", "doc_id").distinct()
-      .groupBy("gk").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1)
-      .select("gk")
+    // "gram appears in ≥2 distinct docs" as a gk-keyed window test
+    // (min(doc_id) ≠ max(doc_id)) instead of distinct + groupBy + join
+    // back — one gram shuffle and one gram-table computation instead of
+    // two of each (guide §2.4; identical row set)
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    g.join(dup, "gk")
+    val wG = Window.partitionBy("gk")
+    g.withColumn("d_lo", min(col("doc_id")).over(wG))
+      .withColumn("d_hi", max(col("doc_id")).over(wG))
+      .filter(col("d_lo") =!= col("d_hi"))
       .select("doc_id", "pos")
       .withColumn("prev", lag(col("pos"), 1).over(wDoc))
       // merge overlapping or adjacent spans: position p covers words
@@ -723,8 +726,13 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val occKey = struct(col("doc_id"), col("pos"))
     val g = hashedGramPositions(docs, L, textCol)
-    val first = g.groupBy("gk").agg(min(occKey).as("first_occ"))
-    val erased = g.join(first, "gk")
+    // first occurrence via a gk-keyed window MIN (guide §2.4: a window
+    // keyed like the aggregation shares its one shuffle): the previous
+    // groupBy + self-join spelling shuffled the corpus-sized gram table
+    // TWICE and computed it twice (its subtree appeared under both join
+    // sides). Identical rows: filter occKey > min(occKey) over gk.
+    val erased = g
+      .withColumn("first_occ", min(occKey).over(Window.partitionBy("gk")))
       .filter(occKey > col("first_occ"))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("pos"))
       .distinct()
@@ -781,9 +789,10 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val occKey = struct(col("doc_id"), col("pos"))
     val g = hashedGramPositions(docs, L, textCol)
-    val first = g.groupBy("gk").agg(min(occKey).as("first_occ"))
     val srcOf = docs.select(col("doc_id"), col("source"))
-    g.join(first, "gk")
+    // gk-keyed window MIN instead of groupBy + self-join — one gram
+    // shuffle, one gram-table computation (see substringRemoval)
+    g.withColumn("first_occ", min(occKey).over(Window.partitionBy("gk")))
       .filter(occKey > col("first_occ"))
       .withColumn("first_doc", col("first_occ").getField("doc_id"))
       .join(srcOf.withColumnRenamed("source", "in_source"), "doc_id")

@@ -2004,11 +2004,17 @@ object TextAnalysis {
     // candidate-sized, not corpus-sized (values unchanged: rows for
     // other docs never joined anything)
     val pdocs = docs.join(broadcast(candDocIds(cand)), "doc_id", "left_semi")
+    // the gram census feeds THREE consumers below (g1, g2, tot) with no
+    // shared exchange between them — uncached, the candidate-doc scan +
+    // explode + count ran once per consumer (guide §1.2: don't compute
+    // things twice). Candidate-sized (the pair list is bounded), so the
+    // cache is small at any corpus scale.
     val gc = ns.map { n =>
         pdocs.select(col("doc_id"), lit(n).as("n"),
           explode(Text.shinglesOfWords(Text.words(col(textCol)), n)).as("g"))
       }.reduce(_ unionByName _)
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .cache()
     val tot = gc.groupBy("doc_id", "n").agg(sum(col("c")).as("t"))
     val m = broadcast(cand)
       .join(gc.as("g1"), col("d1") === col("g1.doc_id"))
@@ -2104,6 +2110,8 @@ object TextAnalysis {
     val cl = docs.join(broadcast(candDocIds(cand)), "doc_id", "left_semi")
       .select(col("doc_id"), regexp_replace(col(textCol), " ", "").as("ch"))
     val chc = col("ch")
+    // cached for the same reason as pairNgramStats' census: three
+    // consumers (g1, g2, tot), no shared exchange, candidate-sized
     val gc = ns.map { n =>
         cl.select(col("doc_id"), lit(n).as("n"),
           explode(when(length(chc) >= n,
@@ -2112,6 +2120,7 @@ object TextAnalysis {
             .otherwise(array().cast("array<string>"))).as("g"))
       }.reduce(_ unionByName _)
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .cache()
     val tot = gc.groupBy("doc_id", "n").agg(sum(col("c")).as("t"))
     val m = broadcast(cand)
       .join(gc.as("g1"), col("d1") === col("g1.doc_id"))
