@@ -380,7 +380,9 @@ object Corpus {
     def vb(n: Int) = broadcast(
       vocab.filter(col("gl") === n).select(col("g").as(s"g$n")))
     var st = wf.select(col("w"), lit(1).as("pos"), lit(0).as("n_toks"), lit("").as("toks"))
+    var round0 = 0
     for (_ <- 1 to rounds) {
+      round0 += 1
       val done = col("pos") > length(col("w"))
       st = st
         .join(vb(4), col("g4") === expr("substr(w, pos, 4)"), "left")
@@ -394,7 +396,10 @@ object Corpus {
           when(done, col("pos")).otherwise(col("pos") + col("len")).as("pos"),
           when(done, col("n_toks")).otherwise(col("n_toks") + 1).as("n_toks"),
           when(done, col("toks")).otherwise(concat(col("toks"), lit(" "), col("tok"))).as("toks"))
-        .localCheckpoint(true)
+      // checkpoint every second round (the viterbiEncode discipline):
+      // each eager materialization is a job + 3 broadcast rebuilds over
+      // the dictionary — a 2-round (6-join) segment halves that count
+      if (round0 % 2 == 0 || round0 == rounds) st = st.localCheckpoint(true)
     }
     st.select(col("w"), col("n_toks"), ltrim(col("toks")).as("toks"))
   }

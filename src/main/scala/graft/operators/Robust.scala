@@ -414,11 +414,15 @@ object Robust {
     val srcs = df.select(col(groupCol).cast("string").as("g")).distinct()
     val prs = srcs.as("x").join(srcs.as("y"), col("x.g") < col("y.g"))
       .select(col("x.g").as("ga"), col("y.g").as("gb"))
+    // cached: three consumers below (the rank input, the rank join, the
+    // tie correction) would otherwise each recompute the ≤(|G|−1)-copy
+    // expansion join (guide §1.2)
     val rows = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .join(broadcast(prs), col("g") === col("ga") || col("g") === col("gb"))
       .select(concat(col("ga"), lit("|"), col("gb")).as("pair"),
         col("ga"), col("gb"), col("g"), col("v"))
+      .cache()
     val ranked = tieRanks(rows.select(col("pair"), col("v")), "pair", "v")
       .select(col("pair"), col("v"), col("r"))
     val agg = rows.join(ranked, Seq("pair", "v"))

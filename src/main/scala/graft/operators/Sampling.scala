@@ -267,15 +267,26 @@ object Sampling {
         round(greatest(lit(0.0), col("cavg") - col("avgq")), 12).as("excess"),
         round(col("tokens").cast("double") / col("ttot").cast("double"), 12).as("w0"))
       .cache()
-    def wCase(w: Map[String, Double]): Column =
-      w.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) { case (els, (s, v)) =>
-        when(col("source") === s, lit(v)).otherwise(els)
-      }
+    // The per-round weight vector rides a broadcast (source, w) frame
+    // joined by key instead of a per-source when()-literal chain: with
+    // literals every round re-optimized and janino-recompiled a fresh
+    // plan (~0.3 s/round of pure driver latency at any scale — the
+    // Classifier.fit lesson); as a joined column the plan is identical
+    // across rounds and the codegen cache hits. Same per-source doubles
+    // either way (a keyed lookup, not arithmetic) — trajectory
+    // unchanged, oracle re-verified.
+    def wFrame(w: Map[String, Double]): DataFrame = {
+      val spark = stats.sparkSession
+      import spark.implicits._
+      w.toSeq.sortBy(_._1).toDF("source", "w_in")
+    }
+    def joined(w: Map[String, Double]) =
+      stats.join(broadcast(wFrame(w)), Seq("source"))
     var w: Map[String, Double] = stats.select("source", "w0").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     for (_ <- 1 to iters) {
-      val wp = stats.select(col("source"),
-        round(wCase(w) * (lit(1.0) + lit(eta) * col("excess")), 12).as("wp"))
+      val wp = joined(w).select(col("source"),
+        round(col("w_in") * (lit(1.0) + lit(eta) * col("excess")), 12).as("wp"))
       val norm = wp.agg(
         aggregate(array_sort(collect_list(struct(col("source"), col("wp")))),
           lit(0.0), (a, x) => a + x.getField("wp")).as("nrm"),
@@ -286,11 +297,11 @@ object Sampling {
             lit(delta) / col("kk"), 12).as("w"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     }
-    stats.select(col("source"), col("n_docs"), col("tokens"),
+    joined(w).select(col("source"), col("n_docs"), col("tokens"),
         round(col("w0"), 6).as("base_share"),
         round(col("excess"), 6).as("excess"),
-        round(wCase(w), 6).as("weight"),
-        round(wCase(w) / col("w0"), 6).as("boost"))
+        round(col("w_in"), 6).as("weight"),
+        round(col("w_in") / col("w0"), 6).as("boost"))
       .orderBy("source")
   }
 

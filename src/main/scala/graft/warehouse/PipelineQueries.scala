@@ -47,6 +47,16 @@ object PipelineQueries {
     Materialized.of(s, dir, "substring_removal")(
       Dedup.substringRemoval(docs(s, dir)))
 
+  /** Near-dup pair graph at the graph-family threshold (0.15) — feeds
+    * the centrality/trust/HITS/k-core/label-prop/modularity family
+    * (q153-area consumers through q339): one bucketed pair generation
+    * per corpus snapshot instead of one per consumer query (round-15;
+    * the generator is deterministic, so consumers are bit-identical).
+    */
+  private def mNearDup15(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "neardup_pairs_15")(
+      Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15))
+
   /** Trained cosine coarse quantizer — feeds q65/q144/q147 and the IVF
     * audit ranking below.
     */
@@ -149,7 +159,7 @@ object PipelineQueries {
   val embedClusters: Q = (s, dir) =>
     Dedup
       .connectedComponents(
-        Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+        mNearDup15(s, dir)
           .select(col("v1").as("d1"), col("v2").as("d2")))
       .orderBy("doc_id")
 
@@ -742,7 +752,7 @@ object PipelineQueries {
     // centrality needs the broad similarity graph, not just duplicates.
     // Bounded generator: the whole corpus feeds the edge join, so the
     // candidate blocks must be capped (label ∧ LSH bucket).
-    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val pairs = mNearDup15(s, dir)
     Graph.pageRank(
       pairs.select(col("v1").as("src"), col("v2").as("dst"))
         .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst"))))
@@ -774,7 +784,7 @@ object PipelineQueries {
     * sign is the read.
     */
   val spamMassQ: Q = (s, dir) => {
-    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val pairs = mNearDup15(s, dir)
     val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
       .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
       .localCheckpoint()
@@ -806,7 +816,7 @@ object PipelineQueries {
     * replay all five rounds exactly.
     */
   val hitsQ: Q = (s, dir) => {
-    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val pairs = mNearDup15(s, dir)
     Graph.hits(pairs.select(col("v2").as("src"), col("v1").as("dst")))
       .select(col("id"), round(col("hub"), 6).as("hub"),
         round(col("authority"), 6).as("authority"))
@@ -824,7 +834,7 @@ object PipelineQueries {
   val KCoreK = 2
   val kCoreQ: Q = (s, dir) =>
     Graph.kCore(
-      Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+      mNearDup15(s, dir)
         .select(col("v1"), col("v2")), k = KCoreK)
       .orderBy("id")
 
@@ -837,7 +847,7 @@ object PipelineQueries {
     * (how label-pure are near-dup neighborhoods?).
     */
   val labelPropQ: Q = (s, dir) => {
-    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val pairs = mNearDup15(s, dir)
     val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
       .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
     val seeds = emb(s, dir)
@@ -860,7 +870,7 @@ object PipelineQueries {
     * engine-exact.
     */
   val labelPropWeightedQ: Q = (s, dir) => {
-    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val pairs = mNearDup15(s, dir)
     val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"),
         col("cosine_sim").as("w"))
       .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst"),
@@ -888,7 +898,7 @@ object PipelineQueries {
     */
   val modularityQ: Q = (s, dir) =>
     Graph.modularity(
-      Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+      mNearDup15(s, dir)
         .select(col("v1"), col("v2")),
       Similarity.ivfAssignments(emb(s, dir), mKmeansCos(s, dir))
         .select(col("cand_id").as("id"), col("cent_id")))
@@ -899,7 +909,7 @@ object PipelineQueries {
     * the quality-PROPAGATION signal beside q101's raw centrality.
     */
   val trustRankQ: Q = (s, dir) => {
-    val pairs = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+    val pairs = mNearDup15(s, dir)
     val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
       .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
     val qs = TextAnalysis.withTextStats(docs(s, dir))
@@ -1588,7 +1598,7 @@ object PipelineQueries {
     */
   val triangleStats: Q = (s, dir) =>
     Graph.triangles(
-      Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.15)
+      mNearDup15(s, dir)
         .select(col("v1").as("src"), col("v2").as("dst")))
       .orderBy("id")
 
