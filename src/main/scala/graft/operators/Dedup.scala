@@ -355,7 +355,9 @@ object Dedup {
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"), explode(col("arr")).as("sh"))
       .cache()
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= JaccardDocFreqCap)
-    val filtered = sh.join(rare.select("sh"), "sh")
+    // cached: the self-join below reads it twice (sh is cached, but the
+    // df-cap join would still run once per side)
+    val filtered = sh.join(rare.select("sh"), "sh").cache()
     filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -404,11 +406,16 @@ object Dedup {
       concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
       floor(length(col("text")) / lit(EditLenBucket)).as("lb"))
     val df0 = t.groupBy("blk").agg(count(lit(1)).as("df0"))
+    // cached at both levels: `refined` feeds the cap aggregate AND the
+    // keep join, and every caller SELF-JOINS the returned frame — each
+    // reference would otherwise recompute the scan + df0 join (guide
+    // §1.2). Narrow (id, 60-char prefix, block keys) at any scale.
     val refined = t.join(df0, "blk")
       .withColumn("grp", when(col("df0") <= EditBlockCap, lit(-1L)).otherwise(col("lb")))
+      .cache()
     val keep = refined.groupBy("blk", "grp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= EditBlockCap)
-    refined.join(keep.select("blk", "grp"), Seq("blk", "grp"))
+    refined.join(keep.select("blk", "grp"), Seq("blk", "grp")).cache()
   }
 
   /** Jaro–Winkler near-dup pairs over the same capped blocks as

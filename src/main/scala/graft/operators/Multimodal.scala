@@ -270,7 +270,9 @@ object Multimodal {
     val bands = bandExplode(h)
     val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= DHashBlockCap).select("band", "bv")
-    val cand = bands.join(ok, Seq("band", "bv"))
+    // cached: the self-join below reads the capped band table twice,
+    // and each side would otherwise recompute bands + the cap join
+    val cand = bands.join(ok, Seq("band", "bv")).cache()
     cand.as("a").join(cand.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

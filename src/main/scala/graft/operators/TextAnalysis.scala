@@ -1066,7 +1066,9 @@ object TextAnalysis {
       sum(col("score").cast("decimal(38,6)")).cast("double").as("s_tot"))
     val fbW = fb.crossJoin(broadcast(tot))
       .select(col("doc_id"), (col("score") / col("s_tot")).as("w_d"))
-    val fbPost = postings.join(broadcast(fbW), "doc_id")
+    // cached: the feedback-doc postings (F docs only) feed both the
+    // doc-length and the term-frequency aggregates
+    val fbPost = postings.join(broadcast(fbW), "doc_id").cache()
     val dl = fbPost.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = fbPost.groupBy("doc_id", "w_d", "word").agg(count(lit(1)).as("tf"))
     tf.join(dl, "doc_id")
@@ -1081,7 +1083,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark = postings.sparkSession
     import spark.implicits._
-    val rm1 = rm1Model(postings, terms, k1, b, fbDocs)
+    // cached: consumed by both the expansion ranking and the original-
+    // term left join — uncached each re-ran the whole RM1 chain
+    val rm1 = rm1Model(postings, terms, k1, b, fbDocs).cache()
     val origs = terms.map(t => (t, 1.0 / terms.size)).toDF("word", "p_orig")
     val exp = rm1.filter(!col("word").isin(terms: _*))
       .withColumn("exp_rank",
@@ -1110,7 +1114,8 @@ object TextAnalysis {
   def rm3Rerank(postings: DataFrame, weights: DataFrame,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dl = postings.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // cached: feeds the corpus stats scalar AND the per-doc score join
+    val dl = postings.groupBy("doc_id").agg(count(lit(1)).as("dl")).cache()
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = postings
       .join(broadcast(weights.select("word", "rm3_weight")), "word")
@@ -1367,7 +1372,9 @@ object TextAnalysis {
     */
   def percolatePhraseTableCensus(docs: DataFrame, postings: DataFrame,
       topN: Int = 2): DataFrame = {
-    val pt = percolatorPhraseTable(docs, topN)
+    // cached: the derived phrase table feeds both the positional match
+    // and the every-query-reports left join (it is alert-sized)
+    val pt = percolatorPhraseTable(docs, topN).cache()
     val counts = percolatePhrasesTable(postings, pt)
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_matches"), min(col("doc_id")).as("first_doc"))
