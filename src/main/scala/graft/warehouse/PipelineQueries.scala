@@ -32,9 +32,18 @@ object PipelineQueries {
   /** Near-dup cluster map (pair gen + connected components) — feeds
     * q52/q105/q133/q146/q191.
     */
+  /** N-gram Jaccard near-dup pair list — the generator under the
+    * cluster map, ALSO consumed directly by q42/q134/q136/q141: one
+    * shingling + band join per corpus snapshot instead of five
+    * (round-15; deterministic, so consumers are bit-identical).
+    */
+  private def mNgramPairs(s: SparkSession, dir: String): DataFrame =
+    Materialized.of(s, dir, "ngram_pairs")(
+      Dedup.ngramJaccardPairs(docs(s, dir).cache()))
+
   private def mClusters(s: SparkSession, dir: String): DataFrame =
     Materialized.of(s, dir, "ngram_cc")(
-      Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs(s, dir).cache())))
+      Dedup.connectedComponents(mNgramPairs(s, dir)))
 
   /** Substring-removal census (the Lee et al. 2022 cleaning pass) —
     * feeds q294 (the per-doc list), q308 (the dataset card's
@@ -104,7 +113,7 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   val ngramJaccard: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(docs(s, dir)).orderBy("d1", "d2")
+    mNgramPairs(s, dir).orderBy("d1", "d2")
 
   /** MinHash-LSH candidate pairs as a session artifact — feeds
     * q43/q295/q296 (one signature + band pass per session, the
@@ -1679,7 +1688,7 @@ object PipelineQueries {
     * one modality to stand in for the other.
     */
   val crossModalAgreement: Q = (s, dir) => {
-    val tp = Dedup.ngramJaccardPairs(docs(s, dir))
+    val tp = mNgramPairs(s, dir)
       .select(col("d1"), col("d2")).withColumn("t", lit(true))
     val ep = Similarity.bucketedNearDupPairs(emb(s, dir), threshold = 0.40)
       .select(col("v1").as("d1"), col("v2").as("d2")).withColumn("e", lit(true))
@@ -1759,7 +1768,7 @@ object PipelineQueries {
     * sensitive there.
     */
   val thresholdSweep: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(docs(s, dir))
+    mNgramPairs(s, dir)
       .select(floor(col("jaccard") * 10).cast("int").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
       .orderBy("decile")
@@ -1798,7 +1807,7 @@ object PipelineQueries {
   val splitLeakage: Q = (s, dir) => {
     val d = docs(s, dir)
     val sp = Sampling.withSplit(d.select(col("doc_id")), "doc_id")
-    Dedup.ngramJaccardPairs(d).select("d1", "d2")
+    mNgramPairs(s, dir).select("d1", "d2")
       .join(sp.select(col("doc_id").as("d1"), col("split").as("sp1")), "d1")
       .join(sp.select(col("doc_id").as("d2"), col("split").as("sp2")), "d2")
       .select(least(col("sp1"), col("sp2")).as("split_a"),
